@@ -1,0 +1,39 @@
+"""datafiller_ray — a Ray-Data-native time-series rollup + gap-fill + retention engine.
+
+A from-scratch engine (NOT a port) with the imputation semantics of
+CyrilJl/datafiller (reference at /root/reference), re-expressed as
+``ray.data.Dataset`` pipelines:
+
+- input: Parquet tables of pre-tokenized training sequences
+  ``(doc_id: string, tokens: list<int32>, n_tok: int32, source: string)``;
+- ``map_batches`` over zero-copy Arrow batches for validation, bucketization
+  and partial aggregation; one ``groupby(source)`` shuffle over the (small)
+  partial-aggregate rows; per-source grid densification + gap-fill kernels
+  (LOCF / bounded linear / local cubic spline / mean / ridge-model fill)
+  reproducing datafiller's ``interpolate_small_gaps`` / ``FastRidge`` /
+  time-feature semantics exactly;
+- tier cascade 1m -> 1h -> 1d as exact combines of (count, sum, min, max);
+- Gorilla-style delta-of-delta + XOR compression of tier chunks;
+- per-partition lineage records and resumable checkpointed runs.
+
+No code is copied from the reference; docstrings cite reference file:line so
+semantic parity can be audited.
+"""
+
+from datafiller_ray.config import (
+    EngineError,
+    EngineTypeError,
+    EngineValueError,
+    FillConfig,
+    TIER_STEPS,
+)
+
+__all__ = [
+    "EngineError",
+    "EngineTypeError",
+    "EngineValueError",
+    "FillConfig",
+    "TIER_STEPS",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,98 @@
+"""Engine configuration and error hierarchy.
+
+The dual-inheritance error trick mirrors the reference's exception design
+(``/root/reference/src/datafiller/exceptions.py:18-27``): errors are catchable
+both as the engine base class and as the builtin they specialize.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class EngineError(Exception):
+    """Base class for all engine errors."""
+
+
+class EngineValueError(EngineError, ValueError):
+    """Invalid value (bad input data, bad config)."""
+
+
+class EngineTypeError(EngineError, TypeError):
+    """Invalid type."""
+
+
+#: Retention tiers: tier name -> bucket step in seconds. Tumbling, aligned,
+#: event-time buckets (SURVEY.md §2.9); the cascade 1m -> 1h -> 1d is an exact
+#: combine because each coarser step is an integer multiple of the finer one.
+TIER_STEPS: dict[str, int] = {"1m": 60, "1h": 3600, "1d": 86400}
+
+#: Order in which tiers cascade (finest first).
+TIER_ORDER: tuple[str, ...] = ("1m", "1h", "1d")
+
+
+@dataclass(frozen=True)
+class FillConfig:
+    """Gap-fill configuration for one pipeline run.
+
+    Semantics follow the reference:
+
+    - ``strategy="linear"`` with ``max_gap=n`` reproduces
+      ``interpolate_small_gaps`` (``timeseries/_utils.py:51-67``): only NaN
+      runs of length <= n are filled; leading NaN runs are never filled;
+      trailing runs (<= n) take the last observed value (pandas
+      ``Series.interpolate`` default behavior).
+    - ``strategy="locf"``: forward-fill runs of length <= max_gap.
+    - ``strategy="spline"``: local natural cubic spline through nearby
+      observed knots (window of ``spline_window`` knots per side), bounded by
+      ``max_gap`` like linear. The reference delegates to pandas/scipy
+      splines; scipy is absent here so the kernel is self-contained.
+    - ``strategy="model"``: datafiller's univariate model path — lag matrix
+      (``timeseries/_utils.py:8-48``) + calendar features
+      (``timeseries/imputer.py:226-256``) + complete-rows training with
+      ``min_samples_train`` (default 20, ``multivariate/imputer.py:164``) +
+      ``FastRidge`` float32 normal equations (``estimators/ridge.py:42-111``)
+      on standardized columns (``multivariate/imputer.py:421-451``).
+    - ``strategy=None``: no gap fill (pure rollup; gap buckets stay null).
+    - ``fallback="simple"``: remaining gaps take the per-series observed mean
+      (``_apply_fallback``, ``multivariate/imputer.py:744-770``);
+      ``fallback=None`` leaves them null.
+    """
+
+    strategy: str | None = "linear"
+    max_gap: int | None = None
+    fallback: str | None = None
+    # model-fill knobs (reference defaults)
+    lags: tuple[int, ...] = (1, 2, 3, -1, -2, -3)
+    alpha: float = 1e-2
+    min_samples_train: int = 20
+    spline_window: int = 8
+
+    VALID_STRATEGIES = (None, "locf", "linear", "spline", "mean", "model")
+
+    def __post_init__(self) -> None:
+        if self.strategy not in self.VALID_STRATEGIES:
+            raise EngineValueError(
+                f"strategy must be one of {self.VALID_STRATEGIES}, got {self.strategy!r}"
+            )
+        if self.max_gap is not None and (
+            not isinstance(self.max_gap, int) or self.max_gap < 0
+        ):
+            raise EngineTypeError("max_gap must be a non-negative int or None")
+        if self.fallback not in (None, "simple"):
+            raise EngineValueError("fallback must be 'simple' or None")
+
+
+@dataclass(frozen=True)
+class RetentionConfig:
+    """Per-tier retention window: keep buckets with
+    ``start_ts <= bucket_ts < end_ts`` (either bound may be None).
+
+    Engine analogue of the reference's ``before``/``after`` time-window
+    selectors (``timeseries/imputer.py:565-595``).
+    """
+
+    windows: dict[str, tuple[int | None, int | None]] = field(default_factory=dict)
+
+    def bounds(self, tier: str) -> tuple[int | None, int | None]:
+        return self.windows.get(tier, (None, None))

@@ -1,0 +1,144 @@
+"""Feature construction + model-based gap fill for one series.
+
+Reproduces the reference's univariate time-series model path:
+
+- lag matrix: ``build_lag_matrix`` (``timeseries/_utils.py:8-48``) — columns
+  ``[y, y.shift(l1), ..., y.shift(lk), time_features]``; out-of-range shifted
+  positions are NaN.
+- calendar features: ``_make_time_features`` (``timeseries/imputer.py:226-256``)
+  — normalized trend + day/week sin/cos, float32.
+- training path: group imputable rows by their observed-feature pattern
+  (``multivariate/imputer.py:552-553``), train one ridge per pattern on rows
+  complete on that pattern's features, threshold ``min_samples_train=20``
+  (``imputer.py:164``); standardize columns on observed stats and rescale
+  predictions (``imputer.py:421-451, 900-915``). Optimask rectangle search is
+  intentionally not ported (SURVEY.md §7 "what's hard") — under-threshold
+  patterns fall through to the terminal fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datafiller_ray.functions.gapfill import METHOD_CODES, _eligible_mask
+
+
+def make_time_features(bucket_ts: np.ndarray) -> np.ndarray:
+    """Calendar features from epoch-second bucket timestamps.
+
+    Matches ``_make_time_features`` (``timeseries/imputer.py:226-256``):
+    trend in [0,1], day sin/cos from hour-of-day (minute-resolved), week
+    sin/cos from day-of-week; float32. Epoch seconds are UTC; day-of-week of
+    the epoch (1970-01-01) is Thursday = 3 in pandas' Monday=0 convention.
+    """
+    ts = bucket_ts.astype(np.int64)
+    n = ts.size
+    elapsed_days = (ts - ts[0]) / 86400.0
+    if n and elapsed_days[-1] != 0:
+        trend = (elapsed_days / elapsed_days[-1]).astype(np.float32)
+    else:
+        trend = np.zeros(n, dtype=np.float32)
+    secs_of_day = np.mod(ts, 86400)
+    hour = (secs_of_day / 3600.0).astype(np.float32)
+    day_angle = np.float32(2.0 * np.pi) * hour / np.float32(24.0)
+    dow = (np.floor_divide(ts, 86400) + 3) % 7  # Monday=0 like pandas dayofweek
+    week_angle = np.float32(2.0 * np.pi) * dow.astype(np.float32) / np.float32(7.0)
+    return np.column_stack(
+        [
+            trend,
+            np.sin(day_angle, dtype=np.float32),
+            np.cos(day_angle, dtype=np.float32),
+            np.sin(week_angle, dtype=np.float32),
+            np.cos(week_angle, dtype=np.float32),
+        ]
+    ).astype(np.float32)
+
+
+def build_lag_features(y: np.ndarray, lags: tuple[int, ...]) -> np.ndarray:
+    """Shifted copies of ``y``: column t is ``y`` shifted by ``lags[t]``
+    (positive = back in time, like the reference), out-of-range = NaN.
+
+    Vectorized slicing instead of the reference's row-parallel Numba loop —
+    Arrow/NumPy are columnar so the column-block layout is the fast one here.
+    """
+    n = y.size
+    out = np.full((n, len(lags)), np.nan, dtype=np.float64)
+    for t, lag in enumerate(lags):
+        if lag >= 0:
+            if lag < n:
+                out[lag:, t] = y[: n - lag]
+        else:
+            k = -lag
+            if k < n:
+                out[: n - k, t] = y[k:]
+    return out
+
+
+def fill_model(
+    y: np.ndarray,
+    bucket_ts: np.ndarray,
+    *,
+    lags: tuple[int, ...] = (1, 2, 3, -1, -2, -3),
+    alpha: float = 1e-2,
+    min_samples_train: int = 20,
+    max_gap: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Model-based fill of NaN cells in ``y`` (see module docstring).
+
+    Returns ``(filled, method_codes)``; cells whose pattern had fewer than
+    ``min_samples_train`` complete training rows remain NaN (caller applies
+    the fallback strategy).
+    """
+    from datafiller_ray.functions.ridge import FastRidge
+
+    out = y.astype(np.float64, copy=True)
+    codes = np.zeros(y.size, dtype=np.int8)
+    eligible = _eligible_mask(y, max_gap, allow_leading=True)
+    if not eligible.any():
+        return out, codes
+
+    lag_feats = build_lag_features(y, lags)
+    time_feats = make_time_features(bucket_ts).astype(np.float64)
+    X = np.concatenate([lag_feats, time_feats], axis=1)  # (n, L + 5)
+    n_feats = X.shape[1]
+
+    # Standardize on observed stats (reference `_standardization`,
+    # multivariate/imputer.py:421-451): per-column mean/std over non-NaN cells.
+    y_obs = ~np.isnan(y)
+    y_mu = float(np.nanmean(y)) if y_obs.any() else 0.0
+    y_sd = float(np.nanstd(y)) if y_obs.any() else 1.0
+    if y_sd == 0.0 or not np.isfinite(y_sd):
+        y_sd = 1.0
+    mu = np.nanmean(X, axis=0)
+    sd = np.nanstd(X, axis=0)
+    mu = np.where(np.isfinite(mu), mu, 0.0)
+    sd = np.where(np.isfinite(sd) & (sd > 0), sd, 1.0)
+    Xs = (X - mu) / sd
+    ys = (y - y_mu) / y_sd
+
+    feat_obs = ~np.isnan(Xs)  # (n, n_feats)
+    imputable = np.flatnonzero(eligible)
+    # Group imputable rows by observed-feature pattern (imputer.py:552-553).
+    patt = feat_obs[imputable]
+    patt_keys = patt @ (np.uint64(1) << np.arange(n_feats, dtype=np.uint64))
+    trainable = np.flatnonzero(y_obs)
+    if trainable.size == 0:
+        return out, codes
+    train_feat_obs = feat_obs[trainable]
+
+    for key in np.unique(patt_keys):
+        rows = imputable[patt_keys == key]
+        pattern = feat_obs[rows[0]]
+        if not pattern.any():
+            continue
+        # training rows: y observed and complete on the pattern's features
+        complete = train_feat_obs[:, pattern].all(axis=1)
+        train_rows = trainable[complete]
+        if train_rows.size < min_samples_train:
+            continue
+        model = FastRidge(alpha=alpha, fit_intercept=True)
+        model.fit(Xs[np.ix_(train_rows, np.flatnonzero(pattern))], ys[train_rows])
+        pred = model.predict(Xs[np.ix_(rows, np.flatnonzero(pattern))])
+        out[rows] = pred.astype(np.float64) * y_sd + y_mu
+        codes[rows] = METHOD_CODES["model"]
+    return out, codes
