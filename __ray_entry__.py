@@ -1,16 +1,21 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Engine queries run over two input families:
+
+- the contract table ``(doc_id, tokens:list<int32>, n_tok, source)`` —
+  synthesised deterministically (seed=42) per scale factor into
+  ``/tmp/datafiller_ray_fixtures/sf*/input.parquet`` (BASELINE.json
+  ``input_hint``; no external data). The matching oracle SQL reads the SAME
+  parquet file via ``read_parquet(...)``, so Ray and DuckDB see identical
+  bytes.
+- the driver's pre-registered views (documents / embeddings / events /
+  lineitem) for the training-data operators.
+
+Float-producing queries round to 6 decimals on BOTH sides so IEEE
+summation-order differences cannot flip the value hash.
 """
 
 from __future__ import annotations
@@ -18,27 +23,463 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+SF_FOR_ORACLE = 0.01  # the driver's correctness scale
+_ANN_K = 10
+_ANN_NQ = 5
+_RETENTION_CUTOFF = 1704067200 + 43200  # keep buckets from 2024-01-01T12:00 on
+
+
+def _fixture(sf_dir: str) -> str:
+    from datafiller_ray.fixtures import ensure_fixture
+
+    return ensure_fixture(sf_dir)
+
+
+def _read(sf_dir: str, name: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# engine queries (contract table)
+
+
+def _tier_rollup(sf_dir: str, tier: str, *, min_bucket: int | None = None):
+    from datafiller_ray.config import FillConfig, RetentionConfig
+    from datafiller_ray.pipelines.rollup import rollup_tiers
+
+    retention = (
+        RetentionConfig(windows={tier: (min_bucket, None)}) if min_bucket else None
+    )
+    ds = rollup_tiers(
+        _fixture(sf_dir),
+        fill=FillConfig(strategy=None),
+        tiers=(tier,),
+        retention=retention,
+        check_tokens=True,
+    )
+
+    def project(batch):
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.greater(batch["count"], 0))
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "n_obs": b["count"],
+                "sum_tok": pc.cast(b["sum"], pa.int64()),
+                "min_tok": pc.cast(b["min"], pa.int64()),
+                "max_tok": pc.cast(b["max"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _tier_gapfill(sf_dir: str, strategy: str):
+    from datafiller_ray.config import FillConfig
+    from datafiller_ray.pipelines.rollup import rollup_tiers
+
+    ds = rollup_tiers(
+        _fixture(sf_dir),
+        fill=FillConfig(strategy=strategy, max_gap=None),
+        tiers=("1m",),
+        check_tokens=False,
+    )
+
+    def project(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        value = pc.round(batch["value"], ndigits=6)
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "bucket_ts": batch["bucket_ts"],
+                "n_obs": batch["count"],
+                "fill_value": value,
+            }
+        )
+        keep = pc.fill_null(pc.invert(pc.is_nan(value)), False)
+        return t.filter(keep)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _token_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = _read_fixture_ds(sf_dir)
+    agg = ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tok", alias_name="total_tok"),
+        Min("n_tok", alias_name="min_tok"),
+        Max("n_tok", alias_name="max_tok"),
+        Mean("n_tok", alias_name="avg_tok"),
+    )
+
+    def project(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+                "total_tok": pc.cast(batch["total_tok"], pa.int64()),
+                "min_tok": pc.cast(batch["min_tok"], pa.int64()),
+                "max_tok": pc.cast(batch["max_tok"], pa.int64()),
+                "avg_tok": pc.round(batch["avg_tok"], ndigits=6),
+            }
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
+def _read_fixture_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(_fixture(sf_dir), columns=["doc_id", "n_tok", "source"])
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings / events / lineitem queries
+
+
+def _dedup_exact(sf_dir: str):
+    from datafiller_ray.pipelines.text import exact_dedup
+
+    ds = exact_dedup(_read(sf_dir, "documents"))
+    return ds.select_columns(["doc_id", "source", "n_chars"])
+
+
+def _text_stats(sf_dir: str):
+    from datafiller_ray.pipelines.text import text_stats
+
+    return text_stats(_read(sf_dir, "documents"))
+
+
+def _lang_id(sf_dir: str):
+    from datafiller_ray.pipelines.text import lang_id
+
+    return lang_id(_read(sf_dir, "documents"))
+
+
+def _simhash(sf_dir: str):
+    from datafiller_ray.pipelines.text import simhash
+
+    return simhash(_read(sf_dir, "documents"))
+
+
+def _fingerprint(sf_dir: str):
+    from datafiller_ray.pipelines.text import fingerprint
+
+    return fingerprint(_read(sf_dir, "documents"))
+
+
+def _minhash(sf_dir: str):
+    from datafiller_ray.pipelines.text import minhash_near_dup
+
+    return minhash_near_dup(_read(sf_dir, "documents"))
+
+
+def _ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.ann import brute_force_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(qt["vec_id"])[: _ANN_NQ]
+    head = qt.take(order)
+    qids = np.asarray(head["vec_id"])
+    qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    ds = brute_force_topk(_read(sf_dir, "embeddings"), qids, qmat, k=_ANN_K)
+    return ds.select_columns(["query_id", "rank", "vec_id"])
+
+
+def _events_rollup(sf_dir: str):
+    from datafiller_ray.pipelines.events import events_rollup
+
+    return events_rollup(_read(sf_dir, "events"), step=60)
+
+
+def _events_locf(sf_dir: str):
+    from datafiller_ray.pipelines.events import events_gapfill_locf
+
+    ds = events_gapfill_locf(_read(sf_dir, "events"), step=60)
+
+    def drop_leading_nulls(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        v = batch["fill_value"]
+        keep = pc.and_kleene(pc.is_valid(v), pc.invert(pc.is_nan(v)))
+        return batch.filter(pc.fill_null(keep, False))
+
+    return ds.map_batches(drop_leading_nulls, batch_format="pyarrow")
+
+
+def _lineitem_daily(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        day = pc.cast(
+            pc.floor(
+                pc.divide(
+                    pc.cast(pc.cast(batch["l_shipdate"], pa.int64()), pa.float64()),
+                    86_400_000_000.0,
+                )
+            ),
+            pa.int64(),
+        )
+        slim = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "ship_day": day,
+                "l_quantity": batch["l_quantity"],
+            }
+        )
+        agg = slim.group_by(["l_returnflag", "ship_day"]).aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": agg["l_returnflag"],
+                "ship_day": agg["ship_day"],
+                "n_items": agg["l_quantity_count"],
+                "sum_qty": agg["l_quantity_sum"],
+            }
+        )
+
+    import pandas as pd
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby(["l_returnflag", "ship_day"], sort=True).agg(
+            n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum")
+        ).reset_index()
+        out["sum_qty"] = np.round(out["sum_qty"], 6)
+        return out
+
+    ds = _read(sf_dir, "lineitem").map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return ds.groupby("l_returnflag").map_groups(combine, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001-scale fixture: full tier
+    rollup + linear gap fill. Returns a lazy Dataset of tier rows."""
+    from datafiller_ray.config import FillConfig
+    from datafiller_ray.pipelines.rollup import rollup_tiers
+
+    from datafiller_ray.fixtures import ensure_fixture
+
+    return rollup_tiers(
+        ensure_fixture(0.001), fill=FillConfig(strategy="linear", max_gap=5)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    # eagerly materialise the oracle-scale fixture so oracle_sql()'s
+    # read_parquet path exists no matter which side the driver runs first
+    from datafiller_ray.fixtures import ensure_fixture
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    ensure_fixture(SF_FOR_ORACLE)
+
+    return {
+        "rollup_1m": lambda d: _tier_rollup(d, "1m"),
+        "rollup_1h": lambda d: _tier_rollup(d, "1h"),
+        "rollup_1d": lambda d: _tier_rollup(d, "1d"),
+        "retention_1h": lambda d: _tier_rollup(d, "1h", min_bucket=_RETENTION_CUTOFF),
+        "gapfill_locf_1m": lambda d: _tier_gapfill(d, "locf"),
+        "gapfill_linear_1m": lambda d: _tier_gapfill(d, "linear"),
+        "token_stats": _token_stats,
+        "dedup_exact": _dedup_exact,
+        "text_stats": _text_stats,
+        "lang_id": _lang_id,
+        "simhash": _simhash,
+        "doc_fingerprint": _fingerprint,
+        "minhash_near_dup": _minhash,
+        "ann_topk": _ann_topk,
+        "events_rollup_1m": _events_rollup,
+        "events_gapfill_locf_1m": _events_locf,
+        "lineitem_daily": _lineitem_daily,
+    }
+
+
+def _fixture_sql_path() -> str:
+    from datafiller_ray.fixtures import fixture_path
+
+    return fixture_path(SF_FOR_ORACLE)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    p = _fixture_sql_path()
+
+    def rollup(step: int, where: str = "") -> str:
+        inner = f"""
+            SELECT source,
+                   (CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) * 60
+                    // {step}) * {step} AS bucket_ts,
+                   COUNT(*) AS n_obs,
+                   SUM(n_tok) AS sum_tok,
+                   MIN(n_tok) AS min_tok,
+                   MAX(n_tok) AS max_tok
+            FROM read_parquet('{p}')
+            GROUP BY 1, 2
+        """
+        if where:
+            return f"SELECT * FROM ({inner}) {where}"
+        return inner
+
+    grid_cte = f"""
+        WITH obs AS (
+          SELECT source,
+                 CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) * 60 AS bucket_ts,
+                 COUNT(*) AS n_obs, SUM(n_tok) AS sum_tok
+          FROM read_parquet('{p}') GROUP BY 1, 2),
+        bounds AS (
+          SELECT source, MIN(bucket_ts) lo, MAX(bucket_ts) hi FROM obs GROUP BY 1),
+        grid AS (
+          SELECT source, UNNEST(generate_series(lo, hi, 60)) AS bucket_ts FROM bounds),
+        joined AS (
+          SELECT g.source, g.bucket_ts, o.sum_tok, COALESCE(o.n_obs, 0) AS n_obs
+          FROM grid g LEFT JOIN obs o USING (source, bucket_ts))
     """
-    return {}
+
+    locf_sql = grid_cte + """
+        SELECT source, bucket_ts, n_obs, fill_value FROM (
+          SELECT source, bucket_ts, n_obs,
+                 CAST(last_value(sum_tok IGNORE NULLS) OVER (
+                     PARTITION BY source ORDER BY bucket_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS fill_value
+          FROM joined)
+        WHERE fill_value IS NOT NULL
+    """
+
+    linear_sql = grid_cte + """
+        , win AS (
+          SELECT source, bucket_ts, n_obs, sum_tok,
+                 last_value(sum_tok IGNORE NULLS) OVER w_prev AS pv,
+                 last_value(CASE WHEN sum_tok IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+                     OVER w_prev AS pts,
+                 first_value(sum_tok IGNORE NULLS) OVER w_next AS nv,
+                 first_value(CASE WHEN sum_tok IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+                     OVER w_next AS nts
+          FROM joined
+          WINDOW w_prev AS (PARTITION BY source ORDER BY bucket_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w_next AS (PARTITION BY source ORDER BY bucket_ts
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT source, bucket_ts, n_obs, round_even(fill_value, 6) AS fill_value FROM (
+          SELECT source, bucket_ts, n_obs,
+                 CASE WHEN sum_tok IS NOT NULL THEN CAST(sum_tok AS DOUBLE)
+                      WHEN pv IS NULL THEN NULL
+                      WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                      ELSE pv + (CAST(nv AS DOUBLE) - pv)
+                           * (bucket_ts - pts) / (nts - pts)
+                 END AS fill_value
+          FROM win)
+        WHERE fill_value IS NOT NULL
+    """
+
+    return {
+        "rollup_1m": rollup(60),
+        "rollup_1h": rollup(3600),
+        "rollup_1d": rollup(86400),
+        "retention_1h": rollup(3600, f"WHERE bucket_ts >= {_RETENTION_CUTOFF}"),
+        "gapfill_locf_1m": locf_sql,
+        "gapfill_linear_1m": linear_sql,
+        "token_stats": f"""
+            SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tok,
+                   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+                   round_even(SUM(CAST(n_tok AS DOUBLE)) / COUNT(*), 6) AS avg_tok
+            FROM read_parquet('{p}') GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS tok_count,
+                   length(text) AS n_chars,
+                   round_even(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / GREATEST(length(text), 1)::DOUBLE, 6) AS alpha_ratio,
+                   round_even(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / GREATEST(length(text), 1)::DOUBLE, 6) AS digit_ratio,
+                   round_even((length(text) - length(replace(text, ' ', '')))
+                         / GREATEST(length(text), 1)::DOUBLE, 6) AS space_ratio
+            FROM documents
+        """,
+        "ann_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     round_even(list_cosine_similarity(q.qe, e.embedding), 6) AS sim
+              FROM q CROSS JOIN embeddings e)
+            SELECT query_id, rank, vec_id FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM sims)
+            WHERE rank <= {_ANN_K}
+        """,
+        "events_rollup_1m": """
+            SELECT event_type,
+                   (epoch_us(ts) // 1000000 // 60) * 60 AS bucket_ts,
+                   COUNT(*) AS n_events,
+                   round_even(SUM(value), 6) AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_gapfill_locf_1m": """
+            WITH obs AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 // 60) * 60 AS bucket_ts,
+                     COUNT(*) AS n_events, round_even(SUM(value), 6) AS sum_value
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT event_type, MIN(bucket_ts) lo, MAX(bucket_ts) hi
+              FROM obs GROUP BY 1),
+            grid AS (
+              SELECT event_type, UNNEST(generate_series(lo, hi, 60)) AS bucket_ts
+              FROM bounds),
+            joined AS (
+              SELECT g.event_type, g.bucket_ts, o.sum_value,
+                     COALESCE(o.n_events, 0) AS n_events
+              FROM grid g LEFT JOIN obs o USING (event_type, bucket_ts))
+            SELECT event_type, bucket_ts, n_events, fill_value FROM (
+              SELECT event_type, bucket_ts, n_events,
+                     last_value(sum_value IGNORE NULLS) OVER (
+                         PARTITION BY event_type ORDER BY bucket_ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS fill_value
+              FROM joined)
+            WHERE fill_value IS NOT NULL
+        """,
+        "lineitem_daily": """
+            SELECT l_returnflag,
+                   epoch_us(l_shipdate) // 86400000000 AS ship_day,
+                   COUNT(*) AS n_items,
+                   round_even(SUM(l_quantity), 6) AS sum_qty
+            FROM lineitem GROUP BY 1, 2
+        """,
+    }

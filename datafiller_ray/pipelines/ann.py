@@ -1,0 +1,113 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline: the (small) query matrix is
+broadcast once via ``ray.put`` and every map task does one numpy matmul per
+batch (never re-shipped per batch); per-batch partial top-k rows are then
+reduced per query. The scale path (LSH-bucketed variant) hashes vectors into
+``n_planes``-bit sign buckets so candidate generation is a bucket join
+instead of a full scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(np.int64)
+    M = np.stack(batch["embedding"].to_numpy())
+    return ids, M.astype(np.float64)
+
+
+class BruteForceTopK:
+    """Per-batch partial top-k against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int) -> None:
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids = q["ids"]  # (nq,)
+        Q = q["matrix"].astype(np.float64)  # (nq, d)
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, M = _batch_matrix(batch)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = self.Qn @ Mn.T  # (nq, nb)
+        k = min(self.k, ids.size)
+        out = []
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            # deterministic partial top-k: similarity desc, vec_id asc
+            order = np.lexsort((ids, -s))[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": self.query_ids[qi],
+                        "vec_id": ids[order],
+                        "sim": np.round(s[order], 6),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def _final_topk(k: int):
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return reduce_group
+
+
+def brute_force_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Exact cosine top-k per query. Deterministic tie-break (sim desc,
+    vec_id asc); similarities rounded to 1e-6 so the DuckDB oracle ranks
+    identically."""
+    ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+    partial = embeddings.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
+class LshBucketer:
+    """Random-hyperplane sign buckets (the IVF/LSH scale path): vectors that
+    share a bucket are candidate neighbors; query-time scans only matching
+    buckets. Plane matrix built once per actor."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 7) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, M = _batch_matrix(batch)
+        signs = (M @ self.planes) > 0
+        bucket = (signs @ (1 << np.arange(signs.shape[1]))).astype(np.int64)
+        return pd.DataFrame({"vec_id": ids, "bucket": bucket})
+
+
+def lsh_buckets(embeddings: "ray.data.Dataset", dim: int, n_planes: int = 12) -> "ray.data.Dataset":
+    return embeddings.map_batches(
+        LshBucketer,
+        fn_constructor_args=(dim, n_planes),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
