@@ -338,7 +338,7 @@ def oracle_sql() -> dict[str, str]:
                    SUM(n_tok) AS sum_tok,
                    MIN(n_tok) AS min_tok,
                    MAX(n_tok) AS max_tok
-            FROM read_parquet('{p}')
+            FROM read_parquet('{p}/*.parquet')
             GROUP BY 1, 2
         """
         if where:
@@ -350,7 +350,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT source,
                  CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) * 60 AS bucket_ts,
                  COUNT(*) AS n_obs, SUM(n_tok) AS sum_tok
-          FROM read_parquet('{p}') GROUP BY 1, 2),
+          FROM read_parquet('{p}/*.parquet') GROUP BY 1, 2),
         bounds AS (
           SELECT source, MIN(bucket_ts) lo, MAX(bucket_ts) hi FROM obs GROUP BY 1),
         grid AS (
@@ -408,7 +408,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tok,
                    MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
                    round_even(SUM(CAST(n_tok AS DOUBLE)) / COUNT(*), 6) AS avg_tok
-            FROM read_parquet('{p}') GROUP BY 1
+            FROM read_parquet('{p}/*.parquet') GROUP BY 1
         """,
         "dedup_exact": """
             SELECT doc_id, source, n_chars FROM documents

@@ -1,0 +1,195 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline pipeline twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same (pre-warmed) input and reports both
+throughputs plus the scaling efficiency (the in-sandbox evidence for the
+north rule's N vs 4N cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.config import FillConfig
+    from datafiller_ray.fixtures import ensure_fixture, sf_from_dir
+    from datafiller_ray.pipelines.rollup import rollup_tiers, write_tiers
+
+    sf = sf_from_dir(SF_DIR)
+    fixture = ensure_fixture(sf)
+    import pyarrow.dataset as pds
+
+    n_rows = pds.dataset(fixture).count_rows()
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    import ray.data
+
+    ray.data.read_parquet(fixture).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: validate tokens + rollup all tiers + linear gap fill, stream
+    # to partitioned parquet (no driver-side materialization)
+    out_dir = "/tmp/bench_tiers"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def headline():
+        ds = rollup_tiers(fixture, fill=FillConfig(strategy="linear", max_gap=60))
+        write_tiers(ds, out_dir)
+
+    timed("rollup_gapfill_tiers", headline)
+
+    def blobs():
+        ds = rollup_tiers(
+            fixture,
+            fill=FillConfig(strategy="linear", max_gap=60),
+            check_tokens=False,
+            emit="blobs",
+        )
+        shutil.rmtree("/tmp/bench_blobs", ignore_errors=True)
+        ds.write_parquet("/tmp/bench_blobs")
+
+    timed("rollup_gorilla_blobs", blobs)
+
+    def model_fill():
+        ds = rollup_tiers(
+            fixture,
+            fill=FillConfig(strategy="model", fallback="simple"),
+            tiers=("1m",),
+            check_tokens=False,
+        )
+        shutil.rmtree("/tmp/bench_model", ignore_errors=True)
+        ds.write_parquet("/tmp/bench_model")
+
+    timed("rollup_model_fill_1m", model_fill)
+
+    # training-data ops over the provided tables
+    from datafiller_ray.pipelines.ann import brute_force_topk
+    from datafiller_ray.pipelines.events import events_rollup
+    from datafiller_ray.pipelines.text import exact_dedup, minhash_near_dup, text_stats
+
+    timed(
+        "events_rollup_1m",
+        lambda: events_rollup(
+            ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+        ).count(),
+    )
+    timed(
+        "dedup_exact",
+        lambda: exact_dedup(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        ).count(),
+    )
+    timed(
+        "text_stats",
+        lambda: text_stats(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        ).count(),
+    )
+    timed(
+        "minhash_near_dup",
+        lambda: minhash_near_dup(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        ).count(),
+    )
+
+    def ann():
+        t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        import numpy as np
+
+        head = t.slice(0, 8)
+        qids = np.asarray(head["vec_id"])
+        qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+        brute_force_topk(
+            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"), qids, qmat, k=10
+        ).count()
+
+    timed("ann_topk", ann)
+
+    headline_sec = timings["rollup_gapfill_tiers"]
+    result = {
+        "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "rows": n_rows,
+        "throughput_mseq_s": round(n_rows / headline_sec / 1e6, 4),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline at two parallelism levels in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, "bench.py"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 vs 32, same input)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "throughput_mseq_s_8": lo["throughput_mseq_s"],
+        "throughput_mseq_s_32": hi["throughput_mseq_s"],
+        "scaling_efficiency": round(eff, 3),
+        "rows": lo["rows"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

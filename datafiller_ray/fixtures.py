@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import tempfile
 
 import numpy as np
@@ -49,7 +50,10 @@ def sf_from_dir(sf_dir: str) -> float:
 
 
 def fixture_path(sf: float) -> str:
-    return os.path.join(FIXTURE_ROOT, f"sf{sf:g}", "input.parquet")
+    """Fixture location: a DIRECTORY of part files (the layout a sharded
+    100 TB corpus would have) so the Parquet read parallelizes naturally —
+    one single file forces Ray into a single read task."""
+    return os.path.join(FIXTURE_ROOT, f"sf{sf:g}", "input")
 
 
 def generate_input_table(
@@ -124,7 +128,7 @@ def generate_input_table(
     cols: dict[str, pa.Array] = {}
     cols["doc_id"] = pa.array(doc_id, type=pa.string())
     if with_tokens:
-        seeds = row_seed(string_hash64(source), minute)
+        seeds = row_seed(string_hash64(names)[src_idx], minute)
         offsets, values = expected_tokens_flat(seeds, n_tok)
         cols["tokens"] = pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
@@ -146,14 +150,25 @@ def ensure_fixture(sf_or_dir: float | str, *, force: bool = False) -> str:
     n_sources = max(8, int(round(200 * (sf / 0.1) ** 0.5)))
     table = generate_input_table(n_rows, n_sources)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet.tmp")
-    os.close(fd)
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path), suffix=".tmp")
     try:
-        pq.write_table(table, tmp, row_group_size=128 * 1024)
-        os.replace(tmp, path)
+        rows_per_file = 16 * 1024
+        n_files = max(1, (table.num_rows + rows_per_file - 1) // rows_per_file)
+        for i in range(n_files):
+            part = table.slice(i * rows_per_file, rows_per_file)
+            pq.write_table(
+                part, os.path.join(tmp, f"part-{i:05d}.parquet"),
+                row_group_size=rows_per_file,
+            )
+        os.replace(tmp, path)  # atomic publish; concurrent callers race safely
+    except OSError:
+        if os.path.isdir(path):  # another process published first
+            shutil.rmtree(tmp, ignore_errors=True)
+            return path
+        raise
     finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

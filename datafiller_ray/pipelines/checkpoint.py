@@ -1,0 +1,179 @@
+"""Resumable, checkpointed rollup run (the ``ray job submit`` entry).
+
+Two phases, each manifest-committed (state/lineage.py):
+
+1. **partials** — the single heavy pass over the token payload: validate +
+   bucketize + partial-aggregate, plus a ``bucket = hash(source) % B`` salt
+   column, written once as Parquet partitioned by bucket. If the job dies
+   later, this pass is never repeated.
+2. **buckets** — per bucket b: read only ``bucket=b`` partial rows (cheap,
+   column-pruned), run the per-source fill + tier cascade, write tier rows to
+   a temp dir, audit (row count + order-independent checksum), atomically
+   rename to ``tiers/bucket=b``, append the lineage record. A resumed run
+   skips every bucket already in the manifest.
+
+Bucket granularity is the checkpoint unit: B ~ cluster nodes keeps re-done
+work on failure to ~1/B of the finalize phase. Source-hash bucketing also
+bounds the per-group shuffle fan-in (skew: a mega-source still lands in one
+bucket, but its partials are minute-level aggregates — bounded by span, not
+by corpus size; SURVEY.md §7 "ordering inside groups at scale").
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pds
+
+import ray.data
+
+from datafiller_ray.config import FillConfig, RetentionConfig
+from datafiller_ray.state import lineage
+from datafiller_ray.stages.fill import make_fill_group_fn
+from datafiller_ray.stages.validate import make_partial_agg_fn
+
+
+def _add_bucket(n_buckets: int):
+    from datafiller_ray.functions.hashing import string_hash64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dict_arr = pc.dictionary_encode(batch["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype="U")
+        bucket_of_uniq = (string_hash64(uniq) % np.uint64(n_buckets)).astype(np.int64)
+        bucket = bucket_of_uniq[np.asarray(dict_arr.indices)]
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return fn
+
+
+def run_checkpointed(
+    input_path: str,
+    out_dir: str,
+    *,
+    fill: FillConfig | None = None,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    retention: RetentionConfig | None = None,
+    check_tokens: bool = True,
+    n_buckets: int = 8,
+    fail_after_buckets: int | None = None,  # test hook: simulate a crash
+) -> dict:
+    """Run (or resume) the full pipeline. Returns a summary dict."""
+    cfg = fill if fill is not None else FillConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    partials_dir = os.path.join(out_dir, "partials")
+    tiers_dir = os.path.join(out_dir, "tiers")
+    os.makedirs(tiers_dir, exist_ok=True)
+
+    done_partials = lineage.completed(out_dir, "partials")
+    skipped = {"partials": bool(done_partials), "buckets": []}
+
+    if not done_partials:
+        tmp = partials_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        cols = (
+            ["doc_id", "tokens", "n_tok", "source"]
+            if check_tokens
+            else ["doc_id", "n_tok", "source"]
+        )
+        ds = ray.data.read_parquet(input_path, columns=cols)
+        partials = ds.map_batches(
+            make_partial_agg_fn(check_tokens=check_tokens),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        ).map_batches(_add_bucket(n_buckets), batch_format="pyarrow")
+        partials.write_parquet(tmp, partition_cols=["bucket"])
+        # audit before publish
+        audit = pds.dataset(tmp, partitioning="hive").to_table(
+            columns=["source", "bucket_ts", "count", "sum"]
+        )
+        checksum = lineage.rows_checksum(
+            {c: audit[c].to_numpy(zero_copy_only=False) for c in audit.column_names}
+        )
+        shutil.rmtree(partials_dir, ignore_errors=True)
+        os.replace(tmp, partials_dir)
+        frags = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(str(input_path))
+            for f in fs
+        ) if os.path.isdir(str(input_path)) else [str(input_path)]
+        lineage.append_record(
+            out_dir,
+            lineage.LineageRecord(
+                kind="partials",
+                partition_id=-1,
+                row_count=audit.num_rows,
+                checksum=checksum,
+                output_path=partials_dir,
+                input_fragments=frags,
+                extra={"n_buckets": n_buckets, "check_tokens": check_tokens},
+            ),
+        )
+
+    done_buckets = lineage.completed(out_dir, "bucket")
+    fill_fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention)
+    n_done = 0
+    for b in range(n_buckets):
+        if b in done_buckets:
+            skipped["buckets"].append(b)
+            continue
+        if fail_after_buckets is not None and n_done >= fail_after_buckets:
+            raise RuntimeError(f"injected failure before bucket {b}")
+        bucket_path = os.path.join(partials_dir, f"bucket={b}")
+        out_bucket = os.path.join(tiers_dir, f"bucket={b}")
+        tmp = out_bucket + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(bucket_path):
+            os.makedirs(tmp, exist_ok=True)
+            os.replace(tmp, out_bucket)
+            lineage.append_record(
+                out_dir,
+                lineage.LineageRecord(
+                    kind="bucket", partition_id=b, row_count=0,
+                    checksum=f"{0:016x}", output_path=out_bucket,
+                ),
+            )
+            n_done += 1
+            continue
+        part = ray.data.read_parquet(bucket_path)
+        tier_rows = part.groupby("source").map_groups(fill_fn, batch_format="pandas")
+        tier_rows.write_parquet(tmp, partition_cols=["tier"])
+        audit = pds.dataset(tmp, partitioning="hive").to_table(
+            columns=["source", "bucket_ts", "count", "sum"]
+        )
+        checksum = lineage.rows_checksum(
+            {c: audit[c].to_numpy(zero_copy_only=False) for c in audit.column_names}
+        )
+        shutil.rmtree(out_bucket, ignore_errors=True)
+        os.replace(tmp, out_bucket)
+        lineage.append_record(
+            out_dir,
+            lineage.LineageRecord(
+                kind="bucket",
+                partition_id=b,
+                row_count=audit.num_rows,
+                checksum=checksum,
+                output_path=out_bucket,
+                input_fragments=[bucket_path],
+            ),
+        )
+        n_done += 1
+    return {
+        "out_dir": out_dir,
+        "skipped_partials": skipped["partials"],
+        "skipped_buckets": skipped["buckets"],
+        "completed_buckets": n_done,
+        "manifest": [r.__dict__ for r in lineage.read_manifest(out_dir)],
+    }
+
+
+def read_tier_output(out_dir: str):
+    """All committed tier rows as one pyarrow Table (test/inspection helper)."""
+    return pds.dataset(
+        os.path.join(out_dir, "tiers"), partitioning="hive"
+    ).to_table()

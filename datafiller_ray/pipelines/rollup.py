@@ -68,6 +68,14 @@ def rollup_tiers(
     (``emit="rows"``) or Gorilla blob rows (``emit="blobs"``)."""
     cfg = fill if fill is not None else FillConfig()
     partials = partial_aggregates(input_path, check_tokens=check_tokens)
+    # Coalesce the (tiny) partial rows into ~2 blocks per CPU before the
+    # groupby: the sort-based shuffle cost scales with block count, and the
+    # input stage produced one block per parquet row group. Scales with the
+    # cluster (shuffle partitions ∝ CPUs, SURVEY.md §4).
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    partials = partials.repartition(max(16, 2 * cpus))
     fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention, emit=emit)
     return partials.groupby("source").map_groups(fn, batch_format="pandas")
 

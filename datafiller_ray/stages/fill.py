@@ -133,15 +133,12 @@ def densify_and_fill(
     mn[filled] = rounded
     mx[filled] = rounded
 
-    methods = np.array(
-        [gapfill.METHOD_NAMES[c] for c in np.unique(codes)], dtype=object
+    lut = np.array(
+        [gapfill.METHOD_NAMES[c] for c in range(len(gapfill.METHOD_NAMES))],
+        dtype=object,
     )
-    code_to_name = {c: gapfill.METHOD_NAMES[c] for c in np.unique(codes)}
-    fill_method = np.empty(n, dtype=object)
-    for c, name in code_to_name.items():
-        fill_method[codes == c] = name
-    # unfilled gap buckets
-    gap_unfilled = (count == 0) & ~filled
+    fill_method = lut[codes]
+    gap_unfilled = (count == 0) & ~filled  # unfilled gap buckets
     fill_method[gap_unfilled] = "none"
 
     return pd.DataFrame(

@@ -58,9 +58,13 @@ def validate_tokens(batch: pa.Table) -> None:
         pc.equal(pc.cast(lengths, pa.int64()), pc.cast(n_tok, pa.int64()))
     ).as_py():
         raise EngineValueError("token-array invariant violated: n_tok != len(tokens)")
-    source = np.asarray(batch["source"])
+    # hash only the (few) distinct sources per batch, then gather via the
+    # dictionary indices — avoids materializing every row's Python string
+    dict_arr = pc.dictionary_encode(batch["source"].combine_chunks())
+    uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype="U")
+    source_hash = string_hash64(uniq)[np.asarray(dict_arr.indices)]
     minute = np.asarray(extract_epoch_minute(batch["doc_id"]))
-    seeds = row_seed(string_hash64(source), minute)
+    seeds = row_seed(source_hash, minute)
     _, expected = expected_tokens_flat(seeds, np.asarray(n_tok))
     actual = np.asarray(pc.list_flatten(batch["tokens"]))
     if actual.size != expected.size or not np.array_equal(actual, expected):
