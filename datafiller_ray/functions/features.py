@@ -118,27 +118,55 @@ def fill_model(
 
     feat_obs = ~np.isnan(Xs)  # (n, n_feats)
     imputable = np.flatnonzero(eligible)
-    # Group imputable rows by observed-feature pattern (imputer.py:552-553).
-    patt = feat_obs[imputable]
-    patt_keys = patt @ (np.uint64(1) << np.arange(n_feats, dtype=np.uint64))
+    # Bitmask per row of its observed-feature pattern (the reference packs
+    # bool masks into uint64 words and tests subset membership bitwise,
+    # multivariate/_gram.py:38-56, 301-346).
+    bitpos = np.uint64(1) << np.arange(n_feats, dtype=np.uint64)
+    masks = feat_obs @ bitpos  # (n,) uint64
+    patt_keys = masks[imputable]
     trainable = np.flatnonzero(y_obs)
     if trainable.size == 0:
         return out, codes
-    train_feat_obs = feat_obs[trainable]
+
+    # Per distinct trainable-row pattern, accumulate one Gram of the
+    # augmented matrix Z = [X_std (unobserved zeroed), y_std, 1] — the
+    # reference's group-Gram reuse (multivariate/_gram.py:80-118): the Gram
+    # for a predict-pattern p is the SUM of group Grams over groups whose
+    # mask covers p, sliced to p's columns. float64, mergeable across
+    # blocks/chunks (the distributed-model-fill primitive).
+    Xz = np.where(feat_obs, Xs, 0.0)
+    Zt = np.column_stack(
+        [Xz[trainable], ys[trainable], np.ones(trainable.size)]
+    )  # (nt, k+2)
+    train_masks = masks[trainable]
+    uniq_masks, inv, group_counts = np.unique(
+        train_masks, return_inverse=True, return_counts=True
+    )
+    k2 = n_feats + 2
+    grams = np.zeros((uniq_masks.size, k2, k2))
+    order = np.argsort(inv, kind="stable")
+    bounds_idx = np.searchsorted(inv[order], np.arange(uniq_masks.size + 1))
+    for gi in range(uniq_masks.size):
+        Zg = Zt[order[bounds_idx[gi] : bounds_idx[gi + 1]]]
+        grams[gi] = Zg.T @ Zg
+
+    from datafiller_ray.functions.ridge import fit_ridge_from_gram
 
     for key in np.unique(patt_keys):
         rows = imputable[patt_keys == key]
         pattern = feat_obs[rows[0]]
         if not pattern.any():
             continue
-        # training rows: y observed and complete on the pattern's features
-        complete = train_feat_obs[:, pattern].all(axis=1)
-        train_rows = trainable[complete]
-        if train_rows.size < min_samples_train:
+        covering = (uniq_masks & key) == key
+        n_train = int(group_counts[covering].sum())
+        if n_train < min_samples_train:
             continue
-        model = FastRidge(alpha=alpha, fit_intercept=True)
-        model.fit(Xs[np.ix_(train_rows, np.flatnonzero(pattern))], ys[train_rows])
-        pred = model.predict(Xs[np.ix_(rows, np.flatnonzero(pattern))])
-        out[rows] = pred.astype(np.float64) * y_sd + y_mu
+        gram_full = grams[covering].sum(axis=0)
+        feats = np.flatnonzero(pattern)
+        idx = np.concatenate([feats, [n_feats, n_feats + 1]])
+        gram_p = gram_full[np.ix_(idx, idx)]
+        coef, intercept = fit_ridge_from_gram(gram_p, n_train, alpha)
+        pred = Xs[np.ix_(rows, feats)] @ coef + intercept
+        out[rows] = pred * y_sd + y_mu
         codes[rows] = METHOD_CODES["model"]
     return out, codes

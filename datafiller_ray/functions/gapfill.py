@@ -224,9 +224,11 @@ def fill_spline(
         if not eligible[s]:
             continue
         gap = np.arange(s, s + ln)
-        # knots strictly before / after the run
-        before = obs_idx[obs_idx < s][-window:]
-        after = obs_idx[obs_idx >= s + ln][:window]
+        # knots strictly before / after the run (searchsorted, not a scan —
+        # a linear scan per run makes the kernel quadratic on long series)
+        cut = np.searchsorted(obs_idx, s)
+        before = obs_idx[max(0, cut - window) : cut]
+        after = obs_idx[cut : cut + window]
         if after.size == 0:
             # trailing run: clamp to last observed (pandas interpolate rule)
             out[gap] = y[before[-1]]

@@ -80,6 +80,110 @@ def rollup_tiers(
     return partials.groupby("source").map_groups(fn, batch_format="pandas")
 
 
+def rollup_tiers_salted(
+    input_path: "str | Dataset",
+    *,
+    fill: FillConfig | None = None,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    retention: RetentionConfig | None = None,
+    check_tokens: bool = True,
+    salt_span: int = 86400,
+) -> "Dataset":
+    """Skew-resistant variant of :func:`rollup_tiers` (see
+    stages/salted_fill.py): the 1m tier is processed per (source,
+    time-range-salt) chunk with exact ghost overlap, so the hottest source
+    no longer bounds the critical path; coarser tiers (60x/1440x smaller)
+    keep the per-source path. Output rows are bit-identical to
+    :func:`rollup_tiers` (pinned by tests)."""
+    import pandas as pd
+
+    import ray
+
+    from datafiller_ray.stages.salted_fill import (
+        make_salt_fn,
+        make_salted_fill_fn,
+        missing_chunk_rows,
+        source_bounds,
+        validate_salt_config,
+    )
+
+    cfg = fill if fill is not None else FillConfig()
+    margin = validate_salt_config(cfg, salt_span)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    partials = partial_aggregates(input_path, check_tokens=check_tokens)
+    partials = partials.repartition(max(16, 2 * cpus)).materialize()
+
+    bounds = source_bounds(partials)
+    bounds_ref = ray.put(bounds)
+
+    # 1m tier: salted chunks
+    salted = partials.map_batches(
+        make_salt_fn(salt_span, margin), batch_format="pyarrow"
+    )
+    fill_1m = make_salted_fill_fn(
+        cfg, salt_span, bounds_ref, retention, margin_buckets=margin
+    )
+    rows_1m = salted.groupby(["source", "salt"]).map_groups(
+        fill_1m, batch_format="pandas"
+    )
+
+    # Chunks nobody will emit (no real rows AND no ghosts) are synthesized.
+    # Presence = every salt with a real row, widened by +-1 (ghost
+    # receivers); derived from a tiny per-batch distinct projection.
+    import numpy as np
+    import pyarrow as pa
+
+    margin_secs = margin * 60
+
+    def distinct_salts(t: pa.Table) -> pa.Table:
+        # mirrors make_salt_fn: a neighbor chunk will have a (ghost) group
+        # only when rows fall inside its margin window
+        ts = np.asarray(t["bucket_ts"])
+        salt = ts // salt_span
+        offset = ts - salt * salt_span
+        src = np.asarray(t["source"].to_pandas(), dtype=object)
+        srcs = [src, src[offset < margin_secs], src[offset >= salt_span - margin_secs]]
+        salts = [salt, salt[offset < margin_secs] - 1, salt[offset >= salt_span - margin_secs] + 1]
+        proj = pa.table(
+            {
+                "source": pa.array(np.concatenate(srcs), pa.string()),
+                "salt": pa.array(np.concatenate(salts), pa.int64()),
+            }
+        )
+        return proj.group_by(["source", "salt"]).aggregate([])
+
+    distinct = (
+        partials.map_batches(distinct_salts, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    present: set[tuple[str, int]] = {
+        (r.source, int(r.salt)) for r in distinct.itertuples()
+    }
+    synth = missing_chunk_rows(bounds, present, salt_span)
+    if retention is not None and len(synth):
+        r_lo, r_hi = retention.bounds("1m")
+        if r_lo is not None:
+            synth = synth[synth["bucket_ts"] >= r_lo]
+        if r_hi is not None:
+            synth = synth[synth["bucket_ts"] < r_hi]
+    pieces = [rows_1m] if "1m" in tiers else []
+    if "1m" in tiers and len(synth):
+        pieces.append(ray.data.from_pandas(synth))
+
+    coarse_tiers = tuple(t for t in tiers if t != "1m")
+    if coarse_tiers:
+        fn = make_fill_group_fn(cfg, tiers=coarse_tiers, retention=retention)
+        pieces.append(
+            partials.groupby("source").map_groups(fn, batch_format="pandas")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out
+
+
 def write_tiers(tier_ds: "Dataset", out_dir: str) -> None:
     """Partitioned Parquet sink: one directory per tier so a consumer (and a
     resumed run) can address tiers independently."""

@@ -1,0 +1,91 @@
+"""Salted fill must be bit-identical to the per-source path (the engine's
+determinism claim: fills are order/partitioning-independent, SURVEY.md §4)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from datafiller_ray.config import EngineValueError, FillConfig, RetentionConfig
+from datafiller_ray.fixtures import generate_input_table, tiny_edge_case_table
+from datafiller_ray.pipelines.rollup import rollup_tiers, rollup_tiers_salted
+from datafiller_ray.stages.salted_fill import validate_salt_config
+
+
+@pytest.fixture(scope="module")
+def skewed_input(tmp_path_factory):
+    path = tmp_path_factory.mktemp("salt") / "in.parquet"
+    pq.write_table(generate_input_table(6000, 5, seed=3), path)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def edge_input(tmp_path_factory):
+    path = tmp_path_factory.mktemp("saltedge") / "in.parquet"
+    pq.write_table(tiny_edge_case_table(), path)
+    return str(path)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = ["source", "tier", "bucket_ts", "count", "sum", "min", "max", "value", "filled", "fill_method"]
+    return df[cols].sort_values(["tier", "source", "bucket_ts"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "strategy,max_gap,salt_span",
+    [
+        ("linear", 5, 3600),
+        ("linear", 30, 7200),
+        ("locf", 3, 3600),
+        ("locf", 10, 86400),
+        (None, None, 3600),
+    ],
+)
+def test_salted_equals_per_source(ray_session, skewed_input, strategy, max_gap, salt_span):
+    cfg = FillConfig(strategy=strategy, max_gap=max_gap)
+    a = _norm(rollup_tiers(skewed_input, fill=cfg, check_tokens=False).to_pandas())
+    b = _norm(
+        rollup_tiers_salted(
+            skewed_input, fill=cfg, check_tokens=False, salt_span=salt_span
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_edge_cases_including_empty_interior_day(ray_session, edge_input):
+    # edge_daygap spans two observed days with a fully-empty interior day:
+    # exercises the synthesized-missing-chunk path at salt_span=1d
+    cfg = FillConfig(strategy="linear", max_gap=4)
+    a = _norm(rollup_tiers(edge_input, fill=cfg, check_tokens=False).to_pandas())
+    b = _norm(
+        rollup_tiers_salted(
+            edge_input, fill=cfg, check_tokens=False, salt_span=86400
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_with_retention(ray_session, skewed_input):
+    cfg = FillConfig(strategy="locf", max_gap=5)
+    full = rollup_tiers(skewed_input, fill=cfg, check_tokens=False).to_pandas()
+    lo = int(full[full.tier == "1m"]["bucket_ts"].quantile(0.4))
+    ret = RetentionConfig(windows={"1m": (lo, None)})
+    a = _norm(rollup_tiers(skewed_input, fill=cfg, retention=ret, check_tokens=False).to_pandas())
+    b = _norm(
+        rollup_tiers_salted(
+            skewed_input, fill=cfg, retention=ret, check_tokens=False, salt_span=3600
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_salt_config_validation():
+    with pytest.raises(EngineValueError, match="bounded max_gap"):
+        validate_salt_config(FillConfig(strategy="linear", max_gap=None), 3600)
+    with pytest.raises(EngineValueError, match="supports strategies"):
+        validate_salt_config(FillConfig(strategy="model"), 3600)
+    with pytest.raises(EngineValueError, match="fallback"):
+        validate_salt_config(FillConfig(strategy="locf", max_gap=2, fallback="simple"), 3600)
+    with pytest.raises(EngineValueError, match="salt_span"):
+        validate_salt_config(FillConfig(strategy="locf", max_gap=59), 3600)
+    assert validate_salt_config(FillConfig(strategy="linear", max_gap=5), 3600) == 6
