@@ -65,6 +65,7 @@ def generate_input_table(
     block_frac_sources: float = 0.30,
     block_span_frac: float = 0.20,
     with_tokens: bool = True,
+    zipf_exponent: float = 1.1,
 ) -> pa.Table:
     """Build the deterministic input table in memory.
 
@@ -77,7 +78,7 @@ def generate_input_table(
     rng = np.random.default_rng(seed)
     names = np.array([f"src_{i:04d}" for i in range(n_sources)])
 
-    w = 1.0 / np.arange(1, n_sources + 1) ** 1.1
+    w = 1.0 / np.arange(1, n_sources + 1) ** zipf_exponent
     w /= w.sum()
     rows_per_source = np.maximum(4, np.round(n_rows * w)).astype(np.int64)
 
@@ -163,6 +164,44 @@ def ensure_fixture(sf_or_dir: float | str, *, force: bool = False) -> str:
         os.replace(tmp, path)  # atomic publish; concurrent callers race safely
     except OSError:
         if os.path.isdir(path):  # another process published first
+            shutil.rmtree(tmp, ignore_errors=True)
+            return path
+        raise
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def ensure_scaling_fixture(
+    *, n_rows: int = 25_000_000, n_sources: int = 2048, force: bool = False
+) -> str:
+    """Fixture for the N-vs-4N scaling benchmark: many moderate sources with
+    mild skew (zipf 0.3 → max/mean ~4x) so no single source bounds the
+    critical path, sized so the fill stage carries hundreds of core-seconds
+    of compute. Token payload omitted — the scaling job measures the
+    rollup/fill/cascade engine; token-validation throughput is benchmarked
+    (and bandwidth-bound on a single box) in the plain bench."""
+    path = os.path.join(FIXTURE_ROOT, "scaling", "input")
+    if os.path.isdir(path) and not force:
+        return path
+    table = generate_input_table(
+        n_rows, n_sources, with_tokens=False, zipf_exponent=0.3, mar_ratio=0.12
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        rows_per_file = 64 * 1024
+        n_files = max(1, (table.num_rows + rows_per_file - 1) // rows_per_file)
+        for i in range(n_files):
+            part = table.slice(i * rows_per_file, rows_per_file)
+            pq.write_table(
+                part, os.path.join(tmp, f"part-{i:05d}.parquet"),
+                row_group_size=rows_per_file,
+            )
+        os.replace(tmp, path)
+    except OSError:
+        if os.path.isdir(path):
             shutil.rmtree(tmp, ignore_errors=True)
             return path
         raise

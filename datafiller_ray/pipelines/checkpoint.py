@@ -37,15 +37,9 @@ from datafiller_ray.stages.validate import make_partial_agg_fn
 
 
 def _add_bucket(n_buckets: int):
-    from datafiller_ray.functions.hashing import string_hash64
-
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        dict_arr = pc.dictionary_encode(batch["source"].combine_chunks())
-        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype="U")
-        bucket_of_uniq = (string_hash64(uniq) % np.uint64(n_buckets)).astype(np.int64)
-        bucket = bucket_of_uniq[np.asarray(dict_arr.indices)]
+        skey = np.asarray(batch["skey"]).view(np.uint64)
+        bucket = (skey % np.uint64(n_buckets)).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
     return fn
@@ -141,7 +135,7 @@ def run_checkpointed(
             n_done += 1
             continue
         part = ray.data.read_parquet(bucket_path)
-        tier_rows = part.groupby("source").map_groups(fill_fn, batch_format="pandas")
+        tier_rows = part.groupby("skey").map_groups(fill_fn, batch_format="pandas")
         tier_rows.write_parquet(tmp, partition_cols=["tier"])
         audit = pds.dataset(tmp, partitioning="hive").to_table(
             columns=["source", "bucket_ts", "count", "sum"]

@@ -75,9 +75,14 @@ def rollup_tiers(
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    partials = partials.repartition(max(16, 2 * cpus))
+    # ~4 shuffle partitions per CPU: the sort cost scales with block count,
+    # but too-few partitions make the fill stage wave-imbalanced (one slow
+    # partition bounds the wall); 4x gives the scheduler room to level load
+    partials = partials.repartition(max(32, 4 * cpus))
     fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention, emit=emit)
-    return partials.groupby("source").map_groups(fn, batch_format="pandas")
+    # shuffle on the int64 hash key (sorts ~3x faster than the string; the
+    # group fn sub-groups by the string for collision safety)
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
 
 
 def rollup_tiers_salted(
@@ -124,7 +129,7 @@ def rollup_tiers_salted(
     fill_1m = make_salted_fill_fn(
         cfg, salt_span, bounds_ref, retention, margin_buckets=margin
     )
-    rows_1m = salted.groupby(["source", "salt"]).map_groups(
+    rows_1m = salted.groupby(["skey", "salt"]).map_groups(
         fill_1m, batch_format="pandas"
     )
 
@@ -176,7 +181,7 @@ def rollup_tiers_salted(
     if coarse_tiers:
         fn = make_fill_group_fn(cfg, tiers=coarse_tiers, retention=retention)
         pieces.append(
-            partials.groupby("source").map_groups(fn, batch_format="pandas")
+            partials.groupby("skey").map_groups(fn, batch_format="pandas")
         )
     out = pieces[0]
     for p in pieces[1:]:

@@ -298,6 +298,71 @@ def minhash_near_dup(
     )
 
 
+def verify_near_dup_pairs(
+    documents: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    *,
+    threshold: float = 0.8,
+    k: int = 5,
+) -> "ray.data.Dataset":
+    """Exact-Jaccard verification of LSH candidate pairs.
+
+    The candidate set is orders of magnitude smaller than the corpus, so the
+    texts of candidate doc ids are broadcast once (``ray.put`` of a dict)
+    and each verify batch computes char-k-gram Jaccard locally — a broadcast
+    semi-join, not a shuffle join (ray_guide.md "Joins and lookups")."""
+    pair_df = pairs.to_pandas()  # small by construction
+    if len(pair_df) == 0:
+        return pairs.filter(lambda row: False)
+    need = set(pair_df["doc_a"]) | set(pair_df["doc_b"])
+    texts: dict[int, str] = {}
+    for batch in documents.select_columns(["doc_id", "text"]).iter_batches(
+        batch_size=4096, batch_format="pandas"
+    ):
+        m = batch["doc_id"].isin(need)
+        texts.update(zip(batch.loc[m, "doc_id"], batch.loc[m, "text"]))
+    ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self) -> None:
+            self.texts = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sims = [
+                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k)
+                for a, b in zip(batch["doc_a"], batch["doc_b"])
+            ]
+            batch = batch.copy()
+            batch["jaccard"] = np.round(sims, 6)
+            return batch[batch["jaccard"] >= threshold]
+
+    return ray.data.from_pandas(pair_df).map_batches(
+        Verify, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
+    )
+
+
+def near_dup_clusters(verified_pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over verified near-dup edges -> (doc_id,
+    cluster_id=min id in component). Union-find on the driver — valid only
+    because the verified edge set is provably small (candidates that passed
+    Jaccard); at corpus scale this becomes iterated min-label propagation
+    via groupby (ray_guide.md), which these edges also support."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(verified_pairs["doc_a"], verified_pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((doc, find(doc)) for doc in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     """Exact char-k-gram Jaccard similarity (verification kernel)."""
     sa = {a[i : i + k] for i in range(max(0, len(a) - k + 1))}

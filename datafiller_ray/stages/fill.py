@@ -49,30 +49,50 @@ TIER_COLUMNS = [
 ]
 
 
+def _reduce_sorted(
+    keys: np.ndarray, count: np.ndarray, s: np.ndarray, mn: np.ndarray, mx: np.ndarray
+) -> pd.DataFrame:
+    """Grouped (sum, sum, min, max) over a SORTED key column via reduceat —
+    the same partial-combine algebra as the reference's per-block
+    accumulators (multivariate/_numba_utils.py:43-66), in O(n)."""
+    bounds = np.flatnonzero(np.diff(keys)) + 1
+    starts = np.concatenate([[0], bounds])
+    return pd.DataFrame(
+        {
+            "bucket_ts": keys[starts],
+            "count": np.add.reduceat(count, starts),
+            "sum": np.add.reduceat(s, starts),
+            "min": np.minimum.reduceat(mn, starts),
+            "max": np.maximum.reduceat(mx, starts),
+        }
+    )
+
+
 def combine_partials(g: pd.DataFrame) -> pd.DataFrame:
     """Final combine of per-batch partial aggregates for one source."""
-    agg = g.groupby("bucket_ts", sort=True).agg(
-        count=("count", "sum"),
-        sum=("sum", "sum"),
-        min=("min", "min"),
-        max=("max", "max"),
+    ts = g["bucket_ts"].to_numpy(np.int64)
+    order = np.argsort(ts, kind="stable")
+    return _reduce_sorted(
+        ts[order],
+        g["count"].to_numpy(np.int64)[order],
+        g["sum"].to_numpy(np.int64)[order],
+        g["min"].to_numpy(np.int64)[order],
+        g["max"].to_numpy(np.int64)[order],
     )
-    return agg.reset_index()
 
 
 def cascade_tier(observed_1m: pd.DataFrame, step: int) -> pd.DataFrame:
-    """Exact combine of 1m observed rows into a coarser tier."""
+    """Exact combine of 1m observed rows into a coarser tier (input sorted)."""
     if step == 60:
         return observed_1m
-    b = observed_1m["bucket_ts"] - observed_1m["bucket_ts"] % step
-    agg = observed_1m.groupby(b).agg(
-        count=("count", "sum"),
-        sum=("sum", "sum"),
-        min=("min", "min"),
-        max=("max", "max"),
+    ts = observed_1m["bucket_ts"].to_numpy(np.int64)
+    return _reduce_sorted(
+        ts - ts % step,
+        observed_1m["count"].to_numpy(np.int64),
+        observed_1m["sum"].to_numpy(np.int64),
+        observed_1m["min"].to_numpy(np.int64),
+        observed_1m["max"].to_numpy(np.int64),
     )
-    agg.index.name = "bucket_ts"
-    return agg.reset_index()
 
 
 def apply_fill(
@@ -168,8 +188,7 @@ def make_fill_group_fn(
     (same shuffle, different sink shape)."""
     steps = {t: TIER_STEPS[t] for t in tiers}
 
-    def fill_group(g: pd.DataFrame) -> pd.DataFrame:
-        source = g["source"].iloc[0]
+    def fill_one_source(g: pd.DataFrame, source: str) -> pd.DataFrame:
         observed_1m = combine_partials(g)
         outputs = []
         for tier, step in steps.items():
@@ -182,7 +201,18 @@ def make_fill_group_fn(
                 if hi is not None:
                     tier_df = tier_df[tier_df["bucket_ts"] < hi]
             outputs.append(tier_df)
-        result = pd.concat(outputs, ignore_index=True)
+        return pd.concat(outputs, ignore_index=True)
+
+    def fill_group(g: pd.DataFrame) -> pd.DataFrame:
+        # groups are keyed by the int64 source hash (skey) for shuffle speed;
+        # sub-group by the string so a hash collision cannot merge sources
+        if g["source"].iloc[0] == g["source"].iloc[-1] and g["source"].nunique() == 1:
+            result = fill_one_source(g, g["source"].iloc[0])
+        else:
+            result = pd.concat(
+                [fill_one_source(sub, src) for src, sub in g.groupby("source", sort=True)],
+                ignore_index=True,
+            )
         if emit == "blobs":
             from datafiller_ray.stages.compress import encode_tier_chunks
 

@@ -196,6 +196,11 @@ def make_salted_fill_fn(
         return df
 
     def fill_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        if g["source"].nunique() != 1:  # skey hash collision: split
+            return pd.concat(
+                [fill_chunk(sub) for _, sub in g.groupby("source", sort=True)],
+                ignore_index=True,
+            )
         source = g["source"].iloc[0]
         salt = int(g["salt"].iloc[0])
         bounds = bounds_ref if isinstance(bounds_ref, dict) else ray.get(bounds_ref)
@@ -208,7 +213,7 @@ def make_salted_fill_fn(
         if not (~g["ghost"]).any():  # pure-ghost group: all-gap slice
             return apply_retention(_all_gap_frame(source, in_chunk_grid))
 
-        observed = combine_partials(g.drop(columns=["salt", "ghost"]))
+        observed = combine_partials(g.drop(columns=["salt", "ghost"], errors="ignore"))
         ts = observed["bucket_ts"].to_numpy(np.int64)
         # Kernel window: the chunk slice ALWAYS extended by the full ghost
         # margin (as NaNs where no ghost rows exist), clipped to the source's

@@ -33,6 +33,9 @@ from datafiller_ray.functions.hashing import (
 PARTIAL_SCHEMA = pa.schema(
     [
         ("source", pa.string()),
+        ("skey", pa.int64()),  # hash of source: int64 sorts ~3x faster than
+        # strings in the groupby shuffle; group fns sub-group by the string
+        # so a (astronomically unlikely) hash collision stays correct
         ("bucket_ts", pa.int64()),
         ("count", pa.int64()),
         ("sum", pa.int64()),
@@ -100,9 +103,15 @@ def make_partial_agg_fn(*, check_tokens: bool = True):
         agg = slim.group_by(["source", "bucket_ts"]).aggregate(
             [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "min"), ("n_tok", "max")]
         )
+        dict_arr = pc.dictionary_encode(agg["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype="U")
+        skey = (
+            string_hash64(uniq).view(np.int64)[np.asarray(dict_arr.indices)]
+        )
         out = pa.table(
             {
                 "source": agg["source"],
+                "skey": pa.array(skey, pa.int64()),
                 "bucket_ts": agg["bucket_ts"],
                 "count": agg["n_tok_count"],
                 "sum": agg["n_tok_sum"],

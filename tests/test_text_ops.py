@@ -1,0 +1,79 @@
+"""Training-data ops: dedup, minhash verify/cluster, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from datafiller_ray.pipelines import multimodal
+from datafiller_ray.pipelines.text import (
+    exact_dedup,
+    minhash_near_dup,
+    near_dup_clusters,
+    ngram_jaccard,
+    verify_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": f"unique document number {i} " + "x" * i})
+    # exact duplicates
+    rows.append({"doc_id": 100, "text": base * 4})
+    rows.append({"doc_id": 101, "text": base * 4})
+    # near duplicates (one word changed)
+    rows.append({"doc_id": 102, "text": base * 3 + "suffix one two three"})
+    rows.append({"doc_id": 103, "text": base * 3 + "suffix one two four"})
+    df = pd.DataFrame(rows)
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df["lang"] = "en"
+    return ray.data.from_pandas(df)
+
+
+def test_exact_dedup_keeps_min_doc_id(dup_docs):
+    out = exact_dedup(dup_docs).to_pandas()
+    assert 100 in set(out.doc_id) and 101 not in set(out.doc_id)
+    assert len(out) == 33  # 30 unique + one of (100,101) + 102 + 103
+
+
+def test_minhash_finds_near_dups_and_verify_clusters(dup_docs):
+    pairs = minhash_near_dup(dup_docs)
+    verified = verify_near_dup_pairs(dup_docs, pairs, threshold=0.8).to_pandas()
+    edges = {tuple(sorted((int(a), int(b)))) for a, b in zip(verified.doc_a, verified.doc_b)}
+    assert (100, 101) in edges
+    assert (102, 103) in edges
+    clusters = near_dup_clusters(verified)
+    cl = dict(zip(clusters.doc_id, clusters.cluster_id))
+    assert cl[101] == 100 and cl[103] == 102
+
+
+def test_ngram_jaccard_kernel():
+    assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    assert 0.0 < ngram_jaccard("abcdefgh", "abcdefgx") < 1.0
+    assert ngram_jaccard("", "") == 1.0
+    assert ngram_jaccard("abc", "") in (0.0, 1.0)
+
+
+def test_media_feature_plumbing(ray_session):
+    table = multimodal.synthesize_media_table(50)
+    ds = ray.data.from_arrow(table)
+    out = multimodal.media_features(ds).to_pandas()
+    assert len(out) == 50
+    feats = np.stack(out["features"])
+    assert feats.shape == (50, multimodal.MediaFeatureExtractor.FEATURE_DIM)
+    np.testing.assert_allclose(feats.sum(axis=1), 1.0, atol=1e-5)
+    # deterministic: same input -> same features
+    out2 = multimodal.media_features(ray.data.from_arrow(table)).to_pandas()
+    np.testing.assert_array_equal(np.stack(out2["features"]), feats)
+
+
+def test_media_real_decoder_raises():
+    with pytest.raises(NotImplementedError, match="decoder"):
+        multimodal.MediaFeatureExtractor(decoder="pillow")
