@@ -82,16 +82,22 @@ def _tier_rollup(sf_dir: str, tier: str, *, min_bucket: int | None = None):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-def _tier_gapfill(sf_dir: str, strategy: str):
+def _tier_gapfill(
+    sf_dir: str, strategy: str, max_gap: int | None = None, mode: str = "plain"
+):
     from datafiller_ray.config import FillConfig
-    from datafiller_ray.pipelines.rollup import rollup_tiers
+    from datafiller_ray.pipelines.rollup import rollup_tiers, rollup_tiers_salted
 
-    ds = rollup_tiers(
-        _fixture(sf_dir),
-        fill=FillConfig(strategy=strategy, max_gap=None),
-        tiers=("1m",),
-        check_tokens=False,
-    )
+    cfg = FillConfig(strategy=strategy, max_gap=max_gap)
+    if mode == "salted":
+        ds = rollup_tiers_salted(
+            _fixture(sf_dir), fill=cfg, tiers=("1m",), check_tokens=False,
+            salt_span=7200,
+        )
+    else:
+        ds = rollup_tiers(
+            _fixture(sf_dir), fill=cfg, tiers=("1m",), check_tokens=False
+        )
 
     def project(batch):
         import pyarrow as pa
@@ -108,6 +114,36 @@ def _tier_gapfill(sf_dir: str, strategy: str):
         )
         keep = pc.fill_null(pc.invert(pc.is_nan(value)), False)
         return t.filter(keep)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _rollup_bucketed(sf_dir: str):
+    """Observed 1m rollup through the explicit hash-shuffle production path
+    (rollup_tiers_bucketed) — oracle-identical to rollup_1m."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.config import FillConfig
+    from datafiller_ray.pipelines.rollup import rollup_tiers_bucketed
+
+    ds = rollup_tiers_bucketed(
+        _fixture(sf_dir), fill=FillConfig(strategy=None), tiers=("1m",),
+        check_tokens=False, n_buckets=32,
+    )
+
+    def project(batch):
+        b = batch.filter(pc.greater(batch["count"], 0))
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "n_obs": b["count"],
+                "sum_tok": pc.cast(b["sum"], pa.int64()),
+                "min_tok": pc.cast(b["min"], pa.int64()),
+                "max_tok": pc.cast(b["max"], pa.int64()),
+            }
+        )
 
     return ds.map_batches(project, batch_format="pyarrow")
 
@@ -306,6 +342,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_1h": lambda d: _tier_rollup(d, "1h", min_bucket=_RETENTION_CUTOFF),
         "gapfill_locf_1m": lambda d: _tier_gapfill(d, "locf"),
         "gapfill_linear_1m": lambda d: _tier_gapfill(d, "linear"),
+        "gapfill_linear_bounded_1m": lambda d: _tier_gapfill(d, "linear", max_gap=30),
+        "gapfill_linear_salted_1m": lambda d: _tier_gapfill(
+            d, "linear", max_gap=30, mode="salted"
+        ),
+        "rollup_1m_bucketed": _rollup_bucketed,
         "token_stats": _token_stats,
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
@@ -397,10 +438,42 @@ def oracle_sql() -> dict[str, str]:
         WHERE fill_value IS NOT NULL
     """
 
+    bounded_linear_sql = grid_cte + """
+        , win AS (
+          SELECT source, bucket_ts, n_obs, sum_tok,
+                 MAX(bucket_ts) OVER (PARTITION BY source) AS src_hi,
+                 last_value(sum_tok IGNORE NULLS) OVER w_prev AS pv,
+                 last_value(CASE WHEN sum_tok IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+                     OVER w_prev AS pts,
+                 first_value(sum_tok IGNORE NULLS) OVER w_next AS nv,
+                 first_value(CASE WHEN sum_tok IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+                     OVER w_next AS nts
+          FROM joined
+          WINDOW w_prev AS (PARTITION BY source ORDER BY bucket_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w_next AS (PARTITION BY source ORDER BY bucket_ts
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT source, bucket_ts, n_obs, round_even(fill_value, 6) AS fill_value FROM (
+          SELECT source, bucket_ts, n_obs,
+                 CASE WHEN sum_tok IS NOT NULL THEN CAST(sum_tok AS DOUBLE)
+                      WHEN pv IS NULL THEN NULL
+                      -- NaN-run length; runs longer than max_gap stay unfilled
+                      WHEN ((COALESCE(nts, src_hi + 60) - pts) / 60 - 1) > 30 THEN NULL
+                      WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                      ELSE pv + (CAST(nv AS DOUBLE) - pv)
+                           * (bucket_ts - pts) / (nts - pts)
+                 END AS fill_value
+          FROM win)
+        WHERE fill_value IS NOT NULL
+    """
+
     return {
         "rollup_1m": rollup(60),
         "rollup_1h": rollup(3600),
         "rollup_1d": rollup(86400),
+        "rollup_1m_bucketed": rollup(60),
+        "gapfill_linear_bounded_1m": bounded_linear_sql,
+        "gapfill_linear_salted_1m": bounded_linear_sql,
         "retention_1h": rollup(3600, f"WHERE bucket_ts >= {_RETENTION_CUTOFF}"),
         "gapfill_locf_1m": locf_sql,
         "gapfill_linear_1m": linear_sql,

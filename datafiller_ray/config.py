@@ -67,6 +67,12 @@ class FillConfig:
     alpha: float = 1e-2
     min_samples_train: int = 20
     spline_window: int = 8
+    #: pluggable regressor for strategy="model" — the reference's
+    #: ``regressor=`` extension hook (``multivariate/imputer.py:92-95``).
+    #: "ridge" uses the exact Gram path; "elm" fits the reference's
+    #: ExtremeLearningMachine per pattern (any fit/predict estimator works
+    #: via ``make_estimator``).
+    estimator: str = "ridge"
 
     VALID_STRATEGIES = (None, "locf", "linear", "spline", "mean", "model")
 
@@ -81,6 +87,8 @@ class FillConfig:
             raise EngineTypeError("max_gap must be a non-negative int or None")
         if self.fallback not in (None, "simple"):
             raise EngineValueError("fallback must be 'simple' or None")
+        if self.estimator not in ("ridge", "elm"):
+            raise EngineValueError("estimator must be 'ridge' or 'elm'")
 
 
 @dataclass(frozen=True)

@@ -82,6 +82,7 @@ def fill_model(
     alpha: float = 1e-2,
     min_samples_train: int = 20,
     max_gap: int | None = None,
+    estimator: str | object = "ridge",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Model-based fill of NaN cells in ``y`` (see module docstring).
 
@@ -126,6 +127,34 @@ def fill_model(
     patt_keys = masks[imputable]
     trainable = np.flatnonzero(y_obs)
     if trainable.size == 0:
+        return out, codes
+
+    if estimator != "ridge":
+        # generic fit/predict estimator per pattern — the reference's
+        # ``regressor=`` hook (any object with fit/predict; "elm" builds the
+        # reference's ExtremeLearningMachine). No Gram shortcut: the model
+        # may be nonlinear.
+        if estimator == "elm":
+            from datafiller_ray.functions.elm import ExtremeLearningMachine
+
+            est = ExtremeLearningMachine(alpha=alpha, seed=0)
+        else:
+            est = estimator
+        train_masks_g = masks[trainable]
+        for key in np.unique(patt_keys):
+            rows = imputable[patt_keys == key]
+            pattern = feat_obs[rows[0]]
+            if not pattern.any():
+                continue
+            complete = (train_masks_g & key) == key
+            train_rows = trainable[complete]
+            if train_rows.size < min_samples_train:
+                continue
+            feats = np.flatnonzero(pattern)
+            est.fit(Xs[np.ix_(train_rows, feats)], ys[train_rows])
+            pred = np.asarray(est.predict(Xs[np.ix_(rows, feats)]), dtype=np.float64)
+            out[rows] = pred * y_sd + y_mu
+            codes[rows] = METHOD_CODES["model"]
         return out, codes
 
     # Per distinct trainable-row pattern, accumulate one Gram of the

