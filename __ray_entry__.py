@@ -148,6 +148,12 @@ def _rollup_bucketed(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _knn_fill(sf_dir: str):
+    from datafiller_ray.pipelines.panel import knn_fill
+
+    return knn_fill(_fixture(sf_dir), n_cohorts=4, n_nearest_features=8)
+
+
 def _token_stats(sf_dir: str):
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
@@ -347,6 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             d, "linear", max_gap=30, mode="salted"
         ),
         "rollup_1m_bucketed": _rollup_bucketed,
+        # non-SQL-expressible fills (model/spline/kNN regression): rows-only
+        "gapfill_model_1m": lambda d: _tier_gapfill(d, "model"),
+        "gapfill_spline_1m": lambda d: _tier_gapfill(d, "spline", max_gap=30),
+        "knn_fill_1m": _knn_fill,
         "token_stats": _token_stats,
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,

@@ -1,0 +1,169 @@
+"""Multivariate matrix imputation — the reference's core numeric path.
+
+Re-expresses ``MultivariateImputer``'s complete-rows algorithm
+(``/root/reference/src/datafiller/multivariate/imputer.py:465-670`` and
+``docs/algorithm.rst:22-32``) in pure NumPy:
+
+1. standardize columns on observed-cell stats (``imputer.py:421-451``);
+2. optional feature scoring: ``score[j,k] = shared_obs_fraction * |corr|``
+   of the mean-pre-imputed matrix (``multivariate/_scoring.py:62-77``),
+   then deterministic stable top-k selection per target
+   (``imputer.py:274-286`` — NaN scores sink, ties break by column index);
+3. group imputable rows of each target by their observed-feature pattern
+   (``imputer.py:552-553``); per pattern train one ridge on rows complete
+   on the pattern's features, threshold ``min_samples_train`` (default 20,
+   ``imputer.py:164``);
+4. rescale predictions; observed cells return bit-exact
+   (``tests/test_multivariate.py:522-531``); remaining cells take the
+   column-mean fallback (``imputer.py:744-770``) or stay NaN.
+
+The optimask sub-rectangle search (``_optimask.py``) is intentionally not
+ported (SURVEY.md §7): under-threshold patterns fall through to the
+fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datafiller_ray.config import EngineValueError
+from datafiller_ray.functions.ridge import FastRidge
+
+
+def column_stats(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-column observed (count, mean, std). std==0 or all-NaN -> 1.0
+    scale so standardization is a no-op there (reference behavior)."""
+    obs = ~np.isnan(x)
+    counts = obs.sum(axis=0)
+    sums = np.where(obs, x, 0.0).sum(axis=0)
+    means = np.where(counts == 0, 0.0, sums / np.maximum(counts, 1))
+    centered = np.where(obs, x - means, 0.0)
+    var = (centered**2).sum(axis=0) / np.maximum(counts, 1)
+    stds = np.sqrt(var)
+    stds = np.where((counts == 0) | (stds == 0) | ~np.isfinite(stds), 1.0, stds)
+    return counts, means, stds
+
+
+def scoring(x: np.ndarray, cols_to_impute: np.ndarray) -> np.ndarray:
+    """Feature-selection scores, shape (len(cols), n_cols).
+
+    Matches the reference's mean-pre-imputed formulation
+    (``_scoring.py:62-77``): with z = where(observed, x - colmean, 0),
+    score[j,k] = (shared_count[j,k]/m) * |(z_j.z_k/m) / (std_j std_k)|,
+    std_j = sqrt(sum(z_j^2)/m); all-NaN columns yield NaN scores.
+    """
+    m, n = x.shape
+    cols = np.asarray(cols_to_impute, dtype=np.int64).ravel()
+    obs = ~np.isnan(x)
+    counts = obs.sum(axis=0)
+    means = np.where(counts == 0, 0.0, np.where(obs, x, 0.0).sum(axis=0) / np.maximum(counts, 1))
+    z = np.where(obs, x - means, 0.0)
+    shared = obs[:, cols].astype(np.float64).T @ obs.astype(np.float64)
+    cross = z[:, cols].T @ z
+    sumsq = np.einsum("ij,ij->j", z, z)
+    with np.errstate(all="ignore"):
+        std = np.sqrt(sumsq / m)
+        std = np.where(counts == 0, np.nan, std)
+        corr = (cross / m) / np.outer(std[cols], std)
+        return (shared / m) * np.abs(corr)
+
+
+def select_features(
+    n_features: int,
+    col_to_impute: int,
+    n_nearest_features: int | None,
+    scores_row: np.ndarray | None,
+) -> np.ndarray:
+    """Deterministic top-k feature selection (``imputer.py:274-286``)."""
+    candidates = np.arange(n_features)
+    candidates = candidates[candidates != col_to_impute]
+    if n_nearest_features is None:
+        return candidates
+    feature_scores = np.nan_to_num(scores_row[candidates], nan=-np.inf)
+    k = min(n_nearest_features, candidates.size)
+    ranking = np.argsort(-feature_scores, kind="stable")
+    return np.sort(candidates[ranking[:k]])
+
+
+def impute_matrix(
+    x: np.ndarray,
+    *,
+    cols_to_impute: np.ndarray | None = None,
+    rows_to_impute: np.ndarray | None = None,
+    n_nearest_features: int | None = None,
+    alpha: float = 1e-2,
+    min_samples_train: int = 20,
+    fallback: str | None = "simple",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Impute NaN cells of a 2-D float matrix. Returns (imputed, filled_mask).
+
+    ``rows_to_impute``/``cols_to_impute`` are index arrays restricting which
+    cells are imputed (reference selector semantics,
+    ``multivariate/_utils.py:10-59``: everything else passes through).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim != 2:
+        raise EngineValueError("input matrix must be 2-D")
+    if np.isinf(x).any():
+        raise EngineValueError("input matrix must not contain inf")
+    m, n = x.shape
+    cols = (
+        np.arange(n)
+        if cols_to_impute is None
+        else np.unique(np.asarray(cols_to_impute, dtype=np.int64))
+    )
+    row_sel = np.zeros(m, dtype=bool)
+    if rows_to_impute is None:
+        row_sel[:] = True
+    else:
+        row_sel[np.asarray(rows_to_impute, dtype=np.int64)] = True
+
+    obs = ~np.isnan(x)
+    counts, means, stds = column_stats(x)
+    xs = (x - means) / stds  # NaN cells stay NaN
+
+    scores = scoring(x, cols) if n_nearest_features is not None else None
+
+    out = x.copy()
+    filled = np.zeros_like(obs)
+
+    for si, j in enumerate(cols):
+        imputable = np.flatnonzero(~obs[:, j] & row_sel)
+        if imputable.size == 0:
+            continue
+        feats = select_features(
+            n, j, n_nearest_features, scores[si] if scores is not None else None
+        )
+        if feats.size == 0:
+            continue
+        trainable = np.flatnonzero(obs[:, j])
+        if trainable.size == 0:
+            continue
+        # group imputable rows by observed pattern over the selected features
+        patt = obs[np.ix_(imputable, feats)]
+        uniq, inv = np.unique(patt, axis=0, return_inverse=True)
+        train_obs = obs[np.ix_(trainable, feats)]
+        for pi in range(uniq.shape[0]):
+            pattern = uniq[pi]
+            if not pattern.any():
+                continue
+            rows = imputable[inv == pi]
+            use = feats[pattern]
+            complete = train_obs[:, pattern].all(axis=1)
+            train_rows = trainable[complete]
+            if train_rows.size < min_samples_train:
+                continue
+            model = FastRidge(alpha=alpha, fit_intercept=True)
+            model.fit(xs[np.ix_(train_rows, use)], xs[train_rows, j])
+            pred = model.predict(xs[np.ix_(rows, use)]).astype(np.float64)
+            out[rows, j] = pred * stds[j] + means[j]
+            filled[rows, j] = True
+
+    if fallback == "simple":
+        for j in cols:
+            if counts[j] == 0:
+                continue  # all-NaN column survives (test_timeseries.py:208-230)
+            rest = ~obs[:, j] & row_sel & ~filled[:, j]
+            out[rest, j] = means[j]
+            filled[rest, j] = True
+    return out, filled
