@@ -111,52 +111,89 @@ def run_checkpointed(
 
     done_buckets = lineage.completed(out_dir, "bucket")
     fill_fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention)
-    n_done = 0
-    for b in range(n_buckets):
-        if b in done_buckets:
-            skipped["buckets"].append(b)
-            continue
-        if fail_after_buckets is not None and n_done >= fail_after_buckets:
-            raise RuntimeError(f"injected failure before bucket {b}")
-        bucket_path = os.path.join(partials_dir, f"bucket={b}")
-        out_bucket = os.path.join(tiers_dir, f"bucket={b}")
-        tmp = out_bucket + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.isdir(bucket_path):
+    todo = [b for b in range(n_buckets) if b not in done_buckets]
+    skipped["buckets"] = sorted(b for b in range(n_buckets) if b in done_buckets)
+    if fail_after_buckets is not None:
+        # test hook: simulate preemption after completing a prefix
+        todo, deferred = todo[:fail_after_buckets], todo[fail_after_buckets:]
+    else:
+        deferred = []
+
+    def finalize_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
+        """One task per bucket: read its partials, fill, write-audit-publish.
+
+        The atomic rename IS the bucket's commit from the task's point of
+        view; the driver appends the lineage record afterwards. A bucket
+        renamed but not yet recorded is simply redone on resume —
+        idempotent, since the rename replaces the directory wholesale."""
+        import pandas as pd
+
+        rows = []
+        for b in batch["item"]:
+            b = int(b)
+            bucket_path = os.path.join(partials_dir, f"bucket={b}")
+            out_bucket = os.path.join(tiers_dir, f"bucket={b}")
+            tmp = f"{out_bucket}.tmp-{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(bucket_path):
+                os.makedirs(tmp, exist_ok=True)
+                shutil.rmtree(out_bucket, ignore_errors=True)
+                os.replace(tmp, out_bucket)
+                rows.append((b, 0, f"{0:016x}", out_bucket, ""))
+                continue
+            df = pds.dataset(bucket_path).to_table().to_pandas()
+            parts = [fill_fn(sub) for _, sub in df.groupby("skey", sort=True)]
+            tier_rows = pd.concat(parts, ignore_index=True)
             os.makedirs(tmp, exist_ok=True)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            for tier, sub in tier_rows.groupby("tier", sort=True):
+                tdir = os.path.join(tmp, f"tier={tier}")
+                os.makedirs(tdir, exist_ok=True)
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        sub.drop(columns=["tier"]), preserve_index=False
+                    ),
+                    os.path.join(tdir, "part-0.parquet"),
+                )
+            checksum = lineage.rows_checksum(
+                {
+                    c: tier_rows[c].to_numpy()
+                    for c in ("source", "bucket_ts", "count", "sum")
+                }
+            )
+            shutil.rmtree(out_bucket, ignore_errors=True)
             os.replace(tmp, out_bucket)
+            rows.append((b, len(tier_rows), checksum, out_bucket, bucket_path))
+        return pd.DataFrame(
+            rows, columns=["bucket", "row_count", "checksum", "output", "input"]
+        )
+
+    n_done = 0
+    if todo:
+        results = (
+            ray.data.from_items(todo)
+            .map_batches(finalize_bucket, batch_size=1, batch_format="pandas")
+            .to_pandas()
+        )
+        for r in results.sort_values("bucket").itertuples():
             lineage.append_record(
                 out_dir,
                 lineage.LineageRecord(
-                    kind="bucket", partition_id=b, row_count=0,
-                    checksum=f"{0:016x}", output_path=out_bucket,
+                    kind="bucket",
+                    partition_id=int(r.bucket),
+                    row_count=int(r.row_count),
+                    checksum=r.checksum,
+                    output_path=r.output,
+                    input_fragments=[r.input] if r.input else [],
                 ),
             )
             n_done += 1
-            continue
-        part = ray.data.read_parquet(bucket_path)
-        tier_rows = part.groupby("skey").map_groups(fill_fn, batch_format="pandas")
-        tier_rows.write_parquet(tmp, partition_cols=["tier"])
-        audit = pds.dataset(tmp, partitioning="hive").to_table(
-            columns=["source", "bucket_ts", "count", "sum"]
+    if deferred:
+        raise RuntimeError(
+            f"injected failure before buckets {deferred} (test hook)"
         )
-        checksum = lineage.rows_checksum(
-            {c: audit[c].to_numpy(zero_copy_only=False) for c in audit.column_names}
-        )
-        shutil.rmtree(out_bucket, ignore_errors=True)
-        os.replace(tmp, out_bucket)
-        lineage.append_record(
-            out_dir,
-            lineage.LineageRecord(
-                kind="bucket",
-                partition_id=b,
-                row_count=audit.num_rows,
-                checksum=checksum,
-                output_path=out_bucket,
-                input_fragments=[bucket_path],
-            ),
-        )
-        n_done += 1
     return {
         "out_dir": out_dir,
         "skipped_partials": skipped["partials"],

@@ -31,11 +31,44 @@ if TYPE_CHECKING:
 INPUT_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
 
 
-def read_input(input_path: str | list[str], *, with_tokens: bool = True) -> "Dataset":
+def read_input(
+    input_path: str | list[str],
+    *,
+    with_tokens: bool = True,
+    format: str = "parquet",
+) -> "Dataset":
     """Read the contract table, pruning columns at the read. When the token
     invariant is not being checked, the (dominant) ``tokens`` column never
-    leaves storage."""
+    leaves storage. ``format="csv"`` supports the 3-column form (CSV cannot
+    carry the list<int32> token payload) — the engine analogue of the
+    reference's CSV dataset loaders (``datasets/_datasets.py:6-72``)."""
+    from datafiller_ray.config import EngineValueError
+
     cols = INPUT_COLUMNS if with_tokens else ["doc_id", "n_tok", "source"]
+    if format == "csv":
+        if with_tokens:
+            raise EngineValueError(
+                "CSV input carries no token payload; use with_tokens=False"
+            )
+        ds = ray.data.read_csv(input_path)
+        return ds.select_columns(cols)
+    if format != "parquet":
+        raise EngineValueError(f"unsupported input format {format!r}")
+    # fail fast with an engine error when contract columns are absent
+    # (otherwise the pruned read surfaces a raw KeyError inside read tasks)
+    if isinstance(input_path, (str, list)):
+        import pyarrow.dataset as pds
+
+        try:
+            schema = pds.dataset(input_path).schema
+        except Exception:
+            schema = None
+        if schema is not None:
+            missing = [c for c in cols if c not in schema.names]
+            if missing:
+                raise EngineValueError(
+                    f"input table missing contract columns: {missing}"
+                )
     return ray.data.read_parquet(input_path, columns=cols)
 
 
