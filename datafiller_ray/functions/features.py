@@ -23,19 +23,30 @@ import numpy as np
 from datafiller_ray.functions.gapfill import METHOD_CODES, _eligible_mask
 
 
-def make_time_features(bucket_ts: np.ndarray) -> np.ndarray:
+def make_time_features(
+    bucket_ts: np.ndarray,
+    trend_t0: int | None = None,
+    trend_t1: int | None = None,
+) -> np.ndarray:
     """Calendar features from epoch-second bucket timestamps.
 
     Matches ``_make_time_features`` (``timeseries/imputer.py:226-256``):
     trend in [0,1], day sin/cos from hour-of-day (minute-resolved), week
     sin/cos from day-of-week; float32. Epoch seconds are UTC; day-of-week of
     the epoch (1970-01-01) is Thursday = 3 in pandas' Monday=0 convention.
+
+    ``trend_t0``/``trend_t1`` pin the trend normalization to the SOURCE's
+    global span — required when the series is processed in salted chunks so
+    every chunk computes the same trend values as the whole-series pass.
     """
     ts = bucket_ts.astype(np.int64)
     n = ts.size
-    elapsed_days = (ts - ts[0]) / 86400.0
-    if n and elapsed_days[-1] != 0:
-        trend = (elapsed_days / elapsed_days[-1]).astype(np.float32)
+    t0 = int(ts[0]) if trend_t0 is None else trend_t0
+    t1 = int(ts[-1]) if (trend_t1 is None and n) else (trend_t1 if trend_t1 is not None else 0)
+    elapsed_days = (ts - t0) / 86400.0
+    span_days = (t1 - t0) / 86400.0
+    if n and span_days != 0:
+        trend = (elapsed_days / span_days).astype(np.float32)
     else:
         trend = np.zeros(n, dtype=np.float32)
     secs_of_day = np.mod(ts, 86400)

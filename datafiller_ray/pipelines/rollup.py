@@ -188,6 +188,93 @@ def rollup_tiers_bucketed(
     )
 
 
+def _salted_model_1m(
+    partials, cfg, tiers, retention, salt_span, margin, bounds, bounds_ref
+):
+    """Distributed model fill for the 1m tier (stages/distributed_model.py):
+    pass 1 emits mergeable stats/Gram partials per (source, salt) chunk, a
+    tiny per-source solve yields the models (broadcast via ray.put), pass 2
+    predicts per chunk. Coarse tiers keep the per-source path."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from datafiller_ray.functions.hashing import string_hash64
+    from datafiller_ray.stages.distributed_model import (
+        make_predict_fn,
+        make_solve_fn,
+        make_stats_grams_fn,
+    )
+    from datafiller_ray.stages.salted_fill import chunk_grid_slice, make_salt_fn
+
+    # marker partial rows so chunks with zero observations (all-gap interior
+    # ranges — still predictable from calendar features) form groups
+    margin_secs = margin * 60
+    present: set[tuple[str, int]] = set()
+    for df in partials.select_columns(["source", "bucket_ts"]).iter_batches(
+        batch_size=65536, batch_format="pandas"
+    ):
+        ts = df["bucket_ts"].to_numpy(np.int64)
+        salt = ts // salt_span
+        offset = ts - salt * salt_span
+        for s, sl in zip(df["source"], salt):
+            present.add((s, int(sl)))
+        left = offset < margin_secs
+        for s, sl in zip(df["source"][left], salt[left] - 1):
+            present.add((s, int(sl)))
+        right = offset >= salt_span - margin_secs
+        for s, sl in zip(df["source"][right], salt[right] + 1):
+            present.add((s, int(sl)))
+    marker_rows = []
+    for source, (lo, hi) in bounds.items():
+        skey = int(string_hash64(np.array([source], dtype="U")).view(np.int64)[0])
+        for salt in range(lo // salt_span, hi // salt_span + 1):
+            if (source, salt) in present:
+                continue
+            grid = chunk_grid_slice(lo, hi, salt * salt_span, (salt + 1) * salt_span)
+            if grid.size:
+                marker_rows.append((source, skey, int(grid[0]), 0, 0, 0, 0))
+    base = partials
+    if marker_rows:
+        markers = pd.DataFrame(
+            marker_rows,
+            columns=["source", "skey", "bucket_ts", "count", "sum", "min", "max"],
+        )
+        base = partials.union(ray.data.from_pandas(markers))
+
+    salted = base.map_batches(
+        make_salt_fn(salt_span, margin), batch_format="pyarrow"
+    ).materialize()
+
+    pass1 = salted.groupby(["skey", "salt"]).map_groups(
+        make_stats_grams_fn(cfg, salt_span, bounds_ref), batch_format="pandas"
+    )
+    solved = (
+        pass1.groupby("skey")
+        .map_groups(make_solve_fn(cfg), batch_format="pandas")
+        .to_pandas()
+    )
+    models = {r.source: pickle.loads(bytes(r.payload)) for r in solved.itertuples()}
+    models_ref = ray.put(models)
+
+    rows_1m = salted.groupby(["skey", "salt"]).map_groups(
+        make_predict_fn(cfg, salt_span, bounds_ref, models_ref, retention),
+        batch_format="pandas",
+    )
+    pieces = [rows_1m] if "1m" in tiers else []
+    coarse = tuple(t for t in tiers if t != "1m")
+    if coarse:
+        fn = make_fill_group_fn(cfg, tiers=coarse, retention=retention)
+        pieces.append(partials.groupby("skey").map_groups(fn, batch_format="pandas"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out
+
+
 def rollup_tiers_salted(
     input_path: "str | Dataset",
     *,
@@ -216,7 +303,19 @@ def rollup_tiers_salted(
     )
 
     cfg = fill if fill is not None else FillConfig()
-    margin = validate_salt_config(cfg, salt_span)
+    if cfg.strategy == "model":
+        from datafiller_ray.stages.distributed_model import margin_for
+
+        margin = margin_for(cfg)
+        if salt_span // 60 <= margin:
+            from datafiller_ray.config import EngineValueError
+
+            raise EngineValueError(
+                "salt_span must exceed the model ghost margin "
+                f"({margin} 1m buckets)"
+            )
+    else:
+        margin = validate_salt_config(cfg, salt_span)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
     partials = partial_aggregates(input_path, check_tokens=check_tokens)
@@ -224,6 +323,11 @@ def rollup_tiers_salted(
 
     bounds = source_bounds(partials)
     bounds_ref = ray.put(bounds)
+
+    if cfg.strategy == "model":
+        return _salted_model_1m(
+            partials, cfg, tiers, retention, salt_span, margin, bounds, bounds_ref
+        )
 
     # 1m tier: salted chunks
     salted = partials.map_batches(
