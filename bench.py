@@ -43,7 +43,11 @@ def run_bench() -> dict:
 
     from datafiller_ray.config import FillConfig
     from datafiller_ray.fixtures import ensure_fixture, sf_from_dir
-    from datafiller_ray.pipelines.rollup import rollup_tiers, write_tiers
+    from datafiller_ray.pipelines.rollup import (
+        rollup_tiers,
+        rollup_tiers_bucketed,
+        write_tiers,
+    )
 
     sf = sf_from_dir(SF_DIR)
     fixture = ensure_fixture(sf)
@@ -70,13 +74,23 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def headline():
-        ds = rollup_tiers(fixture, fill=FillConfig(strategy="linear", max_gap=60))
+        # the production path: explicit hash-partitioned exchange
+        ds = rollup_tiers_bucketed(
+            fixture, fill=FillConfig(strategy="linear", max_gap=60)
+        )
         write_tiers(ds, out_dir)
 
     timed("rollup_gapfill_tiers", headline)
 
+    def plain_pipeline():
+        ds = rollup_tiers(fixture, fill=FillConfig(strategy="linear", max_gap=60))
+        shutil.rmtree("/tmp/bench_plain", ignore_errors=True)
+        write_tiers(ds, "/tmp/bench_plain")
+
+    timed("rollup_gapfill_tiers_sortshuffle", plain_pipeline)
+
     def blobs():
-        ds = rollup_tiers(
+        ds = rollup_tiers_bucketed(
             fixture,
             fill=FillConfig(strategy="linear", max_gap=60),
             check_tokens=False,
@@ -88,7 +102,7 @@ def run_bench() -> dict:
     timed("rollup_gorilla_blobs", blobs)
 
     def model_fill():
-        ds = rollup_tiers(
+        ds = rollup_tiers_bucketed(
             fixture,
             fill=FillConfig(strategy="model", fallback="simple"),
             tiers=("1m",),

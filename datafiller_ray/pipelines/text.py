@@ -292,9 +292,11 @@ def minhash_near_dup(
     pairs = sigs.groupby(["band", "band_hash"]).map_groups(
         _bucket_to_pairs, batch_format="pandas"
     )
-    # distinct edges (a pair can collide in many bands)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # per-block dedup only: a pair colliding in several bands may survive in
+    # different blocks, but duplicate edges are harmless to both Jaccard
+    # verification and union-find clustering — not worth a second shuffle
+    return pairs.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
     )
 
 
