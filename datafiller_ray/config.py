@@ -73,6 +73,12 @@ class FillConfig:
     #: ExtremeLearningMachine per pattern (any fit/predict estimator works
     #: via ``make_estimator``).
     estimator: str = "ridge"
+    #: reference training path is complete rows -> optimask -> fallback
+    #: (``docs/algorithm.rst:22-32``): when a pattern has too few complete
+    #: training rows, search a NaN-free sub-rectangle instead. The
+    #: distributed (salted) model path cannot run the whole-matrix search
+    #: per chunk and requires ``optimask=False`` (explicit, validated).
+    optimask: bool = True
 
     VALID_STRATEGIES = (None, "locf", "linear", "spline", "mean", "model")
 

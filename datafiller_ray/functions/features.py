@@ -94,6 +94,7 @@ def fill_model(
     min_samples_train: int = 20,
     max_gap: int | None = None,
     estimator: str | object = "ridge",
+    use_optimask: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Model-based fill of NaN cells in ``y`` (see module docstring).
 
@@ -200,6 +201,22 @@ def fill_model(
         covering = (uniq_masks & key) == key
         n_train = int(group_counts[covering].sum())
         if n_train < min_samples_train:
+            if not use_optimask:
+                continue
+            # complete rows -> optimask -> fallback (docs/algorithm.rst:22-32)
+            from datafiller_ray.functions.optimask import optimask
+
+            use0 = np.flatnonzero(pattern)
+            sub_missing = ~feat_obs[np.ix_(trainable, use0)]
+            r_keep, c_keep = optimask(sub_missing, min_rows=min_samples_train)
+            if r_keep.size >= min_samples_train and c_keep.size > 0:
+                tr = trainable[r_keep]
+                uc = use0[c_keep]
+                model = FastRidge(alpha=alpha, fit_intercept=True)
+                model.fit(Xs[np.ix_(tr, uc)], ys[tr])
+                pred = model.predict(Xs[np.ix_(rows, uc)]).astype(np.float64)
+                out[rows] = pred * y_sd + y_mu
+                codes[rows] = METHOD_CODES["model"]
             continue
         gram_full = grams[covering].sum(axis=0)
         feats = np.flatnonzero(pattern)

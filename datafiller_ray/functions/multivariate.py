@@ -94,6 +94,7 @@ def impute_matrix(
     alpha: float = 1e-2,
     min_samples_train: int = 20,
     fallback: str | None = "simple",
+    use_optimask: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Impute NaN cells of a 2-D float matrix. Returns (imputed, filled_mask).
 
@@ -152,7 +153,21 @@ def impute_matrix(
             complete = train_obs[:, pattern].all(axis=1)
             train_rows = trainable[complete]
             if train_rows.size < min_samples_train:
-                continue
+                if not use_optimask:
+                    continue
+                # complete rows -> optimask -> fallback (the reference's
+                # fixed path, docs/algorithm.rst:22-32): search a NaN-free
+                # sub-rectangle of (trainable x pattern features)
+                from datafiller_ray.functions.optimask import optimask
+
+                sub_missing = ~obs[np.ix_(trainable, use)]
+                r_keep, c_keep = optimask(
+                    sub_missing, min_rows=min_samples_train
+                )
+                if r_keep.size < min_samples_train or c_keep.size == 0:
+                    continue
+                train_rows = trainable[r_keep]
+                use = use[c_keep]
             model = FastRidge(alpha=alpha, fit_intercept=True)
             model.fit(xs[np.ix_(train_rows, use)], xs[train_rows, j])
             pred = model.predict(xs[np.ix_(rows, use)]).astype(np.float64)

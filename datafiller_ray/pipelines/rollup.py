@@ -304,12 +304,18 @@ def rollup_tiers_salted(
 
     cfg = fill if fill is not None else FillConfig()
     if cfg.strategy == "model":
+        from datafiller_ray.config import EngineValueError
         from datafiller_ray.stages.distributed_model import margin_for
 
+        if cfg.optimask:
+            raise EngineValueError(
+                "the distributed model path cannot run the whole-matrix "
+                "optimask search per chunk; pass FillConfig(..., "
+                "optimask=False) (under-threshold patterns then take the "
+                "fallback) or use the per-source rollup_tiers path"
+            )
         margin = margin_for(cfg)
         if salt_span // 60 <= margin:
-            from datafiller_ray.config import EngineValueError
-
             raise EngineValueError(
                 "salt_span must exceed the model ghost margin "
                 f"({margin} 1m buckets)"

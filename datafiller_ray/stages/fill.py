@@ -117,6 +117,7 @@ def apply_fill(
             min_samples_train=cfg.min_samples_train,
             max_gap=cfg.max_gap,
             estimator=cfg.estimator,
+            use_optimask=cfg.optimask,
         )
     else:  # None: pure rollup
         out, codes = y.astype(np.float64, copy=True), np.zeros(y.size, np.int8)

@@ -14,7 +14,7 @@ from datafiller_ray.config import EngineValueError, FillConfig
 from datafiller_ray.fixtures import generate_input_table, tiny_edge_case_table
 from datafiller_ray.pipelines.rollup import rollup_tiers, rollup_tiers_salted
 
-CFG = FillConfig(strategy="model", fallback="simple")
+CFG = FillConfig(strategy="model", fallback="simple", optimask=False)
 
 
 @pytest.fixture(scope="module")
@@ -64,7 +64,7 @@ def test_salted_model_edge_cases(ray_session, tmp_path):
 
 
 def test_salted_model_bounded_max_gap(ray_session, skewed_input):
-    cfg = FillConfig(strategy="model", max_gap=10)
+    cfg = FillConfig(strategy="model", max_gap=10, optimask=False)
     a = rollup_tiers(skewed_input, fill=cfg, check_tokens=False).to_pandas()
     b = rollup_tiers_salted(
         skewed_input, fill=cfg, check_tokens=False, salt_span=3600
@@ -75,6 +75,6 @@ def test_salted_model_bounded_max_gap(ray_session, skewed_input):
 def test_salt_span_must_exceed_margin():
     with pytest.raises(EngineValueError, match="ghost margin"):
         rollup_tiers_salted(
-            "/nonexistent", fill=FillConfig(strategy="model", max_gap=100),
+            "/nonexistent", fill=FillConfig(strategy="model", max_gap=100, optimask=False),
             salt_span=3600,
         )
