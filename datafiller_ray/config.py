@@ -23,9 +23,19 @@ class EngineTypeError(EngineError, TypeError):
 
 
 #: Retention tiers: tier name -> bucket step in seconds. Tumbling, aligned,
-#: event-time buckets (SURVEY.md §2.9); the cascade 1m -> 1h -> 1d is an exact
-#: combine because each coarser step is an integer multiple of the finer one.
-TIER_STEPS: dict[str, int] = {"1m": 60, "1h": 3600, "1d": 86400}
+#: event-time buckets (SURVEY.md §2.9); the cascade from 1m upward is an
+#: exact combine because every coarser step is an integer multiple of the
+#: finest one. The default pipeline tiers are 1m/1h/1d; the extras are
+#: available by passing them in ``tiers=``.
+TIER_STEPS: dict[str, int] = {
+    "1m": 60,
+    "5m": 300,
+    "15m": 900,
+    "1h": 3600,
+    "6h": 21600,
+    "1d": 86400,
+    "1w": 604800,
+}
 
 #: Order in which tiers cascade (finest first).
 TIER_ORDER: tuple[str, ...] = ("1m", "1h", "1d")

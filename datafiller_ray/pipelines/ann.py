@@ -111,3 +111,76 @@ def lsh_buckets(embeddings: "ray.data.Dataset", dim: int, n_planes: int = 12) ->
         batch_size=4096,
         concurrency=(1, 8),
     )
+
+
+class LshCandidateTopK:
+    """Approximate top-k: per batch, only vectors whose sign-bucket matches
+    a query's bucket are scored (candidate pruning — at corpus scale this
+    replaces the full scan with a bucket-partitioned lookup; recall trades
+    off against ``n_planes``)."""
+
+    def __init__(self, queries_ref, k: int, n_planes: int, seed: int = 7) -> None:
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids = q["ids"]
+        Q = q["matrix"].astype(np.float64)
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((Q.shape[1], n_planes))
+        signs = (Q @ self.planes) > 0
+        self.qbuckets = (signs @ (1 << np.arange(n_planes))).astype(np.int64)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, M = _batch_matrix(batch)
+        signs = (M @ self.planes) > 0
+        buckets = (signs @ (1 << np.arange(self.planes.shape[1]))).astype(np.int64)
+        out = []
+        for qi, qb in enumerate(self.qbuckets):
+            cand = np.flatnonzero(buckets == qb)
+            if cand.size == 0:
+                continue
+            Mn = M[cand] / np.maximum(
+                np.linalg.norm(M[cand], axis=1, keepdims=True), 1e-300
+            )
+            s = Mn @ self.Qn[qi]
+            k = min(self.k, cand.size)
+            order = np.lexsort((ids[cand], -s))[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": self.query_ids[qi],
+                        "vec_id": ids[cand][order],
+                        "sim": np.round(s[order], 6),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "vec_id": pd.Series([], dtype=np.int64),
+                 "sim": pd.Series([], dtype=np.float64)}
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def lsh_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_planes: int = 6,
+) -> "ray.data.Dataset":
+    """Approximate cosine top-k via sign-bucket candidate pruning (the scale
+    path next to :func:`brute_force_topk`)."""
+    ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+    partial = embeddings.map_batches(
+        LshCandidateTopK,
+        fn_constructor_args=(ref, k, n_planes),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )

@@ -45,6 +45,33 @@ def read_input(
     from datafiller_ray.config import EngineValueError
 
     cols = INPUT_COLUMNS if with_tokens else ["doc_id", "n_tok", "source"]
+    # in-memory containers (the reference accepts ndarray / pandas / polars,
+    # multivariate/imputer.py:864-870, 288-342, _polars.py:74-131 — the
+    # engine analogues are pandas / polars / pyarrow in-memory tables)
+    if not isinstance(input_path, (str, list)):
+        obj = input_path
+        if hasattr(obj, "to_arrow"):  # polars DataFrame
+            obj = obj.to_arrow()
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(obj, pa.Table):
+            missing = [c for c in cols if c not in obj.column_names]
+            if missing:
+                raise EngineValueError(
+                    f"input table missing contract columns: {missing}"
+                )
+            return ray.data.from_arrow(obj.select(cols))
+        if isinstance(obj, pd.DataFrame):
+            missing = [c for c in cols if c not in obj.columns]
+            if missing:
+                raise EngineValueError(
+                    f"input table missing contract columns: {missing}"
+                )
+            return ray.data.from_pandas(obj[cols])
+        raise EngineValueError(
+            f"unsupported input container {type(obj).__name__}"
+        )
     if format == "csv":
         if with_tokens:
             raise EngineValueError(
@@ -77,9 +104,9 @@ def partial_aggregates(
 ) -> "Dataset":
     """Stage 1: validation + bucketization + per-batch partial rollup."""
     ds = (
-        read_input(ds_or_path, with_tokens=check_tokens)
-        if isinstance(ds_or_path, (str, list))
-        else ds_or_path
+        ds_or_path
+        if isinstance(ds_or_path, ray.data.Dataset)
+        else read_input(ds_or_path, with_tokens=check_tokens)
     )
     return ds.map_batches(
         make_partial_agg_fn(check_tokens=check_tokens),

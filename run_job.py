@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""CLI entry for `ray job submit`: resumable tier rollup + gap fill.
+
+    ray job submit -- python run_job.py \
+        --input /data/sequences --out /data/tiers \
+        --fill linear --max-gap 60 --tiers 1m,1h,1d --buckets 128
+
+Re-running the same command resumes from the manifest (completed partials /
+buckets are skipped — see pipelines/checkpoint.py). This script owns the Ray
+session; library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="parquet file/dir of the contract table")
+    ap.add_argument("--out", required=True, help="output dir (manifest + partials + tiers)")
+    ap.add_argument("--fill", default="linear",
+                    choices=["none", "locf", "linear", "spline", "mean", "model"])
+    ap.add_argument("--max-gap", type=int, default=None)
+    ap.add_argument("--fallback", choices=["simple"], default=None)
+    ap.add_argument("--tiers", default="1m,1h,1d")
+    ap.add_argument("--buckets", type=int, default=128,
+                    help="checkpoint/shuffle partition count")
+    ap.add_argument("--no-token-check", action="store_true")
+    ap.add_argument("--retain-after", type=int, default=None,
+                    help="keep buckets with ts >= this epoch second (all tiers)")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from datafiller_ray.config import FillConfig, RetentionConfig
+    from datafiller_ray.pipelines.checkpoint import run_checkpointed
+
+    tiers = tuple(t.strip() for t in args.tiers.split(",") if t.strip())
+    cfg = FillConfig(
+        strategy=None if args.fill == "none" else args.fill,
+        max_gap=args.max_gap,
+        fallback=args.fallback,
+    )
+    retention = (
+        RetentionConfig(windows={t: (args.retain_after, None) for t in tiers})
+        if args.retain_after is not None
+        else None
+    )
+    t0 = time.perf_counter()
+    summary = run_checkpointed(
+        args.input,
+        args.out,
+        fill=cfg,
+        tiers=tiers,
+        retention=retention,
+        check_tokens=not args.no_token_check,
+        n_buckets=args.buckets,
+    )
+    summary["wall_sec"] = round(time.perf_counter() - t0, 2)
+    summary.pop("manifest", None)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
