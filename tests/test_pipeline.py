@@ -8,6 +8,8 @@ import pyarrow.parquet as pq
 import pytest
 
 from datafiller_ray.config import FillConfig, RetentionConfig, TIER_STEPS
+
+DEFAULT_TIERS = {t: TIER_STEPS[t] for t in ("1m", "1h", "1d")}
 from datafiller_ray.fixtures import generate_input_table, tiny_edge_case_table
 from datafiller_ray.pipelines.rollup import rollup_tiers
 from datafiller_ray.stages.compress import decode_tier_chunk
@@ -45,7 +47,7 @@ def test_pipeline_matches_pandas_oracle(ray_session, tiny_input, strategy, max_g
     cfg = FillConfig(strategy=strategy, max_gap=max_gap, fallback=fallback)
     engine = rollup_tiers(path, fill=cfg).to_pandas()
     oracle = oracle_tier_rows(
-        table, tiers=TIER_STEPS, strategy=strategy, max_gap=max_gap, fallback=fallback
+        table, tiers=DEFAULT_TIERS, strategy=strategy, max_gap=max_gap, fallback=fallback
     )
     assert_tier_rows_equal(engine, oracle)
 
@@ -54,7 +56,7 @@ def test_pipeline_edge_cases_match_oracle(ray_session, edge_input):
     path, table = edge_input
     cfg = FillConfig(strategy="linear", max_gap=3)
     engine = rollup_tiers(path, fill=cfg).to_pandas()
-    oracle = oracle_tier_rows(table, tiers=TIER_STEPS, strategy="linear", max_gap=3)
+    oracle = oracle_tier_rows(table, tiers=DEFAULT_TIERS, strategy="linear", max_gap=3)
     assert_tier_rows_equal(engine, oracle)
     # the single-row source yields exactly one bucket per tier
     single = engine[engine.source == "edge_single"]
@@ -67,7 +69,7 @@ def test_observed_rollup_matches_duckdb(ray_session, tiny_input):
     path, _ = tiny_input
     engine = rollup_tiers(path, fill=FillConfig(strategy=None)).to_pandas()
     con = duckdb.connect()
-    for tier, step in TIER_STEPS.items():
+    for tier, step in DEFAULT_TIERS.items():
         got = (
             engine[(engine.tier == tier) & (engine["count"] > 0)]
             .sort_values(["source", "bucket_ts"])
