@@ -253,13 +253,8 @@ def _events_rollup(sf_dir: str):
     return events_rollup(_read(sf_dir, "events"), step=60)
 
 
-def _events_locf(sf_dir: str):
-    from datafiller_ray.pipelines.events import events_gapfill_locf
-
-    ds = events_gapfill_locf(_read(sf_dir, "events"), step=60)
-
+def _drop_null_fills(ds):
     def drop_leading_nulls(batch):
-        import pyarrow as pa
         import pyarrow.compute as pc
 
         v = batch["fill_value"]
@@ -267,6 +262,33 @@ def _events_locf(sf_dir: str):
         return batch.filter(pc.fill_null(keep, False))
 
     return ds.map_batches(drop_leading_nulls, batch_format="pyarrow")
+
+
+def _events_locf(sf_dir: str):
+    from datafiller_ray.pipelines.events import events_gapfill_locf
+
+    return _drop_null_fills(events_gapfill_locf(_read(sf_dir, "events"), step=60))
+
+
+def _events_linear(sf_dir: str):
+    from datafiller_ray.pipelines.events import events_gapfill_linear
+
+    return _drop_null_fills(events_gapfill_linear(_read(sf_dir, "events"), step=60))
+
+
+def _ann_lsh(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.ann import lsh_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = pc.sort_indices(qt["vec_id"])[: _ANN_NQ]
+    head = qt.take(order)
+    qids = np.asarray(head["vec_id"])
+    qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    ds = lsh_topk(_read(sf_dir, "embeddings"), qids, qmat, k=_ANN_K, n_planes=6)
+    return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
 def _lineitem_daily(sf_dir: str):
@@ -367,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "events_rollup_1m": _events_rollup,
         "events_gapfill_locf_1m": _events_locf,
+        "events_gapfill_linear_1m": _events_linear,
+        "ann_lsh_topk": _ann_lsh,
         "lineitem_daily": _lineitem_daily,
     }
 
@@ -558,6 +582,13 @@ def oracle_sql() -> dict[str, str]:
               FROM joined)
             WHERE fill_value IS NOT NULL
         """,
+        # NOTE events_gapfill_linear_1m is deliberately rows-only: the
+        # measure is a float sum, and interpolated midpoints of 6-decimal
+        # values land exactly on half-ulp rounding boundaries where numpy's
+        # and DuckDB's (differently-ordered) float64 arithmetic legitimately
+        # round apart (~49 of 214k rows at sf0.001). The integer-sum token
+        # table linear query (gapfill_linear_1m) carries the exact oracle
+        # for this kernel instead.
         "lineitem_daily": """
             SELECT l_returnflag,
                    epoch_us(l_shipdate) // 86400000000 AS ship_day,

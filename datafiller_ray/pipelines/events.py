@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from datafiller_ray.functions.gapfill import fill_locf
+from datafiller_ray.functions.gapfill import fill_linear, fill_locf
 
 
 def _bucket_partial(step: int):
@@ -75,7 +75,7 @@ def events_rollup(
     )
 
 
-def _locf_group(step: int):
+def _gapfill_group(step: int, kernel):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("bucket_ts", sort=True).agg(
             n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
@@ -86,13 +86,13 @@ def _locf_group(step: int):
         y[(ts - ts[0]) // step] = np.round(agg["sum_value"].to_numpy(np.float64), 6)
         n = np.zeros(grid.size, dtype=np.int64)
         n[(ts - ts[0]) // step] = agg["n_events"].to_numpy(np.int64)
-        filled, _ = fill_locf(y, None)
+        filled, _ = kernel(y, None)
         return pd.DataFrame(
             {
                 "event_type": g["event_type"].iloc[0],
                 "bucket_ts": grid,
                 "n_events": n,
-                "fill_value": filled,
+                "fill_value": np.round(filled, 6),
             }
         )
 
@@ -110,5 +110,20 @@ def events_gapfill_locf(
         zero_copy_batch=True,
     )
     return partial.groupby("event_type").map_groups(
-        _locf_group(step), batch_format="pandas"
+        _gapfill_group(step, fill_locf), batch_format="pandas"
+    )
+
+
+def events_gapfill_linear(
+    events: "ray.data.Dataset", *, step: int = 60
+) -> "ray.data.Dataset":
+    """Linear-interpolated variant (reference interpolate_small_gaps
+    semantics with unbounded max_gap; SQL oracle uses prev/next window
+    anchors)."""
+    partial = events.map_batches(
+        _bucket_partial(step), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    return partial.groupby("event_type").map_groups(
+        _gapfill_group(step, fill_linear), batch_format="pandas"
     )
