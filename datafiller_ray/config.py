@@ -77,6 +77,10 @@ class FillConfig:
     alpha: float = 1e-2
     min_samples_train: int = 20
     spline_window: int = 8
+    #: bound the spline knot search to observed points within this many grid
+    #: positions of a gap run (None = unbounded). Required for salted spline
+    #: (the ghost margin must cover everything the kernel can read).
+    spline_knot_radius: int | None = None
     #: pluggable regressor for strategy="model" — the reference's
     #: ``regressor=`` extension hook (``multivariate/imputer.py:92-95``).
     #: "ridge" uses the exact Gram path; "elm" fits the reference's

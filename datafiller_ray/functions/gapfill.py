@@ -198,7 +198,10 @@ def _spline_eval(
 
 
 def fill_spline(
-    y: np.ndarray, max_gap: int | None = None, window: int = 8
+    y: np.ndarray,
+    max_gap: int | None = None,
+    window: int = 8,
+    knot_radius: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Local natural cubic spline fill, bounded like ``fill_linear``.
 
@@ -207,6 +210,11 @@ def fill_spline(
     positions. Trailing runs take the last observed value (matching the
     linear kernel's pandas-compatible edge rule). Interior runs with fewer
     than 3 total knots degrade to linear interpolation.
+
+    ``knot_radius`` bounds the knot search to observed points within that
+    many grid positions of the run's edges — required for the salted
+    (chunked) path, whose ghost margin must cover every value the kernel can
+    read (margin = max_gap + knot_radius + 1).
     """
     out = y.astype(np.float64, copy=True)
     codes = np.zeros(y.size, dtype=np.int8)
@@ -227,8 +235,13 @@ def fill_spline(
         # knots strictly before / after the run (searchsorted, not a scan —
         # a linear scan per run makes the kernel quadratic on long series)
         cut = np.searchsorted(obs_idx, s)
-        before = obs_idx[max(0, cut - window) : cut]
-        after = obs_idx[cut : cut + window]
+        lo_cut = max(0, cut - window)
+        hi_cut = cut + window
+        if knot_radius is not None:
+            lo_cut = max(lo_cut, np.searchsorted(obs_idx, s - knot_radius))
+            hi_cut = min(hi_cut, np.searchsorted(obs_idx, s + ln + knot_radius, side="right"))
+        before = obs_idx[lo_cut:cut]
+        after = obs_idx[cut:hi_cut]
         if after.size == 0:
             # trailing run: clamp to last observed (pandas interpolate rule)
             out[gap] = y[before[-1]]

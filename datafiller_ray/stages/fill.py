@@ -105,7 +105,10 @@ def apply_fill(
     elif cfg.strategy == "linear":
         out, codes = gapfill.fill_linear(y, cfg.max_gap)
     elif cfg.strategy == "spline":
-        out, codes = gapfill.fill_spline(y, cfg.max_gap, window=cfg.spline_window)
+        out, codes = gapfill.fill_spline(
+            y, cfg.max_gap, window=cfg.spline_window,
+            knot_radius=cfg.spline_knot_radius,
+        )
     elif cfg.strategy == "mean":
         out, codes = gapfill.fill_mean(y)
     elif cfg.strategy == "model":

@@ -52,7 +52,7 @@ from datafiller_ray.functions import gapfill
 from datafiller_ray.stages.fill import TIER_COLUMNS, apply_fill, combine_partials
 
 STEP = 60  # the salted tier is always 1m
-SALTABLE_STRATEGIES = ("locf", "linear")
+SALTABLE_STRATEGIES = ("locf", "linear", "spline")
 
 
 def validate_salt_config(cfg: FillConfig, salt_span: int) -> int:
@@ -64,6 +64,11 @@ def validate_salt_config(cfg: FillConfig, salt_span: int) -> int:
         )
     if cfg.strategy is not None and cfg.max_gap is None:
         raise EngineValueError("salted fill requires a bounded max_gap")
+    if cfg.strategy == "spline" and cfg.spline_knot_radius is None:
+        raise EngineValueError(
+            "salted spline requires a bounded spline_knot_radius (the ghost "
+            "margin must cover every knot the kernel can read)"
+        )
     if cfg.fallback is not None:
         raise EngineValueError(
             "salted fill cannot apply a per-series mean fallback (global stat)"
@@ -72,9 +77,12 @@ def validate_salt_config(cfg: FillConfig, salt_span: int) -> int:
         raise EngineValueError("salt_span must be a multiple of 60s")
     g = cfg.max_gap if cfg.strategy is not None else 0
     margin = (g or 0) + 1
+    if cfg.strategy == "spline":
+        margin += cfg.spline_knot_radius
     if salt_span // STEP <= margin:
         raise EngineValueError(
-            f"salt_span ({salt_span}s) must exceed (max_gap+1)={margin} 1m buckets"
+            f"salt_span ({salt_span}s) must exceed the ghost margin of "
+            f"{margin} 1m buckets"
         )
     return margin
 

@@ -32,17 +32,23 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "strategy,max_gap,salt_span",
+    "strategy,max_gap,salt_span,knot_radius",
     [
-        ("linear", 5, 3600),
-        ("linear", 30, 7200),
-        ("locf", 3, 3600),
-        ("locf", 10, 86400),
-        (None, None, 3600),
+        ("linear", 5, 3600, None),
+        ("linear", 30, 7200, None),
+        ("locf", 3, 3600, None),
+        ("locf", 10, 86400, None),
+        ("spline", 5, 3600, 20),
+        ("spline", 12, 7200, 30),
+        (None, None, 3600, None),
     ],
 )
-def test_salted_equals_per_source(ray_session, skewed_input, strategy, max_gap, salt_span):
-    cfg = FillConfig(strategy=strategy, max_gap=max_gap)
+def test_salted_equals_per_source(
+    ray_session, skewed_input, strategy, max_gap, salt_span, knot_radius
+):
+    cfg = FillConfig(
+        strategy=strategy, max_gap=max_gap, spline_knot_radius=knot_radius
+    )
     a = _norm(rollup_tiers(skewed_input, fill=cfg, check_tokens=False).to_pandas())
     b = _norm(
         rollup_tiers_salted(
@@ -88,4 +94,12 @@ def test_salt_config_validation():
         validate_salt_config(FillConfig(strategy="locf", max_gap=2, fallback="simple"), 3600)
     with pytest.raises(EngineValueError, match="salt_span"):
         validate_salt_config(FillConfig(strategy="locf", max_gap=59), 3600)
+    with pytest.raises(EngineValueError, match="spline_knot_radius"):
+        validate_salt_config(FillConfig(strategy="spline", max_gap=5), 3600)
     assert validate_salt_config(FillConfig(strategy="linear", max_gap=5), 3600) == 6
+    assert (
+        validate_salt_config(
+            FillConfig(strategy="spline", max_gap=5, spline_knot_radius=10), 3600
+        )
+        == 16
+    )
