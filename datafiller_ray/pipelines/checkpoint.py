@@ -36,6 +36,14 @@ from datafiller_ray.stages.fill import make_fill_group_fn
 from datafiller_ray.stages.validate import make_partial_agg_fn
 
 
+def _cfg_snapshot(cfg: FillConfig) -> dict:
+    from dataclasses import asdict
+
+    d = asdict(cfg)
+    d["lags"] = list(d["lags"])
+    return d
+
+
 def _add_bucket(n_buckets: int):
     def fn(batch: pa.Table) -> pa.Table:
         skey = np.asarray(batch["skey"]).view(np.uint64)
@@ -105,7 +113,12 @@ def run_checkpointed(
                 checksum=checksum,
                 output_path=partials_dir,
                 input_fragments=frags,
-                extra={"n_buckets": n_buckets, "check_tokens": check_tokens},
+                extra={
+                    "n_buckets": n_buckets,
+                    "check_tokens": check_tokens,
+                    "fill": _cfg_snapshot(cfg),
+                    "tiers": list(tiers),
+                },
             ),
         )
 
@@ -200,6 +213,180 @@ def run_checkpointed(
         "skipped_buckets": skipped["buckets"],
         "completed_buckets": n_done,
         "manifest": [r.__dict__ for r in lineage.read_manifest(out_dir)],
+    }
+
+
+def run_incremental(
+    out_dir: str,
+    new_input: str,
+    *,
+    fill: FillConfig | None = None,
+) -> dict:
+    """Continuous-aggregate update: fold NEW input into a completed
+    checkpointed output, recomputing only the buckets the new data touches.
+
+    The staged new partials are additive (count/sum/min/max combine), so a
+    bucket's tiers are rebuilt from base partials + every committed update —
+    making the operation idempotent: the update id is the order-independent
+    checksum of the staged rows, a re-submitted identical update is a no-op,
+    and a crash between staging and finalize is repaired by re-running (the
+    stage is committed before any tier is touched).
+
+    Incremental cost is O(new data) for the heavy pass plus O(touched
+    buckets) for finalize — untouched buckets are never read.
+    """
+    import glob
+
+    import pandas as pd
+
+    records = lineage.read_manifest(out_dir)
+    base = [r for r in records if r.kind == "partials"]
+    if not base:
+        raise ValueError(f"{out_dir} has no completed checkpointed run to update")
+    meta = base[0].extra
+    n_buckets = int(meta["n_buckets"])
+    check_tokens = bool(meta.get("check_tokens", True))
+    tiers = tuple(meta.get("tiers", ("1m", "1h", "1d")))
+    cfg = fill if fill is not None else FillConfig(
+        **{**meta.get("fill", {}), "lags": tuple(meta.get("fill", {}).get("lags", (1, 2, 3, -1, -2, -3)))}
+    )
+    if _cfg_snapshot(cfg) != meta.get("fill", _cfg_snapshot(cfg)):
+        raise ValueError(
+            "incremental update must use the fill config of the base run "
+            f"({meta.get('fill')})"
+        )
+
+    partials_dir = os.path.join(out_dir, "partials")
+    updates_root = os.path.join(out_dir, "partials_updates")
+    tiers_dir = os.path.join(out_dir, "tiers")
+    os.makedirs(updates_root, exist_ok=True)
+
+    # stage the new partials (the only pass over the new token payload)
+    tmp = os.path.join(updates_root, "staging.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    cols = (
+        ["doc_id", "tokens", "n_tok", "source"]
+        if check_tokens
+        else ["doc_id", "n_tok", "source"]
+    )
+    ds = ray.data.read_parquet(new_input, columns=cols)
+    partials = ds.map_batches(
+        make_partial_agg_fn(check_tokens=check_tokens),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).map_batches(_add_bucket(n_buckets), batch_format="pyarrow")
+    partials.write_parquet(tmp, partition_cols=["bucket"])
+    audit = pds.dataset(tmp, partitioning="hive").to_table(
+        columns=["source", "bucket_ts", "count", "sum"]
+    )
+    update_id = lineage.rows_checksum(
+        {c: audit[c].to_numpy(zero_copy_only=False) for c in audit.column_names}
+    )
+    update_dir = os.path.join(updates_root, update_id)
+    committed_updates = {
+        r.extra.get("update_id") for r in records if r.kind == "update-partials"
+    }
+    if update_id in committed_updates:
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(update_dir, ignore_errors=True)
+        os.replace(tmp, update_dir)
+        lineage.append_record(
+            out_dir,
+            lineage.LineageRecord(
+                kind="update-partials",
+                partition_id=-1,
+                row_count=audit.num_rows,
+                checksum=update_id,
+                output_path=update_dir,
+                input_fragments=[str(new_input)],
+                extra={"update_id": update_id},
+            ),
+        )
+        records = lineage.read_manifest(out_dir)
+
+    touched = sorted(
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in glob.glob(os.path.join(update_dir, "bucket=*"))
+    )
+    done = {
+        r.partition_id
+        for r in records
+        if r.kind == "bucket-update" and r.extra.get("update_id") == update_id
+    }
+    todo = [b for b in touched if b not in done]
+
+    all_update_dirs = sorted(
+        p for p in glob.glob(os.path.join(updates_root, "*")) if not p.endswith(".tmp")
+    )
+    fill_fn = make_fill_group_fn(cfg, tiers=tiers)
+
+    def refresh_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow.parquet as pq
+
+        rows = []
+        for b in batch["item"]:
+            b = int(b)
+            inputs = [
+                d
+                for d in [os.path.join(partials_dir, f"bucket={b}")]
+                + [os.path.join(u, f"bucket={b}") for u in all_update_dirs]
+                if os.path.isdir(d)
+            ]
+            tables = [pds.dataset(d).to_table() for d in inputs]
+            df = pa.concat_tables(tables).to_pandas()
+            parts = [fill_fn(sub) for _, sub in df.groupby("skey", sort=True)]
+            tier_rows = pd.concat(parts, ignore_index=True)
+            out_bucket = os.path.join(tiers_dir, f"bucket={b}")
+            tmp_b = f"{out_bucket}.tmp-{os.getpid()}"
+            shutil.rmtree(tmp_b, ignore_errors=True)
+            os.makedirs(tmp_b, exist_ok=True)
+            for tier, sub in tier_rows.groupby("tier", sort=True):
+                tdir = os.path.join(tmp_b, f"tier={tier}")
+                os.makedirs(tdir, exist_ok=True)
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        sub.drop(columns=["tier"]), preserve_index=False
+                    ),
+                    os.path.join(tdir, "part-0.parquet"),
+                )
+            checksum = lineage.rows_checksum(
+                {
+                    c: tier_rows[c].to_numpy()
+                    for c in ("source", "bucket_ts", "count", "sum")
+                }
+            )
+            shutil.rmtree(out_bucket, ignore_errors=True)
+            os.replace(tmp_b, out_bucket)
+            rows.append((b, len(tier_rows), checksum, out_bucket))
+        return pd.DataFrame(rows, columns=["bucket", "row_count", "checksum", "output"])
+
+    refreshed = 0
+    if todo:
+        results = (
+            ray.data.from_items(todo)
+            .map_batches(refresh_bucket, batch_size=1, batch_format="pandas")
+            .to_pandas()
+        )
+        for r in results.sort_values("bucket").itertuples():
+            lineage.append_record(
+                out_dir,
+                lineage.LineageRecord(
+                    kind="bucket-update",
+                    partition_id=int(r.bucket),
+                    row_count=int(r.row_count),
+                    checksum=r.checksum,
+                    output_path=r.output,
+                    extra={"update_id": update_id},
+                ),
+            )
+            refreshed += 1
+    return {
+        "update_id": update_id,
+        "touched_buckets": touched,
+        "refreshed_buckets": refreshed,
+        "skipped_buckets": sorted(done),
     }
 
 

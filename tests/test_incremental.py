@@ -1,0 +1,84 @@
+"""Continuous-aggregate updates: fold new data into a committed run,
+recomputing only touched buckets; idempotent by update checksum."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from datafiller_ray.config import FillConfig
+from datafiller_ray.fixtures import generate_input_table
+from datafiller_ray.pipelines.checkpoint import (
+    read_tier_output,
+    run_checkpointed,
+    run_incremental,
+)
+from datafiller_ray.pipelines.rollup import rollup_tiers
+from datafiller_ray.state import lineage
+
+CFG = FillConfig(strategy="linear", max_gap=5)
+
+
+@pytest.fixture(scope="module")
+def split_inputs(tmp_path_factory):
+    """One logical table split in two halves by time: base = early rows,
+    update = late rows (append-style ingest)."""
+    d = tmp_path_factory.mktemp("incr")
+    full = generate_input_table(5000, 6, seed=23)
+    import pyarrow.compute as pc
+
+    from datafiller_ray.stages.validate import extract_epoch_minute
+
+    minute = extract_epoch_minute(full["doc_id"])
+    cutoff = int(np.quantile(np.asarray(minute), 0.7))
+    early = full.filter(pc.less_equal(minute, cutoff))
+    late = full.filter(pc.greater(minute, cutoff))
+    pq.write_table(full, d / "full.parquet")
+    pq.write_table(early, d / "early.parquet")
+    pq.write_table(late, d / "late.parquet")
+    return str(d / "full.parquet"), str(d / "early.parquet"), str(d / "late.parquet")
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = ["source", "tier", "bucket_ts", "count", "sum", "min", "max", "value", "filled"]
+    return df[cols].sort_values(["tier", "source", "bucket_ts"]).reset_index(drop=True)
+
+
+def test_incremental_equals_full_recompute(ray_session, split_inputs, tmp_path):
+    full, early, late = split_inputs
+    out = str(tmp_path / "out")
+    run_checkpointed(early, out, fill=CFG, n_buckets=5)
+    summary = run_incremental(out, late)
+    assert summary["refreshed_buckets"] == len(summary["touched_buckets"]) > 0
+
+    got = _norm(read_tier_output(out).to_pandas())
+    want = _norm(rollup_tiers(full, fill=CFG).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
+
+    # idempotent: same update again is a no-op
+    summary2 = run_incremental(out, late)
+    assert summary2["update_id"] == summary["update_id"]
+    assert summary2["refreshed_buckets"] == 0
+    got2 = _norm(read_tier_output(out).to_pandas())
+    pd.testing.assert_frame_equal(got2, want)
+
+
+def test_incremental_manifest_lineage(ray_session, split_inputs, tmp_path):
+    _, early, late = split_inputs
+    out = str(tmp_path / "out2")
+    run_checkpointed(early, out, fill=CFG, n_buckets=3)
+    run_incremental(out, late)
+    records = lineage.read_manifest(out)
+    kinds = [r.kind for r in records]
+    assert "update-partials" in kinds and "bucket-update" in kinds
+    up = [r for r in records if r.kind == "update-partials"][0]
+    assert up.input_fragments == [late]
+    assert len(up.checksum) == 16
+
+
+def test_incremental_rejects_config_mismatch(ray_session, split_inputs, tmp_path):
+    _, early, late = split_inputs
+    out = str(tmp_path / "out3")
+    run_checkpointed(early, out, fill=CFG, n_buckets=3)
+    with pytest.raises(ValueError, match="fill config"):
+        run_incremental(out, late, fill=FillConfig(strategy="locf", max_gap=2))

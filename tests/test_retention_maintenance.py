@@ -1,0 +1,71 @@
+"""Retention maintenance: prune committed tier outputs without touching
+files already inside the window."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from datafiller_ray.config import FillConfig, RetentionConfig
+from datafiller_ray.fixtures import generate_input_table
+from datafiller_ray.pipelines.retention import enforce_retention
+from datafiller_ray.pipelines.rollup import rollup_tiers, write_tiers
+
+
+@pytest.fixture(scope="module")
+def tier_output(ray_session, tmp_path_factory):
+    src = tmp_path_factory.mktemp("ret") / "in.parquet"
+    pq.write_table(generate_input_table(4000, 6, seed=17), src)
+    out = str(tmp_path_factory.mktemp("ret_out") / "tiers")
+    ds = rollup_tiers(str(src), fill=FillConfig(strategy=None), check_tokens=False)
+    write_tiers(ds, out)
+    full = ds.to_pandas()
+    return out, full
+
+
+def _read_all(out):
+    import pyarrow.dataset as pds
+
+    return pds.dataset(out, partitioning="hive").to_table().to_pandas()
+
+
+def test_prune_matches_filter(tier_output, tmp_path):
+    out, full = tier_output
+    import shutil
+
+    work = str(tmp_path / "tiers")
+    shutil.copytree(out, work)
+    cutoff = int(full[full.tier == "1m"]["bucket_ts"].quantile(0.6))
+    ret = RetentionConfig(windows={"1m": (cutoff, None), "1h": (cutoff, None)})
+    stats = enforce_retention(work, ret)
+    kept = _read_all(work)
+    want = full[
+        ~full.tier.isin(["1m", "1h"]) | (full.bucket_ts >= cutoff)
+    ]
+    assert len(kept) == len(want)
+    assert (kept[kept.tier == "1m"].bucket_ts >= cutoff).all()
+    # 1d untouched
+    assert len(kept[kept.tier == "1d"]) == len(full[full.tier == "1d"])
+    assert stats["rows_dropped"] > 0
+    assert stats["deleted"] + stats["rewritten"] > 0
+
+
+def test_noop_when_window_open(tier_output, tmp_path):
+    out, full = tier_output
+    import shutil
+
+    work = str(tmp_path / "tiers2")
+    shutil.copytree(out, work)
+    mtimes = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, fs in os.walk(work)
+        for p in fs
+    }
+    stats = enforce_retention(work, RetentionConfig(windows={}))
+    assert stats["deleted"] == stats["rewritten"] == 0
+    assert len(_read_all(work)) == len(full)
+    # inside-window files are not rewritten (mtime preserved)
+    ret = RetentionConfig(windows={"1m": (0, None)})
+    stats2 = enforce_retention(work, ret)
+    assert stats2["rewritten"] == 0 and stats2["deleted"] == 0
