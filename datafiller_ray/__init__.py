@@ -25,6 +25,7 @@ from datafiller_ray.config import (
     EngineTypeError,
     EngineValueError,
     FillConfig,
+    RetentionConfig,
     TIER_STEPS,
 )
 
@@ -33,7 +34,20 @@ __all__ = [
     "EngineTypeError",
     "EngineValueError",
     "FillConfig",
+    "RetentionConfig",
     "TIER_STEPS",
+    "rollup_tiers",
+    "rollup_tiers_bucketed",
+    "rollup_tiers_salted",
+    "write_tiers",
 ]
+
+
+def __getattr__(name):  # lazy: keep `import datafiller_ray` ray-free
+    if name in ("rollup_tiers", "rollup_tiers_bucketed", "rollup_tiers_salted", "write_tiers"):
+        from datafiller_ray.pipelines import rollup
+
+        return getattr(rollup, name)
+    raise AttributeError(name)
 
 __version__ = "0.1.0"
