@@ -276,6 +276,12 @@ def _events_linear(sf_dir: str):
     return _drop_null_fills(events_gapfill_linear(_read(sf_dir, "events"), step=60))
 
 
+def _events_sessions(sf_dir: str):
+    from datafiller_ray.pipelines.events import events_sessions
+
+    return events_sessions(_read(sf_dir, "events"), gap_seconds=1800)
+
+
 def _ann_lsh(sf_dir: str):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -390,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1m": _events_rollup,
         "events_gapfill_locf_1m": _events_locf,
         "events_gapfill_linear_1m": _events_linear,
+        "events_sessions": _events_sessions,
         "ann_lsh_topk": _ann_lsh,
         "lineitem_daily": _lineitem_daily,
     }
@@ -589,6 +596,28 @@ def oracle_sql() -> dict[str, str]:
         # round apart (~49 of 214k rows at sf0.001). The integer-sum token
         # table linear query (gapfill_linear_1m) carries the exact oracle
         # for this kernel instead.
+        "events_sessions": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 1000000 AS s FROM events),
+            marked AS (
+              SELECT user_id, s,
+                     CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                               > 1800
+                          OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+                          THEN 1 ELSE 0 END AS brk
+              FROM e),
+            sess AS (
+              SELECT user_id, s,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sid
+              FROM marked)
+            SELECT user_id,
+                   MIN(s) AS session_start,
+                   COUNT(*) AS n_events,
+                   MAX(s) - MIN(s) AS duration_sec
+            FROM sess GROUP BY user_id, sid
+        """,
         "lineitem_daily": """
             SELECT l_returnflag,
                    epoch_us(l_shipdate) // 86400000000 AS ship_day,

@@ -114,6 +114,45 @@ def events_gapfill_locf(
     )
 
 
+def events_sessions(
+    events: "ray.data.Dataset", *, gap_seconds: int = 1800
+) -> "ray.data.Dataset":
+    """Session windows per user: consecutive events closer than
+    ``gap_seconds`` belong to one session (the streaming-shaped operator of
+    ray_guide.md: the log is partitioned by key and windowed inside sorted
+    ``map_groups``; the ordering assumption is per-user, never global).
+
+    Emits (user_id, session_start, n_events, duration_sec) — all integers,
+    so the DuckDB oracle compares hash-exactly."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["ts_s"].to_numpy(np.int64))
+        brk = np.empty(s.size, dtype=bool)
+        brk[0] = True
+        np.greater(np.diff(s), gap_seconds, out=brk[1:])
+        sid = np.cumsum(brk) - 1
+        starts = s[brk]
+        n = np.bincount(sid)
+        ends = np.maximum.reduceat(s, np.flatnonzero(brk))
+        return pd.DataFrame(
+            {
+                "user_id": np.int64(g["user_id"].iloc[0]),
+                "session_start": starts,
+                "n_events": n.astype(np.int64),
+                "duration_sec": (ends - starts).astype(np.int64),
+            }
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch["ts"], pa.int64()), pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"user_id": batch["user_id"], "ts_s": secs})
+
+    slim = events.map_batches(
+        project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return slim.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def events_gapfill_linear(
     events: "ray.data.Dataset", *, step: int = 60
 ) -> "ray.data.Dataset":
