@@ -207,6 +207,14 @@ def _text_stats(sf_dir: str):
     return text_stats(_read(sf_dir, "documents"))
 
 
+def _quality_filter(sf_dir: str):
+    from datafiller_ray.pipelines.text import quality_filter
+
+    return quality_filter(
+        _read(sf_dir, "documents"), min_tok=5, min_alpha_ratio=0.5, max_digit_ratio=0.3
+    )
+
+
 def _lang_id(sf_dir: str):
     from datafiller_ray.pipelines.text import lang_id
 
@@ -388,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _token_stats,
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
+        "quality_filter": _quality_filter,
         "lang_id": _lang_id,
         "simhash": _simhash,
         "doc_fingerprint": _fingerprint,
@@ -539,6 +548,14 @@ def oracle_sql() -> dict[str, str]:
                    round_even((length(text) - length(replace(text, ' ', '')))
                          / GREATEST(length(text), 1)::DOUBLE, 6) AS space_ratio
             FROM documents
+        """,
+        "quality_filter": r"""
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE len(regexp_extract_all(text, '\S+')) >= 5
+              AND round_even(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             / GREATEST(length(text), 1)::DOUBLE, 6) >= 0.5
+              AND round_even(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                             / GREATEST(length(text), 1)::DOUBLE, 6) <= 0.3
         """,
         "ann_topk": f"""
             WITH q AS (

@@ -130,6 +130,49 @@ class LangId:
         )
 
 
+def quality_filter(
+    documents: "ray.data.Dataset",
+    *,
+    min_tok: int = 5,
+    min_alpha_ratio: float = 0.5,
+    max_digit_ratio: float = 0.3,
+) -> "ray.data.Dataset":
+    """The actionable side of quality scoring: keep documents passing the
+    token-count and character-class thresholds (the standard pre-training
+    corpus filter shape). Returns the surviving (doc_id, source, n_chars)
+    rows; thresholds are compared on the same round-6 ratios the stats op
+    emits so the DuckDB oracle matches hash-exactly."""
+    stats = documents.map_batches(
+        TextStats, batch_format="pandas", concurrency=(1, 4), batch_size=4096
+    )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (batch["tok_count"] >= min_tok)
+            & (batch["alpha_ratio"] >= min_alpha_ratio)
+            & (batch["digit_ratio"] <= max_digit_ratio)
+        )
+        return batch.loc[m, ["doc_id"]]
+
+    kept_ids = stats.map_batches(keep, batch_format="pandas")
+    # broadcast semi-join of the (small) surviving id set
+    ids = set(kept_ids.to_pandas()["doc_id"])
+    ref = ray.put(ids)
+
+    class Semi:
+        def __init__(self) -> None:
+            self.ids = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.loc[
+                batch["doc_id"].isin(self.ids), ["doc_id", "source", "n_chars"]
+            ]
+
+    return documents.map_batches(
+        Semi, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+
+
 def lang_id(documents: "ray.data.Dataset") -> "ray.data.Dataset":
     return documents.map_batches(
         LangId, batch_format="pandas", concurrency=(1, 4), batch_size=2048
