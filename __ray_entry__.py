@@ -426,9 +426,9 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) * 60
                     // {step}) * {step} AS bucket_ts,
                    COUNT(*) AS n_obs,
-                   SUM(n_tok) AS sum_tok,
-                   MIN(n_tok) AS min_tok,
-                   MAX(n_tok) AS max_tok
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+                   CAST(MAX(n_tok) AS BIGINT) AS max_tok
             FROM read_parquet('{p}/*.parquet')
             GROUP BY 1, 2
         """
@@ -528,8 +528,10 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_locf_1m": locf_sql,
         "gapfill_linear_1m": linear_sql,
         "token_stats": f"""
-            SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tok,
-                   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+                   CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+                   CAST(MAX(n_tok) AS BIGINT) AS max_tok,
                    round_even(SUM(CAST(n_tok AS DOUBLE)) / COUNT(*), 6) AS avg_tok
             FROM read_parquet('{p}/*.parquet') GROUP BY 1
         """,

@@ -68,9 +68,17 @@ ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
 def test_query_matches_oracle(con, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
-    got = normalize(to_pandas(q(SF_DIR)))
-    want = normalize(con.sql(sql).df())
+    got_raw = to_pandas(q(SF_DIR))
+    want_raw = con.sql(sql).df()
+    got = normalize(got_raw)
+    want = normalize(want_raw)
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    # the driver hashes raw values, so representation (int width / float vs
+    # int) must match too — DuckDB SUM(int32)→HUGEINT or MIN(int32)→int32
+    # would silently diverge from the engine's int64 output
+    for c in got.columns:
+        ga, wa = got_raw[c].dtype, want_raw[c].dtype
+        assert ga == wa, f"{name}.{c}: engine dtype {ga} != oracle dtype {wa}"
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
