@@ -109,6 +109,13 @@ class FillConfig:
             raise EngineValueError("fallback must be 'simple' or None")
         if self.estimator not in ("ridge", "elm"):
             raise EngineValueError("estimator must be 'ridge' or 'elm'")
+        if self.spline_window < 1:
+            raise EngineValueError("spline_window must be >= 1")
+        if self.spline_knot_radius is not None and (
+            not isinstance(self.spline_knot_radius, int) or self.spline_knot_radius < 1
+        ):
+            # radius 0 would leave trailing runs with an empty knot window
+            raise EngineValueError("spline_knot_radius must be a positive int or None")
 
 
 @dataclass(frozen=True)

@@ -243,9 +243,11 @@ def fill_spline(
         before = obs_idx[lo_cut:cut]
         after = obs_idx[cut:hi_cut]
         if after.size == 0:
-            # trailing run: clamp to last observed (pandas interpolate rule)
-            out[gap] = y[before[-1]]
-            codes[gap] = METHOD_CODES["spline"]
+            # trailing run: clamp to last observed (pandas interpolate rule);
+            # an empty knot window (tiny knot_radius) leaves the run unfilled
+            if before.size:
+                out[gap] = y[before[-1]]
+                codes[gap] = METHOD_CODES["spline"]
             continue
         knots = np.concatenate([before, after])
         if knots.size < 3:

@@ -374,8 +374,10 @@ def rollup_tiers_salted(
     )
 
     # Chunks nobody will emit (no real rows AND no ghosts) are synthesized.
-    # Presence = every salt with a real row, widened by +-1 (ghost
-    # receivers); derived from a tiny per-batch distinct projection.
+    # Presence must EXACTLY mirror make_salt_fn's ghost-receiver margin
+    # windows (each observed bucket is also sent to the chunks whose
+    # margin window covers it) — a plain +-1 salt widening is NOT
+    # equivalent and breaks salted==per-source exactness.
     import numpy as np
     import pyarrow as pa
 

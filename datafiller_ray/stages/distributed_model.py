@@ -264,7 +264,12 @@ def solve_models(g: pd.DataFrame, cfg: FillConfig) -> dict:
         Gs[kp + 1, kp + 1] = n
         coef, intercept = fit_ridge_from_gram(Gs, n, cfg.alpha)
         models[p] = (coef, intercept)
-    return {"mus": mus, "sds": sds, "models": models}
+    # global observed-y count: the fallback gate must see the SOURCE's
+    # observation count, not a chunk window's (a gap longer than
+    # salt_span + 2*margin makes a whole window NaN while the source
+    # still has observations elsewhere)
+    n_obs_y = int(agg.loc[n_feats, "cnt"]) if n_feats in agg.index else 0
+    return {"mus": mus, "sds": sds, "models": models, "n_obs_y": n_obs_y}
 
 
 def make_solve_fn(cfg: FillConfig):
@@ -338,11 +343,10 @@ def make_predict_fn(
                 pred = Xs[np.ix_(rows, feats)] @ coef + intercept
                 value[rows] = pred * y_sd + y_mu
                 codes[rows] = METHOD_CODES["model"]
-        if cfg.fallback == "simple" and rec is not None:
+        if cfg.fallback == "simple" and rec is not None and rec.get("n_obs_y", 0) > 0:
             still = np.isnan(value)
-            if not np.isnan(y).all():
-                value[still] = rec["mus"][n_feats]
-                codes[still] = METHOD_CODES["mean"]
+            value[still] = rec["mus"][n_feats]
+            codes[still] = METHOD_CODES["mean"]
         filled = codes != 0
         rounded = np.round(value[filled])
         s = y.copy()

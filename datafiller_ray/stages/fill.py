@@ -125,9 +125,15 @@ def apply_fill(
     else:  # None: pure rollup
         out, codes = y.astype(np.float64, copy=True), np.zeros(y.size, np.int8)
     if cfg.fallback == "simple":
-        out2, codes2 = gapfill.fill_mean(out)
-        newly = codes2 != 0
-        out, codes = out2, np.where(newly, codes2, codes)
+        # reference _apply_fallback (multivariate/imputer.py:745-770): the
+        # fallback mean is over the ORIGINAL observed cells only — kernel-
+        # imputed values must not shift it (matches impute_matrix and the
+        # distributed model path's rec["mus"])
+        still = np.isnan(out)
+        obs = y[~np.isnan(y)]
+        if still.any() and obs.size:
+            out[still] = obs.mean()
+            codes = np.where(still, np.int8(gapfill.METHOD_CODES["mean"]), codes)
     return out, codes
 
 

@@ -72,6 +72,24 @@ def test_salted_model_bounded_max_gap(ray_session, skewed_input):
     assert_model_equiv(a, b)
 
 
+def test_salted_model_fallback_spans_all_nan_windows(ray_session, tmp_path):
+    """A gap longer than salt_span + 2*margin makes entire chunk windows
+    all-NaN; the simple fallback must still fill them with the SOURCE's
+    observed mean (gate on global n_obs, not the window-local NaN check)."""
+    path = tmp_path / "daygap.parquet"
+    pq.write_table(tiny_edge_case_table(), path)
+    cfg = FillConfig(strategy="model", max_gap=10, fallback="simple", optimask=False)
+    a = rollup_tiers(str(path), fill=cfg, check_tokens=False).to_pandas()
+    b = rollup_tiers_salted(
+        str(path), fill=cfg, check_tokens=False, salt_span=3600
+    ).to_pandas()
+    assert_model_equiv(a, b)
+    # the interior all-gap day must actually be mean-filled, not left NaN
+    day = b[(b["source"] == "edge_daygap") & (b["tier"] == "1m")]
+    interior = day[day["count"] == 0]
+    assert len(interior) > 0 and interior["filled"].all()
+
+
 def test_salt_span_must_exceed_margin():
     with pytest.raises(EngineValueError, match="ghost margin"):
         rollup_tiers_salted(
