@@ -215,6 +215,40 @@ def rollup_tiers_bucketed(
     )
 
 
+def _distinct_salt_presence(partials, salt_span: int, margin: int) -> set:
+    """Distributed distinct (source, salt-chunk) presence. Must EXACTLY
+    mirror make_salt_fn's ghost-receiver margin windows: a chunk is present
+    when it has a real row OR a row falls inside its ghost margin window.
+    Runs as a tiny per-batch pyarrow aggregate; only the distinct chunk list
+    (bounded by chunk count, not row count) reaches the driver."""
+    import numpy as np
+    import pyarrow as pa
+
+    margin_secs = margin * 60
+
+    def distinct_salts(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["bucket_ts"])
+        salt = ts // salt_span
+        offset = ts - salt * salt_span
+        src = np.asarray(t["source"].to_pandas(), dtype=object)
+        srcs = [src, src[offset < margin_secs], src[offset >= salt_span - margin_secs]]
+        salts = [salt, salt[offset < margin_secs] - 1, salt[offset >= salt_span - margin_secs] + 1]
+        proj = pa.table(
+            {
+                "source": pa.array(np.concatenate(srcs), pa.string()),
+                "salt": pa.array(np.concatenate(salts), pa.int64()),
+            }
+        )
+        return proj.group_by(["source", "salt"]).aggregate([])
+
+    distinct = (
+        partials.map_batches(distinct_salts, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    return {(r.source, int(r.salt)) for r in distinct.itertuples()}
+
+
 def _salted_model_1m(
     partials, cfg, tiers, retention, salt_span, margin, bounds, bounds_ref
 ):
@@ -238,23 +272,10 @@ def _salted_model_1m(
     from datafiller_ray.stages.salted_fill import chunk_grid_slice, make_salt_fn
 
     # marker partial rows so chunks with zero observations (all-gap interior
-    # ranges — still predictable from calendar features) form groups
-    margin_secs = margin * 60
-    present: set[tuple[str, int]] = set()
-    for df in partials.select_columns(["source", "bucket_ts"]).iter_batches(
-        batch_size=65536, batch_format="pandas"
-    ):
-        ts = df["bucket_ts"].to_numpy(np.int64)
-        salt = ts // salt_span
-        offset = ts - salt * salt_span
-        for s, sl in zip(df["source"], salt):
-            present.add((s, int(sl)))
-        left = offset < margin_secs
-        for s, sl in zip(df["source"][left], salt[left] - 1):
-            present.add((s, int(sl)))
-        right = offset >= salt_span - margin_secs
-        for s, sl in zip(df["source"][right], salt[right] + 1):
-            present.add((s, int(sl)))
+    # ranges — still predictable from calendar features) form groups;
+    # presence comes from the distributed distinct aggregate (no driver-side
+    # row loop over the partials)
+    present = _distinct_salt_presence(partials, salt_span, margin)
     marker_rows = []
     for source, (lo, hi) in bounds.items():
         skey = int(string_hash64(np.array([source], dtype="U")).view(np.int64)[0])
@@ -373,41 +394,10 @@ def rollup_tiers_salted(
         fill_1m, batch_format="pandas"
     )
 
-    # Chunks nobody will emit (no real rows AND no ghosts) are synthesized.
-    # Presence must EXACTLY mirror make_salt_fn's ghost-receiver margin
-    # windows (each observed bucket is also sent to the chunks whose
-    # margin window covers it) — a plain +-1 salt widening is NOT
-    # equivalent and breaks salted==per-source exactness.
-    import numpy as np
-    import pyarrow as pa
-
-    margin_secs = margin * 60
-
-    def distinct_salts(t: pa.Table) -> pa.Table:
-        # mirrors make_salt_fn: a neighbor chunk will have a (ghost) group
-        # only when rows fall inside its margin window
-        ts = np.asarray(t["bucket_ts"])
-        salt = ts // salt_span
-        offset = ts - salt * salt_span
-        src = np.asarray(t["source"].to_pandas(), dtype=object)
-        srcs = [src, src[offset < margin_secs], src[offset >= salt_span - margin_secs]]
-        salts = [salt, salt[offset < margin_secs] - 1, salt[offset >= salt_span - margin_secs] + 1]
-        proj = pa.table(
-            {
-                "source": pa.array(np.concatenate(srcs), pa.string()),
-                "salt": pa.array(np.concatenate(salts), pa.int64()),
-            }
-        )
-        return proj.group_by(["source", "salt"]).aggregate([])
-
-    distinct = (
-        partials.map_batches(distinct_salts, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    present: set[tuple[str, int]] = {
-        (r.source, int(r.salt)) for r in distinct.itertuples()
-    }
+    # Chunks nobody will emit (no real rows AND no ghosts) are synthesized;
+    # presence must exactly mirror make_salt_fn's ghost-receiver margin
+    # windows (see _distinct_salt_presence).
+    present = _distinct_salt_presence(partials, salt_span, margin)
     synth = missing_chunk_rows(bounds, present, salt_span)
     if retention is not None and len(synth):
         r_lo, r_hi = retention.bounds("1m")

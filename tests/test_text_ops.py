@@ -53,6 +53,27 @@ def test_minhash_finds_near_dups_and_verify_clusters(dup_docs):
     assert cl[101] == 100 and cl[103] == 102
 
 
+def test_minhash_batch_signatures_match_per_doc():
+    from datafiller_ray.pipelines.text import MinHasher
+
+    mh = MinHasher()
+    texts = pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "",  # empty -> skipped
+            "abcd",  # shorter than K -> skipped
+            "aaaaaaaaaaaaaaaa",  # duplicate shingles
+            "Unicode é ü ß text with Mixed CASE and 1234 numbers",
+            "x" * 4 + "y",  # exactly K bytes
+        ]
+    )
+    keep, sig = mh.signatures_batch(texts)
+    expected_keep = [i for i, t in enumerate(texts) if mh.signature(t) is not None]
+    assert keep.tolist() == expected_keep
+    for row, i in enumerate(keep):
+        np.testing.assert_array_equal(sig[row], mh.signature(texts[i]), err_msg=str(i))
+
+
 def test_ngram_jaccard_kernel():
     assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
     assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
