@@ -608,13 +608,54 @@ def oracle_sql() -> dict[str, str]:
               FROM joined)
             WHERE fill_value IS NOT NULL
         """,
-        # NOTE events_gapfill_linear_1m is deliberately rows-only: the
-        # measure is a float sum, and interpolated midpoints of 6-decimal
-        # values land exactly on half-ulp rounding boundaries where numpy's
-        # and DuckDB's (differently-ordered) float64 arithmetic legitimately
-        # round apart (~49 of 214k rows at sf0.001). The integer-sum token
-        # table linear query (gapfill_linear_1m) carries the exact oracle
-        # for this kernel instead.
+        # The engine evaluates the interpolation with this expression's
+        # exact op order (pv + (nv - pv) * (t - pts) / (nts - pts)), so the
+        # pre-round doubles are bit-identical on both sides and the round-6
+        # cannot split on half-ulp boundaries (the round-1 rows-only cause).
+        "events_gapfill_linear_1m": """
+            WITH obs AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 // 60) * 60 AS bucket_ts,
+                     COUNT(*) AS n_events, round_even(SUM(value), 6) AS sum_value
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT event_type, MIN(bucket_ts) lo, MAX(bucket_ts) hi
+              FROM obs GROUP BY 1),
+            grid AS (
+              SELECT event_type, UNNEST(generate_series(lo, hi, 60)) AS bucket_ts
+              FROM bounds),
+            joined AS (
+              SELECT g.event_type, g.bucket_ts, o.sum_value,
+                     COALESCE(o.n_events, 0) AS n_events
+              FROM grid g LEFT JOIN obs o USING (event_type, bucket_ts)),
+            win AS (
+              SELECT event_type, bucket_ts, n_events, sum_value,
+                     last_value(sum_value IGNORE NULLS) OVER w_prev AS pv,
+                     last_value(CASE WHEN sum_value IS NOT NULL THEN bucket_ts END
+                                IGNORE NULLS) OVER w_prev AS pts,
+                     first_value(sum_value IGNORE NULLS) OVER w_next AS nv,
+                     first_value(CASE WHEN sum_value IS NOT NULL THEN bucket_ts END
+                                 IGNORE NULLS) OVER w_next AS nts
+              FROM joined
+              WINDOW w_prev AS (PARTITION BY event_type ORDER BY bucket_ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     w_next AS (PARTITION BY event_type ORDER BY bucket_ts
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT event_type, bucket_ts, n_events,
+                   -- floor(x*1e6+0.5)/1e6: fixed IEEE op sequence shared
+                   -- with the engine (np.round / round_even implementations
+                   -- disagree within a ulp of half boundaries)
+                   FLOOR(fill_value * 1000000 + 0.5) / 1000000.0 AS fill_value
+            FROM (
+              SELECT event_type, bucket_ts, n_events,
+                     CASE WHEN sum_value IS NOT NULL THEN sum_value
+                          WHEN pv IS NULL THEN NULL
+                          WHEN nv IS NULL THEN pv
+                          ELSE pv + (nv - pv) * (bucket_ts - pts) / (nts - pts)
+                     END AS fill_value
+              FROM win)
+            WHERE fill_value IS NOT NULL
+        """,
         "events_sessions": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) // 1000000 AS s FROM events),

@@ -14,7 +14,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from datafiller_ray.functions.gapfill import fill_linear, fill_locf
 
 
 def _bucket_partial(step: int):
@@ -75,42 +74,291 @@ def events_rollup(
     )
 
 
-def _gapfill_group(step: int, kernel):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("bucket_ts", sort=True).agg(
-            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x*1e6 + 0.5)/1e6 — the fill-value rounding used on BOTH the
+    engine and oracle side. Unlike np.round vs DuckDB round_even (whose
+    implementations disagree within ~1 ulp of a half boundary), this is a
+    fixed sequence of IEEE ops, so identical input doubles give identical
+    results everywhere. Idempotent on already-6-decimal values."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _interp_like_sql(
+    grid: np.ndarray,
+    obs_ts: np.ndarray,
+    obs_val: np.ndarray,
+    kind: str,
+) -> np.ndarray:
+    """Gap values for every grid position, anchored on the nearest observed
+    point on each side (``obs_ts`` sorted, may extend beyond the grid).
+
+    The linear formula is evaluated with the EXACT operation order of the
+    SQL oracle expression ``pv + (nv - pv) * (t - pts) / (nts - pts)`` —
+    IEEE doubles are deterministic per (ops, order, inputs), so matching the
+    expression tree makes engine and DuckDB bit-identical even on half-ulp
+    rounding boundaries (np.interp's slope formulation was one ulp off on
+    ~0.02% of rows). Leading positions (no left anchor) stay NaN; trailing
+    positions (no right anchor) clamp to the left anchor value."""
+    out = np.full(grid.size, np.nan)
+    if obs_ts.size == 0:
+        return out
+    # left anchor index per grid position (-1 = none)
+    li = np.searchsorted(obs_ts, grid, side="right") - 1
+    has_l = li >= 0
+    pv = np.where(has_l, obs_val[np.clip(li, 0, None)], np.nan)
+    if kind == "locf":
+        return pv
+    ri = li + 1
+    has_r = ri < obs_ts.size
+    nv = np.where(has_r, obs_val[np.clip(ri, None, obs_ts.size - 1)], np.nan)
+    pts = obs_ts[np.clip(li, 0, None)]
+    nts = obs_ts[np.clip(ri, None, obs_ts.size - 1)]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        interp = pv + (nv - pv) * (grid - pts).astype(np.float64) / (
+            nts - pts
+        ).astype(np.float64)
+    out = np.where(has_l & has_r, interp, np.where(has_l, pv, np.nan))
+    # observed positions pass through exactly
+    exact = has_l & (obs_ts[np.clip(li, 0, None)] == grid)
+    out[exact] = pv[exact]
+    return out
+
+
+def _combine_chunk(g: pd.DataFrame) -> pd.DataFrame:
+    """Final-combine partial rows of one (event_type, chunk): one observed
+    row per bucket, sum rounded to 6 (the series the fill interpolates).
+    Sub-groups by the string type for hash-collision safety (shuffle key is
+    the int64 ekey)."""
+    if g["event_type"].nunique() != 1:
+        return pd.concat(
+            [_combine_chunk(sub) for _, sub in g.groupby("event_type", sort=True)],
+            ignore_index=True,
         )
-        ts = agg.index.to_numpy(np.int64)
-        grid = np.arange(ts[0], ts[-1] + step, step, dtype=np.int64)
-        y = np.full(grid.size, np.nan)
-        y[(ts - ts[0]) // step] = np.round(agg["sum_value"].to_numpy(np.float64), 6)
-        n = np.zeros(grid.size, dtype=np.int64)
-        n[(ts - ts[0]) // step] = agg["n_events"].to_numpy(np.int64)
-        filled, _ = kernel(y, None)
-        return pd.DataFrame(
-            {
-                "event_type": g["event_type"].iloc[0],
-                "bucket_ts": grid,
-                "n_events": n,
-                "fill_value": np.round(filled, 6),
-            }
-        )
-
-    return fn
+    agg = g.groupby("bucket_ts", sort=True).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+    )
+    out = agg.reset_index()
+    out["sum_value"] = np.round(out["sum_value"].to_numpy(np.float64), 6)
+    out.insert(0, "event_type", g["event_type"].iloc[0])
+    out["chunk"] = np.int64(g["chunk"].iloc[0])
+    out["ekey"] = np.int64(g["ekey"].iloc[0])
+    return out
 
 
-def events_gapfill_locf(
-    events: "ray.data.Dataset", *, step: int = 60
+def _events_gapfill_sharded(
+    events: "ray.data.Dataset", *, step: int, kind: str, span_buckets: int = 4096
 ) -> "ray.data.Dataset":
-    """Dense per-event_type grid with LOCF-filled sum(value) — the events
-    analogue of the tier gap fill (SQL-oracle-expressible via
-    last_value IGNORE NULLS)."""
+    """Gap fill sharded by (event_type, time-chunk) with a distributed
+    anchor exchange — fill parallelism is #chunks, not #event_types (a
+    handful of types serialized the round-1 stage at scale).
+
+    Ghost margins cannot cover unbounded gaps, so instead each chunk gets
+    its nearest observed anchors from neighbouring chunks: pass 1 combines
+    partials per chunk; a tiny per-chunk boundary table (first/last observed
+    point per chunk — bounded by chunk count, not row count) is collected,
+    scanned per type for prev/next anchors, and broadcast; pass 2 fills each
+    chunk independently and bit-exactly (the fill only reads the anchors).
+    Empty chunks inside long gaps are synthesized from the same table."""
+    span = step * span_buckets
+    from datafiller_ray.functions.hashing import string_hash64
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        chunk = pc.divide(t["bucket_ts"], pa.scalar(span, pa.int64()))
+        ekey = string_hash64(
+            np.asarray(t["event_type"].to_pandas(), dtype="U")
+        ).view(np.int64)
+        t = t.append_column("chunk", pc.cast(chunk, pa.int64()))
+        return t.append_column("ekey", pa.array(ekey, pa.int64()))
+
     partial = events.map_batches(
         _bucket_partial(step), batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
+    ).map_batches(add_chunk, batch_format="pyarrow")
+
+    # int64 shuffle key (ekey) — string keys sort ~3x slower
+    combined = partial.groupby(["ekey", "chunk"]).map_groups(
+        _combine_chunk, batch_format="pandas"
+    ).materialize()
+
+    # per-chunk boundary summary -> prev/next anchors via a per-type scan
+    def chunk_summary(t: pa.Table) -> pa.Table:
+        slim = pa.table(
+            {
+                "event_type": t["event_type"],
+                "chunk": t["chunk"],
+                "bucket_ts": t["bucket_ts"],
+                "sum_value": t["sum_value"],
+            }
+        )
+        g = slim.group_by(["event_type", "chunk"]).aggregate(
+            [("bucket_ts", "min"), ("bucket_ts", "max")]
+        )
+        return g
+
+    summary = (
+        combined.map_batches(chunk_summary, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "chunk"], as_index=False)
+        .agg(lo_ts=("bucket_ts_min", "min"), hi_ts=("bucket_ts_max", "max"))
     )
-    return partial.groupby("event_type").map_groups(
-        _gapfill_group(step, fill_locf), batch_format="pandas"
+    # boundary VALUES for the anchors (two rows per chunk, still tiny)
+    bset = set(
+        zip(summary["event_type"], summary["lo_ts"])
+    ) | set(zip(summary["event_type"], summary["hi_ts"]))
+    bref = ray.put(bset)
+
+    def boundary_vals(t: pa.Table) -> pa.Table:
+        need = ray.get(bref)
+        df = t.select(["event_type", "bucket_ts", "sum_value"]).to_pandas()
+        m = [
+            (e, ts) in need
+            for e, ts in zip(df["event_type"], df["bucket_ts"])
+        ]
+        return pa.Table.from_pandas(df[np.asarray(m, bool)], preserve_index=False)
+
+    bvals = combined.map_batches(boundary_vals, batch_format="pyarrow").to_pandas()
+    val_of = dict(zip(zip(bvals["event_type"], bvals["bucket_ts"]), bvals["sum_value"]))
+
+    # driver scan over the (small) chunk table: prev/next anchors + the
+    # full chunk list per type, including empty chunks inside long gaps
+    anchors: dict[tuple[str, int], tuple] = {}
+    synth_meta = []
+    for etype, g in summary.groupby("event_type", sort=True):
+        g = g.sort_values("chunk")
+        chunks = g["chunk"].to_numpy(np.int64)
+        lo_ts = g["lo_ts"].to_numpy(np.int64)
+        hi_ts = g["hi_ts"].to_numpy(np.int64)
+        t_lo, t_hi = int(lo_ts.min()), int(hi_ts.max())
+        for c in range(int(chunks[0]), int(chunks[-1]) + 1):
+            i = int(np.searchsorted(chunks, c))
+            present = i < chunks.size and chunks[i] == c
+            pi = i - 1  # nearest observed chunk strictly before c
+            ni = i + 1 if present else i  # nearest strictly after
+            prev = (
+                (int(hi_ts[pi]), float(val_of[(etype, int(hi_ts[pi]))]))
+                if pi >= 0
+                else None
+            )
+            nxt = (
+                (int(lo_ts[ni]), float(val_of[(etype, int(lo_ts[ni]))]))
+                if ni < chunks.size
+                else None
+            )
+            if present:
+                anchors[(etype, c)] = (prev, nxt, t_lo, t_hi)
+            else:
+                synth_meta.append(
+                    (
+                        etype,
+                        c,
+                        prev[0] if prev else -1,
+                        prev[1] if prev else np.nan,
+                        nxt[0] if nxt else -1,
+                        nxt[1] if nxt else np.nan,
+                        t_lo,
+                        t_hi,
+                    )
+                )
+    anchors_ref = ray.put(anchors)
+
+    def fill_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        a = ray.get(anchors_ref)
+        if g["event_type"].nunique() != 1 or g["chunk"].nunique() != 1:
+            return pd.concat(
+                [
+                    fill_chunk(sub)
+                    for _, sub in g.groupby(["event_type", "chunk"], sort=True)
+                ],
+                ignore_index=True,
+            )
+        etype = g["event_type"].iloc[0]
+        c = int(g["chunk"].iloc[0])
+        prev, nxt, t_lo, t_hi = a[(etype, c)]
+        c_lo, c_hi = max(c * span, t_lo), min((c + 1) * span - step, t_hi)
+        grid = np.arange(c_lo, c_hi + step, step, dtype=np.int64)
+        g = g.sort_values("bucket_ts")
+        ts = g["bucket_ts"].to_numpy(np.int64)
+        vals = g["sum_value"].to_numpy(np.float64)
+        n = np.zeros(grid.size, dtype=np.int64)
+        n[(ts - c_lo) // step] = g["n_events"].to_numpy(np.int64)
+        obs_ts, obs_val = ts, vals
+        if prev is not None:
+            obs_ts = np.concatenate([[prev[0]], obs_ts])
+            obs_val = np.concatenate([[prev[1]], obs_val])
+        if nxt is not None:
+            obs_ts = np.concatenate([obs_ts, [nxt[0]]])
+            obs_val = np.concatenate([obs_val, [nxt[1]]])
+        filled = _interp_like_sql(grid, obs_ts, obs_val, kind)
+        return pd.DataFrame(
+            {
+                "event_type": etype,
+                "bucket_ts": grid,
+                "n_events": n,
+                "fill_value": _round6_half_up(filled),
+            }
+        )
+
+    pieces = [
+        combined.groupby(["ekey", "chunk"]).map_groups(
+            fill_chunk, batch_format="pandas"
+        )
+    ]
+    if synth_meta:
+        meta_df = pd.DataFrame(
+            synth_meta,
+            columns=[
+                "event_type", "chunk", "prev_ts", "prev_val",
+                "next_ts", "next_val", "t_lo", "t_hi",
+            ],
+        )
+
+        def gen_empty(batch: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for r in batch.itertuples():
+                c_lo = max(r.chunk * span, r.t_lo)
+                c_hi = min((r.chunk + 1) * span - step, r.t_hi)
+                grid = np.arange(c_lo, c_hi + step, step, dtype=np.int64)
+                obs_ts, obs_val = [], []
+                if r.prev_ts >= 0:
+                    obs_ts.append(r.prev_ts)
+                    obs_val.append(r.prev_val)
+                if r.next_ts >= 0:
+                    obs_ts.append(r.next_ts)
+                    obs_val.append(r.next_val)
+                filled = _interp_like_sql(
+                    grid, np.asarray(obs_ts, np.int64), np.asarray(obs_val), kind
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "event_type": r.event_type,
+                            "bucket_ts": grid,
+                            "n_events": np.zeros(grid.size, np.int64),
+                            "fill_value": _round6_half_up(filled),
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+        pieces.append(
+            ray.data.from_pandas(meta_df).map_batches(
+                gen_empty, batch_format="pandas", batch_size=16
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out
+
+
+def events_gapfill_locf(
+    events: "ray.data.Dataset", *, step: int = 60, span_buckets: int = 4096
+) -> "ray.data.Dataset":
+    """Dense per-event_type grid with LOCF-filled sum(value) — the events
+    analogue of the tier gap fill (SQL-oracle-expressible via
+    last_value IGNORE NULLS). Sharded by time chunk (anchor exchange)."""
+    return _events_gapfill_sharded(
+        events, step=step, kind="locf", span_buckets=span_buckets
     )
 
 
@@ -154,15 +402,12 @@ def events_sessions(
 
 
 def events_gapfill_linear(
-    events: "ray.data.Dataset", *, step: int = 60
+    events: "ray.data.Dataset", *, step: int = 60, span_buckets: int = 4096
 ) -> "ray.data.Dataset":
     """Linear-interpolated variant (reference interpolate_small_gaps
-    semantics with unbounded max_gap; SQL oracle uses prev/next window
-    anchors)."""
-    partial = events.map_batches(
-        _bucket_partial(step), batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True,
-    )
-    return partial.groupby("event_type").map_groups(
-        _gapfill_group(step, fill_linear), batch_format="pandas"
+    semantics with unbounded max_gap; interpolation evaluated in the SQL
+    oracle's op order so DuckDB matches bit-exactly — see _interp_like_sql).
+    Sharded by time chunk (anchor exchange)."""
+    return _events_gapfill_sharded(
+        events, step=step, kind="linear", span_buckets=span_buckets
     )

@@ -1,0 +1,78 @@
+"""Events gap-fill: chunk-sharded anchor exchange invariants.
+
+The sharded fill (pipelines/events.py) must be span-invariant: any chunk
+width gives bit-identical output, including empty chunks synthesized inside
+gaps longer than a chunk. A tiny span forces many chunks + empty-chunk
+synthesis; a huge span degenerates to one chunk per type (the unsharded
+shape)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from datafiller_ray.pipelines.events import (
+    events_gapfill_linear,
+    events_gapfill_locf,
+)
+
+
+@pytest.fixture(scope="module")
+def gappy_events(ray_session):
+    rng = np.random.default_rng(7)
+    rows = []
+    base = 1_700_000_040  # 60-aligned
+    for etype, offs in {
+        # interior gap much longer than the small test span (16 buckets)
+        "alpha": list(range(0, 10)) + list(range(500, 510)),
+        # dense, no gaps
+        "beta": list(range(0, 40)),
+        # single observation
+        "gamma": [5],
+        # irregular short gaps
+        "delta": [0, 1, 4, 9, 17, 33, 64, 65],
+    }.items():
+        for o in offs:
+            for _ in range(int(rng.integers(1, 4))):
+                rows.append(
+                    {
+                        "event_id": len(rows),
+                        "ts": pd.Timestamp(base + o * 60 + int(rng.integers(60)), unit="s"),
+                        "user_id": int(rng.integers(100)),
+                        "event_type": etype,
+                        "value": float(np.round(rng.uniform(0, 100), 2)),
+                    }
+                )
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")  # contract: µs timestamps
+    return ray.data.from_pandas(df)
+
+
+def _norm(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    return df.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("fill", [events_gapfill_locf, events_gapfill_linear])
+def test_sharded_fill_is_span_invariant(gappy_events, fill):
+    small = _norm(fill(gappy_events, step=60, span_buckets=16))
+    huge = _norm(fill(gappy_events, step=60, span_buckets=1_000_000))
+    assert len(small) == len(huge) > 0
+    for c in ["event_type", "bucket_ts", "n_events"]:
+        np.testing.assert_array_equal(small[c].to_numpy(), huge[c].to_numpy(), err_msg=c)
+    a = small["fill_value"].to_numpy()
+    b = huge["fill_value"].to_numpy()
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert (both_nan | (a == b)).all()  # bit-exact, not allclose
+
+
+def test_grid_spans_observed_range_only(gappy_events):
+    out = _norm(events_gapfill_locf(gappy_events, step=60, span_buckets=16))
+    g = out[out["event_type"] == "alpha"]
+    assert g["bucket_ts"].min() == 1_700_000_040
+    assert g["bucket_ts"].max() == 1_700_000_040 + 509 * 60
+    # every bucket on the dense grid exactly once
+    assert len(g) == 510
+    # gap interior is filled by LOCF (no NaNs after the first observation)
+    assert not g["fill_value"].isna().any()
