@@ -417,6 +417,73 @@ def _fixture_sql_path() -> str:
     return fixture_path(SF_FOR_ORACLE)
 
 
+def _lang_id_sql() -> str:
+    """Argmax of stopword hit counts over [a-zà-ÿ]+ words — same tables and
+    tie rule ('und' on zero or tied max) as pipelines/text.py LangId."""
+    from datafiller_ray.pipelines.text import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    counts = ",\n".join(
+        "              len(list_filter(ws, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        + f"], x))) AS {lang}"
+        for lang in langs
+    )
+    win_cases = "\n".join(
+        f"              WHEN {lang} > 0 AND "
+        + " AND ".join(f"{lang} > {o}" for o in langs if o != lang)
+        + f" THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS ws
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+{counts}
+          FROM w)
+        SELECT doc_id,
+               CASE
+{win_cases}
+               ELSE 'und' END AS lang_pred
+        FROM c
+    """
+
+
+def _ann_lsh_sql() -> str:
+    """Sign-bucket LSH top-k with the SAME deterministic hyperplanes as
+    pipelines/ann.py (seed 7), embedded as SQL literals."""
+    n_planes = 6
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((64, n_planes))
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(de, ["
+        + ", ".join(repr(float(v)) for v in planes[:, j])
+        + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        b AS (
+          SELECT vec_id, de, {bucket_terms} AS bucket FROM e),
+        q AS (
+          SELECT vec_id AS query_id, de AS qe, bucket AS qbucket
+          FROM b ORDER BY vec_id LIMIT {_ANN_NQ}),
+        sims AS (
+          SELECT q.query_id, b.vec_id,
+                 round_even(list_cosine_similarity(q.qe, b.de), 6) AS sim
+          FROM q JOIN b ON b.bucket = q.qbucket)
+        SELECT query_id, rank, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM sims)
+        WHERE rank <= {_ANN_K}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     p = _fixture_sql_path()
 
@@ -678,6 +745,8 @@ def oracle_sql() -> dict[str, str]:
                    MAX(s) - MIN(s) AS duration_sec
             FROM sess GROUP BY user_id, sid
         """,
+        "lang_id": _lang_id_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "lineitem_daily": """
             SELECT l_returnflag,
                    epoch_us(l_shipdate) // 86400000000 AS ship_day,
