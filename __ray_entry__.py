@@ -148,6 +148,45 @@ def _rollup_bucketed(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _rollup_inferred(sf_dir: str):
+    """Subsample the fixture to a 5-minute stream, then roll up at the
+    INFERRED step (engine must discover 300s itself; the oracle hardcodes
+    it)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from datafiller_ray.config import FillConfig
+    from datafiller_ray.pipelines.rollup import rollup_tiers_inferred
+
+    def five_minute_rows(batch: pa.Table) -> pa.Table:
+        minute = pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], -10), pa.int64())
+        keep = pc.equal(
+            pc.subtract(minute, pc.multiply(pc.divide(minute, 5), 5)), 0
+        )
+        return batch.filter(keep)
+
+    ds = ray.data.read_parquet(
+        _fixture(sf_dir), columns=["doc_id", "tokens", "n_tok", "source"]
+    ).map_batches(five_minute_rows, batch_format="pyarrow")
+    out = rollup_tiers_inferred(ds, fill=FillConfig(strategy=None))
+
+    def project(batch):
+        b = batch.filter(pc.greater(batch["count"], 0))
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "n_obs": b["count"],
+                "sum_tok": pc.cast(b["sum"], pa.int64()),
+                "min_tok": pc.cast(b["min"], pa.int64()),
+                "max_tok": pc.cast(b["max"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _knn_fill(sf_dir: str):
     from datafiller_ray.pipelines.panel import knn_fill
 
@@ -389,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             d, "linear", max_gap=30, mode="salted"
         ),
         "rollup_1m_bucketed": _rollup_bucketed,
+        "rollup_inferred_step": _rollup_inferred,
         # non-SQL-expressible fills (model/spline/kNN regression): rows-only
         "gapfill_model_1m": lambda d: _tier_gapfill(d, "model"),
         "gapfill_spline_1m": lambda d: _tier_gapfill(d, "spline", max_gap=30),
@@ -589,6 +629,18 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h": rollup(3600),
         "rollup_1d": rollup(86400),
         "rollup_1m_bucketed": rollup(60),
+        "rollup_inferred_step": f"""
+            SELECT source,
+                   (CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) * 60
+                    // 300) * 300 AS bucket_ts,
+                   COUNT(*) AS n_obs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+                   CAST(MAX(n_tok) AS BIGINT) AS max_tok
+            FROM read_parquet('{p}/*.parquet')
+            WHERE CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) % 5 = 0
+            GROUP BY 1, 2
+        """,
         "gapfill_linear_bounded_1m": bounded_linear_sql,
         "gapfill_linear_salted_1m": bounded_linear_sql,
         "retention_1h": rollup(3600, f"WHERE bucket_ts >= {_RETENTION_CUTOFF}"),

@@ -38,16 +38,28 @@ __all__ = [
     "TIER_STEPS",
     "rollup_tiers",
     "rollup_tiers_bucketed",
+    "rollup_tiers_inferred",
     "rollup_tiers_salted",
+    "infer_step",
     "write_tiers",
 ]
 
 
 def __getattr__(name):  # lazy: keep `import datafiller_ray` ray-free
-    if name in ("rollup_tiers", "rollup_tiers_bucketed", "rollup_tiers_salted", "write_tiers"):
+    if name in (
+        "rollup_tiers",
+        "rollup_tiers_bucketed",
+        "rollup_tiers_inferred",
+        "rollup_tiers_salted",
+        "write_tiers",
+    ):
         from datafiller_ray.pipelines import rollup
 
         return getattr(rollup, name)
+    if name == "infer_step":
+        from datafiller_ray.stages.infer_freq import infer_step
+
+        return infer_step
     raise AttributeError(name)
 
 __version__ = "0.1.0"

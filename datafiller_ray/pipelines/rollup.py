@@ -146,6 +146,37 @@ def rollup_tiers(
     return partials.groupby("skey").map_groups(fn, batch_format="pandas")
 
 
+def rollup_tiers_inferred(
+    input_path: "str | Dataset",
+    *,
+    fill: FillConfig | None = None,
+    retention: RetentionConfig | None = None,
+    check_tokens: bool = True,
+) -> "Dataset":
+    """Rollup at the input's own cadence: the base step is inferred from the
+    observed bucket timestamps (stages/infer_freq.py — the engine analogue
+    of the reference's ``_infer_frequency``, ``timeseries/imputer.py:
+    188-213``), then a single tier at that step is rolled up and gap-filled.
+    A 5-minute stream densifies to a 5-minute grid, not the fixed 1m one."""
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.infer_freq import infer_step
+
+    cfg = fill if fill is not None else FillConfig()
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    partials = partial_aggregates(input_path, check_tokens=check_tokens)
+    partials = partials.repartition(max(32, 4 * cpus)).materialize()
+    step = infer_step(partials, ts_column="bucket_ts", key_column="source")
+    if step % 60 != 0:
+        raise EngineValueError(
+            f"inferred step {step}s is finer than the 60s partial-aggregate "
+            "resolution of the contract table"
+        )
+    fn = make_fill_group_fn(cfg, tiers={f"{step}s": step}, retention=retention)
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+
+
 def rollup_tiers_bucketed(
     input_path: "str | Dataset",
     *,

@@ -197,7 +197,12 @@ def make_fill_group_fn(
     """Build the map_groups fn. ``emit="rows"`` yields tier rows;
     ``emit="blobs"`` Gorilla-encodes each (source, tier) chunk in place
     (same shuffle, different sink shape)."""
-    steps = {t: TIER_STEPS[t] for t in tiers}
+    # tiers may be names from TIER_STEPS or a {name: step_seconds} mapping
+    # (custom steps, e.g. from infer_step)
+    if isinstance(tiers, dict):
+        steps = dict(tiers)
+    else:
+        steps = {t: TIER_STEPS[t] for t in tiers}
 
     def fill_one_source(g: pd.DataFrame, source: str) -> pd.DataFrame:
         observed_1m = combine_partials(g)
