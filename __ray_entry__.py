@@ -260,6 +260,12 @@ def _lang_id(sf_dir: str):
     return lang_id(_read(sf_dir, "documents"))
 
 
+def _lang_fill(sf_dir: str):
+    from datafiller_ray.pipelines.text import lang_fill
+
+    return lang_fill(_read(sf_dir, "documents"))
+
+
 def _simhash(sf_dir: str):
     from datafiller_ray.pipelines.text import simhash
 
@@ -438,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _text_stats,
         "quality_filter": _quality_filter,
         "lang_id": _lang_id,
+        # categorical fill (classifier) is non-SQL-expressible: rows-only
+        "lang_fill": _lang_fill,
         "simhash": _simhash,
         "doc_fingerprint": _fingerprint,
         "minhash_near_dup": _minhash,

@@ -41,6 +41,7 @@ __all__ = [
     "rollup_tiers_inferred",
     "rollup_tiers_salted",
     "infer_step",
+    "impute_mixed",
     "write_tiers",
 ]
 
@@ -60,6 +61,10 @@ def __getattr__(name):  # lazy: keep `import datafiller_ray` ray-free
         from datafiller_ray.stages.infer_freq import infer_step
 
         return infer_step
+    if name == "impute_mixed":
+        from datafiller_ray.functions.categorical import impute_mixed
+
+        return impute_mixed
     raise AttributeError(name)
 
 __version__ = "0.1.0"

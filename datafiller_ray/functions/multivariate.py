@@ -95,12 +95,19 @@ def impute_matrix(
     min_samples_train: int = 20,
     fallback: str | None = "simple",
     use_optimask: bool = True,
+    categorical_cols: "set[int] | None" = None,
+    classifier=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Impute NaN cells of a 2-D float matrix. Returns (imputed, filled_mask).
 
     ``rows_to_impute``/``cols_to_impute`` are index arrays restricting which
     cells are imputed (reference selector semantics,
     ``multivariate/_utils.py:10-59``: everything else passes through).
+
+    Columns listed in ``categorical_cols`` hold integer label codes and are
+    predicted with ``classifier`` (fit on standardized features + raw codes;
+    reference ``imputer.py:655-670``); their fallback is the most frequent
+    observed code (``imputer.py:744-770``).
     """
     x = np.asarray(x, dtype=np.float64)
     if x.ndim != 2:
@@ -168,10 +175,17 @@ def impute_matrix(
                     continue
                 train_rows = trainable[r_keep]
                 use = use[c_keep]
-            model = FastRidge(alpha=alpha, fit_intercept=True)
-            model.fit(xs[np.ix_(train_rows, use)], xs[train_rows, j])
-            pred = model.predict(xs[np.ix_(rows, use)]).astype(np.float64)
-            out[rows, j] = pred * stds[j] + means[j]
+            if categorical_cols and j in categorical_cols:
+                if classifier is None:
+                    continue
+                model = classifier()
+                model.fit(xs[np.ix_(train_rows, use)], x[train_rows, j].astype(np.int64))
+                out[rows, j] = model.predict(xs[np.ix_(rows, use)]).astype(np.float64)
+            else:
+                model = FastRidge(alpha=alpha, fit_intercept=True)
+                model.fit(xs[np.ix_(train_rows, use)], xs[train_rows, j])
+                pred = model.predict(xs[np.ix_(rows, use)]).astype(np.float64)
+                out[rows, j] = pred * stds[j] + means[j]
             filled[rows, j] = True
 
     if fallback == "simple":
@@ -179,6 +193,11 @@ def impute_matrix(
             if counts[j] == 0:
                 continue  # all-NaN column survives (test_timeseries.py:208-230)
             rest = ~obs[:, j] & row_sel & ~filled[:, j]
-            out[rest, j] = means[j]
+            if categorical_cols and j in categorical_cols:
+                # most frequent observed code; ties -> smallest code
+                values, vcounts = np.unique(x[obs[:, j], j], return_counts=True)
+                out[rest, j] = values[np.argmax(vcounts)]
+            else:
+                out[rest, j] = means[j]
             filled[rest, j] = True
     return out, filled

@@ -181,6 +181,58 @@ def quality_filter(
     )
 
 
+def lang_fill(
+    documents: "ray.data.Dataset", *, mask_mod: int = 7, min_samples_train: int = 5
+) -> "ray.data.Dataset":
+    """Categorical imputation demo over documents: deterministically mask the
+    ``lang`` label (doc_id % mask_mod == 0), then recover it per source
+    cohort with the mixed-dtype imputer (nearest-centroid classifier over
+    text-stat features — functions/categorical.py, the engine analogue of
+    the reference's classifier path). Emits (doc_id, lang_orig, lang_filled,
+    was_masked)."""
+    from datafiller_ray.functions.categorical import impute_mixed
+
+    def fill_group(g: pd.DataFrame) -> pd.DataFrame:
+        if g["source"].nunique() != 1:
+            return pd.concat(
+                [fill_group(sub) for _, sub in g.groupby("source", sort=True)],
+                ignore_index=True,
+            )
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        masked = (g["doc_id"].to_numpy(np.int64) % mask_mod) == 0
+        df = pd.DataFrame(
+            {
+                "lang": g["lang"].astype(object).mask(masked),
+                "tok_count": g["tok_count"].astype(np.float64),
+                "alpha_ratio": g["alpha_ratio"],
+                "digit_ratio": g["digit_ratio"],
+                "space_ratio": g["space_ratio"],
+            }
+        )
+        out = impute_mixed(
+            df, cols_to_impute=["lang"], min_samples_train=min_samples_train
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "lang_orig": g["lang"].astype(object),
+                "lang_filled": out["lang"].astype(object),
+                "was_masked": masked,
+            }
+        )
+
+    # one pass carries stats + labels: recompute stats columns inside the
+    # merged projection to avoid a shuffle join of two datasets
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        st = TextStats()(batch)
+        st["source"] = batch["source"].to_numpy()
+        st["lang"] = batch["lang"].to_numpy()
+        return st
+
+    per_doc = documents.map_batches(project, batch_format="pandas", batch_size=4096)
+    return per_doc.groupby("source").map_groups(fill_group, batch_format="pandas")
+
+
 def lang_id(documents: "ray.data.Dataset") -> "ray.data.Dataset":
     return documents.map_batches(
         LangId, batch_format="pandas", concurrency=(1, 4), batch_size=2048
