@@ -39,11 +39,42 @@ def _add_cohort(n_cohorts: int):
     return fn
 
 
+def build_panel_features(
+    panel: np.ndarray,
+    grid: np.ndarray,
+    lags: tuple[int, ...],
+    add_time_features: bool,
+) -> np.ndarray:
+    """Joint autoregressive feature matrix over a cohort panel — the
+    reference's ``build_lag_matrix`` column layout
+    (``timeseries/_utils.py:8-48``): [series | one block per lag of ALL
+    series | calendar features]. Positive lags shift back in time;
+    out-of-range rows are NaN."""
+    blocks = [panel]
+    n = panel.shape[0]
+    for lag in lags:
+        shifted = np.full_like(panel, np.nan)
+        if lag > 0:
+            shifted[lag:] = panel[: n - lag]
+        elif lag < 0:
+            shifted[:lag] = panel[-lag:]
+        else:
+            shifted = panel.copy()
+        blocks.append(shifted)
+    if add_time_features:
+        from datafiller_ray.functions.features import make_time_features
+
+        blocks.append(make_time_features(grid).astype(np.float64))
+    return np.concatenate(blocks, axis=1)
+
+
 def _make_panel_fill_fn(
     n_nearest_features: int | None,
     alpha: float,
     min_samples_train: int,
     fallback: str | None,
+    lags: tuple[int, ...] = (),
+    add_time_features: bool = False,
 ):
     def fill_cohort(g: pd.DataFrame) -> pd.DataFrame:
         # final-combine partials per source, then pivot to the cohort panel
@@ -61,13 +92,28 @@ def _make_panel_fill_fn(
             pos = (df["bucket_ts"].to_numpy(np.int64) - lo) // 60
             panel[pos, k] = df["sum"].to_numpy(np.float64)
 
-        imputed, filled = impute_matrix(
-            panel,
+        n_series = panel.shape[1]
+        if lags or add_time_features:
+            matrix = build_panel_features(panel, grid, tuple(lags), add_time_features)
+            # dropna(how="all", axis=1) on GENERATED features only — the
+            # original columns always keep their slots (reference
+            # timeseries/imputer.py:556-562)
+            keep = ~np.isnan(matrix).all(axis=0)
+            keep[:n_series] = True
+            matrix = matrix[:, keep]
+        else:
+            matrix = panel
+
+        imputed_full, filled_full = impute_matrix(
+            matrix,
+            cols_to_impute=np.arange(n_series),
             n_nearest_features=n_nearest_features,
             alpha=alpha,
             min_samples_train=min_samples_train,
             fallback=fallback,
         )
+        imputed = imputed_full[:, :n_series]
+        filled = filled_full[:, :n_series]
 
         frames = []
         for k, src in enumerate(sources):
@@ -102,12 +148,20 @@ def knn_fill(
     min_samples_train: int = 20,
     fallback: str | None = None,
     check_tokens: bool = False,
+    lags: tuple[int, ...] = (),
+    add_time_features: bool = False,
 ) -> "ray.data.Dataset":
     """kNN-regression gap fill over the 1m rollup: per cohort, each gap is
-    predicted from the k highest-scoring neighbor sources."""
+    predicted from the k highest-scoring neighbor sources. ``lags`` adds
+    joint autoregressive blocks of every cohort series (+ optional calendar
+    features) to the candidate pool, matching the reference
+    TimeSeriesImputer's panel semantics (``timeseries/imputer.py:541-553``)."""
     partials = partial_aggregates(input_path, check_tokens=check_tokens)
     with_cohort = partials.map_batches(
         _add_cohort(n_cohorts), batch_format="pyarrow"
     )
-    fn = _make_panel_fill_fn(n_nearest_features, alpha, min_samples_train, fallback)
+    fn = _make_panel_fill_fn(
+        n_nearest_features, alpha, min_samples_train, fallback,
+        lags=lags, add_time_features=add_time_features,
+    )
     return with_cohort.groupby("cohort").map_groups(fn, batch_format="pandas")

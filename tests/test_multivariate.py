@@ -160,3 +160,51 @@ def test_knn_fill_pipeline(ray_session, tmp_path):
     truth = np.array([latent[i] * (1 + 0.1 * s) for i, s in zip(merged.i, merged.s)])
     err = np.abs(merged["value"].to_numpy() - truth)
     assert np.median(err) < 3.0
+
+
+def test_knn_fill_lags_beat_no_lag_on_shifted_panel(ray_session, tmp_path):
+    """Reference TimeSeriesImputer panel semantics: the lag blocks make a
+    time-shifted neighbor usable. B(t) = A(t-1): contemporaneous A is
+    uninformative white noise, lag-1 A is a perfect predictor."""
+    from datafiller_ray.pipelines.panel import knn_fill
+
+    rng = np.random.default_rng(11)
+    n_min = 500
+    base = 28_401_120
+    a = np.round(rng.uniform(50, 150, n_min + 1))
+    rows = []
+    drop = rng.random(n_min) < 0.15
+    drop[0] = drop[-1] = False
+    for i in range(n_min):
+        rows.append(("srcA", base + i, int(a[i + 1])))
+        if not drop[i]:
+            rows.append(("srcB", base + i, int(a[i])))  # B(t) = A(t-1)
+    df = pd.DataFrame(rows, columns=["source", "minute", "n_tok"])
+    df["doc_id"] = df["source"] + ":" + df["minute"].map("{:010d}".format)
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "doc_id": df["doc_id"],
+            "n_tok": df["n_tok"].astype(np.int32),
+            "source": df["source"],
+        }
+    )
+    path = tmp_path / "shifted.parquet"
+    pq.write_table(table, path)
+
+    def mae(out):
+        gaps = out[(out["source"] == "srcB") & ~out["observed"] & out["filled"]]
+        i = (gaps["bucket_ts"] // 60 - base).astype(int).to_numpy()
+        return np.abs(gaps["value"].to_numpy() - a[i]).mean(), len(gaps)
+
+    no_lag = knn_fill(str(path), n_cohorts=1, min_samples_train=10).to_pandas()
+    with_lag = knn_fill(
+        str(path), n_cohorts=1, min_samples_train=10, lags=(1,),
+        add_time_features=True,
+    ).to_pandas()
+    m0, n0 = mae(no_lag)
+    m1, n1 = mae(with_lag)
+    assert n0 > 20 and n1 > 20
+    assert m1 < m0 / 3  # lag-1 feature is a near-perfect predictor
+    assert m1 < 2.0
