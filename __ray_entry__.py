@@ -336,17 +336,27 @@ def _events_sessions(sf_dir: str):
 
 
 def _ann_lsh(sf_dir: str):
+    """LSH top-k served from the bucket-partitioned index (the scale path:
+    only matching partitions are read). Same candidates / ranking as the
+    full-scan lsh_topk, so the SQL oracle is shared."""
+    import hashlib
+    import os
+
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from datafiller_ray.pipelines.ann import lsh_topk
+    from datafiller_ray.pipelines.ann import build_lsh_index, lsh_topk_indexed
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
     order = pc.sort_indices(qt["vec_id"])[: _ANN_NQ]
     head = qt.take(order)
     qids = np.asarray(head["vec_id"])
     qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
-    ds = lsh_topk(_read(sf_dir, "embeddings"), qids, qmat, k=_ANN_K, n_planes=6)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    index_dir = f"/tmp/datafiller_ray_lsh/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_lsh_manifest.json")):
+        build_lsh_index(_read(sf_dir, "embeddings"), index_dir, dim=64, n_planes=6)
+    ds = lsh_topk_indexed(index_dir, qids, qmat, k=_ANN_K)
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 

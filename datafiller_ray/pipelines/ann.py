@@ -184,3 +184,142 @@ def lsh_topk(
     return partial.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# partition-pruned LSH index: queries touch only matching bucket partitions
+
+
+def build_lsh_index(
+    embeddings: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 7,
+) -> str:
+    """Persist the embedding table hash-partitioned by LSH sign bucket
+    (``index_dir/bucket=N/``) plus a manifest of the plane parameters.
+
+    This is the I/O-pruning step LshCandidateTopK lacks: that stage prunes
+    COMPUTE but still reads every batch; a query against this index reads
+    only the partitions whose bucket matches (2^n_planes-fold read fan-in
+    reduction at corpus scale)."""
+    import json
+    import os
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        ids, M = _batch_matrix(batch)
+        signs = (M @ planes) > 0
+        batch = batch.copy()
+        batch["bucket"] = (signs @ (1 << np.arange(n_planes))).astype(np.int64)
+        return batch
+
+    embeddings.map_batches(
+        add_bucket, batch_format="pandas", batch_size=4096
+    ).write_parquet(index_dir, partition_cols=["bucket"])
+    with open(os.path.join(index_dir, "_lsh_manifest.json"), "w") as f:
+        json.dump({"dim": dim, "n_planes": n_planes, "seed": seed}, f)
+    return index_dir
+
+
+def lsh_index_query_paths(
+    index_dir: str, query_matrix: np.ndarray
+) -> tuple[np.ndarray, list[str]]:
+    """Query buckets + the partition directories a query run will read —
+    exposed separately so tests can assert the pruning."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_lsh_manifest.json")) as f:
+        manifest = json.load(f)
+    rng = np.random.default_rng(manifest["seed"])
+    planes = rng.standard_normal((manifest["dim"], manifest["n_planes"]))
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    signs = (Q @ planes) > 0
+    qbuckets = (signs @ (1 << np.arange(manifest["n_planes"]))).astype(np.int64)
+    paths = [
+        os.path.join(index_dir, f"bucket={b}")
+        for b in sorted(set(int(b) for b in qbuckets))
+        if os.path.isdir(os.path.join(index_dir, f"bucket={b}"))
+    ]
+    return qbuckets, paths
+
+
+def lsh_topk_indexed(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Approximate cosine top-k served from the bucket-partitioned index:
+    only partitions matching a query's bucket are read (same candidate set
+    and tie-breaking as :func:`lsh_topk` with identical plane parameters).
+    Queries whose bucket partition does not exist return no rows, exactly
+    like an empty candidate set."""
+    import os
+
+    query_ids = np.asarray(query_ids)
+    query_matrix = np.asarray(query_matrix, dtype=np.float64)
+    qbuckets, _ = lsh_index_query_paths(index_dir, query_matrix)
+
+    def make_scorer(sub_ids: np.ndarray, sub_Q: np.ndarray):
+        # stateless task fn; the per-bucket query slice is tiny and ships in
+        # the closure (an actor pool per bucket piece can deadlock a small
+        # CPU budget when several pieces each reserve min-1 actors)
+        Qn = sub_Q / np.linalg.norm(sub_Q, axis=1, keepdims=True)
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            ids, M = _batch_matrix(batch)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            sims = Qn @ Mn.T
+            kk = min(k, ids.size)
+            out = []
+            for qi in range(sims.shape[0]):
+                s = sims[qi]
+                order = np.lexsort((ids, -s))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": sub_ids[qi],
+                            "vec_id": ids[order],
+                            "sim": np.round(s[order], 6),
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+        return score
+
+    pieces = []
+    for b in sorted(set(int(x) for x in qbuckets)):
+        path = os.path.join(index_dir, f"bucket={b}")
+        if not os.path.isdir(path):
+            continue
+        sel = qbuckets == b
+        part = ray.data.read_parquet(
+            path, columns=["vec_id", "embedding"]
+        ).map_batches(
+            make_scorer(query_ids[sel], query_matrix[sel]),
+            batch_format="pandas",
+            batch_size=4096,
+        )
+        pieces.append(part)
+    if not pieces:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                    "rank": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")

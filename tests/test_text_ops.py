@@ -98,3 +98,50 @@ def test_media_feature_plumbing(ray_session):
 def test_media_real_decoder_raises():
     with pytest.raises(NotImplementedError, match="decoder"):
         multimodal.MediaFeatureExtractor(decoder="pillow")
+
+
+def test_lsh_index_prunes_partitions_and_matches_scan(ray_session, tmp_path):
+    """The bucket-partitioned index must (a) read only matching partitions
+    and (b) return exactly what the full-scan LSH path returns."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.ann import (
+        build_lsh_index,
+        lsh_index_query_paths,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ds = ray.data.from_arrow(t)
+    qt = t.slice(0, 4)
+    qids = np.asarray(qt["vec_id"])
+    qmat = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
+
+    index_dir = str(tmp_path / "lsh_index")
+    build_lsh_index(ds, index_dir, dim=64, n_planes=6)
+
+    all_parts = {d for d in os.listdir(index_dir) if d.startswith("bucket=")}
+    qbuckets, paths = lsh_index_query_paths(index_dir, qmat)
+    read_parts = {os.path.basename(p) for p in paths}
+    # pruning: the query run touches a strict subset of the partitions
+    assert read_parts and read_parts < all_parts
+    assert len(read_parts) <= len(set(qbuckets.tolist()))
+
+    got = (
+        lsh_topk_indexed(index_dir, qids, qmat, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        lsh_topk(ray.data.from_arrow(t), qids, qmat, k=5, n_planes=6)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "vec_id"]], want[["query_id", "rank", "vec_id"]]
+    )
