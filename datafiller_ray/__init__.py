@@ -42,6 +42,7 @@ __all__ = [
     "rollup_tiers_salted",
     "infer_step",
     "impute_mixed",
+    "TimeSeriesFiller",
     "write_tiers",
 ]
 
@@ -65,6 +66,10 @@ def __getattr__(name):  # lazy: keep `import datafiller_ray` ray-free
         from datafiller_ray.functions.categorical import impute_mixed
 
         return impute_mixed
+    if name == "TimeSeriesFiller":
+        from datafiller_ray.frame import TimeSeriesFiller
+
+        return TimeSeriesFiller
     raise AttributeError(name)
 
 __version__ = "0.1.0"

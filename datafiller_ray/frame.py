@@ -1,0 +1,269 @@
+"""DataFrame-level time-series fill API.
+
+``TimeSeriesFiller`` is the engine's analogue of the reference's
+``TimeSeriesImputer`` surface (``/root/reference/src/datafiller/timeseries/
+imputer.py:93-530``): a pandas DataFrame with a DatetimeIndex (or an eager
+polars DataFrame with ``time_column``) is regularized onto its inferred
+grid, optionally small-gap interpolated, lag/calendar features are built
+jointly over all columns, and gaps are imputed with the engine's
+multivariate machinery (ridge for numeric targets, nearest-centroid
+classifier for categorical ones — no sklearn in this environment).
+
+This is the single-machine convenience wrapper; the distributed story for
+the same semantics is ``pipelines.panel.knn_fill(lags=...)`` and the rollup
+fills. A cohort-sized frame is the intended input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+
+from datafiller_ray.config import EngineTypeError, EngineValueError
+from datafiller_ray.functions.categorical import (
+    NearestCentroidClassifier,
+    decode_frame,
+    encode_frame,
+)
+from datafiller_ray.functions.gapfill import fill_linear
+from datafiller_ray.functions.multivariate import impute_matrix
+
+
+def infer_index_frequency(index: pd.DatetimeIndex):
+    """Infer the regular frequency of a DatetimeIndex — reference
+    ``_infer_frequency`` semantics (``timeseries/imputer.py:188-213``):
+    declared freq wins; calendar frequencies via ``pd.infer_freq``; else the
+    min-positive-delta + divisibility rule with the reference's errors."""
+    if index.freq is not None:
+        return index.freq
+    if len(index) < 2:
+        raise EngineValueError(
+            "DataFrame index must have a frequency or at least two timestamps to infer one"
+        )
+    if len(index) >= 3:
+        inferred = pd.infer_freq(index)
+        if inferred is not None:
+            return inferred
+    if not index.is_monotonic_increasing:
+        raise EngineValueError("DataFrame index must be sorted in increasing order")
+    if index.has_duplicates:
+        raise EngineValueError("DataFrame index must not contain duplicate timestamps")
+    ns = index.asi8
+    deltas = np.diff(ns)
+    positive = deltas[deltas > 0]
+    if not positive.size:
+        raise EngineValueError("DataFrame index frequency could not be inferred")
+    base = positive.min()
+    if np.any(positive % base != 0):
+        raise EngineValueError(
+            "DataFrame index frequency could not be inferred from irregular timestamp gaps"
+        )
+    return pd.Timedelta(int(base), unit="ns")
+
+
+def regularize_index(df: pd.DataFrame) -> pd.DataFrame:
+    """Reindex onto the complete regular grid (``_regularize_index``)."""
+    freq = infer_index_frequency(df.index)
+    full = pd.date_range(df.index[0], df.index[-1], freq=freq, name=df.index.name)
+    if len(full) == len(df.index) and full.equals(df.index):
+        return df
+    return df.reindex(full)
+
+
+class TimeSeriesFiller:
+    """Fill gaps in a (cohort-sized) time-indexed DataFrame.
+
+    Args mirror the reference's knobs that are meaningful without sklearn:
+    ``lags`` (positive = lags, negative = leads), ``alpha`` /
+    ``min_samples_train`` / ``fallback`` for the ridge path, ``classifier``
+    for categorical targets, ``interpolate_gaps_less_than`` for the linear
+    pre-pass, ``add_time_features``, and ``time_column`` for polars input.
+    """
+
+    def __init__(
+        self,
+        *,
+        lags: Iterable[int] = (1,),
+        alpha: float = 1e-2,
+        min_samples_train: int = 20,
+        fallback: str | None = "simple",
+        interpolate_gaps_less_than: int | None = None,
+        add_time_features: bool = True,
+        time_column: str | None = None,
+        classifier=NearestCentroidClassifier,
+        use_optimask: bool = True,
+    ) -> None:
+        self.lags = tuple(int(l) for l in lags)
+        self.alpha = alpha
+        self.min_samples_train = min_samples_train
+        if fallback not in (None, "simple"):
+            raise EngineValueError("fallback must be 'simple' or None")
+        self.fallback = fallback
+        self.interpolate_gaps_less_than = interpolate_gaps_less_than
+        self.add_time_features = add_time_features
+        self.time_column = time_column
+        self.classifier = classifier
+        self.use_optimask = use_optimask
+
+    # -- input/output conversion -------------------------------------------
+
+    def _from_polars(self, df):
+        import polars as pl
+
+        if self.time_column is None:
+            raise EngineValueError(
+                "time_column must be set for a Polars DataFrame input"
+            )
+        if self.time_column not in df.columns:
+            raise EngineValueError(
+                f"time_column {self.time_column!r} not found in the DataFrame"
+            )
+        pdf = df.to_pandas()
+        pdf = pdf.set_index(self.time_column)
+        if not isinstance(pdf.index, pd.DatetimeIndex):
+            raise EngineTypeError(
+                "the Polars time_column must be a Date or Datetime column"
+            )
+        return pdf
+
+    def _to_polars(self, pdf: pd.DataFrame):
+        import polars as pl
+
+        out = pdf.reset_index(names=self.time_column)
+        return pl.from_pandas(out)
+
+    # -- main entry ---------------------------------------------------------
+
+    def __call__(
+        self,
+        df,
+        rows_to_impute=None,
+        cols_to_impute=None,
+        n_nearest_features: int | None = None,
+        before=None,
+        after=None,
+    ):
+        try:
+            import polars as pl
+
+            if isinstance(df, pl.LazyFrame):
+                raise EngineTypeError(
+                    "Polars LazyFrame input is not supported; call collect() first"
+                )
+            is_pl = isinstance(df, pl.DataFrame)
+        except ImportError:  # pragma: no cover
+            is_pl = False
+        if is_pl:
+            df = self._from_polars(df)
+        elif not isinstance(df, pd.DataFrame):
+            raise EngineTypeError("input must be a pandas or eager Polars DataFrame")
+        elif not isinstance(df.index, pd.DatetimeIndex):
+            raise EngineTypeError("DataFrame index must be a DatetimeIndex")
+
+        df = regularize_index(df)
+        index = df.index
+
+        # linear small-gap pre-pass on numeric columns (reference
+        # interpolate_gaps_less_than)
+        if self.interpolate_gaps_less_than is not None:
+            df = df.copy()
+            for col in df.columns:
+                s = df[col]
+                if pd.api.types.is_numeric_dtype(s.dtype) and not pd.api.types.is_bool_dtype(s.dtype):
+                    out, _ = fill_linear(
+                        s.to_numpy(np.float64), self.interpolate_gaps_less_than
+                    )
+                    df[col] = out
+
+        enc = encode_frame(df)
+        main = enc["main_column_indices"]
+        panel = enc["data"]
+        n_enc = panel.shape[1]
+
+        # joint lag blocks + calendar features over the ENCODED matrix
+        # (reference lags categorical copies as features too,
+        # timeseries/imputer.py:541-553)
+        from datafiller_ray.pipelines.panel import build_panel_features
+
+        grid_s = (index.asi8 // 1_000_000_000).astype(np.int64)
+        matrix = build_panel_features(panel, grid_s, self.lags, self.add_time_features)
+        keep = ~np.isnan(matrix).all(axis=0)
+        keep[:n_enc] = True
+        matrix = matrix[:, keep]
+
+        target_cols = self._resolve_cols(df, main, cols_to_impute)
+        row_sel = self._resolve_rows(index, rows_to_impute, before, after)
+
+        out, _ = impute_matrix(
+            matrix,
+            cols_to_impute=target_cols,
+            rows_to_impute=row_sel,
+            n_nearest_features=n_nearest_features,
+            alpha=self.alpha,
+            min_samples_train=self.min_samples_train,
+            fallback=self.fallback,
+            use_optimask=self.use_optimask,
+            categorical_cols=set(int(i) for i in enc["categorical_targets"]),
+            classifier=self.classifier,
+        )
+        decoded = decode_frame(
+            out[:, :n_enc],
+            index,
+            df.columns,
+            main,
+            enc["categorical_targets"],
+            enc["original_dtypes"],
+        )
+        return self._to_polars(decoded) if is_pl else decoded
+
+    # -- selector resolution ------------------------------------------------
+
+    def _resolve_cols(self, df, main, cols_to_impute):
+        if cols_to_impute is None:
+            return main
+        items = (
+            [cols_to_impute]
+            if isinstance(cols_to_impute, (int, str, np.integer))
+            else list(cols_to_impute)
+        )
+        positions = []
+        for c in items:
+            if isinstance(c, str):
+                if c not in df.columns:
+                    raise EngineValueError(f"unknown column {c!r} in cols_to_impute")
+                positions.append(int(main[list(df.columns).index(c)]))
+            elif isinstance(c, (int, np.integer)):
+                positions.append(int(main[int(c)]))
+            else:
+                raise EngineValueError(
+                    "cols_to_impute must be an int, str, or an iterable of those"
+                )
+        return np.asarray(positions, dtype=np.int64)
+
+    def _resolve_rows(self, index, rows_to_impute, before, after):
+        sel = np.ones(len(index), dtype=bool)
+        if before is not None:
+            sel &= index < pd.to_datetime(str(before))
+        if after is not None:
+            sel &= index > pd.to_datetime(str(after))
+        if rows_to_impute is not None:
+            explicit = np.zeros(len(index), dtype=bool)
+            items = (
+                [rows_to_impute]
+                if not isinstance(rows_to_impute, Iterable)
+                or isinstance(rows_to_impute, str)
+                else list(rows_to_impute)
+            )
+            for r in items:
+                if isinstance(r, (int, np.integer)):
+                    explicit[int(r)] = True
+                else:
+                    loc = index.get_indexer([pd.to_datetime(str(r))])
+                    if loc[0] >= 0:
+                        explicit[loc[0]] = True
+            sel &= explicit
+        if sel.all():
+            return None
+        return np.flatnonzero(sel)
