@@ -475,6 +475,117 @@ def _fixture_sql_path() -> str:
     return fixture_path(SF_FOR_ORACLE)
 
 
+# -- splitmix64 / FNV-1a in SQL (oracles for the hash-based text sketches) --
+# DuckDB integer ops error on overflow instead of wrapping, so 64-bit wrap
+# arithmetic runs in HUGEINT with explicit mod 2^64; multiplication splits
+# the left operand at 32 bits to stay under HUGEINT's 2^127 ceiling.
+
+_M64 = 18446744073709551616
+
+
+def _sql_mulmod(a: str, c: int) -> str:
+    return (
+        f"CAST(((({a}) % 4294967296)::HUGEINT * {c} + "
+        f"((((({a}) // 4294967296)::HUGEINT * {c}) % 4294967296) * 4294967296)) "
+        f"% {_M64} AS UBIGINT)"
+    )
+
+
+def _sql_addmod(a: str, c: int) -> str:
+    return f"CAST((({a})::HUGEINT + {c}) % {_M64} AS UBIGINT)"
+
+
+def _sql_splitmix_ctes(src_cte: str, key_cols: list[str], val: str, prefix: str):
+    """CTE chain computing splitmix64 (functions/hashing.py constants) of
+    expression ``val`` — one CTE per mix step so no expression blowup.
+    Returns (sql_fragment, final_cte_name); the value column is ``v``."""
+    k = ", ".join(key_cols)
+    steps = [
+        _sql_addmod("v", 0x9E3779B97F4A7C15),
+        "xor(v, v >> 30)",
+        _sql_mulmod("v", 0xBF58476D1CE4E5B9),
+        "xor(v, v >> 27)",
+        _sql_mulmod("v", 0x94D049BB133111EB),
+        "xor(v, v >> 31)",
+    ]
+    frags = [f"{prefix}0 AS (SELECT {k}, {val} AS v FROM {src_cte})"]
+    for i, s in enumerate(steps):
+        frags.append(f"{prefix}{i + 1} AS (SELECT {k}, {s} AS v FROM {prefix}{i})")
+    return ",\n        ".join(frags), f"{prefix}{len(steps)}"
+
+
+def _simhash_sql() -> str:
+    """64-bit SimHash over word unigrams, exactly the engine's definition
+    (pipelines/text.py SimHash: \\w+ words of lower(text), string_hash64 =
+    FNV-1a over code points + splitmix64, majority bit vote). Documents are
+    ASCII, so RE2's \\w and codepoints==bytes coincide with the engine."""
+    fnv = (
+        f"list_reduce(list_prepend({0xCBF29CE484222325}::UBIGINT, "
+        f"list_transform(string_split(word, ''), c -> unicode(c)::UBIGINT)), "
+        f"(a, b) -> {_sql_mulmod('xor(a, b)', 0x100000001B3)})"
+    )
+    sm, final = _sql_splitmix_ctes("w", ["doc_id"], fnv, "h")
+    bit_sums = ",\n".join(
+        f"               SUM(CAST((v >> {b}) & 1 AS HUGEINT)) AS b{b}"
+        for b in range(64)
+    )
+    packed_terms = " + ".join(
+        f"(CASE WHEN 2*b{b} > n THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS word
+          FROM documents),
+        {sm},
+        bits AS (
+          SELECT doc_id, COUNT(*) AS n,
+{bit_sums}
+          FROM {final} GROUP BY doc_id),
+        packed AS (
+          SELECT doc_id, ({packed_terms}) AS u FROM bits)
+        SELECT d.doc_id,
+               CAST(COALESCE(
+                 CASE WHEN p.u >= 9223372036854775808 THEN p.u - {_M64} ELSE p.u END,
+                 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN packed p USING (doc_id)
+    """
+
+
+def _fingerprint_sql() -> str:
+    """Rolling-hash fingerprint, exactly the engine's definition
+    (pipelines/text.py Fingerprint): 16-byte windows, polynomial base
+    1000003 mod 2^64, splitmix64, min; docs shorter than the window take the
+    wrapped sum of per-byte splitmix64. ASCII corpus: codepoints==bytes."""
+    powers = [pow(1000003, k, _M64) for k in range(16)]
+    terms = " + ".join(f"cps[i+{j}]::HUGEINT * {powers[15 - j]}" for j in range(16))
+    sm_l, fin_l = _sql_splitmix_ctes("ph", ["doc_id"], "v", "sl")
+    sm_s, fin_s = _sql_splitmix_ctes("sb", ["doc_id"], "b", "ss")
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ''), ch -> unicode(ch)::UBIGINT) AS cps
+          FROM documents),
+        longdoc AS (SELECT doc_id, cps FROM c WHERE len(cps) >= 16),
+        w AS (SELECT doc_id, cps, unnest(range(1, len(cps) - 14)) AS i FROM longdoc),
+        ph AS (SELECT doc_id, CAST(({terms}) % {_M64} AS UBIGINT) AS v FROM w),
+        {sm_l},
+        fpl AS (SELECT doc_id, MIN(v) & 9223372036854775807 AS fp
+                FROM {fin_l} GROUP BY doc_id),
+        sb AS (SELECT doc_id, unnest(cps) AS b FROM c
+               WHERE len(cps) BETWEEN 1 AND 15),
+        {sm_s},
+        fps AS (SELECT doc_id,
+                       CAST(SUM(v::HUGEINT) % {_M64} AS UBIGINT)
+                       & 9223372036854775807 AS fp
+                FROM {fin_s} GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(l.fp, s.fp, 0) AS BIGINT) AS fingerprint
+        FROM documents d
+        LEFT JOIN fpl l USING (doc_id)
+        LEFT JOIN fps s USING (doc_id)
+    """
+
+
 def _lang_id_sql() -> str:
     """Argmax of stopword hit counts over [a-zà-ÿ]+ words — same tables and
     tie rule ('und' on zero or tied max) as pipelines/text.py LangId."""
@@ -816,6 +927,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "lang_id": _lang_id_sql(),
+        "simhash": _simhash_sql(),
+        "doc_fingerprint": _fingerprint_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "lineitem_daily": """
             SELECT l_returnflag,
