@@ -586,6 +586,54 @@ def _fingerprint_sql() -> str:
     """
 
 
+def _minhash_sql() -> str:
+    """MinHash-LSH candidate edges, exactly the engine's pipeline
+    (pipelines/text.py MinHasher: 5-byte shingles of lower(text) with poly
+    base 257, splitmix64, 128 universal-hash mins with the seed-1234
+    constants embedded as literals, 16 bands of 8 rows hashed with base 31,
+    bucket-min edges, global dedup). ASCII corpus: codepoints==bytes."""
+    rng = np.random.default_rng(1234)
+    a = (rng.integers(1, 2**61 - 1, 128, dtype=np.uint64) | np.uint64(1)).tolist()
+    b = rng.integers(0, 2**61 - 1, 128, dtype=np.uint64).tolist()
+    p = [pow(257, k, _M64) for k in range(5)]
+    terms = " + ".join(f"cps[i+{j}]::HUGEINT * {p[j]}" for j in range(5))
+    sm, fin = _sql_splitmix_ctes("ph", ["doc_id"], "v", "sh")
+    min_cols = ",\n".join(
+        f"            MIN({_sql_addmod(_sql_mulmod('v', a[k]), b[k])}) AS m{k}"
+        for k in range(128)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, CAST(("
+        + " + ".join(f"m{8 * k + j}::HUGEINT * {31 ** j}" for j in range(8))
+        + f") % {_M64} AS UBIGINT) AS b FROM mins"
+        for k in range(16)
+    )
+    smb, finb = _sql_splitmix_ctes("bandsums", ["doc_id", "band"], "b", "bh")
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 list_transform(string_split(lower(text), ''), ch -> unicode(ch)::UBIGINT) AS cps
+          FROM documents),
+        longdoc AS (SELECT doc_id, cps FROM c WHERE len(cps) >= 5),
+        w AS (SELECT doc_id, cps, unnest(range(1, len(cps) - 3)) AS i FROM longdoc),
+        ph AS (SELECT doc_id, CAST(({terms}) % {_M64} AS UBIGINT) AS v FROM w),
+        {sm},
+        mins AS (
+          SELECT doc_id,
+{min_cols}
+          FROM {fin} GROUP BY doc_id),
+        bandsums AS ({band_rows}),
+        {smb},
+        buckets AS (SELECT band, v AS band_hash, doc_id FROM {finb}),
+        edges AS (
+          SELECT DISTINCT
+                 MIN(doc_id) OVER (PARTITION BY band, band_hash) AS doc_a,
+                 doc_id AS doc_b
+          FROM buckets)
+        SELECT DISTINCT doc_a, doc_b FROM edges WHERE doc_a < doc_b
+    """
+
+
 def _lang_id_sql() -> str:
     """Argmax of stopword hit counts over [a-zà-ÿ]+ words — same tables and
     tie rule ('und' on zero or tied max) as pipelines/text.py LangId."""
@@ -929,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "simhash": _simhash_sql(),
         "doc_fingerprint": _fingerprint_sql(),
+        "minhash_near_dup": _minhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "lineitem_daily": """
             SELECT l_returnflag,
