@@ -393,19 +393,28 @@ def _lineitem_daily(sf_dir: str):
             }
         )
 
-    import pandas as pd
-
-    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
-        out = g.groupby(["l_returnflag", "ship_day"], sort=True).agg(
-            n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum")
-        ).reset_index()
-        out["sum_qty"] = np.round(out["sum_qty"], 6)
-        return out
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem").map_batches(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    return ds.groupby("l_returnflag").map_groups(combine, batch_format="pandas")
+    # final combine on the full (flag, day) key — grouping only by
+    # l_returnflag caps parallelism at its ~4 distinct values
+    agg = ds.groupby(["l_returnflag", "ship_day"]).aggregate(
+        Sum("n_items", alias_name="n_items"), Sum("sum_qty", alias_name="sum_qty")
+    )
+
+    def project(batch: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "ship_day": batch["ship_day"],
+                "n_items": pc.cast(batch["n_items"], pa.int64()),
+                "sum_qty": pc.round(batch["sum_qty"], ndigits=6),
+            }
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -232,13 +232,23 @@ def rollup_tiers_bucketed(
     dirs = sorted(glob.glob(os.path.join(partials_dir, "bucket=*")))
 
     def process_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
         import pyarrow.dataset as pds
 
         out = []
         for d in batch["item"]:
-            df = pds.dataset(d).to_table().to_pandas()
-            for _, sub in df.groupby("skey", sort=True):
-                out.append(fn(sub))
+            # keep the bucket as a (columnar) Arrow table; only ONE source's
+            # rows are in pandas at a time. Bucket size is bounded by
+            # (#sources / n_buckets) x retention minutes of partial rows —
+            # raise n_buckets for mega-tenant layouts.
+            t = pds.dataset(d).to_table()
+            t = t.take(pc.sort_indices(t, sort_keys=[("skey", "ascending")]))
+            skeys = np.asarray(t["skey"])
+            bounds = np.flatnonzero(np.diff(skeys)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [skeys.size]])
+            for s, e in zip(starts, ends):
+                out.append(fn(t.slice(s, e - s).to_pandas()))
         return pd.concat(out, ignore_index=True)
 
     return ray.data.from_items(dirs).map_batches(
