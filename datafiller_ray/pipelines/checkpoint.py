@@ -53,6 +53,36 @@ def _add_bucket(n_buckets: int):
     return fn
 
 
+def _publish_rows(tier_rows, tmp_dir: str, emit: str):
+    """Write a bucket's output rows (tier rows, or Gorilla blob rows when
+    emit="blobs") under tmp_dir partitioned by tier; returns (written rows,
+    checksum). Blob checksums cover the chunk identity columns; row
+    checksums cover the value columns."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if emit == "blobs":
+        from datafiller_ray.stages.compress import encode_tier_chunks
+
+        out_rows = encode_tier_chunks(tier_rows)
+        checksum_cols = ("source", "start_ts", "end_ts", "n_points")
+    else:
+        out_rows = tier_rows
+        checksum_cols = ("source", "bucket_ts", "count", "sum")
+    for tier, sub in out_rows.groupby("tier", sort=True):
+        tdir = os.path.join(tmp_dir, f"tier={tier}")
+        os.makedirs(tdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(sub.drop(columns=["tier"]), preserve_index=False),
+            os.path.join(tdir, "part-0.parquet"),
+        )
+    checksum = lineage.rows_checksum(
+        {c: out_rows[c].to_numpy() for c in checksum_cols}
+    )
+    return out_rows, checksum
+
+
 def run_checkpointed(
     input_path: str,
     out_dir: str,
@@ -62,9 +92,15 @@ def run_checkpointed(
     retention: RetentionConfig | None = None,
     check_tokens: bool = True,
     n_buckets: int = 8,
+    emit: str = "rows",
     fail_after_buckets: int | None = None,  # test hook: simulate a crash
 ) -> dict:
-    """Run (or resume) the full pipeline. Returns a summary dict."""
+    """Run (or resume) the full pipeline. Returns a summary dict.
+
+    ``emit="blobs"`` Gorilla-encodes each bucket's tier rows into one blob
+    row per (source, tier) before publishing — the compressed sink with the
+    same bucket-level commit/resume/incremental granularity as the rows
+    sink (decode with ``stages.compress.decode_tier_chunk``)."""
     cfg = fill if fill is not None else FillConfig()
     os.makedirs(out_dir, exist_ok=True)
     partials_dir = os.path.join(out_dir, "partials")
@@ -118,6 +154,7 @@ def run_checkpointed(
                     "check_tokens": check_tokens,
                     "fill": _cfg_snapshot(cfg),
                     "tiers": list(tiers),
+                    "emit": emit,
                 },
             ),
         )
@@ -158,24 +195,7 @@ def run_checkpointed(
             parts = [fill_fn(sub) for _, sub in df.groupby("skey", sort=True)]
             tier_rows = pd.concat(parts, ignore_index=True)
             os.makedirs(tmp, exist_ok=True)
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            for tier, sub in tier_rows.groupby("tier", sort=True):
-                tdir = os.path.join(tmp, f"tier={tier}")
-                os.makedirs(tdir, exist_ok=True)
-                pq.write_table(
-                    pa.Table.from_pandas(
-                        sub.drop(columns=["tier"]), preserve_index=False
-                    ),
-                    os.path.join(tdir, "part-0.parquet"),
-                )
-            checksum = lineage.rows_checksum(
-                {
-                    c: tier_rows[c].to_numpy()
-                    for c in ("source", "bucket_ts", "count", "sum")
-                }
-            )
+            tier_rows, checksum = _publish_rows(tier_rows, tmp, emit)
             shutil.rmtree(out_bucket, ignore_errors=True)
             os.replace(tmp, out_bucket)
             rows.append((b, len(tier_rows), checksum, out_bucket, bucket_path))
@@ -247,6 +267,7 @@ def run_incremental(
     n_buckets = int(meta["n_buckets"])
     check_tokens = bool(meta.get("check_tokens", True))
     tiers = tuple(meta.get("tiers", ("1m", "1h", "1d")))
+    emit = meta.get("emit", "rows")
     cfg = fill if fill is not None else FillConfig(
         **{**meta.get("fill", {}), "lags": tuple(meta.get("fill", {}).get("lags", (1, 2, 3, -1, -2, -3)))}
     )
@@ -342,21 +363,7 @@ def run_incremental(
             tmp_b = f"{out_bucket}.tmp-{os.getpid()}"
             shutil.rmtree(tmp_b, ignore_errors=True)
             os.makedirs(tmp_b, exist_ok=True)
-            for tier, sub in tier_rows.groupby("tier", sort=True):
-                tdir = os.path.join(tmp_b, f"tier={tier}")
-                os.makedirs(tdir, exist_ok=True)
-                pq.write_table(
-                    pa.Table.from_pandas(
-                        sub.drop(columns=["tier"]), preserve_index=False
-                    ),
-                    os.path.join(tdir, "part-0.parquet"),
-                )
-            checksum = lineage.rows_checksum(
-                {
-                    c: tier_rows[c].to_numpy()
-                    for c in ("source", "bucket_ts", "count", "sum")
-                }
-            )
+            tier_rows, checksum = _publish_rows(tier_rows, tmp_b, emit)
             shutil.rmtree(out_bucket, ignore_errors=True)
             os.replace(tmp_b, out_bucket)
             rows.append((b, len(tier_rows), checksum, out_bucket))
