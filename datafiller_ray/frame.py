@@ -95,7 +95,13 @@ class TimeSeriesFiller:
         classifier=NearestCentroidClassifier,
         use_optimask: bool = True,
     ) -> None:
+        if isinstance(lags, (int, np.integer, str)) or not all(
+            isinstance(l, (int, np.integer)) for l in lags
+        ):
+            raise EngineValueError("lags must be an iterable of integers")
         self.lags = tuple(int(l) for l in lags)
+        if time_column is not None and not isinstance(time_column, str):
+            raise EngineValueError("time_column must be a string or None")
         self.alpha = alpha
         self.min_samples_train = min_samples_train
         if fallback not in (None, "simple"):
@@ -228,11 +234,12 @@ class TimeSeriesFiller:
             if isinstance(cols_to_impute, (int, str, np.integer))
             else list(cols_to_impute)
         )
+        unknown = [c for c in items if isinstance(c, str) and c not in df.columns]
+        if unknown:
+            raise EngineValueError(f"Column labels not found in columns: {unknown}")
         positions = []
         for c in items:
             if isinstance(c, str):
-                if c not in df.columns:
-                    raise EngineValueError(f"unknown column {c!r} in cols_to_impute")
                 positions.append(int(main[list(df.columns).index(c)]))
             elif isinstance(c, (int, np.integer)):
                 positions.append(int(main[int(c)]))
@@ -256,6 +263,7 @@ class TimeSeriesFiller:
                 or isinstance(rows_to_impute, str)
                 else list(rows_to_impute)
             )
+            missing = []
             for r in items:
                 if isinstance(r, (int, np.integer)):
                     explicit[int(r)] = True
@@ -263,6 +271,10 @@ class TimeSeriesFiller:
                     loc = index.get_indexer([pd.to_datetime(str(r))])
                     if loc[0] >= 0:
                         explicit[loc[0]] = True
+                    else:
+                        missing.append(r)
+            if missing:
+                raise EngineValueError(f"Row labels not found in index: {missing}")
             sel &= explicit
         if sel.all():
             return None

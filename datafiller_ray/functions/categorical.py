@@ -204,10 +204,14 @@ def impute_mixed(
     if cols_to_impute is None:
         target_cols = main
     else:
+        items = (
+            [cols_to_impute] if isinstance(cols_to_impute, (int, str)) else list(cols_to_impute)
+        )
+        unknown = [c for c in items if isinstance(c, str) and c not in df.columns]
+        if unknown:
+            raise EngineValueError(f"Column labels not found in columns: {unknown}")
         positions = []
-        for c in (
-            [cols_to_impute] if isinstance(cols_to_impute, (int, str)) else cols_to_impute
-        ):
+        for c in items:
             if isinstance(c, str):
                 positions.append(int(main[list(df.columns).index(c)]))
             elif isinstance(c, (int, np.integer)):

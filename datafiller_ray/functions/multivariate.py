@@ -85,6 +85,62 @@ def select_features(
     return np.sort(candidates[ranking[:k]])
 
 
+def validate_impute_inputs(
+    x: np.ndarray,
+    rows_to_impute,
+    cols_to_impute,
+    n_nearest_features,
+) -> int | None:
+    """Validate ``impute_matrix`` inputs and resolve ``n_nearest_features``
+    (float = fraction of columns) — the reference's ``_validate_input``
+    surface (``multivariate/_utils.py:60-141``) with its error messages."""
+    if x.ndim != 2:
+        raise EngineValueError(f"x must be a 2D array, but got {x.ndim} dimensions")
+    if not np.issubdtype(x.dtype, np.number):
+        raise EngineValueError(f"x must have a numeric dtype, but got {x.dtype}")
+    if np.isinf(x).any():
+        raise EngineValueError("x cannot contain infinity")
+    m, n = x.shape
+
+    def check_index(sel, bound, name):
+        if sel is None:
+            return
+        items = [sel] if isinstance(sel, (int, np.integer)) else sel
+        if isinstance(items, np.ndarray):
+            if not np.issubdtype(items.dtype, np.integer):
+                raise EngineValueError(
+                    f"{name} must have an integer dtype, but got {items.dtype}"
+                )
+            ok = bool(np.all(items >= 0) and np.all(items < bound))
+        else:
+            ok = all(isinstance(i, (int, np.integer)) for i in items) and all(
+                0 <= i < bound for i in items
+            )
+        if not ok:
+            raise EngineValueError(
+                f"{name} must be a list of integers between 0 and {bound - 1}"
+            )
+
+    check_index(rows_to_impute, m, "rows_to_impute")
+    check_index(cols_to_impute, n, "cols_to_impute")
+
+    if n_nearest_features is None:
+        return None
+    if isinstance(n_nearest_features, float):
+        if not (0 < n_nearest_features <= 1.0):
+            raise EngineValueError(
+                "If n_nearest_features is a float, it must be in (0, 1]"
+            )
+        n_nearest_features = int(n_nearest_features * n)
+        if n_nearest_features == 0:
+            raise EngineValueError("n_nearest_features resulted in 0 features to select")
+    if not isinstance(n_nearest_features, (int, np.integer)):
+        raise EngineValueError("n_nearest_features must be an int or float")
+    if not (0 < n_nearest_features <= n):
+        raise EngineValueError(f"n_nearest_features must be between 1 and {n}")
+    return int(n_nearest_features)
+
+
 def impute_matrix(
     x: np.ndarray,
     *,
@@ -109,11 +165,11 @@ def impute_matrix(
     reference ``imputer.py:655-670``); their fallback is the most frequent
     observed code (``imputer.py:744-770``).
     """
-    x = np.asarray(x, dtype=np.float64)
-    if x.ndim != 2:
-        raise EngineValueError("input matrix must be 2-D")
-    if np.isinf(x).any():
-        raise EngineValueError("input matrix must not contain inf")
+    x = np.asarray(x)
+    n_nearest_features = validate_impute_inputs(
+        x, rows_to_impute, cols_to_impute, n_nearest_features
+    )
+    x = x.astype(np.float64, copy=True)
     m, n = x.shape
     cols = (
         np.arange(n)

@@ -104,10 +104,18 @@ def _make_panel_fill_fn(
         else:
             matrix = panel
 
+        # cohort width varies run to run: clamp the neighbor count to the
+        # available feature columns (direct impute_matrix callers get the
+        # strict reference validation instead)
+        nnf = (
+            None
+            if n_nearest_features is None
+            else max(1, min(int(n_nearest_features), matrix.shape[1]))
+        )
         imputed_full, filled_full = impute_matrix(
             matrix,
             cols_to_impute=np.arange(n_series),
-            n_nearest_features=n_nearest_features,
+            n_nearest_features=nnf,
             alpha=alpha,
             min_samples_train=min_samples_train,
             fallback=fallback,

@@ -116,7 +116,7 @@ def test_min_samples_train_threshold():
 def test_rejects_inf_and_1d():
     with pytest.raises(EngineValueError, match="inf"):
         impute_matrix(np.array([[np.inf, 1.0]]))
-    with pytest.raises(EngineValueError, match="2-D"):
+    with pytest.raises(EngineValueError, match="2D"):
         impute_matrix(np.array([1.0, 2.0]))
 
 
