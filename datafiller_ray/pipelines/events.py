@@ -61,16 +61,39 @@ def _final_combine(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def events_rollup(
-    events: "ray.data.Dataset", *, step: int = 60
+    events: "ray.data.Dataset", *, step: int = 60, span_buckets: int = 4096
 ) -> "ray.data.Dataset":
     """count/sum/min/max of ``value`` per (event_type, step-aligned bucket).
-    Same partial+final algebra as the token rollup."""
+    Same partial+final algebra as the token rollup. The final combine is
+    sharded by (event_type, time-chunk) — buckets combine independently, so
+    parallelism is #chunks, not the handful of event types."""
+    from datafiller_ray.functions.hashing import string_hash64
+
+    span = step * span_buckets
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        chunk = pc.cast(pc.divide(t["bucket_ts"], pa.scalar(span, pa.int64())), pa.int64())
+        ekey = string_hash64(
+            np.asarray(t["event_type"].to_pandas(), dtype="U")
+        ).view(np.int64)
+        t = t.append_column("chunk", chunk)
+        return t.append_column("ekey", pa.array(ekey, pa.int64()))
+
     partial = events.map_batches(
         _bucket_partial(step), batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
-    )
-    return partial.groupby("event_type").map_groups(
-        _final_combine, batch_format="pandas"
+    ).map_batches(add_keys, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if g["event_type"].nunique() != 1:
+            return pd.concat(
+                [combine(sub) for _, sub in g.groupby("event_type", sort=True)],
+                ignore_index=True,
+            )
+        return _final_combine(g.drop(columns=["chunk", "ekey"]))
+
+    return partial.groupby(["ekey", "chunk"]).map_groups(
+        combine, batch_format="pandas"
     )
 
 

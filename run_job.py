@@ -21,7 +21,7 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="parquet file/dir of the contract table")
+    ap.add_argument("--input", default=None, help="parquet file/dir of the contract table (not needed with --update)")
     ap.add_argument("--out", required=True, help="output dir (manifest + partials + tiers)")
     ap.add_argument("--fill", default="linear",
                     choices=["none", "locf", "linear", "spline", "mean", "model"])
@@ -31,11 +31,18 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=128,
                     help="checkpoint/shuffle partition count")
     ap.add_argument("--no-token-check", action="store_true")
+    ap.add_argument("--emit", choices=["rows", "blobs"], default="rows",
+                    help="tier rows, or Gorilla chunk blobs per (source, tier)")
+    ap.add_argument("--update", metavar="NEW_INPUT", default=None,
+                    help="fold NEW parquet into a completed --out "
+                         "(incremental: only touched buckets recompute)")
     ap.add_argument("--retain-after", type=int, default=None,
                     help="keep buckets with ts >= this epoch second (all tiers)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
+    if args.input is None and args.update is None:
+        ap.error("--input is required unless --update is given")
 
     import ray
 
@@ -66,15 +73,21 @@ def main() -> int:
         else None
     )
     t0 = time.perf_counter()
-    summary = run_checkpointed(
-        args.input,
-        args.out,
-        fill=cfg,
-        tiers=tiers,
-        retention=retention,
-        check_tokens=not args.no_token_check,
-        n_buckets=args.buckets,
-    )
+    if args.update is not None:
+        from datafiller_ray.pipelines.checkpoint import run_incremental
+
+        summary = run_incremental(args.out, args.update, fill=cfg)
+    else:
+        summary = run_checkpointed(
+            args.input,
+            args.out,
+            fill=cfg,
+            tiers=tiers,
+            retention=retention,
+            check_tokens=not args.no_token_check,
+            n_buckets=args.buckets,
+            emit=args.emit,
+        )
     summary["wall_sec"] = round(time.perf_counter() - t0, 2)
     summary.pop("manifest", None)
     print(json.dumps(summary))
