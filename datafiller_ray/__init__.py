@@ -38,6 +38,7 @@ __all__ = [
     "TIER_STEPS",
     "rollup_tiers",
     "rollup_tiers_bucketed",
+    "rollup_tiers_auto",
     "rollup_tiers_inferred",
     "rollup_tiers_salted",
     "infer_step",
@@ -51,7 +52,8 @@ def __getattr__(name):  # lazy: keep `import datafiller_ray` ray-free
     if name in (
         "rollup_tiers",
         "rollup_tiers_bucketed",
-        "rollup_tiers_inferred",
+        "rollup_tiers_auto",
+    "rollup_tiers_inferred",
         "rollup_tiers_salted",
         "write_tiers",
     ):

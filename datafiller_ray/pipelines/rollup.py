@@ -372,6 +372,7 @@ def rollup_tiers_salted(
     retention: RetentionConfig | None = None,
     check_tokens: bool = True,
     salt_span: int = 86400,
+    _partials: "Dataset | None" = None,
 ) -> "Dataset":
     """Skew-resistant variant of :func:`rollup_tiers` (see
     stages/salted_fill.py): the 1m tier is processed per (source,
@@ -413,8 +414,11 @@ def rollup_tiers_salted(
         margin = validate_salt_config(cfg, salt_span)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
-    partials = partial_aggregates(input_path, check_tokens=check_tokens)
-    partials = partials.repartition(max(16, 2 * cpus)).materialize()
+    if _partials is not None:  # precomputed by rollup_tiers_auto
+        partials = _partials
+    else:
+        partials = partial_aggregates(input_path, check_tokens=check_tokens)
+        partials = partials.repartition(max(16, 2 * cpus)).materialize()
 
     bounds = source_bounds(partials)
     bounds_ref = ray.put(bounds)
@@ -460,6 +464,62 @@ def rollup_tiers_salted(
     for p in pieces[1:]:
         out = out.union(p)
     return out
+
+
+def choose_fill_path(
+    bounds: dict, cfg: FillConfig, *, crossover_buckets: int = 2_000_000
+) -> str:
+    """Pick the fill execution path from the observed per-source spans.
+
+    Measured crossover (stages/distributed_model.py docstring): the salted /
+    chunked paths pay two extra small shuffles, so they only win when a
+    single source's series is long enough to bound the critical path.
+    Returns "salted" when the longest series exceeds ``crossover_buckets``
+    AND the config supports chunking (bounded kernels need max_gap; the
+    chunked model path cannot run optimask), else "plain"."""
+    if not bounds:
+        return "plain"
+    max_len = max((hi - lo) // 60 + 1 for lo, hi in bounds.values())
+    if max_len <= crossover_buckets:
+        return "plain"
+    if cfg.strategy == "model":
+        return "salted" if not cfg.optimask else "plain"
+    if cfg.strategy in ("locf", "linear", "spline"):
+        return "salted" if cfg.max_gap is not None else "plain"
+    return "plain"
+
+
+def rollup_tiers_auto(
+    input_path: "str | Dataset",
+    *,
+    fill: FillConfig | None = None,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    retention: RetentionConfig | None = None,
+    check_tokens: bool = True,
+    crossover_buckets: int = 2_000_000,
+    salt_span: int = 86400 * 30,
+) -> "Dataset":
+    """Rollup with automatic per-source vs salted-chunk path selection: the
+    partials are aggregated once, source spans are measured from them, and
+    :func:`choose_fill_path` picks the cheaper execution (mega-series only
+    pay the chunked path's extra shuffles when chunk parallelism wins)."""
+    import ray
+
+    from datafiller_ray.stages.salted_fill import source_bounds
+
+    cfg = fill if fill is not None else FillConfig()
+    partials = partial_aggregates(input_path, check_tokens=check_tokens)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    partials = partials.repartition(max(16, 2 * cpus)).materialize()
+    bounds = source_bounds(partials)
+    path = choose_fill_path(bounds, cfg, crossover_buckets=crossover_buckets)
+    if path == "salted":
+        return rollup_tiers_salted(
+            input_path, fill=cfg, tiers=tiers, retention=retention,
+            check_tokens=check_tokens, salt_span=salt_span, _partials=partials,
+        )
+    fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention)
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
 
 
 def write_tiers(tier_ds: "Dataset", out_dir: str) -> None:

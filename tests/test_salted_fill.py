@@ -103,3 +103,45 @@ def test_salt_config_validation():
         )
         == 16
     )
+
+
+def test_choose_fill_path_crossover():
+    from datafiller_ray.config import FillConfig
+    from datafiller_ray.pipelines.rollup import choose_fill_path
+
+    short = {"a": (0, 60 * 1000)}
+    mega = {"a": (0, 60 * 3_000_000), "b": (0, 60 * 100)}
+    lin = FillConfig(strategy="linear", max_gap=30)
+    assert choose_fill_path(short, lin) == "plain"
+    assert choose_fill_path(mega, lin) == "salted"
+    # unbounded kernels cannot chunk
+    assert choose_fill_path(mega, FillConfig(strategy="linear")) == "plain"
+    # model path requires optimask=False to chunk
+    assert choose_fill_path(mega, FillConfig(strategy="model")) == "plain"
+    assert (
+        choose_fill_path(mega, FillConfig(strategy="model", optimask=False))
+        == "salted"
+    )
+    assert choose_fill_path({}, lin) == "plain"
+
+
+def test_rollup_tiers_auto_matches_plain(ray_session, skewed_input):
+    from datafiller_ray.pipelines.rollup import rollup_tiers, rollup_tiers_auto
+
+    cfg = FillConfig(strategy="linear", max_gap=10)
+    a = rollup_tiers(skewed_input, fill=cfg, check_tokens=False).to_pandas()
+    # crossover_buckets=1 forces the salted path on the same input
+    b = rollup_tiers_auto(
+        skewed_input, fill=cfg, check_tokens=False, crossover_buckets=1,
+        salt_span=7200,
+    ).to_pandas()
+    key = ["tier", "source", "bucket_ts"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in a.columns:
+        x, y = a[c].to_numpy(), b[c].to_numpy()
+        if x.dtype.kind == "f":
+            assert ((np.isnan(x) & np.isnan(y)) | (x == y)).all(), c
+        else:
+            np.testing.assert_array_equal(x, y, err_msg=c)
