@@ -165,6 +165,34 @@ def run_bench() -> dict:
 
     timed("ann_topk", ann)
 
+    # round-2 additions
+    from datafiller_ray.pipelines.ann import build_lsh_index, lsh_topk_indexed
+    from datafiller_ray.pipelines.events import events_gapfill_linear
+
+    timed(
+        "events_gapfill_linear_1m",
+        lambda: events_gapfill_linear(
+            ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+        ).count(),
+    )
+
+    def ann_indexed():
+        import numpy as np
+
+        t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        head = t.slice(0, 8)
+        qids = np.asarray(head["vec_id"])
+        qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+        idx = "/tmp/bench_lsh_index"
+        shutil.rmtree(idx, ignore_errors=True)
+        build_lsh_index(
+            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"), idx,
+            dim=64, n_planes=6,
+        )
+        lsh_topk_indexed(idx, qids, qmat, k=10).count()
+
+    timed("ann_lsh_index_build_and_query", ann_indexed)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",

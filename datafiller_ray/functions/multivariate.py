@@ -153,6 +153,7 @@ def impute_matrix(
     use_optimask: bool = True,
     categorical_cols: "set[int] | None" = None,
     classifier=None,
+    scoring_fn="default",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Impute NaN cells of a 2-D float matrix. Returns (imputed, filled_mask).
 
@@ -164,7 +165,16 @@ def impute_matrix(
     predicted with ``classifier`` (fit on standardized features + raw codes;
     reference ``imputer.py:655-670``); their fallback is the most frequent
     observed code (``imputer.py:744-770``).
+
+    ``scoring_fn`` is the reference's ``scoring=`` hook (``imputer.py:
+    116-121``): "default" uses the shared-fraction x |corr| formula; a
+    callable must accept ``(x, cols_to_impute)`` and return a
+    ``(len(cols), n_cols)`` score matrix; anything else raises.
     """
+    if scoring_fn != "default" and not callable(scoring_fn):
+        raise EngineValueError(
+            "scoring must be 'default' or a callable (x, cols_to_impute) -> scores"
+        )
     x = np.asarray(x)
     n_nearest_features = validate_impute_inputs(
         x, rows_to_impute, cols_to_impute, n_nearest_features
@@ -186,7 +196,16 @@ def impute_matrix(
     counts, means, stds = column_stats(x)
     xs = (x - means) / stds  # NaN cells stay NaN
 
-    scores = scoring(x, cols) if n_nearest_features is not None else None
+    if n_nearest_features is None:
+        scores = None
+    elif callable(scoring_fn):
+        scores = np.asarray(scoring_fn(x, cols), dtype=np.float64)
+        if scores.shape != (cols.size, n):
+            raise EngineValueError(
+                f"custom scoring must return shape {(cols.size, n)}, got {scores.shape}"
+            )
+    else:
+        scores = scoring(x, cols)
 
     out = x.copy()
     filled = np.zeros_like(obs)

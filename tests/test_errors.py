@@ -145,3 +145,29 @@ def test_frame_time_column_must_be_string_or_none():
 def test_fill_config_validation(kwargs, exc, match):
     with pytest.raises(exc, match=match):
         FillConfig(**kwargs)
+
+
+def test_invalid_scoring_raises(x_valid):
+    with pytest.raises(EngineValueError, match="scoring"):
+        impute_matrix(x_valid, scoring_fn="mse")
+
+
+def test_custom_scoring_callable_drives_feature_selection(x_valid):
+    calls = []
+
+    def my_scores(x, cols):
+        calls.append(x.shape)
+        return np.ones((len(cols), x.shape[1]))
+
+    out, _ = impute_matrix(
+        x_valid, n_nearest_features=2, min_samples_train=3, scoring_fn=my_scores
+    )
+    assert calls == [x_valid.shape]
+    assert not np.isnan(out).all()
+
+
+def test_custom_scoring_bad_shape_raises(x_valid):
+    with pytest.raises(EngineValueError, match="shape"):
+        impute_matrix(
+            x_valid, n_nearest_features=2, scoring_fn=lambda x, c: np.ones((1, 1))
+        )
