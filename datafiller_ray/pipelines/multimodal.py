@@ -106,3 +106,137 @@ def media_features(
         concurrency=(1, 8),
         num_cpus=1,
     )
+
+
+def synthesize_video_table(n: int, *, seed: int = 43) -> pa.Table:
+    """Deterministic fake video rows: payload = n_frames fixed-size frames."""
+    rng = np.random.default_rng(seed)
+    n_frames = rng.integers(4, 33, n)
+    frame_bytes = rng.integers(64, 513, n)
+    payloads = [
+        rng.integers(0, 256, int(f) * int(b), dtype=np.uint8).tobytes()
+        for f, b in zip(n_frames, frame_bytes)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "media_type": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "n_frames": pa.array(n_frames.astype(np.int32), pa.int32()),
+            "frame_bytes": pa.array(frame_bytes.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+class MediaResizer:
+    """Actor-pool stage: decode -> resize -> re-encode.
+
+    The fake decode tiles the payload bytes into an (h, w) grid; the resize
+    itself is REAL vectorized nearest-neighbor index math (what a production
+    stage would run after a genuine codec decode). Emits the standard media
+    schema with the new dimensions."""
+
+    def __init__(self, target_w: int, target_h: int, decoder: str = "fake") -> None:
+        if decoder != "fake":  # pragma: no cover - no codec libs in-sandbox
+            raise NotImplementedError(
+                f"media decoder {decoder!r} requires an image library not "
+                "present in this environment; use decoder='fake'"
+            )
+        self.tw = int(target_w)
+        self.th = int(target_h)
+
+    @staticmethod
+    def _fake_decode_grid(payload: bytes, w: int, h: int) -> np.ndarray:
+        flat = np.frombuffer(payload, dtype=np.uint8)
+        reps = -(-(w * h) // max(1, flat.size))  # ceil; tile then crop
+        return np.tile(flat, reps)[: w * h].reshape(h, w)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_payload = []
+        for payload, w, h in zip(batch["payload"], batch["width"], batch["height"]):
+            img = self._fake_decode_grid(payload, int(w), int(h))
+            # vectorized nearest-neighbor resample
+            ys = (np.arange(self.th) * img.shape[0] // self.th).astype(np.int64)
+            xs = (np.arange(self.tw) * img.shape[1] // self.tw).astype(np.int64)
+            out_payload.append(img[np.ix_(ys, xs)].tobytes())
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(np.int64),
+                "media_type": batch["media_type"].to_numpy(),
+                "payload": out_payload,
+                "width": np.full(len(batch), self.tw, dtype=np.int32),
+                "height": np.full(len(batch), self.th, dtype=np.int32),
+            }
+        )
+
+
+def media_resize(
+    media: "object", target_w: int, target_h: int, *, decoder: str = "fake",
+    batch_size: int = 64,
+) -> "object":
+    """Resize pipeline (same small-batch / actor-pool discipline as
+    media_features)."""
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_args=(target_w, target_h),
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every k-th frame of a video payload; emits
+    one row PER SAMPLED FRAME (a flat-map-shaped batch fn — output row count
+    differs from input)."""
+
+    def __init__(self, every_k: int, decoder: str = "fake") -> None:
+        if decoder != "fake":  # pragma: no cover
+            raise NotImplementedError(
+                f"video decoder {decoder!r} requires a codec library not "
+                "present in this environment; use decoder='fake'"
+            )
+        if every_k < 1:
+            raise ValueError("every_k must be >= 1")
+        self.k = int(every_k)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, types, frames, idxs = [], [], [], []
+        for mid, mtype, payload, nf, fb in zip(
+            batch["media_id"], batch["media_type"], batch["payload"],
+            batch["n_frames"], batch["frame_bytes"],
+        ):
+            data = np.frombuffer(payload, dtype=np.uint8)
+            nf, fb = int(nf), int(fb)
+            for fi in range(0, nf, self.k):
+                ids.append(int(mid))
+                types.append(mtype)
+                idxs.append(fi)
+                frames.append(data[fi * fb : (fi + 1) * fb].tobytes())
+        return pd.DataFrame(
+            {
+                "media_id": np.asarray(ids, dtype=np.int64),
+                "media_type": types,
+                "frame_idx": np.asarray(idxs, dtype=np.int64),
+                "frame": frames,
+            }
+        )
+
+
+def frame_sample(
+    videos: "object", *, every_k: int = 4, decoder: str = "fake",
+    batch_size: int = 16,
+) -> "object":
+    """Frame-sampling pipeline: tiny batches (each row fans out to many
+    frame rows, and payloads are the large side at production scale)."""
+    return videos.map_batches(
+        FrameSampler,
+        fn_constructor_args=(every_k,),
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )

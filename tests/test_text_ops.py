@@ -145,3 +145,32 @@ def test_lsh_index_prunes_partitions_and_matches_scan(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[["query_id", "rank", "vec_id"]], want[["query_id", "rank", "vec_id"]]
     )
+
+
+def test_media_resize_plumbing(ray_session):
+    table = multimodal.synthesize_media_table(40)
+    out = multimodal.media_resize(ray.data.from_arrow(table), 32, 24).to_pandas()
+    assert len(out) == 40
+    assert (out["width"] == 32).all() and (out["height"] == 24).all()
+    assert all(len(p) == 32 * 24 for p in out["payload"])
+    # deterministic
+    out2 = multimodal.media_resize(ray.data.from_arrow(table), 32, 24).to_pandas()
+    assert list(out["payload"]) == list(out2["payload"])
+
+
+def test_frame_sample_plumbing(ray_session):
+    table = multimodal.synthesize_video_table(20)
+    ds = ray.data.from_arrow(table)
+    out = multimodal.frame_sample(ds, every_k=4).to_pandas()
+    import math
+
+    want_rows = sum(math.ceil(int(nf) / 4) for nf in table["n_frames"].to_pylist())
+    assert len(out) == want_rows
+    # each sampled frame is exactly frame_bytes long and matches the payload slice
+    meta = {int(i): (int(nf), int(fb), bytes(p)) for i, nf, fb, p in zip(
+        table["media_id"].to_pylist(), table["n_frames"].to_pylist(),
+        table["frame_bytes"].to_pylist(), table["payload"].to_pylist())}
+    for r in out.itertuples():
+        nf, fb, payload = meta[int(r.media_id)]
+        assert len(r.frame) == fb
+        assert r.frame == payload[r.frame_idx * fb : (r.frame_idx + 1) * fb]
