@@ -195,9 +195,12 @@ class TimeSeriesFiller:
 
         grid_s = (index.asi8 // 1_000_000_000).astype(np.int64)
         matrix = build_panel_features(panel, grid_s, self.lags, self.add_time_features)
-        keep = ~np.isnan(matrix).all(axis=0)
-        keep[:n_enc] = True
-        matrix = matrix[:, keep]
+        # all-NaN generated columns are NOT dropped (the reference drops them
+        # purely as an optimization): an all-NaN feature is unobserved in
+        # every row pattern, so it can never be selected for training, and
+        # with n_nearest_features its NaN scores sink in the ranking. Skipping
+        # the drop avoids a full isnan pass + fancy-index copy of the widest
+        # matrix in the engine.
 
         target_cols = self._resolve_cols(df, main, cols_to_impute)
         row_sel = self._resolve_rows(index, rows_to_impute, before, after)

@@ -67,6 +67,19 @@ class NearestCentroidClassifier:
 
 def encode_frame(df: pd.DataFrame) -> dict:
     """Encode a mixed-dtype DataFrame into a float matrix + metadata."""
+    # all-numeric fast path: one block conversion instead of 2 copies per
+    # column (dominant on wide panels)
+    if all(
+        (is_integer_dtype(d) or is_float_dtype(d)) and not is_bool_dtype(d)
+        for d in df.dtypes
+    ):
+        return {
+            "data": df.to_numpy(dtype=np.float64),
+            "main_column_indices": np.arange(df.shape[1], dtype=np.int64),
+            "encoded_feature_names": [str(c) for c in df.columns],
+            "categorical_targets": {},
+            "original_dtypes": df.dtypes.to_dict(),
+        }
     arrays: list[np.ndarray] = []
     names: list[str] = []
     main_idx: list[int] = []

@@ -27,38 +27,64 @@ from __future__ import annotations
 import numpy as np
 
 from datafiller_ray.config import EngineValueError
-from datafiller_ray.functions.ridge import FastRidge
+from datafiller_ray.functions.ridge import FastRidge, fit_ridge_from_gram
 
 
 def column_stats(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-column observed (count, mean, std). std==0 or all-NaN -> 1.0
-    scale so standardization is a no-op there (reference behavior)."""
+    scale so standardization is a no-op there (reference behavior).
+
+    nansum-based single-pass formulation: the where(obs, ...) temporaries of
+    the naive version cost 5+ full-matrix passes, which dominated wall time
+    on wide panels (measured 12.8 s of a 31 s headline-workload call)."""
     obs = ~np.isnan(x)
     counts = obs.sum(axis=0)
-    sums = np.where(obs, x, 0.0).sum(axis=0)
-    means = np.where(counts == 0, 0.0, sums / np.maximum(counts, 1))
-    centered = np.where(obs, x - means, 0.0)
-    var = (centered**2).sum(axis=0) / np.maximum(counts, 1)
+    denom = np.maximum(counts, 1)
+    xz = np.where(obs, x, 0.0)  # one temp, reused for both moments
+    sums = xz.sum(axis=0)
+    means = np.where(counts == 0, 0.0, sums / denom)
+    sumsq = np.einsum("ij,ij->j", xz, xz)  # no squared temp
+    # E[x^2] - mu^2, clamped (cancellation can dip epsilon-negative)
+    var = np.maximum(sumsq / denom - means * means, 0.0)
     stds = np.sqrt(var)
     stds = np.where((counts == 0) | (stds == 0) | ~np.isfinite(stds), 1.0, stds)
     return counts, means, stds
 
 
-def scoring(x: np.ndarray, cols_to_impute: np.ndarray) -> np.ndarray:
+def scoring(
+    x: np.ndarray,
+    cols_to_impute: np.ndarray,
+    *,
+    _obs: np.ndarray | None = None,
+    _counts: np.ndarray | None = None,
+    _means: np.ndarray | None = None,
+) -> np.ndarray:
     """Feature-selection scores, shape (len(cols), n_cols).
 
     Matches the reference's mean-pre-imputed formulation
     (``_scoring.py:62-77``): with z = where(observed, x - colmean, 0),
     score[j,k] = (shared_count[j,k]/m) * |(z_j.z_k/m) / (std_j std_k)|,
     std_j = sqrt(sum(z_j^2)/m); all-NaN columns yield NaN scores.
+
+    The underscore kwargs let ``impute_matrix`` reuse its own stats pass —
+    on wide panels the redundant full-matrix temporaries dominated wall.
     """
     m, n = x.shape
     cols = np.asarray(cols_to_impute, dtype=np.int64).ravel()
-    obs = ~np.isnan(x)
-    counts = obs.sum(axis=0)
-    means = np.where(counts == 0, 0.0, np.where(obs, x, 0.0).sum(axis=0) / np.maximum(counts, 1))
-    z = np.where(obs, x - means, 0.0)
-    shared = obs[:, cols].astype(np.float64).T @ obs.astype(np.float64)
+    obs = ~np.isnan(x) if _obs is None else _obs
+    counts = obs.sum(axis=0) if _counts is None else _counts
+    if _means is None:
+        means = np.where(
+            counts == 0,
+            0.0,
+            np.where(obs, x, 0.0).sum(axis=0) / np.maximum(counts, 1),
+        )
+    else:
+        means = _means
+    z = np.subtract(x, means)
+    np.nan_to_num(z, copy=False)  # unobserved cells are NaN - mean = NaN -> 0
+    obs32 = obs.astype(np.float32)  # counts fit float32 exactly (m < 2^24)
+    shared = (obs32[:, cols].T @ obs32).astype(np.float64)
     cross = z[:, cols].T @ z
     sumsq = np.einsum("ij,ij->j", z, z)
     with np.errstate(all="ignore"):
@@ -194,7 +220,8 @@ def impute_matrix(
 
     obs = ~np.isnan(x)
     counts, means, stds = column_stats(x)
-    xs = (x - means) / stds  # NaN cells stay NaN
+    xs = np.subtract(x, means)  # NaN cells stay NaN
+    np.divide(xs, stds, out=xs)  # in place: xs is the only wide temp
 
     if n_nearest_features is None:
         scores = None
@@ -205,7 +232,7 @@ def impute_matrix(
                 f"custom scoring must return shape {(cols.size, n)}, got {scores.shape}"
             )
     else:
-        scores = scoring(x, cols)
+        scores = scoring(x, cols, _obs=obs, _counts=counts, _means=means)
 
     out = x.copy()
     filled = np.zeros_like(obs)
@@ -226,13 +253,68 @@ def impute_matrix(
         patt = obs[np.ix_(imputable, feats)]
         uniq, inv = np.unique(patt, axis=0, return_inverse=True)
         train_obs = obs[np.ix_(trainable, feats)]
+
+        # Gram reuse (the reference's _gram.py:80-118 FLOP saver, ~28x on
+        # its benchmarks): one Gram of Z=[X(zero-filled), y, 1] per distinct
+        # trainable-row pattern, computed in a single pass; every predict
+        # pattern then solves from the summed covering Grams instead of
+        # refitting ridge on materialized rows. Algebraically identical
+        # training sets (rows complete on the pattern's features == union
+        # of covering groups), so only float summation order differs.
+        k = feats.size
+        use_gram = (
+            k <= 64
+            and not (categorical_cols and j in categorical_cols)
+        )
+        if use_gram:
+            bitpos = np.uint64(1) << np.arange(k, dtype=np.uint64)
+            t_masks = (train_obs @ bitpos).astype(np.uint64)
+            Xz = np.where(train_obs, xs[np.ix_(trainable, feats)], 0.0)
+            Z = np.column_stack(
+                [Xz, xs[trainable, j], np.ones(trainable.size)]
+            )
+            order = np.argsort(t_masks, kind="stable")
+            sm = t_masks[order]
+            bnd = np.flatnonzero(np.diff(sm)) + 1
+            starts = np.concatenate([[0], bnd])
+            ends = np.concatenate([bnd, [sm.size]])
+            group_masks = sm[starts]
+            group_counts = (ends - starts).astype(np.int64)
+            grams = np.empty((group_masks.size, k + 2, k + 2))
+            for gi in range(group_masks.size):
+                Zg = Z[order[starts[gi] : ends[gi]]]
+                grams[gi] = Zg.T @ Zg
+            total_gram = grams.sum(axis=0)
+            total_n = int(group_counts.sum())
+
         for pi in range(uniq.shape[0]):
             pattern = uniq[pi]
             if not pattern.any():
                 continue
             rows = imputable[inv == pi]
             use = feats[pattern]
-            complete = train_obs[:, pattern].all(axis=1)
+            if use_gram:
+                pu = (pattern @ bitpos).astype(np.uint64)
+                covering = (group_masks & pu) == pu
+                n_train = int(group_counts[covering].sum())
+                if n_train >= min_samples_train:
+                    miss_idx = np.flatnonzero(~covering)
+                    if miss_idx.size <= covering.sum():
+                        G = total_gram - grams[miss_idx].sum(axis=0)
+                    else:
+                        G = grams[covering].sum(axis=0)
+                    sub = np.concatenate([np.flatnonzero(pattern), [k, k + 1]])
+                    coef, intercept = fit_ridge_from_gram(
+                        G[np.ix_(sub, sub)], n_train, alpha
+                    )
+                    pred = xs[np.ix_(rows, use)] @ coef + intercept
+                    out[rows, j] = pred * stds[j] + means[j]
+                    filled[rows, j] = True
+                    continue
+                # under threshold: fall through to the optimask branch below
+                complete = (t_masks & pu) == pu
+            else:
+                complete = train_obs[:, pattern].all(axis=1)
             train_rows = trainable[complete]
             if train_rows.size < min_samples_train:
                 if not use_optimask:

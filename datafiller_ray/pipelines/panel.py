@@ -50,22 +50,31 @@ def build_panel_features(
     (``timeseries/_utils.py:8-48``): [series | one block per lag of ALL
     series | calendar features]. Positive lags shift back in time;
     out-of-range rows are NaN."""
-    blocks = [panel]
-    n = panel.shape[0]
-    for lag in lags:
-        shifted = np.full_like(panel, np.nan)
-        if lag > 0:
-            shifted[lag:] = panel[: n - lag]
-        elif lag < 0:
-            shifted[:lag] = panel[-lag:]
-        else:
-            shifted = panel.copy()
-        blocks.append(shifted)
+    n, s = panel.shape
+    n_time = 0
+    time_block = None
     if add_time_features:
         from datafiller_ray.functions.features import make_time_features
 
-        blocks.append(make_time_features(grid).astype(np.float64))
-    return np.concatenate(blocks, axis=1)
+        time_block = make_time_features(grid).astype(np.float64)
+        n_time = time_block.shape[1]
+    # one allocation, slices written in place (a blocks-list + concatenate
+    # doubles the memory traffic of the widest matrix in the engine)
+    out = np.empty((n, s * (1 + len(lags)) + n_time))
+    out[:, :s] = panel
+    for t, lag in enumerate(lags):
+        dst = out[:, s * (t + 1) : s * (t + 2)]
+        if lag > 0:
+            dst[:lag] = np.nan
+            dst[lag:] = panel[: n - lag]
+        elif lag < 0:
+            dst[lag:] = np.nan
+            dst[:lag] = panel[-lag:]
+        else:
+            dst[:] = panel
+    if time_block is not None:
+        out[:, s * (1 + len(lags)) :] = time_block
+    return out
 
 
 def _make_panel_fill_fn(
