@@ -44,6 +44,7 @@ __all__ = [
     "infer_step",
     "impute_mixed",
     "TimeSeriesFiller",
+    "MultivariateFiller",
     "write_tiers",
 ]
 
@@ -68,10 +69,10 @@ def __getattr__(name):  # lazy: keep `import datafiller_ray` ray-free
         from datafiller_ray.functions.categorical import impute_mixed
 
         return impute_mixed
-    if name == "TimeSeriesFiller":
-        from datafiller_ray.frame import TimeSeriesFiller
+    if name in ("TimeSeriesFiller", "MultivariateFiller"):
+        from datafiller_ray import frame
 
-        return TimeSeriesFiller
+        return getattr(frame, name)
     raise AttributeError(name)
 
 __version__ = "0.1.0"

@@ -112,6 +112,17 @@ class TimeSeriesFiller:
         self.time_column = time_column
         self.classifier = classifier
         self.use_optimask = use_optimask
+        self._params = dict(
+            lags=self.lags,
+            alpha=alpha,
+            min_samples_train=min_samples_train,
+            fallback=fallback,
+            interpolate_gaps_less_than=interpolate_gaps_less_than,
+            add_time_features=add_time_features,
+            time_column=time_column,
+            classifier=classifier,
+            use_optimask=use_optimask,
+        )
 
     # -- input/output conversion -------------------------------------------
 
@@ -282,3 +293,92 @@ class TimeSeriesFiller:
         if sel.all():
             return None
         return np.flatnonzero(sel)
+
+
+class _SklearnProtocolMixin:
+    """Duck-typed sklearn transformer protocol (fit/transform/fit_transform/
+    get_params/set_params) — the reference subclasses sklearn's BaseEstimator
+    + TransformerMixin (``timeseries/imputer.py:93``, pinned by
+    ``reference/tests/test_pipeline_imputers.py``); sklearn is absent here,
+    so the same protocol is provided directly. The imputers are stateless
+    transformers: ``fit`` is a no-op returning self."""
+
+    def fit(self, X, y=None):
+        return self
+
+    def transform(self, X):
+        return self(X)
+
+    def fit_transform(self, X, y=None, **fit_params):
+        return self.fit(X, y).transform(X)
+
+    def get_params(self, deep: bool = True) -> dict:
+        return dict(self._params)
+
+    def set_params(self, **params):
+        unknown = set(params) - set(self._params)
+        if unknown:
+            raise EngineValueError(f"unknown parameters: {sorted(unknown)}")
+        merged = {**self._params, **params}
+        self.__init__(**merged)
+        return self
+
+
+class MultivariateFiller(_SklearnProtocolMixin):
+    """Thin estimator-style wrapper over :func:`functions.multivariate.
+    impute_matrix` — the engine analogue of ``MultivariateImputer``'s
+    callable/transformer surface for ndarray and DataFrame inputs."""
+
+    def __init__(
+        self,
+        *,
+        n_nearest_features=None,
+        alpha: float = 1e-2,
+        min_samples_train: int = 20,
+        fallback: str | None = "simple",
+        use_optimask: bool = True,
+        scoring="default",
+    ) -> None:
+        self._params = dict(
+            n_nearest_features=n_nearest_features,
+            alpha=alpha,
+            min_samples_train=min_samples_train,
+            fallback=fallback,
+            use_optimask=use_optimask,
+            scoring=scoring,
+        )
+        for k, v in self._params.items():
+            setattr(self, k, v)
+
+    def __call__(self, x, rows_to_impute=None, cols_to_impute=None):
+        from datafiller_ray.functions.categorical import impute_mixed
+        from datafiller_ray.functions.multivariate import impute_matrix
+
+        if isinstance(x, pd.DataFrame) or type(x).__module__.startswith("polars"):
+            return impute_mixed(
+                x,
+                rows_to_impute=rows_to_impute,
+                cols_to_impute=cols_to_impute,
+                n_nearest_features=self.n_nearest_features,
+                alpha=self.alpha,
+                min_samples_train=self.min_samples_train,
+                fallback=self.fallback,
+                use_optimask=self.use_optimask,
+            )
+        out, _ = impute_matrix(
+            np.asarray(x),
+            rows_to_impute=rows_to_impute,
+            cols_to_impute=cols_to_impute,
+            n_nearest_features=self.n_nearest_features,
+            alpha=self.alpha,
+            min_samples_train=self.min_samples_train,
+            fallback=self.fallback,
+            use_optimask=self.use_optimask,
+            scoring_fn=self.scoring,
+        )
+        return out
+
+
+# retrofit the transformer protocol (mixin defined below the class)
+for _m in ("fit", "transform", "fit_transform", "get_params", "set_params"):
+    setattr(TimeSeriesFiller, _m, getattr(_SklearnProtocolMixin, _m))

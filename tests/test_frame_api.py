@@ -143,3 +143,47 @@ def test_infer_index_frequency_calendar():
     df = pd.DataFrame({"v": [1.0, np.nan, 3.0, 4.0, 5.0, 6.0]}, index=idx)
     out = TimeSeriesFiller(min_samples_train=3, lags=(1, -1))(df)
     assert not out["v"].isna().any()
+
+
+def test_transformer_protocol_fit_transform():
+    """Engine analogue of reference/tests/test_pipeline_imputers.py — the
+    sklearn transformer duck protocol without sklearn present."""
+    from datafiller_ray.frame import MultivariateFiller
+
+    X = np.array([[1.0, 2.0, 3.0], [4.0, np.nan, 6.0], [7.0, 8.0, 9.0]])
+    imp = MultivariateFiller(min_samples_train=2)
+    out = imp.fit_transform(X)
+    assert out.shape == X.shape and not np.isnan(out).any()
+    assert imp.fit(X) is imp
+    np.testing.assert_array_equal(imp.transform(X), out)
+
+    df = _ts_frame()
+    filler = TimeSeriesFiller(min_samples_train=5)
+    out_df = filler.fit_transform(df)
+    assert isinstance(out_df, pd.DataFrame)
+    assert out_df.shape[0] == 60 and not out_df.isna().any().any()
+
+
+def test_transformer_protocol_params():
+    from datafiller_ray.frame import MultivariateFiller
+
+    imp = MultivariateFiller(alpha=0.5)
+    assert imp.get_params()["alpha"] == 0.5
+    imp.set_params(alpha=0.25, min_samples_train=7)
+    assert imp.alpha == 0.25 and imp.min_samples_train == 7
+    with pytest.raises(EngineValueError, match="unknown parameters"):
+        imp.set_params(bogus=1)
+    f = TimeSeriesFiller(lags=(1, 2))
+    f.set_params(lags=(3,))
+    assert f.lags == (3,) and f.get_params()["lags"] == (3,)
+
+
+def test_multivariate_filler_dataframe_path():
+    from datafiller_ray.frame import MultivariateFiller
+
+    df = pd.DataFrame(
+        {"cat": ["a", "b", None, "a", "a", "b", "a", "a"],
+         "v": [1.0, 5.0, 1.0, np.nan, 1.0, 5.0, 1.0, 1.0]}
+    )
+    out = MultivariateFiller(min_samples_train=3)(df)
+    assert out["cat"].isna().sum() == 0 and not out["v"].isna().any()
