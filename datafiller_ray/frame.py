@@ -137,19 +137,32 @@ class TimeSeriesFiller:
             raise EngineValueError(
                 f"time_column {self.time_column!r} not found in the DataFrame"
             )
+        # null-vs-NaN round trip: record which cells were polars NULLs (by
+        # timestamp — regularization reinserts rows, so positions shift)
+        null_ts = {
+            c: df.get_column(self.time_column).filter(df.get_column(c).is_null()).to_numpy()
+            for c in df.columns
+            if c != self.time_column
+        }
         pdf = df.to_pandas()
         pdf = pdf.set_index(self.time_column)
         if not isinstance(pdf.index, pd.DatetimeIndex):
             raise EngineTypeError(
                 "the Polars time_column must be a Date or Datetime column"
             )
-        return pdf
+        return pdf, null_ts
 
-    def _to_polars(self, pdf: pd.DataFrame):
-        import polars as pl
+    def _to_polars(self, pdf: pd.DataFrame, null_ts: dict):
+        from datafiller_ray.functions.categorical import restore_polars_nulls
 
         out = pdf.reset_index(names=self.time_column)
-        return pl.from_pandas(out)
+        masks = {
+            c: pdf.index.isin(ts).to_numpy()
+            if hasattr(pdf.index.isin(ts), "to_numpy")
+            else np.asarray(pdf.index.isin(ts))
+            for c, ts in null_ts.items()
+        }
+        return restore_polars_nulls(out, masks)
 
     # -- main entry ---------------------------------------------------------
 
@@ -172,8 +185,9 @@ class TimeSeriesFiller:
             is_pl = isinstance(df, pl.DataFrame)
         except ImportError:  # pragma: no cover
             is_pl = False
+        null_ts: dict = {}
         if is_pl:
-            df = self._from_polars(df)
+            df, null_ts = self._from_polars(df)
         elif not isinstance(df, pd.DataFrame):
             raise EngineTypeError("input must be a pandas or eager Polars DataFrame")
         elif not isinstance(df.index, pd.DatetimeIndex):
@@ -236,7 +250,7 @@ class TimeSeriesFiller:
             enc["categorical_targets"],
             enc["original_dtypes"],
         )
-        return self._to_polars(decoded) if is_pl else decoded
+        return self._to_polars(decoded, null_ts) if is_pl else decoded
 
     # -- selector resolution ------------------------------------------------
 

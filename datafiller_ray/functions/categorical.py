@@ -195,11 +195,16 @@ def impute_mixed(
     helper one-hot columns are only ever features. Polars DataFrames are
     accepted and returned as polars (null <-> NaN round trip)."""
     pl_frame = False
+    null_masks: dict = {}
     try:  # optional polars support, mirrors the reference's _polars.py
         import polars as pl
 
         if isinstance(df, pl.DataFrame):
             pl_frame = True
+            # polars distinguishes null from NaN; pandas cannot. Record the
+            # null cells so unfilled ones decode back to null, not NaN
+            # (reference _polars.py:83,151-157 round-trip semantics)
+            null_masks = {c: df.get_column(c).is_null().to_numpy() for c in df.columns}
             df = df.to_pandas()
         elif isinstance(df, pl.LazyFrame):
             raise EngineValueError(
@@ -256,7 +261,31 @@ def impute_mixed(
         enc["original_dtypes"],
     )
     if pl_frame:
-        import polars as pl
-
-        return pl.from_pandas(decoded)
+        return restore_polars_nulls(decoded, null_masks)
     return decoded
+
+
+def restore_polars_nulls(decoded: pd.DataFrame, null_masks: dict):
+    """pandas -> polars with null-vs-NaN distinction restored for float
+    columns: a cell is null only if it was ORIGINALLY null and is still
+    unfilled; NaN-originated unfilled cells stay NaN (reference
+    ``_polars.py:151-157``)."""
+    import polars as pl
+
+    out = pl.from_pandas(decoded)
+    fixes = []
+    for c in out.columns:
+        if out[c].dtype.is_float() and c in null_masks and null_masks[c].any():
+            vals = out[c].to_numpy()
+            make_null = null_masks[c] & np.isnan(vals)
+            if make_null.any():
+                fixes.append(
+                    pl.Series(
+                        c,
+                        [None if m else v for v, m in zip(vals, make_null)],
+                        dtype=out[c].dtype,
+                    )
+                )
+    if fixes:
+        out = out.with_columns(fixes)
+    return out

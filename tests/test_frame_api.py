@@ -187,3 +187,51 @@ def test_multivariate_filler_dataframe_path():
     )
     out = MultivariateFiller(min_samples_train=3)(df)
     assert out["cat"].isna().sum() == 0 and not out["v"].isna().any()
+
+
+def test_polars_fallback_none_preserves_null_vs_nan():
+    """Reference test_multivariate_imputer_polars_fallback_none_preserves_
+    null_and_nan: a cell that was polars NULL and stays unfilled decodes
+    back to null; a NaN-originated one stays NaN."""
+    pl = pytest.importorskip("polars")
+    from datafiller_ray.functions.categorical import impute_mixed
+
+    df = pl.DataFrame(
+        {"value": [1.0, None, np.nan, 4.0], "feature": [1.0, 2.0, 3.0, 4.0]}
+    )
+    out = impute_mixed(df, min_samples_train=10, fallback=None)
+    assert out["value"][1] is None
+    assert np.isnan(out["value"][2])
+
+
+def test_polars_frame_null_restore_through_regularization():
+    pl = pytest.importorskip("polars")
+    idx = pd.date_range("2024-01-01", periods=8, freq="h")
+    df = pl.DataFrame(
+        {
+            "t": list(idx.to_pydatetime()),
+            "a": [1.0, None, float("nan"), 4.0, 5.0, 6.0, 7.0, 8.0],
+        }
+    )
+    # with an untrainable model and no fallback, both gaps stay unfilled:
+    # row 1 (null-originated) must return null, row 2 (NaN) must return NaN
+    filler = TimeSeriesFiller(min_samples_train=10_000, fallback=None, time_column="t")
+    out = filler(df)
+    assert out["a"][1] is None
+    assert np.isnan(out["a"][2])
+
+
+def test_all_nan_original_column_survives_frame():
+    # reference test_timeseries_imputer_keeps_fully_missing_original_column
+    df = _ts_frame()
+    df["empty"] = np.nan
+    out = TimeSeriesFiller(min_samples_train=5)(df)
+    assert out["empty"].isna().all()
+    assert not out["a"].isna().any()
+
+
+def test_frame_cols_to_impute_restricts():
+    df = _ts_frame()
+    out = TimeSeriesFiller(min_samples_train=5)(df, cols_to_impute=["b"])
+    assert out["a"].isna().sum() == df["a"].isna().sum()  # untouched
+    assert not out["b"].isna().any()
