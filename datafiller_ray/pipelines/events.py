@@ -224,20 +224,23 @@ def _events_gapfill_sharded(
         .groupby(["event_type", "chunk"], as_index=False)
         .agg(lo_ts=("bucket_ts_min", "min"), hi_ts=("bucket_ts_max", "max"))
     )
-    # boundary VALUES for the anchors (two rows per chunk, still tiny)
-    bset = set(
-        zip(summary["event_type"], summary["lo_ts"])
-    ) | set(zip(summary["event_type"], summary["hi_ts"]))
-    bref = ray.put(bset)
+    # boundary VALUES for the anchors (two rows per chunk, still tiny);
+    # broadcast the needed (type, ts) pairs and filter VECTORIZED — a
+    # per-row Python membership loop here would run over every observed
+    # bucket of the corpus
+    bneed = pd.concat(
+        [
+            summary[["event_type", "lo_ts"]].rename(columns={"lo_ts": "bucket_ts"}),
+            summary[["event_type", "hi_ts"]].rename(columns={"hi_ts": "bucket_ts"}),
+        ]
+    ).drop_duplicates()
+    bref = ray.put(bneed)
 
     def boundary_vals(t: pa.Table) -> pa.Table:
         need = ray.get(bref)
         df = t.select(["event_type", "bucket_ts", "sum_value"]).to_pandas()
-        m = [
-            (e, ts) in need
-            for e, ts in zip(df["event_type"], df["bucket_ts"])
-        ]
-        return pa.Table.from_pandas(df[np.asarray(m, bool)], preserve_index=False)
+        hit = df.merge(need, on=["event_type", "bucket_ts"], how="inner")
+        return pa.Table.from_pandas(hit, preserve_index=False)
 
     bvals = combined.map_batches(boundary_vals, batch_format="pyarrow").to_pandas()
     val_of = dict(zip(zip(bvals["event_type"], bvals["bucket_ts"]), bvals["sum_value"]))
