@@ -352,10 +352,24 @@ def _ann_lsh(sf_dir: str):
     head = qt.take(order)
     qids = np.asarray(head["vec_id"])
     qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    # cache key covers fixture content (path + mtime + size), so a
+    # regenerated fixture can never be served a stale index
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(emb_path)
+    tag = hashlib.sha1(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     index_dir = f"/tmp/datafiller_ray_lsh/{tag}"
     if not os.path.exists(os.path.join(index_dir, "_lsh_manifest.json")):
-        build_lsh_index(_read(sf_dir, "embeddings"), index_dir, dim=64, n_planes=6)
+        # build into a fresh dir and atomically rename: a crashed build that
+        # wrote partitions but no manifest can never leave strays behind
+        import shutil
+
+        tmp_dir = index_dir + ".building"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        build_lsh_index(_read(sf_dir, "embeddings"), tmp_dir, dim=64, n_planes=6)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.replace(tmp_dir, index_dir)
     ds = lsh_topk_indexed(index_dir, qids, qmat, k=_ANN_K)
     return ds.select_columns(["query_id", "rank", "vec_id"])
 

@@ -83,8 +83,11 @@ def scoring(
         means = _means
     z = np.subtract(x, means)
     np.nan_to_num(z, copy=False)  # unobserved cells are NaN - mean = NaN -> 0
-    obs32 = obs.astype(np.float32)  # counts fit float32 exactly (m < 2^24)
-    shared = (obs32[:, cols].T @ obs32).astype(np.float64)
+    if m < (1 << 24):  # counts fit float32 exactly below 2^24 rows
+        obsf = obs.astype(np.float32)
+    else:
+        obsf = obs.astype(np.float64)
+    shared = (obsf[:, cols].T @ obsf).astype(np.float64)
     cross = z[:, cols].T @ z
     sumsq = np.einsum("ij,ij->j", z, z)
     with np.errstate(all="ignore"):

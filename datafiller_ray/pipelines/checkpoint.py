@@ -56,17 +56,38 @@ def _add_bucket(n_buckets: int):
 def _publish_rows(tier_rows, tmp_dir: str, emit: str):
     """Write a bucket's output rows (tier rows, or Gorilla blob rows when
     emit="blobs") under tmp_dir partitioned by tier; returns (written rows,
-    checksum). Blob checksums cover the chunk identity columns; row
-    checksums cover the value columns."""
+    checksum). Blob checksums cover the chunk identity columns plus a
+    per-chunk digest of the payload bytes; row checksums cover the value
+    columns."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if emit == "blobs":
+        import hashlib
+
         from datafiller_ray.stages.compress import encode_tier_chunks
 
         out_rows = encode_tier_chunks(tier_rows)
-        checksum_cols = ("source", "start_ts", "end_ts", "n_points")
+        # checksum must cover the payload bytes, not just chunk identity,
+        # so value-level divergence in a resumed blob bucket is caught the
+        # way the rows sink catches it
+        blob_cols = [c for c in out_rows.columns if c.endswith("_blob")]
+        digests = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        b"".join(bytes(row[c]) for c in blob_cols), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for _, row in out_rows.iterrows()
+            ),
+            dtype=np.uint64,
+            count=len(out_rows),
+        )
+        out_rows = out_rows.assign(payload_hash=digests.view(np.int64))
+        checksum_cols = ("source", "start_ts", "end_ts", "n_points", "payload_hash")
     else:
         out_rows = tier_rows
         checksum_cols = ("source", "bucket_ts", "count", "sum")

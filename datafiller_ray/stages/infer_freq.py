@@ -78,7 +78,10 @@ def infer_step(
                 [per_key(sub) for _, sub in g.groupby(key_column, sort=True)],
                 ignore_index=True,
             )
-        ts = g[ts_column].to_numpy(np.int64)
+        # partial-aggregate rows legitimately repeat a (key, bucket_ts) across
+        # blocks pre-combine; dedupe before inference (the strict duplicate
+        # check stays on the direct infer_step_array API)
+        ts = np.unique(g[ts_column].to_numpy(np.int64))
         if ts.size < 2:
             # a singleton key has no deltas: it abstains (any step densifies
             # it to itself); only an all-singleton input is uninferrable
