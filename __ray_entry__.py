@@ -23,7 +23,10 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import os
+
 import numpy as np
+import pandas as pd
 
 SF_FOR_ORACLE = 0.01  # the driver's correctness scale
 _ANN_K = 10
@@ -83,7 +86,11 @@ def _tier_rollup(sf_dir: str, tier: str, *, min_bucket: int | None = None):
 
 
 def _tier_gapfill(
-    sf_dir: str, strategy: str, max_gap: int | None = None, mode: str = "plain"
+    sf_dir: str,
+    strategy: str,
+    max_gap: int | None = None,
+    mode: str = "plain",
+    rounding: str = "even",
 ):
     from datafiller_ray.config import FillConfig
     from datafiller_ray.pipelines.rollup import rollup_tiers, rollup_tiers_salted
@@ -103,7 +110,15 @@ def _tier_gapfill(
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        value = pc.round(batch["value"], ndigits=6)
+        if rounding == "halfup":
+            # floor(x*1e6+0.5)/1e6 — the fixed IEEE op sequence the NumPy
+            # fill oracles apply on their side (events precedent:
+            # pipelines/events.py:_round6_half_up)
+            value = pc.divide(
+                pc.floor(pc.add(pc.multiply(batch["value"], 1e6), 0.5)), 1e6
+            )
+        else:
+            value = pc.round(batch["value"], ndigits=6)
         t = pa.table(
             {
                 "source": batch["source"],
@@ -190,7 +205,27 @@ def _rollup_inferred(sf_dir: str):
 def _knn_fill(sf_dir: str):
     from datafiller_ray.pipelines.panel import knn_fill
 
-    return knn_fill(_fixture(sf_dir), n_cohorts=4, n_nearest_features=8)
+    ds = knn_fill(_fixture(sf_dir), n_cohorts=4, n_nearest_features=8)
+
+    def project(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        value = pc.divide(
+            pc.floor(pc.add(pc.multiply(batch["value"], 1e6), 0.5)), 1e6
+        )
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "bucket_ts": batch["bucket_ts"],
+                "observed": batch["observed"],
+                "filled": batch["filled"],
+                "fill_value": value,
+            }
+        )
+        return t.filter(pc.fill_null(pc.invert(pc.is_nan(value)), False))
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def _token_stats(sf_dir: str):
@@ -468,9 +503,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "rollup_1m_bucketed": _rollup_bucketed,
         "rollup_inferred_step": _rollup_inferred,
-        # non-SQL-expressible fills (model/spline/kNN regression): rows-only
-        "gapfill_model_1m": lambda d: _tier_gapfill(d, "model"),
-        "gapfill_spline_1m": lambda d: _tier_gapfill(d, "spline", max_gap=30),
+        # iterative-solver fills: oracled by the vendored independent NumPy
+        # oracle (tests/oracle/fills.py) served to DuckDB via read_parquet
+        "gapfill_model_1m": lambda d: _tier_gapfill(d, "model", rounding="halfup"),
+        "gapfill_spline_1m": lambda d: _tier_gapfill(
+            d, "spline", max_gap=30, rounding="halfup"
+        ),
         "knn_fill_1m": _knn_fill,
         "token_stats": _token_stats,
         "dedup_exact": _dedup_exact,
@@ -722,6 +760,217 @@ def _ann_lsh_sql() -> str:
           FROM sims)
         WHERE rank <= {_ANN_K}
     """
+
+
+# -- vendored NumPy fill oracles (model / spline / kNN / categorical) -------
+# The four iterative-solver pipelines have no SQL expression; their oracles
+# are the independent implementations in tests/oracle/fills.py, run here at
+# oracle-build time on the same fixture and served to DuckDB via
+# read_parquet — the literal-embedding precedent of the LSH hyperplanes and
+# minhash constants, extended to whole result tables.
+
+
+def _fills_oracle_module():
+    import importlib
+    import sys
+
+    tests_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    return importlib.import_module("oracle.fills")
+
+
+def _oracle_sf_dir() -> str:
+    return f"/root/testdata/sf{SF_FOR_ORACLE:g}"
+
+
+def _read_fixture_frame() -> "pd.DataFrame":
+    import glob
+
+    fx = _fixture_sql_path()
+    return pd.concat(
+        [
+            pd.read_parquet(p, columns=["doc_id", "n_tok", "source"])
+            for p in sorted(glob.glob(os.path.join(fx, "*.parquet")))
+        ],
+        ignore_index=True,
+    )
+
+
+def _source_skeys(sources: list[str]) -> dict[str, int]:
+    """string_hash64 of each source string, computed IN SQL with the same
+    FNV-1a + splitmix64 derivation the green sketch oracles use (not the
+    engine's hashing module)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("srcs", pd.DataFrame({"source": sources}))
+    fnv = (
+        f"list_reduce(list_prepend({0xCBF29CE484222325}::UBIGINT, "
+        f"list_transform(string_split(source, ''), c -> unicode(c)::UBIGINT)), "
+        f"(a, b) -> {_sql_mulmod('xor(a, b)', 0x100000001B3)})"
+    )
+    sm, final = _sql_splitmix_ctes("s0", ["source"], fnv, "sk")
+    q = f"WITH s0 AS (SELECT source FROM srcs),\n {sm}\n SELECT source, v FROM {final}"
+    res = con.sql(q).df()
+    return {str(r.source): int(r.v) for r in res.itertuples()}
+
+
+def _build_model_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    frames = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        filled = o.model_fill(fr["y"].to_numpy(), fr["bucket_ts"].to_numpy())
+        keep = ~np.isnan(filled)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": src,
+                    "bucket_ts": fr["bucket_ts"].to_numpy()[keep],
+                    "n_obs": fr["n_obs"].to_numpy()[keep],
+                    "fill_value": o.round_half_up(filled[keep]),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _build_spline_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    frames = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        filled = o.spline_fill(fr["y"].to_numpy(), max_gap=30)
+        keep = ~np.isnan(filled)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": src,
+                    "bucket_ts": fr["bucket_ts"].to_numpy()[keep],
+                    "n_obs": fr["n_obs"].to_numpy()[keep],
+                    "fill_value": o.round_half_up(filled[keep]),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _build_knn_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    series = o.minute_series(_read_fixture_frame())
+    skeys = _source_skeys(sorted(series))
+    cohorts: dict[int, list[str]] = {}
+    for s in sorted(series):
+        cohorts.setdefault(skeys[s] % 4, []).append(s)
+    frames = []
+    for c in sorted(cohorts):
+        srcs = sorted(cohorts[c])
+        lo = min(int(series[s]["bucket_ts"].iloc[0]) for s in srcs)
+        hi = max(int(series[s]["bucket_ts"].iloc[-1]) for s in srcs)
+        grid = np.arange(lo, hi + 60, 60, dtype=np.int64)
+        panel = np.full((grid.size, len(srcs)), np.nan)
+        for k, s in enumerate(srcs):
+            fr = series[s]
+            pos = (fr["bucket_ts"].to_numpy(np.int64) - lo) // 60
+            panel[pos, k] = fr["y"].to_numpy()
+        imputed, filled = o.knn_panel_fill(panel, n_nearest_features=8)
+        for k, s in enumerate(srcs):
+            fr = series[s]
+            sel = (grid >= int(fr["bucket_ts"].iloc[0])) & (
+                grid <= int(fr["bucket_ts"].iloc[-1])
+            )
+            keep = sel & ~np.isnan(imputed[:, k])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "source": s,
+                        "bucket_ts": grid[keep],
+                        "observed": ~np.isnan(panel[keep, k]),
+                        "filled": filled[keep, k],
+                        "fill_value": o.round_half_up(imputed[keep, k]),
+                    }
+                )
+            )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _build_lang_oracle() -> "pd.DataFrame":
+    import duckdb
+
+    o = _fills_oracle_module()
+    docs = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    feats_sql = rf"""
+        SELECT doc_id, source, lang,
+               len(regexp_extract_all(text, '\S+'))::DOUBLE AS tok_count,
+               round_even(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / GREATEST(length(text), 1)::DOUBLE, 6) AS alpha_ratio,
+               round_even(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / GREATEST(length(text), 1)::DOUBLE, 6) AS digit_ratio,
+               round_even((length(text) - length(replace(text, ' ', '')))
+                     / GREATEST(length(text), 1)::DOUBLE, 6) AS space_ratio
+        FROM read_parquet('{docs}')
+    """
+    df = duckdb.sql(feats_sql).df()
+    frames = []
+    for src, g in df.groupby("source", sort=True):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        masked = (g["doc_id"].to_numpy(np.int64) % 7) == 0
+        miss = masked | g["lang"].isna().to_numpy()
+        filled = o.lang_fill_labels(
+            g[["tok_count", "alpha_ratio", "digit_ratio", "space_ratio"]],
+            g["lang"].astype(object),
+            miss,
+            min_samples_train=5,
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(np.int64),
+                    "lang_orig": g["lang"].astype(object),
+                    "lang_filled": filled,
+                    "was_masked": masked,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+_FILL_ORACLE_BUILDERS = {
+    "gapfill_model_1m": _build_model_oracle,
+    "gapfill_spline_1m": _build_spline_oracle,
+    "knn_fill_1m": _build_knn_oracle,
+    "lang_fill": _build_lang_oracle,
+}
+
+
+def _fill_oracle_parquet(name: str) -> str:
+    """Path of the vendored-oracle output for ``name``, built on demand from
+    the SF_FOR_ORACLE fixture; cache keyed on fixture file content so a
+    regenerated fixture always rebuilds."""
+    import glob
+    import hashlib
+
+    from datafiller_ray.fixtures import ensure_fixture
+
+    ensure_fixture(SF_FOR_ORACLE)
+    fx = _fixture_sql_path()
+    parts = [
+        f"{os.path.basename(p)}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
+        for p in sorted(glob.glob(os.path.join(fx, "*.parquet")))
+    ]
+    docs = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    if os.path.exists(docs):
+        st = os.stat(docs)
+        parts.append(f"docs:{st.st_mtime_ns}:{st.st_size}")
+    tag = hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+    d = f"/tmp/datafiller_ray_fill_oracle/{tag}"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(path):
+        out = _FILL_ORACLE_BUILDERS[name]()
+        tmp = f"{path}.building-{os.getpid()}"
+        out.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1009,4 +1258,18 @@ def oracle_sql() -> dict[str, str]:
                    round_even(SUM(l_quantity), 6) AS sum_qty
             FROM lineitem GROUP BY 1, 2
         """,
+        # iterative-solver fills: vendored independent NumPy oracle output
+        # (tests/oracle/fills.py), built at oracle-time from the same fixture
+        "gapfill_model_1m": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('gapfill_model_1m')}')"
+        ),
+        "gapfill_spline_1m": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('gapfill_spline_1m')}')"
+        ),
+        "knn_fill_1m": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('knn_fill_1m')}')"
+        ),
+        "lang_fill": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('lang_fill')}')"
+        ),
     }
