@@ -244,26 +244,42 @@ def lang_id(documents: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 class SimHash:
-    """64-bit SimHash over word unigrams (Charikar 2002)."""
+    """64-bit SimHash over word unigrams (Charikar 2002).
+
+    Whole-batch vectorized (the ``MinHasher.signatures_batch`` pattern): one
+    regex pass per doc feeds a single flat word array, hashed in ONE
+    ``string_hash64`` call; per-doc bit popcounts come from 64 per-bit 1-D
+    ``np.add.reduceat`` segment sums (the 2-D axis-0 reduceat is ~60x
+    slower). Bit-identical to the per-doc formulation (sums are
+    order-free)."""
 
     def __init__(self) -> None:
         import re
 
         self.word = re.compile(r"\w+")
+        self.bitpos = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = np.zeros(len(batch), dtype=np.int64)
-        for i, text in enumerate(batch["text"].fillna("")):
-            words = self.word.findall(text.lower())
-            if not words:
-                continue
-            h = string_hash64(np.array(words, dtype="U"))
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
+        word_lists = [self.word.findall(t.lower()) for t in batch["text"].fillna("")]
+        counts = np.fromiter(
+            (len(w) for w in word_lists), dtype=np.int64, count=len(word_lists)
+        )
+        keep = np.flatnonzero(counts > 0)
+        if keep.size:
+            flat = np.asarray(
+                [w for wl in word_lists for w in wl], dtype="U"
             )
-            v = np.where(bits.sum(axis=0) * 2 > len(words), 1, 0)
-            out[i] = np.int64(
-                np.bitwise_or.reduce(v.astype(np.uint64) << np.arange(64, dtype=np.uint64)).astype(np.int64)
+            h = string_hash64(flat)
+            kept_counts = counts[keep]
+            seg = np.concatenate([[0], np.cumsum(kept_counts)[:-1]])
+            sums = np.empty((keep.size, 64), dtype=np.int64)
+            for b in range(64):
+                col = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                sums[:, b] = np.add.reduceat(col, seg)
+            v = (sums * 2 > kept_counts[:, None]).astype(np.uint64)
+            out[keep] = np.bitwise_or.reduce(v << self.bitpos, axis=1).astype(
+                np.int64
             )
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].to_numpy(np.int64), "simhash": out}
@@ -278,31 +294,66 @@ def simhash(documents: "ray.data.Dataset") -> "ray.data.Dataset":
 
 class Fingerprint:
     """Rolling-hash (Rabin-Karp style) document fingerprint: min of rolling
-    window hashes over the byte stream — a cheap content sketch."""
+    window hashes over the byte stream — a cheap content sketch.
+
+    Whole-batch vectorized (the ``MinHasher.signatures_batch`` pattern): one
+    concatenated byte buffer, window hashes in L3-sized chunks with
+    ``np.minimum.reduceat`` segment mins; docs shorter than the window take
+    a segment-summed per-byte splitmix. Bit-identical to the per-doc
+    formulation (min and mod-2^64 sum are order-free)."""
 
     WINDOW = 16
     BASE = np.uint64(1_000_003)
+    WINDOW_CHUNK = 131_072  # windows per chunk: (CH x 16) u64 stays ~16 MB
 
     def __init__(self) -> None:
-        self.pow_top = self.BASE ** np.uint64(self.WINDOW - 1)
+        self.powers_desc = self.BASE ** np.arange(
+            self.WINDOW, dtype=np.uint64
+        )[::-1].copy()
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        w = self.WINDOW
+        mask = np.uint64(0x7FFFFFFFFFFFFFFF)
         out = np.zeros(len(batch), dtype=np.int64)
-        for i, text in enumerate(batch["text"].fillna("")):
-            data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
-            if data.size < self.WINDOW:
-                out[i] = np.int64(splitmix64(data.astype(np.uint64)).sum() & 0x7FFFFFFFFFFFFFFF) if data.size else 0
-                continue
-            w = self.WINDOW
-            with np.errstate(over="ignore"):
-                # rolling polynomial hash via cumulative products (vectorized)
-                n = data.size
-                powers = self.BASE ** np.arange(w, dtype=np.uint64)
-                windows = np.lib.stride_tricks.sliding_window_view(data, w).astype(
-                    np.uint64
+        bufs = [t.encode("utf-8", "ignore") for t in batch["text"].fillna("")]
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+
+        with np.errstate(over="ignore"):
+            keep_l = np.flatnonzero(lens >= w)
+            if keep_l.size:
+                counts = lens[keep_l] - w + 1
+                total = int(counts.sum())
+                seg = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                pos = np.repeat(doc_start[keep_l], counts) + (
+                    np.arange(total) - np.repeat(seg, counts)
                 )
-                hashes = (windows * powers[::-1]).sum(axis=1)
-                out[i] = np.int64(splitmix64(hashes).min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+                sliding = np.lib.stride_tricks.sliding_window_view(data, w)
+                mins = np.full(keep_l.size, np.iinfo(np.uint64).max, np.uint64)
+                for s0 in range(0, total, self.WINDOW_CHUNK):
+                    s1 = min(s0 + self.WINDOW_CHUNK, total)
+                    windows = sliding[pos[s0:s1]].astype(np.uint64)
+                    h = splitmix64((windows * self.powers_desc).sum(axis=1))
+                    j0 = int(np.searchsorted(seg, s0, side="right")) - 1
+                    j1 = int(np.searchsorted(seg, s1, side="left"))
+                    local = np.clip(seg[j0:j1] - s0, 0, None)
+                    np.minimum(
+                        mins[j0:j1],
+                        np.minimum.reduceat(h, local),
+                        out=mins[j0:j1],
+                    )
+                out[keep_l] = (mins & mask).astype(np.int64)
+
+            keep_s = np.flatnonzero((lens > 0) & (lens < w))
+            if keep_s.size:
+                s_lens = lens[keep_s]
+                seg_s = np.concatenate([[0], np.cumsum(s_lens)[:-1]])
+                pos_s = np.repeat(doc_start[keep_s], s_lens) + (
+                    np.arange(int(s_lens.sum())) - np.repeat(seg_s, s_lens)
+                )
+                h = splitmix64(data[pos_s].astype(np.uint64))
+                out[keep_s] = (np.add.reduceat(h, seg_s) & mask).astype(np.int64)
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].to_numpy(np.int64), "fingerprint": out}
         )
