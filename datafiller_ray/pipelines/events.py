@@ -178,10 +178,13 @@ def _events_gapfill_sharded(
     Ghost margins cannot cover unbounded gaps, so instead each chunk gets
     its nearest observed anchors from neighbouring chunks: pass 1 combines
     partials per chunk; a tiny per-chunk boundary table (first/last observed
-    point per chunk — bounded by chunk count, not row count) is collected,
-    scanned per type for prev/next anchors, and broadcast; pass 2 fills each
-    chunk independently and bit-exactly (the fill only reads the anchors).
-    Empty chunks inside long gaps are synthesized from the same table."""
+    point per chunk — bounded by chunk count, not row count) is resolved
+    with vectorized frame ops (per-type shifts — no Python loop over the
+    chunk range) into prev/next anchor MARKER ROWS that ride the same
+    (ekey, chunk) shuffle as the data; pass 2 fills each chunk independently
+    and bit-exactly (the fill reads its anchors from its own group). Empty
+    chunks inside long gaps are emitted as one range row per gap and
+    expanded distributed."""
     span = step * span_buckets
     from datafiller_ray.functions.hashing import string_hash64
 
@@ -203,92 +206,83 @@ def _events_gapfill_sharded(
         _combine_chunk, batch_format="pandas"
     ).materialize()
 
-    # per-chunk boundary summary -> prev/next anchors via a per-type scan
-    def chunk_summary(t: pa.Table) -> pa.Table:
-        slim = pa.table(
+    # pass 2 prep: per-chunk boundary summary WITH boundary values,
+    # vectorized per block and resolved with frame ops on the driver (no
+    # Python loop over the chunk range, no broadcast dict: anchors travel
+    # through the same (ekey, chunk) shuffle as marker rows, so the fill
+    # group reads them next to its own data).
+    def chunk_summary(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["event_type", "ekey", "chunk"]
+        lo = (
+            df.sort_values("bucket_ts")
+            .groupby(keys, as_index=False)
+            .first()[keys + ["bucket_ts", "sum_value"]]
+            .rename(columns={"bucket_ts": "lo_ts", "sum_value": "lo_val"})
+        )
+        hi = (
+            df.sort_values("bucket_ts", ascending=False)
+            .groupby(keys, as_index=False)
+            .first()[keys + ["bucket_ts", "sum_value"]]
+            .rename(columns={"bucket_ts": "hi_ts", "sum_value": "hi_val"})
+        )
+        return lo.merge(hi, on=keys)
+
+    keys = ["event_type", "ekey", "chunk"]
+    summary = combined.map_batches(chunk_summary, batch_format="pandas").to_pandas()
+    # cross-block resolve: a chunk split across blocks keeps its true extremes
+    lo = (
+        summary.sort_values("lo_ts")
+        .groupby(keys, as_index=False)
+        .first()[keys + ["lo_ts", "lo_val"]]
+    )
+    hi = (
+        summary.sort_values("hi_ts", ascending=False)
+        .groupby(keys, as_index=False)
+        .first()[keys + ["hi_ts", "hi_val"]]
+    )
+    s = (
+        lo.merge(hi, on=keys)
+        .sort_values(["event_type", "chunk"])
+        .reset_index(drop=True)
+    )
+    # vectorized prev/next anchors + grid bounds per present chunk
+    grp = s.groupby("event_type", sort=False)
+    s["prev_ts"] = grp["hi_ts"].shift(1)
+    s["prev_val"] = grp["hi_val"].shift(1)
+    s["next_ts"] = grp["lo_ts"].shift(-1)
+    s["next_val"] = grp["lo_val"].shift(-1)
+    s["next_chunk"] = grp["chunk"].shift(-1)
+    t_lo = grp["lo_ts"].transform("min").to_numpy(np.int64)
+    t_hi = grp["hi_ts"].transform("max").to_numpy(np.int64)
+    ck = s["chunk"].to_numpy(np.int64)
+    s["c_lo"] = np.maximum(ck * span, t_lo)
+    s["c_hi"] = np.minimum((ck + 1) * span - step, t_hi)
+
+    # marker rows, same schema as combined so they ride the same shuffle:
+    # n_events -1 = chunk meta (bucket_ts=c_lo, sum_value=c_hi),
+    #          -2 = prev anchor, -3 = next anchor
+    def marker_frame(sel: pd.DataFrame, code: int, ts_col: str, val_col: str):
+        return pd.DataFrame(
             {
-                "event_type": t["event_type"],
-                "chunk": t["chunk"],
-                "bucket_ts": t["bucket_ts"],
-                "sum_value": t["sum_value"],
+                "event_type": sel["event_type"].to_numpy(),
+                "bucket_ts": sel[ts_col].to_numpy(np.int64),
+                "n_events": np.full(len(sel), code, dtype=np.int64),
+                "sum_value": sel[val_col].to_numpy(np.float64),
+                "chunk": sel["chunk"].to_numpy(np.int64),
+                "ekey": sel["ekey"].to_numpy(np.int64),
             }
         )
-        g = slim.group_by(["event_type", "chunk"]).aggregate(
-            [("bucket_ts", "min"), ("bucket_ts", "max")]
-        )
-        return g
 
-    summary = (
-        combined.map_batches(chunk_summary, batch_format="pyarrow")
-        .to_pandas()
-        .groupby(["event_type", "chunk"], as_index=False)
-        .agg(lo_ts=("bucket_ts_min", "min"), hi_ts=("bucket_ts_max", "max"))
-    )
-    # boundary VALUES for the anchors (two rows per chunk, still tiny);
-    # broadcast the needed (type, ts) pairs and filter VECTORIZED — a
-    # per-row Python membership loop here would run over every observed
-    # bucket of the corpus
-    bneed = pd.concat(
+    markers = pd.concat(
         [
-            summary[["event_type", "lo_ts"]].rename(columns={"lo_ts": "bucket_ts"}),
-            summary[["event_type", "hi_ts"]].rename(columns={"hi_ts": "bucket_ts"}),
-        ]
-    ).drop_duplicates()
-    bref = ray.put(bneed)
-
-    def boundary_vals(t: pa.Table) -> pa.Table:
-        need = ray.get(bref)
-        df = t.select(["event_type", "bucket_ts", "sum_value"]).to_pandas()
-        hit = df.merge(need, on=["event_type", "bucket_ts"], how="inner")
-        return pa.Table.from_pandas(hit, preserve_index=False)
-
-    bvals = combined.map_batches(boundary_vals, batch_format="pyarrow").to_pandas()
-    val_of = dict(zip(zip(bvals["event_type"], bvals["bucket_ts"]), bvals["sum_value"]))
-
-    # driver scan over the (small) chunk table: prev/next anchors + the
-    # full chunk list per type, including empty chunks inside long gaps
-    anchors: dict[tuple[str, int], tuple] = {}
-    synth_meta = []
-    for etype, g in summary.groupby("event_type", sort=True):
-        g = g.sort_values("chunk")
-        chunks = g["chunk"].to_numpy(np.int64)
-        lo_ts = g["lo_ts"].to_numpy(np.int64)
-        hi_ts = g["hi_ts"].to_numpy(np.int64)
-        t_lo, t_hi = int(lo_ts.min()), int(hi_ts.max())
-        for c in range(int(chunks[0]), int(chunks[-1]) + 1):
-            i = int(np.searchsorted(chunks, c))
-            present = i < chunks.size and chunks[i] == c
-            pi = i - 1  # nearest observed chunk strictly before c
-            ni = i + 1 if present else i  # nearest strictly after
-            prev = (
-                (int(hi_ts[pi]), float(val_of[(etype, int(hi_ts[pi]))]))
-                if pi >= 0
-                else None
-            )
-            nxt = (
-                (int(lo_ts[ni]), float(val_of[(etype, int(lo_ts[ni]))]))
-                if ni < chunks.size
-                else None
-            )
-            if present:
-                anchors[(etype, c)] = (prev, nxt, t_lo, t_hi)
-            else:
-                synth_meta.append(
-                    (
-                        etype,
-                        c,
-                        prev[0] if prev else -1,
-                        prev[1] if prev else np.nan,
-                        nxt[0] if nxt else -1,
-                        nxt[1] if nxt else np.nan,
-                        t_lo,
-                        t_hi,
-                    )
-                )
-    anchors_ref = ray.put(anchors)
+            marker_frame(s, -1, "c_lo", "c_hi"),
+            marker_frame(s[s["prev_ts"].notna()], -2, "prev_ts", "prev_val"),
+            marker_frame(s[s["next_ts"].notna()], -3, "next_ts", "next_val"),
+        ],
+        ignore_index=True,
+    )[["event_type", "bucket_ts", "n_events", "sum_value", "chunk", "ekey"]]
 
     def fill_chunk(g: pd.DataFrame) -> pd.DataFrame:
-        a = ray.get(anchors_ref)
         if g["event_type"].nunique() != 1 or g["chunk"].nunique() != 1:
             return pd.concat(
                 [
@@ -298,22 +292,25 @@ def _events_gapfill_sharded(
                 ignore_index=True,
             )
         etype = g["event_type"].iloc[0]
-        c = int(g["chunk"].iloc[0])
-        prev, nxt, t_lo, t_hi = a[(etype, c)]
-        c_lo, c_hi = max(c * span, t_lo), min((c + 1) * span - step, t_hi)
+        codes = g["n_events"].to_numpy(np.int64)
+        meta = g[codes == -1]
+        c_lo = int(meta["bucket_ts"].iloc[0])
+        c_hi = int(meta["sum_value"].iloc[0])
         grid = np.arange(c_lo, c_hi + step, step, dtype=np.int64)
-        g = g.sort_values("bucket_ts")
-        ts = g["bucket_ts"].to_numpy(np.int64)
-        vals = g["sum_value"].to_numpy(np.float64)
+        data = g[codes >= 0].sort_values("bucket_ts")
+        ts = data["bucket_ts"].to_numpy(np.int64)
+        vals = data["sum_value"].to_numpy(np.float64)
         n = np.zeros(grid.size, dtype=np.int64)
-        n[(ts - c_lo) // step] = g["n_events"].to_numpy(np.int64)
+        n[(ts - c_lo) // step] = data["n_events"].to_numpy(np.int64)
         obs_ts, obs_val = ts, vals
-        if prev is not None:
-            obs_ts = np.concatenate([[prev[0]], obs_ts])
-            obs_val = np.concatenate([[prev[1]], obs_val])
-        if nxt is not None:
-            obs_ts = np.concatenate([obs_ts, [nxt[0]]])
-            obs_val = np.concatenate([obs_val, [nxt[1]]])
+        prev = g[codes == -2]
+        nxt = g[codes == -3]
+        if len(prev):
+            obs_ts = np.concatenate([prev["bucket_ts"].to_numpy(np.int64), obs_ts])
+            obs_val = np.concatenate([prev["sum_value"].to_numpy(np.float64), obs_val])
+        if len(nxt):
+            obs_ts = np.concatenate([obs_ts, nxt["bucket_ts"].to_numpy(np.int64)])
+            obs_val = np.concatenate([obs_val, nxt["sum_value"].to_numpy(np.float64)])
         filled = _interp_like_sql(grid, obs_ts, obs_val, kind)
         return pd.DataFrame(
             {
@@ -324,35 +321,42 @@ def _events_gapfill_sharded(
             }
         )
 
+    with_markers = combined.union(ray.data.from_pandas(markers))
     pieces = [
-        combined.groupby(["ekey", "chunk"]).map_groups(
+        with_markers.groupby(["ekey", "chunk"]).map_groups(
             fill_chunk, batch_format="pandas"
         )
     ]
-    if synth_meta:
+    # empty chunks inside long gaps: ONE range row per observed-chunk pair
+    # around a gap (not one per missing chunk), expanded distributed
+    gaps = s[s["next_chunk"].notna() & (s["next_chunk"] > s["chunk"] + 1)]
+    if len(gaps):
         meta_df = pd.DataFrame(
-            synth_meta,
-            columns=[
-                "event_type", "chunk", "prev_ts", "prev_val",
-                "next_ts", "next_val", "t_lo", "t_hi",
-            ],
+            {
+                "event_type": gaps["event_type"].to_numpy(),
+                "start_chunk": gaps["chunk"].to_numpy(np.int64) + 1,
+                "end_chunk": gaps["next_chunk"].to_numpy(np.int64) - 1,
+                "prev_ts": gaps["hi_ts"].to_numpy(np.int64),
+                "prev_val": gaps["hi_val"].to_numpy(np.float64),
+                "next_ts": gaps["next_ts"].to_numpy(np.int64),
+                "next_val": gaps["next_val"].to_numpy(np.float64),
+            }
         )
 
         def gen_empty(batch: pd.DataFrame) -> pd.DataFrame:
             out = []
             for r in batch.itertuples():
-                c_lo = max(r.chunk * span, r.t_lo)
-                c_hi = min((r.chunk + 1) * span - step, r.t_hi)
-                grid = np.arange(c_lo, c_hi + step, step, dtype=np.int64)
-                obs_ts, obs_val = [], []
-                if r.prev_ts >= 0:
-                    obs_ts.append(r.prev_ts)
-                    obs_val.append(r.prev_val)
-                if r.next_ts >= 0:
-                    obs_ts.append(r.next_ts)
-                    obs_val.append(r.next_val)
+                # the whole gap shares its two anchors, so one grid + one
+                # interpolation covers every empty chunk in it bit-exactly
+                grid = np.arange(
+                    r.start_chunk * span, (r.end_chunk + 1) * span, step,
+                    dtype=np.int64,
+                )
                 filled = _interp_like_sql(
-                    grid, np.asarray(obs_ts, np.int64), np.asarray(obs_val), kind
+                    grid,
+                    np.asarray([r.prev_ts, r.next_ts], np.int64),
+                    np.asarray([r.prev_val, r.next_val], np.float64),
+                    kind,
                 )
                 out.append(
                     pd.DataFrame(
