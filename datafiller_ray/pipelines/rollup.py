@@ -397,13 +397,8 @@ def rollup_tiers_salted(
         from datafiller_ray.config import EngineValueError
         from datafiller_ray.stages.distributed_model import margin_for
 
-        if cfg.optimask:
-            raise EngineValueError(
-                "the distributed model path cannot run the whole-matrix "
-                "optimask search per chunk; pass FillConfig(..., "
-                "optimask=False) (under-threshold patterns then take the "
-                "fallback) or use the per-source rollup_tiers path"
-            )
+        # optimask runs distributed as the histogram rectangle search at
+        # the solve step (stages/distributed_model.py:_histogram_optimask)
         margin = margin_for(cfg)
         if salt_span // 60 <= margin:
             raise EngineValueError(
@@ -475,15 +470,15 @@ def choose_fill_path(
     chunked paths pay two extra small shuffles, so they only win when a
     single source's series is long enough to bound the critical path.
     Returns "salted" when the longest series exceeds ``crossover_buckets``
-    AND the config supports chunking (bounded kernels need max_gap; the
-    chunked model path cannot run optimask), else "plain"."""
+    AND the config supports chunking (bounded kernels need max_gap), else
+    "plain"."""
     if not bounds:
         return "plain"
     max_len = max((hi - lo) // 60 + 1 for lo, hi in bounds.values())
     if max_len <= crossover_buckets:
         return "plain"
     if cfg.strategy == "model":
-        return "salted" if not cfg.optimask else "plain"
+        return "salted"
     if cfg.strategy in ("locf", "linear", "spline"):
         return "salted" if cfg.max_gap is not None else "plain"
     return "plain"

@@ -198,6 +198,46 @@ def make_stats_grams_fn(cfg: FillConfig, salt_span: int, bounds_ref):
     return fn
 
 
+def _histogram_optimask(
+    group_masks: np.ndarray,
+    n_by_mask: dict[int, int],
+    feats: np.ndarray,
+    min_rows: int,
+) -> tuple[np.ndarray, int] | None:
+    """Approximate the reference optimask rectangle from the merged
+    per-pattern mask histogram: greedily drop the feature column whose
+    removal recovers the most complete training rows, tracking the best
+    rows x cols area with the reference's >=min_rows preference
+    (``_optimask.py:160-242`` split objective). Returns (kept feature
+    columns, training rows) or None when no subset reaches ``min_rows``."""
+    counts = np.array([n_by_mask[int(m)] for m in group_masks], dtype=np.int64)
+
+    def rows_for(cols: np.ndarray) -> int:
+        mask = np.uint64(0)
+        for f in cols:
+            mask |= np.uint64(1) << np.uint64(f)
+        return int(counts[(group_masks & mask) == mask].sum())
+
+    best: tuple[int, np.ndarray, int] | None = None  # (area, cols, rows)
+    cur = np.asarray(feats, dtype=np.int64)
+    while cur.size:
+        n = rows_for(cur)
+        if n >= min_rows:
+            area = n * cur.size
+            if best is None or area > best[0]:
+                best = (area, cur.copy(), n)
+        if cur.size == 1:
+            break
+        # drop the column whose removal keeps the most rows
+        gains = np.array(
+            [rows_for(np.delete(cur, i)) for i in range(cur.size)], dtype=np.int64
+        )
+        cur = np.delete(cur, int(np.argmax(gains)))
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
 def solve_models(g: pd.DataFrame, cfg: FillConfig) -> dict:
     """Per-source solve: stats combine + covering-Gram ridge per predict
     pattern. Returns the broadcastable model record."""
@@ -231,7 +271,7 @@ def solve_models(g: pd.DataFrame, cfg: FillConfig) -> dict:
             n_by_mask[m] = int(r.n)
     group_masks = np.array(sorted(gram_by_mask), dtype=np.uint64)
 
-    models: dict[int, tuple[np.ndarray, float]] = {}
+    models: dict[int, tuple[np.ndarray, float, np.ndarray]] = {}
     pred_masks = sorted({int(r.mask) for r in g[g["kind"] == 2].itertuples()})
     for p in pred_masks:
         pu = np.uint64(p)
@@ -239,14 +279,33 @@ def solve_models(g: pd.DataFrame, cfg: FillConfig) -> dict:
             continue
         covering = group_masks[(group_masks & pu) == pu]
         n_train = sum(n_by_mask[int(m)] for m in covering)
-        if n_train < cfg.min_samples_train:
-            continue
-        G = np.zeros((k2, k2))
-        for m in covering:
-            G += gram_by_mask[int(m)]
         feats = np.flatnonzero(
             (pu >> np.arange(n_feats, dtype=np.uint64)) & np.uint64(1)
         )
+        if n_train < cfg.min_samples_train:
+            if not cfg.optimask:
+                continue
+            # histogram optimask (the distributed analogue of the reference
+            # whole-matrix rectangle search, _optimask.py:160-242): a
+            # NaN-free rectangle IS "rows complete on a kept-column subset",
+            # and per-subset training counts/Grams are exactly the covering
+            # sums of the merged per-mask Grams — so the rectangle search
+            # runs on the mask histogram, no row data needed. Greedy
+            # column-drop maximizing rows x cols, preferring >= min rows
+            # (the reference split's objective).
+            sel = _histogram_optimask(
+                group_masks, n_by_mask, feats, cfg.min_samples_train
+            )
+            if sel is None:
+                continue
+            feats, n_train = sel
+            pu_fit = np.uint64(0)
+            for f in feats:
+                pu_fit |= np.uint64(1) << np.uint64(f)
+            covering = group_masks[(group_masks & pu_fit) == pu_fit]
+        G = np.zeros((k2, k2))
+        for m in covering:
+            G += gram_by_mask[int(m)]
         idx = np.concatenate([feats, [n_feats]])  # + ones col handled below
         kp = feats.size
         # convert raw Gram -> standardized space for [feats, y, 1]
@@ -263,7 +322,7 @@ def solve_models(g: pd.DataFrame, cfg: FillConfig) -> dict:
         Gs[kp + 1, : kp + 1] = zsum
         Gs[kp + 1, kp + 1] = n
         coef, intercept = fit_ridge_from_gram(Gs, n, cfg.alpha)
-        models[p] = (coef, intercept)
+        models[p] = (coef, intercept, feats)
     # global observed-y count: the fallback gate must see the SOURCE's
     # observation count, not a chunk window's (a gap longer than
     # salt_span + 2*margin makes a whole window NaN while the source
@@ -335,11 +394,8 @@ def make_predict_fn(
                 model = rec["models"].get(int(mk))
                 if model is None:
                     continue
-                coef, intercept = model
+                coef, intercept, feats = model
                 rows = e_idx[masks[e_idx] == mk]
-                feats = np.flatnonzero(
-                    (np.uint64(mk) >> np.arange(n_feats, dtype=np.uint64)) & np.uint64(1)
-                )
                 pred = Xs[np.ix_(rows, feats)] @ coef + intercept
                 value[rows] = pred * y_sd + y_mu
                 codes[rows] = METHOD_CODES["model"]

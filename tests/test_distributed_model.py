@@ -90,6 +90,32 @@ def test_salted_model_fallback_spans_all_nan_windows(ray_session, tmp_path):
     assert len(interior) > 0 and interior["filled"].all()
 
 
+def test_salted_model_optimask_matches_per_source(ray_session, tmp_path):
+    """Short, heavily-missing series push predict patterns under
+    min_samples_train; the distributed solve's histogram rectangle search
+    must recover the same fills as the per-source pareto optimask
+    (accuracy standard: same filled cells, values at the module's
+    sigma-scaled tolerance)."""
+    path = tmp_path / "short.parquet"
+    pq.write_table(generate_input_table(400, 6, seed=7, mar_ratio=0.35), path)
+    cfg_on = FillConfig(strategy="model", optimask=True)
+    cfg_off = FillConfig(strategy="model", optimask=False)
+    a = rollup_tiers(
+        str(path), fill=cfg_on, tiers=("1m",), check_tokens=False
+    ).to_pandas()
+    b = rollup_tiers_salted(
+        str(path), fill=cfg_on, tiers=("1m",), check_tokens=False, salt_span=3600
+    ).to_pandas()
+    b_off = rollup_tiers_salted(
+        str(path), fill=cfg_off, tiers=("1m",), check_tokens=False, salt_span=3600
+    ).to_pandas()
+    # the rectangle search must actually fire on this fixture
+    assert (_norm(b)["fill_method"] == "model").sum() > (
+        _norm(b_off)["fill_method"] == "model"
+    ).sum()
+    assert_model_equiv(a, b)
+
+
 def test_salt_span_must_exceed_margin():
     with pytest.raises(EngineValueError, match="ghost margin"):
         rollup_tiers_salted(

@@ -116,8 +116,9 @@ def test_choose_fill_path_crossover():
     assert choose_fill_path(mega, lin) == "salted"
     # unbounded kernels cannot chunk
     assert choose_fill_path(mega, FillConfig(strategy="linear")) == "plain"
-    # model path requires optimask=False to chunk
-    assert choose_fill_path(mega, FillConfig(strategy="model")) == "plain"
+    # model path chunks with or without optimask (histogram rectangle
+    # search runs at the solve step)
+    assert choose_fill_path(mega, FillConfig(strategy="model")) == "salted"
     assert (
         choose_fill_path(mega, FillConfig(strategy="model", optimask=False))
         == "salted"
