@@ -186,6 +186,7 @@ def rollup_tiers_bucketed(
     check_tokens: bool = True,
     emit: str = "rows",
     n_buckets: int = 128,
+    n_subbuckets: int = 16,
     scratch_dir: str | None = None,
 ) -> "Dataset":
     """Explicit hash-partitioned variant of :func:`rollup_tiers` — the
@@ -221,11 +222,15 @@ def rollup_tiers_bucketed(
     def add_bucket(t: pa.Table) -> pa.Table:
         skey = np.asarray(t["skey"]).view(np.uint64)
         bucket = (skey % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+        sub = ((skey // np.uint64(n_buckets)) % np.uint64(n_subbuckets)).astype(
+            np.int64
+        )
+        t = t.append_column("bucket", pa.array(bucket, pa.int64()))
+        return t.append_column("sub", pa.array(sub, pa.int64()))
 
     partials = partial_aggregates(input_path, check_tokens=check_tokens)
     partials.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        partials_dir, partition_cols=["bucket"]
+        partials_dir, partition_cols=["bucket", "sub"]
     )
 
     fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention, emit=emit)
@@ -237,18 +242,22 @@ def rollup_tiers_bucketed(
 
         out = []
         for d in batch["item"]:
-            # keep the bucket as a (columnar) Arrow table; only ONE source's
-            # rows are in pandas at a time. Bucket size is bounded by
-            # (#sources / n_buckets) x retention minutes of partial rows —
-            # raise n_buckets for mega-tenant layouts.
-            t = pds.dataset(d).to_table()
-            t = t.take(pc.sort_indices(t, sort_keys=[("skey", "ascending")]))
-            skeys = np.asarray(t["skey"])
-            bounds = np.flatnonzero(np.diff(skeys)) + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [skeys.size]])
-            for s, e in zip(starts, ends):
-                out.append(fn(t.slice(s, e - s).to_pandas()))
+            # stream the bucket sub-partition by sub-partition: only ONE
+            # sub (1/n_subbuckets of the bucket, columnar Arrow) is resident
+            # at a time, and only ONE source's rows are in pandas at a time.
+            # Peak task memory is (#sources / (n_buckets*n_subbuckets)) x
+            # retention minutes of partial rows — one source's span for
+            # typical layouts; a single mega-series beyond worker memory is
+            # the salted path's job (choose_fill_path / rollup_tiers_auto).
+            for sd in sorted(glob.glob(os.path.join(d, "sub=*"))):
+                t = pds.dataset(sd).to_table()
+                t = t.take(pc.sort_indices(t, sort_keys=[("skey", "ascending")]))
+                skeys = np.asarray(t["skey"])
+                bounds = np.flatnonzero(np.diff(skeys)) + 1
+                starts = np.concatenate([[0], bounds])
+                ends = np.concatenate([bounds, [skeys.size]])
+                for s, e in zip(starts, ends):
+                    out.append(fn(t.slice(s, e - s).to_pandas()))
         return pd.concat(out, ignore_index=True)
 
     return ray.data.from_items(dirs).map_batches(
