@@ -138,8 +138,23 @@ def rollup_tiers(
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     # ~4 shuffle partitions per CPU: the sort cost scales with block count,
     # but too-few partitions make the fill stage wave-imbalanced (one slow
-    # partition bounds the wall); 4x gives the scheduler room to level load
-    partials = partials.repartition(max(32, 4 * cpus))
+    # partition bounds the wall); 4x gives the scheduler room to level load.
+    # Repartition is itself an all-to-all BARRIER, though: when the read
+    # already lands in that band (one pre-aggregated block per input file),
+    # inserting it costs ~10% of the 25M-row wall for nothing (measured:
+    # 200 natural blocks, skipping it 32.9s -> 29.4s), so only repartition
+    # when the natural block count is far from the target.
+    target = max(32, 4 * cpus)
+    nblocks = None
+    if isinstance(input_path, str):
+        try:
+            import pyarrow.dataset as pds
+
+            nblocks = len(pds.dataset(input_path).files)
+        except Exception:
+            nblocks = None
+    if nblocks is None or nblocks < target or nblocks > 4 * target:
+        partials = partials.repartition(target)
     fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention, emit=emit)
     # shuffle on the int64 hash key (sorts ~3x faster than the string; the
     # group fn sub-groups by the string for collision safety)
