@@ -334,29 +334,61 @@ def _salted_model_1m(
         make_solve_fn,
         make_stats_grams_fn,
     )
-    from datafiller_ray.stages.salted_fill import chunk_grid_slice, make_salt_fn
+    from datafiller_ray.stages.salted_fill import make_salt_fn
 
     # marker partial rows so chunks with zero observations (all-gap interior
     # ranges — still predictable from calendar features) form groups;
     # presence comes from the distributed distinct aggregate (no driver-side
     # row loop over the partials)
     present = _distinct_salt_presence(partials, salt_span, margin)
-    marker_rows = []
-    for source, (lo, hi) in bounds.items():
-        skey = int(string_hash64(np.array([source], dtype="U")).view(np.int64)[0])
-        for salt in range(lo // salt_span, hi // salt_span + 1):
-            if (source, salt) in present:
-                continue
-            grid = chunk_grid_slice(lo, hi, salt * salt_span, (salt + 1) * salt_span)
-            if grid.size:
-                marker_rows.append((source, skey, int(grid[0]), 0, 0, 0, 0))
+    # vectorized over the (source x salt-chunk) range table — no Python
+    # loop over the chunk range (mega-tenant layouts make it millions)
+    srcs = np.array(sorted(bounds), dtype=object)
     base = partials
-    if marker_rows:
-        markers = pd.DataFrame(
-            marker_rows,
-            columns=["source", "skey", "bucket_ts", "count", "sum", "min", "max"],
+    if srcs.size:
+        los = np.array([bounds[s][0] for s in srcs], np.int64)
+        his = np.array([bounds[s][1] for s in srcs], np.int64)
+        lo_salt = los // salt_span
+        n_chunks = his // salt_span - lo_salt + 1
+        total = int(n_chunks.sum())
+        seg = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        idx = np.repeat(np.arange(srcs.size), n_chunks)
+        salts = np.repeat(lo_salt, n_chunks) + (
+            np.arange(total) - np.repeat(seg, n_chunks)
         )
-        base = partials.union(ray.data.from_pandas(markers))
+        rep_lo, rep_hi = los[idx], his[idx]
+        # first global-grid point inside each chunk (chunk_grid_slice
+        # algebra, vectorized); empty slices drop out via first > last
+        c_lo = salts * salt_span
+        first = rep_lo + (
+            (np.maximum(c_lo, rep_lo) - rep_lo + 59) // 60
+        ) * 60
+        last = np.minimum(rep_hi, (salts + 1) * salt_span - 1)
+        cand = pd.DataFrame(
+            {"source": srcs[idx], "salt": salts, "bucket_ts": first}
+        )[first <= last]
+        if present:
+            pres = pd.DataFrame(
+                sorted(present), columns=["source", "salt"]
+            ).assign(_p=1)
+            cand = cand.merge(pres, on=["source", "salt"], how="left")
+            cand = cand[cand["_p"].isna()]
+        if len(cand):
+            skeys = string_hash64(
+                np.asarray(cand["source"].to_numpy(), dtype="U")
+            ).view(np.int64)
+            markers = pd.DataFrame(
+                {
+                    "source": cand["source"].to_numpy(),
+                    "skey": skeys,
+                    "bucket_ts": cand["bucket_ts"].to_numpy(np.int64),
+                    "count": 0,
+                    "sum": 0,
+                    "min": 0,
+                    "max": 0,
+                }
+            )
+            base = partials.union(ray.data.from_pandas(markers))
 
     salted = base.map_batches(
         make_salt_fn(salt_span, margin), batch_format="pyarrow"
