@@ -295,6 +295,36 @@ def _lang_id(sf_dir: str):
     return lang_id(_read(sf_dir, "documents"))
 
 
+def _token_counts(sf_dir: str):
+    from datafiller_ray.pipelines.text import token_counts
+
+    return token_counts(_read(sf_dir, "documents"))
+
+
+def _near_dup_jaccard(sf_dir: str):
+    """LSH candidates + exact char-5-gram Jaccard verification — the
+    verified near-dup edge list (doc_a, doc_b, jaccard)."""
+    from datafiller_ray.pipelines.text import minhash_near_dup, verify_near_dup_pairs
+
+    docs = _read(sf_dir, "documents")
+    pairs = minhash_near_dup(docs)
+    return verify_near_dup_pairs(docs, pairs, threshold=0.5)
+
+
+def _embedding_near_dup(sf_dir: str):
+    from datafiller_ray.pipelines.ann import embedding_near_dup
+
+    return embedding_near_dup(_read(sf_dir, "embeddings"), threshold=0.4)
+
+
+def _embedding_near_dup_lsh(sf_dir: str):
+    from datafiller_ray.pipelines.ann import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(
+        _read(sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
+
+
 def _lang_fill(sf_dir: str):
     from datafiller_ray.pipelines.text import lang_fill
 
@@ -520,6 +550,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _simhash,
         "doc_fingerprint": _fingerprint,
         "minhash_near_dup": _minhash,
+        "near_dup_jaccard": _near_dup_jaccard,
+        "token_count_bpe": _token_counts,
+        "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_topk": _ann_topk,
         "events_rollup_1m": _events_rollup,
         "events_gapfill_locf_1m": _events_locf,
@@ -759,6 +793,74 @@ def _ann_lsh_sql() -> str:
                                     ORDER BY sim DESC, vec_id) AS rank
           FROM sims)
         WHERE rank <= {_ANN_K}
+    """
+
+
+def _near_dup_jaccard_sql() -> str:
+    """Exact char-5-gram Jaccard over the minhash-LSH candidate edges (the
+    candidate derivation is the already-green ``_minhash_sql``)."""
+    return f"""
+        WITH cand AS ({_minhash_sql()}),
+        g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(1, GREATEST(length(text) - 3, 1)),
+                     i -> substr(text, i, 5))) AS gs
+          FROM documents),
+        j AS (
+          SELECT c.doc_a, c.doc_b,
+                 CASE
+                   WHEN len(ga.gs) = 0 AND len(gb.gs) = 0 THEN 1.0
+                   WHEN len(ga.gs) = 0 OR len(gb.gs) = 0 THEN 0.0
+                   ELSE len(list_intersect(ga.gs, gb.gs))::DOUBLE
+                        / len(list_distinct(list_concat(ga.gs, gb.gs)))
+                 END AS jac
+          FROM cand c
+          JOIN g ga ON ga.doc_id = c.doc_a
+          JOIN g gb ON gb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, round_even(jac, 6) AS jaccard
+        FROM j WHERE round_even(jac, 6) >= 0.5
+    """
+
+
+def _embedding_near_dup_lsh_sql() -> str:
+    """Multi-table sign-LSH candidates with the engine's deterministic
+    hyperplanes (seed 101+t) as SQL literals, then exact cosine verify."""
+    n_planes, n_tables, base_seed = 4, 8, 101
+    table_ctes = []
+    union_parts = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(base_seed + t)
+        planes = rng.standard_normal((64, n_planes))
+        terms = " + ".join(
+            "(CASE WHEN list_inner_product(de, ["
+            + ", ".join(repr(float(v)) for v in planes[:, j])
+            + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        table_ctes.append(
+            f"b{t} AS (SELECT vec_id, {terms} AS bucket FROM e)"
+        )
+        union_parts.append(
+            f"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b "
+            f"FROM b{t} x JOIN b{t} y "
+            f"ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
+        )
+    ctes = ",\n        ".join(table_ctes)
+    unions = " UNION ALL ".join(union_parts)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        {ctes},
+        cand AS (SELECT DISTINCT vec_a, vec_b
+                 FROM ({unions})),
+        sims AS (
+          SELECT c.vec_a, c.vec_b,
+                 round_even(list_cosine_similarity(ea.de, eb.de), 6) AS cosine
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.vec_a
+          JOIN e eb ON eb.vec_id = c.vec_b)
+        SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= 0.4
     """
 
 
@@ -1247,6 +1349,24 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "lang_id": _lang_id_sql(),
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_extract_all(trim(text), '\S+'))
+                   END AS tok_ws,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]')) AS tok_bpe
+            FROM documents
+        """,
+        "near_dup_jaccard": _near_dup_jaccard_sql(),
+        "embedding_near_dup": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round_even(list_cosine_similarity(a.de, b.de), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round_even(list_cosine_similarity(a.de, b.de), 6) >= 0.4
+        """,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh_sql(),
         "simhash": _simhash_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_near_dup": _minhash_sql(),

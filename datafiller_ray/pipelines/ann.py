@@ -323,3 +323,169 @@ def lsh_topk_indexed(
     for p in pieces[1:]:
         out = out.union(p)
     return out.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection
+
+
+class _BruteNearDup:
+    """Per-batch exact near-dup scorer against the broadcast corpus matrix:
+    emits (vec_a < vec_b) pairs with rounded cosine >= threshold."""
+
+    def __init__(self, all_ref, threshold: float) -> None:
+        d = ray.get(all_ref) if not isinstance(all_ref, dict) else all_ref
+        self.ids = d["ids"]
+        M = d["matrix"].astype(np.float64)
+        self.Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, B = _batch_matrix(batch)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        sims = np.round(Bn @ self.Mn.T, 6)
+        ia, ib = np.nonzero(sims >= self.threshold)
+        keep = ids[ia] < self.ids[ib]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia][keep],
+                "vec_b": self.ids[ib][keep],
+                "cosine": sims[ia, ib][keep],
+            }
+        )
+
+
+def embedding_near_dup(
+    embeddings: "ray.data.Dataset", *, threshold: float = 0.4
+) -> "ray.data.Dataset":
+    """Exact embedding-cosine near-duplicate pairs — the brute-force
+    baseline: the (normalized) corpus matrix is broadcast once (``ray.put``)
+    and every batch emits its qualifying (vec_a < vec_b) edges from one
+    matmul. O(n^2) similarity work by definition; the broadcast side must
+    fit worker memory, so at corpus scale use
+    :func:`embedding_near_dup_lsh` (bucketed candidates, same verify)."""
+    df = embeddings.to_pandas()  # exact baseline: corpus matrix broadcast
+    ids = df["vec_id"].to_numpy(np.int64)
+    M = np.stack(df["embedding"].to_numpy())
+    ref = ray.put({"ids": ids, "matrix": M})
+    return embeddings.map_batches(
+        _BruteNearDup,
+        fn_constructor_args=(ref, threshold),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: "ray.data.Dataset",
+    *,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    base_seed: int = 101,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup pairs via multi-table sign-LSH — the scale
+    path: ``n_tables`` independent hyperplane tables; vectors sharing a
+    (table, bucket) are candidates (within-bucket pairs, vectorized via a
+    frame self-merge — bucket size is held O(1) by scaling ``n_planes``
+    with corpus size); candidate edges are deduped globally and verified
+    with exact cosine through a broadcast semi-join of candidate vectors.
+    Recall per true pair at angle theta is 1-(1-(1-theta/pi)^p)^T
+    (documented approximation; the brute-force variant is the exact
+    baseline)."""
+
+    def add_table_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, M = _batch_matrix(batch)
+        frames = []
+        for t in range(n_tables):
+            rng = np.random.default_rng(base_seed + t)
+            planes = rng.standard_normal((dim, n_planes))
+            signs = (M @ planes) > 0
+            bucket = (signs @ (1 << np.arange(n_planes))).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "gkey": t * (1 << n_planes) + bucket,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if g["gkey"].nunique() != 1:
+            return pd.concat(
+                [bucket_pairs(sub) for _, sub in g.groupby("gkey", sort=True)],
+                ignore_index=True,
+            )
+        ids = g[["vec_id"]]
+        m = ids.merge(ids, how="cross", suffixes=("_a", "_b"))
+        m = m[m["vec_id_a"] < m["vec_id_b"]]
+        return m.rename(columns={"vec_id_a": "vec_a", "vec_id_b": "vec_b"})
+
+    cand = (
+        embeddings.map_batches(add_table_buckets, batch_format="pandas")
+        .groupby("gkey")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        # global edge dedup (a pair can collide in several tables)
+        .groupby("vec_a")
+        .map_groups(lambda g: g.drop_duplicates(), batch_format="pandas")
+    )
+    pair_df = cand.to_pandas()  # candidate edges: orders smaller than corpus
+    if len(pair_df) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype=np.int64),
+                    "vec_b": pd.Series([], dtype=np.int64),
+                    "cosine": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    need = set(pair_df["vec_a"]) | set(pair_df["vec_b"])
+    need_ref = ray.put(need)
+
+    class HitFilter:
+        def __init__(self) -> None:
+            self.need = ray.get(need_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.loc[batch["vec_id"].isin(self.need)]
+
+    hits = (
+        embeddings.map_batches(
+            HitFilter, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+        )
+        .to_pandas()
+    )
+    ids = hits["vec_id"].to_numpy(np.int64)
+    M = np.stack(hits["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    lut_ref = ray.put({"ids": ids, "matrix": Mn})
+
+    class Verify:
+        def __init__(self, threshold: float) -> None:
+            d = ray.get(lut_ref)
+            self.pos = {int(i): k for k, i in enumerate(d["ids"])}
+            self.Mn = d["matrix"]
+            self.threshold = threshold
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            a = np.array([self.pos[int(x)] for x in batch["vec_a"]], dtype=np.int64)
+            b = np.array([self.pos[int(x)] for x in batch["vec_b"]], dtype=np.int64)
+            cos = np.round(
+                np.einsum("ij,ij->i", self.Mn[a], self.Mn[b]), 6
+            )
+            out = batch.copy()
+            out["cosine"] = cos
+            return out[out["cosine"] >= self.threshold]
+
+    return ray.data.from_pandas(pair_df).map_batches(
+        Verify,
+        fn_constructor_args=(threshold,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )

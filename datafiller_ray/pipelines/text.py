@@ -233,6 +233,42 @@ def lang_fill(
     return per_doc.groupby("source").map_groups(fill_group, batch_format="pandas")
 
 
+class TokenCounts:
+    """Token counting two ways: whitespace tokens and a BPE-ish pre-tokenizer
+    count (``\\w+|[^\\w\\s]`` — words plus standalone punctuation, the shape
+    GPT-style pre-tokenizers reduce to on ASCII). Both are vectorized
+    pandas-str passes; definitions are SQL-expressible so DuckDB serves as
+    the oracle."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.ws = re.compile(r"\s+")
+        self.bpe = re.compile(r"\w+|[^\w\s]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        trimmed = text.str.strip()
+        ws = trimmed.str.split(self.ws).str.len().to_numpy()
+        ws = np.where(trimmed.str.len().to_numpy(np.int64) == 0, 0, ws).astype(
+            np.int64
+        )
+        bpe = text.str.count(self.bpe).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "tok_ws": ws,
+                "tok_bpe": bpe,
+            }
+        )
+
+
+def token_counts(documents: "ray.data.Dataset") -> "ray.data.Dataset":
+    return documents.map_batches(
+        TokenCounts, batch_format="pandas", concurrency=(1, 4), batch_size=2048
+    )
+
+
 def lang_id(documents: "ray.data.Dataset") -> "ray.data.Dataset":
     return documents.map_batches(
         LangId, batch_format="pandas", concurrency=(1, 4), batch_size=2048
