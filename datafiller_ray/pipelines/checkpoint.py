@@ -53,12 +53,16 @@ def _add_bucket(n_buckets: int):
     return fn
 
 
-def _publish_rows(tier_rows, tmp_dir: str, emit: str):
+def _publish_rows(tier_rows, tmp_dir: str, emit: str, keep_rows=None):
     """Write a bucket's output rows (tier rows, or Gorilla blob rows when
     emit="blobs") under tmp_dir partitioned by tier; returns (written rows,
     checksum). Blob checksums cover the chunk identity columns plus a
     per-chunk digest of the payload bytes; row checksums cover the value
-    columns."""
+    columns.
+
+    ``keep_rows`` carries ALREADY-PUBLISHED rows (blob rows keep their
+    payload bytes and hashes) to splice in unchanged — the incremental
+    path's untouched sources, which are never recomputed or recompressed."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -91,6 +95,10 @@ def _publish_rows(tier_rows, tmp_dir: str, emit: str):
     else:
         out_rows = tier_rows
         checksum_cols = ("source", "bucket_ts", "count", "sum")
+    if keep_rows is not None and len(keep_rows):
+        out_rows = pd.concat(
+            [keep_rows[out_rows.columns], out_rows], ignore_index=True
+        )
     for tier, sub in out_rows.groupby("tier", sort=True):
         tdir = os.path.join(tmp_dir, f"tier={tier}")
         os.makedirs(tdir, exist_ok=True)
@@ -365,8 +373,6 @@ def run_incremental(
     fill_fn = make_fill_group_fn(cfg, tiers=tiers)
 
     def refresh_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
-        import pyarrow.parquet as pq
-
         rows = []
         for b in batch["item"]:
             b = int(b)
@@ -376,15 +382,32 @@ def run_incremental(
                 + [os.path.join(u, f"bucket={b}") for u in all_update_dirs]
                 if os.path.isdir(d)
             ]
+            # only sources THIS update touches are recomputed (and, for the
+            # blob sink, recompressed); the bucket's other sources splice
+            # through from the existing published rows untouched
+            touched_src = set(
+                pds.dataset(os.path.join(update_dir, f"bucket={b}"))
+                .to_table(columns=["source"])["source"]
+                .to_pylist()
+            )
             tables = [pds.dataset(d).to_table() for d in inputs]
             df = pa.concat_tables(tables).to_pandas()
+            df = df[df["source"].isin(touched_src)]
             parts = [fill_fn(sub) for _, sub in df.groupby("skey", sort=True)]
             tier_rows = pd.concat(parts, ignore_index=True)
             out_bucket = os.path.join(tiers_dir, f"bucket={b}")
+            keep = None
+            if os.path.isdir(out_bucket):
+                existing = pds.dataset(
+                    out_bucket, partitioning="hive"
+                ).to_table().to_pandas()
+                keep = existing[~existing["source"].isin(touched_src)]
+                if "tier" in keep.columns:
+                    keep = keep.astype({"tier": object})
             tmp_b = f"{out_bucket}.tmp-{os.getpid()}"
             shutil.rmtree(tmp_b, ignore_errors=True)
             os.makedirs(tmp_b, exist_ok=True)
-            tier_rows, checksum = _publish_rows(tier_rows, tmp_b, emit)
+            tier_rows, checksum = _publish_rows(tier_rows, tmp_b, emit, keep_rows=keep)
             shutil.rmtree(out_bucket, ignore_errors=True)
             os.replace(tmp_b, out_bucket)
             rows.append((b, len(tier_rows), checksum, out_bucket))

@@ -82,3 +82,65 @@ def test_incremental_rejects_config_mismatch(ray_session, split_inputs, tmp_path
     run_checkpointed(early, out, fill=CFG, n_buckets=3)
     with pytest.raises(ValueError, match="fill config"):
         run_incremental(out, late, fill=FillConfig(strategy="locf", max_gap=2))
+
+
+def test_incremental_subset_sources_spliced(ray_session, split_inputs, tmp_path):
+    """An update touching a SUBSET of a bucket's sources must recompute only
+    those sources and splice the rest through from the published output —
+    for the rows sink and the Gorilla blob sink alike."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    full, early, late = split_inputs
+    late_t = pq.read_table(late)
+    srcs = sorted(set(late_t["source"].to_pylist()))
+    subset = srcs[: max(1, len(srcs) // 3)]
+    late_sub = late_t.filter(pc.is_in(late_t["source"], pa.array(subset)))
+    late_sub_path = str(tmp_path / "late_sub.parquet")
+    pq.write_table(late_sub, late_sub_path)
+    early_t = pq.read_table(early)
+    expected_input = pa.concat_tables([early_t, late_sub])
+
+    for emit in ("rows", "blobs"):
+        out = str(tmp_path / f"out_{emit}")
+        run_checkpointed(early, out, fill=CFG, n_buckets=5, emit=emit)
+        summary = run_incremental(out, late_sub_path)
+        assert summary["refreshed_buckets"] > 0
+
+        if emit == "rows":
+            got = _norm(read_tier_output(out).to_pandas())
+        else:
+            import glob as _glob
+
+            import pyarrow.dataset as pds
+
+            from datafiller_ray.stages.compress import decode_tier_chunk
+
+            blob_df = (
+                pds.dataset(f"{out}/tiers", partitioning="hive")
+                .to_table()
+                .to_pandas()
+            )
+            blob_df["tier"] = blob_df["tier"].astype(object)
+            decoded = pd.concat(
+                [decode_tier_chunk(r) for _, r in blob_df.iterrows()],
+                ignore_index=True,
+            )
+            # blob rows carry (ts, count, sum, min, max, value); rebuild the
+            # comparable frame without filled/fill_method
+            got = (
+                decoded[["source", "tier", "bucket_ts", "count", "sum", "min", "max", "value"]]
+                .sort_values(["tier", "source", "bucket_ts"])
+                .reset_index(drop=True)
+            )
+        want_full = rollup_tiers(expected_input, fill=CFG).to_pandas()
+        if emit == "rows":
+            want = _norm(want_full)
+            pd.testing.assert_frame_equal(got, want)
+        else:
+            want = (
+                want_full[["source", "tier", "bucket_ts", "count", "sum", "min", "max", "value"]]
+                .sort_values(["tier", "source", "bucket_ts"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want)
