@@ -44,16 +44,22 @@ def _cfg_snapshot(cfg: FillConfig) -> dict:
     return d
 
 
-def _add_bucket(n_buckets: int):
+def _add_bucket(n_buckets: int, n_subbuckets: int = 1):
     def fn(batch: pa.Table) -> pa.Table:
         skey = np.asarray(batch["skey"]).view(np.uint64)
         bucket = (skey % np.uint64(n_buckets)).astype(np.int64)
-        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+        batch = batch.append_column("bucket", pa.array(bucket, pa.int64()))
+        if n_subbuckets > 1:
+            sub = (
+                (skey // np.uint64(n_buckets)) % np.uint64(n_subbuckets)
+            ).astype(np.int64)
+            batch = batch.append_column("sub", pa.array(sub, pa.int64()))
+        return batch
 
     return fn
 
 
-def _publish_rows(tier_rows, tmp_dir: str, emit: str, keep_rows=None):
+def _publish_rows(tier_rows, tmp_dir: str, emit: str, keep_rows=None, part: int = 0):
     """Write a bucket's output rows (tier rows, or Gorilla blob rows when
     emit="blobs") under tmp_dir partitioned by tier; returns (written rows,
     checksum). Blob checksums cover the chunk identity columns plus a
@@ -104,7 +110,7 @@ def _publish_rows(tier_rows, tmp_dir: str, emit: str, keep_rows=None):
         os.makedirs(tdir, exist_ok=True)
         pq.write_table(
             pa.Table.from_pandas(sub.drop(columns=["tier"]), preserve_index=False),
-            os.path.join(tdir, "part-0.parquet"),
+            os.path.join(tdir, f"part-{part}.parquet"),
         )
     checksum = lineage.rows_checksum(
         {c: out_rows[c].to_numpy() for c in checksum_cols}
@@ -121,6 +127,7 @@ def run_checkpointed(
     retention: RetentionConfig | None = None,
     check_tokens: bool = True,
     n_buckets: int = 8,
+    n_subbuckets: int = 16,
     emit: str = "rows",
     fail_after_buckets: int | None = None,  # test hook: simulate a crash
 ) -> dict:
@@ -153,8 +160,11 @@ def run_checkpointed(
             batch_format="pyarrow",
             batch_size=None,
             zero_copy_batch=True,
-        ).map_batches(_add_bucket(n_buckets), batch_format="pyarrow")
-        partials.write_parquet(tmp, partition_cols=["bucket"])
+        ).map_batches(
+            _add_bucket(n_buckets, n_subbuckets), batch_format="pyarrow"
+        )
+        part_cols = ["bucket", "sub"] if n_subbuckets > 1 else ["bucket"]
+        partials.write_parquet(tmp, partition_cols=part_cols)
         # audit before publish
         audit = pds.dataset(tmp, partitioning="hive").to_table(
             columns=["source", "bucket_ts", "count", "sum"]
@@ -180,6 +190,7 @@ def run_checkpointed(
                 input_fragments=frags,
                 extra={
                     "n_buckets": n_buckets,
+                    "n_subbuckets": n_subbuckets,
                     "check_tokens": check_tokens,
                     "fill": _cfg_snapshot(cfg),
                     "tiers": list(tiers),
@@ -220,14 +231,30 @@ def run_checkpointed(
                 os.replace(tmp, out_bucket)
                 rows.append((b, 0, f"{0:016x}", out_bucket, ""))
                 continue
-            df = pds.dataset(bucket_path).to_table().to_pandas()
-            parts = [fill_fn(sub) for _, sub in df.groupby("skey", sort=True)]
-            tier_rows = pd.concat(parts, ignore_index=True)
+            # stream sub-partitions sequentially: peak task memory is one
+            # sub (1/n_subbuckets of the bucket), not the whole bucket; the
+            # order-independent checksum is a mod-2^64 sum so per-sub
+            # checksums merge exactly. Layouts without sub dirs (older
+            # runs being resumed) fall back to one whole-bucket chunk.
+            import glob as _glob
+
+            sub_dirs = sorted(
+                _glob.glob(os.path.join(bucket_path, "sub=*"))
+            ) or [bucket_path]
             os.makedirs(tmp, exist_ok=True)
-            tier_rows, checksum = _publish_rows(tier_rows, tmp, emit)
+            total_rows = 0
+            sub_checksums = []
+            for si, sd in enumerate(sub_dirs):
+                df = pds.dataset(sd).to_table().to_pandas()
+                parts = [fill_fn(sub) for _, sub in df.groupby("skey", sort=True)]
+                tier_rows = pd.concat(parts, ignore_index=True)
+                out_rows, cs = _publish_rows(tier_rows, tmp, emit, part=si)
+                total_rows += len(out_rows)
+                sub_checksums.append(cs)
+            checksum = lineage.merge_checksums(sub_checksums)
             shutil.rmtree(out_bucket, ignore_errors=True)
             os.replace(tmp, out_bucket)
-            rows.append((b, len(tier_rows), checksum, out_bucket, bucket_path))
+            rows.append((b, total_rows, checksum, out_bucket, bucket_path))
         return pd.DataFrame(
             rows, columns=["bucket", "row_count", "checksum", "output", "input"]
         )

@@ -65,6 +65,16 @@ def completed(out_dir: str, kind: str) -> set[int]:
     return {r.partition_id for r in read_manifest(out_dir) if r.kind == kind}
 
 
+def merge_checksums(parts: "list[str]") -> str:
+    """Combine per-chunk ``rows_checksum`` values: the checksum is a sum of
+    per-row mixes mod 2^64, so chunked computation merges exactly."""
+    total = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for h in parts:
+            total += np.uint64(int(h, 16))
+    return f"{int(total):016x}"
+
+
 def rows_checksum(columns: dict[str, np.ndarray]) -> str:
     """Order-independent 64-bit checksum of a row set: per-row mix of the
     named columns, summed mod 2^64 (so block/order layout cannot change it)."""
