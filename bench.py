@@ -193,6 +193,25 @@ def run_bench() -> dict:
 
     timed("ann_lsh_index_build_and_query", ann_indexed)
 
+    # round-3 additions
+    from datafiller_ray.pipelines.ann import embedding_near_dup_lsh
+    from datafiller_ray.pipelines.text import verify_near_dup_pairs
+
+    def near_dup_verified():
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        pairs = minhash_near_dup(docs)
+        verify_near_dup_pairs(docs, pairs, threshold=0.5).count()
+
+    timed("near_dup_jaccard", near_dup_verified)
+    # n_planes scales with corpus size to hold bucket width O(1)
+    timed(
+        "embedding_near_dup_lsh",
+        lambda: embedding_near_dup_lsh(
+            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+            dim=64, threshold=0.4, n_planes=10,
+        ).count(),
+    )
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",

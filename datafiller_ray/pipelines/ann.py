@@ -408,32 +408,35 @@ def embedding_near_dup_lsh(
                 pd.DataFrame(
                     {
                         "vec_id": ids,
-                        "gkey": t * (1 << n_planes) + bucket,
+                        "bkey": t * (1 << n_planes) + bucket,
+                        # shuffle on a COARSE key (<=256 buckets folded per
+                        # table) so group count stays bounded — tens of
+                        # thousands of tiny map_groups calls cost seconds
+                        # of per-group Python overhead (minhash precedent)
+                        "gkey": t * 256 + (bucket & 255),
                     }
                 )
             )
         return pd.concat(frames, ignore_index=True)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if g["gkey"].nunique() != 1:
-            return pd.concat(
-                [bucket_pairs(sub) for _, sub in g.groupby("gkey", sort=True)],
-                ignore_index=True,
-            )
-        ids = g[["vec_id"]]
-        m = ids.merge(ids, how="cross", suffixes=("_a", "_b"))
-        m = m[m["vec_id_a"] < m["vec_id_b"]]
-        return m.rename(columns={"vec_id_a": "vec_a", "vec_id_b": "vec_b"})
+        # all exact buckets inside this coarse group at once: a self-merge
+        # on the exact bucket id is vectorized across buckets
+        m = g[["vec_id", "bkey"]].merge(g[["vec_id", "bkey"]], on="bkey")
+        m = m[m["vec_id_x"] < m["vec_id_y"]]
+        return (
+            m.rename(columns={"vec_id_x": "vec_a", "vec_id_y": "vec_b"})
+            [["vec_a", "vec_b"]]
+        )
 
     cand = (
         embeddings.map_batches(add_table_buckets, batch_format="pandas")
         .groupby("gkey")
         .map_groups(bucket_pairs, batch_format="pandas")
-        # global edge dedup (a pair can collide in several tables)
-        .groupby("vec_a")
-        .map_groups(lambda g: g.drop_duplicates(), batch_format="pandas")
     )
-    pair_df = cand.to_pandas()  # candidate edges: orders smaller than corpus
+    # candidate edges: orders smaller than corpus by construction, so the
+    # cross-table dedup is a driver frame op, not a second shuffle
+    pair_df = cand.to_pandas().drop_duplicates(ignore_index=True)
     if len(pair_df) == 0:
         return ray.data.from_pandas(
             pd.DataFrame(
