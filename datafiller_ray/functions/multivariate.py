@@ -30,14 +30,17 @@ from datafiller_ray.config import EngineValueError
 from datafiller_ray.functions.ridge import FastRidge, fit_ridge_from_gram
 
 
-def column_stats(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def column_stats(
+    x: np.ndarray, _obs: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-column observed (count, mean, std). std==0 or all-NaN -> 1.0
     scale so standardization is a no-op there (reference behavior).
 
     nansum-based single-pass formulation: the where(obs, ...) temporaries of
     the naive version cost 5+ full-matrix passes, which dominated wall time
-    on wide panels (measured 12.8 s of a 31 s headline-workload call)."""
-    obs = ~np.isnan(x)
+    on wide panels (measured 12.8 s of a 31 s headline-workload call).
+    ``_obs`` lets the caller share its own NaN mask (one less full pass)."""
+    obs = ~np.isnan(x) if _obs is None else _obs
     counts = obs.sum(axis=0)
     denom = np.maximum(counts, 1)
     xz = np.where(obs, x, 0.0)  # one temp, reused for both moments
@@ -82,7 +85,9 @@ def scoring(
     else:
         means = _means
     z = np.subtract(x, means)
-    np.nan_to_num(z, copy=False)  # unobserved cells are NaN - mean = NaN -> 0
+    # unobserved cells are NaN - mean = NaN -> exact 0.0 (bit-identical to
+    # nan_to_num, which wastes two extra full-matrix passes on inf checks)
+    np.copyto(z, 0.0, where=~obs)
     if m < (1 << 24):  # counts fit float32 exactly below 2^24 rows
         obsf = obs.astype(np.float32)
     else:
@@ -222,7 +227,7 @@ def impute_matrix(
         row_sel[np.asarray(rows_to_impute, dtype=np.int64)] = True
 
     obs = ~np.isnan(x)
-    counts, means, stds = column_stats(x)
+    counts, means, stds = column_stats(x, _obs=obs)
     xs = np.subtract(x, means)  # NaN cells stay NaN
     np.divide(xs, stds, out=xs)  # in place: xs is the only wide temp
 
