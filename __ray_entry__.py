@@ -439,6 +439,26 @@ def _ann_lsh(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _ann_ivf(sf_dir: str):
+    """IVF (k-means coarse quantizer) top-k — the second named scale path
+    next to LSH; exact cosine within probed cells."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.ann import ivf_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = pc.sort_indices(qt["vec_id"])[: _ANN_NQ]
+    head = qt.take(order)
+    qids = np.asarray(head["vec_id"])
+    qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    ds = ivf_topk(
+        _read(sf_dir, "embeddings"), qids, qmat,
+        k=_ANN_K, n_cells=16, n_probe=4,
+    )
+    return ds.select_columns(["query_id", "rank", "vec_id"])
+
+
 def _lineitem_daily(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -560,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_linear_1m": _events_linear,
         "events_sessions": _events_sessions,
         "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
         "lineitem_daily": _lineitem_daily,
     }
 
@@ -787,6 +808,77 @@ def _ann_lsh_sql() -> str:
           SELECT q.query_id, b.vec_id,
                  round_even(list_cosine_similarity(q.qe, b.de), 6) AS sim
           FROM q JOIN b ON b.bucket = q.qbucket)
+        SELECT query_id, rank, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM sims)
+        WHERE rank <= {_ANN_K}
+    """
+
+
+def _oracle_kmeans(M: np.ndarray, n_cells: int, n_iters: int, seed: int) -> np.ndarray:
+    """Independent re-derivation of the deterministic Lloyd trainer (plain
+    squared-difference distances instead of the engine's expanded norm
+    formula); assignments are discrete, so both converge identically on
+    non-degenerate data (verified by the hash compare itself)."""
+    rng = np.random.default_rng(seed)
+    C = M[np.sort(rng.choice(M.shape[0], size=n_cells, replace=False))].copy()
+    for _ in range(n_iters):
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            if (assign == c).any():
+                C[c] = M[assign == c].mean(axis=0)
+    return C
+
+
+def _ann_ivf_sql() -> str:
+    """IVF top-k with the oracle's own k-means centroids (and per-query cell
+    probes) embedded as SQL literals — the LSH-hyperplane precedent applied
+    to a learned quantizer."""
+    import pyarrow.parquet as pq
+
+    n_cells, n_probe, n_iters, seed = 16, 4, 5, 7
+    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
+    order = np.argsort(np.asarray(t["vec_id"]))
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    C = _oracle_kmeans(M, n_cells, n_iters, seed)
+    qsel = order[:_ANN_NQ]
+    qids = np.asarray(t["vec_id"])[qsel]
+    Q = M[qsel]
+    qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+
+    def lit(vec):
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
+
+    dists = [f"list_distance(de, {lit(C[c])})" for c in range(n_cells)]
+    least = "LEAST(" + ", ".join(dists) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {dists[c]} = {least} THEN {c}" for c in range(n_cells)
+        )
+        + " END"
+    )
+    probe_rows = ", ".join(
+        f"({int(q)}, {int(c)})" for qi, q in enumerate(qids) for c in probes[qi]
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        a AS (SELECT vec_id, de, {case} AS cell FROM e),
+        probes(query_id, cell) AS (VALUES {probe_rows}),
+        q AS (
+          SELECT vec_id AS query_id, de AS qe FROM e
+          ORDER BY vec_id LIMIT {_ANN_NQ}),
+        sims AS (
+          SELECT q.query_id, a.vec_id,
+                 round_even(list_cosine_similarity(q.qe, a.de), 6) AS sim
+          FROM q
+          JOIN probes p ON p.query_id = q.query_id
+          JOIN a ON a.cell = p.cell)
         SELECT query_id, rank, vec_id FROM (
           SELECT query_id, vec_id,
                  row_number() OVER (PARTITION BY query_id
@@ -1371,6 +1463,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_near_dup": _minhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "lineitem_daily": """
             SELECT l_returnflag,
                    epoch_us(l_shipdate) // 86400000000 AS ship_day,

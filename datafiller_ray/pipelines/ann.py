@@ -492,3 +492,132 @@ def embedding_near_dup_lsh(
         batch_size=4096,
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed cells
+
+
+def train_ivf_centroids(
+    M: np.ndarray, *, n_cells: int = 16, n_iters: int = 5, seed: int = 7
+) -> np.ndarray:
+    """Deterministic Lloyd k-means over (a sample of) the corpus: init =
+    seeded choice of distinct rows, fixed iteration count, empty cells keep
+    their previous centroid. The training sample must fit driver memory
+    (standard IVF practice — train on a sample, assign distributed)."""
+    rng = np.random.default_rng(seed)
+    M = np.asarray(M, dtype=np.float64)
+    init = rng.choice(M.shape[0], size=n_cells, replace=False)
+    C = M[np.sort(init)].copy()
+    for _ in range(n_iters):
+        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin ties -> first cell
+        d = (
+            (M * M).sum(axis=1, keepdims=True)
+            - 2.0 * (M @ C.T)
+            + (C * C).sum(axis=1)
+        )
+        assign = np.argmin(d, axis=1)
+        for c in range(n_cells):
+            sel = assign == c
+            if sel.any():
+                C[c] = M[sel].mean(axis=0)
+    return C
+
+
+def _assign_cells(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    d = (
+        (M * M).sum(axis=1, keepdims=True)
+        - 2.0 * (M @ C.T)
+        + (C * C).sum(axis=1)
+    )
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def ivf_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k: corpus vectors are binned to their nearest
+    k-means centroid; each query scores ONLY vectors in its ``n_probe``
+    nearest cells (exact cosine within candidates, deterministic
+    sim-desc/vec_id-asc ranking like the brute path). At corpus scale the
+    cells become storage partitions (the ``build_lsh_index`` layout) and
+    probing prunes I/O; here the pruning is compute-side, mirrored exactly
+    by the SQL oracle via literal centroids."""
+    sample = embeddings.to_pandas()  # trainer sample: see train_ivf_centroids
+    M = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    C = train_ivf_centroids(M, n_cells=n_cells, n_iters=n_iters, seed=seed)
+
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    qd = (
+        (Q * Q).sum(axis=1, keepdims=True)
+        - 2.0 * (Q @ C.T)
+        + (C * C).sum(axis=1)
+    )
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]  # (nq, n_probe)
+    ref = ray.put(
+        {
+            "ids": np.asarray(query_ids),
+            "matrix": Q,
+            "centroids": C,
+            "probes": probes,
+        }
+    )
+
+    class CellScorer:
+        def __init__(self, ref, k: int) -> None:
+            d = ray.get(ref) if not isinstance(ref, dict) else ref
+            self.query_ids = d["ids"]
+            Qm = d["matrix"]
+            self.Qn = Qm / np.linalg.norm(Qm, axis=1, keepdims=True)
+            self.C = d["centroids"]
+            self.probes = d["probes"]
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, M = _batch_matrix(batch)
+            cells = _assign_cells(M.astype(np.float64), self.C)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            out = []
+            for qi in range(self.query_ids.size):
+                cand = np.flatnonzero(np.isin(cells, self.probes[qi]))
+                if cand.size == 0:
+                    continue
+                sims = np.round(Mn[cand] @ self.Qn[qi], 6)
+                top = np.argsort(-sims, kind="stable")[: self.k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": self.query_ids[qi],
+                            "vec_id": ids[cand[top]],
+                            "sim": sims[top],
+                        }
+                    )
+                )
+            if not out:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype=np.int64),
+                        "vec_id": pd.Series([], dtype=np.int64),
+                        "sim": pd.Series([], dtype=np.float64),
+                    }
+                )
+            return pd.concat(out, ignore_index=True)
+
+    partial = embeddings.map_batches(
+        CellScorer,
+        fn_constructor_args=(ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
