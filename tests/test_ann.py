@@ -60,3 +60,39 @@ def test_lsh_topk_recall(embeddings):
     for q in qids:
         top = approx[approx.query_id == q].sort_values("rank").iloc[0]
         assert top.vec_id == q
+
+
+def test_ivf_topk_recall(embeddings):
+    from datafiller_ray.pipelines.ann import ivf_topk
+
+    ds, M = embeddings
+    qids = np.array([1, 2, 3, 4])
+    exact = _oracle_topk(M, qids, 10)
+    approx = ivf_topk(ds, qids, M[qids], k=10, n_cells=8, n_probe=3).to_pandas()
+    recalls = []
+    for q in qids:
+        got = set(approx[approx.query_id == q]["vec_id"].tolist())
+        recalls.append(len(got & set(exact[q])) / 10)
+    # clustered data: a query's neighborhood maps to few k-means cells, and
+    # probing 3 of 8 covers it
+    assert np.mean(recalls) >= 0.7, recalls
+    for q in qids:
+        top = approx[approx.query_id == q].sort_values("rank").iloc[0]
+        assert top.vec_id == q
+
+
+def test_embedding_near_dup_lsh_recall_vs_brute(embeddings):
+    from datafiller_ray.pipelines.ann import embedding_near_dup, embedding_near_dup_lsh
+
+    ds, M = embeddings
+    exact = embedding_near_dup(ds, threshold=0.8).to_pandas()
+    approx = embedding_near_dup_lsh(
+        ds, dim=M.shape[1], threshold=0.8, n_planes=4, n_tables=8
+    ).to_pandas()
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+    approx_pairs = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert exact_pairs, "fixture must contain high-cosine pairs"
+    # every reported pair is exact-verified, so no false positives...
+    assert approx_pairs <= exact_pairs
+    # ...and multi-table recall on near-identical pairs is high
+    assert len(approx_pairs) / len(exact_pairs) >= 0.8
