@@ -30,6 +30,8 @@ def main() -> int:
     ap.add_argument("--tiers", default="1m,1h,1d")
     ap.add_argument("--buckets", type=int, default=128,
                     help="checkpoint/shuffle partition count")
+    ap.add_argument("--subbuckets", type=int, default=16,
+                    help="streaming sub-partitions per bucket (memory bound)")
     ap.add_argument("--no-token-check", action="store_true")
     ap.add_argument("--emit", choices=["rows", "blobs"], default="rows",
                     help="tier rows, or Gorilla chunk blobs per (source, tier)")
@@ -86,6 +88,7 @@ def main() -> int:
             retention=retention,
             check_tokens=not args.no_token_check,
             n_buckets=args.buckets,
+            n_subbuckets=args.subbuckets,
             emit=args.emit,
         )
     summary["wall_sec"] = round(time.perf_counter() - t0, 2)
