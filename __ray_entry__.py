@@ -1155,6 +1155,14 @@ def _fill_oracle_parquet(name: str) -> str:
     if os.path.exists(docs):
         st = os.stat(docs)
         parts.append(f"docs:{st.st_mtime_ns}:{st.st_size}")
+    # the cache key must also cover the oracle CODE, or an edited oracle
+    # silently serves stale tables from /tmp
+    fills_py = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "oracle", "fills.py"
+    )
+    if os.path.exists(fills_py):
+        st = os.stat(fills_py)
+        parts.append(f"oracle:{st.st_mtime_ns}:{st.st_size}")
     tag = hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
     d = f"/tmp/datafiller_ray_fill_oracle/{tag}"
     os.makedirs(d, exist_ok=True)

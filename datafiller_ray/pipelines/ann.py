@@ -396,14 +396,20 @@ def embedding_near_dup_lsh(
     (documented approximation; the brute-force variant is the exact
     baseline)."""
 
+    # plane matrices are constants of (dim, n_planes, seed): build once and
+    # close over them instead of re-drawing RNGs in every batch
+    table_planes = [
+        np.random.default_rng(base_seed + t).standard_normal((dim, n_planes))
+        for t in range(n_tables)
+    ]
+    bit_weights = 1 << np.arange(n_planes)
+
     def add_table_buckets(batch: pd.DataFrame) -> pd.DataFrame:
         ids, M = _batch_matrix(batch)
         frames = []
         for t in range(n_tables):
-            rng = np.random.default_rng(base_seed + t)
-            planes = rng.standard_normal((dim, n_planes))
-            signs = (M @ planes) > 0
-            bucket = (signs @ (1 << np.arange(n_planes))).astype(np.int64)
+            signs = (M @ table_planes[t]) > 0
+            bucket = (signs @ bit_weights).astype(np.int64)
             frames.append(
                 pd.DataFrame(
                     {
@@ -447,21 +453,10 @@ def embedding_near_dup_lsh(
                 }
             )
         )
-    need = set(pair_df["vec_a"]) | set(pair_df["vec_b"])
-    need_ref = ray.put(need)
+    from datafiller_ray.stages.lookup import gather_rows
 
-    class HitFilter:
-        def __init__(self) -> None:
-            self.need = ray.get(need_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.loc[batch["vec_id"].isin(self.need)]
-
-    hits = (
-        embeddings.map_batches(
-            HitFilter, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
-        )
-        .to_pandas()
+    hits = gather_rows(
+        embeddings, "vec_id", set(pair_df["vec_a"]) | set(pair_df["vec_b"])
     )
     ids = hits["vec_id"].to_numpy(np.int64)
     M = np.stack(hits["embedding"].to_numpy()).astype(np.float64)
@@ -591,7 +586,10 @@ def ivf_topk(
                 if cand.size == 0:
                     continue
                 sims = np.round(Mn[cand] @ self.Qn[qi], 6)
-                top = np.argsort(-sims, kind="stable")[: self.k]
+                # deterministic partial top-k: sim desc, vec_id asc — ties
+                # at rank k must not depend on batch row order (brute path
+                # and SQL oracle both break them by vec_id)
+                top = np.lexsort((ids[cand], -sims))[: self.k]
                 out.append(
                     pd.DataFrame(
                         {

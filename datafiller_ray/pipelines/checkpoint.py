@@ -59,6 +59,27 @@ def _add_bucket(n_buckets: int, n_subbuckets: int = 1):
     return fn
 
 
+def _blob_payload_hashes(rows) -> np.ndarray:
+    """Per-chunk 64-bit blake2b digest of the concatenated blob columns."""
+    import hashlib
+
+    blob_cols = [c for c in rows.columns if c.endswith("_blob")]
+    digests = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(
+                    b"".join(bytes(row[c]) for c in blob_cols), digest_size=8
+                ).digest(),
+                "little",
+            )
+            for _, row in rows.iterrows()
+        ),
+        dtype=np.uint64,
+        count=len(rows),
+    )
+    return digests.view(np.int64)
+
+
 def _publish_rows(tier_rows, tmp_dir: str, emit: str, keep_rows=None, part: int = 0):
     """Write a bucket's output rows (tier rows, or Gorilla blob rows when
     emit="blobs") under tmp_dir partitioned by tier; returns (written rows,
@@ -74,34 +95,24 @@ def _publish_rows(tier_rows, tmp_dir: str, emit: str, keep_rows=None, part: int 
     import pyarrow.parquet as pq
 
     if emit == "blobs":
-        import hashlib
-
         from datafiller_ray.stages.compress import encode_tier_chunks
 
         out_rows = encode_tier_chunks(tier_rows)
         # checksum must cover the payload bytes, not just chunk identity,
         # so value-level divergence in a resumed blob bucket is caught the
         # way the rows sink catches it
-        blob_cols = [c for c in out_rows.columns if c.endswith("_blob")]
-        digests = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(
-                        b"".join(bytes(row[c]) for c in blob_cols), digest_size=8
-                    ).digest(),
-                    "little",
-                )
-                for _, row in out_rows.iterrows()
-            ),
-            dtype=np.uint64,
-            count=len(out_rows),
-        )
-        out_rows = out_rows.assign(payload_hash=digests.view(np.int64))
+        out_rows = out_rows.assign(payload_hash=_blob_payload_hashes(out_rows))
         checksum_cols = ("source", "start_ts", "end_ts", "n_points", "payload_hash")
     else:
         out_rows = tier_rows
         checksum_cols = ("source", "bucket_ts", "count", "sum")
     if keep_rows is not None and len(keep_rows):
+        if emit == "blobs" and "payload_hash" not in keep_rows.columns:
+            # blob buckets published before payload hashing existed splice
+            # cleanly: the digest is a pure function of the payload bytes
+            keep_rows = keep_rows.assign(
+                payload_hash=_blob_payload_hashes(keep_rows)
+            )
         out_rows = pd.concat(
             [keep_rows[out_rows.columns], out_rows], ignore_index=True
         )
@@ -409,19 +420,23 @@ def run_incremental(
                 + [os.path.join(u, f"bucket={b}") for u in all_update_dirs]
                 if os.path.isdir(d)
             ]
-            # only sources THIS update touches are recomputed (and, for the
-            # blob sink, recompressed); the bucket's other sources splice
-            # through from the existing published rows untouched
-            touched_src = set(
-                pds.dataset(os.path.join(update_dir, f"bucket={b}"))
-                .to_table(columns=["source"])["source"]
-                .to_pylist()
-            )
+            # sources touched by ANY committed update are recomputed (and,
+            # for the blob sink, recompressed); the rest splice through
+            # from the published rows untouched. The union — not just THIS
+            # update's sources — makes the result independent of crash
+            # history: a prior update that committed its partials but died
+            # before refreshing this bucket is healed here, because its
+            # sources are recomputed from base + all updates too.
+            touched_src: set = set()
+            for u in all_update_dirs:
+                ub = os.path.join(u, f"bucket={b}")
+                if os.path.isdir(ub):
+                    touched_src.update(
+                        pds.dataset(ub).to_table(columns=["source"])["source"]
+                        .to_pylist()
+                    )
             tables = [pds.dataset(d).to_table() for d in inputs]
             df = pa.concat_tables(tables).to_pandas()
-            df = df[df["source"].isin(touched_src)]
-            parts = [fill_fn(sub) for _, sub in df.groupby("skey", sort=True)]
-            tier_rows = pd.concat(parts, ignore_index=True)
             out_bucket = os.path.join(tiers_dir, f"bucket={b}")
             keep = None
             if os.path.isdir(out_bucket):
@@ -431,6 +446,12 @@ def run_incremental(
                 keep = existing[~existing["source"].isin(touched_src)]
                 if "tier" in keep.columns:
                     keep = keep.astype({"tier": object})
+                df = df[df["source"].isin(touched_src)]
+            # a missing published bucket (crash between the rmtree and the
+            # rename below on a previous run) falls back to recomputing
+            # every source from base + updates — never a partial publish
+            parts = [fill_fn(sub) for _, sub in df.groupby("skey", sort=True)]
+            tier_rows = pd.concat(parts, ignore_index=True)
             tmp_b = f"{out_bucket}.tmp-{os.getpid()}"
             shutil.rmtree(tmp_b, ignore_errors=True)
             os.makedirs(tmp_b, exist_ok=True)

@@ -243,8 +243,12 @@ class TokenCounts:
     def __init__(self) -> None:
         import re
 
-        self.ws = re.compile(r"\s+")
-        self.bpe = re.compile(r"\w+|[^\w\s]")
+        # re.ASCII pins \w and \s to the ASCII classes so the counts agree
+        # with the DuckDB/RE2 oracle on ANY input, not just the (currently
+        # all-ASCII) fixture — a non-ASCII letter counts as punctuation on
+        # both sides instead of only one
+        self.ws = re.compile(r"\s+", re.ASCII)
+        self.bpe = re.compile(r"\w+|[^\w\s]", re.ASCII)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
@@ -579,23 +583,13 @@ def verify_near_dup_pairs(
     pair_df = pairs.to_pandas()  # small by construction
     if len(pair_df) == 0:
         return pairs.filter(lambda row: False)
-    need = set(pair_df["doc_a"]) | set(pair_df["doc_b"])
-    # distributed semi-join: broadcast the (small) candidate-id set, filter
-    # in parallel, and collect ONLY the hits — the corpus itself never
-    # streams through the driver
-    need_ref = ray.put(need)
+    from datafiller_ray.stages.lookup import gather_rows
 
-    class HitFilter:
-        def __init__(self) -> None:
-            self.need = ray.get(need_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.loc[batch["doc_id"].isin(self.need)]
-
-    hits = (
-        documents.select_columns(["doc_id", "text"])
-        .map_batches(HitFilter, batch_format="pandas", batch_size=4096, concurrency=(1, 4))
-        .to_pandas()
+    hits = gather_rows(
+        documents,
+        "doc_id",
+        set(pair_df["doc_a"]) | set(pair_df["doc_b"]),
+        columns=["doc_id", "text"],
     )
     texts: dict[int, str] = dict(zip(hits["doc_id"], hits["text"]))
     ref = ray.put(texts)

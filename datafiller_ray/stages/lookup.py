@@ -1,0 +1,40 @@
+"""Broadcast semi-join lookup: collect only the rows matching a small id
+set, without streaming the corpus through the driver.
+
+The id set is ``ray.put`` once; stateless filter tasks drop non-matches in
+parallel and only the hits are collected. Used by every verify stage that
+needs a second look at candidate rows (near-dup Jaccard texts, near-dup
+cosine vectors) — the pattern the round-2 review asked to keep in one
+place so the sinks cannot drift.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray
+
+
+def gather_rows(
+    dataset: "ray.data.Dataset",
+    id_column: str,
+    ids,
+    *,
+    columns: list[str] | None = None,
+) -> pd.DataFrame:
+    """Rows of ``dataset`` whose ``id_column`` is in ``ids`` (a small set),
+    as one pandas frame. The caller asserts smallness: the result is
+    collected to the driver."""
+    need_ref = ray.put(set(ids))
+
+    class HitFilter:
+        def __init__(self) -> None:
+            self.need = ray.get(need_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.loc[batch[id_column].isin(self.need)]
+
+    ds = dataset if columns is None else dataset.select_columns(columns)
+    return ds.map_batches(
+        HitFilter, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    ).to_pandas()

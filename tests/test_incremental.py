@@ -144,3 +144,32 @@ def test_incremental_subset_sources_spliced(ray_session, split_inputs, tmp_path)
                 .reset_index(drop=True)
             )
             pd.testing.assert_frame_equal(got, want)
+
+
+def test_incremental_heals_crash_window_and_prior_updates(ray_session, split_inputs, tmp_path):
+    """The splice must not trust history: a published bucket that vanished
+    in the rmtree->rename crash window, or a prior update that committed
+    its partials but never refreshed the bucket, must be healed by the next
+    update (recompute = union of ALL updates' touched sources; missing
+    published bucket = full recompute)."""
+    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    full, early, late = split_inputs
+    late_t = pq.read_table(late)
+    half = late_t.num_rows // 2
+    u1, u2 = late_t.slice(0, half), late_t.slice(half)
+    u1_path, u2_path = str(tmp_path / "u1.parquet"), str(tmp_path / "u2.parquet")
+    pq.write_table(u1, u1_path)
+    pq.write_table(u2, u2_path)
+    out = str(tmp_path / "out")
+    run_checkpointed(early, out, fill=CFG, n_buckets=5)
+    s1 = run_incremental(out, u1_path)
+    victim = s1["touched_buckets"][0]
+    _shutil.rmtree(f"{out}/tiers/bucket={victim}")  # simulated crash window
+    run_incremental(out, u2_path)
+    got = _norm(read_tier_output(out).to_pandas())
+    want = _norm(rollup_tiers(full, fill=CFG).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
