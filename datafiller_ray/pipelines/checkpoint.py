@@ -229,9 +229,12 @@ def run_checkpointed(
         idempotent, since the rename replaces the directory wholesale."""
         import pandas as pd
 
+        import time
+
         rows = []
         for b in batch["item"]:
             b = int(b)
+            t0 = time.perf_counter()
             bucket_path = os.path.join(partials_dir, f"bucket={b}")
             out_bucket = os.path.join(tiers_dir, f"bucket={b}")
             tmp = f"{out_bucket}.tmp-{os.getpid()}"
@@ -240,7 +243,7 @@ def run_checkpointed(
                 os.makedirs(tmp, exist_ok=True)
                 shutil.rmtree(out_bucket, ignore_errors=True)
                 os.replace(tmp, out_bucket)
-                rows.append((b, 0, f"{0:016x}", out_bucket, ""))
+                rows.append((b, 0, f"{0:016x}", out_bucket, "", 0.0))
                 continue
             # stream sub-partitions sequentially: peak task memory is one
             # sub (1/n_subbuckets of the bucket), not the whole bucket; the
@@ -265,9 +268,13 @@ def run_checkpointed(
             checksum = lineage.merge_checksums(sub_checksums)
             shutil.rmtree(out_bucket, ignore_errors=True)
             os.replace(tmp, out_bucket)
-            rows.append((b, total_rows, checksum, out_bucket, bucket_path))
+            rows.append(
+                (b, total_rows, checksum, out_bucket, bucket_path,
+                 round(time.perf_counter() - t0, 3))
+            )
         return pd.DataFrame(
-            rows, columns=["bucket", "row_count", "checksum", "output", "input"]
+            rows,
+            columns=["bucket", "row_count", "checksum", "output", "input", "wall_sec"],
         )
 
     n_done = 0
@@ -287,6 +294,7 @@ def run_checkpointed(
                     checksum=r.checksum,
                     output_path=r.output,
                     input_fragments=[r.input] if r.input else [],
+                    extra={"wall_sec": float(r.wall_sec)},
                 ),
             )
             n_done += 1
@@ -411,9 +419,12 @@ def run_incremental(
     fill_fn = make_fill_group_fn(cfg, tiers=tiers)
 
     def refresh_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import time
+
         rows = []
         for b in batch["item"]:
             b = int(b)
+            t0 = time.perf_counter()
             inputs = [
                 d
                 for d in [os.path.join(partials_dir, f"bucket={b}")]
@@ -458,8 +469,13 @@ def run_incremental(
             tier_rows, checksum = _publish_rows(tier_rows, tmp_b, emit, keep_rows=keep)
             shutil.rmtree(out_bucket, ignore_errors=True)
             os.replace(tmp_b, out_bucket)
-            rows.append((b, len(tier_rows), checksum, out_bucket))
-        return pd.DataFrame(rows, columns=["bucket", "row_count", "checksum", "output"])
+            rows.append(
+                (b, len(tier_rows), checksum, out_bucket,
+                 round(time.perf_counter() - t0, 3))
+            )
+        return pd.DataFrame(
+            rows, columns=["bucket", "row_count", "checksum", "output", "wall_sec"]
+        )
 
     refreshed = 0
     if todo:
@@ -477,7 +493,7 @@ def run_incremental(
                     row_count=int(r.row_count),
                     checksum=r.checksum,
                     output_path=r.output,
-                    extra={"update_id": update_id},
+                    extra={"update_id": update_id, "wall_sec": float(r.wall_sec)},
                 ),
             )
             refreshed += 1
