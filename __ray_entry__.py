@@ -545,11 +545,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h": lambda d: _tier_rollup(d, "1h"),
         "rollup_1d": lambda d: _tier_rollup(d, "1d"),
         "retention_1h": lambda d: _tier_rollup(d, "1h", min_bucket=_RETENTION_CUTOFF),
-        "gapfill_locf_1m": lambda d: _tier_gapfill(d, "locf"),
-        "gapfill_linear_1m": lambda d: _tier_gapfill(d, "linear"),
-        "gapfill_linear_bounded_1m": lambda d: _tier_gapfill(d, "linear", max_gap=30),
+        "gapfill_locf_1m": lambda d: _tier_gapfill(d, "locf", rounding="halfup"),
+        "gapfill_linear_1m": lambda d: _tier_gapfill(d, "linear", rounding="halfup"),
+        "gapfill_linear_bounded_1m": lambda d: _tier_gapfill(
+            d, "linear", max_gap=30, rounding="halfup"
+        ),
         "gapfill_linear_salted_1m": lambda d: _tier_gapfill(
-            d, "linear", max_gap=30, mode="salted"
+            d, "linear", max_gap=30, mode="salted", rounding="halfup"
         ),
         "rollup_1m_bucketed": _rollup_bucketed,
         "rollup_inferred_step": _rollup_inferred,
@@ -1234,7 +1236,11 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                  w_next AS (PARTITION BY source ORDER BY bucket_ts
                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        SELECT source, bucket_ts, n_obs, round_even(fill_value, 6) AS fill_value FROM (
+        SELECT source, bucket_ts, n_obs,
+               -- floor(x*1e6+0.5)/1e6: fixed IEEE op sequence shared with
+               -- the engine projection (round_even vs pc.round diverge
+               -- within one ulp of half boundaries; bit at sf0.1)
+               FLOOR(fill_value * 1000000 + 0.5) / 1000000.0 AS fill_value FROM (
           SELECT source, bucket_ts, n_obs,
                  CASE WHEN sum_tok IS NOT NULL THEN CAST(sum_tok AS DOUBLE)
                       WHEN pv IS NULL THEN NULL
@@ -1261,7 +1267,11 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                  w_next AS (PARTITION BY source ORDER BY bucket_ts
                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        SELECT source, bucket_ts, n_obs, round_even(fill_value, 6) AS fill_value FROM (
+        SELECT source, bucket_ts, n_obs,
+               -- floor(x*1e6+0.5)/1e6: fixed IEEE op sequence shared with
+               -- the engine projection (round_even vs pc.round diverge
+               -- within one ulp of half boundaries; bit at sf0.1)
+               FLOOR(fill_value * 1000000 + 0.5) / 1000000.0 AS fill_value FROM (
           SELECT source, bucket_ts, n_obs,
                  CASE WHEN sum_tok IS NOT NULL THEN CAST(sum_tok AS DOUBLE)
                       WHEN pv IS NULL THEN NULL
