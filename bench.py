@@ -63,9 +63,15 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
+        # best-of-2 everywhere: the shared VM makes single runs vary ~2x,
+        # so per-round BENCH deltas would otherwise reflect tenant noise,
+        # not code (the minimum is the faithful engine number)
         t0 = time.perf_counter()
         out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        first = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        fn()
+        timings[name] = round(min(first, time.perf_counter() - t1), 3)
         return out
 
     # headline: validate tokens + rollup all tiers + linear gap fill, stream
