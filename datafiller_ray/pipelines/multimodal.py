@@ -240,3 +240,131 @@ def frame_sample(
         concurrency=(1, 8),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: deterministic fake PCM, resample + features
+
+
+def synthesize_audio_table(n: int, *, seed: int = 44) -> pa.Table:
+    """Deterministic fake audio rows: payload = seeded int16 PCM bytes with
+    a per-row sine component (so DSP stages act on structured signal, not
+    white noise), plus sample-rate/length metadata."""
+    rng = np.random.default_rng(seed)
+    rates = rng.choice([8_000, 16_000, 44_100], n)
+    lengths = rng.integers(400, 4000, n)
+    payloads = []
+    for i in range(n):
+        t = np.arange(int(lengths[i]))
+        freq = 0.01 + 0.1 * rng.random()
+        wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(
+            int(lengths[i])
+        )
+        payloads.append((wave * 10_000).astype("<i2").tobytes())
+    return pa.table(
+        {
+            "audio_id": pa.array(np.arange(n), pa.int64()),
+            "media_type": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "sample_rate": pa.array(rates.astype(np.int32), pa.int32()),
+            "n_samples": pa.array(lengths.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+class AudioResampler:
+    """Actor-pool stage: decode PCM -> linear resample to ``target_rate`` ->
+    re-encode. The resampling math is real (vectorized np.interp over the
+    time grid); only the CODEC is the deterministic fake (raw little-endian
+    int16), since no audio container libs exist here — a real backend slots
+    into ``__init__``/``_decode`` exactly like the image stages."""
+
+    def __init__(self, target_rate: int, decoder: str = "fake") -> None:
+        if decoder != "fake":
+            raise NotImplementedError(
+                f"audio decoder {decoder!r} needs an audio library; this "
+                "container has none (decode is stubbed by contract)"
+            )
+        self.target_rate = int(target_rate)
+
+    @staticmethod
+    def _decode(payload: bytes) -> np.ndarray:
+        return np.frombuffer(payload, dtype="<i2").astype(np.float64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_payload, out_n = [], []
+        for payload, rate in zip(batch["payload"], batch["sample_rate"]):
+            x = self._decode(bytes(payload))
+            rate = int(rate)
+            n_out = max(1, int(round(x.size * self.target_rate / rate)))
+            src_t = np.arange(x.size) / rate
+            dst_t = np.arange(n_out) / self.target_rate
+            y = np.interp(dst_t, src_t, x)
+            out_payload.append(
+                np.clip(np.round(y), -32768, 32767).astype("<i2").tobytes()
+            )
+            out_n.append(n_out)
+        return pd.DataFrame(
+            {
+                "audio_id": batch["audio_id"].to_numpy(np.int64),
+                "media_type": "audio",
+                "payload": out_payload,
+                "sample_rate": np.full(len(batch), self.target_rate, np.int32),
+                "n_samples": np.asarray(out_n, dtype=np.int64),
+            }
+        )
+
+
+def audio_resample(
+    audio: "ray.data.Dataset", *, target_rate: int = 16_000, decoder: str = "fake"
+) -> "ray.data.Dataset":
+    import ray.data  # noqa: F401  (type only)
+
+    return audio.map_batches(
+        AudioResampler,
+        fn_constructor_args=(target_rate, decoder),
+        batch_format="pandas",
+        batch_size=64,  # large blobs per row: keep batches small
+        concurrency=(1, 4),
+    )
+
+
+class AudioFeatures:
+    """Actor-pool stage: per-clip scalar features over the decoded PCM —
+    RMS energy, zero-crossing rate, duration. Real DSP math on the fake
+    codec's output."""
+
+    def __init__(self, decoder: str = "fake") -> None:
+        if decoder != "fake":
+            raise NotImplementedError(
+                f"audio decoder {decoder!r} needs an audio library"
+            )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rms, zcr, dur = [], [], []
+        for payload, rate in zip(batch["payload"], batch["sample_rate"]):
+            x = AudioResampler._decode(bytes(payload))
+            n = max(x.size, 1)
+            rms.append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
+            zcr.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0)
+            dur.append(n / int(rate))
+        return pd.DataFrame(
+            {
+                "audio_id": batch["audio_id"].to_numpy(np.int64),
+                "rms": np.round(rms, 6),
+                "zero_cross_rate": np.round(zcr, 6),
+                "duration_sec": np.round(dur, 6),
+            }
+        )
+
+
+def audio_features(
+    audio: "ray.data.Dataset", *, decoder: str = "fake"
+) -> "ray.data.Dataset":
+    return audio.map_batches(
+        AudioFeatures,
+        fn_constructor_args=(decoder,),
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
