@@ -157,3 +157,28 @@ def test_checkpointed_blob_sink_resume_and_incremental(ray_session, tmp_path):
     for c in ("count", "sum", "value"):
         a, b = d2[c].to_numpy(np.float64), w2[c].to_numpy(np.float64)
         assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all(), c
+
+
+def test_rows_checksum_merges_exactly():
+    """Per-sub checksums must combine to the whole-set checksum (the
+    sub-streamed finalize depends on it)."""
+    import numpy as np
+
+    from datafiller_ray.state import lineage
+
+    rng = np.random.default_rng(3)
+    cols = {
+        "source": np.array([f"s{i%7}" for i in range(1000)]),
+        "bucket_ts": rng.integers(0, 10**9, 1000),
+        "count": rng.integers(0, 50, 1000),
+        "sum": rng.random(1000) * 1e4,
+    }
+    whole = lineage.rows_checksum(cols)
+    parts = []
+    for lo, hi in [(0, 137), (137, 400), (400, 1000)]:
+        parts.append(
+            lineage.rows_checksum({k: v[lo:hi] for k, v in cols.items()})
+        )
+    assert lineage.merge_checksums(parts) == whole
+    # order-independent too
+    assert lineage.merge_checksums(parts[::-1]) == whole
