@@ -173,3 +173,52 @@ def test_incremental_heals_crash_window_and_prior_updates(ray_session, split_inp
     got = _norm(read_tier_output(out).to_pandas())
     want = _norm(rollup_tiers(full, fill=CFG).to_pandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_ingest_loop_blobs(ray_session, split_inputs, tmp_path):
+    """Operational shape of continuous ingest: shards arrive one at a time
+    and each is folded with run_incremental (blob sink). After N folds the
+    decoded output equals a from-scratch run over everything, and
+    re-submitting any shard is a no-op."""
+    import pyarrow as pa
+
+    import pyarrow.dataset as pds
+
+    from datafiller_ray.stages.compress import decode_tier_chunk
+
+    full, early, late = split_inputs
+    late_t = pq.read_table(late)
+    n_shards = 3
+    step = late_t.num_rows // n_shards
+    shard_paths = []
+    for i in range(n_shards):
+        sl = late_t.slice(i * step, step if i < n_shards - 1 else late_t.num_rows - i * step)
+        p = str(tmp_path / f"shard{i}.parquet")
+        pq.write_table(sl, p)
+        shard_paths.append(p)
+    out = str(tmp_path / "out")
+    run_checkpointed(early, out, fill=CFG, n_buckets=5, emit="blobs")
+    ids = []
+    for p in shard_paths:
+        ids.append(run_incremental(out, p)["update_id"])
+    # idempotence: replay the middle shard
+    replay = run_incremental(out, shard_paths[1])
+    assert replay["update_id"] == ids[1] and replay["refreshed_buckets"] == 0
+
+    blob_df = (
+        pds.dataset(f"{out}/tiers", partitioning="hive").to_table().to_pandas()
+    )
+    blob_df["tier"] = blob_df["tier"].astype(object)
+    decoded = pd.concat(
+        [decode_tier_chunk(r) for _, r in blob_df.iterrows()], ignore_index=True
+    )
+    got = (
+        decoded[["source", "tier", "bucket_ts", "count", "sum", "min", "max", "value"]]
+        .sort_values(["tier", "source", "bucket_ts"]).reset_index(drop=True)
+    )
+    want = (
+        rollup_tiers(full, fill=CFG).to_pandas()
+        [["source", "tier", "bucket_ts", "count", "sum", "min", "max", "value"]]
+        .sort_values(["tier", "source", "bucket_ts"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

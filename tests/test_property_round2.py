@@ -156,3 +156,46 @@ def test_encode_decode_is_identity_on_untouched_cells(df):
     a = out["v"].to_numpy(np.float64)
     b = df["v"].to_numpy(np.float64)
     assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_histogram_optimask_soundness(data):
+    """The distributed rectangle search must be SOUND: whatever (columns,
+    n_train) it returns, recounting complete rows over those columns from
+    the raw per-pattern histogram gives exactly n_train, and it is never
+    below min_rows. (Parity with the per-source pareto search is pinned
+    separately on a realistic fixture.)"""
+    from datafiller_ray.stages.distributed_model import _histogram_optimask
+
+    n_feats = data.draw(st.integers(2, 10))
+    n_groups = data.draw(st.integers(1, min(12, (1 << n_feats) - 1)))
+    masks = data.draw(
+        st.lists(
+            st.integers(1, (1 << n_feats) - 1),
+            min_size=n_groups, max_size=n_groups, unique=True,
+        )
+    )
+    counts = data.draw(
+        st.lists(st.integers(1, 50), min_size=n_groups, max_size=n_groups)
+    )
+    min_rows = data.draw(st.integers(1, 60))
+    feats = np.array(
+        sorted(data.draw(st.sets(st.integers(0, n_feats - 1), min_size=1))),
+        dtype=np.int64,
+    )
+    group_masks = np.array(masks, dtype=np.uint64)
+    n_by_mask = {int(m): int(c) for m, c in zip(masks, counts)}
+    sel = _histogram_optimask(group_masks, n_by_mask, feats, min_rows)
+    if sel is None:
+        return
+    cols, n_train = sel
+    assert len(cols) >= 1 and set(cols) <= set(feats.tolist())
+    assert n_train >= min_rows
+    mask = 0
+    for f in cols:
+        mask |= 1 << int(f)
+    recount = sum(
+        c for m, c in zip(masks, counts) if (m & mask) == mask
+    )
+    assert recount == n_train
