@@ -81,6 +81,7 @@ def run_bench() -> dict:
 
     def headline():
         # the production path: explicit hash-partitioned exchange
+        shutil.rmtree(out_dir, ignore_errors=True)
         ds = rollup_tiers_bucketed(
             fixture, fill=FillConfig(strategy="linear", max_gap=60)
         )

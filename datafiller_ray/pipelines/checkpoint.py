@@ -243,7 +243,10 @@ def run_checkpointed(
                 os.makedirs(tmp, exist_ok=True)
                 shutil.rmtree(out_bucket, ignore_errors=True)
                 os.replace(tmp, out_bucket)
-                rows.append((b, 0, f"{0:016x}", out_bucket, "", 0.0))
+                rows.append(
+                    (b, 0, f"{0:016x}", out_bucket, "",
+                     round(time.perf_counter() - t0, 3))
+                )
                 continue
             # stream sub-partitions sequentially: peak task memory is one
             # sub (1/n_subbuckets of the bucket), not the whole bucket; the

@@ -296,6 +296,10 @@ class AudioResampler:
         for payload, rate in zip(batch["payload"], batch["sample_rate"]):
             x = self._decode(bytes(payload))
             rate = int(rate)
+            if x.size == 0:  # empty clip passes through empty
+                out_payload.append(b"")
+                out_n.append(0)
+                continue
             n_out = max(1, int(round(x.size * self.target_rate / rate)))
             src_t = np.arange(x.size) / rate
             dst_t = np.arange(n_out) / self.target_rate
@@ -344,10 +348,9 @@ class AudioFeatures:
         rms, zcr, dur = [], [], []
         for payload, rate in zip(batch["payload"], batch["sample_rate"]):
             x = AudioResampler._decode(bytes(payload))
-            n = max(x.size, 1)
             rms.append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
             zcr.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0)
-            dur.append(n / int(rate))
+            dur.append(x.size / int(rate))
         return pd.DataFrame(
             {
                 "audio_id": batch["audio_id"].to_numpy(np.int64),

@@ -180,8 +180,6 @@ def test_streaming_ingest_loop_blobs(ray_session, split_inputs, tmp_path):
     and each is folded with run_incremental (blob sink). After N folds the
     decoded output equals a from-scratch run over everything, and
     re-submitting any shard is a no-op."""
-    import pyarrow as pa
-
     import pyarrow.dataset as pds
 
     from datafiller_ray.stages.compress import decode_tier_chunk
