@@ -29,7 +29,7 @@ class BruteForceTopK:
         q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
         self.query_ids = q["ids"]  # (nq,)
         Q = q["matrix"].astype(np.float64)  # (nq, d)
-        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -123,7 +123,7 @@ class LshCandidateTopK:
         q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
         self.query_ids = q["ids"]
         Q = q["matrix"].astype(np.float64)
-        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((Q.shape[1], n_planes))
         signs = (Q @ self.planes) > 0
@@ -270,7 +270,7 @@ def lsh_topk_indexed(
         # stateless task fn; the per-bucket query slice is tiny and ships in
         # the closure (an actor pool per bucket piece can deadlock a small
         # CPU budget when several pieces each reserve min-1 actors)
-        Qn = sub_Q / np.linalg.norm(sub_Q, axis=1, keepdims=True)
+        Qn = sub_Q / np.maximum(np.linalg.norm(sub_Q, axis=1, keepdims=True), 1e-300)
 
         def score(batch: pd.DataFrame) -> pd.DataFrame:
             ids, M = _batch_matrix(batch)
@@ -571,7 +571,12 @@ def ivf_topk(
             d = ray.get(ref) if not isinstance(ref, dict) else ref
             self.query_ids = d["ids"]
             Qm = d["matrix"]
-            self.Qn = Qm / np.linalg.norm(Qm, axis=1, keepdims=True)
+            # same zero-norm guard as the corpus side: an all-zero query
+            # must yield sim 0 everywhere (deterministic vec_id ranking),
+            # not NaN sims and an arbitrary lexsort order
+            self.Qn = Qm / np.maximum(
+                np.linalg.norm(Qm, axis=1, keepdims=True), 1e-300
+            )
             self.C = d["centroids"]
             self.probes = d["probes"]
             self.k = k

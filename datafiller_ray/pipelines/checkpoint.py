@@ -60,7 +60,9 @@ def _add_bucket(n_buckets: int, n_subbuckets: int = 1):
 
 
 def _blob_payload_hashes(rows) -> np.ndarray:
-    """Per-chunk 64-bit blake2b digest of the concatenated blob columns."""
+    """Per-chunk 64-bit blake2b digest of the blob columns, each framed by
+    its 8-byte length so a corruption that shifts bytes across the boundary
+    of adjacent columns (b'AB'+b'C' vs b'A'+b'BC') changes the digest."""
     import hashlib
 
     blob_cols = [c for c in rows.columns if c.endswith("_blob")]
@@ -68,7 +70,12 @@ def _blob_payload_hashes(rows) -> np.ndarray:
         (
             int.from_bytes(
                 hashlib.blake2b(
-                    b"".join(bytes(row[c]) for c in blob_cols), digest_size=8
+                    b"".join(
+                        len(payload).to_bytes(8, "little") + payload
+                        for c in blob_cols
+                        for payload in (bytes(row[c]),)
+                    ),
+                    digest_size=8,
                 ).digest(),
                 "little",
             )
@@ -414,7 +421,29 @@ def run_incremental(
         for r in records
         if r.kind == "bucket-update" and r.extra.get("update_id") == update_id
     }
-    todo = [b for b in touched if b not in done]
+    # a bucket is stale while ANY committed update lacks its bucket-update
+    # record — including prior updates that committed partials but crashed
+    # before refreshing. One refresh heals every outstanding update at once
+    # (the recompute always reads base + ALL update dirs), so each refreshed
+    # bucket gets a record per outstanding update below.
+    stale_updates: dict[int, set[str]] = {}
+    bucket_done: dict[str, set[int]] = {}
+    for r in records:
+        if r.kind == "bucket-update":
+            bucket_done.setdefault(r.extra.get("update_id"), set()).add(
+                int(r.partition_id)
+            )
+    for r in records:
+        if r.kind != "update-partials":
+            continue
+        uid = r.extra.get("update_id")
+        u_touched = {
+            int(os.path.basename(p).split("=", 1)[1])
+            for p in glob.glob(os.path.join(r.output_path, "bucket=*"))
+        }
+        for b in u_touched - bucket_done.get(uid, set()):
+            stale_updates.setdefault(b, set()).add(uid)
+    todo = sorted(stale_updates)
 
     all_update_dirs = sorted(
         p for p in glob.glob(os.path.join(updates_root, "*")) if not p.endswith(".tmp")
@@ -437,10 +466,10 @@ def run_incremental(
             # sources touched by ANY committed update are recomputed (and,
             # for the blob sink, recompressed); the rest splice through
             # from the published rows untouched. The union — not just THIS
-            # update's sources — makes the result independent of crash
-            # history: a prior update that committed its partials but died
-            # before refreshing this bucket is healed here, because its
-            # sources are recomputed from base + all updates too.
+            # update's sources — plus the stale_updates todo extension above
+            # makes the result independent of crash history: a bucket left
+            # stale by a prior crashed update is re-listed in todo and its
+            # sources recomputed from base + all updates here.
             touched_src: set = set()
             for u in all_update_dirs:
                 ub = os.path.join(u, f"bucket={b}")
@@ -488,17 +517,21 @@ def run_incremental(
             .to_pandas()
         )
         for r in results.sort_values("bucket").itertuples():
-            lineage.append_record(
-                out_dir,
-                lineage.LineageRecord(
-                    kind="bucket-update",
-                    partition_id=int(r.bucket),
-                    row_count=int(r.row_count),
-                    checksum=r.checksum,
-                    output_path=r.output,
-                    extra={"update_id": update_id, "wall_sec": float(r.wall_sec)},
-                ),
-            )
+            # one record per outstanding (update, bucket) pair: the refresh
+            # settled them all, and recording each keeps healed buckets out
+            # of every future run's todo
+            for uid in sorted(stale_updates[int(r.bucket)]):
+                lineage.append_record(
+                    out_dir,
+                    lineage.LineageRecord(
+                        kind="bucket-update",
+                        partition_id=int(r.bucket),
+                        row_count=int(r.row_count),
+                        checksum=r.checksum,
+                        output_path=r.output,
+                        extra={"update_id": uid, "wall_sec": float(r.wall_sec)},
+                    ),
+                )
             refreshed += 1
     return {
         "update_id": update_id,

@@ -205,11 +205,19 @@ def _histogram_optimask(
     min_rows: int,
 ) -> tuple[np.ndarray, int] | None:
     """Approximate the reference optimask rectangle from the merged
-    per-pattern mask histogram: greedily drop the feature column whose
-    removal recovers the most complete training rows, tracking the best
-    rows x cols area with the reference's >=min_rows preference
-    (``_optimask.py:160-242`` split objective). Returns (kept feature
-    columns, training rows) or None when no subset reaches ``min_rows``."""
+    per-pattern mask histogram, tracking the best rows x cols area with the
+    reference's >=min_rows preference (``_optimask.py:160-242`` split
+    objective). Two complementary trajectories are searched: drop-greedy
+    from the full feature set (remove the column whose removal recovers the
+    most complete rows) and grow-greedy from EVERY singleton (add the
+    column keeping the most rows). The singleton starts double as an exact
+    feasibility sweep — rows() is antitone in the column set, so any
+    feasible subset implies each of its singletons is feasible — hence the
+    function returns None iff NO subset reaches ``min_rows``. Area
+    optimality is heuristic; tests/test_optimask.py pins it equal to
+    brute-force enumeration on 300 seeded random instances (the lone-greedy
+    predecessor hit ratio 0.15 worst-case and missed feasibility 9/300).
+    Returns (kept feature columns, training rows) or None."""
     counts = np.array([n_by_mask[int(m)] for m in group_masks], dtype=np.int64)
 
     def rows_for(cols: np.ndarray) -> int:
@@ -218,21 +226,38 @@ def _histogram_optimask(
             mask |= np.uint64(1) << np.uint64(f)
         return int(counts[(group_masks & mask) == mask].sum())
 
+    feats = np.asarray(feats, dtype=np.int64)
     best: tuple[int, np.ndarray, int] | None = None  # (area, cols, rows)
-    cur = np.asarray(feats, dtype=np.int64)
-    while cur.size:
-        n = rows_for(cur)
+
+    def consider(cols: np.ndarray) -> int:
+        nonlocal best
+        n = rows_for(cols)
         if n >= min_rows:
-            area = n * cur.size
-            if best is None or area > best[0]:
-                best = (area, cur.copy(), n)
+            area = n * cols.size
+            # ties prefer more rows (narrower, better-conditioned train set)
+            if best is None or area > best[0] or (area == best[0] and n > best[2]):
+                best = (area, cols.copy(), n)
+        return n
+
+    cur = feats.copy()
+    while cur.size:
+        consider(cur)
         if cur.size == 1:
             break
-        # drop the column whose removal keeps the most rows
         gains = np.array(
             [rows_for(np.delete(cur, i)) for i in range(cur.size)], dtype=np.int64
         )
         cur = np.delete(cur, int(np.argmax(gains)))
+    for s in range(feats.size):
+        cur = feats[[s]].copy()
+        rest = np.delete(feats, s)
+        consider(cur)
+        while rest.size:
+            cand_rows = np.array([rows_for(np.append(cur, r)) for r in rest])
+            j = int(np.argmax(cand_rows))
+            cur = np.append(cur, rest[j])
+            rest = np.delete(rest, j)
+            consider(cur)
     if best is None:
         return None
     return best[1], best[2]

@@ -199,3 +199,55 @@ def test_histogram_optimask_soundness(data):
         c for m, c in zip(masks, counts) if (m & mask) == mask
     )
     assert recount == n_train
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_histogram_optimask_matches_bruteforce(data):
+    """ADVICE round-3 (distributed_model.py:201): bound the gap between the
+    histogram rectangle search and brute-force enumeration over ALL column
+    subsets. The two-trajectory search (drop-greedy + grow-greedy from every
+    singleton) must (a) agree with brute force on FEASIBILITY exactly —
+    guaranteed analytically by the singleton sweep since rows() is antitone
+    — and (b) match the optimal rows x cols area on these instance sizes
+    (the lone drop-greedy predecessor bottomed out at 0.15 of optimal and
+    missed feasibility on 3% of instances)."""
+    from itertools import combinations
+
+    from datafiller_ray.stages.distributed_model import _histogram_optimask
+
+    n_feats = data.draw(st.integers(2, 8))
+    n_groups = data.draw(st.integers(1, min(12, (1 << n_feats) - 1)))
+    masks = data.draw(
+        st.lists(
+            st.integers(0, (1 << n_feats) - 1),
+            min_size=n_groups, max_size=n_groups, unique=True,
+        )
+    )
+    counts = data.draw(
+        st.lists(st.integers(1, 50), min_size=n_groups, max_size=n_groups)
+    )
+    min_rows = data.draw(st.integers(1, 60))
+    feats = np.arange(n_feats, dtype=np.int64)
+    group_masks = np.array(masks, dtype=np.uint64)
+    n_by_mask = {int(m): int(c) for m, c in zip(masks, counts)}
+
+    best_area = None
+    for r in range(1, n_feats + 1):
+        for cols in combinations(range(n_feats), r):
+            mask = 0
+            for f in cols:
+                mask |= 1 << f
+            n = sum(c for m, c in zip(masks, counts) if (m & mask) == mask)
+            if n >= min_rows:
+                area = n * r
+                if best_area is None or area > best_area:
+                    best_area = area
+
+    sel = _histogram_optimask(group_masks, n_by_mask, feats, min_rows)
+    if best_area is None:
+        assert sel is None
+    else:
+        assert sel is not None
+        cols, n_train = sel
+        assert n_train * len(cols) == best_area
