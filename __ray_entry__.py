@@ -459,6 +459,41 @@ def _ann_ivf(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _ann_ivf_indexed(sf_dir: str):
+    """IVF top-k served from the cell-partitioned storage index (probing
+    prunes READS, not just compute). Same centroids, candidates and ranking
+    as the scan-side ivf_topk, so the SQL oracle is shared."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.ann import build_ivf_index, ivf_topk_indexed
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = pc.sort_indices(qt["vec_id"])[: _ANN_NQ]
+    head = qt.take(order)
+    qids = np.asarray(head["vec_id"])
+    qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(emb_path)
+    tag = hashlib.sha1(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/datafiller_ray_ivf/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_ivf_manifest.json")):
+        import shutil
+
+        tmp_dir = index_dir + ".building"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        build_ivf_index(_read(sf_dir, "embeddings"), tmp_dir, n_cells=16)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.replace(tmp_dir, index_dir)
+    ds = ivf_topk_indexed(index_dir, qids, qmat, k=_ANN_K, n_probe=4)
+    return ds.select_columns(["query_id", "rank", "vec_id"])
+
+
 def _lineitem_daily(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -583,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
+        "ann_ivf_indexed": _ann_ivf_indexed,
         "lineitem_daily": _lineitem_daily,
     }
 
@@ -835,19 +871,42 @@ def _oracle_kmeans(M: np.ndarray, n_cells: int, n_iters: int, seed: int) -> np.n
     return C
 
 
+def _oracle_splitmix64(x: np.ndarray) -> np.ndarray:
+    """Independent splitmix64 finalizer (public-domain constants) for the
+    IVF trainer's hash-sample rule."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
 def _ann_ivf_sql() -> str:
     """IVF top-k with the oracle's own k-means centroids (and per-query cell
     probes) embedded as SQL literals — the LSH-hyperplane precedent applied
-    to a learned quantizer."""
+    to a learned quantizer. The trainer consumes the engine's documented
+    bounded hash sample (splitmix64(vec_id) % 2^16 under the keep threshold,
+    sorted by vec_id), re-derived here independently."""
+    import math
+
     import pyarrow.parquet as pq
 
-    n_cells, n_probe, n_iters, seed = 16, 4, 5, 7
+    n_cells, n_probe, n_iters, seed, n_train = 16, 4, 5, 7, 1024
     t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
-    order = np.argsort(np.asarray(t["vec_id"]))
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    order = np.argsort(vids)
     M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-    C = _oracle_kmeans(M, n_cells, n_iters, seed)
+    mod = 1 << 16
+    thr = mod if vids.size <= n_train else max(1, math.ceil(n_train * mod / vids.size))
+    keep = (_oracle_splitmix64(vids.view(np.uint64)) % np.uint64(mod)) < thr
+    ksel = np.flatnonzero(keep)[np.argsort(vids[keep])]
+    C = _oracle_kmeans(M[ksel], n_cells, n_iters, seed)
     qsel = order[:_ANN_NQ]
-    qids = np.asarray(t["vec_id"])[qsel]
+    qids = vids[qsel]
     Q = M[qsel]
     qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
@@ -1482,6 +1541,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _minhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        # indexed serving shares the scan path's centroids + ranking exactly
+        "ann_ivf_indexed": _ann_ivf_sql(),
         "lineitem_daily": """
             SELECT l_returnflag,
                    epoch_us(l_shipdate) // 86400000000 AS ship_day,

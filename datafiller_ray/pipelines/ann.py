@@ -493,6 +493,43 @@ def embedding_near_dup_lsh(
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed cells
 
 
+_SAMPLE_MOD = 1 << 16
+
+
+def ivf_sample_threshold(count: int, n_train: int) -> int:
+    """Keep-threshold for the deterministic hash sample: row kept iff
+    ``splitmix64(vec_id) % 2^16 < threshold``. Keep-all when the corpus
+    already fits the training budget."""
+    if count <= n_train:
+        return _SAMPLE_MOD
+    return max(1, int(np.ceil(n_train * _SAMPLE_MOD / count)))
+
+
+def ivf_training_sample(
+    embeddings: "ray.data.Dataset", *, n_train: int
+) -> np.ndarray:
+    """Bounded k-means training sample, gathered DISTRIBUTED: each batch
+    keeps rows whose ``splitmix64(vec_id)`` falls under the hash threshold
+    (expected sample size ~= n_train regardless of corpus size), and only
+    the ~n_train surviving vectors reach the driver — never the corpus
+    (the round-3 ``to_pandas()`` trainer OOMs the driver at corpus scale).
+    Rows are sorted by vec_id so the matrix is independent of block order."""
+    from datafiller_ray.functions.hashing import splitmix64
+
+    count = embeddings.count()  # parquet metadata, no scan
+    thr = ivf_sample_threshold(count, n_train)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        h = splitmix64(batch["vec_id"].to_numpy(np.int64).view(np.uint64))
+        return batch[(h % np.uint64(_SAMPLE_MOD)) < thr]
+
+    sample = embeddings.map_batches(
+        keep, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    sample = sample.sort_values("vec_id")
+    return np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+
+
 def train_ivf_centroids(
     M: np.ndarray, *, n_cells: int = 16, n_iters: int = 5, seed: int = 7
 ) -> np.ndarray:
@@ -538,16 +575,18 @@ def ivf_topk(
     n_probe: int = 4,
     n_iters: int = 5,
     seed: int = 7,
+    n_train: int = 1024,
 ) -> "ray.data.Dataset":
     """IVF approximate top-k: corpus vectors are binned to their nearest
     k-means centroid; each query scores ONLY vectors in its ``n_probe``
     nearest cells (exact cosine within candidates, deterministic
     sim-desc/vec_id-asc ranking like the brute path). At corpus scale the
-    cells become storage partitions (the ``build_lsh_index`` layout) and
-    probing prunes I/O; here the pruning is compute-side, mirrored exactly
+    cells become storage partitions and probing prunes I/O, not just
+    compute — that path is :func:`build_ivf_index` + :func:`ivf_topk_indexed`.
+    The quantizer trains on the bounded hash sample
+    (``ivf_training_sample``); assignment is distributed. Mirrored exactly
     by the SQL oracle via literal centroids."""
-    sample = embeddings.to_pandas()  # trainer sample: see train_ivf_centroids
-    M = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    M = ivf_training_sample(embeddings, n_train=n_train)
     C = train_ivf_centroids(M, n_cells=n_cells, n_iters=n_iters, seed=seed)
 
     Q = np.asarray(query_matrix, dtype=np.float64)
@@ -624,3 +663,154 @@ def ivf_topk(
     return partial.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# storage-partitioned IVF index: probing prunes reads, not just compute
+
+
+def build_ivf_index(
+    embeddings: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 7,
+    n_train: int = 1024,
+) -> str:
+    """Persist the embedding table partitioned by IVF cell
+    (``index_dir/cell=N/``) plus a manifest carrying the trained centroids.
+
+    The IVF analogue of :func:`build_lsh_index`: the quantizer trains on the
+    bounded hash sample, every corpus vector is assigned to its nearest
+    centroid DISTRIBUTED (one matmul per batch), and a query run against the
+    index reads only its ``n_probe`` probed cell partitions — an
+    n_cells/n_probe-fold read fan-in reduction at corpus scale."""
+    import json
+    import os
+
+    M = ivf_training_sample(embeddings, n_train=n_train)
+    C = train_ivf_centroids(M, n_cells=n_cells, n_iters=n_iters, seed=seed)
+
+    def add_cell(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, Mb = _batch_matrix(batch)
+        batch = batch.copy()
+        batch["cell"] = _assign_cells(Mb, C)
+        return batch
+
+    embeddings.map_batches(
+        add_cell, batch_format="pandas", batch_size=4096
+    ).write_parquet(index_dir, partition_cols=["cell"])
+    with open(os.path.join(index_dir, "_ivf_manifest.json"), "w") as f:
+        json.dump(
+            {
+                "n_cells": n_cells,
+                "n_iters": n_iters,
+                "seed": seed,
+                "n_train": n_train,
+                "centroids": C.tolist(),
+            },
+            f,
+        )
+    return index_dir
+
+
+def ivf_index_query_paths(
+    index_dir: str, query_matrix: np.ndarray, *, n_probe: int = 4
+) -> tuple[np.ndarray, list[str]]:
+    """Per-query probed cells + the partition directories a query run will
+    read — exposed separately so tests can assert the pruning."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_ivf_manifest.json")) as f:
+        manifest = json.load(f)
+    C = np.asarray(manifest["centroids"], dtype=np.float64)
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    qd = (
+        (Q * Q).sum(axis=1, keepdims=True)
+        - 2.0 * (Q @ C.T)
+        + (C * C).sum(axis=1)
+    )
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+    paths = [
+        os.path.join(index_dir, f"cell={c}")
+        for c in sorted(set(int(c) for c in probes.ravel()))
+        if os.path.isdir(os.path.join(index_dir, f"cell={c}"))
+    ]
+    return probes, paths
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+) -> "ray.data.Dataset":
+    """IVF top-k served from the cell-partitioned index: only probed cell
+    partitions are read; within each cell every query probing it scores
+    exact cosine with the same round-6 + sim-desc/vec_id-asc ranking as
+    :func:`ivf_topk`, so results are identical given identical centroids."""
+    import os
+
+    query_ids = np.asarray(query_ids)
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    probes, _ = ivf_index_query_paths(index_dir, Q, n_probe=n_probe)
+
+    def make_scorer(sub_ids: np.ndarray, sub_Qn: np.ndarray):
+        # stateless task fn with the per-cell query slice in the closure
+        # (min-1 actor pools per unioned piece deadlock small CPU budgets)
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            ids, M = _batch_matrix(batch)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            sims = np.round(sub_Qn @ Mn.T, 6)
+            kk = min(k, ids.size)
+            out = []
+            for qi in range(sims.shape[0]):
+                s = sims[qi]
+                order = np.lexsort((ids, -s))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": sub_ids[qi],
+                            "vec_id": ids[order],
+                            "sim": s[order],
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+        return score
+
+    pieces = []
+    for c in sorted(set(int(x) for x in probes.ravel())):
+        path = os.path.join(index_dir, f"cell={c}")
+        if not os.path.isdir(path):
+            continue
+        sel = (probes == c).any(axis=1)
+        part = ray.data.read_parquet(
+            path, columns=["vec_id", "embedding"]
+        ).map_batches(
+            make_scorer(query_ids[sel], Qn[sel]),
+            batch_format="pandas",
+            batch_size=4096,
+        )
+        pieces.append(part)
+    if not pieces:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                    "rank": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")

@@ -96,3 +96,64 @@ def test_embedding_near_dup_lsh_recall_vs_brute(embeddings):
     assert approx_pairs <= exact_pairs
     # ...and multi-table recall on near-identical pairs is high
     assert len(approx_pairs) / len(exact_pairs) >= 0.8
+
+
+def test_ivf_training_sample_is_bounded_and_deterministic(embeddings):
+    from datafiller_ray.pipelines.ann import (
+        ivf_sample_threshold,
+        ivf_training_sample,
+    )
+
+    ds, M = embeddings
+    # n=800 > n_train=64: the sample must be hash-bounded, not the corpus
+    S1 = ivf_training_sample(ds, n_train=64)
+    S2 = ivf_training_sample(ds, n_train=64)
+    assert np.array_equal(S1, S2)
+    assert S1.shape[0] < 800
+    # expected size ~ n_train; the 2^16-granular threshold keeps it close
+    assert 16 <= S1.shape[0] <= 256
+    # keep-all when the corpus fits the budget
+    assert ivf_sample_threshold(500, 1024) == 1 << 16
+    S_all = ivf_training_sample(ds, n_train=1024)
+    assert S_all.shape[0] == 800
+
+
+def test_ivf_index_prunes_partitions_and_matches_scan(embeddings, tmp_path):
+    """The cell-partitioned index must (a) read strictly fewer partitions
+    than exist (I/O pruning, the 100-TB shape) and (b) return exactly the
+    scan path's rows — same centroids, candidates, round-6 ranking."""
+    from datafiller_ray.pipelines.ann import (
+        build_ivf_index,
+        ivf_index_query_paths,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    ds, M = embeddings
+    index_dir = str(tmp_path / "ivf_index")
+    build_ivf_index(ds, index_dir, n_cells=8, n_train=1024)
+    qids = np.array([1, 2, 3, 4])
+    probes, paths = ivf_index_query_paths(index_dir, M[qids], n_probe=3)
+    import os
+
+    all_cells = [d for d in os.listdir(index_dir) if d.startswith("cell=")]
+    assert len(all_cells) > 3  # clustered fixture spreads over many cells
+    assert 0 < len(paths) < len(all_cells)  # pruning is real
+    assert probes.shape == (4, 3)
+
+    scan = (
+        ivf_topk(ds, qids, M[qids], k=10, n_cells=8, n_probe=3, n_train=1024)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    idx = (
+        ivf_topk_indexed(index_dir, qids, M[qids], k=10, n_probe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        scan[["query_id", "vec_id", "sim", "rank"]],
+        idx[["query_id", "vec_id", "sim", "rank"]],
+    )
