@@ -440,10 +440,29 @@ def embedding_near_dup_lsh(
         .groupby("gkey")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # candidate edges: orders smaller than corpus by construction, so the
-    # cross-table dedup is a driver frame op, not a second shuffle
-    pair_df = cand.to_pandas().drop_duplicates(ignore_index=True)
-    if len(pair_df) == 0:
+    # cross-table edge dedup through a second SMALL shuffle (groupby the
+    # left endpoint, drop duplicates inside the group) — on a near-dup-heavy
+    # corpus the edge set is not "orders smaller" than the corpus, so a
+    # driver-side to_pandas() dedup is the wrong shape at 100 TB
+    deduped = cand.groupby("vec_a").map_groups(
+        lambda g: g.drop_duplicates(), batch_format="pandas"
+    ).materialize()  # consumed twice (id pass + verify); edges, not corpus
+    # only the DISTINCT candidate ids (8-byte ints) reach the driver to
+    # build the broadcast vector LUT, never the edge frame itself
+    def uniq_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate(
+                [
+                    batch["vec_a"].to_numpy(np.int64),
+                    batch["vec_b"].to_numpy(np.int64),
+                ]
+            )
+        )
+        return pd.DataFrame({"vec_id": vals})
+
+    id_df = deduped.map_batches(uniq_ids, batch_format="pandas").to_pandas()
+    cand_ids = set(id_df["vec_id"].tolist())
+    if not cand_ids:
         return ray.data.from_pandas(
             pd.DataFrame(
                 {
@@ -455,38 +474,26 @@ def embedding_near_dup_lsh(
         )
     from datafiller_ray.stages.lookup import gather_rows
 
-    hits = gather_rows(
-        embeddings, "vec_id", set(pair_df["vec_a"]) | set(pair_df["vec_b"])
-    )
+    hits = gather_rows(embeddings, "vec_id", cand_ids).sort_values("vec_id")
     ids = hits["vec_id"].to_numpy(np.int64)
     M = np.stack(hits["embedding"].to_numpy()).astype(np.float64)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
     lut_ref = ray.put({"ids": ids, "matrix": Mn})
 
-    class Verify:
-        def __init__(self, threshold: float) -> None:
-            d = ray.get(lut_ref)
-            self.pos = {int(i): k for k, i in enumerate(d["ids"])}
-            self.Mn = d["matrix"]
-            self.threshold = threshold
+    # stateless task fn: the LUT resolves zero-copy per task and row lookup
+    # is a vectorized searchsorted on the vec_id-sorted LUT — nothing to
+    # precompute per actor, so no actor-pool spin-up cost
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(lut_ref)
+        ids_s, Mn_s = d["ids"], d["matrix"]
+        a = ids_s.searchsorted(batch["vec_a"].to_numpy(np.int64))
+        b = ids_s.searchsorted(batch["vec_b"].to_numpy(np.int64))
+        cos = np.round(np.einsum("ij,ij->i", Mn_s[a], Mn_s[b]), 6)
+        out = batch[["vec_a", "vec_b"]].copy()
+        out["cosine"] = cos
+        return out[out["cosine"] >= threshold]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            a = np.array([self.pos[int(x)] for x in batch["vec_a"]], dtype=np.int64)
-            b = np.array([self.pos[int(x)] for x in batch["vec_b"]], dtype=np.int64)
-            cos = np.round(
-                np.einsum("ij,ij->i", self.Mn[a], self.Mn[b]), 6
-            )
-            out = batch.copy()
-            out["cosine"] = cos
-            return out[out["cosine"] >= self.threshold]
-
-    return ray.data.from_pandas(pair_df).map_batches(
-        Verify,
-        fn_constructor_args=(threshold,),
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=(1, 4),
-    )
+    return deduped.map_batches(verify, batch_format="pandas", batch_size=4096)
 
 
 # ---------------------------------------------------------------------------

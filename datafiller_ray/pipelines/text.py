@@ -576,38 +576,65 @@ def verify_near_dup_pairs(
 ) -> "ray.data.Dataset":
     """Exact-Jaccard verification of LSH candidate pairs.
 
-    The candidate set is orders of magnitude smaller than the corpus, so the
-    texts of candidate doc ids are broadcast once (``ray.put`` of a dict)
-    and each verify batch computes char-k-gram Jaccard locally — a broadcast
-    semi-join, not a shuffle join (ray_guide.md "Joins and lookups")."""
-    pair_df = pairs.to_pandas()  # small by construction
-    if len(pair_df) == 0:
+    The candidate TEXTS are broadcast once (``ray.put`` of a dict) and each
+    verify batch computes char-k-gram Jaccard locally — a broadcast
+    semi-join, not a shuffle join (ray_guide.md "Joins and lookups"). The
+    pair frame itself never lands on the driver (only the distinct candidate
+    ids do, to build the broadcast), and each verify actor builds every
+    doc's gram set ONCE in ``__init__`` — the round-3 shape rebuilt two
+    fresh Python sets per PAIR and was the slowest bench row."""
+    pairs = pairs.materialize()  # consumed twice (id pass + verify)
+
+    def uniq_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate(
+                [
+                    batch["doc_a"].to_numpy(np.int64),
+                    batch["doc_b"].to_numpy(np.int64),
+                ]
+            )
+        )
+        return pd.DataFrame({"doc_id": vals})
+
+    id_df = pairs.map_batches(uniq_ids, batch_format="pandas").to_pandas()
+    if len(id_df) == 0:
         return pairs.filter(lambda row: False)
     from datafiller_ray.stages.lookup import gather_rows
 
     hits = gather_rows(
-        documents,
-        "doc_id",
-        set(pair_df["doc_a"]) | set(pair_df["doc_b"]),
-        columns=["doc_id", "text"],
+        documents, "doc_id", set(id_df["doc_id"].tolist()), columns=["doc_id", "text"]
     )
     texts: dict[int, str] = dict(zip(hits["doc_id"], hits["text"]))
     ref = ray.put(texts)
 
     class Verify:
         def __init__(self) -> None:
-            self.texts = ray.get(ref)
+            texts = ray.get(ref)
+            # per-doc gram sets computed once per ACTOR, reused across pairs
+            self.grams = {
+                d: frozenset(t[i : i + k] for i in range(max(0, len(t) - k + 1)))
+                for d, t in texts.items()
+            }
+            self.empty: frozenset = frozenset()
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sims = [
-                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k)
-                for a, b in zip(batch["doc_a"], batch["doc_b"])
-            ]
+            g = self.grams
+            sims = np.empty(len(batch), dtype=np.float64)
+            for i, (a, b) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
+                sa = g.get(int(a), self.empty)
+                sb = g.get(int(b), self.empty)
+                if not sa and not sb:
+                    sims[i] = 1.0
+                elif not sa or not sb:
+                    sims[i] = 0.0
+                else:
+                    inter = len(sa & sb)
+                    sims[i] = inter / (len(sa) + len(sb) - inter)
             batch = batch.copy()
             batch["jaccard"] = np.round(sims, 6)
             return batch[batch["jaccard"] >= threshold]
 
-    return ray.data.from_pandas(pair_df).map_batches(
+    return pairs.map_batches(
         Verify, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
     )
 
@@ -632,6 +659,120 @@ def near_dup_clusters(verified_pairs: pd.DataFrame) -> pd.DataFrame:
             parent[max(ra, rb)] = min(ra, rb)
     rows = sorted((doc, find(doc)) for doc in parent)
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
+def near_dup_clusters_distributed(
+    verified_pairs: "ray.data.Dataset", *, max_iters: int = 50
+) -> pd.DataFrame:
+    """Connected components over verified near-dup edges via iterated
+    min-label propagation — the at-scale alternative to the driver
+    union-find in :func:`near_dup_clusters` (same output contract:
+    (doc_id, cluster_id=min id in component), sorted by doc_id).
+
+    Each iteration is one reduce-side join (union + groupby on a COARSE
+    node-hash key, vectorized merge inside — per-node groups would pay the
+    tiny-group Python overhead) followed by a groupby-min over the same
+    coarse key — two bounded shuffles over (node, label) int64 rows, no
+    driver-side edge materialization. Labels are monotonically
+    non-increasing, so the global label sum (a distributed aggregate) is a
+    convergence witness; iteration count is O(component diameter), which
+    for near-dup clusters (dense clique-ish blobs) is small."""
+    G = 256  # coarse shuffle groups: enough parallelism, no tiny groups
+
+    def to_sym(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy(np.int64)
+        b = batch["doc_b"].to_numpy(np.int64)
+        node = np.concatenate([a, b])
+        return pd.DataFrame(
+            {"node": node, "nbr": np.concatenate([b, a]), "gkey": node % G}
+        )
+
+    half_edges = verified_pairs.map_batches(
+        to_sym, batch_format="pandas"
+    ).materialize()
+    if half_edges.count() == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "cluster_id": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node")["nbr"].min()
+        lab = np.minimum(m.index.to_numpy(np.int64), m.to_numpy(np.int64))
+        return pd.DataFrame({"node": m.index.to_numpy(np.int64), "label": lab})
+
+    labels = (
+        half_edges.groupby("gkey")
+        .map_groups(init_labels, batch_format="pandas")
+        .materialize()
+    )
+
+    def forward(g: pd.DataFrame) -> pd.DataFrame:
+        # label rows (nbr == -1 sentinel) rewrite the half-edge rows of the
+        # same node; every half-edge forwards the label to its neighbor and
+        # the node keeps its own label
+        lab = g[g["nbr"] == -1]
+        edges = g.loc[g["nbr"] != -1, ["node", "nbr"]]
+        fwd = edges.merge(lab[["node", "label"]], on="node", how="left")
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [fwd["nbr"].to_numpy(np.int64), lab["node"].to_numpy(np.int64)]
+                ),
+                "label": np.concatenate(
+                    [
+                        fwd["label"].to_numpy(np.int64),
+                        lab["label"].to_numpy(np.int64),
+                    ]
+                ),
+            }
+        )
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node")["label"].min()
+        return pd.DataFrame(
+            {"node": m.index.to_numpy(np.int64), "label": m.to_numpy(np.int64)}
+        )
+
+    prev_sum: int | None = None
+    for _ in range(max_iters):
+        tagged = labels.map_batches(
+            # same column ORDER as edges_tagged: union requires one schema
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"].to_numpy(np.int64),
+                    "nbr": np.full(len(b), -1, dtype=np.int64),
+                    "gkey": b["node"].to_numpy(np.int64) % G,
+                    "label": b["label"].to_numpy(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        edges_tagged = half_edges.map_batches(
+            lambda b: b.assign(label=np.int64(-1)), batch_format="pandas"
+        )
+        msgs = (
+            edges_tagged.union(tagged)
+            .groupby("gkey")
+            .map_groups(forward, batch_format="pandas")
+            .map_batches(
+                lambda b: b.assign(gkey=b["node"].to_numpy(np.int64) % G),
+                batch_format="pandas",
+            )
+        )
+        labels = (
+            msgs.groupby("gkey")
+            .map_groups(min_label, batch_format="pandas")
+            .materialize()
+        )
+        cur_sum = int(labels.sum("label"))
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:

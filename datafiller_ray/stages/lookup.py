@@ -27,14 +27,14 @@ def gather_rows(
     collected to the driver."""
     need_ref = ray.put(set(ids))
 
-    class HitFilter:
-        def __init__(self) -> None:
-            self.need = ray.get(need_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.loc[batch[id_column].isin(self.need)]
+    # stateless task fn (no per-batch state to build): the broadcast set is
+    # resolved zero-copy from the object store inside each task; an actor
+    # pool here only adds ~0.5 s of spin-up per lookup
+    def hit_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        need = ray.get(need_ref)
+        return batch.loc[batch[id_column].isin(need)]
 
     ds = dataset if columns is None else dataset.select_columns(columns)
     return ds.map_batches(
-        HitFilter, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+        hit_filter, batch_format="pandas", batch_size=4096
     ).to_pandas()

@@ -211,3 +211,28 @@ def test_audio_real_decoder_raises():
 
     with _pytest.raises(NotImplementedError):
         multimodal.AudioResampler(16_000, decoder="ffmpeg")
+
+
+def test_distributed_clusters_match_union_find(ray_session):
+    """Min-label propagation (the at-scale path) must produce exactly the
+    driver union-find's (doc_id, cluster_id) table — including multi-hop
+    chains, where components merge only through propagation."""
+    from datafiller_ray.pipelines.text import near_dup_clusters_distributed
+
+    edges = pd.DataFrame(
+        {
+            # chain 1-2-3-4 (multi-hop), clique 10-11-12, pair (20, 7)
+            "doc_a": [2, 3, 4, 10, 10, 11, 20],
+            "doc_b": [1, 2, 3, 11, 12, 12, 7],
+        }
+    )
+    want = near_dup_clusters(edges)
+    got = near_dup_clusters_distributed(ray.data.from_pandas(edges))
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("doc_id").reset_index(drop=True), check_dtype=False
+    )
+    # empty edge set -> empty table, no crash
+    empty = near_dup_clusters_distributed(
+        ray.data.from_pandas(edges.iloc[:0])
+    )
+    assert len(empty) == 0
