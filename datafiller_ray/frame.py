@@ -6,8 +6,9 @@ imputer.py:93-530``): a pandas DataFrame with a DatetimeIndex (or an eager
 polars DataFrame with ``time_column``) is regularized onto its inferred
 grid, optionally small-gap interpolated, lag/calendar features are built
 jointly over all columns, and gaps are imputed with the engine's
-multivariate machinery (ridge for numeric targets, nearest-centroid
-classifier for categorical ones — no sklearn in this environment).
+multivariate machinery (ridge for numeric targets, a deterministic
+pure-NumPy depth-4 CART for categorical ones — the reference's
+DecisionTreeClassifier(max_depth=4) default, re-derived without sklearn).
 
 This is the single-machine convenience wrapper; the distributed story for
 the same semantics is ``pipelines.panel.knn_fill(lags=...)`` and the rollup
@@ -22,8 +23,8 @@ import numpy as np
 import pandas as pd
 
 from datafiller_ray.config import EngineTypeError, EngineValueError
+from datafiller_ray.functions.cart import DecisionTreeClassifier
 from datafiller_ray.functions.categorical import (
-    NearestCentroidClassifier,
     decode_frame,
     encode_frame,
 )
@@ -92,7 +93,7 @@ class TimeSeriesFiller:
         interpolate_gaps_less_than: int | None = None,
         add_time_features: bool = True,
         time_column: str | None = None,
-        classifier=NearestCentroidClassifier,
+        classifier=DecisionTreeClassifier,
         use_optimask: bool = True,
     ) -> None:
         if isinstance(lags, (int, np.integer, str)) or not all(

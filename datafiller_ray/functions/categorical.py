@@ -7,10 +7,11 @@ Engine analogue of the reference's encode -> impute -> decode path
   column of float label codes (NaN for missing) plus masked one-hot helper
   columns; numeric columns pass through. (``_encode_dataframe``)
 - categorical targets are predicted by a CLASSIFIER over the standardized
-  features; the sandbox has no sklearn, so the default is a pure-NumPy
-  nearest-centroid classifier (deterministic; ties break to the smaller
-  class code) — the reference's pluggable ``classifier=`` hook semantics
-  with a different default model (DecisionTreeClassifier there).
+  features; the default matches the reference's shape — a depth-4 CART
+  (``DecisionTreeClassifier(max_depth=4)`` there, a deterministic pure-NumPy
+  re-derivation in ``functions/cart.py`` here, since the sandbox has no
+  sklearn). ``NearestCentroidClassifier`` remains a pluggable option via
+  the same ``classifier=`` hook.
 - fallback fills remaining categorical cells with the most frequent
   observed category, numeric cells with the column mean
   (``_apply_fallback``, ``imputer.py:744-770``).
@@ -33,6 +34,7 @@ from pandas.api.types import (
 )
 
 from datafiller_ray.config import EngineValueError
+from datafiller_ray.functions.cart import DecisionTreeClassifier
 
 
 def is_categorical_series(series: pd.Series) -> bool:
@@ -187,7 +189,7 @@ def impute_mixed(
     min_samples_train: int = 20,
     fallback: str | None = "simple",
     use_optimask: bool = True,
-    classifier=NearestCentroidClassifier,
+    classifier=DecisionTreeClassifier,
 ) -> pd.DataFrame:
     """DataFrame-level mixed-dtype imputation (encode -> impute -> decode).
 

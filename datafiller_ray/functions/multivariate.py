@@ -196,9 +196,12 @@ def impute_matrix(
     ``multivariate/_utils.py:10-59``: everything else passes through).
 
     Columns listed in ``categorical_cols`` hold integer label codes and are
-    predicted with ``classifier`` (fit on standardized features + raw codes;
-    reference ``imputer.py:655-670``); their fallback is the most frequent
-    observed code (``imputer.py:744-770``).
+    predicted with ``classifier`` (fit on RAW feature values + raw codes,
+    like the reference, which hands the classifier its unstandardized local
+    matrix — reference ``imputer.py:655-670``; raw values also keep the
+    default CART's midpoint comparisons bit-reproducible across
+    independently-computed standardizations); their fallback is the most
+    frequent observed code (``imputer.py:744-770``).
 
     ``scoring_fn`` is the reference's ``scoring=`` hook (``imputer.py:
     116-121``): "default" uses the shared-fraction x |corr| formula; a
@@ -344,8 +347,8 @@ def impute_matrix(
                 if classifier is None:
                     continue
                 model = classifier()
-                model.fit(xs[np.ix_(train_rows, use)], x[train_rows, j].astype(np.int64))
-                out[rows, j] = model.predict(xs[np.ix_(rows, use)]).astype(np.float64)
+                model.fit(x[np.ix_(train_rows, use)], x[train_rows, j].astype(np.int64))
+                out[rows, j] = model.predict(x[np.ix_(rows, use)]).astype(np.float64)
             else:
                 model = FastRidge(alpha=alpha, fit_intercept=True)
                 model.fit(xs[np.ix_(train_rows, use)], xs[train_rows, j])

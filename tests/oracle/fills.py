@@ -470,7 +470,67 @@ def knn_panel_fill(
 
 
 # ---------------------------------------------------------------------------
-# categorical label fill (nearest centroid)
+# categorical label fill (depth-4 CART, the reference's default model shape)
+
+
+def _cart_fit_predict(
+    Xtr: np.ndarray,
+    ytr: np.ndarray,
+    Xpr: np.ndarray,
+    max_depth: int = 4,
+) -> np.ndarray:
+    """Independent re-derivation of the engine's DOCUMENTED deterministic
+    CART split rule (datafiller_ray/functions/cart.py module docstring):
+    maximize the float64 expression S_L/n_L + S_R/n_R over midpoints of
+    consecutive distinct sorted values, features in ascending order, strict
+    ties-to-first; x <= thr goes left; leaves predict the majority class
+    with ties to the smallest code. Implemented recursively over index
+    arrays (the engine builds an explicit node tree)."""
+    classes = np.unique(ytr)
+    pred = np.empty(Xpr.shape[0], dtype=np.int64)
+
+    def majority(rows: np.ndarray) -> int:
+        vals, counts = np.unique(ytr[rows], return_counts=True)
+        return int(vals[np.argmax(counts)])
+
+    def grow(rows: np.ndarray, prows: np.ndarray, depth: int) -> None:
+        if prows.size == 0:
+            return
+        if (
+            depth >= max_depth
+            or rows.size < 2
+            or np.unique(ytr[rows]).size < 2
+        ):
+            pred[prows] = majority(rows)
+            return
+        best = None  # (score, feature, threshold)
+        for f in range(Xtr.shape[1]):
+            xv = np.sort(Xtr[rows, f], kind="stable")
+            yv = ytr[rows][np.argsort(Xtr[rows, f], kind="stable")]
+            cut = np.flatnonzero(xv[:-1] < xv[1:])
+            if cut.size == 0:
+                continue
+            oh = (yv[:, None] == classes[None, :]).astype(np.int64)
+            cs = oh.cumsum(axis=0)
+            CL = cs[cut]
+            nL = cut + 1
+            CR = cs[-1][None, :] - CL
+            nR = rows.size - nL
+            score = (CL * CL).sum(axis=1) / nL + (CR * CR).sum(axis=1) / nR
+            i = int(np.argmax(score))
+            if best is None or score[i] > best[0]:
+                best = (float(score[i]), f, (xv[cut[i]] + xv[cut[i] + 1]) / 2.0)
+        if best is None:
+            pred[prows] = majority(rows)
+            return
+        _, f, thr = best
+        lt = Xtr[rows, f] <= thr
+        lp = Xpr[prows, f] <= thr
+        grow(rows[lt], prows[lp], depth + 1)
+        grow(rows[~lt], prows[~lp], depth + 1)
+
+    grow(np.arange(Xtr.shape[0]), np.arange(Xpr.shape[0]), 0)
+    return pred
 
 
 def lang_fill_labels(
@@ -480,17 +540,18 @@ def lang_fill_labels(
     *,
     min_samples_train: int = 5,
 ) -> np.ndarray:
-    """Recover masked labels with the reference classifier path: class
-    centroids in standardized feature space, predict = nearest centroid
-    (ties to the smaller class code), fallback = most frequent observed code.
-    Returns the filled label array (object dtype, None where unrecoverable)."""
+    """Recover masked labels with the reference classifier path: a depth-4
+    CART over RAW feature values (the reference's
+    DecisionTreeClassifier(max_depth=4) default shape — it receives the
+    unstandardized local matrix; raw values keep midpoint comparisons
+    bit-reproducible, since independently-computed standardizations differ
+    by ~1e-12 and the grid-valued stats land exactly on split midpoints),
+    deterministic split rule re-derived in ``_cart_fit_predict``, fallback =
+    most frequent observed code. Returns the filled label array (object
+    dtype, None where unrecoverable)."""
     cats = sorted(pd.unique(labels[~masked].dropna()))
     code_of = {c: i for i, c in enumerate(cats)}
     X = feats.to_numpy(np.float64)
-    mu = X.mean(axis=0)
-    sd = np.sqrt(((X - mu) ** 2).mean(axis=0))
-    sd = np.where((sd == 0) | ~np.isfinite(sd), 1.0, sd)
-    Xs = (X - mu) / sd
 
     train = np.flatnonzero(~masked)
     codes = labels.map(code_of).to_numpy()
@@ -500,12 +561,7 @@ def lang_fill_labels(
         return result
     train_codes = codes[train].astype(np.int64)
     if train.size >= min_samples_train:
-        classes = np.unique(train_codes)
-        centroids = np.stack(
-            [Xs[train[train_codes == c]].mean(axis=0) for c in classes]
-        )
-        d = ((Xs[masked][:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        pred = classes[np.argmin(d, axis=1)]
+        pred = _cart_fit_predict(X[train], train_codes, X[masked])
     else:
         vals, vc = np.unique(train_codes, return_counts=True)
         pred = np.full(int(masked.sum()), vals[np.argmax(vc)])

@@ -160,3 +160,49 @@ def test_nearest_centroid_deterministic_ties():
     # midpoint is equidistant -> smaller class code wins
     assert clf.predict(np.array([[1.0]]))[0] == 0
     np.testing.assert_array_equal(clf.predict(np.array([[-1.0], [3.0]])), [0, 1])
+
+
+def test_cart_classifier_basics():
+    from datafiller_ray.functions.cart import DecisionTreeClassifier
+
+    rng = np.random.default_rng(3)
+    # axis-aligned separable classes: a depth-4 tree must fit exactly
+    X = rng.uniform(-1, 1, size=(200, 3))
+    y = (X[:, 0] > 0).astype(np.int64) + 2 * (X[:, 1] > 0.3).astype(np.int64)
+    clf = DecisionTreeClassifier(max_depth=4).fit(X, y)
+    assert np.array_equal(clf.predict(X), y)
+    # non-contiguous class codes survive the round trip
+    y2 = np.where(y == 0, 7, np.where(y == 1, 3, 11))
+    clf2 = DecisionTreeClassifier(max_depth=4).fit(X, y2)
+    assert set(np.unique(clf2.predict(X))) <= {3, 7, 11}
+    # single-class node predicts that class
+    clf3 = DecisionTreeClassifier().fit(X[:5], np.full(5, 9))
+    assert np.array_equal(clf3.predict(X[:3]), [9, 9, 9])
+    # constant features -> no split -> majority with ties to smallest code
+    Xc = np.zeros((4, 2))
+    clf4 = DecisionTreeClassifier().fit(Xc, np.array([5, 5, 2, 2]))
+    assert np.array_equal(clf4.predict(Xc[:1]), [2])
+
+
+def test_cart_matches_independent_oracle_rederivation():
+    """The engine CART and the test oracle's recursive re-derivation follow
+    the same documented split spec; on random (tie-heavy, grid-valued)
+    data they must agree bit-for-bit."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle.fills import _cart_fit_predict
+
+    from datafiller_ray.functions.cart import DecisionTreeClassifier
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(10, 120))
+        d = int(rng.integers(1, 5))
+        # grid-valued features make score ties and exact midpoints common
+        X = rng.integers(0, 6, size=(n, d)).astype(np.float64) / 4.0
+        y = rng.integers(0, 4, size=n).astype(np.int64)
+        Xp = rng.integers(0, 6, size=(30, d)).astype(np.float64) / 4.0
+        got = DecisionTreeClassifier(max_depth=4).fit(X, y).predict(Xp)
+        want = _cart_fit_predict(X, y, Xp, max_depth=4)
+        assert np.array_equal(got, want), trial
