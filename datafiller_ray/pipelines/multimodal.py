@@ -58,13 +58,19 @@ class MediaFeatureExtractor:
     FEATURE_DIM = 16
 
     def __init__(self, decoder: str = "fake") -> None:
-        if decoder == "fake":
+        kind, backend = resolve_image_decoder(decoder)
+        if kind == "fake":
             self._decode = self._fake_decode
-        else:  # pragma: no cover - real backends absent in this container
-            raise NotImplementedError(
-                f"media decoder {decoder!r} requires an image/audio library "
-                "not present in this environment; use decoder='fake'"
-            )
+        else:  # pragma: no cover - Pillow absent in this container
+            self._backend = backend
+
+            def real_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+                import io
+
+                img = self._backend.open(io.BytesIO(payload)).convert("L")
+                return np.asarray(img, dtype=np.float32).ravel()
+
+            self._decode = real_decode
 
     @staticmethod
     def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -370,4 +376,168 @@ def audio_features(
         batch_format="pandas",
         batch_size=64,
         concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# real-codec seam + FIMG container with EXIF-style metadata
+
+
+def resolve_image_decoder(name: str):
+    """Import-try seam for a real image backend.
+
+    - ``"fake"``: always the deterministic fake decode.
+    - ``"auto"``: a real backend (Pillow) if importable, else the fake —
+      the pipeline runs identically either way, only the decode kernel
+      changes.
+    - ``"pillow"``: REQUIRE Pillow; raises NotImplementedError with a clear
+      message when the library is absent (this container ships no codecs).
+
+    Returns ``(kind, module)`` where kind is "fake" or "pillow".
+    """
+    if name == "fake":
+        return "fake", None
+    try:
+        import PIL.Image as PILImage  # noqa: N813
+    except ImportError:
+        PILImage = None
+    if name == "auto":
+        return ("pillow", PILImage) if PILImage is not None else ("fake", None)
+    if name == "pillow":
+        if PILImage is None:
+            raise NotImplementedError(
+                "media decoder 'pillow' requires Pillow, which is not "
+                "present in this environment; use decoder='fake' or 'auto'"
+            )
+        return "pillow", PILImage
+    raise ValueError(f"unknown media decoder {name!r}")
+
+
+FIMG_MAGIC = b"FIMG"
+_FIMG_VERSION = 1
+
+
+def encode_fimg(
+    width: int, height: int, channels: int, tags: dict, pixels: bytes
+) -> bytes:
+    """Serialize the deterministic FIMG container: magic + version +
+    dimensions + a TLV metadata section (EXIF-style key/value strings) +
+    raw pixel bytes. The format exists so metadata EXTRACTION is real,
+    testable plumbing even though genuine EXIF parsing needs a codec lib."""
+    head = bytearray()
+    head += FIMG_MAGIC
+    head.append(_FIMG_VERSION)
+    head += int(width).to_bytes(4, "little")
+    head += int(height).to_bytes(4, "little")
+    head.append(int(channels))
+    head += len(tags).to_bytes(2, "little")
+    for k, v in tags.items():
+        kb, vb = str(k).encode(), str(v).encode()
+        head.append(len(kb))
+        head += kb
+        head += len(vb).to_bytes(2, "little")
+        head += vb
+    return bytes(head) + pixels
+
+
+def parse_fimg(payload: bytes) -> dict:
+    """Parse an FIMG container header; returns width/height/channels, the
+    tag dict and the pixel byte offset. Raises ValueError on bad magic."""
+    if payload[:4] != FIMG_MAGIC:
+        raise ValueError("not an FIMG payload (bad magic)")
+    version = payload[4]
+    width = int.from_bytes(payload[5:9], "little")
+    height = int.from_bytes(payload[9:13], "little")
+    channels = payload[13]
+    n_tags = int.from_bytes(payload[14:16], "little")
+    pos = 16
+    tags: dict[str, str] = {}
+    for _ in range(n_tags):
+        klen = payload[pos]
+        pos += 1
+        k = payload[pos : pos + klen].decode()
+        pos += klen
+        vlen = int.from_bytes(payload[pos : pos + 2], "little")
+        pos += 2
+        tags[k] = payload[pos : pos + vlen].decode()
+        pos += vlen
+    return {
+        "version": version,
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "tags": tags,
+        "pixel_offset": pos,
+    }
+
+
+_CAMERA_MAKES = ("acme", "contoso", "globex", "initech")
+
+
+def synthesize_fimg_table(n: int, *, seed: int = 45) -> pa.Table:
+    """Deterministic FIMG-container media rows with EXIF-style tags
+    (camera make, capture timestamp, orientation 1-8)."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    widths = rng.integers(16, 128, n).astype(np.int32)
+    heights = rng.integers(16, 128, n).astype(np.int32)
+    for i in range(n):
+        w, h = int(widths[i]), int(heights[i])
+        tags = {
+            "camera_make": _CAMERA_MAKES[i % len(_CAMERA_MAKES)],
+            "timestamp_utc": str(1_700_000_000 + 60 * i),
+            "orientation": str(1 + (i % 8)),
+        }
+        pixels = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+        payloads.append(encode_fimg(w, h, 1, tags, pixels))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+
+
+class MediaMetadata:
+    """Actor-pool stage: parse the FIMG header of every payload and emit
+    typed metadata columns — the EXIF-extraction shape (header parse only;
+    pixels are never touched, so the stage is cheap even on huge blobs).
+    Unparseable payloads yield a null row (parse_ok=False) instead of
+    failing the batch."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            try:
+                m = parse_fimg(bytes(payload))
+                t = m["tags"]
+                rows.append(
+                    (
+                        int(mid), True, m["width"], m["height"], m["channels"],
+                        t.get("camera_make"),
+                        int(t["timestamp_utc"]) if "timestamp_utc" in t else None,
+                        int(t["orientation"]) if "orientation" in t else None,
+                        len(t),
+                    )
+                )
+            except (ValueError, IndexError, UnicodeDecodeError):
+                rows.append((int(mid), False, None, None, None, None, None, None, 0))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "parse_ok", "width", "height", "channels",
+                "camera_make", "timestamp_utc", "orientation", "n_tags",
+            ],
+        )
+
+
+def media_metadata(media: "object", *, batch_size: int = 64) -> "object":
+    """EXIF-style metadata extraction pipeline over FIMG payloads."""
+    return media.map_batches(
+        MediaMetadata,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+        num_cpus=1,
     )

@@ -220,3 +220,67 @@ def test_streaming_ingest_loop_blobs(ray_session, split_inputs, tmp_path):
         .sort_values(["tier", "source", "bucket_ts"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_heals_bucket_touched_only_by_crashed_prior_update(
+    ray_session, split_inputs, tmp_path
+):
+    """ADVICE round-3 (checkpoint.py:437): a bucket touched ONLY by a prior
+    update that committed its partials but crashed before refreshing must be
+    healed by the NEXT update even when that update touches a disjoint
+    bucket set — todo now includes every (committed update, bucket) pair
+    lacking a bucket-update record."""
+    import json
+    import shutil as _shutil
+
+    full, early, late = split_inputs
+    late_t = pq.read_table(late)
+
+    # split the late rows by SOURCE so u1 and u2 can touch disjoint buckets
+    srcs = sorted(set(late_t["source"].to_pylist()))
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    u1_t = late_t.filter(pc.is_in(late_t["source"], value_set=pa.array(srcs[:1])))
+    u2_t = late_t.filter(pc.is_in(late_t["source"], value_set=pa.array(srcs[1:])))
+    u1_path, u2_path = str(tmp_path / "u1.parquet"), str(tmp_path / "u2.parquet")
+    pq.write_table(u1_t, u1_path)
+    pq.write_table(u2_t, u2_path)
+
+    out = str(tmp_path / "out")
+    run_checkpointed(early, out, fill=CFG, n_buckets=5)
+
+    # snapshot the published tiers, run u1 fully, then rewind to simulate a
+    # crash AFTER the update-partials commit but BEFORE any bucket refresh:
+    # published rows back to pre-u1, no bucket-update records for u1
+    backup = str(tmp_path / "tiers_backup")
+    _shutil.copytree(f"{out}/tiers", backup)
+    s1 = run_incremental(out, u1_path)
+    u1_buckets = set(s1["touched_buckets"])
+    assert u1_buckets, "u1 must touch at least one bucket"
+    _shutil.rmtree(f"{out}/tiers")
+    _shutil.copytree(backup, f"{out}/tiers")
+    mp = lineage.manifest_path(out)
+    kept = [
+        line
+        for line in open(mp).read().splitlines()
+        if not (
+            json.loads(line).get("kind") == "bucket-update"
+            and json.loads(line).get("extra", {}).get("update_id")
+            == s1["update_id"]
+        )
+    ]
+    with open(mp, "w") as f:
+        f.write("\n".join(kept) + "\n")
+
+    s2 = run_incremental(out, u2_path)
+    # the victim buckets were refreshed by u2's run even if disjoint
+    assert u1_buckets <= set(
+        r.partition_id
+        for r in lineage.read_manifest(out)
+        if r.kind == "bucket-update"
+        and r.extra.get("update_id") == s1["update_id"]
+    )
+    got = _norm(read_tier_output(out).to_pandas())
+    want = _norm(rollup_tiers(full, fill=CFG).to_pandas())
+    pd.testing.assert_frame_equal(got, want)

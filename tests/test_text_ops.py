@@ -236,3 +236,68 @@ def test_distributed_clusters_match_union_find(ray_session):
         ray.data.from_pandas(edges.iloc[:0])
     )
     assert len(empty) == 0
+
+
+def test_fimg_container_roundtrip_and_metadata(ray_session):
+    """FIMG header encode/parse round-trip + the EXIF-style extraction
+    stage: metadata columns come from the header only (pixels untouched),
+    bad payloads degrade to parse_ok=False rows."""
+    tags = {"camera_make": "acme", "timestamp_utc": "1700000123", "orientation": "6"}
+    payload = multimodal.encode_fimg(40, 30, 1, tags, b"\x00" * (40 * 30))
+    m = multimodal.parse_fimg(payload)
+    assert (m["width"], m["height"], m["channels"]) == (40, 30, 1)
+    assert m["tags"] == tags
+    assert len(payload) - m["pixel_offset"] == 40 * 30
+
+    table = multimodal.synthesize_fimg_table(20)
+    ds = ray.data.from_arrow(table)
+    out = (
+        multimodal.media_metadata(ds)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert out["parse_ok"].all()
+    assert out["n_tags"].eq(3).all()
+    assert out.loc[0, "camera_make"] == "acme"
+    assert set(out["orientation"].astype(int)) <= set(range(1, 9))
+    assert (np.diff(out["timestamp_utc"].astype(np.int64)) == 60).all()
+
+    # a corrupt payload yields a null row, not a failed batch
+    import pyarrow as pa
+
+    bad = pa.table(
+        {
+            "media_id": pa.array([99], pa.int64()),
+            "media_type": pa.array(["image"], pa.string()),
+            "payload": pa.array([b"JUNKJUNK"], pa.large_binary()),
+        }
+    )
+    row = multimodal.media_metadata(ray.data.from_arrow(bad)).to_pandas()
+    assert not row["parse_ok"].iloc[0] and row["n_tags"].iloc[0] == 0
+
+
+def test_image_decoder_seam(ray_session):
+    """decoder='auto' must run with or without Pillow: absent -> identical
+    output to the fake decode; present -> the real backend is selected."""
+    kind, backend = multimodal.resolve_image_decoder("auto")
+    table = multimodal.synthesize_media_table(12)
+    out_auto = multimodal.media_features(
+        ray.data.from_arrow(table), decoder="auto"
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    if kind == "fake":
+        assert backend is None
+        out_fake = multimodal.media_features(
+            ray.data.from_arrow(table), decoder="fake"
+        ).to_pandas().sort_values("media_id").reset_index(drop=True)
+        assert all(
+            np.array_equal(a, b)
+            for a, b in zip(out_auto["features"], out_fake["features"])
+        )
+        with pytest.raises(NotImplementedError):
+            multimodal.resolve_image_decoder("pillow")
+    else:  # pragma: no cover - Pillow not in this container
+        assert backend is not None
+        assert len(out_auto) == 12
+    with pytest.raises(ValueError):
+        multimodal.resolve_image_decoder("bogus")
