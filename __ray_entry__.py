@@ -311,6 +311,22 @@ def _near_dup_jaccard(sf_dir: str):
     return verify_near_dup_pairs(docs, pairs, threshold=0.5)
 
 
+def _near_dup_clusters(sf_dir: str):
+    """Connected components over the verified near-dup edges via the
+    distributed min-label propagation (pipelines/text.py). The oracle is a
+    DuckDB RECURSIVE CTE computing the same transitive closure."""
+    from datafiller_ray.pipelines.text import (
+        minhash_near_dup,
+        near_dup_clusters_distributed,
+        verify_near_dup_pairs,
+    )
+
+    docs = _read(sf_dir, "documents")
+    pairs = minhash_near_dup(docs)
+    verified = verify_near_dup_pairs(docs, pairs, threshold=0.5)
+    return near_dup_clusters_distributed(verified)
+
+
 def _embedding_near_dup(sf_dir: str):
     from datafiller_ray.pipelines.ann import embedding_near_dup
 
@@ -608,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _fingerprint,
         "minhash_near_dup": _minhash,
         "near_dup_jaccard": _near_dup_jaccard,
+        "near_dup_clusters": _near_dup_clusters,
         "token_count_bpe": _token_counts,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
@@ -973,6 +990,30 @@ def _near_dup_jaccard_sql() -> str:
           JOIN g gb ON gb.doc_id = c.doc_b)
         SELECT doc_a, doc_b, round_even(jac, 6) AS jaccard
         FROM j WHERE round_even(jac, 6) >= 0.5
+    """
+
+
+def _near_dup_clusters_sql() -> str:
+    """Connected components as a DuckDB RECURSIVE CTE: enumerate every
+    (node, reachable-ancestor) pair over the symmetrized verified edge set
+    (UNION dedup guarantees termination), then cluster_id = min reachable
+    node. Component sizes here are verified near-dup blobs, so the closure
+    stays tiny."""
+    return f"""
+        WITH RECURSIVE verified AS ({_near_dup_jaccard_sql()}),
+        edges AS (
+          -- symmetrize inside a derived table: under WITH RECURSIVE a
+          -- top-level UNION in ANY cte is parsed as a recursive definition
+          SELECT a, b FROM (
+            SELECT doc_a AS a, doc_b AS b FROM verified
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM verified)),
+        walk(node, anc) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT e.a, w.anc FROM edges e JOIN walk w ON w.node = e.b)
+        SELECT node AS doc_id, MIN(anc) AS cluster_id
+        FROM walk GROUP BY node ORDER BY doc_id
     """
 
 
@@ -1527,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "near_dup_jaccard": _near_dup_jaccard_sql(),
+        "near_dup_clusters": _near_dup_clusters_sql(),
         "embedding_near_dup": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)

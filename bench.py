@@ -21,9 +21,29 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# noise protocol (round-4): >=3 reps per pipeline, fixed pause between
+# pipelines, substrate probe before/after — the shared VM makes single runs
+# vary ~2x, and round-3's apparent regressions were tenant noise
+BENCH_REPS = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
+PAUSE_SEC = float(os.environ.get("GRAFT_BENCH_PAUSE", "0.5"))
+
+
+def substrate_probe() -> float:
+    """GFLOP/s of a bare 2048x2048 float64 matmul — the VM-health probe
+    (BASELINE.md): identical engine code has measured 1.6-2x slower inside
+    slow probe windows, so BENCH deltas only mean something next to the
+    probe values they shipped with."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((2048, 2048))
+    t0 = time.perf_counter()
+    a @ a
+    dt = time.perf_counter() - t0
+    return round(2 * 2048**3 / dt / 1e9, 1)
 
 
 def run_bench() -> dict:
+    probe_start = substrate_probe()
     import ray
 
     ray.init(
@@ -61,17 +81,24 @@ def run_bench() -> dict:
     ray.data.read_parquet(fixture).count()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
 
     def timed(name, fn):
-        # best-of-2 everywhere: the shared VM makes single runs vary ~2x,
-        # so per-round BENCH deltas would otherwise reflect tenant noise,
-        # not code (the minimum is the faithful engine number)
-        t0 = time.perf_counter()
-        out = fn()
-        first = time.perf_counter() - t0
-        t1 = time.perf_counter()
-        fn()
-        timings[name] = round(min(first, time.perf_counter() - t1), 3)
+        # noise protocol: BENCH_REPS runs (default 3) with a pinned pause
+        # between them; the MINIMUM is the engine capability number, the
+        # full spread ships in queries_spread so a drifting VM is visible.
+        # Every fn must be cache-free per call (each rep removes its own
+        # output/index dirs) — a rep that hits a prior rep's cache would
+        # time a different pipeline than the name claims.
+        reps = []
+        out = None
+        for r in range(BENCH_REPS):
+            time.sleep(PAUSE_SEC)
+            t0 = time.perf_counter()
+            out = fn()
+            reps.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(reps)
+        spreads[name] = reps
         return out
 
     # headline: validate tokens + rollup all tiers + linear gap fill, stream
@@ -87,16 +114,7 @@ def run_bench() -> dict:
         )
         write_tiers(ds, out_dir)
 
-    # best-of-2: the sandbox VM shares cores with other tenants and single
-    # runs vary ~2x; the minimum is the faithful engine number
-    t0 = time.perf_counter()
-    headline()
-    first = time.perf_counter() - t0
-    shutil.rmtree(out_dir, ignore_errors=True)
     timed("rollup_gapfill_tiers", headline)
-    timings["rollup_gapfill_tiers"] = round(
-        min(first, timings["rollup_gapfill_tiers"]), 3
-    )
 
     def plain_pipeline():
         ds = rollup_tiers(fixture, fill=FillConfig(strategy="linear", max_gap=60))
@@ -200,6 +218,23 @@ def run_bench() -> dict:
 
     timed("ann_lsh_index_build_and_query", ann_indexed)
 
+    # round-4 addition: IVF with the bounded hash-sample trainer
+    from datafiller_ray.pipelines.ann import ivf_topk
+
+    def ann_ivf():
+        import numpy as np
+
+        t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        head = t.slice(0, 8)
+        qids = np.asarray(head["vec_id"])
+        qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+        ivf_topk(
+            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+            qids, qmat, k=10, n_cells=16, n_probe=4,
+        ).count()
+
+    timed("ann_ivf_topk", ann_ivf)
+
     # round-3 additions
     from datafiller_ray.pipelines.ann import embedding_near_dup_lsh
     from datafiller_ray.pipelines.text import verify_near_dup_pairs
@@ -225,10 +260,14 @@ def run_bench() -> dict:
         "value": headline_sec,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "rows": n_rows,
         "throughput_mseq_s": round(n_rows / headline_sec / 1e6, 4),
+        "bench_reps": BENCH_REPS,
+        "probe_gflops_start": probe_start,
+        "probe_gflops_end": substrate_probe(),
     }
     ray.shutdown()
     return result
@@ -306,6 +345,7 @@ def run_scaling() -> dict:
         # (other tenants), and the minimum is the engine's capability number
         return min(run_once(ncpu), run_once(ncpu))
 
+    probe_start = substrate_probe()
     t8 = run(8)
     t32 = run(32)
     t2 = run(2)
@@ -320,6 +360,8 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(min(eff_2_8, 1.0), 3),  # primary: 2 vs 8
         "scaling_efficiency_2_8": round(eff_2_8, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
+        "probe_gflops_start": probe_start,
+        "probe_gflops_end": substrate_probe(),
         "substrate_note": "8->32 is capped ~0.78 on this shared VM even for pure compute; see BASELINE.md",
     }
 

@@ -1,9 +1,19 @@
 """Driver-contract mirror: run every ``queries()`` entry and compare it to
 its ``oracle_sql()`` via DuckDB, the way the driver does (row count + column
 names + order-insensitive values). Runs at sf0.001 for speed; the driver
-repeats this at sf0.01."""
+repeats this at sf0.01.
+
+Opt-in BIG SWEEP (the round-3 item 7 routine): set ``GRAFT_ORACLE_SF=0.1``
+(or 0.01) to run the whole module against that fixture instead —
+
+    GRAFT_ORACLE_SF=0.1 python -m pytest tests/test_entry_contract.py -q
+
+This is how the half-ulp linear-rounding divergence was caught at sf0.1;
+run it once per round (takes a few minutes) and record the result in
+BASELINE.md."""
 
 import math
+import os
 
 import duckdb
 import numpy as np
@@ -12,7 +22,8 @@ import pytest
 
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+ORACLE_SF = float(os.environ.get("GRAFT_ORACLE_SF", "0.001"))
+SF_DIR = f"/root/testdata/sf{ORACLE_SF:g}"
 TABLES = [
     "region",
     "nation",
@@ -30,7 +41,7 @@ TABLES = [
 @pytest.fixture(scope="module", autouse=True)
 def small_oracle_sf(ray_session):
     old = entrymod.SF_FOR_ORACLE
-    entrymod.SF_FOR_ORACLE = 0.001
+    entrymod.SF_FOR_ORACLE = ORACLE_SF
     yield
     entrymod.SF_FOR_ORACLE = old
 
