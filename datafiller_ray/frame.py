@@ -95,6 +95,7 @@ class TimeSeriesFiller:
         time_column: str | None = None,
         classifier=DecisionTreeClassifier,
         use_optimask: bool = True,
+        device: str | None = None,
     ) -> None:
         if isinstance(lags, (int, np.integer, str)) or not all(
             isinstance(l, (int, np.integer)) for l in lags
@@ -113,6 +114,7 @@ class TimeSeriesFiller:
         self.time_column = time_column
         self.classifier = classifier
         self.use_optimask = use_optimask
+        self.device = device
         self._params = dict(
             lags=self.lags,
             alpha=alpha,
@@ -123,6 +125,7 @@ class TimeSeriesFiller:
             time_column=time_column,
             classifier=classifier,
             use_optimask=use_optimask,
+            device=device,
         )
 
     # -- input/output conversion -------------------------------------------
@@ -242,6 +245,7 @@ class TimeSeriesFiller:
             use_optimask=self.use_optimask,
             categorical_cols=set(int(i) for i in enc["categorical_targets"]),
             classifier=self.classifier,
+            device=self.device,
         )
         decoded = decode_frame(
             out[:, :n_enc],
@@ -353,6 +357,7 @@ class MultivariateFiller(_SklearnProtocolMixin):
         fallback: str | None = "simple",
         use_optimask: bool = True,
         scoring="default",
+        device: str | None = None,
     ) -> None:
         self._params = dict(
             n_nearest_features=n_nearest_features,
@@ -361,6 +366,7 @@ class MultivariateFiller(_SklearnProtocolMixin):
             fallback=fallback,
             use_optimask=use_optimask,
             scoring=scoring,
+            device=device,
         )
         for k, v in self._params.items():
             setattr(self, k, v)
@@ -379,6 +385,7 @@ class MultivariateFiller(_SklearnProtocolMixin):
                 min_samples_train=self.min_samples_train,
                 fallback=self.fallback,
                 use_optimask=self.use_optimask,
+                device=self.device,
             )
         out, _ = impute_matrix(
             np.asarray(x),
@@ -390,6 +397,7 @@ class MultivariateFiller(_SklearnProtocolMixin):
             fallback=self.fallback,
             use_optimask=self.use_optimask,
             scoring_fn=self.scoring,
+            device=self.device,
         )
         return out
 

@@ -190,6 +190,7 @@ def impute_mixed(
     fallback: str | None = "simple",
     use_optimask: bool = True,
     classifier=DecisionTreeClassifier,
+    device: "str | None" = None,
 ) -> pd.DataFrame:
     """DataFrame-level mixed-dtype imputation (encode -> impute -> decode).
 
@@ -253,6 +254,7 @@ def impute_mixed(
         use_optimask=use_optimask,
         categorical_cols=set(int(i) for i in enc["categorical_targets"]),
         classifier=classifier,
+        device=device,
     )
     decoded = decode_frame(
         out,

@@ -188,6 +188,7 @@ def impute_matrix(
     categorical_cols: "set[int] | None" = None,
     classifier=None,
     scoring_fn="default",
+    device: "str | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Impute NaN cells of a 2-D float matrix. Returns (imputed, filled_mask).
 
@@ -207,11 +208,24 @@ def impute_matrix(
     116-121``): "default" uses the shared-fraction x |corr| formula; a
     callable must accept ``(x, cols_to_impute)`` and return a
     ``(len(cols), n_cols)`` score matrix; anything else raises.
+
+    ``device`` is the reference's batched-solve opt-in (``imputer.py:
+    186,932-941`` + ``multivariate/_gpu.py``): when set, every
+    missingness pattern of a column is solved in ONE batched pass from
+    the per-group Grams (``stages/gram_backend.py``) instead of the
+    per-pattern loop; under-threshold patterns still fall through to
+    the optimask branch, like the reference. ``"numpy"`` batches on
+    CPU; any torch device string uses the lazy torch twin. Like the
+    reference's GPU path, batched results match the sequential path
+    numerically (~1e-8), not bit-exactly.
     """
     if scoring_fn != "default" and not callable(scoring_fn):
         raise EngineValueError(
             "scoring must be 'default' or a callable (x, cols_to_impute) -> scores"
         )
+    from datafiller_ray.stages.gram_backend import resolve_gram_backend
+
+    gram_backend = resolve_gram_backend(device)
     x = np.asarray(x)
     n_nearest_features = validate_impute_inputs(
         x, rows_to_impute, cols_to_impute, n_nearest_features
@@ -298,13 +312,31 @@ def impute_matrix(
             total_gram = grams.sum(axis=0)
             total_n = int(group_counts.sum())
 
+        # batched backend (reference _impute_col_gpu shape): all patterns of
+        # the column solved in one pass; invalid ones fall through below
+        batched = None
+        if use_gram and gram_backend is not None:
+            b_coef, b_icpt, _b_n, b_valid = gram_backend.solve_patterns(
+                grams, group_masks, group_counts, uniq, alpha, min_samples_train
+            )
+            batched = b_valid
+
         for pi in range(uniq.shape[0]):
             pattern = uniq[pi]
             if not pattern.any():
                 continue
             rows = imputable[inv == pi]
             use = feats[pattern]
-            if use_gram:
+            if use_gram and batched is not None:
+                if batched[pi]:
+                    pred = xs[np.ix_(rows, use)] @ b_coef[pi][pattern] + b_icpt[pi]
+                    out[rows, j] = pred * stds[j] + means[j]
+                    filled[rows, j] = True
+                    continue
+                # under threshold: same fallthrough as the sequential path
+                pu = (pattern @ bitpos).astype(np.uint64)
+                complete = (t_masks & pu) == pu
+            elif use_gram:
                 pu = (pattern @ bitpos).astype(np.uint64)
                 covering = (group_masks & pu) == pu
                 n_train = int(group_counts[covering].sum())
