@@ -46,6 +46,12 @@ __all__ = [
     "TimeSeriesFiller",
     "MultivariateFiller",
     "write_tiers",
+    "add_mar",
+    "add_contiguous_missing",
+    "load_titanic",
+    "load_pems_bay",
+    "synthetic_titanic",
+    "synthetic_pems_bay",
 ]
 
 
@@ -73,6 +79,17 @@ def __getattr__(name):  # lazy: keep `import datafiller_ray` ray-free
         from datafiller_ray import frame
 
         return getattr(frame, name)
+    if name in (
+        "add_mar",
+        "add_contiguous_missing",
+        "load_titanic",
+        "load_pems_bay",
+        "synthetic_titanic",
+        "synthetic_pems_bay",
+    ):
+        from datafiller_ray import datasets
+
+        return getattr(datasets, name)
     raise AttributeError(name)
 
 __version__ = "0.1.0"
