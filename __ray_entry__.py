@@ -416,6 +416,82 @@ def _events_sessions(sf_dir: str):
     return events_sessions(_read(sf_dir, "events"), gap_seconds=1800)
 
 
+def _typed_events(sf_dir: str, etype: str, *, event_id: bool, value: bool):
+    """Pruned projection of one event type: user_id + epoch-us timestamp
+    (+ optional event_id / value) — the filter runs inside the read's
+    map_batches so only join-relevant columns enter the exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], etype))
+        cols = {"user_id": t["user_id"]}
+        if event_id:
+            cols["event_id"] = t["event_id"]
+        cols["ts_us"] = pc.cast(t["ts"], pa.int64())
+        if value:
+            cols["value"] = t["value"]
+        return pa.table(cols)
+
+    return _read(sf_dir, "events").map_batches(fn, batch_format="pyarrow")
+
+
+def _purchase_attribution(sf_dir: str):
+    """As-of join: each purchase event matched to the same user's most
+    recent click at-or-before it (DuckDB ``ASOF JOIN`` semantics; backward,
+    inclusive, inner). One co-partitioning exchange, searchsorted matching
+    per user inside map_groups — pipelines/joins.asof_join."""
+    from datafiller_ray.pipelines.joins import asof_join
+
+    return asof_join(
+        _typed_events(sf_dir, "purchase", event_id=True, value=False),
+        _typed_events(sf_dir, "click", event_id=False, value=True),
+        key="user_id",
+        on="ts_us",
+        left_payload={"event_id": "event_id", "user_id": "user_id", "ts_us": "ts_us"},
+        right_payload={"click_ts_us": "ts_us", "click_value": "value"},
+        how="inner",
+    )
+
+
+def _session_range_join(sf_dir: str):
+    """Range join: every event assigned to the session window containing it
+    (sessions derived with the same 1800 s gap rule as ``events_sessions``,
+    so windows are non-overlapping per user). Point-in-interval matching via
+    pipelines/joins.range_join — the big-big case: both sides shuffle once
+    on user_id, nothing is broadcast."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.events import events_sessions
+    from datafiller_ray.pipelines.joins import range_join
+
+    sessions = events_sessions(_read(sf_dir, "events"), gap_seconds=1800)
+
+    def add_end(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "session_end", pc.add(t["session_start"], t["duration_sec"])
+        )
+
+    def ev_proj(t: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(1_000_000, pa.int64()))
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "ts_s": secs}
+        )
+
+    return range_join(
+        _read(sf_dir, "events").map_batches(ev_proj, batch_format="pyarrow"),
+        sessions.map_batches(add_end, batch_format="pyarrow"),
+        key="user_id",
+        point="ts_s",
+        lo="session_start",
+        hi="session_end",
+        left_payload={"event_id": "event_id", "user_id": "user_id", "ts_s": "ts_s"},
+        right_payload={"session_start": "session_start", "session_n_events": "n_events"},
+        how="inner",
+    )
+
+
 def _ann_lsh(sf_dir: str):
     """LSH top-k served from the bucket-partitioned index (the scale path:
     only matching partitions are read). Same candidates / ranking as the
@@ -633,6 +709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_locf_1m": _events_locf,
         "events_gapfill_linear_1m": _events_linear,
         "events_sessions": _events_sessions,
+        "purchase_attribution": _purchase_attribution,
+        "session_range_join": _session_range_join,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1557,6 +1635,45 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    MAX(s) - MIN(s) AS duration_sec
             FROM sess GROUP BY user_id, sid
+        """,
+        "purchase_attribution": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase'),
+            c AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, value
+              FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts_us,
+                   c.ts_us AS click_ts_us, c.value AS click_value
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        """,
+        "session_range_join": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s
+              FROM events),
+            marked AS (
+              SELECT user_id, ts_s AS s,
+                     CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                               > 1800
+                          OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+                          THEN 1 ELSE 0 END AS brk
+              FROM e),
+            sess AS (
+              SELECT user_id, s,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sid
+              FROM marked),
+            windows AS (
+              SELECT user_id, MIN(s) AS session_start, MAX(s) AS session_end,
+                     COUNT(*) AS session_n_events
+              FROM sess GROUP BY user_id, sid)
+            SELECT e.event_id, e.user_id, e.ts_s,
+                   w.session_start, w.session_n_events
+            FROM e JOIN windows w
+              ON e.user_id = w.user_id
+             AND e.ts_s BETWEEN w.session_start AND w.session_end
         """,
         "lang_id": _lang_id_sql(),
         "token_count_bpe": r"""

@@ -1,0 +1,326 @@
+"""Per-key ordered joins: as-of join and point-in-interval (range) join.
+
+Ray Data has no native as-of or range join; both are expressed here as ONE
+co-partitioning exchange: each side is projected to the pruned join schema
+and tagged, the two datasets are unioned, and a single ``groupby(key)``
+shuffle co-locates every key's rows so a vectorized ``searchsorted`` inside
+``map_groups`` does the ordered matching. No broadcast, no driver
+materialization, no global sort — the only all-to-all is the one hash
+exchange both sides must pay anyway.
+
+Partitioning assumption (same contract as every ``map_groups`` in this
+engine): one key's rows fit in a single task. Keys here are user/source
+ids; at 100 TB a single hot key would need salting by time range, which
+the tolerance/window parameters make possible (match never crosses the
+tolerance horizon, so time-salted sub-keys with a one-window overlap
+preserve semantics).
+
+The as-of semantics mirror DuckDB's ``ASOF JOIN`` (backward: greatest
+right timestamp <= left timestamp, inclusive) so results are
+oracle-comparable; ``direction="forward"`` is the symmetric variant.
+The range join matches each left point to the right interval containing
+it (``lo <= point <= hi``, inclusive both ends); right intervals must be
+non-overlapping per key (e.g. session windows) so the match is unique.
+
+Ties: among right rows with the SAME ordering value for a key, the one
+with the highest position after the stable sort wins; callers that can
+see duplicate (key, on) right rows should pre-aggregate them (the engine's
+event fixtures have unique (user_id, ts), asserted in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datafiller_ray.config import EngineValueError
+
+__all__ = ["asof_join", "range_join"]
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Dataset schema as a pyarrow Schema regardless of block format
+    (parquet reads give pa.Schema; from_pandas gives PandasBlockSchema)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(base.names, base.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+        elif getattr(typ, "kind", None) == "O":  # pandas object column: assume str
+            fields.append(pa.field(name, pa.string()))
+        else:
+            fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+    return pa.schema(fields)
+
+
+def _payload_dict(payload, schema: pa.Schema, *, role: str) -> "dict[str, str]":
+    """Normalize a payload spec (list of cols or {out_name: src_col}) and
+    check every source column exists on that side."""
+    if payload is None:
+        return {}
+    if not isinstance(payload, dict):
+        payload = {c: c for c in payload}
+    for out, src in payload.items():
+        if src not in schema.names:
+            raise EngineValueError(f"{role} payload column {src!r} not in schema")
+    return dict(payload)
+
+
+def _check_reserved(lp, rp, key, lschema, rschema):
+    """Payload out-names may not shadow the internal columns, and may only
+    reuse the key name for the key column itself (then the single union key
+    column serves both roles)."""
+    reserved = {"_t", "_lo", "_hi", "_side"}
+    for pd_, role in ((lp, "left"), (rp, "right")):
+        for out, src in pd_.items():
+            if out in reserved:
+                raise EngineValueError(f"{role} payload name {out!r} is reserved")
+            if out == key and src != key:
+                raise EngineValueError(
+                    f"{role} payload may not alias column {src!r} to the key name"
+                )
+
+
+def _project_side(ds, *, union_fields: "list[pa.Field]", src_map: "dict[str, str]", side: int):
+    """Map a side onto the shared union schema (identical field order on
+    both sides — ``union`` requires it): columns present in ``src_map``
+    come from the side's own table, the rest are typed nulls."""
+    union_schema = pa.schema(union_fields)
+
+    def project(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = []
+        for f in union_fields:
+            if f.name == "_side":
+                cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+            elif f.name in src_map:
+                cols.append(t[src_map[f.name]].cast(f.type))
+            else:
+                cols.append(pa.nulls(n, type=f.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _empty_like(schema: pa.Schema) -> pa.Table:
+    return pa.table(
+        {f.name: pa.array([], type=f.type) for f in schema}, schema=schema
+    )
+
+
+def _take_with_validity(
+    g: pa.Table, names, row_idx: np.ndarray, valid: "np.ndarray | None"
+):
+    """Take ``row_idx`` rows of ``names`` columns, nulling where ``valid``
+    is False (arrow take keeps types; invalids are masked, not sentinel)."""
+    idx = pa.array(row_idx, type=pa.int64())
+    out = {}
+    for name in names:
+        arr = g[name].take(idx)
+        if valid is not None and not valid.all():
+            arr = pc.if_else(pa.array(valid), arr, pa.nulls(len(row_idx), type=arr.type))
+        out[name] = arr
+    return out
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    key: str,
+    on: str,
+    left_payload,
+    right_payload,
+    how: str = "inner",
+    direction: str = "backward",
+    tolerance: "int | float | None" = None,
+    right_on: "str | None" = None,
+):
+    """As-of join two datasets on ``key``, matching by the ordering column.
+
+    ``backward`` pairs each left row with the right row having the greatest
+    ``on`` value <= the left's (DuckDB ``ASOF JOIN ... ON l.t >= r.t``);
+    ``forward`` with the smallest ``on`` >= the left's. ``tolerance`` bounds
+    ``|l.on - r.on|``; ``how`` is ``"inner"`` (drop unmatched, DuckDB
+    default) or ``"left"`` (keep with null right payload).
+
+    Payloads are ``{out_name: source_col}`` dicts (or lists when names pass
+    through); the left payload should include ``key``/``on`` if wanted in
+    the output, the right payload may re-expose the right ``on`` under a
+    new name. Output columns: left payload then right payload, in spec
+    order, with right payload types preserved (nullable under ``"left"``).
+    """
+    if how not in ("inner", "left"):
+        raise EngineValueError("how must be 'inner' or 'left'")
+    if direction not in ("backward", "forward"):
+        raise EngineValueError("direction must be 'backward' or 'forward'")
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lp = _payload_dict(left_payload, lschema, role="left")
+    rp = _payload_dict(right_payload, rschema, role="right")
+    if set(lp) & set(rp):
+        raise EngineValueError(f"payload name collision: {set(lp) & set(rp)}")
+    r_fields = [pa.field(o, rschema.field(s).type) for o, s in rp.items()]
+    l_fields = [pa.field(o, lschema.field(s).type) for o, s in lp.items()]
+    out_schema = pa.schema(l_fields + r_fields)
+    _check_reserved(lp, rp, key, lschema, rschema)
+    union_fields = [
+        pa.field(key, lschema.field(key).type),
+        pa.field("_t", lschema.field(on).type),
+        *[f for f in l_fields + r_fields if f.name != key],
+        pa.field("_side", pa.int8()),
+    ]
+    l_proj = _project_side(
+        left, union_fields=union_fields,
+        src_map={key: key, "_t": on, **{o: s for o, s in lp.items()}}, side=0,
+    )
+    r_proj = _project_side(
+        right, union_fields=union_fields,
+        src_map={key: key, "_t": right_on or on, **{o: s for o, s in rp.items()}},
+        side=1,
+    )
+    empty = _empty_like(out_schema)
+    l_names, r_names = [f.name for f in l_fields], [f.name for f in r_fields]
+    backward = direction == "backward"
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        l_rows = np.flatnonzero(side == 0)
+        if l_rows.size == 0:
+            return empty
+        t = g["_t"].to_numpy(zero_copy_only=False)
+        r_rows = np.flatnonzero(side == 1)
+        lt = t[l_rows]
+        if r_rows.size == 0:
+            if how == "inner":
+                return empty
+            cols = _take_with_validity(g, l_names, l_rows, None)
+            cols.update(
+                {f.name: pa.nulls(l_rows.size, type=f.type) for f in r_fields}
+            )
+            return pa.table(cols, schema=out_schema)
+        order = np.argsort(t[r_rows], kind="stable")
+        r_sorted = r_rows[order]
+        rt = t[r_sorted]
+        if backward:
+            pos = np.searchsorted(rt, lt, side="right") - 1
+            valid = pos >= 0
+        else:
+            pos = np.searchsorted(rt, lt, side="left")
+            valid = pos < rt.size
+        safe = np.clip(pos, 0, rt.size - 1)
+        if tolerance is not None:
+            gap = np.abs(lt - rt[safe])
+            valid &= gap <= tolerance
+        if how == "inner":
+            l_keep = l_rows[valid]
+            r_keep = r_sorted[safe[valid]]
+            cols = _take_with_validity(g, l_names, l_keep, None)
+            cols.update(_take_with_validity(g, r_names, r_keep, None))
+        else:
+            cols = _take_with_validity(g, l_names, l_rows, None)
+            cols.update(_take_with_validity(g, r_names, r_sorted[safe], valid))
+        return pa.table(cols, schema=out_schema)
+
+    return l_proj.union(r_proj).groupby(key).map_groups(
+        per_key, batch_format="pyarrow"
+    )
+
+
+def range_join(
+    left,
+    right,
+    *,
+    key: str,
+    point: str,
+    lo: str,
+    hi: str,
+    left_payload,
+    right_payload,
+    how: str = "inner",
+):
+    """Join each left point row to the right interval containing it.
+
+    Matches ``lo <= point <= hi`` (inclusive both ends — SQL ``BETWEEN``)
+    per key. Right intervals MUST be non-overlapping within a key (session
+    windows, retention ranges) so each point matches at most one interval;
+    this is what keeps the output 1:<=1 and the kernel a searchsorted
+    instead of an interval tree. Same payload/how contract as
+    :func:`asof_join`.
+    """
+    if how not in ("inner", "left"):
+        raise EngineValueError("how must be 'inner' or 'left'")
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lp = _payload_dict(left_payload, lschema, role="left")
+    rp = _payload_dict(right_payload, rschema, role="right")
+    if set(lp) & set(rp):
+        raise EngineValueError(f"payload name collision: {set(lp) & set(rp)}")
+    r_fields = [pa.field(o, rschema.field(s).type) for o, s in rp.items()]
+    l_fields = [pa.field(o, lschema.field(s).type) for o, s in lp.items()]
+    out_schema = pa.schema(l_fields + r_fields)
+    bound_type = rschema.field(lo).type
+    _check_reserved(lp, rp, key, lschema, rschema)
+    union_fields = [
+        pa.field(key, lschema.field(key).type),
+        pa.field("_lo", bound_type),
+        pa.field("_hi", bound_type),
+        *[f for f in l_fields + r_fields if f.name != key],
+        pa.field("_side", pa.int8()),
+    ]
+    l_proj = _project_side(
+        left, union_fields=union_fields,
+        src_map={key: key, "_lo": point, **{o: s for o, s in lp.items()}}, side=0,
+    )
+    r_proj = _project_side(
+        right, union_fields=union_fields,
+        src_map={key: key, "_lo": lo, "_hi": hi, **{o: s for o, s in rp.items()}},
+        side=1,
+    )
+    empty = _empty_like(out_schema)
+    l_names, r_names = [f.name for f in l_fields], [f.name for f in r_fields]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        l_rows = np.flatnonzero(side == 0)
+        if l_rows.size == 0:
+            return empty
+        # "_hi" is null on left rows: take the side's rows arrow-side BEFORE
+        # to_numpy so the null slots never force a float/object conversion
+        pts = g["_lo"].take(pa.array(l_rows, type=pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        r_rows = np.flatnonzero(side == 1)
+        if r_rows.size == 0:
+            if how == "inner":
+                return empty
+            cols = _take_with_validity(g, l_names, l_rows, None)
+            cols.update(
+                {f.name: pa.nulls(l_rows.size, type=f.type) for f in r_fields}
+            )
+            return pa.table(cols, schema=out_schema)
+        r_take = pa.array(r_rows, type=pa.int64())
+        los = g["_lo"].take(r_take).to_numpy(zero_copy_only=False)
+        his = g["_hi"].take(r_take).to_numpy(zero_copy_only=False)
+        order = np.argsort(los, kind="stable")
+        r_sorted, los, his = r_rows[order], los[order], his[order]
+        pos = np.searchsorted(los, pts, side="right") - 1
+        valid = pos >= 0
+        safe = np.clip(pos, 0, los.size - 1)
+        valid &= pts <= his[safe]
+        if how == "inner":
+            l_keep = l_rows[valid]
+            r_keep = r_sorted[safe[valid]]
+            cols = _take_with_validity(g, l_names, l_keep, None)
+            cols.update(_take_with_validity(g, r_names, r_keep, None))
+        else:
+            cols = _take_with_validity(g, l_names, l_rows, None)
+            cols.update(_take_with_validity(g, r_names, r_sorted[safe], valid))
+        return pa.table(cols, schema=out_schema)
+
+    return l_proj.union(r_proj).groupby(key).map_groups(
+        per_key, batch_format="pyarrow"
+    )

@@ -1,0 +1,239 @@
+"""asof_join / range_join unit tests (pipelines/joins.py).
+
+Pinned against pandas.merge_asof and brute-force interval scans on seeded
+random data; plus the edge/validation contract.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from datafiller_ray.config import EngineValueError
+from datafiller_ray.pipelines.joins import asof_join, range_join
+
+
+def _frames(seed=0, n_l=400, n_r=250, keys=10):
+    rng = np.random.default_rng(seed)
+    L = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys, n_l),
+            "t": rng.integers(0, 10_000, n_l),
+            "lid": np.arange(n_l),
+        }
+    )
+    R = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys + 2, n_r),
+            "t": rng.integers(0, 10_000, n_r),
+            "val": rng.normal(size=n_r),
+        }
+    ).drop_duplicates(["k", "t"])
+    return L, R
+
+
+def _expected_asof(L, R, direction, tolerance=None):
+    exp = pd.merge_asof(
+        L.sort_values("t"),
+        R.sort_values("t"),
+        on="t",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+        suffixes=("", "_r"),
+    )
+    return exp.dropna(subset=["val"]).sort_values("lid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("seed", [0, 7])
+def test_asof_matches_pandas(ray_session, direction, seed):
+    L, R = _frames(seed)
+    out = (
+        asof_join(
+            ray.data.from_pandas(L),
+            ray.data.from_pandas(R),
+            key="k",
+            on="t",
+            left_payload={"k": "k", "t": "t", "lid": "lid"},
+            right_payload={"r_t": "t", "val": "val"},
+            how="inner",
+            direction=direction,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = _expected_asof(L, R, direction)
+    assert len(out) == len(exp)
+    m = out.merge(exp[["lid", "val"]], on="lid", suffixes=("", "_exp"))
+    np.testing.assert_allclose(m["val"], m["val_exp"])
+    # matched right timestamp obeys the direction inequality
+    if direction == "backward":
+        assert (out["r_t"] <= out["t"]).all()
+    else:
+        assert (out["r_t"] >= out["t"]).all()
+
+
+def test_asof_tolerance_and_left(ray_session):
+    L, R = _frames(3)
+    tol = 200
+    out = (
+        asof_join(
+            ray.data.from_pandas(L),
+            ray.data.from_pandas(R),
+            key="k",
+            on="t",
+            left_payload={"k": "k", "t": "t", "lid": "lid"},
+            right_payload={"r_t": "t", "val": "val"},
+            how="left",
+            tolerance=tol,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(L), "how='left' keeps every left row"
+    exp = pd.merge_asof(
+        L.sort_values("t"),
+        R.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+        tolerance=tol,
+        suffixes=("", "_r"),
+    ).sort_values("lid")
+    assert out["val"].notna().sum() == exp["val"].notna().sum()
+    matched = out[out["val"].notna()]
+    assert ((matched["t"] - matched["r_t"]) <= tol).all()
+    assert ((matched["t"] - matched["r_t"]) >= 0).all()
+
+
+def test_asof_exact_timestamp_is_inclusive(ray_session):
+    L = pd.DataFrame({"k": [1], "t": [100], "lid": [0]})
+    R = pd.DataFrame({"k": [1], "t": [100], "val": [9.0]})
+    out = asof_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        key="k",
+        on="t",
+        left_payload={"lid": "lid"},
+        right_payload={"val": "val"},
+    ).to_pandas()
+    assert len(out) == 1 and out["val"].iloc[0] == 9.0
+
+
+def test_asof_no_right_rows_for_key(ray_session):
+    L = pd.DataFrame({"k": [1, 2], "t": [10, 20], "lid": [0, 1]})
+    R = pd.DataFrame({"k": [1], "t": [5], "val": [1.0]})
+    inner = asof_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        key="k",
+        on="t",
+        left_payload={"lid": "lid"},
+        right_payload={"val": "val"},
+        how="inner",
+    ).to_pandas()
+    assert sorted(inner["lid"]) == [0]
+    left = asof_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        key="k",
+        on="t",
+        left_payload={"lid": "lid"},
+        right_payload={"val": "val"},
+        how="left",
+    ).to_pandas()
+    assert len(left) == 2 and left.set_index("lid")["val"].isna()[1]
+
+
+def test_asof_validation_errors(ray_session):
+    L = pd.DataFrame({"k": [1], "t": [1], "x": [1.0]})
+    ds = ray.data.from_pandas(L)
+    with pytest.raises(EngineValueError, match="how must be"):
+        asof_join(ds, ds, key="k", on="t", left_payload=["x"], right_payload=[], how="outer")
+    with pytest.raises(EngineValueError, match="direction must be"):
+        asof_join(ds, ds, key="k", on="t", left_payload=["x"], right_payload=[], direction="up")
+    with pytest.raises(EngineValueError, match="not in schema"):
+        asof_join(ds, ds, key="k", on="t", left_payload=["nope"], right_payload=[])
+    with pytest.raises(EngineValueError, match="reserved"):
+        asof_join(ds, ds, key="k", on="t", left_payload={"_side": "x"}, right_payload=[])
+    with pytest.raises(EngineValueError, match="collision"):
+        asof_join(ds, ds, key="k", on="t", left_payload={"x": "x"}, right_payload={"x": "x"})
+    with pytest.raises(EngineValueError, match="alias"):
+        asof_join(ds, ds, key="k", on="t", left_payload={"k": "x"}, right_payload=[])
+
+
+def _intervals(seed, keys=8, per_key=15):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for k in range(keys):
+        starts = np.sort(rng.choice(np.arange(0, 9500, 60), size=per_key, replace=False))
+        for s in starts:
+            rows.append((int(k), int(s), int(s + rng.integers(5, 55)), f"iv{k}_{s}"))
+    return pd.DataFrame(rows, columns=["k", "lo", "hi", "name"])
+
+
+@pytest.mark.parametrize("seed", [1, 11])
+def test_range_join_matches_bruteforce(ray_session, seed):
+    L, _ = _frames(seed)
+    IV = _intervals(seed + 100)
+    out = (
+        range_join(
+            ray.data.from_pandas(L),
+            ray.data.from_pandas(IV),
+            key="k",
+            point="t",
+            lo="lo",
+            hi="hi",
+            left_payload={"k": "k", "t": "t", "lid": "lid"},
+            right_payload={"lo": "lo", "name": "name"},
+            how="inner",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    merged = L.merge(IV, on="k")
+    exp = merged[(merged.lo <= merged.t) & (merged.t <= merged.hi)].sort_values("lid")
+    assert len(out) == len(exp)
+    m = out.merge(exp[["lid", "name"]], on="lid", suffixes=("", "_exp"))
+    assert (m["name"] == m["name_exp"]).all()
+
+
+def test_range_join_boundaries_inclusive_and_left(ray_session):
+    L = pd.DataFrame({"k": [1, 1, 1, 1], "t": [10, 20, 21, 9], "lid": [0, 1, 2, 3]})
+    IV = pd.DataFrame({"k": [1], "lo": [10], "hi": [20], "name": ["w"]})
+    out = range_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(IV),
+        key="k",
+        point="t",
+        lo="lo",
+        hi="hi",
+        left_payload={"lid": "lid"},
+        right_payload={"name": "name"},
+        how="left",
+    ).to_pandas()
+    got = out.set_index("lid")["name"]
+    assert got[0] == "w" and got[1] == "w"  # lo and hi inclusive
+    assert pd.isna(got[2]) and pd.isna(got[3])
+
+
+def test_range_join_empty_right(ray_session):
+    L = pd.DataFrame({"k": [1], "t": [10], "lid": [0]})
+    IV = pd.DataFrame({"k": pd.array([], dtype="int64"), "lo": pd.array([], dtype="int64"),
+                       "hi": pd.array([], dtype="int64"), "name": pd.array([], dtype="string")})
+    out = range_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(IV),
+        key="k",
+        point="t",
+        lo="lo",
+        hi="hi",
+        left_payload={"lid": "lid"},
+        right_payload={"name": "name"},
+        how="inner",
+    )
+    assert out.count() == 0
