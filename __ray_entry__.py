@@ -586,6 +586,78 @@ def _ann_ivf_indexed(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+# sampling parameters shared by the engine query and its SQL oracle:
+# thresholds are integer literals computed ONCE here, so float rate
+# representation can never diverge between the two sides.
+_SAMPLE_SEED = 7
+_SAMPLE_DEFAULT_RATE = 0.5
+_SAMPLE_RATES = {"src0": 0.25, "src1": 1.0}
+
+
+def _sample_stratified(sf_dir: str):
+    """Deterministic stratified hash sample of the documents table (keep
+    rule: splitmix64(doc_id ^ mix(seed)) under a per-source threshold) —
+    pipelines/corpus.stratified_sample, shuffle-free."""
+    from datafiller_ray.pipelines.corpus import stratified_sample
+
+    docs = _read(sf_dir, "documents").map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return stratified_sample(
+        docs, rate=_SAMPLE_DEFAULT_RATE, rates=_SAMPLE_RATES, seed=_SAMPLE_SEED
+    )
+
+
+def _sample_stratified_sql() -> str:
+    import numpy as np
+
+    from datafiller_ray.functions.hashing import splitmix64
+    from datafiller_ray.pipelines.corpus import sample_threshold
+
+    seed_mix = int(splitmix64(np.array([_SAMPLE_SEED], dtype=np.uint64))[0])
+    dthr = sample_threshold(_SAMPLE_DEFAULT_RATE)
+    ctes, fin = _sql_splitmix_ctes(
+        "d", ["doc_id", "source", "n_chars"],
+        f"xor(CAST(doc_id AS UBIGINT), {seed_mix})", "smp",
+    )
+    full, parts = [], []
+    for s, r in _SAMPLE_RATES.items():
+        t = sample_threshold(r)
+        if t >= 1 << 64:
+            full.append(f"'{s}'")
+        else:
+            parts.append(f"(source = '{s}' AND v < {t}::UBIGINT)")
+    others = ", ".join(f"'{s}'" for s in _SAMPLE_RATES)
+    conds = parts + [f"(source NOT IN ({others}) AND v < {dthr}::UBIGINT)"]
+    if full:
+        conds.append(f"source IN ({', '.join(full)})")
+    return f"""
+        WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        {ctes}
+        SELECT doc_id, source, n_chars FROM {fin}
+        WHERE {" OR ".join(conds)}
+    """
+
+
+def _vocab_topk(sf_dir: str):
+    """Global top-100 vocabulary (count desc, token asc ties) —
+    pipelines/corpus.vocab_topk; heavy text collapses to (token, count)
+    partials before the only shuffle."""
+    from datafiller_ray.pipelines.corpus import vocab_topk
+
+    return vocab_topk(_read(sf_dir, "documents"), k=100)
+
+
+def _source_quantiles(sf_dir: str):
+    """Exact per-source n_chars quantiles (quantile_cont interpolation,
+    6-decimal floor-half-up both sides) — pipelines/corpus.source_quantiles."""
+    from datafiller_ray.pipelines.corpus import source_quantiles
+
+    return source_quantiles(_read(sf_dir, "documents"))
+
+
 def _lineitem_daily(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -711,6 +783,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "purchase_attribution": _purchase_attribution,
         "session_range_join": _session_range_join,
+        "sample_stratified": _sample_stratified,
+        "vocab_topk": _vocab_topk,
+        "source_quantiles": _source_quantiles,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1674,6 +1749,24 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN windows w
               ON e.user_id = w.user_id
              AND e.ts_s BETWEEN w.session_start AND w.session_end
+        """,
+        "sample_stratified": _sample_stratified_sql(),
+        "vocab_topk": r"""
+            SELECT tok, cnt FROM (
+              SELECT tok, count(*)::BIGINT AS cnt FROM (
+                SELECT unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS tok
+                FROM documents)
+              GROUP BY tok)
+            ORDER BY cnt DESC, tok LIMIT 100
+        """,
+        "source_quantiles": """
+            SELECT source,
+              floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.25)*1000000 + 0.5)/1000000 AS q0_25,
+              floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.5)*1000000 + 0.5)/1000000 AS q0_5,
+              floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.75)*1000000 + 0.5)/1000000 AS q0_75,
+              floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.9)*1000000 + 0.5)/1000000 AS q0_9,
+              floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.99)*1000000 + 0.5)/1000000 AS q0_99
+            FROM documents GROUP BY source
         """,
         "lang_id": _lang_id_sql(),
         "token_count_bpe": r"""

@@ -1,0 +1,205 @@
+"""Corpus-level sampling and statistics over the documents table.
+
+Training-data pipeline operators that complement the dedup/quality family
+in ``pipelines/text.py``:
+
+- ``stratified_sample`` — deterministic per-stratum hash-threshold
+  sampling: keep a document iff ``splitmix64(doc_id ^ mix(seed)) <
+  rate * 2^64``. Pure ``map_batches`` filter — no shuffle, no RNG state,
+  reproducible across runs/cluster sizes, and the sample of a smaller rate
+  is a SUBSET of a larger rate's sample (nested samples for ablations).
+- ``vocab_topk`` — global token vocabulary with counts, top-k by
+  (count desc, token asc): per-batch partial counts (np.unique over the
+  flattened token stream) -> one token-keyed groupby of the SMALL partial
+  rows -> per-block partial top-k -> single final combine over <= k*blocks
+  rows. The heavy text never shuffles; only (token, count) partials do.
+- ``source_quantiles`` — exact per-source quantiles (linear interpolation,
+  the SQL ``quantile_cont`` rule) of a numeric column via per-group
+  ``map_groups``; strata are sources, so the per-key-fits-in-a-task
+  contract of this engine applies.
+
+Tokenization reuses the BPE-ish pre-tokenizer contract of
+``pipelines/text.TokenCounts`` (``\\w+|[^\\w\\s]`` with ``re.ASCII``) so
+DuckDB ``regexp_extract_all`` oracles agree token-for-token.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datafiller_ray.config import EngineValueError
+from datafiller_ray.functions.hashing import splitmix64
+
+__all__ = ["stratified_sample", "sample_threshold", "vocab_topk", "source_quantiles"]
+
+_U64 = 1 << 64
+
+
+def sample_threshold(rate: float) -> int:
+    """Keep-threshold for a sampling rate: ``h < floor(rate * 2^64)``.
+
+    Computed once in Python and embedded as a literal in both the engine
+    filter and the SQL oracle, so float representation can never diverge
+    between the two sides."""
+    if not 0.0 <= rate <= 1.0:
+        raise EngineValueError("sampling rate must be between 0 and 1")
+    return min(int(rate * _U64), _U64 - 1) if rate < 1.0 else _U64
+
+
+def stratified_sample(
+    docs,
+    *,
+    rate: "float | None" = None,
+    rates: "dict[str, float] | None" = None,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+):
+    """Deterministic hash-threshold sample, optionally stratified.
+
+    ``rate`` is the default keep-rate; ``rates`` overrides it per stratum
+    (e.g. ``{"web": 0.1, "wiki": 1.0}`` — downsample the big crawl, keep
+    all curated text). A document is kept iff
+    ``splitmix64(doc_id ^ splitmix64(seed)) < rate * 2^64`` — seeded,
+    reproducible, shuffle-free, and nested across rates.
+    """
+    if rate is None and not rates:
+        raise EngineValueError("provide rate= and/or rates=")
+    default_thr = sample_threshold(rate if rate is not None else 0.0)
+    thr_map = {s: sample_threshold(r) for s, r in (rates or {}).items()}
+    seed_mix = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed_mix))
+        if thr_map:
+            src = np.asarray(t[strata_col].to_numpy(zero_copy_only=False))
+            mask = _exact_mask(h, src, thr_map, default_thr)
+        else:
+            mask = _exact_mask(h, None, {}, default_thr)
+        return t.filter(pa.array(mask))
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _exact_mask(h: np.ndarray, src, thr_map: dict, default_thr: int) -> np.ndarray:
+    """Exact uint64 ``h < threshold`` comparison (object-free, vectorized):
+    thresholds <= 2^64 so compare in uint64 with the rate-1.0 full-keep
+    special case handled explicitly."""
+    if src is None:
+        if default_thr >= _U64:
+            return np.ones(h.size, dtype=bool)
+        return h < np.uint64(default_thr)
+    mask = np.empty(h.size, dtype=bool)
+    if default_thr >= _U64:
+        mask[:] = True
+    else:
+        mask[:] = h < np.uint64(default_thr)
+    for s, tv in thr_map.items():
+        sel = src == s
+        mask[sel] = True if tv >= _U64 else h[sel] < np.uint64(tv)
+    return mask
+
+
+class _VocabPartial:
+    """Per-batch partial token counts (actor: regex compiled once).
+
+    The flattened token stream of a batch collapses to (token, count)
+    partial rows via np.unique — the only thing that leaves the task."""
+
+    def __init__(self) -> None:
+        self.bpe = re.compile(r"\w+|[^\w\s]", re.ASCII)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        toks: "list[str]" = []
+        findall = self.bpe.findall
+        for s in texts:
+            if s:
+                toks.extend(findall(s))
+        if not toks:
+            return pa.table(
+                {"tok": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"tok": pa.array(uniq.tolist(), type=pa.string()),
+             "cnt": pa.array(counts.astype(np.int64))}
+        )
+
+
+def _topk_block(k: int):
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        toks = np.asarray(t["tok"].to_pylist(), dtype=object)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -cnts))[:k]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    return fn
+
+
+def vocab_topk(docs, *, k: int = 100):
+    """Global top-k vocabulary by (count desc, token asc) — deterministic
+    ties. Partial counts per batch -> groupby(tok) sum (small rows only) ->
+    per-block top-k -> one final combine over <= k * n_blocks rows."""
+    if k <= 0:
+        raise EngineValueError("k must be positive")
+    partial = docs.map_batches(
+        _VocabPartial, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    summed = partial.groupby("tok").sum("cnt")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["tok", "cnt"])
+
+    counts = summed.map_batches(rename, batch_format="pyarrow")
+    pruned = counts.map_batches(_topk_block(k), batch_format="pyarrow")
+    return pruned.repartition(1).map_batches(_topk_block(k), batch_format="pyarrow")
+
+
+def source_quantiles(
+    docs,
+    *,
+    value_col: str = "n_chars",
+    qs: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9, 0.99),
+    strata_col: str = "source",
+):
+    """Exact per-source quantiles with SQL ``quantile_cont`` linear
+    interpolation (``pos = q*(n-1)``, linear between the two bracketing
+    order statistics). DuckDB evaluates the interpolation in a different
+    float op order (observed ~1e-13 relative drift), so both sides round
+    through the engine's shared 6-decimal floor-half-up — the same
+    absorber every float-emitting query uses.
+
+    Output: one row per source with ``q_<pct>`` double columns.
+    """
+    names = [f"q{str(q).replace('.', '_')}" for q in qs]
+
+    def per_source(g):
+        import pandas as pd
+
+        x = np.sort(g[value_col].to_numpy(np.float64))
+        n = x.size
+        row: "dict[str, object]" = {strata_col: g[strata_col].iloc[0]}
+        for q, name in zip(qs, names):
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, n - 1)
+            frac = pos - lo
+            v = x[lo] + (x[hi] - x[lo]) * frac
+            row[name] = float(np.floor(v * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame([row])
+
+    slim = docs.map_batches(
+        lambda t: t.select([strata_col, value_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return slim.groupby(strata_col).map_groups(per_source, batch_format="pandas")

@@ -1,0 +1,122 @@
+"""pipelines/corpus.py unit tests: stratified sampling, vocab top-k,
+per-source quantiles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from datafiller_ray.config import EngineValueError
+from datafiller_ray.pipelines.corpus import (
+    sample_threshold,
+    source_quantiles,
+    stratified_sample,
+    vocab_topk,
+)
+
+
+def _docs(n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": rng.choice(["a", "b", "c"], size=n).astype(object),
+            "n_chars": rng.integers(10, 5000, size=n),
+        }
+    )
+
+
+def test_sample_threshold_contract():
+    assert sample_threshold(0.0) == 0
+    assert sample_threshold(1.0) == 1 << 64
+    assert sample_threshold(0.5) == 1 << 63
+    with pytest.raises(EngineValueError, match="between 0 and 1"):
+        sample_threshold(1.5)
+    with pytest.raises(EngineValueError, match="between 0 and 1"):
+        sample_threshold(-0.1)
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    df = _docs()
+    ds = ray.data.from_pandas(df)
+    out = stratified_sample(ds, rate=0.5, rates={"a": 0.1, "b": 1.0}, seed=3).to_pandas()
+    out2 = stratified_sample(ds, rate=0.5, rates={"a": 0.1, "b": 1.0}, seed=3).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id), "deterministic"
+    by = out.groupby("source").size()
+    n_by = df.groupby("source").size()
+    assert by["b"] == n_by["b"], "rate 1.0 keeps everything"
+    assert by["a"] / n_by["a"] == pytest.approx(0.1, abs=0.05)
+    assert by["c"] / n_by["c"] == pytest.approx(0.5, abs=0.06)
+
+
+def test_stratified_sample_nested(ray_session):
+    # the sample at rate r1 < r2 must be a SUBSET of the rate-r2 sample
+    ds = ray.data.from_pandas(_docs())
+    small = set(stratified_sample(ds, rate=0.2, seed=9).to_pandas().doc_id)
+    big = set(stratified_sample(ds, rate=0.6, seed=9).to_pandas().doc_id)
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_stratified_sample_seed_changes_sample(ray_session):
+    ds = ray.data.from_pandas(_docs())
+    s1 = set(stratified_sample(ds, rate=0.3, seed=1).to_pandas().doc_id)
+    s2 = set(stratified_sample(ds, rate=0.3, seed=2).to_pandas().doc_id)
+    assert s1 != s2
+
+
+def test_stratified_sample_requires_rate(ray_session):
+    ds = ray.data.from_pandas(_docs(50))
+    with pytest.raises(EngineValueError, match="rate"):
+        stratified_sample(ds)
+
+
+def test_vocab_topk_counts_and_ties(ray_session):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["b a a! c b", "a c. b", "z z z z"],
+        }
+    )
+    out = (
+        vocab_topk(ray.data.from_pandas(docs), k=3)
+        .to_pandas()
+        .sort_values(["cnt", "tok"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    # counts: z=4, a=3, b=3, c=2, !=1, .=1 -> top3 = z, a, b (tie a<b)
+    assert out["tok"].tolist() == ["z", "a", "b"]
+    assert out["cnt"].tolist() == [4, 3, 3]
+
+
+def test_vocab_topk_k_validation(ray_session):
+    with pytest.raises(EngineValueError, match="k must be positive"):
+        vocab_topk(ray.data.from_pandas(_docs(5)), k=0)
+
+
+def test_vocab_topk_empty_text(ray_session):
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["", "   "]})
+    out = vocab_topk(ray.data.from_pandas(docs), k=5)
+    assert out.count() == 0
+
+
+def test_source_quantiles_matches_numpy(ray_session):
+    df = _docs(500, seed=4)
+    out = (
+        source_quantiles(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    for src, g in df.groupby("source"):
+        for q, col in [(0.25, "q0_25"), (0.5, "q0_5"), (0.99, "q0_99")]:
+            exp = np.quantile(g["n_chars"].to_numpy(np.float64), q)
+            exp = np.floor(exp * 1e6 + 0.5) / 1e6
+            assert out.loc[src, col] == pytest.approx(exp, abs=2e-6)
+
+
+def test_source_quantiles_single_row_group(ray_session):
+    df = pd.DataFrame({"doc_id": [0], "source": ["only"], "n_chars": [42]})
+    out = source_quantiles(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    assert (out[[c for c in out.columns if c.startswith("q")]] == 42.0).all().all()
