@@ -254,6 +254,54 @@ def run_bench() -> dict:
         ).count(),
     )
 
+    # round-4 additions: ordered joins + corpus sampling/stats
+    from datafiller_ray.pipelines.corpus import (
+        source_quantiles,
+        stratified_sample,
+        vocab_topk,
+    )
+    from datafiller_ray.pipelines.joins import asof_join
+
+    def ordered_joins():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def typed(etype, event_id, value):
+            def fn(t):
+                t = t.filter(pc.equal(t["event_type"], etype))
+                cols = {"user_id": t["user_id"]}
+                if event_id:
+                    cols["event_id"] = t["event_id"]
+                cols["ts_us"] = pc.cast(t["ts"], pa.int64())
+                if value:
+                    cols["value"] = t["value"]
+                return pa.table(cols)
+
+            return ray.data.read_parquet(f"{SF_DIR}/events.parquet").map_batches(
+                fn, batch_format="pyarrow"
+            )
+
+        asof_join(
+            typed("purchase", True, False), typed("click", False, True),
+            key="user_id", on="ts_us",
+            left_payload={"event_id": "event_id", "user_id": "user_id"},
+            right_payload={"click_ts_us": "ts_us", "click_value": "value"},
+        ).count()
+
+    timed("asof_join_events", ordered_joins)
+
+    def corpus_ops():
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        slim = docs.map_batches(
+            lambda t: t.select(["doc_id", "source", "n_chars"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        stratified_sample(slim, rate=0.5, rates={"src0": 0.25}, seed=7).count()
+        vocab_topk(docs, k=100).count()
+        source_quantiles(docs).count()
+
+    timed("corpus_sample_vocab_quantiles", corpus_ops)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",
