@@ -641,6 +641,53 @@ def _sample_stratified_sql() -> str:
     """
 
 
+_SAMPLE_K = 40
+
+
+def _sample_fixed_k(sf_dir: str):
+    """Exactly-k-per-source deterministic sample (k smallest doc hashes per
+    stratum) — pipelines/corpus.sample_fixed_k; distributed bottom-k, the
+    full table never shuffles."""
+    from datafiller_ray.pipelines.corpus import sample_fixed_k
+
+    docs = _read(sf_dir, "documents").map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return sample_fixed_k(docs, k=_SAMPLE_K, seed=_SAMPLE_SEED)
+
+
+def _sample_fixed_k_sql() -> str:
+    import numpy as np
+
+    from datafiller_ray.functions.hashing import splitmix64
+
+    seed_mix = int(splitmix64(np.array([_SAMPLE_SEED], dtype=np.uint64))[0])
+    ctes, fin = _sql_splitmix_ctes(
+        "d", ["doc_id", "source", "n_chars"],
+        f"xor(CAST(doc_id AS UBIGINT), {seed_mix})", "sfk",
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        {ctes}
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS rn
+          FROM {fin})
+        WHERE rn <= {_SAMPLE_K}
+    """
+
+
+def _global_quantiles(sf_dir: str):
+    """Exact global n_chars quantiles from the mergeable (value, count)
+    histogram — pipelines/corpus.global_quantiles; the shuffle carries at
+    most |distinct values| rows per block."""
+    from datafiller_ray.pipelines.corpus import global_quantiles
+
+    return global_quantiles(_read(sf_dir, "documents"))
+
+
 def _vocab_topk(sf_dir: str):
     """Global top-100 vocabulary (count desc, token asc ties) —
     pipelines/corpus.vocab_topk; heavy text collapses to (token, count)
@@ -784,8 +831,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": _purchase_attribution,
         "session_range_join": _session_range_join,
         "sample_stratified": _sample_stratified,
+        "sample_fixed_k": _sample_fixed_k,
         "vocab_topk": _vocab_topk,
         "source_quantiles": _source_quantiles,
+        "global_quantiles": _global_quantiles,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1751,6 +1800,16 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts_s BETWEEN w.session_start AND w.session_end
         """,
         "sample_stratified": _sample_stratified_sql(),
+        "sample_fixed_k": _sample_fixed_k_sql(),
+        "global_quantiles": """
+            SELECT
+              floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.25)*1000000 + 0.5)/1000000 AS q0_25,
+              floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.5)*1000000 + 0.5)/1000000 AS q0_5,
+              floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.75)*1000000 + 0.5)/1000000 AS q0_75,
+              floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.9)*1000000 + 0.5)/1000000 AS q0_9,
+              floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.99)*1000000 + 0.5)/1000000 AS q0_99
+            FROM documents
+        """,
         "vocab_topk": r"""
             SELECT tok, cnt FROM (
               SELECT tok, count(*)::BIGINT AS cnt FROM (

@@ -34,7 +34,14 @@ import pyarrow.compute as pc
 from datafiller_ray.config import EngineValueError
 from datafiller_ray.functions.hashing import splitmix64
 
-__all__ = ["stratified_sample", "sample_threshold", "vocab_topk", "source_quantiles"]
+__all__ = [
+    "stratified_sample",
+    "sample_fixed_k",
+    "sample_threshold",
+    "vocab_topk",
+    "source_quantiles",
+    "global_quantiles",
+]
 
 _U64 = 1 << 64
 
@@ -103,6 +110,58 @@ def _exact_mask(h: np.ndarray, src, thr_map: dict, default_thr: int) -> np.ndarr
         sel = src == s
         mask[sel] = True if tv >= _U64 else h[sel] < np.uint64(tv)
     return mask
+
+
+def sample_fixed_k(
+    docs,
+    *,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+):
+    """Exactly-k-per-stratum deterministic sample: the k documents with the
+    SMALLEST ``splitmix64(doc_id ^ mix(seed))`` hashes per stratum (ties
+    broken by id — hashes of distinct ids are 64-bit, so ties are
+    theoretical). A distributed bottom-k: each batch prunes to its local
+    per-stratum bottom-k, so at most ``k * strata * blocks`` pruned rows
+    enter the one small groupby — the full table never shuffles. Strata
+    with fewer than k documents keep all of them.
+
+    Unlike :func:`stratified_sample` (rate-based, size varies with the
+    corpus) this pins the exact output size per stratum — the shape needed
+    for eval-set carving and per-source budget caps.
+    """
+    if k <= 0:
+        raise EngineValueError("k must be positive")
+    seed_mix = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+
+    def bottom_k_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed_mix))
+        t = t.append_column("_h", pa.array(h.astype(np.int64)))
+        if t.num_rows <= k:
+            return t
+        src = np.asarray(t[strata_col].to_numpy(zero_copy_only=False))
+        order = np.lexsort((ids, h, src))  # stratum, then hash, then id
+        src_sorted = src[order]
+        starts = np.flatnonzero(np.r_[True, src_sorted[1:] != src_sorted[:-1]])
+        bounds = np.r_[starts, src_sorted.size]
+        keep = np.concatenate(
+            [order[s : min(s + k, e)] for s, e in zip(bounds[:-1], bounds[1:])]
+        )
+        return t.take(pa.array(np.sort(keep), type=pa.int64()))
+
+    def final_k(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        h = g["_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = np.lexsort((ids, h))[:k]
+        out = g.take(pa.array(np.sort(keep), type=pa.int64()))
+        return out.drop_columns(["_h"])
+
+    pruned = docs.map_batches(bottom_k_batch, batch_format="pyarrow")
+    return pruned.groupby(strata_col).map_groups(final_k, batch_format="pyarrow")
 
 
 class _VocabPartial:
@@ -203,3 +262,70 @@ def source_quantiles(
         zero_copy_batch=True,
     )
     return slim.groupby(strata_col).map_groups(per_source, batch_format="pandas")
+
+
+def global_quantiles(
+    docs,
+    *,
+    value_col: str = "n_chars",
+    qs: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9, 0.99),
+):
+    """EXACT whole-dataset quantiles of a bounded-cardinality numeric
+    column, computed distributed: per-batch ``np.unique`` collapses values
+    to (value, count) partials, one value-keyed groupby merges them (the
+    shuffle moves at most |distinct values| rows per block, NOT the data),
+    and a single tiny reduce walks the merged histogram's cumulative counts
+    to evaluate the ``quantile_cont`` interpolation. This is the 100-TB
+    shape for exact quantiles whenever the value domain is bounded (lengths,
+    counts, scores quantized to fixed decimals); for unbounded doubles use
+    :func:`source_quantiles` per group or a sketch.
+
+    Output: ONE row with ``q_<pct>`` double columns (6-decimal
+    floor-half-up, same absorber as :func:`source_quantiles`).
+    """
+    names = [f"q{str(q).replace('.', '_')}" for q in qs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table(
+            {"value": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    merged = (
+        docs.map_batches(
+            lambda t: t.select([value_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .sum("cnt")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks().rename_columns(["value", "cnt"])
+        if t.num_rows == 0:
+            return pa.table({n: pa.array([], type=pa.float64()) for n in names})
+        vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        cs = np.cumsum(t["cnt"].to_numpy(zero_copy_only=False)[order])
+        n = int(cs[-1])
+
+        def element(j: int) -> float:
+            return float(vals[np.searchsorted(cs, j, side="right")])
+
+        row = {}
+        for q, name in zip(qs, names):
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, n - 1)
+            frac = pos - lo
+            v = element(lo) + (element(hi) - element(lo)) * frac
+            row[name] = [float(np.floor(v * 1e6 + 0.5) / 1e6)]
+        return pa.table(row)
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -120,3 +120,59 @@ def test_source_quantiles_single_row_group(ray_session):
     out = source_quantiles(ray.data.from_pandas(df)).to_pandas()
     assert len(out) == 1
     assert (out[[c for c in out.columns if c.startswith("q")]] == 42.0).all().all()
+
+
+def test_sample_fixed_k_exact_size_and_determinism(ray_session):
+    from datafiller_ray.pipelines.corpus import sample_fixed_k
+
+    df = _docs(1200, seed=8)
+    ds = ray.data.from_pandas(df)
+    out = sample_fixed_k(ds, k=25, seed=4).to_pandas()
+    out2 = sample_fixed_k(ds, k=25, seed=4).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    sizes = out.groupby("source").size()
+    assert (sizes == 25).all(), sizes
+    assert "_h" not in out.columns
+
+
+def test_sample_fixed_k_small_stratum_keeps_all(ray_session):
+    from datafiller_ray.pipelines.corpus import sample_fixed_k
+
+    df = _docs(60, seed=2)
+    out = sample_fixed_k(ray.data.from_pandas(df), k=1000, seed=0).to_pandas()
+    assert len(out) == 60
+
+
+def test_sample_fixed_k_matches_bruteforce(ray_session):
+    from datafiller_ray.functions.hashing import splitmix64
+    from datafiller_ray.pipelines.corpus import sample_fixed_k
+
+    df = _docs(800, seed=5)
+    k, seed = 10, 3
+    out = sample_fixed_k(ray.data.from_pandas(df), k=k, seed=seed).to_pandas()
+    seed_mix = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+    h = splitmix64(df.doc_id.to_numpy(np.uint64) ^ np.uint64(seed_mix))
+    df2 = df.assign(h=h)
+    exp = (
+        df2.sort_values(["h", "doc_id"]).groupby("source").head(k).doc_id
+    )
+    assert sorted(out.doc_id) == sorted(exp)
+
+
+def test_sample_fixed_k_validation(ray_session):
+    from datafiller_ray.pipelines.corpus import sample_fixed_k
+
+    with pytest.raises(EngineValueError, match="k must be positive"):
+        sample_fixed_k(ray.data.from_pandas(_docs(5)), k=0)
+
+
+def test_global_quantiles_matches_numpy(ray_session):
+    from datafiller_ray.pipelines.corpus import global_quantiles
+
+    df = _docs(3000, seed=6)
+    out = global_quantiles(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    for q, col in [(0.25, "q0_25"), (0.5, "q0_5"), (0.9, "q0_9"), (0.99, "q0_99")]:
+        exp = np.quantile(df.n_chars.to_numpy(np.float64), q)
+        exp = np.floor(exp * 1e6 + 0.5) / 1e6
+        assert out[col].iloc[0] == pytest.approx(exp, abs=2e-6)
