@@ -705,6 +705,33 @@ def _source_quantiles(sf_dir: str):
     return source_quantiles(_read(sf_dir, "documents"))
 
 
+def _rolling_window(sf_dir: str):
+    """Sliding-window rolling count/sum/min/max/mean over the last 60
+    observed 1m buckets per source — pipelines/window.rolling_aggregates
+    (ROWS-window semantics; int64-exact sums, one-division mean)."""
+    from datafiller_ray.pipelines.window import rolling_aggregates
+
+    return rolling_aggregates(_fixture(sf_dir), window=60, check_tokens=False)
+
+
+def _topk_buckets(sf_dir: str):
+    """Per-source top-5 busiest minutes (sum_tok DESC, bucket_ts ASC rank)
+    — pipelines/window.topk_buckets."""
+    from datafiller_ray.pipelines.window import topk_buckets
+
+    return topk_buckets(_fixture(sf_dir), k=5, check_tokens=False)
+
+
+def _rolling_anomaly(sf_dir: str):
+    """Buckets whose token sum exceeds 1.5x the 60-bucket rolling mean
+    (window >= 10 rows) — pipelines/window.rolling_anomalies."""
+    from datafiller_ray.pipelines.window import rolling_anomalies
+
+    return rolling_anomalies(
+        _fixture(sf_dir), window=60, factor=1.5, min_window=10, check_tokens=False
+    )
+
+
 def _lineitem_daily(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -835,6 +862,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _vocab_topk,
         "source_quantiles": _source_quantiles,
         "global_quantiles": _global_quantiles,
+        "rolling_window_1m": _rolling_window,
+        "topk_buckets": _topk_buckets,
+        "rolling_anomaly": _rolling_anomaly,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1826,6 +1856,47 @@ def oracle_sql() -> dict[str, str]:
               floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.9)*1000000 + 0.5)/1000000 AS q0_9,
               floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.99)*1000000 + 0.5)/1000000 AS q0_99
             FROM documents GROUP BY source
+        """,
+        # sliding-window family over the rollup_1m result (ROWS windows over
+        # observed buckets; int64-exact sums, one-division half-up mean —
+        # the engine computes the identical IEEE expression tree)
+        "rolling_window_1m": f"""
+            SELECT source, bucket_ts, sum_tok,
+                   COUNT(*) OVER w AS roll_cnt,
+                   CAST(SUM(sum_tok) OVER w AS BIGINT) AS roll_sum_tok,
+                   CAST(MIN(sum_tok) OVER w AS BIGINT) AS roll_min_tok,
+                   CAST(MAX(sum_tok) OVER w AS BIGINT) AS roll_max_tok,
+                   FLOOR(CAST(SUM(sum_tok) OVER w AS DOUBLE) / COUNT(*) OVER w
+                         * 1000000 + 0.5) / 1000000.0 AS roll_mean_tok
+            FROM ({rollup(60)})
+            WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
+                         ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+        """,
+        "topk_buckets": f"""
+            SELECT source, bucket_ts, sum_tok, rnk FROM (
+              SELECT source, bucket_ts, sum_tok,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY sum_tok DESC, bucket_ts ASC) AS rnk
+              FROM ({rollup(60)}))
+            WHERE rnk <= 5
+        """,
+        "rolling_anomaly": f"""
+            SELECT source, bucket_ts, sum_tok, roll_cnt, roll_sum_tok,
+                   roll_min_tok, roll_max_tok, roll_mean_tok
+            FROM (
+              SELECT source, bucket_ts, sum_tok,
+                     COUNT(*) OVER w AS roll_cnt,
+                     CAST(SUM(sum_tok) OVER w AS BIGINT) AS roll_sum_tok,
+                     CAST(MIN(sum_tok) OVER w AS BIGINT) AS roll_min_tok,
+                     CAST(MAX(sum_tok) OVER w AS BIGINT) AS roll_max_tok,
+                     FLOOR(CAST(SUM(sum_tok) OVER w AS DOUBLE) / COUNT(*) OVER w
+                           * 1000000 + 0.5) / 1000000.0 AS roll_mean_tok,
+                     CAST(SUM(sum_tok) OVER w AS DOUBLE) / COUNT(*) OVER w
+                         AS mean_raw
+              FROM ({rollup(60)})
+              WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
+                           ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
+            WHERE roll_cnt >= 10 AND CAST(sum_tok AS DOUBLE) > 1.5 * mean_raw
         """,
         "lang_id": _lang_id_sql(),
         "token_count_bpe": r"""

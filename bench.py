@@ -302,6 +302,17 @@ def run_bench() -> dict:
 
     timed("corpus_sample_vocab_quantiles", corpus_ops)
 
+    def windows():
+        from datafiller_ray.pipelines.window import (
+            rolling_aggregates,
+            topk_buckets,
+        )
+
+        rolling_aggregates(fixture, window=60).count()
+        topk_buckets(fixture, k=5).count()
+
+    timed("rolling_window_topk", windows)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",

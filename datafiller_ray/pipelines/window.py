@@ -1,0 +1,228 @@
+"""Sliding-window aggregates over the 1m rollup tier.
+
+The tier cascade (stages/fill.py) covers TUMBLING windows (1m/1h/1d
+buckets); this module adds the SLIDING-window family — rolling
+count/sum/min/max/mean over the last ``window`` observed buckets per
+source, per-source top-k buckets, and a rolling-mean anomaly filter.
+
+Physical plan: identical single-exchange shape as the flagship rollup —
+
+    read (columns pruned) -> map_batches(partial agg)   [token payload never moves]
+      -> groupby(skey)                                  [THE shuffle — partial rows only]
+      -> map_groups(combine -> vectorized window pass)
+
+Window semantics are ROWS BETWEEN (window-1) PRECEDING AND CURRENT ROW
+over the OBSERVED (non-empty) 1m buckets of each source, ordered by
+``bucket_ts`` — i.e. SQL window-function semantics over the rollup_1m
+result, so the operator is exactly oracle-able with DuckDB ``OVER w``
+clauses. Gap-aware variants (windows over the densified grid) compose by
+running the gap-fill first and windowing its output.
+
+All rolling arithmetic is int64-exact (sums/counts/extrema of int
+``n_tok``); only the final mean divides, with the engine-wide
+floor(x*1e6+0.5)/1e6 half-up rounding so DuckDB hashes match bit-for-bit.
+
+Scale notes: the per-group pass is O(n) — rolling sum via one cumsum
+diff (int64, exact), rolling extrema via the two-pass block prefix/suffix
+trick (no O(n*window) stride). One shuffle total; no driver
+materialization. The reference has no sliding-window operator; this is
+part of the engine's continuous-aggregate surface (north_star).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    from ray.data import Dataset
+
+
+def sliding_max(x: np.ndarray, w: int) -> np.ndarray:
+    """Rolling max over ROWS BETWEEN (w-1) PRECEDING AND CURRENT ROW.
+
+    Two-pass block algorithm (prefix max within w-sized blocks + suffix
+    max within blocks; each window spans at most two blocks), O(n) and
+    fully vectorized. Head windows (fewer than w rows available) are the
+    running prefix max, matching SQL ROWS-window semantics.
+    """
+    n = x.size
+    if n == 0:
+        return x.copy()
+    if w >= n:
+        return np.maximum.accumulate(x)
+    pad = (-n) % w
+    if pad:
+        # pad with the dtype's -inf so padding never wins a suffix max
+        fillv = (
+            np.iinfo(x.dtype).min
+            if np.issubdtype(x.dtype, np.integer)
+            else -np.inf
+        )
+        xp = np.concatenate([x, np.full(pad, fillv, dtype=x.dtype)])
+    else:
+        xp = x
+    blocks = xp.reshape(-1, w)
+    left = np.maximum.accumulate(blocks, axis=1).ravel()[:n]
+    right = np.maximum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    i = np.arange(n)
+    lo = i - (w - 1)
+    # full windows span blocks [lo // w] and [i // w]: suffix max from lo
+    # to its block end, prefix max from block start to i. Head windows
+    # (lo < 0) live entirely in block 0 where left IS the running max.
+    out = np.where(lo <= 0, left, np.maximum(right[np.maximum(lo, 0)], left))
+    return out
+
+
+def sliding_min(x: np.ndarray, w: int) -> np.ndarray:
+    return -sliding_max(-x, w)
+
+
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    # fixed IEEE op sequence shared with the SQL oracles (events precedent)
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _rolling_one_source(obs: pd.DataFrame, source: str, window: int) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    n = ts.size
+    i = np.arange(n)
+    lo = np.maximum(0, i - (window - 1))
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+    roll_sum = cs[i + 1] - cs[lo]  # int64-exact (no float cumsum drift)
+    roll_cnt = i + 1 - lo
+    roll_mean = _round6_half_up(
+        roll_sum.astype(np.float64) / roll_cnt.astype(np.float64)
+    )
+    return pd.DataFrame(
+        {
+            "source": np.full(n, source, dtype=object),
+            "bucket_ts": ts,
+            "sum_tok": s,
+            "roll_cnt": roll_cnt.astype(np.int64),
+            "roll_sum_tok": roll_sum,
+            "roll_min_tok": sliding_min(s, window),
+            "roll_max_tok": sliding_max(s, window),
+            "roll_mean_tok": roll_mean,
+        }
+    )
+
+
+def _topk_one_source(obs: pd.DataFrame, source: str, k: int) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    # deterministic: sum_tok DESC, bucket_ts ASC (np.lexsort: last key primary)
+    order = np.lexsort((ts, -s))[:k]
+    return pd.DataFrame(
+        {
+            "source": np.full(order.size, source, dtype=object),
+            "bucket_ts": ts[order],
+            "sum_tok": s[order],
+            "rnk": np.arange(1, order.size + 1, dtype=np.int64),
+        }
+    )
+
+
+def _shuffled_partials(input_path, *, check_tokens: bool = False):
+    """Partial-aggregate + conditional coalesce, the rollup_tiers shuffle
+    prologue (see pipelines/rollup.py for the block-count rationale)."""
+    import ray
+
+    from datafiller_ray.pipelines.rollup import partial_aggregates
+
+    partials = partial_aggregates(input_path, check_tokens=check_tokens)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    target = max(32, 4 * cpus)
+    nblocks = None
+    if isinstance(input_path, str):
+        try:
+            import pyarrow.dataset as pds
+
+            nblocks = len(pds.dataset(input_path).files)
+        except Exception:
+            nblocks = None
+    if nblocks is None or nblocks < target or nblocks > 4 * target:
+        partials = partials.repartition(target)
+    return partials
+
+
+def _per_source_group_fn(one_source):
+    """Wrap a per-source frame fn with the skey-collision sub-grouping used
+    by every group fn in the engine (stages/fill.py make_fill_group_fn)."""
+    from datafiller_ray.stages.fill import combine_partials
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if g["source"].iloc[0] == g["source"].iloc[-1] and g["source"].nunique() == 1:
+            return one_source(combine_partials(g), g["source"].iloc[0])
+        return pd.concat(
+            [
+                one_source(combine_partials(sub), src)
+                for src, sub in g.groupby("source", sort=True)
+            ],
+            ignore_index=True,
+        )
+
+    return group_fn
+
+
+def rolling_aggregates(
+    input_path, *, window: int = 60, check_tokens: bool = False
+) -> "Dataset":
+    """Rolling count/sum/min/max/mean of per-minute token sums over the
+    last ``window`` observed 1m buckets of each source."""
+    from datafiller_ray.config import EngineValueError
+
+    if window < 1:
+        raise EngineValueError(f"window must be >= 1, got {window}")
+    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
+    fn = _per_source_group_fn(
+        lambda obs, src: _rolling_one_source(obs, src, window)
+    )
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+
+
+def topk_buckets(input_path, *, k: int = 5, check_tokens: bool = False) -> "Dataset":
+    """Per-source top-k busiest minutes (sum_tok DESC, bucket_ts ASC),
+    with dense 1..k rank — deterministic under ties."""
+    from datafiller_ray.config import EngineValueError
+
+    if k < 1:
+        raise EngineValueError(f"k must be >= 1, got {k}")
+    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
+    fn = _per_source_group_fn(lambda obs, src: _topk_one_source(obs, src, k))
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+
+
+def rolling_anomalies(
+    input_path,
+    *,
+    window: int = 60,
+    factor: float = 2.0,
+    min_window: int = 10,
+    check_tokens: bool = False,
+) -> "Dataset":
+    """Buckets whose token sum exceeds ``factor`` x the rolling mean of the
+    preceding ``window`` buckets (window populated with >= ``min_window``
+    rows). The comparison uses the UNROUNDED mean computed with one
+    division, bit-identical to the SQL oracle's expression tree."""
+    from datafiller_ray.config import EngineValueError
+
+    if window < 1:
+        raise EngineValueError(f"window must be >= 1, got {window}")
+
+    def one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+        out = _rolling_one_source(obs, source, window)
+        mean_raw = out["roll_sum_tok"].to_numpy(np.float64) / out[
+            "roll_cnt"
+        ].to_numpy(np.float64)
+        keep = (out["roll_cnt"].to_numpy() >= min_window) & (
+            out["sum_tok"].to_numpy(np.float64) > factor * mean_raw
+        )
+        return out.loc[keep].reset_index(drop=True)
+
+    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
+    fn = _per_source_group_fn(one_source)
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")

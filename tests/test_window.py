@@ -1,0 +1,95 @@
+"""Sliding-window family (pipelines/window.py): kernel properties vs brute
+force plus an end-to-end pin at the library surface. The SQL-oracle parity
+(engine vs DuckDB window functions) is covered by test_entry_contract for
+``rolling_window_1m`` / ``topk_buckets`` / ``rolling_anomaly``."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datafiller_ray.pipelines.window import (
+    _rolling_one_source,
+    _topk_one_source,
+    sliding_max,
+    sliding_min,
+)
+
+
+def _brute_max(x, w):
+    return np.array([x[max(0, i - w + 1) : i + 1].max() for i in range(x.size)])
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 5, 7, 60, 100])
+def test_sliding_max_matches_brute_force(w):
+    rng = np.random.default_rng(42 + w)
+    for n in (1, 2, w - 1, w, w + 1, 3 * w + 2, 257):
+        if n < 1:
+            continue
+        x = rng.integers(-(10**9), 10**9, size=n).astype(np.int64)
+        np.testing.assert_array_equal(sliding_max(x, w), _brute_max(x, w))
+        np.testing.assert_array_equal(sliding_min(x, w), -_brute_max(-x, w))
+
+
+def test_sliding_max_pad_neutral():
+    # regression: the tail block's padding must never win a suffix max
+    x = np.array([100, 1, 1, 1, 1], dtype=np.int64)  # n=5, w=3 -> pad=1
+    np.testing.assert_array_equal(sliding_max(x, 3), [100, 100, 100, 1, 1])
+
+
+def test_sliding_max_floats():
+    x = np.array([1.5, -2.25, 7.0, 7.0, 0.5])
+    np.testing.assert_array_equal(sliding_max(x, 2), [1.5, 1.5, 7.0, 7.0, 7.0])
+
+
+def test_rolling_one_source_exact_ints():
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(5, dtype=np.int64) * 60,
+         "sum": np.array([10, 20, 30, 40, 50], dtype=np.int64)}
+    )
+    out = _rolling_one_source(obs, "s", window=3)
+    assert out["roll_sum_tok"].tolist() == [10, 30, 60, 90, 120]
+    assert out["roll_cnt"].tolist() == [1, 2, 3, 3, 3]
+    assert out["roll_min_tok"].tolist() == [10, 10, 10, 20, 30]
+    assert out["roll_max_tok"].tolist() == [10, 20, 30, 40, 50]
+    assert out["roll_mean_tok"].tolist() == [10.0, 15.0, 20.0, 30.0, 40.0]
+
+
+def test_topk_deterministic_ties():
+    obs = pd.DataFrame(
+        {"bucket_ts": np.array([0, 60, 120, 180], dtype=np.int64),
+         "sum": np.array([5, 9, 9, 3], dtype=np.int64)}
+    )
+    out = _topk_one_source(obs, "s", k=3)
+    # sum DESC, ts ASC under the 9-tie; rnk dense 1..k
+    assert out["bucket_ts"].tolist() == [60, 120, 0]
+    assert out["rnk"].tolist() == [1, 2, 3]
+
+
+@pytest.fixture(scope="module")
+def small_fixture(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.fixtures import generate_input_table
+
+    path = tmp_path_factory.mktemp("window") / "in.parquet"
+    pq.write_table(generate_input_table(5000, 9, seed=7), path)
+    return str(path)
+
+
+def test_rolling_aggregates_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import rolling_aggregates, topk_buckets
+
+    out = rolling_aggregates(small_fixture, window=10).to_pandas()
+    assert set(out.columns) == {
+        "source", "bucket_ts", "sum_tok", "roll_cnt", "roll_sum_tok",
+        "roll_min_tok", "roll_max_tok", "roll_mean_tok",
+    }
+    # per-source pandas cross-check on one source
+    src = out["source"].iloc[0]
+    sub = out[out["source"] == src].sort_values("bucket_ts")
+    exp = sub["sum_tok"].rolling(10, min_periods=1).sum().astype(np.int64)
+    np.testing.assert_array_equal(sub["roll_sum_tok"].to_numpy(), exp.to_numpy())
+
+    top = topk_buckets(small_fixture, k=2).to_pandas()
+    assert (top.groupby("source").size() <= 2).all()
+    assert set(top["rnk"]) <= {1, 2}
