@@ -732,6 +732,28 @@ def _rolling_anomaly(sf_dir: str):
     )
 
 
+def _bucket_deltas(sf_dir: str):
+    """Per-source delta + rate between consecutive observed 1m buckets
+    (LAG semantics, first bucket omitted) — pipelines/window.bucket_deltas."""
+    from datafiller_ray.pipelines.window import bucket_deltas
+
+    return bucket_deltas(_fixture(sf_dir), check_tokens=False)
+
+
+def _token_histogram(sf_dir: str):
+    """Per-source n_tok histogram, 64-wide bins —
+    pipelines/corpus.column_histogram over the sequences table."""
+    from datafiller_ray.pipelines.corpus import column_histogram
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return column_histogram(
+        read_input(_fixture(sf_dir), with_tokens=False),
+        key_col="source",
+        value_col="n_tok",
+        bin_width=64,
+    )
+
+
 def _lineitem_daily(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -865,6 +887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window_1m": _rolling_window,
         "topk_buckets": _topk_buckets,
         "rolling_anomaly": _rolling_anomaly,
+        "bucket_deltas": _bucket_deltas,
+        "token_histogram": _token_histogram,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1897,6 +1921,25 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
                            ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
             WHERE roll_cnt >= 10 AND CAST(sum_tok AS DOUBLE) > 1.5 * mean_raw
+        """,
+        "bucket_deltas": f"""
+            SELECT source, bucket_ts, sum_tok, delta_tok, dt_sec,
+                   FLOOR(CAST(delta_tok AS DOUBLE) / dt_sec
+                         * 1000000 + 0.5) / 1000000.0 AS rate_tok_s
+            FROM (
+              SELECT source, bucket_ts, sum_tok,
+                     sum_tok - LAG(sum_tok) OVER w AS delta_tok,
+                     bucket_ts - LAG(bucket_ts) OVER w AS dt_sec
+              FROM ({rollup(60)})
+              WINDOW w AS (PARTITION BY source ORDER BY bucket_ts))
+            WHERE delta_tok IS NOT NULL
+        """,
+        "token_histogram": f"""
+            SELECT source, CAST(n_tok // 64 AS BIGINT) AS bin,
+                   CAST((n_tok // 64) * 64 AS BIGINT) AS bin_lo,
+                   COUNT(*) AS n_rows
+            FROM read_parquet('{p}/*.parquet')
+            GROUP BY 1, 2, 3
         """,
         "lang_id": _lang_id_sql(),
         "token_count_bpe": r"""

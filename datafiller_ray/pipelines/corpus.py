@@ -41,6 +41,7 @@ __all__ = [
     "vocab_topk",
     "source_quantiles",
     "global_quantiles",
+    "column_histogram",
 ]
 
 _U64 = 1 << 64
@@ -329,3 +330,59 @@ def global_quantiles(
     return merged.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def column_histogram(
+    ds,
+    *,
+    key_col: str = "source",
+    value_col: str = "n_tok",
+    bin_width: int = 64,
+):
+    """Per-key histogram of a numeric column with fixed-width bins
+    (``bin = value // bin_width``) — the token-length-distribution stat of
+    a training-data pipeline, computed as partial (key, bin) counts per
+    batch (pyarrow ``group_by``) merged by one small keyed groupby. The
+    shuffle carries at most |keys| x |occupied bins| rows per block, never
+    the data.
+
+    Output: one row per (key, bin) with ``bin_lo = bin * bin_width`` and
+    the count ``n_rows``.
+    """
+    if bin_width < 1:
+        raise EngineValueError(f"bin_width must be >= 1, got {bin_width}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        b = (vals // bin_width).astype(np.int64)
+        proj = pa.table(
+            {key_col: t[key_col], "bin": pa.array(b, pa.int64())}
+        )
+        agg = proj.group_by([key_col, "bin"]).aggregate([([], "count_all")])
+        return agg.rename_columns([key_col, "bin", "cnt"])
+
+    merged = (
+        ds.map_batches(
+            lambda t: t.select([key_col, value_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "bin"])
+        .sum("cnt")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        cnt_col = [c for c in t.column_names if c.startswith("sum")][0]
+        bins = t["bin"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "bin": t["bin"],
+                "bin_lo": pa.array(bins * bin_width, pa.int64()),
+                "n_rows": pc.cast(t[cnt_col], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

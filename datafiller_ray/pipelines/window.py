@@ -196,6 +196,47 @@ def topk_buckets(input_path, *, k: int = 5, check_tokens: bool = False) -> "Data
     return partials.groupby("skey").map_groups(fn, batch_format="pandas")
 
 
+def _deltas_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    if ts.size < 2:
+        return pd.DataFrame(
+            {
+                "source": np.empty(0, dtype=object),
+                "bucket_ts": np.empty(0, np.int64),
+                "sum_tok": np.empty(0, np.int64),
+                "delta_tok": np.empty(0, np.int64),
+                "dt_sec": np.empty(0, np.int64),
+                "rate_tok_s": np.empty(0, np.float64),
+            }
+        )
+    delta = s[1:] - s[:-1]
+    dt = ts[1:] - ts[:-1]
+    rate = _round6_half_up(delta.astype(np.float64) / dt.astype(np.float64))
+    n = delta.size
+    return pd.DataFrame(
+        {
+            "source": np.full(n, source, dtype=object),
+            "bucket_ts": ts[1:],
+            "sum_tok": s[1:],
+            "delta_tok": delta,
+            "dt_sec": dt,
+            "rate_tok_s": rate,
+        }
+    )
+
+
+def bucket_deltas(input_path, *, check_tokens: bool = False) -> "Dataset":
+    """Per-source delta + rate of change between consecutive OBSERVED 1m
+    buckets (LAG semantics; gaps show up as dt_sec > 60, the
+    counter-rate-over-gap formulation). The first bucket of each source has
+    no predecessor and is omitted. ``rate_tok_s`` divides once and rounds
+    half-up at 6 decimals, matching the SQL oracle bit-for-bit."""
+    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
+    fn = _per_source_group_fn(_deltas_one_source)
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+
+
 def rolling_anomalies(
     input_path,
     *,

@@ -93,3 +93,35 @@ def test_rolling_aggregates_end_to_end(ray_session, small_fixture):
     top = topk_buckets(small_fixture, k=2).to_pandas()
     assert (top.groupby("source").size() <= 2).all()
     assert set(top["rnk"]) <= {1, 2}
+
+
+def test_deltas_one_source():
+    from datafiller_ray.pipelines.window import _deltas_one_source
+
+    obs = pd.DataFrame(
+        {"bucket_ts": np.array([0, 60, 240], dtype=np.int64),
+         "sum": np.array([10, 40, 10], dtype=np.int64)}
+    )
+    out = _deltas_one_source(obs, "s")
+    assert out["delta_tok"].tolist() == [30, -30]
+    assert out["dt_sec"].tolist() == [60, 180]  # the gap widens dt
+    # rate = floor(delta/dt * 1e6 + 0.5)/1e6, half-up toward +inf
+    assert out["rate_tok_s"].iloc[0] == 0.5
+    assert out["rate_tok_s"].iloc[1] == np.floor(-30 / 180 * 1e6 + 0.5) / 1e6
+
+    single = _deltas_one_source(obs.iloc[:1], "s")
+    assert len(single) == 0 and "rate_tok_s" in single.columns
+
+
+def test_column_histogram_end_to_end(ray_session, small_fixture):
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import column_histogram
+
+    ds = ray.data.read_parquet(small_fixture, columns=["source", "n_tok"])
+    out = column_histogram(ds, bin_width=64).to_pandas()
+    assert (out["bin_lo"] == out["bin"] * 64).all()
+    # counts add up to the input row count
+    import pyarrow.dataset as pds
+
+    assert out["n_rows"].sum() == pds.dataset(small_fixture).count_rows()
