@@ -740,6 +740,14 @@ def _bucket_deltas(sf_dir: str):
     return bucket_deltas(_fixture(sf_dir), check_tokens=False)
 
 
+def _hourly_profile(sf_dir: str):
+    """Per-source hour-of-day count/sum/mean profile —
+    pipelines/window.hourly_profile (calendar seasonality baseline)."""
+    from datafiller_ray.pipelines.window import hourly_profile
+
+    return hourly_profile(_fixture(sf_dir), check_tokens=False)
+
+
 def _token_histogram(sf_dir: str):
     """Per-source n_tok histogram, 64-wide bins —
     pipelines/corpus.column_histogram over the sequences table."""
@@ -889,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_anomaly": _rolling_anomaly,
         "bucket_deltas": _bucket_deltas,
         "token_histogram": _token_histogram,
+        "hourly_profile": _hourly_profile,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1933,6 +1942,15 @@ def oracle_sql() -> dict[str, str]:
               FROM ({rollup(60)})
               WINDOW w AS (PARTITION BY source ORDER BY bucket_ts))
             WHERE delta_tok IS NOT NULL
+        """,
+        "hourly_profile": f"""
+            SELECT source, (bucket_ts % 86400) // 3600 AS hod,
+                   COUNT(*) AS n_buckets,
+                   CAST(SUM(sum_tok) AS BIGINT) AS sum_tok,
+                   FLOOR(CAST(SUM(sum_tok) AS DOUBLE) / COUNT(*)
+                         * 1000000 + 0.5) / 1000000.0 AS mean_tok
+            FROM ({rollup(60)})
+            GROUP BY 1, 2
         """,
         "token_histogram": f"""
             SELECT source, CAST(n_tok // 64 AS BIGINT) AS bin,

@@ -237,6 +237,41 @@ def bucket_deltas(input_path, *, check_tokens: bool = False) -> "Dataset":
     return partials.groupby("skey").map_groups(fn, batch_format="pandas")
 
 
+def _profile_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    hod = (ts % 86400) // 3600
+    cnt = np.bincount(hod, minlength=24).astype(np.int64)
+    tot = np.zeros(24, dtype=np.int64)
+    np.add.at(tot, hod, s)  # int64-exact per-hour totals
+    keep = cnt > 0
+    mean = _round6_half_up(
+        tot[keep].astype(np.float64) / cnt[keep].astype(np.float64)
+    )
+    return pd.DataFrame(
+        {
+            "source": np.full(int(keep.sum()), source, dtype=object),
+            "hod": np.flatnonzero(keep).astype(np.int64),
+            "n_buckets": cnt[keep],
+            "sum_tok": tot[keep],
+            "mean_tok": mean,
+        }
+    )
+
+
+def hourly_profile(input_path, *, check_tokens: bool = False) -> "Dataset":
+    """Per-source hour-of-day seasonal profile: count/sum/mean of per-minute
+    token sums grouped by UTC hour 0-23 over the source's whole span — the
+    calendar-seasonality baseline a forecasting/anomaly layer subtracts.
+    Distinct observed minutes must be combined per source BEFORE counting
+    (the same minute's partials can arrive from several input blocks), so
+    this rides the per-source exchange rather than a naive additive
+    groupby; the per-source pass is a 24-bin bincount."""
+    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
+    fn = _per_source_group_fn(_profile_one_source)
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+
+
 def rolling_anomalies(
     input_path,
     *,

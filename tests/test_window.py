@@ -125,3 +125,18 @@ def test_column_histogram_end_to_end(ray_session, small_fixture):
     import pyarrow.dataset as pds
 
     assert out["n_rows"].sum() == pds.dataset(small_fixture).count_rows()
+
+
+def test_profile_one_source_dedup_semantics():
+    from datafiller_ray.pipelines.window import _profile_one_source
+
+    # two observed minutes in hour 0, one in hour 3
+    obs = pd.DataFrame(
+        {"bucket_ts": np.array([0, 120, 3 * 3600], dtype=np.int64),
+         "sum": np.array([10, 20, 7], dtype=np.int64)}
+    )
+    out = _profile_one_source(obs, "s")
+    assert out["hod"].tolist() == [0, 3]
+    assert out["n_buckets"].tolist() == [2, 1]
+    assert out["sum_tok"].tolist() == [30, 7]
+    assert out["mean_tok"].tolist() == [15.0, 7.0]
