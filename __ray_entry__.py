@@ -740,6 +740,23 @@ def _bucket_deltas(sf_dir: str):
     return bucket_deltas(_fixture(sf_dir), check_tokens=False)
 
 
+def _ewma_smooth(sf_dir: str):
+    """EWMA smoothing (alpha=0.25, unadjusted recursion) of per-minute
+    token sums over observed buckets — pipelines/window.ewma_smooth;
+    oracled by the vendored independent NumPy recursion."""
+    from datafiller_ray.pipelines.window import ewma_smooth
+
+    return ewma_smooth(_fixture(sf_dir), alpha=0.25, check_tokens=False)
+
+
+def _lttb_downsample(sf_dir: str):
+    """LTTB visual downsample to 50 points per source —
+    pipelines/window.lttb_downsample; vendored loop-LTTB oracle."""
+    from datafiller_ray.pipelines.window import lttb_downsample
+
+    return lttb_downsample(_fixture(sf_dir), n_out=50, check_tokens=False)
+
+
 def _hourly_profile(sf_dir: str):
     """Per-source hour-of-day count/sum/mean profile —
     pipelines/window.hourly_profile (calendar seasonality baseline)."""
@@ -898,6 +915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_deltas": _bucket_deltas,
         "token_histogram": _token_histogram,
         "hourly_profile": _hourly_profile,
+        "ewma_smooth_1m": _ewma_smooth,
+        "lttb_downsample": _lttb_downsample,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1495,11 +1514,53 @@ def _build_lang_oracle() -> "pd.DataFrame":
     return pd.concat(frames, ignore_index=True)
 
 
+def _build_ewma_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    frames = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": src,
+                    "bucket_ts": ts,
+                    "sum_tok": y.astype(np.int64),
+                    "ewma_tok": o.round_half_up(o.ewma_recursion(y, 0.25)),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _build_lttb_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    frames = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep]
+        idx = o.lttb_select_loop(ts.astype(np.float64), y, 50)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": src,
+                    "bucket_ts": ts[idx],
+                    "sum_tok": y[idx].astype(np.int64),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 _FILL_ORACLE_BUILDERS = {
     "gapfill_model_1m": _build_model_oracle,
     "gapfill_spline_1m": _build_spline_oracle,
     "knn_fill_1m": _build_knn_oracle,
     "lang_fill": _build_lang_oracle,
+    "ewma_smooth_1m": _build_ewma_oracle,
+    "lttb_downsample": _build_lttb_oracle,
 }
 
 
@@ -2006,5 +2067,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_fill": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('lang_fill')}')"
+        ),
+        # non-SQL scans (EWMA recursion, LTTB selection): vendored
+        # independent NumPy oracles, same read_parquet route
+        "ewma_smooth_1m": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('ewma_smooth_1m')}')"
+        ),
+        "lttb_downsample": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('lttb_downsample')}')"
         ),
     }

@@ -272,6 +272,112 @@ def hourly_profile(input_path, *, check_tokens: bool = False) -> "Dataset":
     return partials.groupby("skey").map_groups(fn, batch_format="pandas")
 
 
+def _ewma_one_source(obs: pd.DataFrame, source: str, alpha: float) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    # pandas' C ewm(adjust=False) computes the pinned scalar recursion
+    # e_i = (1-alpha)*e_{i-1} + alpha*x_i bit-for-bit (verified vs a naive
+    # float64 loop across alphas) — vectorized engine side, loop oracle side
+    e = pd.Series(s.astype(np.float64)).ewm(alpha=alpha, adjust=False).mean()
+    return pd.DataFrame(
+        {
+            "source": np.full(ts.size, source, dtype=object),
+            "bucket_ts": ts,
+            "sum_tok": s,
+            "ewma_tok": _round6_half_up(e.to_numpy()),
+        }
+    )
+
+
+def ewma_smooth(
+    input_path, *, alpha: float = 0.25, check_tokens: bool = False
+) -> "Dataset":
+    """Exponentially-weighted moving average of per-minute token sums over
+    each source's OBSERVED 1m buckets (unadjusted recursion
+    ``e_i = (1-alpha)*e_{i-1} + alpha*x_i``, seeded with the first value).
+    The non-SQL-expressible scan is oracled by the vendored independent
+    NumPy recursion (tests/oracle/fills.py)."""
+    from datafiller_ray.config import EngineValueError
+
+    if not (0.0 < alpha <= 1.0):
+        raise EngineValueError(f"alpha must be in (0, 1], got {alpha}")
+    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
+    fn = _per_source_group_fn(
+        lambda obs, src: _ewma_one_source(obs, src, alpha)
+    )
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+
+
+def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets point selection (Steinarsson 2013):
+    keep first/last, split the interior into ``n_out - 2`` integer-bounded
+    buckets (``lo_k = 1 + k*(n-2)//(n_out-2)`` — integer arithmetic, no
+    float boundary ambiguity), and from each bucket keep the point forming
+    the largest triangle with the previously kept point and the NEXT
+    bucket's mean point. Ties keep the lowest index. The area expression
+    ``abs((ax-cx)*(y-ay) - (ax-x)*(cy-ay))`` and the ``np.sum``-based
+    bucket means are the pinned arithmetic contract shared with the oracle.
+    """
+    n = x.size
+    if n_out >= n:
+        return np.arange(n, dtype=np.int64)
+    nb = n_out - 2
+    lo = 1 + (np.arange(nb, dtype=np.int64) * (n - 2)) // nb
+    hi = np.concatenate([lo[1:], np.array([n - 1], dtype=np.int64)])
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    out[-1] = n - 1
+    a = 0
+    for k in range(nb):
+        if k + 1 < nb:
+            nxt = slice(lo[k + 1], hi[k + 1])
+        else:
+            nxt = slice(n - 1, n)
+        cx = float(np.sum(x[nxt])) / (nxt.stop - nxt.start)
+        cy = float(np.sum(y[nxt])) / (nxt.stop - nxt.start)
+        ax, ay = x[a], y[a]
+        xs = x[lo[k] : hi[k]]
+        ys = y[lo[k] : hi[k]]
+        area = np.abs((ax - cx) * (ys - ay) - (ax - xs) * (cy - ay))
+        a = int(lo[k] + np.argmax(area))
+        out[k + 1] = a
+    return out
+
+
+def _lttb_one_source(obs: pd.DataFrame, source: str, n_out: int) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    idx = lttb_indices(
+        ts.astype(np.float64), s.astype(np.float64), n_out
+    )
+    return pd.DataFrame(
+        {
+            "source": np.full(idx.size, source, dtype=object),
+            "bucket_ts": ts[idx],
+            "sum_tok": s[idx],
+        }
+    )
+
+
+def lttb_downsample(
+    input_path, *, n_out: int = 50, check_tokens: bool = False
+) -> "Dataset":
+    """Visual downsample: per source, select ``n_out`` representative
+    observed 1m buckets with LTTB — the downsample-for-plotting complement
+    of the tier cascade (which is the aggregate downsample). Selection is
+    deterministic; the oracle re-runs an independent per-point-loop LTTB
+    under the same pinned arithmetic contract."""
+    from datafiller_ray.config import EngineValueError
+
+    if n_out < 3:
+        raise EngineValueError(f"n_out must be >= 3, got {n_out}")
+    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
+    fn = _per_source_group_fn(
+        lambda obs, src: _lttb_one_source(obs, src, n_out)
+    )
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+
+
 def rolling_anomalies(
     input_path,
     *,

@@ -567,3 +567,55 @@ def lang_fill_labels(
         pred = np.full(int(masked.sum()), vals[np.argmax(vc)])
     result[np.flatnonzero(masked)] = [cats[int(c)] for c in pred]
     return result
+
+
+def ewma_recursion(y: np.ndarray, alpha: float) -> np.ndarray:
+    """Naive scalar unadjusted-EWMA recursion ``e_i = (1-a)*e_{i-1} + a*x_i``
+    seeded with the first value — the operator's pinned definition. The
+    engine computes the same recursion through pandas' C ewm kernel; this
+    per-element float64 loop is the independent re-derivation."""
+    out = np.empty(y.size, dtype=np.float64)
+    if y.size == 0:
+        return out
+    b = 1.0 - alpha
+    prev = float(y[0])
+    out[0] = prev
+    for i in range(1, y.size):
+        prev = b * prev + alpha * float(y[i])
+        out[i] = prev
+    return out
+
+
+def lttb_select_loop(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
+    """Per-point-loop LTTB (Steinarsson 2013) under the pinned arithmetic
+    contract (integer bucket bounds ``1 + k*(n-2)//nb``; bucket means via
+    ``np.sum``/count; area ``abs((ax-cx)*(yj-ay) - (ax-xj)*(cy-ay))``; ties
+    keep the lowest index). The engine vectorizes the in-bucket argmax;
+    this oracle walks points one by one."""
+    n = x.size
+    if n_out >= n:
+        return np.arange(n, dtype=np.int64)
+    nb = n_out - 2
+    bounds = [1 + (k * (n - 2)) // nb for k in range(nb)] + [n - 1]
+    out = [0]
+    a = 0
+    for k in range(nb):
+        # bucket k = [bounds[k], bounds[k+1]); its "next" bucket is
+        # [bounds[k+1], bounds[k+2]), or the lone final point for the last
+        if k + 1 < nb:
+            nlo, nhi = bounds[k + 1], bounds[k + 2]
+        else:
+            nlo, nhi = n - 1, n
+        cnt = nhi - nlo
+        cx = float(np.sum(x[nlo:nhi])) / cnt
+        cy = float(np.sum(y[nlo:nhi])) / cnt
+        ax, ay = float(x[a]), float(y[a])
+        best_j, best_area = -1, -1.0
+        for j in range(bounds[k], bounds[k + 1]):
+            area = abs((ax - cx) * (float(y[j]) - ay) - (ax - float(x[j])) * (cy - ay))
+            if area > best_area:
+                best_area, best_j = area, j
+        a = best_j
+        out.append(a)
+    out.append(n - 1)
+    return np.asarray(out, dtype=np.int64)

@@ -140,3 +140,64 @@ def test_profile_one_source_dedup_semantics():
     assert out["n_buckets"].tolist() == [2, 1]
     assert out["sum_tok"].tolist() == [30, 7]
     assert out["mean_tok"].tolist() == [15.0, 7.0]
+
+
+def _oracle_fills():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_fills", "tests/oracle/fills.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_lttb_engine_matches_loop_oracle():
+    from datafiller_ray.pipelines.window import lttb_indices
+
+    o = _oracle_fills()
+    rng = np.random.default_rng(3)
+    for n in (3, 4, 10, 50, 51, 997):
+        for n_out in (3, 5, 50):
+            x = np.sort(rng.choice(n * 10, size=n, replace=False)).astype(np.float64)
+            y = rng.integers(0, 1000, size=n).astype(np.float64)
+            np.testing.assert_array_equal(
+                lttb_indices(x, y, n_out), o.lttb_select_loop(x, y, n_out)
+            )
+
+
+def test_lttb_keeps_endpoints_and_count():
+    from datafiller_ray.pipelines.window import lttb_indices
+
+    rng = np.random.default_rng(4)
+    x = np.arange(500, dtype=np.float64)
+    y = rng.standard_normal(500)
+    idx = lttb_indices(x, y, 40)
+    assert idx[0] == 0 and idx[-1] == 499 and idx.size == 40
+    assert (np.diff(idx) > 0).all()  # strictly increasing selection
+
+
+def test_ewma_engine_matches_recursion_oracle():
+    from datafiller_ray.pipelines.window import _ewma_one_source
+
+    o = _oracle_fills()
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 100000, size=4321)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(s.size, dtype=np.int64) * 60, "sum": s}
+    )
+    for alpha in (0.25, 0.1, 0.37):
+        eng = _ewma_one_source(obs, "s", alpha)["ewma_tok"].to_numpy()
+        ora = o.round_half_up(o.ewma_recursion(s.astype(np.float64), alpha))
+        np.testing.assert_array_equal(eng, ora)
+
+
+def test_window_param_guards():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import ewma_smooth, lttb_downsample
+
+    with pytest.raises(EngineValueError):
+        ewma_smooth("/nonexistent", alpha=0.0)
+    with pytest.raises(EngineValueError):
+        lttb_downsample("/nonexistent", n_out=2)
