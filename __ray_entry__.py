@@ -740,6 +740,16 @@ def _bucket_deltas(sf_dir: str):
     return bucket_deltas(_fixture(sf_dir), check_tokens=False)
 
 
+def _seasonal_anomaly(sf_dir: str):
+    """Buckets exceeding 1.5x their source's hour-of-day profile mean
+    (hours with >= 5 observed buckets) — pipelines/window.seasonal_anomalies."""
+    from datafiller_ray.pipelines.window import seasonal_anomalies
+
+    return seasonal_anomalies(
+        _fixture(sf_dir), factor=1.5, min_buckets=5, check_tokens=False
+    )
+
+
 def _ewma_smooth(sf_dir: str):
     """EWMA smoothing (alpha=0.25, unadjusted recursion) of per-minute
     token sums over observed buckets — pipelines/window.ewma_smooth;
@@ -917,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_profile": _hourly_profile,
         "ewma_smooth_1m": _ewma_smooth,
         "lttb_downsample": _lttb_downsample,
+        "seasonal_anomaly": _seasonal_anomaly,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -2012,6 +2023,22 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000.0 AS mean_tok
             FROM ({rollup(60)})
             GROUP BY 1, 2
+        """,
+        "seasonal_anomaly": f"""
+            WITH r AS ({rollup(60)}),
+            hodr AS (
+              SELECT source, bucket_ts, sum_tok,
+                     (bucket_ts % 86400) // 3600 AS hod FROM r),
+            prof AS (
+              SELECT source, hod, COUNT(*) AS n_buckets,
+                     CAST(SUM(sum_tok) AS DOUBLE) / COUNT(*) AS mean_raw
+              FROM hodr GROUP BY 1, 2)
+            SELECT h.source, h.bucket_ts, h.hod, h.sum_tok,
+                   FLOOR(p.mean_raw * 1000000 + 0.5) / 1000000.0
+                       AS hod_mean_tok
+            FROM hodr h JOIN prof p USING (source, hod)
+            WHERE p.n_buckets >= 5
+              AND CAST(h.sum_tok AS DOUBLE) > 1.5 * p.mean_raw
         """,
         "token_histogram": f"""
             SELECT source, CAST(n_tok // 64 AS BIGINT) AS bin,

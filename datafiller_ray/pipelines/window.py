@@ -378,6 +378,48 @@ def lttb_downsample(
     return partials.groupby("skey").map_groups(fn, batch_format="pandas")
 
 
+def seasonal_anomalies(
+    input_path,
+    *,
+    factor: float = 1.5,
+    min_buckets: int = 5,
+    check_tokens: bool = False,
+) -> "Dataset":
+    """Buckets whose token sum exceeds ``factor`` x their source's
+    hour-of-day profile mean (hours with >= ``min_buckets`` observed
+    buckets) — the seasonality-aware complement of the rolling-mean
+    anomaly filter. Profile and flagging happen in ONE per-source pass
+    (same single exchange); the comparison uses the unrounded
+    one-division mean, bit-identical to the SQL oracle's tree."""
+
+    def one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+        ts = obs["bucket_ts"].to_numpy(np.int64)
+        s = obs["sum"].to_numpy(np.int64)
+        hod = (ts % 86400) // 3600
+        cnt = np.bincount(hod, minlength=24).astype(np.int64)
+        tot = np.zeros(24, dtype=np.int64)
+        np.add.at(tot, hod, s)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_raw = tot.astype(np.float64) / cnt.astype(np.float64)
+        keep = (cnt[hod] >= min_buckets) & (
+            s.astype(np.float64) > factor * mean_raw[hod]
+        )
+        n = int(keep.sum())
+        return pd.DataFrame(
+            {
+                "source": np.full(n, source, dtype=object),
+                "bucket_ts": ts[keep],
+                "hod": hod[keep],
+                "sum_tok": s[keep],
+                "hod_mean_tok": _round6_half_up(mean_raw[hod[keep]]),
+            }
+        )
+
+    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
+    fn = _per_source_group_fn(one_source)
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+
+
 def rolling_anomalies(
     input_path,
     *,

@@ -201,3 +201,18 @@ def test_window_param_guards():
         ewma_smooth("/nonexistent", alpha=0.0)
     with pytest.raises(EngineValueError):
         lttb_downsample("/nonexistent", n_out=2)
+
+
+def test_seasonal_anomaly_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import seasonal_anomalies
+
+    out = seasonal_anomalies(small_fixture, factor=1.1, min_buckets=1).to_pandas()
+    assert set(out.columns) == {
+        "source", "bucket_ts", "hod", "sum_tok", "hod_mean_tok",
+    }
+    assert out["hod"].between(0, 23).all()
+    # every flagged bucket genuinely exceeds factor x its hour mean
+    assert (
+        out["sum_tok"].to_numpy(np.float64)
+        > 1.1 * (out["hod_mean_tok"].to_numpy() - 1e-6)  # rounding slack
+    ).all()
