@@ -221,6 +221,37 @@ def rollup_tiers_bucketed(
     (object store / DFS); ``n_buckets`` is the shuffle fan-in and the unit
     of retry/resume.
     """
+    cfg = fill if fill is not None else FillConfig()
+    partials = partial_aggregates(input_path, check_tokens=check_tokens)
+    fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention, emit=emit)
+    return bucketed_map_groups(
+        partials,
+        fn,
+        n_buckets=n_buckets,
+        n_subbuckets=n_subbuckets,
+        scratch_dir=scratch_dir,
+    )
+
+
+def bucketed_map_groups(
+    partials: "Dataset",
+    fn,
+    *,
+    n_buckets: int = 128,
+    n_subbuckets: int = 16,
+    scratch_dir: str | None = None,
+) -> "Dataset":
+    """The engine's explicit hash-partitioned exchange, generalized: apply
+    a per-skey-group pandas fn (the same signature as
+    ``groupby("skey").map_groups``) through a storage shuffle instead of
+    Ray Data's sort-based one. Any pipeline built on the (skey, source,
+    bucket_ts, ...) partial-row contract — tier fill, sliding windows,
+    profiles, smoothing — reuses this one partitioning key and layout.
+
+    On a multi-node cluster the scratch directory must be shared storage
+    (object store / DFS); ``n_buckets`` is the shuffle fan-in and the unit
+    of retry/resume.
+    """
     import glob
     import shutil
     import tempfile
@@ -229,7 +260,6 @@ def rollup_tiers_bucketed(
     import pandas as pd
     import pyarrow as pa
 
-    cfg = fill if fill is not None else FillConfig()
     scratch = scratch_dir or tempfile.mkdtemp(prefix="datafiller_ray_shuffle_")
     partials_dir = os.path.join(scratch, "partials")
     shutil.rmtree(partials_dir, ignore_errors=True)
@@ -243,12 +273,10 @@ def rollup_tiers_bucketed(
         t = t.append_column("bucket", pa.array(bucket, pa.int64()))
         return t.append_column("sub", pa.array(sub, pa.int64()))
 
-    partials = partial_aggregates(input_path, check_tokens=check_tokens)
     partials.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
         partials_dir, partition_cols=["bucket", "sub"]
     )
 
-    fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention, emit=emit)
     dirs = sorted(glob.glob(os.path.join(partials_dir, "bucket=*")))
 
     def process_bucket(batch: pd.DataFrame) -> pd.DataFrame:

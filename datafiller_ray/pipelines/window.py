@@ -168,8 +168,36 @@ def _per_source_group_fn(one_source):
     return group_fn
 
 
+def _run_per_source(
+    input_path, one_source, *, check_tokens: bool, shuffle: str = "sort"
+):
+    """Dispatch a per-source frame fn through either exchange: Ray Data's
+    sort-based groupby (``shuffle="sort"``, fine up to ~10M partial rows)
+    or the engine's explicit hash-partitioned storage exchange
+    (``shuffle="bucketed"``, the production path — same layout/key as the
+    flagship rollup, see rollup.bucketed_map_groups)."""
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.rollup import (
+        bucketed_map_groups,
+        partial_aggregates,
+    )
+
+    fn = _per_source_group_fn(one_source)
+    if shuffle == "bucketed":
+        partials = partial_aggregates(input_path, check_tokens=check_tokens)
+        return bucketed_map_groups(partials, fn)
+    if shuffle != "sort":
+        raise EngineValueError(f"unknown shuffle {shuffle!r}")
+    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
+    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+
+
 def rolling_aggregates(
-    input_path, *, window: int = 60, check_tokens: bool = False
+    input_path,
+    *,
+    window: int = 60,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
 ) -> "Dataset":
     """Rolling count/sum/min/max/mean of per-minute token sums over the
     last ``window`` observed 1m buckets of each source."""
@@ -177,23 +205,29 @@ def rolling_aggregates(
 
     if window < 1:
         raise EngineValueError(f"window must be >= 1, got {window}")
-    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
-    fn = _per_source_group_fn(
-        lambda obs, src: _rolling_one_source(obs, src, window)
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _rolling_one_source(obs, src, window),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
     )
-    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
 
 
-def topk_buckets(input_path, *, k: int = 5, check_tokens: bool = False) -> "Dataset":
+def topk_buckets(
+    input_path, *, k: int = 5, check_tokens: bool = False, shuffle: str = "sort"
+) -> "Dataset":
     """Per-source top-k busiest minutes (sum_tok DESC, bucket_ts ASC),
     with dense 1..k rank — deterministic under ties."""
     from datafiller_ray.config import EngineValueError
 
     if k < 1:
         raise EngineValueError(f"k must be >= 1, got {k}")
-    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
-    fn = _per_source_group_fn(lambda obs, src: _topk_one_source(obs, src, k))
-    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _topk_one_source(obs, src, k),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
 
 
 def _deltas_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
@@ -226,15 +260,17 @@ def _deltas_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
     )
 
 
-def bucket_deltas(input_path, *, check_tokens: bool = False) -> "Dataset":
+def bucket_deltas(
+    input_path, *, check_tokens: bool = False, shuffle: str = "sort"
+) -> "Dataset":
     """Per-source delta + rate of change between consecutive OBSERVED 1m
     buckets (LAG semantics; gaps show up as dt_sec > 60, the
     counter-rate-over-gap formulation). The first bucket of each source has
     no predecessor and is omitted. ``rate_tok_s`` divides once and rounds
     half-up at 6 decimals, matching the SQL oracle bit-for-bit."""
-    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
-    fn = _per_source_group_fn(_deltas_one_source)
-    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+    return _run_per_source(
+        input_path, _deltas_one_source, check_tokens=check_tokens, shuffle=shuffle
+    )
 
 
 def _profile_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
@@ -259,7 +295,9 @@ def _profile_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
     )
 
 
-def hourly_profile(input_path, *, check_tokens: bool = False) -> "Dataset":
+def hourly_profile(
+    input_path, *, check_tokens: bool = False, shuffle: str = "sort"
+) -> "Dataset":
     """Per-source hour-of-day seasonal profile: count/sum/mean of per-minute
     token sums grouped by UTC hour 0-23 over the source's whole span — the
     calendar-seasonality baseline a forecasting/anomaly layer subtracts.
@@ -267,9 +305,9 @@ def hourly_profile(input_path, *, check_tokens: bool = False) -> "Dataset":
     (the same minute's partials can arrive from several input blocks), so
     this rides the per-source exchange rather than a naive additive
     groupby; the per-source pass is a 24-bin bincount."""
-    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
-    fn = _per_source_group_fn(_profile_one_source)
-    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+    return _run_per_source(
+        input_path, _profile_one_source, check_tokens=check_tokens, shuffle=shuffle
+    )
 
 
 def _ewma_one_source(obs: pd.DataFrame, source: str, alpha: float) -> pd.DataFrame:
@@ -290,7 +328,11 @@ def _ewma_one_source(obs: pd.DataFrame, source: str, alpha: float) -> pd.DataFra
 
 
 def ewma_smooth(
-    input_path, *, alpha: float = 0.25, check_tokens: bool = False
+    input_path,
+    *,
+    alpha: float = 0.25,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
 ) -> "Dataset":
     """Exponentially-weighted moving average of per-minute token sums over
     each source's OBSERVED 1m buckets (unadjusted recursion
@@ -301,11 +343,12 @@ def ewma_smooth(
 
     if not (0.0 < alpha <= 1.0):
         raise EngineValueError(f"alpha must be in (0, 1], got {alpha}")
-    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
-    fn = _per_source_group_fn(
-        lambda obs, src: _ewma_one_source(obs, src, alpha)
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _ewma_one_source(obs, src, alpha),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
     )
-    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
 
 
 def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
@@ -360,7 +403,11 @@ def _lttb_one_source(obs: pd.DataFrame, source: str, n_out: int) -> pd.DataFrame
 
 
 def lttb_downsample(
-    input_path, *, n_out: int = 50, check_tokens: bool = False
+    input_path,
+    *,
+    n_out: int = 50,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
 ) -> "Dataset":
     """Visual downsample: per source, select ``n_out`` representative
     observed 1m buckets with LTTB — the downsample-for-plotting complement
@@ -371,11 +418,12 @@ def lttb_downsample(
 
     if n_out < 3:
         raise EngineValueError(f"n_out must be >= 3, got {n_out}")
-    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
-    fn = _per_source_group_fn(
-        lambda obs, src: _lttb_one_source(obs, src, n_out)
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _lttb_one_source(obs, src, n_out),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
     )
-    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
 
 
 def seasonal_anomalies(
@@ -384,6 +432,7 @@ def seasonal_anomalies(
     factor: float = 1.5,
     min_buckets: int = 5,
     check_tokens: bool = False,
+    shuffle: str = "sort",
 ) -> "Dataset":
     """Buckets whose token sum exceeds ``factor`` x their source's
     hour-of-day profile mean (hours with >= ``min_buckets`` observed
@@ -415,9 +464,9 @@ def seasonal_anomalies(
             }
         )
 
-    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
-    fn = _per_source_group_fn(one_source)
-    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+    return _run_per_source(
+        input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
+    )
 
 
 def rolling_anomalies(
@@ -427,6 +476,7 @@ def rolling_anomalies(
     factor: float = 2.0,
     min_window: int = 10,
     check_tokens: bool = False,
+    shuffle: str = "sort",
 ) -> "Dataset":
     """Buckets whose token sum exceeds ``factor`` x the rolling mean of the
     preceding ``window`` buckets (window populated with >= ``min_window``
@@ -447,6 +497,6 @@ def rolling_anomalies(
         )
         return out.loc[keep].reset_index(drop=True)
 
-    partials = _shuffled_partials(input_path, check_tokens=check_tokens)
-    fn = _per_source_group_fn(one_source)
-    return partials.groupby("skey").map_groups(fn, batch_format="pandas")
+    return _run_per_source(
+        input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
+    )

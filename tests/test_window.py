@@ -216,3 +216,29 @@ def test_seasonal_anomaly_end_to_end(ray_session, small_fixture):
         out["sum_tok"].to_numpy(np.float64)
         > 1.1 * (out["hod_mean_tok"].to_numpy() - 1e-6)  # rounding slack
     ).all()
+
+
+def test_bucketed_shuffle_matches_sort(ray_session, small_fixture):
+    """The explicit storage exchange must produce the same rows as the
+    sort-based groupby for every window op routed through it."""
+    from datafiller_ray.pipelines.window import hourly_profile, rolling_aggregates
+
+    def norm(df, keys):
+        return df.sort_values(keys).reset_index(drop=True)
+
+    a = norm(
+        rolling_aggregates(small_fixture, window=10).to_pandas(),
+        ["source", "bucket_ts"],
+    )
+    b = norm(
+        rolling_aggregates(small_fixture, window=10, shuffle="bucketed").to_pandas(),
+        ["source", "bucket_ts"],
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    pa_ = norm(hourly_profile(small_fixture).to_pandas(), ["source", "hod"])
+    pb = norm(
+        hourly_profile(small_fixture, shuffle="bucketed").to_pandas(),
+        ["source", "hod"],
+    )
+    pd.testing.assert_frame_equal(pa_, pb)
