@@ -767,6 +767,20 @@ def _lttb_downsample(sf_dir: str):
     return lttb_downsample(_fixture(sf_dir), n_out=50, check_tokens=False)
 
 
+def _approx_distinct_docs(sf_dir: str):
+    """Per-source HyperLogLog distinct doc_id estimate (p=12, mergeable
+    register blobs through the shuffle) — pipelines/sketches.approx_distinct;
+    vendored independent scalar-HLL oracle."""
+    from datafiller_ray.pipelines.rollup import read_input
+    from datafiller_ray.pipelines.sketches import approx_distinct
+
+    return approx_distinct(
+        read_input(_fixture(sf_dir), with_tokens=False),
+        key_col="source",
+        value_col="doc_id",
+    )
+
+
 def _hourly_profile(sf_dir: str):
     """Per-source hour-of-day count/sum/mean profile —
     pipelines/window.hourly_profile (calendar seasonality baseline)."""
@@ -928,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_smooth_1m": _ewma_smooth,
         "lttb_downsample": _lttb_downsample,
         "seasonal_anomaly": _seasonal_anomaly,
+        "approx_distinct_docs": _approx_distinct_docs,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1525,6 +1540,15 @@ def _build_lang_oracle() -> "pd.DataFrame":
     return pd.concat(frames, ignore_index=True)
 
 
+def _build_hll_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    df = _read_fixture_frame()
+    out = o.hll_oracle_counts(
+        df["source"].to_numpy(), df["doc_id"].to_numpy(), p=12
+    )
+    return out.rename(columns={"key": "source"})
+
+
 def _build_ewma_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     frames = []
@@ -1572,6 +1596,7 @@ _FILL_ORACLE_BUILDERS = {
     "lang_fill": _build_lang_oracle,
     "ewma_smooth_1m": _build_ewma_oracle,
     "lttb_downsample": _build_lttb_oracle,
+    "approx_distinct_docs": _build_hll_oracle,
 }
 
 
@@ -2102,5 +2127,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lttb_downsample": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('lttb_downsample')}')"
+        ),
+        "approx_distinct_docs": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('approx_distinct_docs')}')"
         ),
     }

@@ -1,0 +1,138 @@
+"""Mergeable sketches over the corpus: per-key HyperLogLog distinct counts.
+
+The exact-distinct shape (collapse to (key, value) partials, one keyed
+groupby — ``corpus.global_quantiles``' histogram trick) stops working when
+the value domain is unbounded: at 10^12 sequences the distinct doc_id set
+IS the data. HyperLogLog is the 100-TB answer: each input block collapses
+to one 2^p-byte register array per key present in the block, the shuffle
+carries |keys| x |blocks| fixed-size rows, and registers merge by
+elementwise max (associative + commutative + idempotent, so block
+splits/retries cannot change the result).
+
+Everything is pinned-deterministic so the vendored NumPy oracle
+(tests/oracle/fills.py) reproduces the estimate hash-exactly:
+
+- hash: ``functions.hashing.string_hash64`` (FNV-1a over UTF-32 code
+  points, NUL-padding skipped, splitmix64 finalizer) — public constants.
+- p = 12 (4096 registers, ~1.6% standard error); register index = top p
+  bits, rank = leading-zeros-of-remaining-52-bits + 1 computed with exact
+  integer shifts (float log2 would mis-rank near power-of-two
+  boundaries).
+- estimator: alpha_m * m^2 / sum(2^-reg) with the standard linear-counting
+  small-range correction (E <= 2.5m and empty registers present);
+  ``approx_n = floor(E + 0.5)`` as int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_REST_BITS = 64 - HLL_P
+_REST_MASK = np.uint64((1 << _REST_BITS) - 1)
+
+
+def bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (6-step binary shift)."""
+    v = w.astype(np.uint64, copy=True)
+    bl = np.zeros(v.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= np.uint64(1 << shift)
+        bl[big] += shift
+        v[big] >>= np.uint64(shift)
+    return bl + (v > 0)
+
+
+def hll_ranks(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash: index = top p bits, rank =
+    position of the first 1-bit in the remaining 52 (1-based; all-zero
+    rest ranks 53)."""
+    idx = (h >> np.uint64(_REST_BITS)).astype(np.int64)
+    w = h & _REST_MASK
+    rank = _REST_BITS - bit_length_u64(w) + 1
+    return idx, rank.astype(np.uint8)
+
+
+def hll_estimate(registers: np.ndarray) -> int:
+    """Pinned HLL estimator over one 2^p register array."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / float(np.sum(2.0 ** (-registers.astype(np.float64))))
+    zeros = int(np.count_nonzero(registers == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    else:
+        est = raw
+    return int(np.floor(est + 0.5))
+
+
+def _registers_per_key(
+    keys: np.ndarray, h: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(unique keys, (n_keys, M) uint8 registers) for one batch —
+    vectorized: sort rows by (key, register), max-reduceat per run."""
+    idx, rank = hll_ranks(h)
+    ukeys, inv = np.unique(keys, return_inverse=True)
+    combined = inv.astype(np.int64) * HLL_M + idx
+    order = np.argsort(combined, kind="stable")
+    comb_s = combined[order]
+    rank_s = rank[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(comb_s)) + 1])
+    slot = comb_s[starts]
+    best = np.maximum.reduceat(rank_s, starts)
+    regs = np.zeros((ukeys.size, HLL_M), dtype=np.uint8)
+    regs[slot // HLL_M, slot % HLL_M] = best
+    return ukeys, regs
+
+
+def approx_distinct(
+    ds,
+    *,
+    key_col: str = "source",
+    value_col: str = "doc_id",
+) -> "object":
+    """Per-key approximate distinct count of a string column. One shuffle
+    of (key, 4 KiB register blob) rows — |keys| x |blocks| of them, never
+    the values."""
+    from datafiller_ray.functions.hashing import string_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key_col].to_pandas(), dtype="U")
+        vals = np.asarray(t[value_col].to_pandas(), dtype="U")
+        if keys.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "hll": pa.array([], pa.binary()),
+                }
+            )
+        ukeys, regs = _registers_per_key(keys, string_hash64(vals))
+        return pa.table(
+            {
+                key_col: pa.array(ukeys),
+                "hll": pa.array([r.tobytes() for r in regs], pa.binary()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in g["hll"]]
+        )
+        merged = stack.max(axis=0)
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "approx_n": np.array([hll_estimate(merged)], dtype=np.int64),
+            }
+        )
+
+    slim = ds.map_batches(
+        lambda t: t.select([key_col, value_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    partials = slim.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")

@@ -619,3 +619,53 @@ def lttb_select_loop(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
         out.append(a)
     out.append(n - 1)
     return np.asarray(out, dtype=np.int64)
+
+
+def _splitmix64_scalar(x: int) -> int:
+    """Public splitmix64 finalizer, scalar re-derivation (Steele et al.)."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _string_hash64_scalar(s: str) -> int:
+    """FNV-1a over the string's code points (the engine hashes the UTF-32
+    view and skips NUL padding, which for real strings is exactly a
+    per-character code-point fold), splitmix64-finalized."""
+    h = 0xCBF29CE484222325
+    for ch in s:
+        h = ((h ^ ord(ch)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return _splitmix64_scalar(h)
+
+
+def hll_oracle_counts(
+    keys: "np.ndarray", values: "np.ndarray", p: int = 12
+) -> "pd.DataFrame":
+    """Independent per-key HyperLogLog: scalar hash + per-element register
+    loop under the pinned contract (index = top p bits; rank = 1-based
+    first-one position of the remaining 64-p bits via integer bit_length;
+    alpha_m m^2 / sum(2^-reg) with linear-counting small-range correction;
+    floor(E + 0.5))."""
+    m = 1 << p
+    regs: dict[str, np.ndarray] = {}
+    for k, v in zip(keys, values):
+        h = _string_hash64_scalar(str(v))
+        idx = h >> (64 - p)
+        w = h & ((1 << (64 - p)) - 1)
+        rank = (64 - p) - w.bit_length() + 1
+        r = regs.setdefault(str(k), np.zeros(m, dtype=np.uint8))
+        if rank > r[idx]:
+            r[idx] = rank
+    rows = []
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    for k in sorted(regs):
+        r = regs[k]
+        raw = alpha * m * m / float(np.sum(2.0 ** (-r.astype(np.float64))))
+        zeros = int(np.count_nonzero(r == 0))
+        if raw <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        else:
+            est = raw
+        rows.append((k, int(np.floor(est + 0.5))))
+    return pd.DataFrame(rows, columns=["key", "approx_n"])

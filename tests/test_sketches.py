@@ -1,0 +1,90 @@
+"""HyperLogLog sketch (pipelines/sketches.py): exact-integer rank math,
+split-invariant merging, and estimate accuracy. Engine-vs-oracle hash
+parity is covered by test_entry_contract[approx_distinct_docs]."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datafiller_ray.pipelines.sketches import (
+    HLL_M,
+    _registers_per_key,
+    bit_length_u64,
+    hll_estimate,
+    hll_ranks,
+)
+
+
+def test_bit_length_exact():
+    vals = np.array(
+        [0, 1, 2, 3, 4, 255, 256, (1 << 52) - 1, 1 << 52, (1 << 63) + 5],
+        dtype=np.uint64,
+    )
+    expect = np.array([int(v).bit_length() for v in vals], dtype=np.int64)
+    np.testing.assert_array_equal(bit_length_u64(vals), expect)
+
+
+def test_ranks_boundaries():
+    # all-zero rest ranks 53 (64-12+1); a rest with top bit set ranks 1
+    h_zero_rest = np.array([0xFFF << 52], dtype=np.uint64)
+    idx, rank = hll_ranks(h_zero_rest)
+    assert idx[0] == 0xFFF and rank[0] == 53
+    h_top_rest = np.array([(1 << 51)], dtype=np.uint64)  # idx 0, first bit of rest
+    _, rank2 = hll_ranks(h_top_rest)
+    assert rank2[0] == 1
+
+
+def test_registers_split_invariant():
+    """Registers from one pass == elementwise max of any block split —
+    the merge correctness property the shuffle relies on."""
+    from datafiller_ray.functions.hashing import string_hash64
+
+    rng = np.random.default_rng(8)
+    keys = np.array(["a"] * 5000 + ["b"] * 3000)
+    vals = np.array([f"doc{int(i)}" for i in rng.integers(0, 10**9, 8000)])
+    h = string_hash64(vals)
+    uk_all, regs_all = _registers_per_key(keys, h)
+
+    cut = 2900  # splits both key runs unevenly
+    uk1, r1 = _registers_per_key(keys[:cut], h[:cut])
+    uk2, r2 = _registers_per_key(keys[cut:], h[cut:])
+    merged = {}
+    for uk, rr in ((uk1, r1), (uk2, r2)):
+        for k, r in zip(uk, rr):
+            merged[k] = np.maximum(merged.get(k, np.zeros(HLL_M, np.uint8)), r)
+    for k, r in zip(uk_all, regs_all):
+        np.testing.assert_array_equal(r, merged[k])
+
+
+def test_estimate_accuracy():
+    from datafiller_ray.functions.hashing import string_hash64
+
+    for true_n in (500, 20_000, 300_000):
+        vals = np.array([f"item-{i}" for i in range(true_n)])
+        keys = np.zeros(true_n, dtype="U1")
+        _, regs = _registers_per_key(keys, string_hash64(vals))
+        est = hll_estimate(regs[0])
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_approx_distinct_end_to_end(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from datafiller_ray.fixtures import generate_input_table
+    from datafiller_ray.pipelines.sketches import approx_distinct
+
+    path = tmp_path / "in.parquet"
+    pq.write_table(generate_input_table(8000, 7, seed=3), path)
+    ds = ray.data.read_parquet(str(path), columns=["doc_id", "source"])
+    out = approx_distinct(ds, key_col="source", value_col="doc_id").to_pandas()
+    truth = (
+        pq.read_table(path, columns=["doc_id", "source"])
+        .to_pandas()
+        .groupby("source")["doc_id"]
+        .nunique()
+    )
+    assert set(out["source"]) == set(truth.index)
+    for _, row in out.iterrows():
+        t = truth[row["source"]]
+        assert abs(row["approx_n"] - t) / t < 0.10, (row["source"], row["approx_n"], t)
