@@ -781,6 +781,17 @@ def _approx_distinct_docs(sf_dir: str):
     )
 
 
+def _approx_distinct_global(sf_dir: str):
+    """Whole-dataset HyperLogLog distinct doc_id estimate —
+    pipelines/sketches.approx_distinct_global."""
+    from datafiller_ray.pipelines.rollup import read_input
+    from datafiller_ray.pipelines.sketches import approx_distinct_global
+
+    return approx_distinct_global(
+        read_input(_fixture(sf_dir), with_tokens=False), value_col="doc_id"
+    )
+
+
 def _hourly_profile(sf_dir: str):
     """Per-source hour-of-day count/sum/mean profile —
     pipelines/window.hourly_profile (calendar seasonality baseline)."""
@@ -943,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lttb_downsample": _lttb_downsample,
         "seasonal_anomaly": _seasonal_anomaly,
         "approx_distinct_docs": _approx_distinct_docs,
+        "approx_distinct_global": _approx_distinct_global,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1549,6 +1561,15 @@ def _build_hll_oracle() -> "pd.DataFrame":
     return out.rename(columns={"key": "source"})
 
 
+def _build_hll_global_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    df = _read_fixture_frame()
+    out = o.hll_oracle_counts(
+        np.zeros(len(df), dtype="U1"), df["doc_id"].to_numpy(), p=12
+    )
+    return out[["approx_n"]]
+
+
 def _build_ewma_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     frames = []
@@ -1597,6 +1618,7 @@ _FILL_ORACLE_BUILDERS = {
     "ewma_smooth_1m": _build_ewma_oracle,
     "lttb_downsample": _build_lttb_oracle,
     "approx_distinct_docs": _build_hll_oracle,
+    "approx_distinct_global": _build_hll_global_oracle,
 }
 
 
@@ -2131,5 +2153,9 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_docs": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('approx_distinct_docs')}')"
+        ),
+        "approx_distinct_global": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('approx_distinct_global')}')"
         ),
     }

@@ -313,6 +313,18 @@ def run_bench() -> dict:
 
     timed("rolling_window_topk", windows)
 
+    def sketches():
+        from datafiller_ray.pipelines.rollup import read_input
+        from datafiller_ray.pipelines.sketches import approx_distinct
+
+        approx_distinct(
+            read_input(fixture, with_tokens=False),
+            key_col="source",
+            value_col="doc_id",
+        ).count()
+
+    timed("hll_distinct", sketches)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",

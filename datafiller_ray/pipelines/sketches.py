@@ -136,3 +136,43 @@ def approx_distinct(
     )
     partials = slim.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def approx_distinct_global(
+    ds,
+    *,
+    value_col: str = "doc_id",
+) -> "object":
+    """Whole-dataset approximate distinct count: same per-block register
+    partials, merged to a single row. The final combine sees one 4 KiB
+    blob per block — a broadcast-sized reduce, never the values."""
+
+    from datafiller_ray.functions.hashing import string_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t[value_col].to_pandas(), dtype="U")
+        if vals.size == 0:
+            return pa.table({"hll": pa.array([], pa.binary())})
+        _, regs = _registers_per_key(np.zeros(vals.size, dtype="U1"),
+                                     string_hash64(vals))
+        return pa.table({"hll": pa.array([regs[0].tobytes()], pa.binary())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"approx_n": pa.array([], pa.int64())})
+        stack = np.stack(
+            [np.frombuffer(b.as_py(), dtype=np.uint8) for b in t["hll"]]
+        )
+        return pa.table(
+            {"approx_n": pa.array([hll_estimate(stack.max(axis=0))], pa.int64())}
+        )
+
+    slim = ds.map_batches(
+        lambda t: t.select([value_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    partials = slim.map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
