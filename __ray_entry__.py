@@ -781,6 +781,38 @@ def _approx_distinct_docs(sf_dir: str):
     )
 
 
+def _bloom_new_docs(sf_dir: str):
+    """Streaming-ingest dedup primitive: Bloom filter built over the
+    'history' half (even epoch-minute rows), then the full table filtered
+    to rows definitely NOT seen — sketches.build_bloom +
+    bloom_filter_absent (history never shuffles; the filter broadcasts
+    once). Oracled by the vendored scalar Bloom, false positives and all."""
+    import pyarrow as pa
+
+    import ray.data as rd  # noqa: F401  (ray already initialised by driver)
+
+    from datafiller_ray.pipelines.rollup import read_input
+    from datafiller_ray.pipelines.sketches import bloom_filter_absent, build_bloom
+
+    ds = read_input(_fixture(sf_dir), with_tokens=False)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "source"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        minute = (
+            pd.Series(t["doc_id"].to_pandas()).str[-10:].astype("int64")
+        )
+        return t.filter(pa.array((minute % 2 == 0).to_numpy()))
+
+    history = ds.map_batches(evens, batch_format="pyarrow")
+    bloom = build_bloom(history, value_col="doc_id", m_bits=1 << 20, k=7)
+    out = bloom_filter_absent(ds, bloom, value_col="doc_id", k=7)
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _approx_distinct_global(sf_dir: str):
     """Whole-dataset HyperLogLog distinct doc_id estimate —
     pipelines/sketches.approx_distinct_global."""
@@ -955,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_anomaly": _seasonal_anomaly,
         "approx_distinct_docs": _approx_distinct_docs,
         "approx_distinct_global": _approx_distinct_global,
+        "bloom_new_docs": _bloom_new_docs,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1561,6 +1594,15 @@ def _build_hll_oracle() -> "pd.DataFrame":
     return out.rename(columns={"key": "source"})
 
 
+def _build_bloom_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    df = _read_fixture_frame()
+    ids = df["doc_id"].to_numpy()
+    minute = np.array([int(s[-10:]) for s in ids], dtype=np.int64)
+    keep = o.bloom_absent_ids(ids[minute % 2 == 0], ids, m_bits=1 << 20, k=7)
+    return df.loc[keep, ["doc_id", "source"]].reset_index(drop=True)
+
+
 def _build_hll_global_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     df = _read_fixture_frame()
@@ -1619,6 +1661,7 @@ _FILL_ORACLE_BUILDERS = {
     "lttb_downsample": _build_lttb_oracle,
     "approx_distinct_docs": _build_hll_oracle,
     "approx_distinct_global": _build_hll_global_oracle,
+    "bloom_new_docs": _build_bloom_oracle,
 }
 
 
@@ -2157,5 +2200,9 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_global": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('approx_distinct_global')}')"
+        ),
+        "bloom_new_docs": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('bloom_new_docs')}')"
         ),
     }

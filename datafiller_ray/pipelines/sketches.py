@@ -176,3 +176,96 @@ def approx_distinct_global(
     return partials.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership filter — the streaming-ingest dedup primitive
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions by double hashing: pos_i = (h1 + i*h2) % m.
+    h1 = low 32 bits, h2 = high 32 bits forced odd — pinned so the oracle
+    reproduces every set bit (and therefore every false positive)."""
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
+            np.int64
+        )
+
+
+def build_bloom(
+    ds,
+    *,
+    value_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    k: int = 7,
+) -> bytes:
+    """Build a Bloom filter over a string column, distributed: each block
+    sets its bits into a local ``m_bits/8``-byte array, arrays OR-merge
+    (associative/commutative/idempotent — blocking cannot change the
+    result) down to one small byte string on the driver. Size m for the
+    EXPECTED corpus cardinality (~1.2 GB of bits covers 10^9 doc_ids at
+    k=7 / 1% fp); the merged filter is an index artifact like the LSH
+    index — broadcast once with ``ray.put`` and probed per batch, so
+    history membership tests never shuffle history."""
+    from datafiller_ray.functions.hashing import string_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t[value_col].to_pandas(), dtype="U")
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        if vals.size:
+            pos = _bloom_positions(string_hash64(vals), m_bits, k).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    slim = ds.map_batches(
+        lambda t: t.select([value_col]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = slim.map_batches(partial, batch_format="pyarrow")
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    # the reduce consumes one m/8-byte row per BLOCK (not per row) — a
+    # broadcast-sized stream; OR-ing on the driver is the final fan-in
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        for b in batch["bloom"]:
+            acc |= np.frombuffer(b.as_py(), dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_filter_absent(
+    ds,
+    bloom: bytes,
+    *,
+    value_col: str = "doc_id",
+    k: int = 7,
+) -> "object":
+    """Keep only rows whose ``value_col`` is definitely NOT in the filter
+    (Bloom has no false negatives, so every surviving row is genuinely
+    new; a ~fp fraction of truly-new rows is dropped as the price). The
+    filter ships to workers once via ``ray.put``."""
+    import ray
+
+    from datafiller_ray.functions.hashing import string_hash64
+
+    m_bits = len(bloom) * 8
+    bloom_ref = ray.put(np.frombuffer(bloom, dtype=np.uint8))
+
+    class AbsentFilter:
+        def __init__(self) -> None:
+            self.bits = ray.get(bloom_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = np.asarray(t[value_col].to_pandas(), dtype="U")
+            if vals.size == 0:
+                return t
+            pos = _bloom_positions(string_hash64(vals), m_bits, k)
+            hit = (
+                self.bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
+            ) != 0
+            present = hit.all(axis=1)
+            return t.filter(pa.array(~present))
+
+    return ds.map_batches(
+        AbsentFilter, batch_format="pyarrow", concurrency=(1, 8)
+    )

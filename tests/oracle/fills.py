@@ -669,3 +669,37 @@ def hll_oracle_counts(
             est = raw
         rows.append((k, int(np.floor(est + 0.5))))
     return pd.DataFrame(rows, columns=["key", "approx_n"])
+
+
+def bloom_absent_ids(
+    history_vals: "np.ndarray",
+    incoming_vals: "np.ndarray",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> "np.ndarray":
+    """Independent scalar Bloom filter under the pinned contract (double
+    hashing pos_i = (low32 + i*(high32|1)) % m over the splitmix-finalized
+    FNV string hash): returns a boolean keep-mask over ``incoming_vals``
+    (True = definitely not in history, reproducing the engine's false
+    positives bit-for-bit)."""
+    bits = bytearray(m_bits // 8)
+    for v in history_vals:
+        h = _string_hash64_scalar(str(v))
+        h1 = h & 0xFFFFFFFF
+        h2 = (h >> 32) | 1
+        for i in range(k):
+            p = (h1 + i * h2) % m_bits
+            bits[p >> 3] |= 1 << (p & 7)
+    keep = np.empty(len(incoming_vals), dtype=bool)
+    for j, v in enumerate(incoming_vals):
+        h = _string_hash64_scalar(str(v))
+        h1 = h & 0xFFFFFFFF
+        h2 = (h >> 32) | 1
+        present = True
+        for i in range(k):
+            p = (h1 + i * h2) % m_bits
+            if not (bits[p >> 3] >> (p & 7)) & 1:
+                present = False
+                break
+        keep[j] = not present
+    return keep

@@ -88,3 +88,64 @@ def test_approx_distinct_end_to_end(ray_session, tmp_path):
     for _, row in out.iterrows():
         t = truth[row["source"]]
         assert abs(row["approx_n"] - t) / t < 0.10, (row["source"], row["approx_n"], t)
+
+
+def test_bloom_positions_pinned():
+    from datafiller_ray.pipelines.sketches import _bloom_positions
+
+    h = np.array([0x123456789ABCDEF0], dtype=np.uint64)
+    pos = _bloom_positions(h, 1 << 10, 3)[0]
+    h1, h2 = 0x9ABCDEF0, (0x12345678 | 1)
+    assert pos.tolist() == [(h1 + i * h2) % (1 << 10) for i in range(3)]
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from datafiller_ray.pipelines.sketches import bloom_filter_absent, build_bloom
+
+    seen = [f"seen-{i}" for i in range(5000)]
+    new = [f"new-{i}" for i in range(5000)]
+    ds_seen = ray.data.from_arrow(pa.table({"doc_id": seen}))
+    bloom = build_bloom(ds_seen, value_col="doc_id", m_bits=1 << 16, k=5)
+
+    ds_all = ray.data.from_arrow(pa.table({"doc_id": seen + new}))
+    kept = bloom_filter_absent(ds_all, bloom, value_col="doc_id", k=5).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    # no false negatives: every seen id is filtered out
+    assert not (kept_ids & set(seen))
+    # false-positive rate drops a bounded fraction of genuinely-new ids
+    dropped_new = len(new) - len(kept_ids & set(new))
+    assert dropped_new / len(new) < 0.05, dropped_new
+
+
+def test_bloom_engine_matches_scalar_oracle():
+    from datafiller_ray.pipelines.sketches import _bloom_positions
+    from datafiller_ray.functions.hashing import string_hash64
+
+    o = _oracle_fills_sk()
+    rng = np.random.default_rng(11)
+    hist = np.array([f"h{int(i)}" for i in rng.integers(0, 10**6, 2000)])
+    inc = np.array([f"h{int(i)}" for i in rng.integers(0, 10**6, 3000)])
+    m_bits, k = 1 << 14, 5  # small filter => real false positives
+    keep_oracle = o.bloom_absent_ids(hist, inc, m_bits=m_bits, k=k)
+
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    pos = _bloom_positions(string_hash64(hist), m_bits, k).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    qpos = _bloom_positions(string_hash64(inc), m_bits, k)
+    hit = (bits[qpos >> 3] & (np.uint8(1) << (qpos & 7).astype(np.uint8))) != 0
+    keep_engine = ~hit.all(axis=1)
+    np.testing.assert_array_equal(keep_engine, keep_oracle)
+
+
+def _oracle_fills_sk():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_fills_sk", "tests/oracle/fills.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
