@@ -781,6 +781,15 @@ def _approx_distinct_docs(sf_dir: str):
     )
 
 
+def _events_rolling(sf_dir: str):
+    """Rolling event-rate stats per event type over the generic events
+    rollup — pipelines/window.events_rolling_counts (int-exact counts;
+    the float value column is deliberately not rolled)."""
+    from datafiller_ray.pipelines.window import events_rolling_counts
+
+    return events_rolling_counts(_read(sf_dir, "events"), step=60, window=60)
+
+
 def _bloom_new_docs(sf_dir: str):
     """Streaming-ingest dedup primitive: Bloom filter built over the
     'history' half (even epoch-minute rows), then the full table filtered
@@ -988,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_docs": _approx_distinct_docs,
         "approx_distinct_global": _approx_distinct_global,
         "bloom_new_docs": _bloom_new_docs,
+        "events_rolling_1m": _events_rolling,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1889,6 +1899,23 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value) AS min_value,
                    MAX(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_rolling_1m": """
+            WITH r AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 // 60) * 60 AS bucket_ts,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, bucket_ts, n_events,
+                   COUNT(*) OVER w AS roll_cnt,
+                   CAST(SUM(n_events) OVER w AS BIGINT) AS roll_n_events,
+                   CAST(MIN(n_events) OVER w AS BIGINT) AS roll_min_events,
+                   CAST(MAX(n_events) OVER w AS BIGINT) AS roll_max_events,
+                   FLOOR(CAST(SUM(n_events) OVER w AS DOUBLE) / COUNT(*) OVER w
+                         * 1000000 + 0.5) / 1000000.0 AS roll_mean_events
+            FROM r
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                         ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
         """,
         "events_gapfill_locf_1m": """
             WITH obs AS (

@@ -500,3 +500,54 @@ def rolling_anomalies(
     return _run_per_source(
         input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
     )
+
+
+def events_rolling_counts(
+    events_ds, *, step: int = 60, window: int = 60
+) -> "Dataset":
+    """Rolling event-rate stats per event type: ROWS-window
+    count/sum/min/max/mean of per-bucket EVENT COUNTS over the generic
+    events rollup (pipelines/events.events_rollup). Counts are int64 so
+    every rolling sum is exact; the float ``value`` column is deliberately
+    not rolled (running float sums are summation-order-dependent and
+    cannot hash-match a SQL window aggregate). Composition: the rollup's
+    (ekey, chunk)-sharded exchange does the heavy lifting; this second
+    pass groups the SMALL rolled series by type."""
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.events import events_rollup
+
+    if window < 1:
+        raise EngineValueError(f"window must be >= 1, got {window}")
+    rolled = events_rollup(events_ds, step=step)
+
+    def one_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts")
+        obs = pd.DataFrame(
+            {
+                "bucket_ts": g["bucket_ts"].to_numpy(np.int64),
+                "sum": g["n_events"].to_numpy(np.int64),
+            }
+        )
+        out = _rolling_one_source(obs, g["event_type"].iloc[0], window)
+        return out.rename(
+            columns={
+                "source": "event_type",
+                "sum_tok": "n_events",
+                "roll_sum_tok": "roll_n_events",
+                "roll_min_tok": "roll_min_events",
+                "roll_max_tok": "roll_max_events",
+                "roll_mean_tok": "roll_mean_events",
+            }
+        )
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        if g["event_type"].nunique() == 1:
+            return one_type(g)
+        return pd.concat(
+            [one_type(sub) for _, sub in g.groupby("event_type", sort=True)],
+            ignore_index=True,
+        )
+
+    return rolled.groupby("event_type").map_groups(
+        per_type, batch_format="pandas"
+    )
