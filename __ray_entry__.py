@@ -781,6 +781,15 @@ def _approx_distinct_docs(sf_dir: str):
     )
 
 
+def _pack_sequences(sf_dir: str):
+    """Greedy fixed-length sequence-packing manifest (max_len=2048,
+    ascending doc_id per source) — pipelines/packing.pack_sequences;
+    vendored scalar greedy oracle."""
+    from datafiller_ray.pipelines.packing import pack_sequences
+
+    return pack_sequences(_fixture(sf_dir), max_len=2048)
+
+
 def _events_rolling(sf_dir: str):
     """Rolling event-rate stats per event type over the generic events
     rollup — pipelines/window.events_rolling_counts (int-exact counts;
@@ -998,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_global": _approx_distinct_global,
         "bloom_new_docs": _bloom_new_docs,
         "events_rolling_1m": _events_rolling,
+        "pack_sequences": _pack_sequences,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1604,6 +1614,17 @@ def _build_hll_oracle() -> "pd.DataFrame":
     return out.rename(columns={"key": "source"})
 
 
+def _build_pack_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    df = _read_fixture_frame()
+    return o.pack_manifest_oracle(
+        df["doc_id"].to_numpy(),
+        df["n_tok"].to_numpy(),
+        df["source"].to_numpy(),
+        max_len=2048,
+    )
+
+
 def _build_bloom_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     df = _read_fixture_frame()
@@ -1672,6 +1693,7 @@ _FILL_ORACLE_BUILDERS = {
     "approx_distinct_docs": _build_hll_oracle,
     "approx_distinct_global": _build_hll_global_oracle,
     "bloom_new_docs": _build_bloom_oracle,
+    "pack_sequences": _build_pack_oracle,
 }
 
 
@@ -2231,5 +2253,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_new_docs": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('bloom_new_docs')}')"
+        ),
+        "pack_sequences": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('pack_sequences')}')"
         ),
     }

@@ -703,3 +703,54 @@ def bloom_absent_ids(
                 break
         keep[j] = not present
     return keep
+
+
+def pack_manifest_oracle(
+    doc_ids: "np.ndarray",
+    n_tok: "np.ndarray",
+    sources: "np.ndarray",
+    max_len: int,
+) -> "pd.DataFrame":
+    """Independent scalar greedy packer (ascending doc_id per source; a
+    pack takes consecutive docs while the running total stays <= max_len;
+    an oversize doc forms its own pack) — accumulation loop, no cumsum /
+    searchsorted, reproducing the engine manifest bit-for-bit."""
+    df = pd.DataFrame({"doc_id": doc_ids, "n_tok": n_tok, "source": sources})
+    rows = []
+    for src, g in df.groupby("source", sort=True):
+        g = g.sort_values("doc_id", kind="stable")
+        ids = g["doc_id"].tolist()
+        toks = [int(t) for t in g["n_tok"]]
+        pack_idx = 0
+        i = 0
+        while i < len(ids):
+            total = toks[i]
+            j = i + 1
+            while j < len(ids) and total + toks[j] <= max_len:
+                total += toks[j]
+                j += 1
+            if toks[i] > max_len:
+                j = i + 1
+                total = toks[i]
+            rows.append(
+                (
+                    str(src),
+                    pack_idx,
+                    j - i,
+                    total,
+                    total > max_len,
+                    float(np.floor(total / float(max_len) * 1e6 + 0.5) / 1e6),
+                    ids[i],
+                    ids[j - 1],
+                )
+            )
+            pack_idx += 1
+            i = j
+        _ = pack_idx
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "source", "pack_idx", "n_docs", "tok_filled", "oversize",
+            "fill_ratio", "first_doc_id", "last_doc_id",
+        ],
+    )

@@ -1,0 +1,85 @@
+"""Sequence packing (pipelines/packing.py): greedy boundary properties and
+the end-to-end manifest. Engine-vs-oracle hash parity is covered by
+test_entry_contract[pack_sequences]."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datafiller_ray.pipelines.packing import _pack_one_source, pack_bounds
+
+
+def test_pack_bounds_basic():
+    # max_len 10: [4,5] fits; 6 starts a new pack; [6,3] fits; 2 overflows
+    tok = np.array([4, 5, 6, 3, 2], dtype=np.int64)
+    np.testing.assert_array_equal(pack_bounds(tok, 10), [0, 2, 4])
+
+
+def test_pack_bounds_oversize_doc_owns_pack():
+    tok = np.array([3, 50, 4], dtype=np.int64)
+    np.testing.assert_array_equal(pack_bounds(tok, 10), [0, 1, 2])
+
+
+def test_pack_bounds_exact_fit_and_singletons():
+    tok = np.array([10, 10, 10], dtype=np.int64)
+    np.testing.assert_array_equal(pack_bounds(tok, 10), [0, 1, 2])
+    tok2 = np.array([5, 5, 5, 5], dtype=np.int64)
+    np.testing.assert_array_equal(pack_bounds(tok2, 10), [0, 2])
+
+
+def test_pack_bounds_greedy_invariants():
+    rng = np.random.default_rng(13)
+    for _ in range(50):
+        n = int(rng.integers(1, 400))
+        tok = rng.integers(1, 900, size=n).astype(np.int64)
+        L = int(rng.integers(100, 2000))
+        starts = pack_bounds(tok, L)
+        ends = np.concatenate([starts[1:], [n]])
+        cs = np.concatenate([[0], np.cumsum(tok)])
+        filled = cs[ends] - cs[starts]
+        sizes = ends - starts
+        # every pack is either within budget or a single oversize doc
+        assert ((filled <= L) | (sizes == 1)).all()
+        # greedy maximality: the next doc after each non-final pack would overflow
+        for s, e in zip(starts[:-1], ends[:-1]):
+            assert filled[starts.tolist().index(s)] + tok[e] > L or tok[s] > L
+        # every doc is packed exactly once
+        assert sizes.sum() == n
+
+
+def test_pack_one_source_manifest():
+    g = pd.DataFrame(
+        {
+            "doc_id": ["d3", "d1", "d2"],  # unsorted input; packer sorts
+            "n_tok": np.array([4, 5, 6], dtype=np.int64),
+        }
+    )
+    out = _pack_one_source(g, "s", max_len=11)
+    # sorted order: d1(5), d2(6), d3(4) -> pack [d1,d2]=11, pack [d3]=4
+    assert out["n_docs"].tolist() == [2, 1]
+    assert out["tok_filled"].tolist() == [11, 4]
+    assert out["first_doc_id"].tolist() == ["d1", "d3"]
+    assert out["last_doc_id"].tolist() == ["d2", "d3"]
+    assert out["fill_ratio"].tolist() == [1.0, np.floor(4 / 11 * 1e6 + 0.5) / 1e6]
+    assert not out["oversize"].any()
+
+
+def test_pack_sequences_end_to_end(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.fixtures import generate_input_table
+    from datafiller_ray.pipelines.packing import pack_sequences
+
+    path = tmp_path / "in.parquet"
+    pq.write_table(generate_input_table(6000, 7, seed=21), path)
+    out = pack_sequences(str(path), max_len=1024).to_pandas()
+    assert len(out) > 0
+    # token conservation: packed totals equal the corpus total
+    truth = pq.read_table(path, columns=["n_tok"])["n_tok"].to_numpy().sum()
+    assert out["tok_filled"].sum() == truth
+    # pack indices are dense 0..k-1 per source
+    for _, g in out.groupby("source"):
+        assert sorted(g["pack_idx"]) == list(range(len(g)))
+    with pytest.raises(EngineValueError):
+        pack_sequences(str(path), max_len=0)
