@@ -790,6 +790,32 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(_fixture(sf_dir), max_len=2048)
 
 
+def _pack_tokens(sf_dir: str):
+    """Materialized packed sequences — pipelines/packing.pack_tokens; the
+    token-array-equality invariant holds through packing (blob == docs'
+    arrays concatenated in doc_id order). The driver row carries a blake2b
+    digest of each blob rather than raw bytes (digest equality pins byte
+    equality; binary columns trip pandas/DuckDB comparators on
+    bytes-vs-bytearray representation)."""
+    from datafiller_ray.pipelines.packing import pack_tokens
+
+    ds = pack_tokens(_fixture(sf_dir), max_len=2048)
+
+    def digest(df):
+        import hashlib
+
+        import pandas as pd
+
+        out = df[["source", "pack_idx", "tok_filled"]].copy()
+        out["tokens_sha"] = pd.Series(
+            [hashlib.blake2b(b, digest_size=16).hexdigest() for b in df["tokens_blob"]],
+            index=df.index,
+        )
+        return out
+
+    return ds.map_batches(digest, batch_format="pandas")
+
+
 def _events_rolling(sf_dir: str):
     """Rolling event-rate stats per event type over the generic events
     rollup — pipelines/window.events_rolling_counts (int-exact counts;
@@ -1008,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_new_docs": _bloom_new_docs,
         "events_rolling_1m": _events_rolling,
         "pack_sequences": _pack_sequences,
+        "pack_tokens": _pack_tokens,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
@@ -1625,6 +1652,29 @@ def _build_pack_oracle() -> "pd.DataFrame":
     )
 
 
+def _build_pack_tokens_oracle() -> "pd.DataFrame":
+    import hashlib
+
+    import pyarrow.dataset as pds
+
+    o = _fills_oracle_module()
+    df = (
+        pds.dataset(_fixture_sql_path())
+        .to_table(columns=["doc_id", "tokens", "source"])
+        .to_pandas()
+    )
+    out = o.pack_tokens_oracle(
+        df["doc_id"].to_numpy(),
+        df["tokens"].to_numpy(),
+        df["source"].to_numpy(),
+        max_len=2048,
+    )
+    out["tokens_sha"] = [
+        hashlib.blake2b(b, digest_size=16).hexdigest() for b in out["tokens_blob"]
+    ]
+    return out.drop(columns=["tokens_blob"])
+
+
 def _build_bloom_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     df = _read_fixture_frame()
@@ -1694,6 +1744,7 @@ _FILL_ORACLE_BUILDERS = {
     "approx_distinct_global": _build_hll_global_oracle,
     "bloom_new_docs": _build_bloom_oracle,
     "pack_sequences": _build_pack_oracle,
+    "pack_tokens": _build_pack_tokens_oracle,
 }
 
 
@@ -1724,6 +1775,10 @@ def _fill_oracle_parquet(name: str) -> str:
     if os.path.exists(fills_py):
         st = os.stat(fills_py)
         parts.append(f"oracle:{st.st_mtime_ns}:{st.st_size}")
+    # ... and the builder code in THIS file (an edited builder otherwise
+    # serves a stale cached table)
+    st = os.stat(os.path.abspath(__file__))
+    parts.append(f"entry:{st.st_mtime_ns}:{st.st_size}")
     tag = hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
     d = f"/tmp/datafiller_ray_fill_oracle/{tag}"
     os.makedirs(d, exist_ok=True)
@@ -2257,5 +2312,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('pack_sequences')}')"
+        ),
+        "pack_tokens": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('pack_tokens')}')"
         ),
     }

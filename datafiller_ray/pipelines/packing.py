@@ -116,3 +116,79 @@ def pack_sequences(
         )
 
     return keyed.groupby("skey").map_groups(group_fn, batch_format="pandas")
+
+
+def pack_tokens(
+    input_path, *, max_len: int = 2048
+) -> "Dataset":
+    """Materialize the packed training sequences: same deterministic
+    boundaries as :func:`pack_sequences` (both derive from
+    ``pack_bounds`` on the doc_id-sorted stream — no manifest join
+    needed), emitting one row per pack with the concatenated token array
+    as a little-endian int32 blob. This stage is the one that MUST move
+    the token payload (it is the output); it rides the same skey exchange,
+    and the per-row token-array-equality invariant holds through it:
+    decoding ``tokens_blob`` yields exactly the input docs' token arrays
+    concatenated in doc_id order (pinned by tests and the driver oracle).
+    A source whose token volume exceeds a worker's heap takes the salted
+    path upstream (choose_fill_path precedent)."""
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.rollup import read_input
+
+    if max_len < 1:
+        raise EngineValueError(f"max_len must be >= 1, got {max_len}")
+
+    ds = (
+        input_path
+        if isinstance(input_path, ray.data.Dataset)
+        else read_input(input_path, with_tokens=True)
+    )
+
+    def add_skey(t):
+        import pyarrow as pa
+
+        from datafiller_ray.functions.hashing import string_hash64
+
+        skey = string_hash64(
+            np.asarray(t["source"].to_pandas(), dtype="U")
+        ).view(np.int64)
+        return t.append_column("skey", pa.array(skey, pa.int64()))
+
+    keyed = ds.map_batches(add_skey, batch_format="pyarrow")
+
+    def one_source(g: pd.DataFrame, source: str) -> pd.DataFrame:
+        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        tok_counts = g["n_tok"].to_numpy(np.int64)[order]
+        arrays = g["tokens"].to_numpy()[order]
+        flat = (
+            np.concatenate([np.asarray(a, dtype=np.int32) for a in arrays])
+            if arrays.size
+            else np.empty(0, dtype=np.int32)
+        )
+        starts = pack_bounds(tok_counts, max_len)
+        ends = np.concatenate([starts[1:], np.array([tok_counts.size], np.int64)])
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(tok_counts)])
+        blobs = [
+            flat[cs[s] : cs[e]].astype("<i4").tobytes()
+            for s, e in zip(starts, ends)
+        ]
+        return pd.DataFrame(
+            {
+                "source": np.full(starts.size, source, dtype=object),
+                "pack_idx": np.arange(starts.size, dtype=np.int64),
+                "tok_filled": (cs[ends] - cs[starts]).astype(np.int64),
+                "tokens_blob": np.asarray(blobs, dtype=object),
+            }
+        )
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if g["source"].iloc[0] == g["source"].iloc[-1] and g["source"].nunique() == 1:
+            return one_source(g, g["source"].iloc[0])
+        return pd.concat(
+            [one_source(sub, src) for src, sub in g.groupby("source", sort=True)],
+            ignore_index=True,
+        )
+
+    return keyed.groupby("skey").map_groups(group_fn, batch_format="pandas")

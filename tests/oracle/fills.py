@@ -754,3 +754,42 @@ def pack_manifest_oracle(
             "fill_ratio", "first_doc_id", "last_doc_id",
         ],
     )
+
+
+def pack_tokens_oracle(
+    doc_ids: "np.ndarray",
+    tokens: "np.ndarray",
+    sources: "np.ndarray",
+    max_len: int,
+) -> "pd.DataFrame":
+    """Independent scalar packer that also materializes the blobs: per
+    source in ascending doc_id order, greedily accumulate docs while the
+    token total stays <= max_len, concatenating the token lists; each
+    pack's blob is the little-endian int32 byte image of the
+    concatenation."""
+    df = pd.DataFrame({"doc_id": doc_ids, "tokens": tokens, "source": sources})
+    rows = []
+    for src, g in df.groupby("source", sort=True):
+        g = g.sort_values("doc_id", kind="stable")
+        toks = [np.asarray(t, dtype=np.int32) for t in g["tokens"]]
+        pack_idx = 0
+        i = 0
+        while i < len(toks):
+            total = int(toks[i].size)
+            j = i + 1
+            while j < len(toks) and total + toks[j].size <= max_len:
+                total += int(toks[j].size)
+                j += 1
+            cat = (
+                np.concatenate(toks[i:j])
+                if total
+                else np.empty(0, dtype=np.int32)
+            )
+            rows.append(
+                (str(src), pack_idx, total, cat.astype("<i4").tobytes())
+            )
+            pack_idx += 1
+            i = j
+    return pd.DataFrame(
+        rows, columns=["source", "pack_idx", "tok_filled", "tokens_blob"]
+    )

@@ -83,3 +83,29 @@ def test_pack_sequences_end_to_end(ray_session, tmp_path):
         assert sorted(g["pack_idx"]) == list(range(len(g)))
     with pytest.raises(EngineValueError):
         pack_sequences(str(path), max_len=0)
+
+
+def test_pack_tokens_round_trip_invariant(ray_session, tmp_path):
+    """Token-array equality through packing: decoding each blob yields the
+    input docs' token arrays concatenated in doc_id order."""
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.fixtures import generate_input_table
+    from datafiller_ray.pipelines.packing import pack_tokens
+
+    path = tmp_path / "in.parquet"
+    pq.write_table(generate_input_table(3000, 5, seed=9), path)
+    out = pack_tokens(str(path), max_len=512).to_pandas()
+
+    src_tab = pq.read_table(path, columns=["doc_id", "tokens", "source"]).to_pandas()
+    for src, g in src_tab.groupby("source"):
+        g = g.sort_values("doc_id", kind="stable")
+        expect = np.concatenate(
+            [np.asarray(t, dtype=np.int32) for t in g["tokens"]]
+        )
+        packs = out[out["source"] == src].sort_values("pack_idx")
+        got = np.concatenate(
+            [np.frombuffer(b, dtype="<i4") for b in packs["tokens_blob"]]
+        )
+        np.testing.assert_array_equal(got, expect)
+        assert packs["tok_filled"].sum() == expect.size
