@@ -325,6 +325,13 @@ def run_bench() -> dict:
 
     timed("hll_distinct", sketches)
 
+    def packing():
+        from datafiller_ray.pipelines.packing import pack_sequences
+
+        pack_sequences(fixture, max_len=2048).count()
+
+    timed("pack_manifest", packing)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",
