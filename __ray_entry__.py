@@ -679,6 +679,52 @@ def _sample_fixed_k_sql() -> str:
     """
 
 
+_BUDGET_DEFAULT = 50_000
+_BUDGET_SRC0 = 20_000
+
+
+def _budget_sample(sf_dir: str):
+    """Mixture sampling to per-source char budgets (hash-order prefix,
+    int64-exact running totals) — pipelines/corpus.budget_sample."""
+    from datafiller_ray.pipelines.corpus import budget_sample
+
+    docs = _read(sf_dir, "documents").map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return budget_sample(
+        docs,
+        budget=_BUDGET_DEFAULT,
+        budgets={"src0": _BUDGET_SRC0},
+        weight_col="n_chars",
+        seed=_SAMPLE_SEED,
+    )
+
+
+def _budget_sample_sql() -> str:
+    import numpy as np
+
+    from datafiller_ray.functions.hashing import splitmix64
+
+    seed_mix = int(splitmix64(np.array([_SAMPLE_SEED], dtype=np.uint64))[0])
+    ctes, fin = _sql_splitmix_ctes(
+        "d", ["doc_id", "source", "n_chars"],
+        f"xor(CAST(doc_id AS UBIGINT), {seed_mix})", "bsm",
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        {ctes}
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 SUM(n_chars) OVER (PARTITION BY source ORDER BY v, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM {fin})
+        WHERE run <= CASE WHEN source = 'src0'
+                          THEN {_BUDGET_SRC0} ELSE {_BUDGET_DEFAULT} END
+    """
+
+
 def _global_quantiles(sf_dir: str):
     """Exact global n_chars quantiles from the mergeable (value, count)
     histogram — pipelines/corpus.global_quantiles; the shuffle carries at
@@ -1017,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_range_join": _session_range_join,
         "sample_stratified": _sample_stratified,
         "sample_fixed_k": _sample_fixed_k,
+        "budget_sample": _budget_sample,
         "vocab_topk": _vocab_topk,
         "source_quantiles": _source_quantiles,
         "global_quantiles": _global_quantiles,
@@ -2130,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_stratified": _sample_stratified_sql(),
         "sample_fixed_k": _sample_fixed_k_sql(),
+        "budget_sample": _budget_sample_sql(),
         "global_quantiles": """
             SELECT
               floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.25)*1000000 + 0.5)/1000000 AS q0_25,

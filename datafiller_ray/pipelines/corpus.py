@@ -42,6 +42,7 @@ __all__ = [
     "source_quantiles",
     "global_quantiles",
     "column_histogram",
+    "budget_sample",
 ]
 
 _U64 = 1 << 64
@@ -386,3 +387,64 @@ def column_histogram(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def budget_sample(
+    docs,
+    *,
+    budget: "int | None" = None,
+    budgets: "dict[str, int] | None" = None,
+    weight_col: str = "n_chars",
+    seed: int = 0,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+):
+    """Deterministic mixture sampling to per-stratum WEIGHT budgets — the
+    data-mixing primitive ("x billion tokens of web, y of wiki"): per
+    stratum, documents are taken in splitmix64-hash order (seeded,
+    reproducible, cluster-size-independent) while the running
+    ``weight_col`` total stays <= the stratum's budget.
+
+    ``budget`` is the default; ``budgets`` overrides per stratum. The
+    running total is int64-exact, so the kept set is exactly the hash-order
+    prefix a SQL ``SUM() OVER (ORDER BY v, id)`` window reproduces. Rows
+    shuffled per stratum are the 24-byte (id, weight, hash) projection;
+    the greedy prefix needs its stratum's rows ordered in one place, the
+    same per-key-fits-in-a-task contract as :func:`source_quantiles`
+    (a stratum beyond task memory wants pre-thinning with
+    :func:`stratified_sample` first)."""
+    import pandas as pd
+
+    if budget is None and not budgets:
+        raise EngineValueError("provide budget= and/or budgets=")
+    seed_mix = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+    bmap = dict(budgets or {})
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed_mix)).view(np.int64)
+        return t.select([id_col, strata_col, weight_col]).append_column(
+            "v", pa.array(h, pa.int64())
+        )
+
+    def take_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        src = g[strata_col].iloc[0]
+        b = bmap.get(src, budget)
+        if b is None:
+            return g.drop(columns=["v"]).iloc[0:0]
+        # uint64 hash order == int64-view order offset by the sign split;
+        # sort on the unsigned value to match the SQL UBIGINT ordering
+        v = g["v"].to_numpy(np.int64).view(np.uint64)
+        ids = g[id_col].to_numpy()
+        w = g[weight_col].to_numpy(np.int64)
+        order = np.lexsort((ids, v))
+        run = np.cumsum(w[order])
+        keep = order[run <= b]
+        out = g.iloc[keep].drop(columns=["v"])
+        return out.reset_index(drop=True)
+
+    return (
+        docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(strata_col)
+        .map_groups(take_prefix, batch_format="pandas")
+    )

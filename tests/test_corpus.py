@@ -176,3 +176,40 @@ def test_global_quantiles_matches_numpy(ray_session):
         exp = np.quantile(df.n_chars.to_numpy(np.float64), q)
         exp = np.floor(exp * 1e6 + 0.5) / 1e6
         assert out[col].iloc[0] == pytest.approx(exp, abs=2e-6)
+
+
+def test_budget_sample_prefix_property(ray_session):
+    """Kept set per source = hash-order prefix within budget; totals never
+    exceed the budget; adding the next doc in hash order would exceed it."""
+    import numpy as np
+
+    from datafiller_ray.functions.hashing import splitmix64
+    from datafiller_ray.pipelines.corpus import budget_sample
+
+    full = _docs(1500, seed=4)
+    ds = ray.data.from_pandas(full)
+    out = budget_sample(
+        ds, budget=30_000, weight_col="n_chars", seed=5
+    ).to_pandas()
+    assert (out.groupby("source")["n_chars"].sum() <= 30_000).all()
+
+    seed_mix = int(splitmix64(np.array([5], dtype=np.uint64))[0])
+    for src, g in full.groupby("source"):
+        h = splitmix64(
+            g["doc_id"].to_numpy().astype(np.uint64) ^ np.uint64(seed_mix)
+        )
+        order = np.lexsort((g["doc_id"].to_numpy(), h))
+        w = g["n_chars"].to_numpy(np.int64)[order]
+        run = np.cumsum(w)
+        expect_ids = set(g["doc_id"].to_numpy()[order][run <= 30_000])
+        got_ids = set(out.loc[out["source"] == src, "doc_id"])
+        assert got_ids == expect_ids, src
+
+
+def test_budget_sample_requires_budget(ray_session):
+    import pytest as _pytest
+
+    from datafiller_ray.pipelines.corpus import budget_sample
+
+    with _pytest.raises(EngineValueError):
+        budget_sample(ray.data.from_pandas(_docs(50)))
