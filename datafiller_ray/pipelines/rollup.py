@@ -79,6 +79,25 @@ def read_input(
             )
         ds = ray.data.read_csv(input_path)
         return ds.select_columns(cols)
+    if format in ("json", "jsonl"):
+        # JSONL carries the full contract incl. the token lists; JSON
+        # integers arrive as int64, so cast back to the contract dtypes
+        ds = ray.data.read_json(input_path)
+
+        def to_contract(t):
+            import pyarrow as pa
+
+            arrays = []
+            for c in cols:
+                a = t[c]
+                if c == "tokens":
+                    a = a.cast(pa.list_(pa.int32()))
+                elif c == "n_tok":
+                    a = a.cast(pa.int32())
+                arrays.append(a)
+            return pa.table(dict(zip(cols, arrays)))
+
+        return ds.map_batches(to_contract, batch_format="pyarrow")
     if format != "parquet":
         raise EngineValueError(f"unsupported input format {format!r}")
     # fail fast with an engine error when contract columns are absent

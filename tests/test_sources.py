@@ -56,3 +56,26 @@ def test_length_mismatch_detected(ray_session, tmp_path):
     pq.write_table(bad, path)
     with pytest.raises(Exception, match="n_tok != len"):
         rollup_tiers(str(path)).to_pandas()
+
+
+def test_jsonl_source_roundtrip_with_tokens(ray_session, tmp_path):
+    """JSONL carries the FULL contract including the token lists; the
+    rollup over the JSONL read (token check on) must equal the parquet
+    path bit-for-bit, proving the int64→int32 cast restores the contract
+    dtypes and the token-array invariant survives the format."""
+    table = generate_input_table(1200, 4, seed=15)
+    pq_path = tmp_path / "input.parquet"
+    pq.write_table(table, pq_path)
+    jl_path = tmp_path / "input.jsonl"
+    df = table.to_pandas()
+    df["tokens"] = df["tokens"].apply(lambda a: np.asarray(a).tolist())
+    df.to_json(jl_path, orient="records", lines=True)
+
+    ds = read_input(str(jl_path), with_tokens=True, format="jsonl")
+    a = rollup_tiers(ds, fill=FillConfig(strategy=None), check_tokens=True).to_pandas()
+    b = rollup_tiers(str(pq_path), fill=FillConfig(strategy=None), check_tokens=True).to_pandas()
+    key = ["tier", "source", "bucket_ts"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
