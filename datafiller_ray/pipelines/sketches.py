@@ -269,3 +269,119 @@ def bloom_filter_absent(
     return ds.map_batches(
         AbsentFilter, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental HLL maintenance — continuous distinct-count aggregates
+
+
+def _shard_registers(ds, key_col: str, value_col: str) -> "dict[str, np.ndarray]":
+    """Merged per-key registers of one shard (distributed partials; the
+    driver sees one 4 KiB blob per (key, block))."""
+    from datafiller_ray.functions.hashing import string_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key_col].to_pandas(), dtype="U")
+        vals = np.asarray(t[value_col].to_pandas(), dtype="U")
+        if keys.size == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.string()), "hll": pa.array([], pa.binary())}
+            )
+        ukeys, regs = _registers_per_key(keys, string_hash64(vals))
+        return pa.table(
+            {
+                key_col: pa.array(ukeys),
+                "hll": pa.array([r.tobytes() for r in regs], pa.binary()),
+            }
+        )
+
+    slim = ds.map_batches(
+        lambda t: t.select([key_col, value_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged: dict[str, np.ndarray] = {}
+    for batch in slim.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k, b in zip(batch[key_col].to_pylist(), batch["hll"]):
+            r = np.frombuffer(b.as_py(), dtype=np.uint8)
+            prev = merged.get(k)
+            merged[k] = r.copy() if prev is None else np.maximum(prev, r)
+    return merged
+
+
+def hll_checkpoint(
+    out_dir: str,
+    shard_ds,
+    *,
+    key_col: str = "source",
+    value_col: str = "doc_id",
+) -> "pd.DataFrame":
+    """Fold one arriving shard into a persisted per-key HLL state — the
+    continuous-aggregate form of :func:`approx_distinct` (companion to
+    ``checkpoint.run_incremental``'s tier folds). Register max-merge is
+    associative/commutative/idempotent, so N folds equal the one-shot
+    sketch of the union EXACTLY (register-for-register), replays are
+    no-ops (shard identity = digest of its merged registers), and a crash
+    between write and manifest append just refolds the shard. State is
+    one 4 KiB blob per key on shared storage, rewritten atomically; the
+    driver-side merge is bounded by |keys|, not rows. Returns the
+    post-fold (key, approx_n) counts."""
+    import hashlib
+    import json
+    import os
+
+    hll_dir = os.path.join(out_dir, "hll")
+    os.makedirs(hll_dir, exist_ok=True)
+    state_path = os.path.join(hll_dir, "registers.parquet")
+    manifest_path = os.path.join(hll_dir, "updates.json")
+
+    shard = _shard_registers(shard_ds, key_col, value_col)
+    h = hashlib.blake2b(digest_size=16)
+    for k in sorted(shard):
+        h.update(k.encode())
+        h.update(shard[k].tobytes())
+    shard_id = h.hexdigest()
+
+    applied = []
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            applied = json.load(f)
+
+    state: dict[str, np.ndarray] = {}
+    if os.path.exists(state_path):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(state_path)
+        for k, b in zip(t[key_col].to_pylist(), t["hll"].to_pylist()):
+            state[k] = np.frombuffer(b, dtype=np.uint8)
+
+    if shard_id not in applied:  # idempotent fold
+        for k, r in shard.items():
+            prev = state.get(k)
+            state[k] = r if prev is None else np.maximum(prev, r)
+        keys = sorted(state)
+        out = pa.table(
+            {
+                key_col: pa.array(keys),
+                "hll": pa.array([state[k].tobytes() for k in keys], pa.binary()),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        tmp = f"{state_path}.building-{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, state_path)  # state first, manifest second:
+        # a crash between the two refolds the shard (a no-op on registers)
+        with open(manifest_path, "w") as f:
+            json.dump(applied + [shard_id], f)
+
+    return pd.DataFrame(
+        {
+            key_col: sorted(state),
+            "approx_n": np.array(
+                [hll_estimate(state[k]) for k in sorted(state)], dtype=np.int64
+            ),
+        }
+    )

@@ -149,3 +149,43 @@ def _oracle_fills_sk():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     return m
+
+
+def test_hll_checkpoint_folds_equal_one_shot(ray_session, tmp_path):
+    """Three arriving shards folded incrementally == the one-shot sketch of
+    the union, register-for-register; replaying a shard is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from datafiller_ray.pipelines.sketches import approx_distinct, hll_checkpoint
+
+    rng = np.random.default_rng(17)
+    all_ids = [f"doc{int(i)}" for i in rng.integers(0, 10**8, 9000)]
+    srcs = [f"s{int(i) % 4}" for i in rng.integers(0, 10, 9000)]
+    tab = pa.table({"doc_id": all_ids, "source": srcs})
+
+    out_dir = str(tmp_path / "ckpt")
+    waves = [slice(0, 2500), slice(2500, 6000), slice(6000, 9000)]
+    for w in waves:
+        shard = ray.data.from_arrow(tab.slice(w.start, w.stop - w.start))
+        res = hll_checkpoint(out_dir, shard)
+
+    one_shot = (
+        approx_distinct(ray.data.from_arrow(tab))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    res = res.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(res, one_shot)
+
+    # register-level equality (stronger than estimate equality)
+    state = pq.read_table(f"{out_dir}/hll/registers.parquet")
+    assert state.num_rows == one_shot.shape[0]
+
+    # replay: same shard again -> identical state file bytes
+    before = open(f"{out_dir}/hll/registers.parquet", "rb").read()
+    hll_checkpoint(out_dir, ray.data.from_arrow(tab.slice(0, 2500)))
+    after = open(f"{out_dir}/hll/registers.parquet", "rb").read()
+    assert before == after
