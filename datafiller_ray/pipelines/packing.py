@@ -71,28 +71,23 @@ def _pack_one_source(g: pd.DataFrame, source: str, max_len: int) -> pd.DataFrame
     )
 
 
-def pack_sequences(
-    input_path, *, max_len: int = 2048
-) -> "Dataset":
-    """Pack manifest per source. The shuffle moves only (doc_id, n_tok,
-    source) rows keyed by the int64 source hash — the same exchange shape
-    as the flagship, minus the minute pre-aggregation (packing is
-    doc-granular by nature)."""
+def _keyed_for_packing(input_path, *, with_tokens: bool, chunk_span):
+    """Project + key the doc stream for a packing exchange: skey always;
+    plus a deterministic time-chunk key (epoch-minute // chunk_span, from
+    the doc_id suffix — the salted-fill range-partition idea) when
+    ``chunk_span`` is set, so one giant source splits into bounded,
+    independently-packable ranges."""
     import ray
 
-    from datafiller_ray.config import EngineValueError
     from datafiller_ray.pipelines.rollup import read_input
-
-    if max_len < 1:
-        raise EngineValueError(f"max_len must be >= 1, got {max_len}")
 
     ds = (
         input_path
         if isinstance(input_path, ray.data.Dataset)
-        else read_input(input_path, with_tokens=False)
+        else read_input(input_path, with_tokens=with_tokens)
     )
 
-    def add_skey(t):
+    def add_keys(t):
         import pyarrow as pa
 
         from datafiller_ray.functions.hashing import string_hash64
@@ -100,63 +95,82 @@ def pack_sequences(
         skey = string_hash64(
             np.asarray(t["source"].to_pandas(), dtype="U")
         ).view(np.int64)
-        return t.append_column("skey", pa.array(skey, pa.int64()))
+        t = t.append_column("skey", pa.array(skey, pa.int64()))
+        if chunk_span is not None:
+            minute = (
+                pd.Series(t["doc_id"].to_pandas()).str[-10:].astype("int64")
+            )
+            chunk = (minute // chunk_span).to_numpy()
+            t = t.append_column("chunk", pa.array(chunk, pa.int64()))
+        return t
 
-    keyed = ds.map_batches(add_skey, batch_format="pyarrow")
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow")
+    keys = ["skey", "chunk"] if chunk_span is not None else "skey"
+    return keyed, keys
+
+
+def pack_sequences(
+    input_path, *, max_len: int = 2048, chunk_span: "int | None" = None
+) -> "Dataset":
+    """Pack manifest per source. The shuffle moves only (doc_id, n_tok,
+    source) rows keyed by the int64 source hash — the same exchange shape
+    as the flagship, minus the minute pre-aggregation (packing is
+    doc-granular by nature).
+
+    ``chunk_span`` (minutes) switches to CHUNKED packing: each
+    (source, time-chunk) packs independently — a deterministic,
+    parallelism-independent semantic whose per-task memory is bounded by
+    the chunk, the scale path for sources whose doc stream exceeds one
+    task (pack_idx restarts per chunk; the output gains a ``chunk``
+    column; the final pack of each chunk closes at the boundary instead
+    of borrowing from the next)."""
+    from datafiller_ray.config import EngineValueError
+
+    if max_len < 1:
+        raise EngineValueError(f"max_len must be >= 1, got {max_len}")
+    keyed, keys = _keyed_for_packing(
+        input_path, with_tokens=False, chunk_span=chunk_span
+    )
+
+    def pack_part(g: pd.DataFrame, src: str) -> pd.DataFrame:
+        out = _pack_one_source(g, src, max_len)
+        if chunk_span is not None:
+            out.insert(1, "chunk", np.full(len(out), g["chunk"].iloc[0], np.int64))
+        return out
 
     def group_fn(g: pd.DataFrame) -> pd.DataFrame:
         if g["source"].iloc[0] == g["source"].iloc[-1] and g["source"].nunique() == 1:
-            return _pack_one_source(g, g["source"].iloc[0], max_len)
+            return pack_part(g, g["source"].iloc[0])
         return pd.concat(
-            [
-                _pack_one_source(sub, src, max_len)
-                for src, sub in g.groupby("source", sort=True)
-            ],
+            [pack_part(sub, src) for src, sub in g.groupby("source", sort=True)],
             ignore_index=True,
         )
 
-    return keyed.groupby("skey").map_groups(group_fn, batch_format="pandas")
+    return keyed.groupby(keys).map_groups(group_fn, batch_format="pandas")
 
 
 def pack_tokens(
-    input_path, *, max_len: int = 2048
+    input_path, *, max_len: int = 2048, chunk_span: "int | None" = None
 ) -> "Dataset":
     """Materialize the packed training sequences: same deterministic
     boundaries as :func:`pack_sequences` (both derive from
     ``pack_bounds`` on the doc_id-sorted stream — no manifest join
     needed), emitting one row per pack with the concatenated token array
     as a little-endian int32 blob. This stage is the one that MUST move
-    the token payload (it is the output); it rides the same skey exchange,
-    and the per-row token-array-equality invariant holds through it:
-    decoding ``tokens_blob`` yields exactly the input docs' token arrays
+    the token payload (it is the output), and the per-row
+    token-array-equality invariant holds through it: decoding
+    ``tokens_blob`` yields exactly the input docs' token arrays
     concatenated in doc_id order (pinned by tests and the driver oracle).
-    A source whose token volume exceeds a worker's heap takes the salted
-    path upstream (choose_fill_path precedent)."""
-    import ray
-
+    A source whose token volume exceeds one task's heap uses
+    ``chunk_span`` (time-chunked packing, see :func:`pack_sequences`) —
+    per-task memory drops to one chunk's tokens."""
     from datafiller_ray.config import EngineValueError
-    from datafiller_ray.pipelines.rollup import read_input
 
     if max_len < 1:
         raise EngineValueError(f"max_len must be >= 1, got {max_len}")
-
-    ds = (
-        input_path
-        if isinstance(input_path, ray.data.Dataset)
-        else read_input(input_path, with_tokens=True)
+    keyed, keys = _keyed_for_packing(
+        input_path, with_tokens=True, chunk_span=chunk_span
     )
-
-    def add_skey(t):
-        import pyarrow as pa
-
-        from datafiller_ray.functions.hashing import string_hash64
-
-        skey = string_hash64(
-            np.asarray(t["source"].to_pandas(), dtype="U")
-        ).view(np.int64)
-        return t.append_column("skey", pa.array(skey, pa.int64()))
-
-    keyed = ds.map_batches(add_skey, batch_format="pyarrow")
 
     def one_source(g: pd.DataFrame, source: str) -> pd.DataFrame:
         order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
@@ -183,12 +197,18 @@ def pack_tokens(
             }
         )
 
+    def pack_part(g: pd.DataFrame, src: str) -> pd.DataFrame:
+        out = one_source(g, src)
+        if chunk_span is not None:
+            out.insert(1, "chunk", np.full(len(out), g["chunk"].iloc[0], np.int64))
+        return out
+
     def group_fn(g: pd.DataFrame) -> pd.DataFrame:
         if g["source"].iloc[0] == g["source"].iloc[-1] and g["source"].nunique() == 1:
-            return one_source(g, g["source"].iloc[0])
+            return pack_part(g, g["source"].iloc[0])
         return pd.concat(
-            [one_source(sub, src) for src, sub in g.groupby("source", sort=True)],
+            [pack_part(sub, src) for src, sub in g.groupby("source", sort=True)],
             ignore_index=True,
         )
 
-    return keyed.groupby("skey").map_groups(group_fn, batch_format="pandas")
+    return keyed.groupby(keys).map_groups(group_fn, batch_format="pandas")

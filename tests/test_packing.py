@@ -109,3 +109,38 @@ def test_pack_tokens_round_trip_invariant(ray_session, tmp_path):
         )
         np.testing.assert_array_equal(got, expect)
         assert packs["tok_filled"].sum() == expect.size
+
+
+def test_chunked_packing_semantics(ray_session, tmp_path):
+    """chunk_span packs each (source, time-chunk) independently: chunked
+    output == running the global packer on each chunk's rows separately,
+    and every pack's docs stay within one chunk."""
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.fixtures import generate_input_table
+    from datafiller_ray.pipelines.packing import pack_sequences, pack_tokens
+
+    path = tmp_path / "in.parquet"
+    pq.write_table(generate_input_table(4000, 4, seed=31), path)
+    span = 240  # minutes per chunk
+    out = pack_sequences(str(path), max_len=512, chunk_span=span).to_pandas()
+    assert "chunk" in out.columns
+
+    full = pq.read_table(path, columns=["doc_id", "n_tok", "source"]).to_pandas()
+    full["chunk"] = full["doc_id"].str[-10:].astype(np.int64) // span
+    from datafiller_ray.pipelines.packing import _pack_one_source
+
+    for (src, ch), g in full.groupby(["source", "chunk"]):
+        expect = _pack_one_source(g, src, 512)
+        got = (
+            out[(out["source"] == src) & (out["chunk"] == ch)]
+            .drop(columns=["chunk"])
+            .sort_values("pack_idx")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect)
+
+    # tokens variant: chunk boundaries respected, token conservation holds
+    packed = pack_tokens(str(path), max_len=512, chunk_span=span).to_pandas()
+    total = int(full["n_tok"].sum())
+    assert int(packed["tok_filled"].sum()) == total
