@@ -87,26 +87,57 @@ def _keyed_for_packing(input_path, *, with_tokens: bool, chunk_span):
         else read_input(input_path, with_tokens=with_tokens)
     )
 
+    from datafiller_ray.config import EngineValueError
+
+    if chunk_span is not None and (
+        not isinstance(chunk_span, int) or chunk_span < 1
+    ):
+        raise EngineValueError(
+            f"chunk_span must be a positive integer of minutes, got {chunk_span}"
+        )
+
     def add_keys(t):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from datafiller_ray.functions.hashing import string_hash64
+        from datafiller_ray.stages.validate import extract_epoch_minute
 
         skey = string_hash64(
             np.asarray(t["source"].to_pandas(), dtype="U")
         ).view(np.int64)
         t = t.append_column("skey", pa.array(skey, pa.int64()))
         if chunk_span is not None:
-            minute = (
-                pd.Series(t["doc_id"].to_pandas()).str[-10:].astype("int64")
-            )
-            chunk = (minute // chunk_span).to_numpy()
-            t = t.append_column("chunk", pa.array(chunk, pa.int64()))
+            minute = extract_epoch_minute(t["doc_id"])
+            chunk = pc.divide(minute, pa.scalar(chunk_span, pa.int64()))
+            t = t.append_column("chunk", pc.cast(chunk, pa.int64()))
         return t
 
     keyed = ds.map_batches(add_keys, batch_format="pyarrow")
     keys = ["skey", "chunk"] if chunk_span is not None else "skey"
     return keyed, keys
+
+
+def _collision_safe_group_fn(per_source, chunk_span):
+    """Shared map_groups wrapper: skey-collision sub-grouping (the engine
+    invariant — a hash collision must never merge sources) plus the chunk
+    column passthrough, used by both packing stages."""
+
+    def pack_part(g: pd.DataFrame, src: str) -> pd.DataFrame:
+        out = per_source(g, src)
+        if chunk_span is not None:
+            out.insert(1, "chunk", np.full(len(out), g["chunk"].iloc[0], np.int64))
+        return out
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if g["source"].iloc[0] == g["source"].iloc[-1] and g["source"].nunique() == 1:
+            return pack_part(g, g["source"].iloc[0])
+        return pd.concat(
+            [pack_part(sub, src) for src, sub in g.groupby("source", sort=True)],
+            ignore_index=True,
+        )
+
+    return group_fn
 
 
 def pack_sequences(
@@ -132,20 +163,9 @@ def pack_sequences(
         input_path, with_tokens=False, chunk_span=chunk_span
     )
 
-    def pack_part(g: pd.DataFrame, src: str) -> pd.DataFrame:
-        out = _pack_one_source(g, src, max_len)
-        if chunk_span is not None:
-            out.insert(1, "chunk", np.full(len(out), g["chunk"].iloc[0], np.int64))
-        return out
-
-    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
-        if g["source"].iloc[0] == g["source"].iloc[-1] and g["source"].nunique() == 1:
-            return pack_part(g, g["source"].iloc[0])
-        return pd.concat(
-            [pack_part(sub, src) for src, sub in g.groupby("source", sort=True)],
-            ignore_index=True,
-        )
-
+    group_fn = _collision_safe_group_fn(
+        lambda g, src: _pack_one_source(g, src, max_len), chunk_span
+    )
     return keyed.groupby(keys).map_groups(group_fn, batch_format="pandas")
 
 
@@ -184,6 +204,15 @@ def pack_tokens(
         starts = pack_bounds(tok_counts, max_len)
         ends = np.concatenate([starts[1:], np.array([tok_counts.size], np.int64)])
         cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(tok_counts)])
+        if flat.size != cs[-1]:
+            # boundaries come from n_tok, bytes from the arrays — a
+            # mismatch would silently misalign every later blob
+            from datafiller_ray.config import EngineValueError
+
+            raise EngineValueError(
+                f"token-array invariant violated for source {source!r}: "
+                f"n_tok totals {int(cs[-1])} but token arrays hold {flat.size}"
+            )
         blobs = [
             flat[cs[s] : cs[e]].astype("<i4").tobytes()
             for s, e in zip(starts, ends)
@@ -197,18 +226,5 @@ def pack_tokens(
             }
         )
 
-    def pack_part(g: pd.DataFrame, src: str) -> pd.DataFrame:
-        out = one_source(g, src)
-        if chunk_span is not None:
-            out.insert(1, "chunk", np.full(len(out), g["chunk"].iloc[0], np.int64))
-        return out
-
-    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
-        if g["source"].iloc[0] == g["source"].iloc[-1] and g["source"].nunique() == 1:
-            return pack_part(g, g["source"].iloc[0])
-        return pd.concat(
-            [pack_part(sub, src) for src, sub in g.groupby("source", sort=True)],
-            ignore_index=True,
-        )
-
+    group_fn = _collision_safe_group_fn(one_source, chunk_span)
     return keyed.groupby(keys).map_groups(group_fn, batch_format="pandas")

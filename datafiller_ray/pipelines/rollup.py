@@ -135,6 +135,34 @@ def partial_aggregates(
     )
 
 
+def coalesce_partials(partials: "Dataset", input_path) -> "Dataset":
+    """Conditionally coalesce partial rows to ~4 shuffle partitions per CPU
+    before a sort-based groupby. The sort cost scales with block count, but
+    too-few partitions make the downstream group stage wave-imbalanced, so
+    4x/CPU gives the scheduler room to level load. Repartition is itself an
+    all-to-all BARRIER: when the read already lands in the band (one
+    pre-aggregated block per input file), inserting it costs ~10% of the
+    25M-row wall for nothing (measured: 200 natural blocks, skipping it
+    32.9s -> 29.4s), so only repartition when the natural block count is
+    far from the target. Shared by the flagship and the window family —
+    one tuning point (SURVEY.md §4)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    target = max(32, 4 * cpus)
+    nblocks = None
+    if isinstance(input_path, str):
+        try:
+            import pyarrow.dataset as pds
+
+            nblocks = len(pds.dataset(input_path).files)
+        except Exception:
+            nblocks = None
+    if nblocks is None or nblocks < target or nblocks > 4 * target:
+        partials = partials.repartition(target)
+    return partials
+
+
 def rollup_tiers(
     input_path: "str | Dataset",
     *,
@@ -148,32 +176,7 @@ def rollup_tiers(
     (``emit="rows"``) or Gorilla blob rows (``emit="blobs"``)."""
     cfg = fill if fill is not None else FillConfig()
     partials = partial_aggregates(input_path, check_tokens=check_tokens)
-    # Coalesce the (tiny) partial rows into ~2 blocks per CPU before the
-    # groupby: the sort-based shuffle cost scales with block count, and the
-    # input stage produced one block per parquet row group. Scales with the
-    # cluster (shuffle partitions ∝ CPUs, SURVEY.md §4).
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    # ~4 shuffle partitions per CPU: the sort cost scales with block count,
-    # but too-few partitions make the fill stage wave-imbalanced (one slow
-    # partition bounds the wall); 4x gives the scheduler room to level load.
-    # Repartition is itself an all-to-all BARRIER, though: when the read
-    # already lands in that band (one pre-aggregated block per input file),
-    # inserting it costs ~10% of the 25M-row wall for nothing (measured:
-    # 200 natural blocks, skipping it 32.9s -> 29.4s), so only repartition
-    # when the natural block count is far from the target.
-    target = max(32, 4 * cpus)
-    nblocks = None
-    if isinstance(input_path, str):
-        try:
-            import pyarrow.dataset as pds
-
-            nblocks = len(pds.dataset(input_path).files)
-        except Exception:
-            nblocks = None
-    if nblocks is None or nblocks < target or nblocks > 4 * target:
-        partials = partials.repartition(target)
+    partials = coalesce_partials(partials, input_path)
     fn = make_fill_group_fn(cfg, tiers=tiers, retention=retention, emit=emit)
     # shuffle on the int64 hash key (sorts ~3x faster than the string; the
     # group fn sub-groups by the string for collision safety)

@@ -88,15 +88,9 @@ def _registers_per_key(
     return ukeys, regs
 
 
-def approx_distinct(
-    ds,
-    *,
-    key_col: str = "source",
-    value_col: str = "doc_id",
-) -> "object":
-    """Per-key approximate distinct count of a string column. One shuffle
-    of (key, 4 KiB register blob) rows — |keys| x |blocks| of them, never
-    the values."""
+def _hll_partial_stage(ds, key_col: str, value_col: str):
+    """Project + per-batch register partials — the shared front half of
+    every HLL pipeline (one 4 KiB blob per (key, block) leaves each task)."""
     from datafiller_ray.functions.hashing import string_hash64
 
     def partial(t: pa.Table) -> pa.Table:
@@ -117,6 +111,24 @@ def approx_distinct(
             }
         )
 
+    slim = ds.map_batches(
+        lambda t: t.select([key_col, value_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return slim.map_batches(partial, batch_format="pyarrow")
+
+
+def approx_distinct(
+    ds,
+    *,
+    key_col: str = "source",
+    value_col: str = "doc_id",
+) -> "object":
+    """Per-key approximate distinct count of a string column. One shuffle
+    of (key, 4 KiB register blob) rows — |keys| x |blocks| of them, never
+    the values."""
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         stack = np.stack(
             [np.frombuffer(b, dtype=np.uint8) for b in g["hll"]]
@@ -129,12 +141,7 @@ def approx_distinct(
             }
         )
 
-    slim = ds.map_batches(
-        lambda t: t.select([key_col, value_col]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    partials = slim.map_batches(partial, batch_format="pyarrow")
+    partials = _hll_partial_stage(ds, key_col, value_col)
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
 
 
@@ -210,7 +217,18 @@ def build_bloom(
     k=7 / 1% fp); the merged filter is an index artifact like the LSH
     index — broadcast once with ``ray.put`` and probed per batch, so
     history membership tests never shuffle history."""
+    from datafiller_ray.config import EngineValueError
     from datafiller_ray.functions.hashing import string_hash64
+
+    # the filter round-trips through a byte string (probe side re-derives
+    # m_bits = len(bloom)*8), so a non-byte-aligned m_bits would both
+    # index past the bit array and disagree with the probe — reject it
+    if m_bits < 8 or m_bits % 8 != 0:
+        raise EngineValueError(
+            f"m_bits must be a positive multiple of 8, got {m_bits}"
+        )
+    if k < 1:
+        raise EngineValueError(f"k must be >= 1, got {k}")
 
     def partial(t: pa.Table) -> pa.Table:
         vals = np.asarray(t[value_col].to_pandas(), dtype="U")
@@ -278,30 +296,8 @@ def bloom_filter_absent(
 def _shard_registers(ds, key_col: str, value_col: str) -> "dict[str, np.ndarray]":
     """Merged per-key registers of one shard (distributed partials; the
     driver sees one 4 KiB blob per (key, block))."""
-    from datafiller_ray.functions.hashing import string_hash64
-
-    def partial(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t[key_col].to_pandas(), dtype="U")
-        vals = np.asarray(t[value_col].to_pandas(), dtype="U")
-        if keys.size == 0:
-            return pa.table(
-                {key_col: pa.array([], pa.string()), "hll": pa.array([], pa.binary())}
-            )
-        ukeys, regs = _registers_per_key(keys, string_hash64(vals))
-        return pa.table(
-            {
-                key_col: pa.array(ukeys),
-                "hll": pa.array([r.tobytes() for r in regs], pa.binary()),
-            }
-        )
-
-    slim = ds.map_batches(
-        lambda t: t.select([key_col, value_col]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
     merged: dict[str, np.ndarray] = {}
-    for batch in slim.map_batches(partial, batch_format="pyarrow").iter_batches(
+    for batch in _hll_partial_stage(ds, key_col, value_col).iter_batches(
         batch_format="pyarrow"
     ):
         for k, b in zip(batch[key_col].to_pylist(), batch["hll"]):

@@ -85,6 +85,18 @@ def _round6_half_up(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1e6 + 0.5) / 1e6
 
 
+def _string_typed_if_empty(df: pd.DataFrame, col: str = "source") -> pd.DataFrame:
+    """A ZERO-ROW pandas frame's object column converts to Arrow type
+    ``null``, which cannot unify with the string-typed blocks non-empty
+    groups produce (strict schema concat raises). Filters that can drop a
+    whole group (deltas on 1-bucket sources, anomaly filters) must pin the
+    dtype explicitly on the empty frame."""
+    if len(df) == 0:
+        df = df.copy()
+        df[col] = df[col].astype("string")
+    return df
+
+
 def _rolling_one_source(obs: pd.DataFrame, source: str, window: int) -> pd.DataFrame:
     ts = obs["bucket_ts"].to_numpy(np.int64)
     s = obs["sum"].to_numpy(np.int64)
@@ -128,25 +140,15 @@ def _topk_one_source(obs: pd.DataFrame, source: str, k: int) -> pd.DataFrame:
 
 def _shuffled_partials(input_path, *, check_tokens: bool = False):
     """Partial-aggregate + conditional coalesce, the rollup_tiers shuffle
-    prologue (see pipelines/rollup.py for the block-count rationale)."""
-    import ray
-
-    from datafiller_ray.pipelines.rollup import partial_aggregates
+    prologue (rollup.coalesce_partials holds the block-count rationale —
+    one shared tuning point, not a copy)."""
+    from datafiller_ray.pipelines.rollup import (
+        coalesce_partials,
+        partial_aggregates,
+    )
 
     partials = partial_aggregates(input_path, check_tokens=check_tokens)
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    target = max(32, 4 * cpus)
-    nblocks = None
-    if isinstance(input_path, str):
-        try:
-            import pyarrow.dataset as pds
-
-            nblocks = len(pds.dataset(input_path).files)
-        except Exception:
-            nblocks = None
-    if nblocks is None or nblocks < target or nblocks > 4 * target:
-        partials = partials.repartition(target)
-    return partials
+    return coalesce_partials(partials, input_path)
 
 
 def _per_source_group_fn(one_source):
@@ -234,15 +236,17 @@ def _deltas_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
     ts = obs["bucket_ts"].to_numpy(np.int64)
     s = obs["sum"].to_numpy(np.int64)
     if ts.size < 2:
-        return pd.DataFrame(
-            {
-                "source": np.empty(0, dtype=object),
-                "bucket_ts": np.empty(0, np.int64),
-                "sum_tok": np.empty(0, np.int64),
-                "delta_tok": np.empty(0, np.int64),
-                "dt_sec": np.empty(0, np.int64),
-                "rate_tok_s": np.empty(0, np.float64),
-            }
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": np.empty(0, dtype=object),
+                    "bucket_ts": np.empty(0, np.int64),
+                    "sum_tok": np.empty(0, np.int64),
+                    "delta_tok": np.empty(0, np.int64),
+                    "dt_sec": np.empty(0, np.int64),
+                    "rate_tok_s": np.empty(0, np.float64),
+                }
+            )
         )
     delta = s[1:] - s[:-1]
     dt = ts[1:] - ts[:-1]
@@ -454,14 +458,16 @@ def seasonal_anomalies(
             s.astype(np.float64) > factor * mean_raw[hod]
         )
         n = int(keep.sum())
-        return pd.DataFrame(
-            {
-                "source": np.full(n, source, dtype=object),
-                "bucket_ts": ts[keep],
-                "hod": hod[keep],
-                "sum_tok": s[keep],
-                "hod_mean_tok": _round6_half_up(mean_raw[hod[keep]]),
-            }
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": np.full(n, source, dtype=object),
+                    "bucket_ts": ts[keep],
+                    "hod": hod[keep],
+                    "sum_tok": s[keep],
+                    "hod_mean_tok": _round6_half_up(mean_raw[hod[keep]]),
+                }
+            )
         )
 
     return _run_per_source(
@@ -495,7 +501,7 @@ def rolling_anomalies(
         keep = (out["roll_cnt"].to_numpy() >= min_window) & (
             out["sum_tok"].to_numpy(np.float64) > factor * mean_raw
         )
-        return out.loc[keep].reset_index(drop=True)
+        return _string_typed_if_empty(out.loc[keep].reset_index(drop=True))
 
     return _run_per_source(
         input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
