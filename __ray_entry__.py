@@ -805,6 +805,32 @@ def _ewma_smooth(sf_dir: str):
     return ewma_smooth(_fixture(sf_dir), alpha=0.25, check_tokens=False)
 
 
+_CORR_REFS = ("src_0000", "src_0001", "src_0002")
+
+
+def _source_correlation(sf_dir: str):
+    """Pearson correlation of every source's observed 1m token sums vs the
+    three broadcast reference sources (exact int64 moments; one pinned
+    float expression) — pipelines/correlate.source_correlation."""
+    from datafiller_ray.pipelines.correlate import source_correlation
+
+    return source_correlation(
+        _fixture(sf_dir), ref_sources=_CORR_REFS, min_common=3, check_tokens=False
+    )
+
+
+def _cusum_changepoints(sf_dir: str):
+    """Two-sided CUSUM level-shift flags over each source's observed 1m
+    token sums (standardized by exact integer moments; drift 0.5, threshold
+    5.0) — pipelines/window.cusum_changepoints; vendored scalar-recursion
+    oracle (tests/oracle/fills.py cusum_stats)."""
+    from datafiller_ray.pipelines.window import cusum_changepoints
+
+    return cusum_changepoints(
+        _fixture(sf_dir), drift=0.5, threshold=5.0, min_points=20, check_tokens=False
+    )
+
+
 def _lttb_downsample(sf_dir: str):
     """LTTB visual downsample to 50 points per source —
     pipelines/window.lttb_downsample; vendored loop-LTTB oracle."""
@@ -1074,6 +1100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_histogram": _token_histogram,
         "hourly_profile": _hourly_profile,
         "ewma_smooth_1m": _ewma_smooth,
+        "cusum_changepoints": _cusum_changepoints,
+        "source_correlation": _source_correlation,
         "lttb_downsample": _lttb_downsample,
         "seasonal_anomaly": _seasonal_anomaly,
         "approx_distinct_docs": _approx_distinct_docs,
@@ -1760,6 +1788,41 @@ def _build_ewma_oracle() -> "pd.DataFrame":
     return pd.concat(frames, ignore_index=True)
 
 
+def _build_cusum_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    frames = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep].astype(np.int64)
+        stats = o.cusum_stats(y, 0.5, 20)
+        if stats is None:
+            continue
+        for direction, s in zip(("up", "down"), stats):
+            flag = s > 5.0
+            if flag.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "source": src,
+                            "bucket_ts": ts[flag],
+                            "direction": direction,
+                            "cusum_stat": o.round_half_up(s[flag]),
+                        }
+                    )
+                )
+    if not frames:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="string"),
+                "bucket_ts": pd.Series([], dtype="int64"),
+                "direction": pd.Series([], dtype="string"),
+                "cusum_stat": pd.Series([], dtype="float64"),
+            }
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def _build_lttb_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     frames = []
@@ -1787,6 +1850,7 @@ _FILL_ORACLE_BUILDERS = {
     "lang_fill": _build_lang_oracle,
     "ewma_smooth_1m": _build_ewma_oracle,
     "lttb_downsample": _build_lttb_oracle,
+    "cusum_changepoints": _build_cusum_oracle,
     "approx_distinct_docs": _build_hll_oracle,
     "approx_distinct_global": _build_hll_global_oracle,
     "bloom_new_docs": _build_bloom_oracle,
@@ -1962,6 +2026,43 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{p}/*.parquet')
             WHERE CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) % 5 = 0
             GROUP BY 1, 2
+        """,
+        "source_correlation": f"""
+            WITH obs AS (
+              SELECT source,
+                     CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) * 60
+                         AS bucket_ts,
+                     CAST(SUM(n_tok) AS BIGINT) AS s
+              FROM read_parquet('{p}/*.parquet') GROUP BY 1, 2),
+            refs AS (
+              SELECT source AS ref_source, bucket_ts, s AS rs FROM obs
+              WHERE source IN {_CORR_REFS!r}),
+            j AS (
+              SELECT o.source, r.ref_source, o.s AS x, r.rs AS y
+              FROM obs o JOIN refs r USING (bucket_ts)
+              WHERE o.source <> r.ref_source),
+            m AS (
+              SELECT source, ref_source,
+                     COUNT(*)::HUGEINT AS n,
+                     SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+                     SUM(x * y)::HUGEINT AS sxy,
+                     SUM(x * x)::HUGEINT AS sxx,
+                     SUM(y * y)::HUGEINT AS syy
+              FROM j GROUP BY 1, 2),
+            c AS (
+              SELECT source, ref_source, CAST(n AS BIGINT) AS n_common,
+                     (n * sxy - sx * sy) AS num,
+                     (n * sxx - sx * sx) AS d1,
+                     (n * syy - sy * sy) AS d2
+              FROM m)
+            SELECT source, ref_source, n_common,
+                   -- exact integer moments feed ONE pinned float expression
+                   -- (same op order as the engine), then the engine-wide
+                   -- floor-half-up 6-decimal absorber
+                   FLOOR((CAST(num AS DOUBLE)
+                          / SQRT(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))
+                         * 1000000 + 0.5) / 1000000.0 AS corr
+            FROM c WHERE n_common >= 3 AND d1 > 0 AND d2 > 0
         """,
         "gapfill_linear_bounded_1m": bounded_linear_sql,
         "gapfill_linear_salted_1m": bounded_linear_sql,
@@ -2344,6 +2445,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lttb_downsample": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('lttb_downsample')}')"
+        ),
+        "cusum_changepoints": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('cusum_changepoints')}')"
         ),
         "approx_distinct_docs": (
             "SELECT * FROM read_parquet("

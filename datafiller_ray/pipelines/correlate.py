@@ -1,0 +1,188 @@
+"""Cross-source correlation over the 1m rollup tier.
+
+``source_correlation`` answers "which streams move together?": Pearson
+correlation of every source's per-minute token sums against a small set
+of REFERENCE sources, computed on the buckets both have observed.
+
+Scale shape (the broadcast-small-side pattern, SURVEY.md §4):
+
+    pass A: read (pruned) -> filter to ref sources -> partial agg
+            -> driver combine (bounded: |refs| x |buckets| rows)
+            -> ray.put ONCE
+    pass B: the flagship per-source exchange; each group task aligns its
+            series against the broadcast reference grids (searchsorted)
+            and emits one row per (source, ref) pair.
+
+No all-pairs shuffle: correlating all sources against all sources is
+O(S^2) and is exactly the join this operator avoids — the reference set
+is the small side (bounded by ``max_refs``), everything else streams.
+
+Numerics: all five moments (sx, sy, sxy, sxx, syy) are exact integers
+(int64 dot products handed to Python ints before the cross terms), so
+both sides of the oracle agree bit-for-bit up to ONE pinned float
+expression: ``corr = double(num) / sqrt(double(d1) * double(d2))``
+followed by the engine-wide floor-half-up 6-decimal absorber. int64 is
+safe while ``sum(x*x) < 2^63`` — per-minute token sums up to ~3e4 over
+~1e7 buckets; beyond that, chunk the dot products.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    from ray.data import Dataset
+
+_MAX_REFS_DEFAULT = 64
+
+
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _reference_series(
+    input_path, ref_sources: "tuple[str, ...]", *, check_tokens: bool
+) -> "dict[str, tuple[np.ndarray, np.ndarray]]":
+    """Combined (bucket_ts, sum) arrays of each reference source.
+
+    The filter runs BEFORE the partial aggregation, so only ref-source
+    rows are ever aggregated; the driver sees at most
+    |refs| x |buckets| x |blocks| partial rows and combines them with the
+    same exact-int reduction the main pass uses."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from datafiller_ray.pipelines.rollup import read_input
+    from datafiller_ray.stages.fill import combine_partials
+    from datafiller_ray.stages.validate import make_partial_agg_fn
+
+    ds = (
+        input_path
+        if isinstance(input_path, ray.data.Dataset)
+        else read_input(input_path, with_tokens=check_tokens)
+    )
+    refset = pa.array(list(ref_sources), pa.string())
+
+    def only_refs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["source"], value_set=refset))
+
+    partials = ds.map_batches(
+        only_refs, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        make_partial_agg_fn(check_tokens=check_tokens),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+    frame = partials.to_pandas()
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if frame.empty:  # no ref rows at all: a columnless frame can't group
+        return out
+    for src, g in frame.groupby("source", sort=True):
+        comb = combine_partials(g)
+        out[str(src)] = (
+            comb["bucket_ts"].to_numpy(np.int64),
+            comb["sum"].to_numpy(np.int64),
+        )
+    return out
+
+
+def _corr_one_source(
+    obs: pd.DataFrame,
+    source: str,
+    refs: "dict[str, tuple[np.ndarray, np.ndarray]]",
+    min_common: int,
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    x_all = obs["sum"].to_numpy(np.int64)
+    names, ns, corrs = [], [], []
+    for ref_name in sorted(refs):
+        if ref_name == source:
+            continue
+        rts, rsum = refs[ref_name]
+        # both grids sorted: positions of obs buckets inside the ref grid
+        pos = np.searchsorted(rts, ts)
+        pos_c = np.minimum(pos, rts.size - 1)
+        hit = (rts.size > 0) & (rts[pos_c] == ts)
+        n = int(hit.sum())
+        if n < min_common:
+            continue
+        x = x_all[hit]
+        y = rsum[pos_c[hit]]
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx, syy = int(np.dot(x, y)), int(np.dot(x, x)), int(np.dot(y, y))
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue  # zero variance on either side: correlation undefined
+        corr = float(num) / math.sqrt(float(d1) * float(d2))
+        names.append(ref_name)
+        ns.append(n)
+        corrs.append(corr)
+    out = pd.DataFrame(
+        {
+            "source": np.full(len(names), source, dtype=object),
+            "ref_source": np.asarray(names, dtype=object),
+            "n_common": np.asarray(ns, dtype=np.int64),
+            "corr": _round6_half_up(np.asarray(corrs, dtype=np.float64)),
+        }
+    )
+    if not len(out):
+        # zero-row object columns convert to Arrow null and cannot unify
+        # with the string blocks of non-empty groups (window.py precedent)
+        out["source"] = out["source"].astype("string")
+        out["ref_source"] = out["ref_source"].astype("string")
+    return out
+
+
+def source_correlation(
+    input_path,
+    *,
+    ref_sources: "tuple[str, ...] | list[str]",
+    min_common: int = 3,
+    max_refs: int = _MAX_REFS_DEFAULT,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """Pearson correlation of every source's observed 1m token sums
+    against each reference source, on their common observed buckets.
+
+    Returns rows ``(source, ref_source, n_common, corr)``; pairs with
+    fewer than ``min_common`` shared buckets or zero variance on either
+    side are omitted, and a reference never correlates with itself.
+    """
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _run_per_source
+
+    refs_t = tuple(dict.fromkeys(ref_sources))
+    if not refs_t:
+        raise EngineValueError("ref_sources must be non-empty")
+    if len(refs_t) > max_refs:
+        raise EngineValueError(
+            f"{len(refs_t)} reference sources exceed max_refs={max_refs}; "
+            "the reference set is broadcast to every task and must stay small"
+        )
+    if min_common < 2:
+        raise EngineValueError(f"min_common must be >= 2, got {min_common}")
+
+    series = _reference_series(input_path, refs_t, check_tokens=check_tokens)
+    missing = [s for s in refs_t if s not in series]
+    if missing:
+        raise EngineValueError(f"reference sources not in input: {missing}")
+    handle = ray.put(series)
+
+    def one_source(obs: pd.DataFrame, src: str) -> pd.DataFrame:
+        refs = ray.get(handle)  # plasma-local after first fetch per node
+        return _corr_one_source(obs, src, refs, min_common)
+
+    return _run_per_source(
+        input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
+    )

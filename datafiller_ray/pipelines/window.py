@@ -31,6 +31,7 @@ part of the engine's continuous-aggregate surface (north_star).
 
 from __future__ import annotations
 
+import math
 from typing import TYPE_CHECKING
 
 import numpy as np
@@ -556,4 +557,107 @@ def events_rolling_counts(
 
     return rolled.groupby("event_type").map_groups(
         per_type, batch_format="pandas"
+    )
+
+
+def _cusum_one_source(
+    obs: pd.DataFrame,
+    source: str,
+    *,
+    drift: float,
+    threshold: float,
+    min_points: int,
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    y = obs["sum"].to_numpy(np.int64)
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": np.empty(0, dtype=object),
+                "bucket_ts": np.empty(0, np.int64),
+                "direction": np.empty(0, dtype=object),
+                "cusum_stat": np.empty(0, np.float64),
+            }
+        ),
+    )
+    empty["direction"] = empty["direction"].astype("string")
+    n = ts.size
+    if n < min_points:
+        return empty
+    # moments as exact integers, then ONE pinned float op sequence shared
+    # with the vendored oracle: mean = S/n; var = Q/n - mean*mean
+    S = int(y.sum())
+    Q = int(np.dot(y, y))
+    mean = S / n
+    var = Q / n - mean * mean
+    if not var > 0.0:
+        return empty  # constant series: no standardized scale
+    std = math.sqrt(var)
+    z = (y.astype(np.float64) - mean) / std
+    rows = []
+    for direction, d in (("up", z - drift), ("down", (-z) - drift)):
+        # s_i = max(0, s_{i-1} + d_i) via the exact prefix identity
+        # s_i = p_i - min(0, min_{j<=i} p_j): np.cumsum / .accumulate are
+        # strictly sequential, so every float op matches the oracle's
+        # scalar recursion bit-for-bit (no pairwise-summation reorder).
+        p = np.cumsum(d)
+        m = np.minimum.accumulate(np.minimum(p, 0.0))
+        s = p - m
+        keep = s > threshold
+        k = int(keep.sum())
+        if k:
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "source": np.full(k, source, dtype=object),
+                        "bucket_ts": ts[keep],
+                        "direction": np.full(k, direction, dtype=object),
+                        "cusum_stat": _round6_half_up(s[keep]),
+                    }
+                )
+            )
+    if not rows:
+        return empty
+    return pd.concat(rows, ignore_index=True)
+
+
+def cusum_changepoints(
+    input_path,
+    *,
+    drift: float = 0.5,
+    threshold: float = 5.0,
+    min_points: int = 20,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """Two-sided CUSUM level-shift detection over each source's observed 1m
+    token sums.
+
+    Values are standardized by the source's own population mean/std
+    (computed from exact integer moments), then the classic recursion
+    ``s_i = max(0, s_{i-1} + z_i - drift)`` runs in both directions and
+    buckets where the statistic exceeds ``threshold`` are flagged with
+    ``direction`` 'up' or 'down'. The recursion is evaluated through the
+    exact prefix identity (cumsum minus running floored minimum) so the
+    vectorized engine pass and the vendored scalar-loop oracle
+    (tests/oracle/fills.py) execute the same float op sequence.
+
+    Scale shape: identical to the rest of the window family — one shuffle
+    of partial rows, O(n) per source, no driver materialization.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if threshold <= 0:
+        raise EngineValueError(f"threshold must be > 0, got {threshold}")
+    if drift < 0:
+        raise EngineValueError(f"drift must be >= 0, got {drift}")
+    if min_points < 2:
+        raise EngineValueError(f"min_points must be >= 2, got {min_points}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _cusum_one_source(
+            obs, src, drift=drift, threshold=threshold, min_points=min_points
+        ),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
     )

@@ -793,3 +793,46 @@ def pack_tokens_oracle(
     return pd.DataFrame(
         rows, columns=["source", "pack_idx", "tok_filled", "tokens_blob"]
     )
+
+
+def cusum_stats(y: np.ndarray, drift: float, min_points: int):
+    """Scalar two-sided CUSUM statistics over one source's observed sums.
+
+    Independent re-derivation of the operator's pinned definition:
+    standardize by population mean/std from exact integer moments, then
+    ``s_i = max(0, s_{i-1} + d_i)`` evaluated through the prefix identity
+    ``s_i = p_i - min(0, min_{j<=i} p_j)`` with p accumulated sequentially
+    (the same float op order as a sequential cumsum). Returns
+    ``(s_up, s_dn)`` float64 arrays, or ``None`` when the series is too
+    short or has no variance.
+    """
+    import math
+
+    n = int(y.size)
+    if n < min_points:
+        return None
+    S = 0
+    Q = 0
+    for v in y:
+        iv = int(v)
+        S += iv
+        Q += iv * iv
+    mean = S / n
+    var = Q / n - mean * mean
+    if not var > 0.0:
+        return None
+    std = math.sqrt(var)
+    out = []
+    for sign in (1.0, -1.0):
+        p = 0.0
+        m = 0.0
+        s = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            z = (float(y[i]) - mean) / std
+            p += (sign * z if sign < 0 else z) - drift
+            floored = p if p < 0.0 else 0.0
+            if floored < m:
+                m = floored
+            s[i] = p - m
+        out.append(s)
+    return out[0], out[1]

@@ -1,0 +1,104 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_fixture(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.fixtures import generate_input_table
+
+    path = tmp_path_factory.mktemp("corr") / "in.parquet"
+    pq.write_table(generate_input_table(5000, 9, seed=7), path)
+    return str(path)
+
+
+def test_corr_one_source_matches_corrcoef():
+    """Pinned integer-moment Pearson equals np.corrcoef on aligned data."""
+    from datafiller_ray.pipelines.correlate import _corr_one_source
+
+    rng = np.random.default_rng(3)
+    n = 400
+    base = rng.integers(50, 150, size=n).astype(np.int64)
+    noisy = base + rng.integers(-20, 20, size=n)
+    ts = np.arange(n, dtype=np.int64) * 60
+    obs = pd.DataFrame({"bucket_ts": ts, "sum": noisy})
+    refs = {"r": (ts, base)}
+    out = _corr_one_source(obs, "s", refs, min_common=3)
+    assert len(out) == 1
+    expect = np.corrcoef(noisy.astype(float), base.astype(float))[0, 1]
+    assert abs(out["corr"].iloc[0] - expect) < 1e-6
+    assert out["n_common"].iloc[0] == n
+
+
+def test_corr_alignment_and_filters():
+    from datafiller_ray.pipelines.correlate import _corr_one_source
+
+    ts = np.array([0, 60, 120, 180], dtype=np.int64)
+    obs = pd.DataFrame({"bucket_ts": ts, "sum": np.array([1, 2, 3, 4], np.int64)})
+    refs = {
+        # only two common buckets -> below min_common
+        "few": (np.array([0, 60], np.int64), np.array([5, 6], np.int64)),
+        # constant series -> zero variance, dropped
+        "flat": (ts, np.full(4, 7, np.int64)),
+        # offset grid: buckets 60/120/180 align, perfectly anti-correlated
+        "anti": (
+            np.array([60, 120, 180, 240], np.int64),
+            np.array([30, 20, 10, 0], np.int64),
+        ),
+        # self is skipped even when present
+        "s": (ts, obs["sum"].to_numpy()),
+    }
+    out = _corr_one_source(obs, "s", refs, min_common=3)
+    assert out["ref_source"].tolist() == ["anti"]
+    assert out["corr"].iloc[0] == -1.0
+    assert out["n_common"].iloc[0] == 3
+
+
+def test_source_correlation_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.correlate import source_correlation
+
+    out = source_correlation(
+        small_fixture, ref_sources=("src_0000", "src_0001")
+    ).to_pandas()
+    assert set(out.columns) == {"source", "ref_source", "n_common", "corr"}
+    assert set(out["ref_source"]) <= {"src_0000", "src_0001"}
+    # no self pairs, bounded corr
+    assert not (out["source"] == out["ref_source"]).any()
+    assert out["corr"].between(-1.0, 1.0).all()
+    # cross-check one pair against pandas on the raw table
+    import duckdb
+
+    row = out.sort_values(["source", "ref_source"]).iloc[0]
+    q = duckdb.sql(
+        f"""
+        WITH obs AS (
+          SELECT source,
+                 CAST(substr(doc_id, length(doc_id)-9, 10) AS BIGINT)*60 b,
+                 SUM(n_tok)::BIGINT s
+          FROM read_parquet('{small_fixture}') GROUP BY 1,2)
+        SELECT corr(a.s::DOUBLE, r.s::DOUBLE)
+        FROM obs a JOIN obs r USING (b)
+        WHERE a.source = '{row.source}' AND r.source = '{row.ref_source}'
+        """
+    ).fetchone()[0]
+    assert abs(row["corr"] - q) < 1e-6
+
+
+def test_source_correlation_guards(ray_session, small_fixture):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.correlate import source_correlation
+
+    with pytest.raises(EngineValueError):
+        source_correlation(small_fixture, ref_sources=())
+    with pytest.raises(EngineValueError):
+        source_correlation(
+            small_fixture,
+            ref_sources=tuple(f"s{i}" for i in range(70)),
+            max_refs=64,
+        )
+    with pytest.raises(EngineValueError):
+        source_correlation(small_fixture, ref_sources=("src_0000",), min_common=1)
+    with pytest.raises(EngineValueError):
+        source_correlation(small_fixture, ref_sources=("no_such_source",))

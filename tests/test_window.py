@@ -242,3 +242,70 @@ def test_bucketed_shuffle_matches_sort(ray_session, small_fixture):
         ["source", "hod"],
     )
     pd.testing.assert_frame_equal(pa_, pb)
+
+
+def test_cusum_identity_matches_naive_max_recursion():
+    """The vectorized prefix identity must equal the literal
+    s_i = max(0, s_{i-1} + d_i) recursion bit-for-bit (exact min/sub ops)."""
+    from datafiller_ray.pipelines.window import _cusum_one_source
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(100, 200, size=600)
+    base[300:] += 80  # injected level shift
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(base.size, dtype=np.int64) * 60, "sum": base}
+    )
+    out = _cusum_one_source(
+        obs, "s", drift=0.5, threshold=5.0, min_points=20
+    )
+    assert (out["direction"] == "up").any()
+    # naive recursion over the same standardization
+    y = base.astype(np.int64)
+    n = y.size
+    S = int(y.sum())
+    Q = int(np.dot(y, y))
+    mean = S / n
+    var = Q / n - mean * mean
+    std = var**0.5
+    z = (y.astype(np.float64) - mean) / std
+    for direction, d in (("up", z - 0.5), ("down", (-z) - 0.5)):
+        s = np.empty(n)
+        acc = 0.0
+        for i in range(n):
+            acc = acc + d[i]
+            if acc < 0.0:
+                acc = 0.0
+            s[i] = acc
+        flag = s > 5.0
+        got = out[out["direction"] == direction]
+        np.testing.assert_array_equal(
+            got["bucket_ts"].to_numpy(), obs["bucket_ts"].to_numpy()[flag]
+        )
+        np.testing.assert_array_equal(
+            got["cusum_stat"].to_numpy(), np.floor(s[flag] * 1e6 + 0.5) / 1e6
+        )
+
+
+def test_cusum_short_and_constant_series_empty():
+    from datafiller_ray.pipelines.window import _cusum_one_source
+
+    short = pd.DataFrame({"bucket_ts": np.arange(5) * 60, "sum": np.arange(5)})
+    assert len(_cusum_one_source(short, "s", drift=0.5, threshold=5.0,
+                                 min_points=20)) == 0
+    const = pd.DataFrame(
+        {"bucket_ts": np.arange(50) * 60, "sum": np.full(50, 7)}
+    )
+    assert len(_cusum_one_source(const, "s", drift=0.5, threshold=5.0,
+                                 min_points=20)) == 0
+
+
+def test_cusum_param_guards():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import cusum_changepoints
+
+    with pytest.raises(EngineValueError):
+        cusum_changepoints("/nonexistent", threshold=0.0)
+    with pytest.raises(EngineValueError):
+        cusum_changepoints("/nonexistent", drift=-1.0)
+    with pytest.raises(EngineValueError):
+        cusum_changepoints("/nonexistent", min_points=1)
