@@ -679,6 +679,42 @@ def _sample_fixed_k_sql() -> str:
     """
 
 
+def _shuffle_manifest_sql() -> str:
+    import numpy as np
+
+    from datafiller_ray.functions.hashing import splitmix64
+
+    seed_mix = int(splitmix64(np.array([_SAMPLE_SEED], dtype=np.uint64))[0])
+    ctes, fin = _sql_splitmix_ctes(
+        "d", ["doc_id", "source"],
+        f"xor(CAST(doc_id AS UBIGINT), {seed_mix})", "shm",
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, source FROM documents),
+        {ctes}
+        SELECT CAST(v % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY v % {_SHUFFLE_SHARDS} ORDER BY v, doc_id
+               ) - 1 AS BIGINT) AS pos,
+               doc_id, source
+        FROM {fin}
+    """
+
+
+def _bigram_topk_sql() -> str:
+    p = _fixture_sql_path()
+    return f"""
+        WITH pairs AS (
+          SELECT CAST(tokens[i] AS BIGINT) * 50000 + tokens[i + 1] AS pair
+          FROM read_parquet('{p}/*.parquet'),
+               UNNEST(range(1, len(tokens))) AS u(i)),
+        c AS (SELECT pair, COUNT(*)::BIGINT AS cnt FROM pairs GROUP BY 1)
+        SELECT CAST(pair // 50000 AS BIGINT) AS tok_a,
+               CAST(pair % 50000 AS BIGINT) AS tok_b, cnt
+        FROM c ORDER BY cnt DESC, pair ASC LIMIT 100
+    """
+
+
 _BUDGET_DEFAULT = 50_000
 _BUDGET_SRC0 = 20_000
 
@@ -803,6 +839,33 @@ def _ewma_smooth(sf_dir: str):
     from datafiller_ray.pipelines.window import ewma_smooth
 
     return ewma_smooth(_fixture(sf_dir), alpha=0.25, check_tokens=False)
+
+
+_SHUFFLE_SHARDS = 64
+
+
+def _bigram_topk(sf_dir: str):
+    """Global top-100 adjacent token-id pairs over the sequence table
+    (count desc, pair asc) — pipelines/corpus.bigram_topk; only the
+    tokens column is read, only (pair, count) partials shuffle."""
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import bigram_topk
+
+    ds = ray.data.read_parquet(_fixture(sf_dir), columns=["tokens"])
+    return bigram_topk(ds, k=100)
+
+
+def _shuffle_manifest(sf_dir: str):
+    """Deterministic global training-shuffle manifest of the documents
+    table: shard = splitmix64(doc_id ^ mix(seed)) % 64, per-shard rank by
+    (hash, id) — pipelines/corpus.shuffle_manifest (no global sort)."""
+    from datafiller_ray.pipelines.corpus import shuffle_manifest
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    return shuffle_manifest(
+        docs, n_shards=_SHUFFLE_SHARDS, seed=_SAMPLE_SEED, carry_cols=("source",)
+    )
 
 
 _CORR_REFS = ("src_0000", "src_0001", "src_0002")
@@ -1102,6 +1165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_smooth_1m": _ewma_smooth,
         "cusum_changepoints": _cusum_changepoints,
         "source_correlation": _source_correlation,
+        "bigram_topk": _bigram_topk,
+        "shuffle_manifest": _shuffle_manifest,
         "lttb_downsample": _lttb_downsample,
         "seasonal_anomaly": _seasonal_anomaly,
         "approx_distinct_docs": _approx_distinct_docs,
@@ -2278,6 +2343,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_stratified": _sample_stratified_sql(),
         "sample_fixed_k": _sample_fixed_k_sql(),
+        "shuffle_manifest": _shuffle_manifest_sql(),
+        "bigram_topk": _bigram_topk_sql(),
         "budget_sample": _budget_sample_sql(),
         "global_quantiles": """
             SELECT

@@ -448,3 +448,142 @@ def budget_sample(
         .groupby(strata_col)
         .map_groups(take_prefix, batch_format="pandas")
     )
+
+
+# -- token bigram statistics over the pre-tokenized sequence table ----------
+
+
+def _bigram_partial(vocab_size: int):
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t["tokens"].combine_chunks()
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        flat = np.asarray(pc.list_flatten(arr)).astype(np.int64)
+        total = flat.size
+        if total < 2:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        key = flat[:-1] * vocab_size + flat[1:]
+        # a pair is invalid where position p+1 starts a new row: p = end-1
+        # for every row boundary except the last
+        mask = np.ones(total - 1, dtype=bool)
+        ends = np.cumsum(lens.astype(np.int64))[:-1] - 1
+        ends = ends[(ends >= 0) & (ends < total - 1)]
+        mask[ends] = False
+        uniq, counts = np.unique(key[mask], return_counts=True)
+        return pa.table(
+            {"pair": pa.array(uniq, pa.int64()),
+             "cnt": pa.array(counts.astype(np.int64))}
+        )
+
+    return fn
+
+
+def _topk_pairs_block(k: int):
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        pairs = t["pair"].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pairs, -cnts))[:k]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    return fn
+
+
+def bigram_topk(ds, *, k: int = 100, vocab_size: int = 50_000):
+    """Global top-k adjacent token-id pairs by (count desc, pair asc).
+
+    The language-model n-gram statistic over the pre-tokenized sequence
+    table: pairs within each row's token array (never across rows). Same
+    plan as ``vocab_topk`` — vectorized per-batch partial counts over the
+    flattened Arrow list values (zero row loop), one groupby of the SMALL
+    (pair, count) partials, per-block top-k prune, one final combine —
+    so the token payload itself never shuffles. Pair key is
+    ``a * vocab_size + b`` (int64-exact while ``vocab_size**2 < 2^63``),
+    decomposed back to ``(tok_a, tok_b)`` on output.
+    """
+    if k <= 0:
+        raise EngineValueError("k must be positive")
+    if vocab_size <= 0 or vocab_size * vocab_size >= 1 << 63:
+        raise EngineValueError(f"vocab_size out of int64-exact range: {vocab_size}")
+    partial = ds.map_batches(
+        _bigram_partial(vocab_size), batch_format="pyarrow", zero_copy_batch=True
+    )
+    summed = partial.groupby("pair").sum("cnt")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["pair", "cnt"])
+
+    counts = summed.map_batches(rename, batch_format="pyarrow")
+    pruned = counts.map_batches(_topk_pairs_block(k), batch_format="pyarrow")
+    top = pruned.repartition(1).map_batches(_topk_pairs_block(k), batch_format="pyarrow")
+
+    def decompose(t: pa.Table) -> pa.Table:
+        pairs = t["pair"].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pairs, -cnts))  # emit in rank order
+        return pa.table(
+            {
+                "tok_a": pa.array(pairs[order] // vocab_size, pa.int64()),
+                "tok_b": pa.array(pairs[order] % vocab_size, pa.int64()),
+                "cnt": pa.array(cnts[order], pa.int64()),
+            }
+        )
+
+    return top.map_batches(decompose, batch_format="pyarrow")
+
+
+# -- deterministic global training shuffle ----------------------------------
+
+
+def shuffle_manifest(
+    docs,
+    *,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    carry_cols: "tuple[str, ...]" = ("source",),
+):
+    """Deterministic global shuffle manifest WITHOUT a global sort.
+
+    Training wants every epoch's read order decorrelated from ingest
+    order. Sorting 10^12 rows by a random key is an all-to-all sort of
+    everything; this operator gets the same statistical guarantee from
+    pure hash arithmetic: ``h = splitmix64(id ^ mix(seed))`` assigns each
+    row to ``shard = h % n_shards`` (a map-side partition decision, no
+    exchange of anything but the manifest projection), and each shard
+    orders its rows by ``(h, id)`` independently. The result is a
+    reproducible permutation manifest ``(shard, pos, id, carry...)``;
+    a trainer streams shards in any order. Different ``seed`` -> a
+    different permutation, so epochs reshuffle without touching payloads.
+
+    Scale: the shuffle moves only the manifest columns (id + carry), one
+    groupby on the int shard key; per-shard rank is a local argsort.
+    """
+    if n_shards < 1:
+        raise EngineValueError(f"n_shards must be >= 1, got {n_shards}")
+    seed_mix = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+    cols = [id_col, *carry_cols]
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed_mix))
+        t = t.append_column("_h", pa.array(h, pa.uint64()))
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int64), pa.int64())
+        )
+
+    keyed = docs.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def rank_shard(g: pa.Table) -> pa.Table:
+        h = g["_h"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        g = g.take(pa.array(order, type=pa.int64())).drop_columns(["_h"])
+        return g.append_column(
+            "pos", pa.array(np.arange(g.num_rows, dtype=np.int64))
+        ).select(["shard", "pos", *cols])
+
+    return keyed.groupby("shard").map_groups(rank_shard, batch_format="pyarrow")

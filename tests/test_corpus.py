@@ -213,3 +213,76 @@ def test_budget_sample_requires_budget(ray_session):
 
     with _pytest.raises(EngineValueError):
         budget_sample(ray.data.from_pandas(_docs(50)))
+
+
+# -- bigram_topk -------------------------------------------------------------
+
+
+def test_bigram_partial_row_boundaries():
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.corpus import _bigram_partial
+
+    t = pa.table({"tokens": pa.array(
+        [[1, 2, 3], [3, 1], [], [7]], pa.list_(pa.int32())
+    )})
+    out = _bigram_partial(10)(t).to_pydict()
+    # pairs: (1,2),(2,3) from row0; (3,1) from row1; none across rows
+    got = dict(zip(out["pair"], out["cnt"]))
+    assert got == {12: 1, 23: 1, 31: 1}
+
+
+def test_bigram_topk_matches_bruteforce(ray_session):
+    from datafiller_ray.pipelines.corpus import bigram_topk
+
+    rng = np.random.default_rng(4)
+    rows = [rng.integers(0, 20, size=rng.integers(0, 30)).astype(np.int32)
+            for _ in range(500)]
+    from collections import Counter
+
+    brute = Counter()
+    for r in rows:
+        for a, b in zip(r[:-1], r[1:]):
+            brute[(int(a), int(b))] += 1
+    ds = ray.data.from_pandas(pd.DataFrame({"tokens": [list(r) for r in rows]}))
+    out = bigram_topk(ds, k=15, vocab_size=20).to_pandas()
+    expect = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = list(zip(zip(out["tok_a"], out["tok_b"]), out["cnt"]))
+    assert got == expect
+
+
+def test_bigram_topk_validation(ray_session):
+    from datafiller_ray.pipelines.corpus import bigram_topk
+
+    with pytest.raises(EngineValueError):
+        bigram_topk(None, k=0)
+    with pytest.raises(EngineValueError):
+        bigram_topk(None, k=5, vocab_size=1 << 32)
+
+
+# -- shuffle_manifest --------------------------------------------------------
+
+
+def test_shuffle_manifest_is_permutation_and_deterministic(ray_session):
+    from datafiller_ray.pipelines.corpus import shuffle_manifest
+
+    docs = ray.data.from_pandas(_docs(1500))
+    a = shuffle_manifest(docs, n_shards=8, seed=1).to_pandas()
+    b = shuffle_manifest(docs, n_shards=8, seed=1).to_pandas()
+    norm = lambda df: df.sort_values(["shard", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(norm(a), norm(b))
+    # every doc appears exactly once; pos is dense 0..n_i-1 per shard
+    assert sorted(a["doc_id"]) == list(range(1500))
+    for _, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    assert a["shard"].between(0, 7).all()
+    # a different seed produces a different permutation of some shard
+    c = shuffle_manifest(docs, n_shards=8, seed=2).to_pandas()
+    assert not norm(a)[["doc_id"]].equals(norm(c)[["doc_id"]])
+
+
+def test_shuffle_manifest_validation(ray_session):
+    from datafiller_ray.pipelines.corpus import shuffle_manifest
+
+    with pytest.raises(EngineValueError):
+        shuffle_manifest(None, n_shards=0)
