@@ -868,6 +868,63 @@ def _shuffle_manifest(sf_dir: str):
     )
 
 
+_CMS_K, _CMS_DEPTH, _CMS_WIDTH, _CMS_SEED = 20, 4, 2048, 9
+
+
+def _cms_heavy_hitters(sf_dir: str):
+    """Top-20 token ids with exact counts + count-min estimates (depth 4,
+    width 2048; one tagged-union pass, one groupby of sparse cells) —
+    pipelines/sketches.cms_heavy_hitters."""
+    import ray.data
+
+    from datafiller_ray.pipelines.sketches import cms_heavy_hitters
+
+    ds = ray.data.read_parquet(_fixture(sf_dir), columns=["tokens"])
+    return cms_heavy_hitters(
+        ds, k=_CMS_K, depth=_CMS_DEPTH, width=_CMS_WIDTH, seed=_CMS_SEED
+    )
+
+
+def _cms_heavy_hitters_sql() -> str:
+    from datafiller_ray.pipelines.sketches import cms_row_mixes
+
+    p = _fixture_sql_path()
+    mixes = cms_row_mixes(_CMS_DEPTH, _CMS_SEED)
+    chains, selects = [], []
+    for i, mix in enumerate(mixes):
+        ctes, fin = _sql_splitmix_ctes(
+            "counts", ["tok", "cnt"],
+            f"xor(CAST(tok AS UBIGINT), {mix})", f"cm{i}",
+        )
+        chains.append(ctes)
+        selects.append(
+            f"SELECT tok, cnt, {i} AS row_i, "
+            f"CAST(v % {_CMS_WIDTH} AS BIGINT) AS cell FROM {fin}"
+        )
+    cells_union = "\n              UNION ALL ".join(selects)
+    return f"""
+        WITH tc AS (
+          SELECT UNNEST(tokens) AS tok FROM read_parquet('{p}/*.parquet')),
+        counts AS (
+          SELECT CAST(tok AS BIGINT) AS tok, COUNT(*)::BIGINT AS cnt
+          FROM tc GROUP BY 1),
+        {",".join(chains)},
+        cells AS ({cells_union}),
+        counters AS (
+          SELECT row_i, cell, CAST(SUM(cnt) AS BIGINT) AS csum
+          FROM cells GROUP BY 1, 2),
+        est AS (
+          SELECT c.tok, MIN(ct.csum) AS cms_cnt
+          FROM cells c JOIN counters ct USING (row_i, cell) GROUP BY 1),
+        top AS (
+          SELECT tok, cnt AS exact_cnt FROM counts
+          ORDER BY cnt DESC, tok ASC LIMIT {_CMS_K})
+        SELECT t.tok, t.exact_cnt, e.cms_cnt
+        FROM top t JOIN est e USING (tok)
+        ORDER BY t.exact_cnt DESC, t.tok ASC
+    """
+
+
 _CORR_REFS = ("src_0000", "src_0001", "src_0002")
 
 
@@ -1166,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoints": _cusum_changepoints,
         "source_correlation": _source_correlation,
         "bigram_topk": _bigram_topk,
+        "cms_heavy_hitters": _cms_heavy_hitters,
         "shuffle_manifest": _shuffle_manifest,
         "lttb_downsample": _lttb_downsample,
         "seasonal_anomaly": _seasonal_anomaly,
@@ -2345,6 +2403,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_fixed_k": _sample_fixed_k_sql(),
         "shuffle_manifest": _shuffle_manifest_sql(),
         "bigram_topk": _bigram_topk_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "budget_sample": _budget_sample_sql(),
         "global_quantiles": """
             SELECT

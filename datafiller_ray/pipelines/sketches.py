@@ -381,3 +381,120 @@ def hll_checkpoint(
             ),
         }
     )
+
+
+# -- count-min sketch over the token stream ---------------------------------
+
+
+def cms_row_mixes(depth: int, seed: int) -> "list[int]":
+    """Per-row hash mixers ``splitmix64(seed + i)`` — computed once in
+    Python and embedded as literals on BOTH oracle sides, like the LSH
+    hyperplanes and the sampling thresholds."""
+    from datafiller_ray.functions.hashing import splitmix64
+
+    return [
+        int(splitmix64(np.array([seed + i], dtype=np.uint64))[0])
+        for i in range(depth)
+    ]
+
+
+def cms_heavy_hitters(
+    ds,
+    *,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 9,
+):
+    """Top-k token ids with exact counts AND their count-min estimates.
+
+    The count-min sketch is the frequency complement of the HLL distinct
+    sketch: a depth x width int64 grid where row i counts tokens at cell
+    ``splitmix64(tok ^ mix_i) % width``. Cells merge by addition, so the
+    sketch is a pure partial+final aggregate — each block contributes
+    sparse (row, cell, count) rows and ONE keyed groupby sums them; the
+    token stream itself never shuffles. Estimates upper-bound true counts
+    (``cms_cnt >= exact_cnt`` always; equality when no collision).
+
+    The exact side rides the same tagged-union pass (kind 0 = exact token
+    partials, kind 1 = sketch cells), so the input is read ONCE. Driver
+    assembly is bounded by |vocab| + depth*width rows — here the token
+    domain is the model vocab (bounded); for unbounded domains, replace
+    the exact side with per-block candidate top-k and keep the sketch.
+
+    Returns a pandas frame (tok, exact_cnt, cms_cnt) in
+    (exact_cnt desc, tok asc) rank order.
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import splitmix64
+
+    if k < 1 or depth < 1 or width < 2:
+        raise EngineValueError(
+            f"invalid cms shape: k={k} depth={depth} width={width}"
+        )
+    mixes = cms_row_mixes(depth, seed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = t["tokens"].combine_chunks()
+        flat = np.asarray(pc.list_flatten(arr))
+        if flat.size == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table(
+                {"kind": empty, "key1": empty, "key2": empty, "cnt": empty}
+            )
+        uniq, counts = np.unique(flat, return_counts=True)
+        uniq = uniq.astype(np.int64)
+        counts = counts.astype(np.int64)
+        kinds = [np.zeros(uniq.size, np.int64)]
+        k1 = [uniq]
+        k2 = [np.zeros(uniq.size, np.int64)]
+        cs = [counts]
+        for i, mix in enumerate(mixes):
+            cell = (
+                splitmix64(uniq.astype(np.uint64) ^ np.uint64(mix))
+                % np.uint64(width)
+            ).astype(np.int64)
+            acc = np.zeros(width, np.int64)
+            np.add.at(acc, cell, counts)
+            nz = np.flatnonzero(acc)
+            kinds.append(np.full(nz.size, 1, np.int64))
+            k1.append(np.full(nz.size, i, np.int64))
+            k2.append(nz.astype(np.int64))
+            cs.append(acc[nz])
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(kinds)),
+                "key1": pa.array(np.concatenate(k1)),
+                "key2": pa.array(np.concatenate(k2)),
+                "cnt": pa.array(np.concatenate(cs)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby(["kind", "key1", "key2"]).sum("cnt")
+    rows = merged.to_pandas()
+    rows.columns = ["kind", "key1", "key2", "cnt"]
+
+    exact = rows[rows["kind"] == 0]
+    toks = exact["key1"].to_numpy(np.int64)
+    cnts = exact["cnt"].to_numpy(np.int64)
+    order = np.lexsort((toks, -cnts))[:k]
+    top_toks, top_cnts = toks[order], cnts[order]
+
+    sketch = np.zeros((depth, width), np.int64)
+    sk = rows[rows["kind"] == 1]
+    sketch[sk["key1"].to_numpy(np.int64), sk["key2"].to_numpy(np.int64)] = (
+        sk["cnt"].to_numpy(np.int64)
+    )
+    est = np.full(top_toks.size, np.iinfo(np.int64).max, np.int64)
+    for i, mix in enumerate(mixes):
+        cell = (
+            splitmix64(top_toks.astype(np.uint64) ^ np.uint64(mix))
+            % np.uint64(width)
+        ).astype(np.int64)
+        est = np.minimum(est, sketch[i, cell])
+    return pd.DataFrame(
+        {"tok": top_toks, "exact_cnt": top_cnts, "cms_cnt": est}
+    )

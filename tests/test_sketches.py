@@ -189,3 +189,58 @@ def test_hll_checkpoint_folds_equal_one_shot(ray_session, tmp_path):
     hll_checkpoint(out_dir, ray.data.from_arrow(tab.slice(0, 2500)))
     after = open(f"{out_dir}/hll/registers.parquet", "rb").read()
     assert before == after
+
+
+# -- count-min heavy hitters -------------------------------------------------
+
+
+def test_cms_upper_bounds_and_no_collision_equality(ray_session):
+    import ray.data
+
+    from datafiller_ray.pipelines.sketches import cms_heavy_hitters
+
+    rng = np.random.default_rng(8)
+    rows = [rng.integers(0, 50, size=rng.integers(1, 40)).astype(np.int32)
+            for _ in range(400)]
+    ds = ray.data.from_pandas(pd.DataFrame({"tokens": [list(r) for r in rows]}))
+    out = cms_heavy_hitters(ds, k=10, depth=4, width=64, seed=3)
+    # the estimate can only overcount (collisions add, never subtract)
+    assert (out["cms_cnt"] >= out["exact_cnt"]).all()
+    # exact counts match a brute-force bincount
+    flat = np.concatenate(rows)
+    bc = np.bincount(flat, minlength=50)
+    for t, c in zip(out["tok"], out["exact_cnt"]):
+        assert bc[t] == c
+    # rank order: exact desc, tok asc
+    assert list(out["exact_cnt"]) == sorted(out["exact_cnt"], reverse=True)
+    # with a wide sketch (few tokens per cell) estimates become exact
+    wide = cms_heavy_hitters(ds, k=10, depth=4, width=65536, seed=3)
+    assert (wide["cms_cnt"] == wide["exact_cnt"]).all()
+
+
+def test_cms_block_split_invariance(ray_session):
+    import ray.data
+
+    from datafiller_ray.pipelines.sketches import cms_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    rows = [rng.integers(0, 30, size=20).astype(np.int32) for _ in range(300)]
+    df = pd.DataFrame({"tokens": [list(r) for r in rows]})
+    one = cms_heavy_hitters(
+        ray.data.from_pandas(df), k=8, depth=3, width=32, seed=1
+    )
+    many = cms_heavy_hitters(
+        ray.data.from_pandas([df.iloc[:70], df.iloc[70:150], df.iloc[150:]]),
+        k=8, depth=3, width=32, seed=1,
+    )
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_cms_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.sketches import cms_heavy_hitters
+
+    with pytest.raises(EngineValueError):
+        cms_heavy_hitters(None, k=0)
+    with pytest.raises(EngineValueError):
+        cms_heavy_hitters(None, width=1)
