@@ -1156,6 +1156,49 @@ def entry() -> Any:
     )
 
 
+def _decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: training docs flagged by distinct
+    5-gram overlap with the held-out slice (doc_id % 50 == 0) —
+    pipelines/hygiene.decontaminate (bench grams aggregated small then
+    broadcast; the training corpus is never shuffled)."""
+    from datafiller_ray.pipelines.hygiene import decontaminate
+
+    return decontaminate(_read(sf_dir, "documents"), n=5, holdout_mod=50)
+
+
+def _doc_repetition(sf_dir: str):
+    """Gopher-style within-doc duplicate 3-gram fraction —
+    pipelines/hygiene.doc_repetition (pure per-doc map, no shuffle)."""
+    from datafiller_ray.pipelines.hygiene import doc_repetition
+
+    return doc_repetition(_read(sf_dir, "documents"), n=3)
+
+
+def _unigram_logprob(sf_dir: str):
+    """Unigram-LM quality score: mean -ln p(word) per doc under the
+    corpus's own unigram distribution — pipelines/hygiene.unigram_logprob
+    (vocab-bounded count pass broadcast to a vectorized scoring pass)."""
+    from datafiller_ray.pipelines.hygiene import unigram_logprob
+
+    return unigram_logprob(_read(sf_dir, "documents"))
+
+
+def _tfidf_topterms(sf_dir: str):
+    """Top-10 TF-IDF terms per source, ties (score DESC, w ASC) —
+    pipelines/hygiene.tfidf_topterms."""
+    from datafiller_ray.pipelines.hygiene import tfidf_topterms
+
+    return tfidf_topterms(_read(sf_dir, "documents"), k=10)
+
+
+def _pii_scrub(sf_dir: str):
+    """Email/phone redaction with per-doc counts —
+    pipelines/hygiene.pii_scrub (regexes compiled once per actor)."""
+    from datafiller_ray.pipelines.hygiene import pii_scrub
+
+    return pii_scrub(_read(sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # eagerly materialise the oracle-scale fixture so oracle_sql()'s
     # read_parquet path exists no matter which side the driver runs first
@@ -1237,6 +1280,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
         "lineitem_daily": _lineitem_daily,
+        "decontaminate": _decontaminate,
+        "doc_repetition": _doc_repetition,
+        "unigram_logprob": _unigram_logprob,
+        "tfidf_topterms": _tfidf_topterms,
+        "pii_scrub": _pii_scrub,
     }
 
 
@@ -2596,4 +2644,80 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('pack_tokens')}')"
         ),
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
+              FROM grams g JOIN bench b USING (g)
+              WHERE g.doc_id % 50 != 0 GROUP BY 1)
+            SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 != 0
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+              FROM grams GROUP BY 1)
+            SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+                   COALESCE(p.n_distinct, 0) AS n_distinct,
+                   CASE WHEN p.n_grams > 0
+                        THEN round_even(1.0 - p.n_distinct::DOUBLE / p.n_grams, 6)
+                        ELSE 0.0 END AS dup_ratio
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS w
+              FROM documents),
+            freq AS (
+              SELECT w, COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM toks) AS p
+              FROM toks GROUP BY 1)
+            SELECT t.doc_id, COUNT(*) AS n_words,
+                   round_even(AVG(-LN(f.p)), 6) AS mean_nll
+            FROM toks t JOIN freq f USING (w) GROUP BY 1
+        """,
+        "tfidf_topterms": r"""
+            WITH toks AS (
+              SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS w
+              FROM documents),
+            tf AS (SELECT source, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT w, COUNT(DISTINCT source) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(DISTINCT source) AS n_src FROM tf),
+            scored AS (
+              SELECT tf.source, tf.w, tf.tf,
+                     round_even(tf.tf * LN(n.n_src::DOUBLE / df.df), 6) AS score
+              FROM tf JOIN df USING (w) CROSS JOIN n)
+            SELECT source, w, tf, score, rank FROM (
+              SELECT source, w, tf, score,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY score DESC, w) AS rank
+              FROM scored) WHERE rank <= 10
+        """,
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
+                       '<PHONE>', 'g') AS clean_text
+            FROM documents
+        """,
     }

@@ -1,0 +1,393 @@
+"""Corpus-hygiene operators for training-data preparation over the
+``documents`` table (doc_id:int64, text:string, lang:string, source:string,
+n_chars:int64).
+
+Engine-level additions beyond the reference (which has no text ops): the
+standard pre-training filters published for large text corpora —
+
+- benchmark decontamination (flag training docs sharing word n-grams with a
+  held-out benchmark set, the GPT-3 "13-gram" style check),
+- within-document repetition ratios (Gopher-style duplicate n-gram
+  fraction),
+- unigram log-probability quality scoring (corpus-LM perplexity proxy),
+- per-source TF-IDF top terms,
+- PII scrubbing (email/phone redaction).
+
+Scale posture: every per-document stage is a vectorized ``map_batches``
+(object-level NumPy / pandas C kernels, no Python loop over rows). The only
+aggregates are bounded small tables — the benchmark n-gram set (bounded by
+the benchmark corpus, thousands of docs by construction), the unigram
+vocabulary, and the per-word document frequencies (both bounded by
+tokenizer-vocabulary size, ~1e5 at 100 TB) — each gathered once and
+broadcast via ``ray.put``, never reshuffled per batch. Nothing materializes
+the corpus on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+# ---------------------------------------------------------------------------
+# shared vectorized word n-gram kernel
+
+
+def word_grams(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a batch of texts into word ``n``-grams.
+
+    Words are ``\\s+`` runs of ``str.split()`` (identical to the oracle's
+    ``regexp_extract_all(text, '\\S+')``); grams are the words joined by a
+    single space, matching DuckDB's ``array_to_string(w[i:i+n-1], ' ')``.
+
+    Returns ``(doc_pos, grams)`` — positional row index into the batch and
+    the gram strings, both 1-D, one entry per n-gram. Vectorized: one
+    pandas ``explode`` plus ``n-1`` object-array shifts; no per-row loop.
+    """
+    words = texts.fillna("").str.split()
+    ex = words.reset_index(drop=True).explode()
+    ex = ex[ex.notna()]
+    if len(ex) == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    doc_pos = ex.index.to_numpy(np.int64)
+    flat = ex.to_numpy(dtype=object)
+    if len(flat) < n:
+        return np.empty(0, np.int64), np.empty(0, object)
+    m = len(flat) - n + 1
+    # a gram starting at i is valid only if all n words are from the same doc
+    mask = doc_pos[:m] == doc_pos[n - 1 :]
+    grams = flat[:m].copy()
+    sep = np.full(m, " ", dtype=object)
+    for j in range(1, n):
+        grams = grams + sep + flat[j : m + j]
+    return doc_pos[:m][mask], grams[mask]
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def _bench_gram_partial(n: int):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        _, grams = word_grams(batch["text"], n)
+        if len(grams) == 0:
+            return pd.DataFrame({"g": pd.Series([], dtype=object)})
+        return pd.DataFrame({"g": pd.unique(grams)})
+
+    return fn
+
+
+class _ContaminationProbe:
+    """Per-batch membership probe against the broadcast benchmark gram set.
+
+    The set is fetched from the object store ONCE per actor (``ray.get`` of
+    the ``ray.put`` handle in ``__init__``), not per batch.
+    """
+
+    def __init__(self, bench_ref, n: int, holdout_mod: int) -> None:
+        self.bench: frozenset = frozenset(ray.get(bench_ref))
+        self.n = n
+        self.holdout_mod = holdout_mod
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        train = batch[batch["doc_id"].to_numpy(np.int64) % self.holdout_mod != 0]
+        train = train.reset_index(drop=True)
+        doc_pos, grams = word_grams(train["text"], self.n)
+        n_hits = np.zeros(len(train), np.int64)
+        if len(grams):
+            hit = pd.Series(grams).isin(self.bench).to_numpy()
+            if hit.any():
+                # distinct matched grams per doc (the oracle's COUNT(DISTINCT g))
+                pairs = pd.DataFrame({"d": doc_pos[hit], "g": grams[hit]})
+                cnt = pairs.drop_duplicates().groupby("d").size()
+                n_hits[cnt.index.to_numpy(np.int64)] = cnt.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": train["doc_id"].to_numpy(np.int64),
+                "n_hits": n_hits,
+            }
+        )
+
+
+def decontaminate(
+    documents: "ray.data.Dataset",
+    *,
+    n: int = 5,
+    holdout_mod: int = 50,
+) -> "ray.data.Dataset":
+    """Flag training documents that share any word ``n``-gram with the
+    held-out benchmark slice (``doc_id % holdout_mod == 0`` stands in for
+    the external eval set; in production the benchmark is its own corpus).
+
+    Two stages: (1) the benchmark docs' distinct grams are aggregated
+    through a small ``groupby`` (set size bounded by the benchmark corpus)
+    and broadcast once; (2) every training doc probes the broadcast set in
+    a vectorized batch kernel. Output: one row per training doc with the
+    distinct-matched-gram count. The training corpus itself is never
+    shuffled or gathered.
+    """
+    def bench_slice(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"].to_numpy(np.int64) % holdout_mod == 0]
+
+    bench_grams = (
+        documents.map_batches(bench_slice, batch_format="pandas")
+        .map_batches(_bench_gram_partial(n), batch_format="pandas")
+        .groupby("g")
+        .count()
+    )
+    gram_list = [r["g"] for r in bench_grams.take_all()]
+    bench_ref = ray.put(gram_list)
+    return documents.map_batches(
+        _ContaminationProbe,
+        fn_constructor_args=(bench_ref, n, holdout_mod),
+        batch_format="pandas",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (duplicate n-gram fraction)
+
+
+class _RepetitionStats:
+    def __init__(self, n: int) -> None:
+        self.n = n
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        doc_pos, grams = word_grams(batch["text"], self.n)
+        n_grams = np.zeros(len(batch), np.int64)
+        n_distinct = np.zeros(len(batch), np.int64)
+        if len(grams):
+            frame = pd.DataFrame({"d": doc_pos, "g": grams})
+            per = frame.groupby("d")["g"].agg(["size", "nunique"])
+            idx = per.index.to_numpy(np.int64)
+            n_grams[idx] = per["size"].to_numpy(np.int64)
+            n_distinct[idx] = per["nunique"].to_numpy(np.int64)
+        dup_ratio = np.where(
+            n_grams > 0,
+            np.round(1.0 - n_distinct / np.maximum(n_grams, 1), 6),
+            0.0,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_grams": n_grams,
+                "n_distinct": n_distinct,
+                "dup_ratio": dup_ratio,
+            }
+        )
+
+
+def doc_repetition(documents: "ray.data.Dataset", *, n: int = 3) -> "ray.data.Dataset":
+    """Gopher-style within-document repetition: per doc, the fraction of
+    word ``n``-grams that are duplicates (``1 - distinct/total``). Purely
+    per-document — a single vectorized ``map_batches``, no shuffle."""
+    return documents.map_batches(
+        _RepetitionStats,
+        fn_constructor_args=(n,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram log-probability scoring
+
+
+def _word_count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    ex = batch["text"].fillna("").str.split().explode()
+    ex = ex[ex.notna()]
+    vc = ex.value_counts()
+    return pd.DataFrame(
+        {"w": vc.index.to_numpy(dtype=object), "cnt": vc.to_numpy(np.int64)}
+    )
+
+
+class _LogProbScorer:
+    """Scores docs by mean negative log unigram probability under the
+    corpus's own unigram LM. The (word -> -ln p) table is vocabulary-sized,
+    fetched once per actor from the broadcast handle."""
+
+    def __init__(self, logp_ref) -> None:
+        w, logp = ray.get(logp_ref)
+        self.table = pd.Series(logp, index=w)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        ex = batch["text"].fillna("").str.split().explode()
+        ex = ex[ex.notna()]
+        out_n = np.zeros(len(batch), np.int64)
+        out_s = np.full(len(batch), np.nan)
+        if len(ex):
+            doc_pos = ex.index.to_numpy(np.int64)
+            # vocabulary lookup at C speed; unseen words cannot occur (the
+            # vocab was built from this corpus) but map to NaN defensively
+            nlp = self.table.reindex(ex.to_numpy(dtype=object)).to_numpy()
+            frame = pd.DataFrame({"d": doc_pos, "v": nlp})
+            agg = frame.groupby("d")["v"].agg(["size", "mean"])
+            idx = agg.index.to_numpy(np.int64)
+            out_n[idx] = agg["size"].to_numpy(np.int64)
+            out_s[idx] = np.round(agg["mean"].to_numpy(), 6)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_words": out_n,
+                "mean_nll": out_s,
+            }
+        )
+        # 0-word docs have no unigram distribution: drop them (the oracle's
+        # GROUP BY over exploded words produces no row for them either)
+        return out[out["n_words"] > 0]
+
+
+def unigram_logprob(documents: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Two-pass unigram-LM quality score: (1) corpus word counts via
+    partial ``value_counts`` per batch + one small ``groupby`` combine
+    (vocabulary-bounded); (2) broadcast the -ln p table and score every doc
+    in a vectorized batch kernel. Output: (doc_id, n_words, mean_nll)."""
+    counts = (
+        documents.map_batches(_word_count_partial, batch_format="pandas")
+        .groupby("w")
+        .sum("cnt")
+    )
+    rows = counts.take_all()  # vocabulary-sized, NOT corpus-sized
+    words = np.array([r["w"] for r in rows], dtype=object)
+    cnt = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
+    total = int(cnt.sum())
+    logp_ref = ray.put((words, -np.log(cnt / float(total))))
+    return documents.map_batches(
+        _LogProbScorer,
+        fn_constructor_args=(logp_ref,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source TF-IDF top terms
+
+
+def _tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    ex = batch.set_index("source")["text"].fillna("").str.split().explode()
+    ex = ex[ex.notna()]
+    frame = pd.DataFrame(
+        {"source": ex.index.to_numpy(dtype=object), "w": ex.to_numpy(dtype=object)}
+    )
+    return frame.groupby(["source", "w"]).size().reset_index(name="tf")
+
+
+class _TfIdfScore:
+    def __init__(self, df_ref, n_src: int) -> None:
+        w, df = ray.get(df_ref)
+        self.idf = pd.Series(np.log(n_src / df.astype(np.float64)), index=w)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        idf = self.idf.reindex(batch["w"].to_numpy(dtype=object)).to_numpy()
+        tf = batch["tf"].to_numpy(np.int64)
+        score = np.round(tf.astype(np.float64) * idf, 6)
+        return pd.DataFrame(
+            {"source": batch["source"], "w": batch["w"], "tf": tf, "score": score}
+        )
+
+
+def _topk_group(k: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "w"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return fn
+
+
+def tfidf_topterms(documents: "ray.data.Dataset", *, k: int = 10) -> "ray.data.Dataset":
+    """Top-``k`` TF-IDF terms per source. tf comes from per-batch partial
+    counts combined by one ``groupby((source, w))``; document frequency and
+    the source count are derived from that (vocabulary-bounded) table,
+    broadcast once; ranking is a per-source ``map_groups`` top-k —
+    deterministic ties ``(score DESC, w ASC)``."""
+    tf = (
+        documents.map_batches(_tf_partial, batch_format="pandas")
+        .groupby(["source", "w"])
+        .sum("tf")
+    )
+    tf = tf.map_batches(
+        lambda b: b.rename(columns={"sum(tf)": "tf"}), batch_format="pandas"
+    )
+    df_rows = (
+        tf.map_batches(
+            lambda b: pd.DataFrame({"w": b["w"], "one": np.ones(len(b), np.int64)}),
+            batch_format="pandas",
+        )
+        .groupby("w")
+        .sum("one")
+        .take_all()
+    )  # vocabulary-sized
+    words = np.array([r["w"] for r in df_rows], dtype=object)
+    df = np.array([r["sum(one)"] for r in df_rows], dtype=np.int64)
+    n_src = len(
+        tf.map_batches(
+            lambda b: pd.DataFrame({"source": pd.unique(b["source"])}),
+            batch_format="pandas",
+        )
+        .unique("source")
+    )
+    df_ref = ray.put((words, df))
+    scored = tf.map_batches(
+        _TfIdfScore,
+        fn_constructor_args=(df_ref, n_src),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    return scored.groupby("source").map_groups(_topk_group(k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+
+class PiiScrubber:
+    """Email/phone redaction with counts. Regexes compile once per actor;
+    the patterns are RE2-compatible so DuckDB's regexp functions serve as
+    the oracle verbatim."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+    def __init__(self) -> None:
+        import re
+
+        self.email = re.compile(self.EMAIL)
+        self.phone = re.compile(self.PHONE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_emails = text.str.count(self.email).to_numpy(np.int64)
+        clean = text.str.replace(self.email, "<EMAIL>", regex=True)
+        n_phones = clean.str.count(self.phone).to_numpy(np.int64)
+        clean = clean.str.replace(self.phone, "<PHONE>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+                "clean_text": clean,
+            }
+        )
+
+
+def pii_scrub(documents: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Redact emails then phone numbers (in that order — a phone inside an
+    already-redacted email span is not re-counted), reporting per-doc
+    counts. Pure per-document ``map_batches``; no shuffle."""
+    return documents.map_batches(
+        PiiScrubber,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )

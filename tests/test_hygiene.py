@@ -1,0 +1,150 @@
+"""Corpus-hygiene operators (pipelines/hygiene.py): n-gram kernel pins,
+decontamination, repetition, unigram log-prob, TF-IDF, PII scrubbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datafiller_ray.pipelines.hygiene import (
+    decontaminate,
+    doc_repetition,
+    pii_scrub,
+    tfidf_topterms,
+    unigram_logprob,
+    word_grams,
+)
+
+
+# ---------------------------------------------------------------------------
+# word_grams kernel
+
+
+def test_word_grams_basic():
+    texts = pd.Series(["a b c d", "x y"])
+    doc_pos, grams = word_grams(texts, 2)
+    assert list(grams) == ["a b", "b c", "c d", "x y"]
+    assert list(doc_pos) == [0, 0, 0, 1]
+
+
+def test_word_grams_never_crosses_doc_boundary():
+    texts = pd.Series(["a b", "c d", "e f"])
+    _, grams = word_grams(texts, 2)
+    assert "b c" not in set(grams)
+    assert "d e" not in set(grams)
+
+
+def test_word_grams_short_and_empty_docs():
+    texts = pd.Series(["only", "", None, "a b c"])
+    doc_pos, grams = word_grams(texts, 3)
+    # only the last doc has >= 3 words
+    assert list(grams) == ["a b c"]
+    assert list(doc_pos) == [3]
+
+
+def test_word_grams_whitespace_runs_match_regex_split():
+    # str.split() and the oracle's regexp_extract_all('\S+') agree on
+    # multi-space / tab / newline separators
+    texts = pd.Series(["a  b\tc\nd"])
+    _, grams = word_grams(texts, 4)
+    assert list(grams) == ["a b c d"]
+
+
+# ---------------------------------------------------------------------------
+# operators over a small in-memory corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",  # 0: benchmark
+                "an unrelated document about ray data pipelines",
+                "the quick brown fox jumps somewhere else entirely",  # overlap
+                "repeat me repeat me repeat me repeat me",
+                "plain words with no duplicate grams here",
+                "contact me at alice@example.com or +1 555-123-4567 thanks",
+                "two mails bob@test.org and carol@test.org in one doc",
+                "",
+            ],
+            "source": ["s0", "s0", "s1", "s1", "s2", "s2", "s3", "s3"],
+        }
+    )
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    return ray.data.from_pandas(df)
+
+
+def test_decontaminate_flags_overlap(corpus):
+    # holdout_mod=8 -> doc 0 is the benchmark; doc 2 shares the 4-gram
+    # "the quick brown fox" (and "quick brown fox jumps")
+    out = decontaminate(corpus, n=4, holdout_mod=8).to_pandas()
+    out = out.set_index("doc_id")["n_hits"]
+    assert 0 not in out.index  # benchmark doc excluded from output
+    assert out.loc[2] == 2
+    assert (out.drop(2) == 0).all()
+
+
+def test_doc_repetition_ratio(corpus):
+    out = doc_repetition(corpus, n=2).to_pandas().set_index("doc_id")
+    # doc 3: bigrams = 7 total; distinct = {"repeat me","me repeat"} = 2
+    assert out.loc[3, "n_grams"] == 7
+    assert out.loc[3, "n_distinct"] == 2
+    assert out.loc[3, "dup_ratio"] == np.round(1 - 2 / 7, 6)
+    # doc 4 has no duplicate bigrams
+    assert out.loc[4, "dup_ratio"] == 0.0
+    # empty doc: zero grams, ratio 0
+    assert out.loc[7, "n_grams"] == 0
+    assert out.loc[7, "dup_ratio"] == 0.0
+
+
+def test_unigram_logprob_matches_naive(corpus):
+    out = unigram_logprob(corpus).to_pandas().set_index("doc_id")
+    # independent naive computation
+    docs = corpus.to_pandas().set_index("doc_id")["text"]
+    words = [w for t in docs for w in t.split()]
+    total = len(words)
+    freq = pd.Series(words).value_counts()
+    for did, t in docs.items():
+        ws = t.split()
+        if not ws:
+            assert did not in out.index
+            continue
+        expect = np.round(
+            np.mean([-np.log(freq[w] / total) for w in ws]), 6
+        )
+        assert out.loc[did, "mean_nll"] == expect
+        assert out.loc[did, "n_words"] == len(ws)
+
+
+def test_tfidf_topterms_rank_and_scores(corpus):
+    out = tfidf_topterms(corpus, k=3).to_pandas()
+    # every source present, ranks are 1..k' (k' <= 3), deterministic order
+    for src, g in out.groupby("source"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        s = list(zip(-g["score"], g["w"]))
+        assert s == sorted(s)
+    # a word appearing in every source has idf 0 -> never outranks
+    # a source-exclusive word with tf >= 1
+    srcs = out["source"].nunique()
+    assert srcs == 4
+    top = out[out["rank"] == 1].set_index("source")
+    assert top.loc["s1", "w"] in {"repeat", "me"}  # tf=4 exclusive to s1
+
+
+def test_pii_scrub_redacts_and_counts(corpus):
+    out = pii_scrub(corpus).to_pandas().set_index("doc_id")
+    assert out.loc[5, "n_emails"] == 1
+    assert out.loc[5, "n_phones"] == 1
+    assert "<EMAIL>" in out.loc[5, "clean_text"]
+    assert "<PHONE>" in out.loc[5, "clean_text"]
+    assert "alice@example.com" not in out.loc[5, "clean_text"]
+    assert "555-123-4567" not in out.loc[5, "clean_text"]
+    assert out.loc[6, "n_emails"] == 2
+    assert out.loc[6, "clean_text"].count("<EMAIL>") == 2
+    # untouched docs pass through byte-identical
+    assert out.loc[4, "clean_text"] == "plain words with no duplicate grams here"
+    assert out.loc[4, "n_emails"] == 0 and out.loc[4, "n_phones"] == 0
