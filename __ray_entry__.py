@@ -1156,6 +1156,23 @@ def entry() -> Any:
     )
 
 
+def _gap_stats(sf_dir: str):
+    """Per-source missing-bucket profile (gap count / total / max / mean)
+    over the observed 1m grid — pipelines/window.gap_stats."""
+    from datafiller_ray.pipelines.window import gap_stats
+
+    return gap_stats(_fixture(sf_dir), check_tokens=False)
+
+
+def _psi_drift(sf_dir: str):
+    """Early-vs-late PSI drift of each source's per-minute token-sum
+    distribution (10 equi-width bins, Laplace smoothing) —
+    pipelines/window.psi_drift."""
+    from datafiller_ray.pipelines.window import psi_drift
+
+    return psi_drift(_fixture(sf_dir), check_tokens=False)
+
+
 def _decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination: training docs flagged by distinct
     5-gram overlap with the held-out slice (doc_id % 50 == 0) —
@@ -1280,6 +1297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
         "lineitem_daily": _lineitem_daily,
+        "gap_stats": _gap_stats,
+        "psi_drift": _psi_drift,
         "decontaminate": _decontaminate,
         "doc_repetition": _doc_repetition,
         "unigram_logprob": _unigram_logprob,
@@ -2644,6 +2663,74 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('pack_tokens')}')"
         ),
+        "gap_stats": f"""
+            WITH obs AS (
+              SELECT source, bucket_ts FROM ({rollup(60)})),
+            d AS (
+              SELECT source, bucket_ts,
+                     lead(bucket_ts) OVER (PARTITION BY source
+                                           ORDER BY bucket_ts) AS nxt
+              FROM obs),
+            g AS (
+              SELECT source, (nxt - bucket_ts) // 60 - 1 AS gap
+              FROM d WHERE nxt IS NOT NULL AND nxt > bucket_ts + 60),
+            per AS (
+              SELECT source, COUNT(*) AS n_buckets,
+                     (MAX(bucket_ts) - MIN(bucket_ts)) // 60 + 1 AS span_buckets
+              FROM obs GROUP BY 1),
+            gg AS (
+              SELECT source, COUNT(*) AS n_gaps, SUM(gap) AS missing_total,
+                     MAX(gap) AS max_gap
+              FROM g GROUP BY 1)
+            SELECT per.source, per.n_buckets, per.span_buckets,
+                   COALESCE(gg.n_gaps, 0) AS n_gaps,
+                   CAST(COALESCE(gg.missing_total, 0) AS BIGINT) AS missing_total,
+                   COALESCE(gg.max_gap, 0) AS max_gap,
+                   CASE WHEN gg.n_gaps > 0
+                        THEN FLOOR(gg.missing_total::DOUBLE / gg.n_gaps
+                                   * 1000000 + 0.5) / 1000000.0
+                        ELSE 0.0 END AS mean_gap
+            FROM per LEFT JOIN gg USING (source)
+        """,
+        "psi_drift": f"""
+            WITH obs AS (
+              SELECT source, bucket_ts, sum_tok AS v FROM ({rollup(60)})),
+            rng AS (
+              SELECT source, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx,
+                     MIN(v) AS lo, MAX(v) AS hi
+              FROM obs GROUP BY 1),
+            binned AS (
+              SELECT o.source,
+                     CASE WHEN o.bucket_ts <= (r.mn + r.mx) // 2
+                          THEN 0 ELSE 1 END AS half,
+                     LEAST(9, ((o.v - r.lo) * 10) // (r.hi - r.lo + 1)) AS bin
+              FROM obs o JOIN rng r USING (source)),
+            halves AS (
+              SELECT source,
+                     COUNT(*) FILTER (WHERE half = 0) AS n_early,
+                     COUNT(*) FILTER (WHERE half = 1) AS n_late
+              FROM binned GROUP BY 1),
+            cnts AS (
+              SELECT source, bin,
+                     COUNT(*) FILTER (WHERE half = 0) AS ce,
+                     COUNT(*) FILTER (WHERE half = 1) AS cl
+              FROM binned GROUP BY 1, 2),
+            grid AS (
+              SELECT r.source, b.bin
+              FROM rng r, UNNEST(generate_series(0, 9)) AS b(bin)),
+            terms AS (
+              SELECT g.source,
+                     (COALESCE(c.ce, 0) + 1)::DOUBLE / (h.n_early + 10) AS p,
+                     (COALESCE(c.cl, 0) + 1)::DOUBLE / (h.n_late + 10) AS q
+              FROM grid g
+              LEFT JOIN cnts c USING (source, bin)
+              JOIN halves h USING (source))
+            SELECT t.source, h.n_early, h.n_late,
+                   FLOOR(SUM((t.p - t.q) * LN(t.p / t.q))
+                         * 1000000 + 0.5) / 1000000.0 AS psi
+            FROM terms t JOIN halves h USING (source)
+            GROUP BY 1, 2, 3
+        """,
         "decontaminate": r"""
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),

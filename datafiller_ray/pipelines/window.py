@@ -661,3 +661,99 @@ def cusum_changepoints(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source gap statistics
+
+
+def _gap_stats_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    n = ts.size
+    span = (ts[-1] - ts[0]) // 60 + 1 if n else 0
+    gaps = np.diff(ts) // 60 - 1
+    gaps = gaps[gaps > 0]
+    n_gaps = int(gaps.size)
+    missing = int(gaps.sum()) if n_gaps else 0
+    mean_gap = (
+        float(_round6_half_up(np.float64(missing) / np.float64(n_gaps)))
+        if n_gaps
+        else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "source": [source],
+            "n_buckets": np.array([n], np.int64),
+            "span_buckets": np.array([span], np.int64),
+            "n_gaps": np.array([n_gaps], np.int64),
+            "missing_total": np.array([missing], np.int64),
+            "max_gap": np.array([int(gaps.max()) if n_gaps else 0], np.int64),
+            "mean_gap": np.array([mean_gap], np.float64),
+        }
+    )
+
+
+def gap_stats(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source missing-bucket profile over the observed 1m grid: number
+    of maximal missing runs (gaps), total missing minutes, longest run and
+    mean run length — the operational "how gappy is this stream" summary
+    that sizes the gap-fill work (e.g. choosing ``max_gap``).
+
+    Exact integer arithmetic throughout; the one division (mean gap) uses
+    the engine-wide floor-half-up 6-decimal absorber. Same single-exchange
+    shape as the rest of the window family.
+    """
+    return _run_per_source(
+        input_path, _gap_stats_one_source, check_tokens=check_tokens, shuffle=shuffle
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (PSI) between each source's early and late halves
+
+
+_PSI_BINS = 10
+
+
+def _psi_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    v = obs["sum"].to_numpy(np.int64)
+    half_ts = (ts[0] + ts[-1]) // 2
+    early = ts <= half_ts
+    lo = v.min()
+    hi = v.max()
+    # integer-exact equi-width binning over the source's own value range
+    bins = np.minimum(_PSI_BINS - 1, ((v - lo) * _PSI_BINS) // (hi - lo + 1))
+    ce = np.bincount(bins[early], minlength=_PSI_BINS).astype(np.int64)
+    cl = np.bincount(bins[~early], minlength=_PSI_BINS).astype(np.int64)
+    n_early = int(early.sum())
+    n_late = int(v.size - n_early)
+    # Laplace-smoothed bin probabilities: every bin contributes even when
+    # one half never hits it (and p != q there whenever n_early != n_late)
+    p = (ce + 1).astype(np.float64) / np.float64(n_early + _PSI_BINS)
+    q = (cl + 1).astype(np.float64) / np.float64(n_late + _PSI_BINS)
+    psi = float(_round6_half_up(np.sum((p - q) * np.log(p / q))))
+    return pd.DataFrame(
+        {
+            "source": [source],
+            "n_early": np.array([n_early], np.int64),
+            "n_late": np.array([n_late], np.int64),
+            "psi": np.array([psi], np.float64),
+        }
+    )
+
+
+def psi_drift(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Population-stability-index drift per source: the distribution of
+    per-minute token sums in the source's EARLY half (bucket_ts at or
+    below the midpoint of its observed span) vs its LATE half, over 10
+    equi-width bins of the source's own value range, Laplace-smoothed.
+
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b); the standard monitoring rule
+    of thumb reads < 0.1 as stable and > 0.25 as shifted. Binning and
+    counts are integer-exact; PSI is one pinned float expression, so the
+    DuckDB oracle matches bit-for-bit after the engine-wide rounding.
+    """
+    return _run_per_source(
+        input_path, _psi_one_source, check_tokens=check_tokens, shuffle=shuffle
+    )

@@ -309,3 +309,75 @@ def test_cusum_param_guards():
         cusum_changepoints("/nonexistent", drift=-1.0)
     with pytest.raises(EngineValueError):
         cusum_changepoints("/nonexistent", min_points=1)
+
+
+# ---------------------------------------------------------------------------
+# gap_stats / psi_drift
+
+
+def test_gap_stats_counts_runs(ray_session):
+    from datafiller_ray.fixtures import ensure_fixture
+    from datafiller_ray.pipelines.window import gap_stats
+
+    path = ensure_fixture(0.001)
+    out = gap_stats(path).to_pandas().set_index("source")
+    # recompute naively from the same fixture's observed buckets
+    import duckdb
+
+    obs = duckdb.sql(
+        f"""SELECT source,
+                  CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) * 60 AS ts
+           FROM read_parquet('{path}/*.parquet') GROUP BY 1, 2"""
+    ).df()
+    for src, g in obs.groupby("source"):
+        ts = np.sort(g["ts"].to_numpy(np.int64))
+        gaps = np.diff(ts) // 60 - 1
+        gaps = gaps[gaps > 0]
+        row = out.loc[src]
+        assert row["n_buckets"] == len(ts)
+        assert row["span_buckets"] == (ts[-1] - ts[0]) // 60 + 1
+        assert row["n_gaps"] == len(gaps)
+        assert row["missing_total"] == (gaps.sum() if len(gaps) else 0)
+        assert row["max_gap"] == (gaps.max() if len(gaps) else 0)
+
+
+def test_psi_drift_identical_halves_near_zero(ray_session):
+    import ray.data
+
+    from datafiller_ray.pipelines.window import psi_drift
+
+    # a source whose early and late halves have IDENTICAL value multisets:
+    # PSI must be exactly 0 (n_early == n_late and equal bin counts)
+    vals = [10, 20, 30, 40] * 2
+    rows = []
+    for i, v in enumerate(vals):
+        rows.append(
+            {
+                "doc_id": f"s:{i:010d}",
+                "tokens": [1] * v,
+                "n_tok": v,
+                "source": "s",
+            }
+        )
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+    out = psi_drift(ds).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_early"] == 4 and out.loc[0, "n_late"] == 4
+    assert out.loc[0, "psi"] == 0.0
+
+
+def test_psi_drift_shifted_distribution_positive(ray_session):
+    import ray.data
+
+    from datafiller_ray.pipelines.window import psi_drift
+
+    # early half low values, late half high values -> large PSI
+    vals = [10] * 8 + [1000] * 8
+    rows = [
+        {"doc_id": f"s:{i:010d}", "tokens": [1] * v, "n_tok": v, "source": "s"}
+        for i, v in enumerate(vals)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = psi_drift(ds).to_pandas()
+    assert out.loc[0, "psi"] > 1.0
