@@ -1156,6 +1156,25 @@ def entry() -> Any:
     )
 
 
+def _funnel_analysis(sf_dir: str):
+    """view -> click -> purchase earliest-chain funnel per user —
+    pipelines/events.funnel_analysis (strictly increasing timestamps,
+    integer microseconds end to end)."""
+    from datafiller_ray.pipelines.events import funnel_analysis
+
+    return funnel_analysis(
+        _read(sf_dir, "events"), steps=("view", "click", "purchase")
+    )
+
+
+def _cohort_retention(sf_dir: str):
+    """Daily cohort-retention matrix (first-active day x day offset x
+    distinct active users) — pipelines/events.cohort_retention."""
+    from datafiller_ray.pipelines.events import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events"), period_seconds=86400)
+
+
 def _gap_stats(sf_dir: str):
     """Per-source missing-bucket profile (gap count / total / max / mean)
     over the observed 1m grid — pipelines/window.gap_stats."""
@@ -1297,6 +1316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
         "lineitem_daily": _lineitem_daily,
+        "funnel_analysis": _funnel_analysis,
+        "cohort_retention": _cohort_retention,
         "gap_stats": _gap_stats,
         "psi_drift": _psi_drift,
         "decontaminate": _decontaminate,
@@ -2663,6 +2684,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('pack_tokens')}')"
         ),
+        "funnel_analysis": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+            users AS (SELECT DISTINCT user_id FROM e),
+            s1 AS (
+              SELECT user_id, MIN(t) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, MIN(e.t) AS t2
+              FROM e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, MIN(e.t) AS t3
+              FROM e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+                        + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+                        + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS reached_step,
+                   COALESCE(s3.t3, -1) AS completed_ts
+            FROM users u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+        """,
+        "cohort_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 1000000 // 86400 AS day
+              FROM events),
+            first AS (
+              SELECT user_id, MIN(day) AS cohort FROM act GROUP BY 1)
+            SELECT f.cohort AS cohort_period,
+                   a.day - f.cohort AS period_offset,
+                   COUNT(*) AS n_active
+            FROM act a JOIN first f USING (user_id)
+            GROUP BY 1, 2
+        """,
         "gap_stats": f"""
             WITH obs AS (
               SELECT source, bucket_ts FROM ({rollup(60)})),

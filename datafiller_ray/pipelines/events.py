@@ -441,3 +441,115 @@ def events_gapfill_linear(
     return _events_gapfill_sharded(
         events, step=step, kind="linear", span_buckets=span_buckets
     )
+
+
+def funnel_analysis(
+    events: "ray.data.Dataset",
+    *,
+    steps: "tuple[str, ...]" = ("view", "click", "purchase"),
+) -> "ray.data.Dataset":
+    """Ordered-funnel progression per user: the furthest step k such that
+    there exist events of type ``steps[0] .. steps[k-1]`` at STRICTLY
+    increasing timestamps. The earliest-chain greedy scan (take the first
+    occurrence of each step after the previous milestone) is optimal for
+    unwindowed funnels, so both the engine and the SQL oracle compute the
+    identical chain: t1 = min ts of step 1, t_i = min ts of step i with
+    ts > t_{i-1}.
+
+    Emits (user_id, reached_step, completed_ts) with completed_ts = -1
+    when the funnel was not completed. Timestamps compare in integer
+    microseconds — no float ops anywhere.
+
+    Scale shape: project (user_id, event_type, ts_us) in a pruned
+    zero-copy pass (value/props never move), one groupby(user_id)
+    exchange, O(n log n) per user.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if len(steps) < 2:
+        raise EngineValueError(f"funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise EngineValueError(f"funnel steps must be distinct, got {steps!r}")
+    step_list = list(steps)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts_us"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        reached = 0
+        last = np.int64(-1)
+        for s in step_list:  # bounded by funnel length, not event count
+            cand = ts[(et == s) & (ts > last)]
+            if cand.size == 0:
+                break
+            last = cand.min()
+            reached += 1
+        completed = last if reached == len(step_list) else np.int64(-1)
+        return pd.DataFrame(
+            {
+                "user_id": np.array([g["user_id"].iloc[0]], np.int64),
+                "reached_step": np.array([reached], np.int64),
+                "completed_ts": np.array([completed], np.int64),
+            }
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        # normalize the unit explicitly (parquet is timestamp[us]; pandas
+        # round-trips as [ns]) so ts_us is epoch microseconds either way
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "ts_us": us,
+            }
+        )
+
+    slim = events.map_batches(
+        project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return slim.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def cohort_retention(
+    events: "ray.data.Dataset", *, period_seconds: int = 86400
+) -> "ray.data.Dataset":
+    """Cohort-retention matrix: users grouped by first-active period
+    (cohort), counted once per (cohort, periods-since-cohort) they were
+    active in. Emits (cohort_period, period_offset, n_active) — all
+    integers.
+
+    Two exchanges, both small: per-user distinct (cohort, offset) pairs
+    (bounded by users x active periods), then a count combine over the
+    matrix cells. Raw events are projected to (user_id, period) before
+    anything moves.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if period_seconds < 1:
+        raise EngineValueError(f"period_seconds must be >= 1, got {period_seconds}")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        periods = np.unique(g["period"].to_numpy(np.int64))
+        cohort = periods[0]
+        return pd.DataFrame(
+            {
+                "cohort_period": np.full(periods.size, cohort, np.int64),
+                "period_offset": periods - cohort,
+                "one": np.ones(periods.size, np.int64),
+            }
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        per = pc.divide(pc.divide(us, pa.scalar(1_000_000, pa.int64())),
+                        pa.scalar(period_seconds, pa.int64()))
+        return pa.table({"user_id": batch["user_id"], "period": per})
+
+    slim = events.map_batches(
+        project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    pairs = slim.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    counted = pairs.groupby(["cohort_period", "period_offset"]).sum("one")
+    return counted.map_batches(
+        lambda b: b.rename(columns={"sum(one)": "n_active"}), batch_format="pandas"
+    )

@@ -76,3 +76,77 @@ def test_grid_spans_observed_range_only(gappy_events):
     assert len(g) == 510
     # gap interior is filled by LOCF (no NaNs after the first observation)
     assert not g["fill_value"].isna().any()
+
+
+# ---------------------------------------------------------------------------
+# funnel / cohort
+
+
+def _mk_events(rows):
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "us"])
+    df["ts"] = pd.to_datetime(df.pop("us"), unit="us")
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["value"] = 1.0
+    df["props"] = "{}"
+    import ray.data
+
+    return ray.data.from_pandas(df)
+
+
+def test_funnel_earliest_chain_and_ordering(ray_session):
+    from datafiller_ray.pipelines.events import funnel_analysis
+
+    ev = _mk_events(
+        [
+            # user 1: full funnel in order
+            (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+            # user 2: purchase BEFORE click -> stops at click (step 2)
+            (2, "view", 100), (2, "purchase", 150), (2, "click", 200),
+            # user 3: click only -> step 0 (no view)
+            (3, "click", 100),
+            # user 4: two views; chain uses the EARLIEST view
+            (4, "view", 500), (4, "view", 100), (4, "click", 200),
+            # user 5: click at exactly the view timestamp -> strict > fails
+            (5, "view", 100), (5, "click", 100),
+        ]
+    )
+    out = funnel_analysis(ev).to_pandas().set_index("user_id")
+    assert out.loc[1, "reached_step"] == 3 and out.loc[1, "completed_ts"] == 300
+    assert out.loc[2, "reached_step"] == 2 and out.loc[2, "completed_ts"] == -1
+    assert out.loc[3, "reached_step"] == 0
+    assert out.loc[4, "reached_step"] == 2
+    assert out.loc[5, "reached_step"] == 1
+
+
+def test_funnel_validates_steps(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.events import funnel_analysis
+
+    ev = _mk_events([(1, "view", 100)])
+    with pytest.raises(EngineValueError):
+        funnel_analysis(ev, steps=("view",))
+    with pytest.raises(EngineValueError):
+        funnel_analysis(ev, steps=("view", "view"))
+
+
+def test_cohort_retention_matrix(ray_session):
+    from datafiller_ray.pipelines.events import cohort_retention
+
+    day = 86_400_000_000  # one day in microseconds
+    ev = _mk_events(
+        [
+            # users 1,2 first active day 0; user 1 returns day 1 and 2
+            (1, "view", 0), (1, "view", day + 5), (1, "view", 2 * day + 5),
+            (2, "view", 10), (2, "view", 2 * day + 50),
+            # user 3 cohort day 1, never returns (two events same day)
+            (3, "view", day + 1), (3, "click", day + 2),
+        ]
+    )
+    out = cohort_retention(ev).to_pandas()
+    cells = {
+        (int(r.cohort_period), int(r.period_offset)): int(r.n_active)
+        for r in out.itertuples()
+    }
+    assert cells == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
