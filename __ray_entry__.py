@@ -1156,6 +1156,49 @@ def entry() -> Any:
     )
 
 
+def _priority_demand(sf_dir: str):
+    """lineitem JOIN orders on orderkey -> items and total quantity per
+    order priority — pipelines/joins.equi_join (tagged-union single
+    exchange, integer-exact aggregates)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from datafiller_ray.pipelines.joins import equi_join
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": t["l_orderkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"okey": t["o_orderkey"], "o_orderpriority": t["o_orderpriority"]}
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        ord_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = equi_join(
+        li,
+        orders,
+        key="okey",
+        left_payload={"qty": "qty"},
+        right_payload={"o_orderpriority": "o_orderpriority"},
+    )
+    agg = joined.groupby("o_orderpriority").aggregate(Count(), Sum("qty"))
+    return agg.map_batches(
+        lambda b: b.rename(columns={"count()": "n_items", "sum(qty)": "sum_qty"}),
+        batch_format="pandas",
+    )
+
+
 def _funnel_analysis(sf_dir: str):
     """view -> click -> purchase earliest-chain funnel per user —
     pipelines/events.funnel_analysis (strictly increasing timestamps,
@@ -1316,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
         "lineitem_daily": _lineitem_daily,
+        "priority_demand": _priority_demand,
         "funnel_analysis": _funnel_analysis,
         "cohort_retention": _cohort_retention,
         "gap_stats": _gap_stats,
@@ -2684,6 +2728,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('pack_tokens')}')"
         ),
+        "priority_demand": """
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
         "funnel_analysis": """
             WITH e AS (
               SELECT user_id, event_type, epoch_us(ts) AS t FROM events),

@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 
 from datafiller_ray.config import EngineValueError
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "equi_join", "range_join"]
 
 
 def _arrow_schema(ds) -> pa.Schema:
@@ -319,6 +319,90 @@ def range_join(
         else:
             cols = _take_with_validity(g, l_names, l_rows, None)
             cols.update(_take_with_validity(g, r_names, r_sorted[safe], valid))
+        return pa.table(cols, schema=out_schema)
+
+    return l_proj.union(r_proj).groupby(key).map_groups(
+        per_key, batch_format="pyarrow"
+    )
+
+
+_MAX_JOIN_GROUP_ROWS = 50_000_000
+
+
+def equi_join(
+    left,
+    right,
+    *,
+    key: str,
+    left_payload,
+    right_payload,
+    how: str = "inner",
+    max_group_rows: int = _MAX_JOIN_GROUP_ROWS,
+):
+    """Generic hash equi-join through the same single co-partitioning
+    exchange as the ordered joins: both sides project to the pruned tagged
+    union schema, one ``groupby(key)`` co-locates each key, and the
+    per-key kernel emits the left x right cross product for that key
+    (standard SQL inner/left join semantics, duplicates multiply).
+
+    Partitioning assumption: one key's OUTPUT (|L_k| x |R_k| rows) fits in
+    a task. For star-schema keys (orderkey, custkey) groups are tiny; a
+    hot key whose product exceeds ``max_group_rows`` raises
+    EngineValueError naming the key rather than silently OOMing the
+    worker — the remedies are pre-aggregating one side or salting the key
+    and broadcasting the smaller side's hot rows.
+    """
+    if how not in ("inner", "left"):
+        raise EngineValueError("how must be 'inner' or 'left'")
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lp = _payload_dict(left_payload, lschema, role="left")
+    rp = _payload_dict(right_payload, rschema, role="right")
+    if set(lp) & set(rp):
+        raise EngineValueError(f"payload name collision: {set(lp) & set(rp)}")
+    l_fields = [pa.field(o, lschema.field(s).type) for o, s in lp.items()]
+    r_fields = [pa.field(o, rschema.field(s).type) for o, s in rp.items()]
+    out_schema = pa.schema(l_fields + r_fields)
+    _check_reserved(lp, rp, key, lschema, rschema)
+    union_fields = [
+        pa.field(key, lschema.field(key).type),
+        *[f for f in l_fields + r_fields if f.name != key],
+        pa.field("_side", pa.int8()),
+    ]
+    l_proj = _project_side(
+        left, union_fields=union_fields, src_map={key: key, **lp}, side=0
+    )
+    r_proj = _project_side(
+        right, union_fields=union_fields, src_map={key: key, **rp}, side=1
+    )
+    empty = _empty_like(out_schema)
+    l_names, r_names = [f.name for f in l_fields], [f.name for f in r_fields]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        l_rows = np.flatnonzero(side == 0)
+        if l_rows.size == 0:
+            return empty
+        r_rows = np.flatnonzero(side == 1)
+        if r_rows.size == 0:
+            if how == "inner":
+                return empty
+            cols = _take_with_validity(g, l_names, l_rows, None)
+            cols.update(
+                {f.name: pa.nulls(l_rows.size, type=f.type) for f in r_fields}
+            )
+            return pa.table(cols, schema=out_schema)
+        n_out = l_rows.size * r_rows.size
+        if n_out > max_group_rows:
+            raise EngineValueError(
+                f"equi_join group for {key}={g[key][0].as_py()!r} would emit "
+                f"{n_out} rows (> max_group_rows={max_group_rows}); "
+                "pre-aggregate one side or salt the hot key"
+            )
+        l_idx = np.repeat(l_rows, r_rows.size)
+        r_idx = np.tile(r_rows, l_rows.size)
+        cols = _take_with_validity(g, l_names, l_idx, None)
+        cols.update(_take_with_validity(g, r_names, r_idx, None))
         return pa.table(cols, schema=out_schema)
 
     return l_proj.union(r_proj).groupby(key).map_groups(

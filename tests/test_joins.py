@@ -237,3 +237,98 @@ def test_range_join_empty_right(ray_session):
         how="inner",
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# equi_join
+
+
+def _two_sides(ray_session):
+    import ray.data
+
+    left = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 2, 3], np.int64),
+            "lv": np.array([10, 11, 20, 30], np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.array([1, 2, 2, 4], np.int64),
+            "rv": np.array([100, 200, 201, 400], np.int64),
+        }
+    )
+    return ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+
+def test_equi_join_inner_cross_product(ray_session):
+    from datafiller_ray.pipelines.joins import equi_join
+
+    l, r = _two_sides(ray_session)
+    out = (
+        equi_join(
+            l, r, key="k",
+            left_payload={"k": "k", "lv": "lv"}, right_payload={"rv": "rv"},
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # key 1: 2 left x 1 right; key 2: 1 x 2; keys 3,4 unmatched
+    assert out.values.tolist() == [
+        [1, 10, 100],
+        [1, 11, 100],
+        [2, 20, 200],
+        [2, 20, 201],
+    ]
+
+
+def test_equi_join_left_keeps_unmatched(ray_session):
+    from datafiller_ray.pipelines.joins import equi_join
+
+    l, r = _two_sides(ray_session)
+    out = (
+        equi_join(
+            l, r, key="k", how="left",
+            left_payload={"k": "k", "lv": "lv"}, right_payload={"rv": "rv"},
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+    )
+    row3 = out[out["k"] == 3]
+    assert len(row3) == 1 and row3["rv"].isna().all()
+    assert len(out) == 5  # 4 matched + 1 left-only; right-only key 4 absent
+
+
+def test_equi_join_group_size_guard(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.joins import equi_join
+
+    l, r = _two_sides(ray_session)
+    with pytest.raises(EngineValueError, match="max_group_rows"):
+        equi_join(
+            l, r, key="k", max_group_rows=1,
+            left_payload={"k": "k", "lv": "lv"}, right_payload={"rv": "rv"},
+        ).to_pandas()
+
+
+def test_equi_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from datafiller_ray.pipelines.joins import equi_join
+
+    l, r = _two_sides(ray_session)
+    lp, rp = l.to_pandas(), r.to_pandas()
+    want = duckdb.sql(
+        "SELECT l.k, l.lv, r.rv FROM lp l JOIN rp r USING (k) ORDER BY 1,2,3"
+    ).df()
+    got = (
+        equi_join(
+            l, r, key="k",
+            left_payload={"k": "k", "lv": "lv"}, right_payload={"rv": "rv"},
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").values.tolist() == want.astype("int64").values.tolist()
