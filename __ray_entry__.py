@@ -1199,6 +1199,54 @@ def _priority_demand(sf_dir: str):
     )
 
 
+def _orders_by_nation(sf_dir: str):
+    """orders -> customer -> nation star join via two BROADCAST joins (the
+    map-side small-dimension path; zero shuffles until the final 25-row
+    groupby) — pipelines/joins.broadcast_join. Money is integer cents."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from datafiller_ray.pipelines.joins import broadcast_join
+
+    def ord_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ckey": b["o_custkey"].to_numpy(np.int64),
+                "cents": np.rint(b["o_totalprice"].to_numpy(np.float64) * 100)
+                .astype(np.int64),
+            }
+        )
+
+    def cust_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ckey": b["c_custkey"].to_numpy(np.int64),
+                "nkey": b["c_nationkey"].to_numpy(np.int64),
+            }
+        )
+
+    def nat_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"nkey": b["n_nationkey"].to_numpy(np.int64), "n_name": b["n_name"]}
+        )
+
+    orders = _read(sf_dir, "orders").map_batches(ord_proj, batch_format="pandas")
+    customer = _read(sf_dir, "customer").map_batches(
+        cust_proj, batch_format="pandas"
+    )
+    nation = _read(sf_dir, "nation").map_batches(nat_proj, batch_format="pandas")
+    j1 = broadcast_join(orders, customer, key="ckey", small_payload={"nkey": "nkey"})
+    j2 = broadcast_join(j1, nation, key="nkey", small_payload={"n_name": "n_name"})
+    agg = j2.groupby("n_name").aggregate(Count(), Sum("cents"))
+    return agg.map_batches(
+        lambda b: b.rename(
+            columns={"count()": "n_orders", "sum(cents)": "total_cents"}
+        )[["n_name", "n_orders", "total_cents"]],
+        batch_format="pandas",
+    )
+
+
 def _funnel_analysis(sf_dir: str):
     """view -> click -> purchase earliest-chain funnel per user —
     pipelines/events.funnel_analysis (strictly increasing timestamps,
@@ -1360,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_indexed": _ann_ivf_indexed,
         "lineitem_daily": _lineitem_daily,
         "priority_demand": _priority_demand,
+        "orders_by_nation": _orders_by_nation,
         "funnel_analysis": _funnel_analysis,
         "cohort_retention": _cohort_retention,
         "gap_stats": _gap_stats,
@@ -2733,6 +2782,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items,
                    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY 1
         """,
         "funnel_analysis": """

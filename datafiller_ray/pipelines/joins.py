@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 
 from datafiller_ray.config import EngineValueError
 
-__all__ = ["asof_join", "equi_join", "range_join"]
+__all__ = ["asof_join", "broadcast_join", "equi_join", "range_join"]
 
 
 def _arrow_schema(ds) -> pa.Schema:
@@ -407,4 +407,77 @@ def equi_join(
 
     return l_proj.union(r_proj).groupby(key).map_groups(
         per_key, batch_format="pyarrow"
+    )
+
+
+_MAX_BROADCAST_ROWS = 20_000_000
+
+
+def broadcast_join(
+    big,
+    small,
+    *,
+    key: str,
+    small_payload,
+    how: str = "inner",
+    max_small_rows: int = _MAX_BROADCAST_ROWS,
+):
+    """Map-side join against a SMALL dimension table: the small side is
+    gathered once (driver-bounded, guarded by ``max_small_rows``), put in
+    the object store ONCE via ``ray.put``, and every batch of the big side
+    probes it with a vectorized pandas merge — no shuffle at all, the
+    100-TB star-join path (SURVEY.md §4 broadcast-small-side pattern).
+
+    The small side's ``key`` must be unique (dimension-table contract;
+    duplicates raise EngineValueError — use equi_join for m:n). ``how`` is
+    ``"inner"`` (drop unmatched big rows) or ``"left"`` (keep, null
+    payload). Big-side columns all pass through; ``small_payload`` maps
+    ``{out_name: small_col}`` for the attached columns.
+    """
+    import pandas as pd
+    import ray
+
+    if how not in ("inner", "left"):
+        raise EngineValueError("how must be 'inner' or 'left'")
+    sschema = _arrow_schema(small)
+    sp = _payload_dict(small_payload, sschema, role="small")
+    if key in sp:
+        raise EngineValueError(
+            f"small_payload must not re-expose the key {key!r}; "
+            "the big side already carries it"
+        )
+    n_small = small.count()
+    if n_small > max_small_rows:
+        raise EngineValueError(
+            f"small side has {n_small} rows (> max_small_rows="
+            f"{max_small_rows}); broadcast_join is for dimension tables — "
+            "use equi_join for big-big joins"
+        )
+    dim = small.select_columns([key, *dict.fromkeys(sp.values())]).to_pandas()
+    if dim[key].duplicated().any():
+        raise EngineValueError(
+            f"small side key {key!r} is not unique; use equi_join for m:n"
+        )
+    dim = dim.rename(columns={s: o for o, s in sp.items()})[[key, *sp]]
+    handle = ray.put(dim)
+
+    class _Probe:
+        def __init__(self, ref, key, how):
+            self.dim: pd.DataFrame = ray.get(ref)  # plasma-local per node
+            self.key = key
+            self.how = how
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(
+                self.dim,
+                on=self.key,
+                how="inner" if self.how == "inner" else "left",
+                sort=False,
+            )
+
+    return big.map_batches(
+        _Probe,
+        fn_constructor_args=(handle, key, how),
+        batch_format="pandas",
+        concurrency=(1, 8),
     )

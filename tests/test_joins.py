@@ -332,3 +332,54 @@ def test_equi_join_matches_duckdb(ray_session):
         .reset_index(drop=True)
     )
     assert got.astype("int64").values.tolist() == want.astype("int64").values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# broadcast_join
+
+
+def test_broadcast_join_inner_left_and_guards(ray_session):
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.joins import broadcast_join
+
+    big = ray.data.from_pandas(
+        pd.DataFrame(
+            {"k": np.array([1, 2, 2, 9], np.int64),
+             "v": np.array([10, 20, 21, 90], np.int64)}
+        )
+    )
+    dim = ray.data.from_pandas(
+        pd.DataFrame(
+            {"k": np.array([1, 2, 3], np.int64),
+             "name": ["a", "b", "c"],
+             "extra": [0.0, 1.0, 2.0]}
+        )
+    )
+    inner = (
+        broadcast_join(big, dim, key="k", small_payload={"name": "name"})
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    assert inner[["k", "v"]].values.tolist() == [[1, 10], [2, 20], [2, 21]]
+    assert inner["name"].tolist() == ["a", "b", "b"]
+    assert "extra" not in inner.columns  # payload-pruned
+
+    left = (
+        broadcast_join(big, dim, key="k", how="left",
+                       small_payload={"name": "name"})
+        .to_pandas().sort_values(["k", "v"])
+    )
+    assert len(left) == 4
+    assert left[left["k"] == 9]["name"].isna().all()
+
+    # duplicate dimension keys are an error (m:n belongs to equi_join)
+    dup = ray.data.from_pandas(
+        pd.DataFrame({"k": np.array([1, 1], np.int64), "name": ["a", "b"]})
+    )
+    with pytest.raises(EngineValueError, match="not unique"):
+        broadcast_join(big, dup, key="k", small_payload={"name": "name"})
+
+    with pytest.raises(EngineValueError, match="max_small_rows"):
+        broadcast_join(big, dim, key="k", small_payload={"name": "name"},
+                       max_small_rows=2)
