@@ -1326,6 +1326,55 @@ def _pii_scrub(sf_dir: str):
     return pii_scrub(_read(sf_dir, "documents"))
 
 
+def _substring_dup(sf_dir: str):
+    """Cross-doc shared word-8-gram window fraction (RefinedWeb-style
+    verbatim passage-reuse signal) — pipelines/hygiene.substring_dup
+    (coarse-bucketed gram exchange; equality on the gram string)."""
+    from datafiller_ray.pipelines.hygiene import substring_dup
+
+    return substring_dup(_read(sf_dir, "documents"), n=8)
+
+
+def _token_moments(sf_dir: str):
+    """Exact per-source mean/var/skew/kurt of n_tok from mergeable integer
+    power sums — pipelines/corpus.token_moments (partials in int64, final
+    combine in unbounded Python ints; HUGEINT oracle)."""
+    from datafiller_ray.pipelines.corpus import token_moments
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return token_moments(read_input(_fixture(sf_dir), with_tokens=False))
+
+
+def _approx_quantiles(sf_dir: str):
+    """Per-source approximate quantiles from the deterministic bottom-k
+    splitmix64 hash sample (order-invariant, mergeable) —
+    pipelines/corpus.approx_quantiles."""
+    from datafiller_ray.pipelines.corpus import approx_quantiles
+
+    return approx_quantiles(
+        _read(sf_dir, "documents"), k=_SAMPLE_K, seed=_SAMPLE_SEED,
+        value_col="n_chars",
+    )
+
+
+def _acf(sf_dir: str):
+    """Per-source autocorrelation of observed 1m token sums at row lags
+    1..3 (exact five-moment integers, one pinned float expression) —
+    pipelines/window.acf."""
+    from datafiller_ray.pipelines.window import acf
+
+    return acf(_fixture(sf_dir), lags=(1, 2, 3), check_tokens=False)
+
+
+def _mad_outliers(sf_dir: str):
+    """Robust per-source outliers: |sum_tok - median| > 3 * MAD over the
+    observed 1m buckets (quantile_cont medians — IEEE-exact on integer
+    data) — pipelines/window.mad_outliers."""
+    from datafiller_ray.pipelines.window import mad_outliers
+
+    return mad_outliers(_fixture(sf_dir), c=3.0, check_tokens=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # eagerly materialise the oracle-scale fixture so oracle_sql()'s
     # read_parquet path exists no matter which side the driver runs first
@@ -1418,7 +1467,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _unigram_logprob,
         "tfidf_topterms": _tfidf_topterms,
         "pii_scrub": _pii_scrub,
+        "substring_dup": _substring_dup,
+        "token_moments": _token_moments,
+        "approx_quantiles": _approx_quantiles,
+        "acf_1m": _acf,
+        "mad_outliers": _mad_outliers,
     }
+
+
+def _approx_quantiles_sql() -> str:
+    """Bottom-k splitmix sample per source (the _sample_fixed_k_sql rule,
+    same seed/k) feeding the quantile_cont interpolation of
+    source_quantiles — mirrors corpus.approx_quantiles exactly."""
+    import numpy as np
+
+    from datafiller_ray.functions.hashing import splitmix64
+
+    seed_mix = int(splitmix64(np.array([_SAMPLE_SEED], dtype=np.uint64))[0])
+    ctes, fin = _sql_splitmix_ctes(
+        "d", ["doc_id", "source", "n_chars"],
+        f"xor(CAST(doc_id AS UBIGINT), {seed_mix})", "aq",
+    )
+    qcols = ",\n              ".join(
+        f"floor(quantile_cont(CAST(n_chars AS DOUBLE), {q})*1000000 + 0.5)"
+        f"/1000000 AS q{str(q).replace('.', '_')}"
+        for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        {ctes},
+        samp AS (
+          SELECT source, n_chars FROM (
+            SELECT source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY v, doc_id) AS rn
+            FROM {fin}) WHERE rn <= {_SAMPLE_K})
+        SELECT source,
+              {qcols}
+        FROM samp GROUP BY source
+    """
+
+
+def _acf_sql(rollup_60: str, lags=(1, 2, 3)) -> str:
+    """Exact five-moment ACF per lag: LAG() pairs -> HUGEINT sums ->
+    the engine's pinned num / sqrt(d1 * d2) expression."""
+    parts = [
+        f"""
+        SELECT source, CAST({lag} AS BIGINT) AS lag, COUNT(*)::HUGEINT AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT)*y) AS sxy,
+               SUM(CAST(x AS HUGEINT)*x) AS sxx,
+               SUM(CAST(y AS HUGEINT)*y) AS syy
+        FROM (
+          SELECT source, sum_tok AS y,
+                 LAG(sum_tok, {lag}) OVER (
+                     PARTITION BY source ORDER BY bucket_ts) AS x
+          FROM r) WHERE x IS NOT NULL GROUP BY 1"""
+        for lag in lags
+    ]
+    return f"""
+        WITH r AS ({rollup_60}),
+        m AS ({" UNION ALL ".join(parts)}),
+        c AS (
+          SELECT source, lag, CAST(n AS BIGINT) AS n_pairs,
+                 n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1,
+                 n*syy - sy*sy AS d2
+          FROM m)
+        SELECT source, lag, n_pairs,
+               FLOOR((CAST(num AS DOUBLE)
+                      / SQRT(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))
+                     * 1000000 + 0.5) / 1000000.0 AS acf
+        FROM c WHERE n_pairs >= 3 AND d1 > 0 AND d2 > 0
+    """
 
 
 def _fixture_sql_path() -> str:
@@ -2976,5 +3096,78 @@ def oracle_sql() -> dict[str, str]:
                        '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
                        '<PHONE>', 'g') AS clean_text
             FROM documents
+        """,
+        "substring_dup": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+            pg AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1),
+            per AS (
+              SELECT doc_id, COUNT(*) AS nw,
+                     SUM(CASE WHEN pg.nd > 1 THEN 1 ELSE 0 END) AS ns
+              FROM grams JOIN pg USING (g) GROUP BY 1)
+            SELECT d.doc_id, COALESCE(per.nw, 0)::BIGINT AS n_windows,
+                   COALESCE(per.ns, 0)::BIGINT AS n_shared,
+                   CASE WHEN per.nw > 0
+                        THEN round_even(per.ns::DOUBLE / per.nw, 6)
+                        ELSE 0.0 END AS shared_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # exact mergeable power-sum moments: every integer below is exact
+        # (HUGEINT mirrors the engine's unbounded Python ints); the shape
+        # statistics are single divisions of exact integers — the n-powers
+        # cancel, so there is no float cancellation to diverge on
+        "token_moments": f"""
+            WITH m AS (
+              SELECT source, COUNT(*)::HUGEINT AS n,
+                     SUM(CAST(n_tok AS HUGEINT)) AS s1,
+                     SUM(CAST(n_tok AS HUGEINT)*n_tok) AS s2,
+                     SUM(CAST(n_tok AS HUGEINT)*n_tok*n_tok) AS s3,
+                     SUM(CAST(n_tok AS HUGEINT)*n_tok*n_tok*n_tok) AS s4
+              FROM read_parquet('{p}/*.parquet') GROUP BY 1),
+            c AS (
+              SELECT source, n, s1,
+                     n*s2 - s1*s1 AS m2num,
+                     n*n*s3 - 3*n*s2*s1 + 2*s1*s1*s1 AS num3,
+                     n*n*n*s4 - 4*n*n*s3*s1 + 6*n*s2*s1*s1
+                         - 3*s1*s1*s1*s1 AS num4
+              FROM m)
+            SELECT source, CAST(n AS BIGINT) AS n_rows,
+                   CAST(s1 AS BIGINT) AS sum_tok,
+                   FLOOR(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)
+                         * 1000000 + 0.5)/1000000.0 AS mean_tok,
+                   FLOOR(CAST(m2num AS DOUBLE)/CAST(n*n AS DOUBLE)
+                         * 1000000 + 0.5)/1000000.0 AS var_tok,
+                   FLOOR(CAST(num3 AS DOUBLE)/POWER(CAST(m2num AS DOUBLE), 1.5)
+                         * 1000000 + 0.5)/1000000.0 AS skew_tok,
+                   FLOOR((CAST(num4 AS DOUBLE)
+                          /(CAST(m2num AS DOUBLE)*CAST(m2num AS DOUBLE)) - 3.0)
+                         * 1000000 + 0.5)/1000000.0 AS kurt_tok
+            FROM c WHERE n >= 2 AND m2num > 0
+        """,
+        "approx_quantiles": _approx_quantiles_sql(),
+        "acf_1m": _acf_sql(rollup(60)),
+        # medians via quantile_cont: on integer-valued sums every
+        # intermediate (median, |x - med|, MAD, 3 * MAD) is IEEE-exact,
+        # so the flag comparison is identical on both sides
+        "mad_outliers": f"""
+            WITH r AS ({rollup(60)}),
+            med AS (
+              SELECT source, quantile_cont(CAST(sum_tok AS DOUBLE), 0.5) AS med
+              FROM r GROUP BY 1),
+            mad AS (
+              SELECT r.source,
+                     quantile_cont(ABS(CAST(r.sum_tok AS DOUBLE) - m.med),
+                                   0.5) AS mad
+              FROM r JOIN med m USING (source) GROUP BY 1)
+            SELECT r.source, r.bucket_ts, r.sum_tok,
+                   FLOOR(m.med * 1000000 + 0.5)/1000000.0 AS med_tok,
+                   FLOOR(d.mad * 1000000 + 0.5)/1000000.0 AS mad_tok
+            FROM r JOIN med m USING (source) JOIN mad d USING (source)
+            WHERE d.mad > 0
+              AND ABS(CAST(r.sum_tok AS DOUBLE) - m.med) > 3.0 * d.mad
         """,
     }

@@ -43,6 +43,8 @@ __all__ = [
     "global_quantiles",
     "column_histogram",
     "budget_sample",
+    "token_moments",
+    "approx_quantiles",
 ]
 
 _U64 = 1 << 64
@@ -587,3 +589,170 @@ def shuffle_manifest(
         ).select(["shard", "pos", *cols])
 
     return keyed.groupby("shard").map_groups(rank_shard, batch_format="pyarrow")
+
+
+# -- exact mergeable moment statistics ---------------------------------------
+
+
+def token_moments(ds, *, key_col: str = "source", value_col: str = "n_tok"):
+    """Exact per-key mean/variance/skewness/kurtosis of an integer column
+    from mergeable power sums — the streaming-moments primitive: each batch
+    contributes (n, Σx, Σx², Σx³, Σx⁴) partials (one row per key per
+    block), a single small keyed groupby merges them, and the shape
+    statistics come out of four PINNED float expressions over exact
+    integers:
+
+        m2num = n·s2 − s1²                  (population variance · n²)
+        var   = double(m2num) / double(n²)
+        skew  = double(num3) / double(m2num)**1.5
+                 with num3 = n²·s3 − 3n·s2·s1 + 2·s1³
+        kurt  = double(num4) / (double(m2num) · double(m2num)) − 3
+                 with num4 = n³·s4 − 4n²·s3·s1 + 6n·s2·s1² − 3·s1⁴
+
+    (the n-powers cancel, so each statistic is a single division of exact
+    integers — no catastrophic cancellation in floats). Partials stay in
+    int64 (safe per batch for values ≤ ~50k); the FINAL combine promotes
+    to unbounded Python ints, which a SQL oracle mirrors with HUGEINT.
+    Keys with n < 2 or zero variance report var 0 and NaN-free zeros for
+    skew/kurt are OMITTED — callers get only well-defined shapes.
+
+    Output: one row per key — (key, n_rows, sum_tok, mean, var, skew,
+    kurt), floats through the engine-wide 6-decimal floor-half-up.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if v.size and int(v.size) * int(abs(v).max()) ** 4 >= 1 << 63:
+            # per-BATCH x^4 sums would wrap int64 — route this block through
+            # exact Python ints (slow path; never hit for token-length-like
+            # values, where max^4 * batch_size is ~2^60)
+            src = np.asarray(t[key_col].to_numpy(zero_copy_only=False))
+            rows: "dict[object, list[int]]" = {}
+            for s, x in zip(src, v.tolist()):
+                acc = rows.setdefault(s, [0, 0, 0, 0, 0])
+                acc[0] += 1
+                acc[1] += x
+                acc[2] += x * x
+                acc[3] += x * x * x
+                acc[4] += x * x * x * x
+            for acc in rows.values():
+                if any(a >= 1 << 63 for a in acc):
+                    raise EngineValueError(
+                        f"{value_col} power sums exceed int64 within one "
+                        "batch; reduce batch size or rescale the column"
+                    )
+            return pa.table(
+                {
+                    key_col: pa.array(list(rows), pa.string()),
+                    "n": pa.array([a[0] for a in rows.values()], pa.int64()),
+                    "s1": pa.array([a[1] for a in rows.values()], pa.int64()),
+                    "s2": pa.array([a[2] for a in rows.values()], pa.int64()),
+                    "s3": pa.array([a[3] for a in rows.values()], pa.int64()),
+                    "s4": pa.array([a[4] for a in rows.values()], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                key_col: np.asarray(t[key_col].to_numpy(zero_copy_only=False)),
+                "n": np.ones(v.size, dtype=np.int64),
+                "s1": v,
+                "s2": v * v,
+                "s3": v * v * v,
+                "s4": v * v * v * v,
+            }
+        )
+        agg = df.groupby(key_col, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        key = g[key_col].iloc[0]
+        # unbounded Python ints from here on: per-key totals of x^4 exceed
+        # int64 around 10^6 rows of 4-digit values
+        n = int(g["n"].sum())
+        s1 = sum(int(x) for x in g["s1"])
+        s2 = sum(int(x) for x in g["s2"])
+        s3 = sum(int(x) for x in g["s3"])
+        s4 = sum(int(x) for x in g["s4"])
+        m2num = n * s2 - s1 * s1
+        if n < 2 or m2num <= 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="string"),
+                    "n_rows": pd.Series([], dtype=np.int64),
+                    "sum_tok": pd.Series([], dtype=np.int64),
+                    "mean_tok": pd.Series([], dtype=np.float64),
+                    "var_tok": pd.Series([], dtype=np.float64),
+                    "skew_tok": pd.Series([], dtype=np.float64),
+                    "kurt_tok": pd.Series([], dtype=np.float64),
+                }
+            )
+        num3 = n * n * s3 - 3 * n * s2 * s1 + 2 * s1 ** 3
+        num4 = (
+            n ** 3 * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1 - 3 * s1 ** 4
+        )
+        r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)
+        mean = float(s1) / float(n)
+        var = float(m2num) / float(n * n)
+        skew = float(num3) / float(m2num) ** 1.5
+        kurt = float(num4) / (float(m2num) * float(m2num)) - 3.0
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "n_rows": np.array([n], np.int64),
+                "sum_tok": np.array([s1], np.int64),
+                "mean_tok": np.array([r6(mean)], np.float64),
+                "var_tok": np.array([r6(var)], np.float64),
+                "skew_tok": np.array([r6(skew)], np.float64),
+                "kurt_tok": np.array([r6(kurt)], np.float64),
+            }
+        )
+
+    partials = ds.map_batches(
+        lambda t: t.select([key_col, value_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(finish, batch_format="pandas")
+
+
+# -- approximate quantiles from a deterministic bottom-k hash sample ---------
+
+
+def approx_quantiles(
+    docs,
+    *,
+    k: int = 256,
+    seed: int = 0,
+    value_col: str = "n_chars",
+    qs: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9, 0.99),
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+):
+    """Per-stratum approximate quantiles from the deterministic bottom-k
+    hash sample — the UNBOUNDED-domain complement of
+    :func:`global_quantiles` (whose exactness rides on bounded value
+    cardinality): a splitmix64 bottom-k per stratum is an order-invariant,
+    mergeable uniform sample (merging two bottom-k sets and re-taking the
+    k smallest is associative and deterministic), so the sample — and
+    therefore every quantile of it — is reproducible across cluster sizes,
+    block layouts and retries, unlike reservoir sampling.
+
+    Plan: :func:`sample_fixed_k` (per-batch bottom-k prune, one small
+    groupby) then the ``quantile_cont`` interpolation of
+    :func:`source_quantiles` on the ≤ k sampled rows per stratum.
+    Error: standard order-statistics bounds for a uniform k-sample
+    (~1/sqrt(k) quantile error), while only k·|strata| rows ever shuffle.
+    """
+    sample = sample_fixed_k(
+        docs.map_batches(
+            lambda t: t.select([id_col, strata_col, value_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        k=k,
+        seed=seed,
+        id_col=id_col,
+        strata_col=strata_col,
+    )
+    return source_quantiles(sample, value_col=value_col, qs=qs, strata_col=strata_col)

@@ -391,3 +391,156 @@ def pii_scrub(documents: "ray.data.Dataset") -> "ray.data.Dataset":
         concurrency=(1, 4),
         batch_size=4096,
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document shared-substring (window) duplication
+
+
+def _window_totals(n: int):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        doc_pos, _ = word_grams(batch["text"], n)
+        nw = np.bincount(doc_pos, minlength=len(batch)).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(np.int64), "nw": nw}
+        )
+
+    return fn
+
+
+def _window_partial(n: int, n_buckets: int):
+    from datafiller_ray.functions.hashing import string_hash64
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        doc_pos, grams = word_grams(batch["text"], n)
+        if len(grams) == 0:
+            return pd.DataFrame(
+                {
+                    "gb": pd.Series([], dtype=np.int64),
+                    "g": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "npos": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "g": grams,
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[doc_pos],
+            }
+        )
+        # one partial row per (gram, doc) with its position count — a doc is
+        # one input row, so partials never split a (gram, doc) pair
+        agg = df.groupby(["g", "doc_id"], sort=False, as_index=False).size()
+        gb = (
+            string_hash64(agg["g"].to_numpy(dtype=object))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "gb": gb,
+                "g": agg["g"].to_numpy(dtype=object),
+                "doc_id": agg["doc_id"].to_numpy(np.int64),
+                "npos": agg["size"].to_numpy(np.int64),
+            }
+        )
+
+    return fn
+
+
+def _shared_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # the hash only ROUTES grams; equality is decided on the gram string,
+    # so hash collisions cannot merge distinct windows
+    nd = g.groupby("g")["doc_id"].transform("nunique")
+    dup = g[nd.to_numpy() > 1]
+    per = dup.groupby("doc_id", as_index=False)["npos"].sum()
+    return pd.DataFrame(
+        {
+            "doc_id": per["doc_id"].to_numpy(np.int64),
+            "ns": per["npos"].to_numpy(np.int64),
+        }
+    )
+
+
+def substring_dup(
+    documents: "ray.data.Dataset",
+    *,
+    n: int = 8,
+    n_buckets: int = 1024,
+) -> "ray.data.Dataset":
+    """Cross-document substring duplication (the RefinedWeb-style exact
+    window dedup signal): per document, how many of its word ``n``-gram
+    window POSITIONS also occur in at least one OTHER document, and the
+    fraction of such positions.
+
+    Unlike :func:`doc_repetition` (within-doc) and the MinHash family
+    (whole-doc similarity), this finds verbatim passage reuse — boilerplate,
+    licence blocks, syndicated paragraphs — at exact n-gram granularity.
+
+    Plan: (1) a map-only pass counts each doc's window positions;
+    (2) per-batch partials collapse to one (gram, doc, n_positions) row,
+    routed by a COARSE int64 gram-hash bucket key (``n_buckets`` groups
+    bound the exchange fan-in, the minhash-LSH precedent) — within a bucket
+    a vectorized pandas pass finds grams spanning >1 distinct doc (equality
+    on the gram STRING, the hash only routes) and credits each doc its
+    shared positions; (3) the two small (doc, count) streams merge through
+    one int-keyed groupby. The documents themselves never shuffle — only
+    gram partials do, and per-batch dedup already collapsed repeats.
+
+    Output: (doc_id, n_windows, n_shared, shared_frac), shared_frac
+    banker's-rounded to 6 decimals like :func:`doc_repetition`.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if n < 2:
+        raise EngineValueError(f"n must be >= 2, got {n}")
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    totals = documents.map_batches(
+        _window_totals(n), batch_format="pandas", batch_size=4096
+    )
+    shared = (
+        documents.map_batches(
+            _window_partial(n, n_buckets), batch_format="pandas", batch_size=4096
+        )
+        .groupby("gb")
+        .map_groups(_shared_in_bucket, batch_format="pandas")
+    )
+
+    def tag_totals(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "nw": b["nw"],
+             "ns": np.zeros(len(b), np.int64)}
+        )
+
+    def tag_shared(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "nw": np.zeros(len(b), np.int64),
+             "ns": b["ns"]}
+        )
+
+    merged = (
+        totals.map_batches(tag_totals, batch_format="pandas")
+        .union(shared.map_batches(tag_shared, batch_format="pandas"))
+        .groupby("doc_id")
+        .sum(["nw", "ns"])
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        nw = b["sum(nw)"].to_numpy(np.int64)
+        ns = b["sum(ns)"].to_numpy(np.int64)
+        frac = np.where(
+            nw > 0, np.round(ns / np.maximum(nw, 1), 6), 0.0
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_windows": nw,
+                "n_shared": ns,
+                "shared_frac": frac,
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")

@@ -757,3 +757,145 @@ def psi_drift(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
     return _run_per_source(
         input_path, _psi_one_source, check_tokens=check_tokens, shuffle=shuffle
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source autocorrelation (row-lag ACF over observed buckets)
+
+
+def _acf_one_source(
+    obs: pd.DataFrame, source: str, lags: "tuple[int, ...]", min_pairs: int
+) -> pd.DataFrame:
+    s = obs["sum"].to_numpy(np.int64)
+    out_lag, out_n, out_acf = [], [], []
+    for lag in lags:
+        n = s.size - lag
+        if n < min_pairs:
+            continue
+        x = s[:-lag]
+        y = s[lag:]
+        # exact integer pair moments (source_correlation precedent): int64
+        # dot products promoted to unbounded Python ints BEFORE the cross
+        # terms, so n*sxy etc. can never overflow at any scale
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx, syy = int(np.dot(x, y)), int(np.dot(x, x)), int(np.dot(y, y))
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue  # zero variance on either slice: undefined
+        out_lag.append(lag)
+        out_n.append(n)
+        out_acf.append(float(num) / math.sqrt(float(d1) * float(d2)))
+    out = pd.DataFrame(
+        {
+            "source": np.full(len(out_lag), source, dtype=object),
+            "lag": np.asarray(out_lag, dtype=np.int64),
+            "n_pairs": np.asarray(out_n, dtype=np.int64),
+            "acf": _round6_half_up(np.asarray(out_acf, dtype=np.float64)),
+        }
+    )
+    return _string_typed_if_empty(out)
+
+
+def acf(
+    input_path,
+    *,
+    lags: "tuple[int, ...]" = (1, 2, 3),
+    min_pairs: int = 3,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source autocorrelation of the observed 1m token sums at the
+    given ROW lags (the series is the observed-bucket sequence in time
+    order; a lag of 1 pairs each bucket with the previous OBSERVED one,
+    the LAG() window semantics a SQL oracle can reproduce exactly).
+
+    Pearson correlation of the series against its lagged self on the
+    overlapping slice — the same exact-integer five-moment formulation as
+    ``source_correlation``, ending in ONE pinned float expression
+    ``num / sqrt(d1 * d2)`` plus the engine-wide 6-decimal floor-half-up.
+    Lags with fewer than ``min_pairs`` pairs or zero variance on either
+    slice are omitted. Single per-source exchange like the whole family.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    lags_t = tuple(dict.fromkeys(int(l) for l in lags))
+    if not lags_t or any(l < 1 for l in lags_t):
+        raise EngineValueError(f"lags must be unique positive ints, got {lags!r}")
+    if min_pairs < 2:
+        raise EngineValueError(f"min_pairs must be >= 2, got {min_pairs}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _acf_one_source(obs, src, lags_t, min_pairs),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) per-source outliers
+
+
+def _interp_median(x_sorted: np.ndarray) -> float:
+    """SQL quantile_cont(0.5) linear interpolation: pos = 0.5 * (n - 1),
+    v = lo + (hi - lo) * frac — the exact op order of source_quantiles, so
+    integer-valued inputs yield bit-exact medians on both oracle sides."""
+    n = x_sorted.size
+    pos = 0.5 * (n - 1)
+    lo = int(np.floor(pos))
+    hi = min(lo + 1, n - 1)
+    frac = pos - lo
+    return float(x_sorted[lo] + (x_sorted[hi] - x_sorted[lo]) * frac)
+
+
+def _mad_one_source(obs: pd.DataFrame, source: str, c: float) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    v = obs["sum"].to_numpy(np.int64).astype(np.float64)
+    med = _interp_median(np.sort(v))
+    dev = np.abs(v - med)
+    mad = _interp_median(np.sort(dev))
+    if mad > 0.0:
+        flag = dev > c * mad  # identical IEEE comparison tree as the oracle
+    else:
+        flag = np.zeros(v.size, dtype=bool)  # degenerate spread: no outliers
+    out = pd.DataFrame(
+        {
+            "source": np.full(int(flag.sum()), source, dtype=object),
+            "bucket_ts": ts[flag],
+            "sum_tok": obs["sum"].to_numpy(np.int64)[flag],
+            "med_tok": np.full(int(flag.sum()), _round6_half_up(np.float64(med))),
+            "mad_tok": np.full(int(flag.sum()), _round6_half_up(np.float64(mad))),
+        }
+    )
+    return _string_typed_if_empty(out)
+
+
+def mad_outliers(
+    input_path,
+    *,
+    c: float = 3.0,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Robust per-source outlier detection: flag observed 1m buckets where
+    ``|sum_tok - median| > c * MAD`` (median absolute deviation), the
+    scale-free complement of the rolling-mean anomaly filter — immune to
+    the very outliers it hunts, unlike mean/stddev rules.
+
+    Median and MAD use the SQL ``quantile_cont`` interpolation rule; on
+    integer-valued data every intermediate (median, deviations, MAD,
+    ``c * MAD``) is IEEE-exact, so the flag comparison cannot straddle a
+    rounding boundary between engine and oracle. Sources whose MAD is 0
+    (over half the buckets share one value) flag nothing by definition.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if not (c > 0.0) or not math.isfinite(c):
+        raise EngineValueError(f"c must be a positive finite float, got {c}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _mad_one_source(obs, src, c),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

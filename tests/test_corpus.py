@@ -286,3 +286,123 @@ def test_shuffle_manifest_validation(ray_session):
 
     with pytest.raises(EngineValueError):
         shuffle_manifest(None, n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# token_moments
+
+
+def test_token_moments_matches_numpy(ray_session):
+    from datafiller_ray.pipelines.corpus import token_moments
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "source": rng.choice(["a", "b", "c"], size=3000).astype(object),
+            "n_tok": rng.integers(1, 2048, size=3000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = token_moments(ds).to_pandas().set_index("source").sort_index()
+    for src, g in df.groupby("source"):
+        v = g["n_tok"].to_numpy(np.float64)
+        row = out.loc[src]
+        assert row["n_rows"] == v.size
+        assert row["sum_tok"] == int(v.sum())
+        assert abs(row["mean_tok"] - v.mean()) < 1e-6
+        assert abs(row["var_tok"] - v.var()) < 1e-5
+        m2 = v.var()
+        skew = ((v - v.mean()) ** 3).mean() / m2 ** 1.5
+        kurt = ((v - v.mean()) ** 4).mean() / m2 ** 2 - 3.0
+        assert abs(row["skew_tok"] - skew) < 1e-6
+        assert abs(row["kurt_tok"] - kurt) < 1e-6
+
+
+def test_token_moments_block_layout_invariant(ray_session):
+    from datafiller_ray.pipelines.corpus import token_moments
+
+    rng = np.random.default_rng(10)
+    df = pd.DataFrame(
+        {
+            "source": rng.choice(["x", "y"], size=500).astype(object),
+            "n_tok": rng.integers(1, 300, size=500),
+        }
+    )
+    a = token_moments(ray.data.from_pandas(df)).to_pandas()
+    b = token_moments(ray.data.from_pandas(df).repartition(13)).to_pandas()
+    a = a.sort_values("source").reset_index(drop=True)
+    b = b.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_moments_bigvalue_slow_path(ray_session):
+    from datafiller_ray.pipelines.corpus import token_moments
+
+    # 50_000^4 = 6.25e18 < 2^63, but two such rows in one batch push the
+    # vectorized per-batch sum over int64 -> the exact Python-int branch
+    df = pd.DataFrame(
+        {
+            "source": ["a", "b"],
+            "n_tok": np.array([50_000, 49_999], dtype=np.int64),
+        }
+    )
+    out = token_moments(ray.data.from_pandas(df)).to_pandas()
+    # single-row keys have no variance -> omitted by definition
+    assert len(out) == 0
+
+    df2 = pd.DataFrame(
+        {
+            "source": ["a"] * 3,
+            "n_tok": np.array([50_000, 10, 20], dtype=np.int64),
+        }
+    )
+    out2 = token_moments(ray.data.from_pandas(df2)).to_pandas()
+    v = df2["n_tok"].to_numpy(np.float64)
+    assert len(out2) == 1 and abs(out2["var_tok"].iloc[0] - v.var()) < 1e-4
+
+
+def test_token_moments_constant_key_omitted(ray_session):
+    from datafiller_ray.pipelines.corpus import token_moments
+
+    df = pd.DataFrame({"source": ["c"] * 10, "n_tok": [42] * 10})
+    assert len(token_moments(ray.data.from_pandas(df)).to_pandas()) == 0
+
+
+# ---------------------------------------------------------------------------
+# approx_quantiles
+
+
+def test_approx_quantiles_matches_bruteforce_sample(ray_session):
+    from datafiller_ray.functions.hashing import splitmix64
+    from datafiller_ray.pipelines.corpus import approx_quantiles
+
+    df = _docs(3000, seed=4)
+    out = (
+        approx_quantiles(ray.data.from_pandas(df).repartition(5), k=64, seed=3)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    seed_mix = int(splitmix64(np.array([3], dtype=np.uint64))[0])
+    h = splitmix64(df["doc_id"].to_numpy(np.uint64) ^ np.uint64(seed_mix))
+    df = df.assign(h=h)
+    for src, g in df.groupby("source"):
+        samp = g.sort_values(["h", "doc_id"]).head(64)["n_chars"].to_numpy(np.float64)
+        x = np.sort(samp)
+        for q, col in [(0.5, "q0_5"), (0.9, "q0_9")]:
+            pos = q * (x.size - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, x.size - 1)
+            v = x[lo] + (x[hi] - x[lo]) * (pos - lo)
+            assert abs(out.loc[src, col] - v) < 1e-6
+
+
+def test_approx_quantiles_block_layout_invariant(ray_session):
+    from datafiller_ray.pipelines.corpus import approx_quantiles
+
+    df = _docs(1000, seed=6)
+    a = approx_quantiles(ray.data.from_pandas(df), k=32).to_pandas()
+    b = approx_quantiles(ray.data.from_pandas(df).repartition(11), k=32).to_pandas()
+    a = a.sort_values("source").reset_index(drop=True)
+    b = b.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

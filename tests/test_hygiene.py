@@ -4,6 +4,7 @@ decontamination, repetition, unigram log-prob, TF-IDF, PII scrubbing."""
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data
 
 from datafiller_ray.pipelines.hygiene import (
     decontaminate,
@@ -148,3 +149,101 @@ def test_pii_scrub_redacts_and_counts(corpus):
     # untouched docs pass through byte-identical
     assert out.loc[4, "clean_text"] == "plain words with no duplicate grams here"
     assert out.loc[4, "n_emails"] == 0 and out.loc[4, "n_phones"] == 0
+
+
+# ---------------------------------------------------------------------------
+# substring_dup
+
+
+def _sd_docs():
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                f"{shared} unique one tail words here",   # shares the 8-gram
+                f"prefix words {shared}",                 # shares the 8-gram
+                "totally different text with no overlap at all",
+                shared,                                   # exactly one window
+                "short text",                             # < 8 words: 0 windows
+            ],
+        }
+    )
+
+
+def test_substring_dup_bruteforce(ray_session):
+    from datafiller_ray.pipelines.hygiene import substring_dup
+
+    docs = _sd_docs()
+    out = (
+        substring_dup(ray.data.from_pandas(docs), n=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute force: every 8-word window of every doc
+    wins = {}
+    for _, r in docs.iterrows():
+        w = r["text"].split()
+        wins[r["doc_id"]] = [
+            " ".join(w[i : i + 8]) for i in range(len(w) - 7)
+        ]
+    for d, ws in wins.items():
+        others = set().union(
+            *[set(v) for k, v in wins.items() if k != d] or [set()]
+        )
+        n_shared = sum(1 for g in ws if g in others)
+        assert out.loc[d, "n_windows"] == len(ws)
+        assert out.loc[d, "n_shared"] == n_shared
+        if len(ws):
+            assert abs(
+                out.loc[d, "shared_frac"] - round(n_shared / len(ws), 6)
+            ) < 1e-9
+        else:
+            assert out.loc[d, "shared_frac"] == 0.0
+    # the three docs containing the shared 8-gram each count it
+    assert out.loc[0, "n_shared"] >= 1
+    assert out.loc[1, "n_shared"] >= 1
+    assert out.loc[3, "n_shared"] == 1
+    assert out.loc[2, "n_shared"] == 0
+    assert out.loc[4, "n_windows"] == 0
+
+
+def test_substring_dup_single_bucket_equivalent(ray_session):
+    from datafiller_ray.pipelines.hygiene import substring_dup
+
+    docs = _sd_docs()
+    a = substring_dup(ray.data.from_pandas(docs), n=8).to_pandas()
+    b = substring_dup(ray.data.from_pandas(docs), n=8, n_buckets=1).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_substring_dup_within_doc_repeat_not_shared(ray_session):
+    from datafiller_ray.pipelines.hygiene import substring_dup
+
+    # an 8-gram repeated WITHIN one doc but present in no other doc is not
+    # "shared" (nd == 1): repetition is doc_repetition's job
+    g = "a b c d e f g h"
+    docs = pd.DataFrame(
+        {"doc_id": np.array([0, 1], dtype=np.int64),
+         "text": [f"{g} {g}", "nothing in common here at all ok"]}
+    )
+    out = (
+        substring_dup(ray.data.from_pandas(docs), n=8)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_shared"] == 0
+
+
+def test_substring_dup_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.hygiene import substring_dup
+
+    docs = ray.data.from_pandas(_sd_docs())
+    with pytest.raises(EngineValueError):
+        substring_dup(docs, n=1)
+    with pytest.raises(EngineValueError):
+        substring_dup(docs, n_buckets=0)

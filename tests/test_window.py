@@ -381,3 +381,127 @@ def test_psi_drift_shifted_distribution_positive(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame(rows))
     out = psi_drift(ds).to_pandas()
     assert out.loc[0, "psi"] > 1.0
+
+
+# ---------------------------------------------------------------------------
+# ACF
+
+
+def test_acf_one_source_matches_corrcoef():
+    from datafiller_ray.pipelines.window import _acf_one_source
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(1, 5000, size=200).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(200, dtype=np.int64) * 60, "sum": s}
+    )
+    out = _acf_one_source(obs, "s", (1, 2, 5), min_pairs=3)
+    assert out["lag"].tolist() == [1, 2, 5]
+    for _, row in out.iterrows():
+        lag = int(row["lag"])
+        expect = np.corrcoef(s[:-lag], s[lag:])[0, 1]
+        assert abs(row["acf"] - expect) < 1e-6
+        assert row["n_pairs"] == 200 - lag
+
+
+def test_acf_skips_short_and_constant():
+    from datafiller_ray.pipelines.window import _acf_one_source
+
+    # constant series: zero variance -> no rows
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(50, dtype=np.int64) * 60,
+         "sum": np.full(50, 7, dtype=np.int64)}
+    )
+    assert len(_acf_one_source(obs, "s", (1,), min_pairs=3)) == 0
+    # series shorter than min_pairs + lag -> lag omitted
+    obs2 = pd.DataFrame(
+        {"bucket_ts": np.arange(4, dtype=np.int64) * 60,
+         "sum": np.array([1, 5, 2, 9], dtype=np.int64)}
+    )
+    out = _acf_one_source(obs2, "s", (1, 2, 3), min_pairs=3)
+    assert out["lag"].tolist() == [1]  # only lag 1 has >= 3 pairs
+
+
+def test_acf_validation(ray_session, small_fixture):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import acf
+
+    with pytest.raises(EngineValueError):
+        acf(small_fixture, lags=())
+    with pytest.raises(EngineValueError):
+        acf(small_fixture, lags=(0, 1))
+    with pytest.raises(EngineValueError):
+        acf(small_fixture, min_pairs=1)
+
+
+def test_acf_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import acf
+
+    out = acf(small_fixture, lags=(1, 2)).to_pandas()
+    assert set(out.columns) == {"source", "lag", "n_pairs", "acf"}
+    assert (out["acf"].abs() <= 1.0 + 1e-9).all()
+    # cross-check one source against numpy on the observed series
+    src = out["source"].iloc[0]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(small_fixture).to_pandas()
+    sub = t[t["source"] == src].sort_values("doc_id")
+    s = sub.groupby(
+        (sub["doc_id"].str[-10:].astype(np.int64) * 60)
+    )["n_tok"].sum().sort_index().to_numpy(np.int64)
+    got = out[(out["source"] == src) & (out["lag"] == 1)]["acf"].iloc[0]
+    expect = np.corrcoef(s[:-1], s[1:])[0, 1]
+    assert abs(got - expect) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+
+
+def test_interp_median_matches_numpy():
+    from datafiller_ray.pipelines.window import _interp_median
+
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 3, 4, 5, 10, 101):
+        x = np.sort(rng.integers(0, 1000, size=n).astype(np.float64))
+        assert _interp_median(x) == np.median(x)
+
+
+def test_mad_one_source_brute_force():
+    from datafiller_ray.pipelines.window import _mad_one_source
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(100, 200, size=500).astype(np.int64)
+    v[7] = 5000  # a gross outlier
+    v[300] = 1
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(500, dtype=np.int64) * 60, "sum": v}
+    )
+    out = _mad_one_source(obs, "s", 3.0)
+    med = np.median(v.astype(np.float64))
+    mad = np.median(np.abs(v - med))
+    expect_ts = obs["bucket_ts"].to_numpy()[np.abs(v - med) > 3.0 * mad]
+    np.testing.assert_array_equal(out["bucket_ts"].to_numpy(), expect_ts)
+    assert 5000 in out["sum_tok"].tolist() and 1 in out["sum_tok"].tolist()
+
+
+def test_mad_zero_spread_flags_nothing():
+    from datafiller_ray.pipelines.window import _mad_one_source
+
+    # >50% of buckets share one value -> MAD 0 -> nothing flagged, even
+    # though extreme values exist
+    v = np.array([7] * 10 + [10**6], dtype=np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(v.size, dtype=np.int64) * 60, "sum": v}
+    )
+    assert len(_mad_one_source(obs, "s", 3.0)) == 0
+
+
+def test_mad_validation(ray_session, small_fixture):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import mad_outliers
+
+    with pytest.raises(EngineValueError):
+        mad_outliers(small_fixture, c=0.0)
+    with pytest.raises(EngineValueError):
+        mad_outliers(small_fixture, c=float("nan"))
