@@ -1375,6 +1375,62 @@ def _mad_outliers(sf_dir: str):
     return mad_outliers(_fixture(sf_dir), c=3.0, check_tokens=False)
 
 
+def _rolling_median(sf_dir: str):
+    """Rolling median of per-minute token sums over the last 7 observed 1m
+    buckets per source (order-statistic sliding window; IEEE-exact on
+    integer sums) — pipelines/window.rolling_median."""
+    from datafiller_ray.pipelines.window import rolling_median
+
+    return rolling_median(_fixture(sf_dir), window=7, check_tokens=False)
+
+
+def _source_trend(sf_dir: str):
+    """Per-source OLS slope/intercept/R^2 of observed 1m token sums vs the
+    grid index (exact integer moments, three pinned float expressions) —
+    pipelines/window.source_trend."""
+    from datafiller_ray.pipelines.window import source_trend
+
+    return source_trend(_fixture(sf_dir), step=60, check_tokens=False)
+
+
+def _customers_with_orders(sf_dir: str):
+    """Customers with at least one order (SQL EXISTS) —
+    pipelines/joins.semi_join: right side ships only distinct keys into
+    the exchange; left rows pass through unmultiplied."""
+    from datafiller_ray.pipelines.joins import semi_join
+
+    return semi_join(
+        _read(sf_dir, "customer"),
+        _read(sf_dir, "orders"),
+        key="c_custkey",
+        left_payload=["c_custkey", "c_name", "c_mktsegment"],
+        right_key="o_custkey",
+    )
+
+
+def _customers_no_events(sf_dir: str):
+    """Customers with no event activity (SQL NOT EXISTS) —
+    pipelines/joins.anti_join (same distinct-key exchange as semi_join)."""
+    from datafiller_ray.pipelines.joins import anti_join
+
+    return anti_join(
+        _read(sf_dir, "customer"),
+        _read(sf_dir, "events"),
+        key="c_custkey",
+        left_payload=["c_custkey", "c_name", "c_mktsegment"],
+        right_key="user_id",
+    )
+
+
+def _dedup_normalized(sf_dir: str):
+    """Case/whitespace-normalized near-exact dedup (keep min doc_id per
+    normalized-text class) — pipelines/text.normalized_dedup."""
+    from datafiller_ray.pipelines.text import normalized_dedup
+
+    ds = normalized_dedup(_read(sf_dir, "documents"))
+    return ds.select_columns(["doc_id", "source", "n_chars"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # eagerly materialise the oracle-scale fixture so oracle_sql()'s
     # read_parquet path exists no matter which side the driver runs first
@@ -1472,6 +1528,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _approx_quantiles,
         "acf_1m": _acf,
         "mad_outliers": _mad_outliers,
+        "rolling_median_1m": _rolling_median,
+        "source_trend": _source_trend,
+        "customers_with_orders": _customers_with_orders,
+        "customers_no_events": _customers_no_events,
+        "dedup_normalized": _dedup_normalized,
     }
 
 
@@ -3169,5 +3230,70 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN med m USING (source) JOIN mad d USING (source)
             WHERE d.mad > 0
               AND ABS(CAST(r.sum_tok AS DOUBLE) - m.med) > 3.0 * d.mad
+        """,
+        # median() over ROWS window == quantile_cont(0.5): on integer sums
+        # each median is an integer or .5 midpoint below 2^52, IEEE-exact
+        # on both sides with no rounding absorber
+        "rolling_median_1m": f"""
+            WITH r AS ({rollup(60)})
+            SELECT source, bucket_ts, sum_tok,
+                   median(CAST(sum_tok AS DOUBLE)) OVER (
+                       PARTITION BY source ORDER BY bucket_ts
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS roll_med_tok
+            FROM r
+        """,
+        # exact integer moments over the grid index x = (ts - min_ts)/60;
+        # slope/intercept are single divisions, r2 the cast-then-multiply
+        # num^2/(d1*d2) — same pinned op order as the engine
+        "source_trend": f"""
+            WITH r AS ({rollup(60)}),
+            x AS (
+              SELECT source, sum_tok AS y,
+                     (bucket_ts - MIN(bucket_ts) OVER (PARTITION BY source))
+                         // 60 AS xi
+              FROM r),
+            m AS (
+              SELECT source, COUNT(*)::HUGEINT AS n,
+                     SUM(CAST(xi AS HUGEINT)) AS sx,
+                     SUM(CAST(y AS HUGEINT)) AS sy,
+                     SUM(CAST(xi AS HUGEINT)*xi) AS sxx,
+                     SUM(CAST(xi AS HUGEINT)*y) AS sxy,
+                     SUM(CAST(y AS HUGEINT)*y) AS syy
+              FROM x GROUP BY 1),
+            c AS (
+              SELECT source, CAST(n AS BIGINT) AS n_obs,
+                     n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1,
+                     n*syy - sy*sy AS d2, sy*sxx - sx*sxy AS inum
+              FROM m)
+            SELECT source, n_obs,
+                   FLOOR(CAST(num AS DOUBLE)/CAST(d1 AS DOUBLE)
+                         * 1000000 + 0.5)/1000000.0 AS slope_tok,
+                   FLOOR(CAST(inum AS DOUBLE)/CAST(d1 AS DOUBLE)
+                         * 1000000 + 0.5)/1000000.0 AS intercept_tok,
+                   FLOOR(CASE WHEN d2 > 0
+                              THEN (CAST(num AS DOUBLE)*CAST(num AS DOUBLE))
+                                   /(CAST(d1 AS DOUBLE)*CAST(d2 AS DOUBLE))
+                              ELSE 0.0 END * 1000000 + 0.5)/1000000.0 AS r2
+            FROM c WHERE n_obs >= 2 AND d1 > 0
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        """,
+        "customers_no_events": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+        """,
+        "dedup_normalized": r"""
+            WITH norm AS (
+              SELECT doc_id, source, n_chars,
+                     trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+',
+                                         ' ', 'g')) AS nt
+              FROM documents)
+            SELECT doc_id, source, n_chars FROM norm
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM norm GROUP BY nt)
         """,
     }

@@ -36,7 +36,14 @@ import pyarrow.compute as pc
 
 from datafiller_ray.config import EngineValueError
 
-__all__ = ["asof_join", "broadcast_join", "equi_join", "range_join"]
+__all__ = [
+    "anti_join",
+    "asof_join",
+    "broadcast_join",
+    "equi_join",
+    "range_join",
+    "semi_join",
+]
 
 
 def _arrow_schema(ds) -> pa.Schema:
@@ -407,6 +414,93 @@ def equi_join(
 
     return l_proj.union(r_proj).groupby(key).map_groups(
         per_key, batch_format="pyarrow"
+    )
+
+
+def semi_join(
+    left,
+    right,
+    *,
+    key: str,
+    left_payload,
+    right_key: "str | None" = None,
+    anti: bool = False,
+):
+    """Hash semi-join (SQL ``EXISTS``): keep each left row iff at least one
+    right row shares its key; ``anti=True`` flips to ``NOT EXISTS``. Left
+    rows pass through unchanged and are never multiplied — the membership
+    complement of :func:`equi_join`.
+
+    Scale shape: the right side ships ONLY its per-batch DISTINCT keys into
+    the exchange (8-byte rows, the partial-dedup combiner pattern), so the
+    shuffle carries |left's pruned payload| + at most |right blocks| x
+    |distinct keys per block| rows regardless of right-side duplication.
+    The per-key kernel is a presence test — group output == the group's
+    left rows, so no cross-product guard is needed.
+
+    Null keys follow SQL three-valued logic: a null never matches, so
+    null-key left rows survive only under ``anti`` (right-side null keys
+    are dropped before the exchange).
+    """
+    right_key = right_key or key
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lp = _payload_dict(left_payload, lschema, role="left")
+    if right_key not in rschema.names:
+        raise EngineValueError(f"right key column {right_key!r} not in schema")
+    key_type = lschema.field(key).type
+    l_fields = [pa.field(o, lschema.field(s).type) for o, s in lp.items()]
+    out_schema = pa.schema(l_fields)
+    _check_reserved(lp, {}, key, lschema, rschema)
+    union_fields = [
+        pa.field(key, key_type),
+        *[f for f in l_fields if f.name != key],
+        pa.field("_side", pa.int8()),
+    ]
+    union_schema = pa.schema(union_fields)
+    l_proj = _project_side(
+        left, union_fields=union_fields, src_map={key: key, **lp}, side=0
+    )
+
+    def project_right(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t[right_key].combine_chunks()).drop_null().cast(key_type)
+        n = len(keys)
+        cols = []
+        for f in union_fields:
+            if f.name == key:
+                cols.append(keys)
+            elif f.name == "_side":
+                cols.append(pa.array(np.ones(n, dtype=np.int8)))
+            else:
+                cols.append(pa.nulls(n, type=f.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    r_proj = right.map_batches(
+        project_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    empty = _empty_like(out_schema)
+    l_names = [f.name for f in l_fields]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        l_rows = np.flatnonzero(side == 0)
+        if l_rows.size == 0 or (side == 1).any() == anti:
+            return empty
+        return pa.table(
+            _take_with_validity(g, l_names, l_rows, None), schema=out_schema
+        )
+
+    return l_proj.union(r_proj).groupby(key).map_groups(
+        per_key, batch_format="pyarrow"
+    )
+
+
+def anti_join(left, right, *, key: str, left_payload, right_key: "str | None" = None):
+    """Hash anti-join (SQL ``NOT EXISTS``): left rows with NO matching right
+    key — see :func:`semi_join` for the exchange shape and null semantics."""
+    return semi_join(
+        left, right, key=key, left_payload=left_payload,
+        right_key=right_key, anti=True,
     )
 
 

@@ -47,6 +47,47 @@ def exact_dedup(documents: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# normalized (case/whitespace-insensitive) dedup
+
+
+def _normalize_series(text: pd.Series) -> pd.Series:
+    # ASCII-pinned \s (token_count_bpe precedent) so DuckDB's RE2 '\s'
+    # matches the same characters; lower() agrees on ASCII by definition
+    return (
+        text.str.lower().str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip()
+    )
+
+
+def _norm_hash_stage(batch: pd.DataFrame) -> pd.DataFrame:
+    batch = batch.copy()
+    norm = _normalize_series(batch["text"])
+    batch["_norm"] = norm
+    batch["_h"] = string_hash64(norm.to_numpy(dtype="U")).astype(np.int64)
+    return batch
+
+
+def _norm_dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+    keep = g.sort_values("doc_id").drop_duplicates("_norm", keep="first")
+    return keep.drop(columns=["_h", "_norm"])
+
+
+def normalized_dedup(documents: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Near-exact dedup after canonical text normalization (lowercase +
+    whitespace-run collapse + strip): catches the trivially-reformatted
+    duplicates byte-exact dedup misses — re-wrapped lines, case-variant
+    boilerplate — without any similarity machinery.
+
+    Same scale shape as :func:`exact_dedup`: the shuffle key is the 64-bit
+    hash OF THE NORMALIZED text (equality decided on the normalized string
+    inside the bucket, collision-proof), keep = min doc_id per class."""
+    return (
+        documents.map_batches(_norm_hash_stage, batch_format="pandas")
+        .groupby("_h")
+        .map_groups(_norm_dedup_group, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # token counting / quality / language id
 
 

@@ -899,3 +899,145 @@ def mad_outliers(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling median (order-statistic sliding window)
+
+
+def _rolling_median_one_source(
+    obs: pd.DataFrame, source: str, window: int
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    n = s.size
+    med = np.empty(n, dtype=np.float64)
+    head = min(window - 1, n)
+    for i in range(head):  # at most window-1 tiny prefix sorts per source
+        med[i] = _interp_median(np.sort(s[: i + 1]).astype(np.float64))
+    if n >= window:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        w = np.sort(sliding_window_view(s, window), axis=1).astype(np.float64)
+        pos = 0.5 * (window - 1)
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, window - 1)
+        frac = pos - lo
+        med[window - 1 :] = w[:, lo] + (w[:, hi] - w[:, lo]) * frac
+    return pd.DataFrame(
+        {
+            "source": np.full(n, source, dtype=object),
+            "bucket_ts": ts,
+            "sum_tok": s,
+            "roll_med_tok": med,
+        }
+    )
+
+
+def rolling_median(
+    input_path,
+    *,
+    window: int = 7,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Rolling MEDIAN of per-minute token sums over the last ``window``
+    observed 1m buckets per source — the order-statistic sibling of
+    ``rolling_aggregates`` (cumsum tricks cannot produce a median; full
+    windows are one vectorized ``sliding_window_view`` sort, head windows
+    ROWS-semantics prefixes like the SQL ``median() OVER`` oracle).
+
+    On integer-valued sums every median is IEEE-exact (an integer or a
+    .5 midpoint below 2^52), so no rounding absorber is needed — the
+    engine emits the raw double and still hashes identically to DuckDB's
+    ``quantile_cont(0.5)`` window.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if window < 1:
+        raise EngineValueError(f"window must be >= 1, got {window}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _rolling_median_one_source(obs, src, window),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source OLS trend
+
+
+def _trend_one_source(obs: pd.DataFrame, source: str, step: int) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    y = obs["sum"].to_numpy(np.int64)
+    n = int(ts.size)
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_obs": pd.Series([], dtype=np.int64),
+                "slope_tok": pd.Series([], dtype=np.float64),
+                "intercept_tok": pd.Series([], dtype=np.float64),
+                "r2": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    if n < 2:
+        return empty
+    x = (ts - ts[0]) // step  # grid index: small ints, gaps preserved
+    # exact integer moments, promoted to unbounded Python ints before the
+    # cross terms (acf/source_correlation precedent)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy = int(np.dot(x, x)), int(np.dot(x, y))
+    syy = int(np.dot(y, y))
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    if d1 <= 0:  # single distinct x: slope undefined
+        return empty
+    slope = float(num) / float(d1)
+    intercept = float(sy * sxx - sx * sxy) / float(d1)
+    # pinned op order shared with the oracle: cast-then-multiply
+    r2 = (float(num) * float(num)) / (float(d1) * float(d2)) if d2 > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "source": np.asarray([source], dtype=object),
+            "n_obs": np.asarray([n], dtype=np.int64),
+            "slope_tok": _round6_half_up(np.float64(slope)),
+            "intercept_tok": _round6_half_up(np.float64(intercept)),
+            "r2": _round6_half_up(np.float64(r2)),
+        }
+    )
+
+
+def source_trend(
+    input_path,
+    *,
+    step: int = 60,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source OLS trend of the observed 1m token sums against the grid
+    index ``(bucket_ts - first_ts) / step``: slope (tokens per bucket),
+    intercept, and R^2 — the drift summary that tells a corpus operator
+    which sources are growing or decaying.
+
+    All five moments (n, sum x, sum y, sum x^2, sum xy, sum y^2) are exact
+    integers; slope and intercept are single divisions of exact integers
+    (``num/d1`` and ``(sy*sxx - sx*sxy)/d1``) and R^2 is the pinned
+    ``num^2/(d1*d2)`` cast-then-multiply expression, each with the
+    engine-wide 6-decimal floor-half-up — so a DuckDB HUGEINT oracle
+    reproduces every bit. Sources with one observation or one distinct x
+    are omitted; zero-variance sources report r2 = 0.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if step < 1:
+        raise EngineValueError(f"step must be >= 1, got {step}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _trend_one_source(obs, src, step),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

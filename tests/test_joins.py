@@ -383,3 +383,122 @@ def test_broadcast_join_inner_left_and_guards(ray_session):
     with pytest.raises(EngineValueError, match="max_small_rows"):
         broadcast_join(big, dim, key="k", small_payload={"name": "name"},
                        max_small_rows=2)
+
+
+# ---------------------------------------------------------------------------
+# semi / anti join
+
+
+def _semi_frames(seed=3):
+    rng = np.random.default_rng(seed)
+    L = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 300),
+            "lid": np.arange(300),
+            "tag": rng.choice(["a", "b", "c"], 300),
+        }
+    )
+    # right side: heavy duplication + keys outside the left range + nulls
+    R = pd.DataFrame({"rk": rng.integers(5, 30, 5000).astype("float64")})
+    R.loc[rng.choice(5000, 200, replace=False), "rk"] = np.nan
+    return L, R
+
+
+def _rk_table(R):
+    import pyarrow as pa
+
+    return pa.table({"rk": pa.array(
+        [None if np.isnan(v) else int(v) for v in R["rk"]], type=pa.int64()
+    )})
+
+
+def test_semi_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from datafiller_ray.pipelines.joins import semi_join
+
+    L, R = _semi_frames()
+    out = (
+        semi_join(
+            ray.data.from_pandas(L),
+            ray.data.from_arrow(_rk_table(R)),
+            key="k",
+            left_payload=["k", "lid", "tag"],
+            right_key="rk",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            "SELECT k, lid, tag FROM L WHERE EXISTS "
+            "(SELECT 1 FROM R WHERE R.rk = L.k) ORDER BY lid"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # left rows are never multiplied
+    assert out["lid"].is_unique
+
+
+def test_anti_join_matches_duckdb_and_ignores_null_right_keys(ray_session):
+    import duckdb
+
+    from datafiller_ray.pipelines.joins import anti_join
+
+    L, R = _semi_frames(seed=9)
+    out = (
+        anti_join(
+            ray.data.from_pandas(L),
+            ray.data.from_arrow(_rk_table(R)),
+            key="k",
+            left_payload=["k", "lid", "tag"],
+            right_key="rk",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            "SELECT k, lid, tag FROM L WHERE NOT EXISTS "
+            "(SELECT 1 FROM R WHERE R.rk = L.k) ORDER BY lid"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # semi + anti partition the left side
+    from datafiller_ray.pipelines.joins import semi_join
+
+    semi_n = semi_join(
+        ray.data.from_pandas(L),
+        ray.data.from_arrow(_rk_table(R)),
+        key="k",
+        left_payload=["k", "lid", "tag"],
+        right_key="rk",
+    ).count()
+    assert semi_n + len(out) == len(L)
+
+
+def test_semi_join_validation(ray_session):
+    from datafiller_ray.pipelines.joins import semi_join
+
+    L = pd.DataFrame({"k": [1], "v": [2]})
+    with pytest.raises(EngineValueError):
+        semi_join(
+            ray.data.from_pandas(L),
+            ray.data.from_pandas(L),
+            key="k",
+            left_payload=["k", "v"],
+            right_key="nope",
+        )
+    with pytest.raises(EngineValueError):
+        semi_join(
+            ray.data.from_pandas(L),
+            ray.data.from_pandas(L),
+            key="k",
+            left_payload={"_side": "v"},
+        )

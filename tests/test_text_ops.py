@@ -301,3 +301,35 @@ def test_image_decoder_seam(ray_session):
         assert len(out_auto) == 12
     with pytest.raises(ValueError):
         multimodal.resolve_image_decoder("bogus")
+
+
+def test_normalized_dedup_catches_reformatted_duplicates(ray_session):
+    from datafiller_ray.pipelines.text import exact_dedup, normalized_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["s"] * 6,
+            "text": [
+                "the quick brown fox",
+                "The  Quick   Brown Fox",      # case + runs: dup of 0
+                "\tthe quick brown fox \n",    # padding: dup of 0
+                "the quick brown foxes",       # distinct
+                "THE QUICK BROWN FOXES",       # case: dup of 3
+                "a different document",
+            ],
+            "n_chars": np.arange(6, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    norm = normalized_dedup(ds).to_pandas()
+    assert sorted(norm.doc_id) == [0, 3, 5]
+    # byte-exact dedup keeps everything here — the operators differ
+    assert len(exact_dedup(ds).to_pandas()) == 6
+
+
+def test_normalize_series_ascii_whitespace_only():
+    from datafiller_ray.pipelines.text import _normalize_series
+
+    s = pd.Series(["A  B"])  # NBSP is NOT \s under the ASCII pin
+    assert _normalize_series(s).iloc[0] == "a  b"

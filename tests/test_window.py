@@ -505,3 +505,105 @@ def test_mad_validation(ray_session, small_fixture):
         mad_outliers(small_fixture, c=0.0)
     with pytest.raises(EngineValueError):
         mad_outliers(small_fixture, c=float("nan"))
+
+
+# ---------------------------------------------------------------------------
+# rolling median
+
+
+def test_rolling_median_one_source_matches_pandas():
+    from datafiller_ray.pipelines.window import _rolling_median_one_source
+
+    rng = np.random.default_rng(11)
+    for n in (1, 3, 6, 7, 8, 40):
+        obs = pd.DataFrame(
+            {
+                "bucket_ts": np.arange(n, dtype=np.int64) * 60,
+                "sum": rng.integers(0, 10_000, n).astype(np.int64),
+            }
+        )
+        out = _rolling_median_one_source(obs, "s", window=7)
+        expect = (
+            pd.Series(obs["sum"].astype(np.float64))
+            .rolling(7, min_periods=1)
+            .median()
+            .to_numpy()
+        )
+        np.testing.assert_array_equal(out["roll_med_tok"].to_numpy(), expect)
+
+
+def test_rolling_median_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import rolling_median
+
+    out = rolling_median(small_fixture, window=5).to_pandas()
+    assert set(out.columns) == {"source", "bucket_ts", "sum_tok", "roll_med_tok"}
+    # medians of int data are always k or k + 0.5
+    frac = out["roll_med_tok"].to_numpy() % 0.5
+    np.testing.assert_array_equal(frac, np.zeros(len(out)))
+    # window=1: the median IS the value
+    ident = rolling_median(small_fixture, window=1).to_pandas()
+    np.testing.assert_array_equal(
+        ident["roll_med_tok"].to_numpy(), ident["sum_tok"].to_numpy(np.float64)
+    )
+
+
+def test_rolling_median_validation(ray_session, small_fixture):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import rolling_median
+
+    with pytest.raises(EngineValueError):
+        rolling_median(small_fixture, window=0)
+
+
+# ---------------------------------------------------------------------------
+# per-source OLS trend
+
+
+def test_trend_one_source_matches_polyfit():
+    from datafiller_ray.pipelines.window import _trend_one_source
+
+    rng = np.random.default_rng(5)
+    ts = (np.sort(rng.choice(2000, 300, replace=False)) * 60).astype(np.int64)
+    y = (
+        50 + 0.8 * ((ts - ts[0]) // 60) + rng.integers(-20, 20, ts.size)
+    ).astype(np.int64)
+    out = _trend_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": y}), "s", step=60
+    )
+    x = (ts - ts[0]) // 60
+    slope, intercept = np.polyfit(x.astype(float), y.astype(float), 1)
+    assert abs(out["slope_tok"].iloc[0] - slope) < 1e-6
+    assert abs(out["intercept_tok"].iloc[0] - intercept) < 1e-6
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(out["r2"].iloc[0] - r * r) < 1e-6
+
+
+def test_trend_degenerate_sources():
+    from datafiller_ray.pipelines.window import _trend_one_source
+
+    # single observation: omitted
+    one = _trend_one_source(
+        pd.DataFrame({"bucket_ts": [60], "sum": [5]}).astype(np.int64), "s", step=60
+    )
+    assert len(one) == 0
+    # constant series: slope 0, r2 defined as 0
+    ts = np.arange(10, dtype=np.int64) * 60
+    flat = _trend_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": np.full(10, 7, np.int64)}),
+        "s",
+        step=60,
+    )
+    assert flat["slope_tok"].iloc[0] == 0.0
+    assert flat["intercept_tok"].iloc[0] == 7.0
+    assert flat["r2"].iloc[0] == 0.0
+
+
+def test_source_trend_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import source_trend
+
+    out = source_trend(small_fixture).to_pandas()
+    assert set(out.columns) == {
+        "source", "n_obs", "slope_tok", "intercept_tok", "r2"
+    }
+    assert (out["r2"] >= 0).all() and (out["r2"] <= 1 + 1e-9).all()
+    assert out["source"].is_unique
