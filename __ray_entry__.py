@@ -1431,6 +1431,34 @@ def _dedup_normalized(sf_dir: str):
     return ds.select_columns(["doc_id", "source", "n_chars"])
 
 
+def _token_diversity(sf_dir: str):
+    """Per-doc distinct-token fraction over the pre-tokenized contract
+    table (flatten + one (row, token) sort per batch, zero shuffles) —
+    pipelines/corpus.token_diversity."""
+    from datafiller_ray.pipelines.corpus import token_diversity
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return token_diversity(read_input(_fixture(sf_dir), with_tokens=True))
+
+
+def _winsorize(sf_dir: str):
+    """Per-source interquartile winsorization of observed 1m token sums
+    (binary-fraction quantiles: IEEE-exact band edges in any op order) —
+    pipelines/window.winsorize."""
+    from datafiller_ray.pipelines.window import winsorize
+
+    return winsorize(_fixture(sf_dir), q_lo=0.25, q_hi=0.75, check_tokens=False)
+
+
+def _ntile_volume(sf_dir: str):
+    """Per-source NTILE(4) load-quartile labels over observed 1m buckets
+    (value asc, bucket_ts asc ties; SQL fill rule) —
+    pipelines/window.ntile_volume."""
+    from datafiller_ray.pipelines.window import ntile_volume
+
+    return ntile_volume(_fixture(sf_dir), n_tiles=4, check_tokens=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # eagerly materialise the oracle-scale fixture so oracle_sql()'s
     # read_parquet path exists no matter which side the driver runs first
@@ -1533,6 +1561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": _customers_with_orders,
         "customers_no_events": _customers_no_events,
         "dedup_normalized": _dedup_normalized,
+        "token_diversity": _token_diversity,
+        "winsorize_1m": _winsorize,
+        "ntile_volume_1m": _ntile_volume,
     }
 
 
@@ -3286,6 +3317,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)
+        """,
+        "token_diversity": f"""
+            SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+                   CASE WHEN n_tok > 0
+                        THEN FLOOR(CAST(len(list_distinct(tokens)) AS DOUBLE)
+                                   / n_tok * 1000000 + 0.5)/1000000.0
+                        ELSE 0.0 END AS diversity
+            FROM read_parquet('{p}/*.parquet')
+        """,
+        # binary-fraction quantiles (0.25/0.75): q*(n-1) and the interp
+        # weights are IEEE-exact in any op order, so band edges and clip
+        # comparisons match bit-for-bit with no absorber
+        "winsorize_1m": f"""
+            WITH r AS ({rollup(60)}),
+            band AS (
+              SELECT source,
+                     quantile_cont(CAST(sum_tok AS DOUBLE), 0.25) AS lo_tok,
+                     quantile_cont(CAST(sum_tok AS DOUBLE), 0.75) AS hi_tok
+              FROM r GROUP BY 1)
+            SELECT r.source, r.bucket_ts, r.sum_tok, b.lo_tok, b.hi_tok,
+                   LEAST(GREATEST(CAST(r.sum_tok AS DOUBLE), b.lo_tok),
+                         b.hi_tok) AS wins_tok
+            FROM r JOIN band b USING (source)
+        """,
+        "ntile_volume_1m": f"""
+            WITH r AS ({rollup(60)})
+            SELECT source, bucket_ts, sum_tok,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY source ORDER BY sum_tok, bucket_ts
+                   ) AS BIGINT) AS tile
+            FROM r
         """,
         "dedup_normalized": r"""
             WITH norm AS (

@@ -45,6 +45,7 @@ __all__ = [
     "budget_sample",
     "token_moments",
     "approx_quantiles",
+    "token_diversity",
 ]
 
 _U64 = 1 << 64
@@ -756,3 +757,56 @@ def approx_quantiles(
         strata_col=strata_col,
     )
     return source_quantiles(sample, value_col=value_col, qs=qs, strata_col=strata_col)
+
+
+# -- per-document token diversity (distinct-token fraction) ------------------
+
+
+def _diversity_batch(t: "pa.Table") -> "pa.Table":
+    arr = t["tokens"].combine_chunks()
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(pc.list_flatten(arr)).astype(np.int64)
+    # distinct count per row without a row loop: tag each token with its
+    # row id, count boundary transitions of the (row, token)-sorted stream
+    row = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    if flat.size:
+        key = row * (np.int64(1) << np.int64(32)) + flat  # token ids < 2^31
+        key.sort(kind="stable")
+        new = np.empty(key.size, dtype=bool)
+        new[0] = True
+        np.not_equal(key[1:], key[:-1], out=new[1:])
+        n_distinct = np.bincount(
+            (key[new] >> np.int64(32)), minlength=lens.size
+        ).astype(np.int64)
+    else:
+        n_distinct = np.zeros(lens.size, dtype=np.int64)
+    div = np.zeros(lens.size, dtype=np.float64)
+    nz = lens > 0
+    div[nz] = np.floor(n_distinct[nz] / lens[nz] * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "n_tok": pa.array(lens),
+            "n_distinct": pa.array(n_distinct),
+            "diversity": pa.array(div),
+        }
+    )
+
+
+def token_diversity(ds) -> "object":
+    """Per-document distinct-token fraction over the pre-tokenized sequence
+    table: ``n_distinct / n_tok`` — the repetition-compressibility signal
+    (a doc whose tokens are mostly repeats carries less training signal
+    than its length suggests).
+
+    Pure map, zero shuffles: per batch the Arrow list column flattens once,
+    each token is tagged with its row id, and one sort of the (row, token)
+    keys counts boundary transitions per row — no Python loop over rows.
+    The ratio is the single pinned division with the engine-wide 6-decimal
+    floor-half-up, so DuckDB's ``len(list_distinct(tokens))`` oracle hashes
+    identically. Token ids must be < 2^31 (int32 contract column).
+    """
+    return ds.map_batches(
+        _diversity_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

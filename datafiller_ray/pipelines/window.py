@@ -1041,3 +1041,129 @@ def source_trend(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorization at binary-fraction quantiles
+
+
+def _interp_quantile(x_sorted: np.ndarray, q: float) -> float:
+    """SQL ``quantile_cont(q)``: pos = q*(n-1), linear between bracketing
+    order statistics — the generalization of :func:`_interp_median`."""
+    n = x_sorted.size
+    pos = q * (n - 1)
+    lo = int(np.floor(pos))
+    hi = min(lo + 1, n - 1)
+    frac = pos - lo
+    return float(x_sorted[lo] + (x_sorted[hi] - x_sorted[lo]) * frac)
+
+
+def _winsorize_one_source(
+    obs: pd.DataFrame, source: str, q_lo: float, q_hi: float
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    v = obs["sum"].to_numpy(np.int64).astype(np.float64)
+    xs = np.sort(v)
+    lo = _interp_quantile(xs, q_lo)
+    hi = _interp_quantile(xs, q_hi)
+    return pd.DataFrame(
+        {
+            "source": np.full(v.size, source, dtype=object),
+            "bucket_ts": ts,
+            "sum_tok": obs["sum"].to_numpy(np.int64),
+            "lo_tok": np.full(v.size, lo),
+            "hi_tok": np.full(v.size, hi),
+            "wins_tok": np.minimum(np.maximum(v, lo), hi),
+        }
+    )
+
+
+def winsorize(
+    input_path,
+    *,
+    q_lo: float = 0.25,
+    q_hi: float = 0.75,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source winsorization of the observed 1m token sums: clip each
+    bucket's value into the ``[quantile(q_lo), quantile(q_hi)]`` band — the
+    outlier-robust preprocessing step before trend/correlation passes.
+
+    Exactness contract: ``q_lo``/``q_hi`` must be BINARY fractions
+    (k/2^m, e.g. 0.25, 0.5, 0.75, 0.375) so ``q*(n-1)`` and the
+    interpolation weights are IEEE-exact in ANY op order — then on integer
+    data the band edges and every clip comparison are bit-identical to
+    DuckDB's ``quantile_cont`` regardless of how either engine orders the
+    float ops (non-binary fractions like 0.05 drift ~1e-13 between
+    engines, which a comparison can straddle; source_quantiles handles
+    those with a rounding absorber instead). Enforced at validation.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    for q in (q_lo, q_hi):
+        if not (0.0 <= q <= 1.0) or (q * 4096.0) != float(int(q * 4096.0)):
+            raise EngineValueError(
+                f"quantile {q} must be a binary fraction k/4096 in [0, 1] "
+                "(exactness contract; see winsorize docstring)"
+            )
+    if q_lo > q_hi:
+        raise EngineValueError(f"q_lo {q_lo} > q_hi {q_hi}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _winsorize_one_source(obs, src, q_lo, q_hi),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source ntile bucketing
+
+
+def _ntile_one_source(obs: pd.DataFrame, source: str, n_tiles: int) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    v = obs["sum"].to_numpy(np.int64)
+    n = v.size
+    # SQL NTILE order: value asc, bucket_ts asc (deterministic ties)
+    order = np.lexsort((ts, v))
+    # first (n % k) tiles get the extra row, exactly NTILE's rule
+    base, extra = divmod(n, n_tiles)
+    sizes = np.full(n_tiles, base, dtype=np.int64)
+    sizes[:extra] += 1
+    tile_of_rank = np.repeat(np.arange(1, n_tiles + 1, dtype=np.int64), sizes)
+    tiles = np.empty(n, dtype=np.int64)
+    tiles[order] = tile_of_rank
+    return pd.DataFrame(
+        {
+            "source": np.full(n, source, dtype=object),
+            "bucket_ts": ts,
+            "sum_tok": v,
+            "tile": tiles,
+        }
+    )
+
+
+def ntile_volume(
+    input_path,
+    *,
+    n_tiles: int = 4,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source NTILE bucketing of observed 1m buckets by token volume:
+    rank each bucket within its source (value asc, bucket_ts asc for
+    deterministic ties) and split the ranking into ``n_tiles`` groups with
+    SQL NTILE's fill rule (the first ``n % n_tiles`` tiles take the extra
+    row) — the load-quartile label used for tier placement decisions.
+    Integer-exact end to end."""
+    from datafiller_ray.config import EngineValueError
+
+    if n_tiles < 1:
+        raise EngineValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _ntile_one_source(obs, src, n_tiles),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -406,3 +406,35 @@ def test_approx_quantiles_block_layout_invariant(ray_session):
     a = a.sort_values("source").reset_index(drop=True)
     b = b.sort_values("source").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_diversity_matches_python_sets(ray_session):
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.corpus import token_diversity
+
+    rng = np.random.default_rng(33)
+    rows = [rng.integers(0, 50, rng.integers(1, 40)).astype(np.int32) for _ in range(200)]
+    rows.append(np.array([], dtype=np.int32))  # empty token list
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(len(rows))]),
+            "source": pa.array(["s"] * len(rows)),
+            "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+            "tokens": pa.array([r.tolist() for r in rows], type=pa.list_(pa.int32())),
+        }
+    )
+    out = (
+        token_diversity(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp_distinct = np.array([len(set(r.tolist())) for r in rows], dtype=np.int64)
+    np.testing.assert_array_equal(out["n_distinct"].to_numpy(), exp_distinct)
+    exp_div = np.where(
+        np.array([len(r) for r in rows]) > 0,
+        np.floor(exp_distinct / np.maximum([len(r) for r in rows], 1) * 1e6 + 0.5) / 1e6,
+        0.0,
+    )
+    np.testing.assert_array_equal(out["diversity"].to_numpy(), exp_div)

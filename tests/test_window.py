@@ -607,3 +607,73 @@ def test_source_trend_end_to_end(ray_session, small_fixture):
     }
     assert (out["r2"] >= 0).all() and (out["r2"] <= 1 + 1e-9).all()
     assert out["source"].is_unique
+
+
+# ---------------------------------------------------------------------------
+# winsorize / ntile
+
+
+def test_winsorize_one_source_brute_force():
+    from datafiller_ray.pipelines.window import _winsorize_one_source
+
+    rng = np.random.default_rng(21)
+    v = rng.integers(0, 1000, 101).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(101, dtype=np.int64) * 60, "sum": v}
+    )
+    out = _winsorize_one_source(obs, "s", 0.25, 0.75)
+    lo = np.quantile(v.astype(float), 0.25, method="linear")
+    hi = np.quantile(v.astype(float), 0.75, method="linear")
+    np.testing.assert_allclose(out["lo_tok"].iloc[0], lo)
+    np.testing.assert_allclose(out["hi_tok"].iloc[0], hi)
+    np.testing.assert_array_equal(
+        out["wins_tok"].to_numpy(), np.clip(v.astype(float), lo, hi)
+    )
+
+
+def test_winsorize_validation(ray_session, small_fixture):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import winsorize
+
+    for bad in (dict(q_lo=0.05), dict(q_hi=1.5), dict(q_lo=0.75, q_hi=0.25)):
+        with pytest.raises(EngineValueError):
+            winsorize(small_fixture, **bad)
+    # binary fractions beyond the quartiles are accepted
+    out = winsorize(small_fixture, q_lo=0.125, q_hi=0.875).to_pandas()
+    assert (out["wins_tok"] >= out["lo_tok"] - 1e-12).all()
+    assert (out["wins_tok"] <= out["hi_tok"] + 1e-12).all()
+
+
+def test_ntile_one_source_fill_rule():
+    from datafiller_ray.pipelines.window import _ntile_one_source
+
+    # n = 10, k = 4 -> sizes 3,3,2,2 in rank order
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(10, dtype=np.int64) * 60,
+            "sum": np.arange(10, dtype=np.int64) * 10,  # already sorted
+        }
+    )
+    out = _ntile_one_source(obs, "s", 4)
+    assert out["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # ties broken by bucket_ts asc
+    tied = pd.DataFrame(
+        {"bucket_ts": np.array([60, 0], dtype=np.int64),
+         "sum": np.array([5, 5], dtype=np.int64)}
+    )
+    t2 = _ntile_one_source(tied, "s", 2).set_index("bucket_ts")["tile"]
+    assert t2[0] == 1 and t2[60] == 2
+
+
+def test_ntile_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import ntile_volume
+
+    out = ntile_volume(small_fixture, n_tiles=4).to_pandas()
+    # every source's tiles are 1..4 and sizes differ by at most one
+    for _, g in out.groupby("source"):
+        counts = g["tile"].value_counts()
+        assert counts.max() - counts.min() <= 1
+        assert set(g["tile"]) <= {1, 2, 3, 4}
+    with pytest.raises(EngineValueError):
+        ntile_volume(small_fixture, n_tiles=0)
