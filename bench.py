@@ -245,6 +245,14 @@ def run_bench() -> dict:
         verify_near_dup_pairs(docs, pairs, threshold=0.5).count()
 
     timed("near_dup_jaccard", near_dup_verified)
+
+    from datafiller_ray.pipelines.hygiene import substring_dup
+
+    def substring_windows():
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        substring_dup(docs, n=8).count()
+
+    timed("substring_dup", substring_windows)
     # n_planes scales with corpus size to hold bucket width O(1)
     timed(
         "embedding_near_dup_lsh",

@@ -215,15 +215,12 @@ def vocab_topk(docs, *, k: int = 100):
     per-block top-k -> one final combine over <= k * n_blocks rows."""
     if k <= 0:
         raise EngineValueError("k must be positive")
+    from datafiller_ray.stages.exchange import grouped_sum
+
     partial = docs.map_batches(
         _VocabPartial, batch_format="pyarrow", concurrency=(1, 8)
     )
-    summed = partial.groupby("tok").sum("cnt")
-
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["tok", "cnt"])
-
-    counts = summed.map_batches(rename, batch_format="pyarrow")
+    counts = grouped_sum(partial, "tok", "cnt")
     pruned = counts.map_batches(_topk_block(k), batch_format="pyarrow")
     return pruned.repartition(1).map_batches(_topk_block(k), batch_format="pyarrow")
 
@@ -510,15 +507,12 @@ def bigram_topk(ds, *, k: int = 100, vocab_size: int = 50_000):
         raise EngineValueError("k must be positive")
     if vocab_size <= 0 or vocab_size * vocab_size >= 1 << 63:
         raise EngineValueError(f"vocab_size out of int64-exact range: {vocab_size}")
+    from datafiller_ray.stages.exchange import grouped_sum
+
     partial = ds.map_batches(
         _bigram_partial(vocab_size), batch_format="pyarrow", zero_copy_batch=True
     )
-    summed = partial.groupby("pair").sum("cnt")
-
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["pair", "cnt"])
-
-    counts = summed.map_batches(rename, batch_format="pyarrow")
+    counts = grouped_sum(partial, "pair", "cnt")
     pruned = counts.map_batches(_topk_pairs_block(k), batch_format="pyarrow")
     top = pruned.repartition(1).map_batches(_topk_pairs_block(k), batch_format="pyarrow")
 

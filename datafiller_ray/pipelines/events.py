@@ -548,8 +548,10 @@ def cohort_retention(
     slim = events.map_batches(
         project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+    from datafiller_ray.stages.exchange import grouped_sum
+
     pairs = slim.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    counted = pairs.groupby(["cohort_period", "period_offset"]).sum("one")
+    counted = grouped_sum(pairs, ["cohort_period", "period_offset"], "one")
     return counted.map_batches(
-        lambda b: b.rename(columns={"sum(one)": "n_active"}), batch_format="pandas"
+        lambda b: b.rename(columns={"one": "n_active"}), batch_format="pandas"
     )

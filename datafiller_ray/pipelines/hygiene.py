@@ -143,7 +143,9 @@ def decontaminate(
         fn_constructor_args=(bench_ref, n, holdout_mod),
         batch_format="pandas",
         concurrency=(1, 4),
-        batch_size=4096,
+        # per-doc text stages: small batches so the pool parallelizes even
+        # on a 5k-doc table (4096-doc batches -> 2 tasks total)
+        batch_size=512,
     )
 
 
@@ -190,7 +192,9 @@ def doc_repetition(documents: "ray.data.Dataset", *, n: int = 3) -> "ray.data.Da
         fn_constructor_args=(n,),
         batch_format="pandas",
         concurrency=(1, 4),
-        batch_size=4096,
+        # per-doc text stages: small batches so the pool parallelizes even
+        # on a 5k-doc table (4096-doc batches -> 2 tasks total)
+        batch_size=512,
     )
 
 
@@ -264,7 +268,9 @@ def unigram_logprob(documents: "ray.data.Dataset") -> "ray.data.Dataset":
         fn_constructor_args=(logp_ref,),
         batch_format="pandas",
         concurrency=(1, 4),
-        batch_size=4096,
+        # per-doc text stages: small batches so the pool parallelizes even
+        # on a 5k-doc table (4096-doc batches -> 2 tasks total)
+        batch_size=512,
     )
 
 
@@ -389,7 +395,9 @@ def pii_scrub(documents: "ray.data.Dataset") -> "ray.data.Dataset":
         PiiScrubber,
         batch_format="pandas",
         concurrency=(1, 4),
-        batch_size=4096,
+        # per-doc text stages: small batches so the pool parallelizes even
+        # on a 5k-doc table (4096-doc batches -> 2 tasks total)
+        batch_size=512,
     )
 
 
@@ -399,9 +407,10 @@ def pii_scrub(documents: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def _window_totals(n: int):
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.reset_index(drop=True)
-        doc_pos, _ = word_grams(batch["text"], n)
-        nw = np.bincount(doc_pos, minlength=len(batch)).astype(np.int64)
+        # window count is just max(n_words - n + 1, 0): one vectorized
+        # token count, no gram materialization in this pass
+        words = batch["text"].str.count(r"\S+").to_numpy(np.int64)
+        nw = np.maximum(words - (n - 1), 0)
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].to_numpy(np.int64), "nw": nw}
         )
@@ -450,15 +459,29 @@ def _window_partial(n: int, n_buckets: int):
 
 
 def _shared_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    # the hash only ROUTES grams; equality is decided on the gram string,
-    # so hash collisions cannot merge distinct windows
-    nd = g.groupby("g")["doc_id"].transform("nunique")
-    dup = g[nd.to_numpy() > 1]
-    per = dup.groupby("doc_id", as_index=False)["npos"].sum()
+    # the hash only ROUTES grams; equality is decided on the gram string
+    # (factorize), so hash collisions cannot merge distinct windows. Each
+    # (gram, doc) pair is GLOBALLY unique — a doc's grams are built in one
+    # batch and the partial collapsed within-batch repeats — so the
+    # distinct-doc count per gram is simply its row count here. All-numpy
+    # per call: this fn runs once per coarse bucket, and pandas
+    # groupby/transform per call was the dominant cost of the operator.
+    codes, _ = pd.factorize(g["g"].to_numpy(dtype=object), sort=False)
+    nd = np.bincount(codes)
+    dup = nd[codes] > 1
+    if not dup.any():
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "ns": pd.Series([], dtype=np.int64),
+            }
+        )
+    dcodes, duniq = pd.factorize(g["doc_id"].to_numpy(np.int64)[dup], sort=False)
+    ns = np.bincount(dcodes, weights=g["npos"].to_numpy(np.int64)[dup])
     return pd.DataFrame(
         {
-            "doc_id": per["doc_id"].to_numpy(np.int64),
-            "ns": per["npos"].to_numpy(np.int64),
+            "doc_id": duniq.astype(np.int64),
+            "ns": ns.astype(np.int64),
         }
     )
 
@@ -503,7 +526,10 @@ def substring_dup(
     )
     shared = (
         documents.map_batches(
-            _window_partial(n, n_buckets), batch_format="pandas", batch_size=4096
+            # SMALL batches: gram explosion is the heavy stage (~2 ms/doc,
+            # ~50x fan-out) — a 4096-doc batch serializes the whole table
+            # into 2 tasks; 256 docs/task keeps every core busy
+            _window_partial(n, n_buckets), batch_format="pandas", batch_size=256
         )
         .groupby("gb")
         .map_groups(_shared_in_bucket, batch_format="pandas")
@@ -521,16 +547,18 @@ def substring_dup(
              "ns": b["ns"]}
         )
 
-    merged = (
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    merged = grouped_sum(
         totals.map_batches(tag_totals, batch_format="pandas")
-        .union(shared.map_batches(tag_shared, batch_format="pandas"))
-        .groupby("doc_id")
-        .sum(["nw", "ns"])
+        .union(shared.map_batches(tag_shared, batch_format="pandas")),
+        "doc_id",
+        ["nw", "ns"],
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
-        nw = b["sum(nw)"].to_numpy(np.int64)
-        ns = b["sum(ns)"].to_numpy(np.int64)
+        nw = b["nw"].to_numpy(np.int64)
+        ns = b["ns"].to_numpy(np.int64)
         frac = np.where(
             nw > 0, np.round(ns / np.maximum(nw, 1), 6), 0.0
         )

@@ -472,10 +472,11 @@ def cms_heavy_hitters(
             }
         )
 
+    from datafiller_ray.stages.exchange import grouped_sum
+
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.groupby(["kind", "key1", "key2"]).sum("cnt")
-    rows = merged.to_pandas()
-    rows.columns = ["kind", "key1", "key2", "cnt"]
+    rows = grouped_sum(partials, ["kind", "key1", "key2"], "cnt").to_pandas()
+    rows = rows[["kind", "key1", "key2", "cnt"]]
 
     exact = rows[rows["kind"] == 0]
     toks = exact["key1"].to_numpy(np.int64)

@@ -1,0 +1,84 @@
+"""Coarse-keyed exact groupby-sum — the engine's replacement for Ray Data's
+``groupby(...).sum(...)`` aggregate operator.
+
+Why: Ray's ``Aggregate`` plans ``DataContext.min_parallelism`` (default 200)
+reduce partitions regardless of data size; on a loaded box each partition
+carries ~0.1 s of task overhead, so even a 21k-row sum costs ~25 s of pure
+scheduling (measured — ``groupby().map_groups`` over the same rows is ~3 s,
+and a 64-group coarse exchange is sub-second). The fix is the engine's
+standing pattern (minhash gkey, skey sub-grouping): route rows through ONE
+sort exchange on a BOUNDED coarse key (``hash(key) % n_buckets`` — at most
+``n_buckets`` groups, so the reduce side is bounded and dense), then compute
+the exact per-key sums VECTORIZED inside each coarse group with a pandas
+groupby. Results are bit-identical to the aggregate operator: integer sums
+stay int64, groups never split across coarse buckets because the bucket is
+a pure function of the full key.
+
+Scale posture: the shuffle carries the same (key, partial) rows either way;
+``n_buckets`` bounds reduce-task count, and per-task memory is
+``|rows| / n_buckets`` on average — raise ``n_buckets`` when a single
+bucket's rows would not fit a task (the callers' rows are pre-aggregated
+partials, orders of magnitude smaller than their inputs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from datafiller_ray.config import EngineValueError
+from datafiller_ray.functions.hashing import splitmix64, string_hash64
+
+_GK = "_gk"
+
+
+def _hash_column(col: pd.Series) -> np.ndarray:
+    vals = col.to_numpy()
+    if np.issubdtype(vals.dtype, np.integer):
+        return splitmix64(vals.astype(np.int64).view(np.uint64))
+    return string_hash64(col.astype(str).to_numpy(dtype="U"))
+
+
+def grouped_sum(
+    ds,
+    keys: "list[str] | str",
+    values: "list[str] | str",
+    *,
+    n_buckets: int = 64,
+):
+    """Exact per-key sums of ``values`` grouped by ``keys``, returned as a
+    Dataset with the key columns plus the value columns UNDER THEIR OWN
+    NAMES (no ``sum(x)`` renaming dance).
+
+    Semantics match ``ds.groupby(keys).sum(values)`` exactly; the physical
+    plan is one bounded coarse-key sort exchange + a vectorized pandas sum
+    per bucket (see module docstring for why this is ~25 s faster per call
+    than Ray's aggregate operator on this substrate).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    values = [values] if isinstance(values, str) else list(values)
+    if not keys or not values:
+        raise EngineValueError("keys and values must be non-empty")
+    if _GK in keys or _GK in values:
+        raise EngineValueError(f"column name {_GK!r} is reserved")
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    def add_gk(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_column(batch[keys[0]])
+        for k in keys[1:]:
+            # order-sensitive mix so (a, b) != (b, a)
+            h = splitmix64(h + _hash_column(batch[k]))
+        batch = batch[keys + values].copy()
+        batch[_GK] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return batch
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(keys, sort=True, as_index=False)[values].sum()
+        return out
+
+    return (
+        ds.map_batches(add_gk, batch_format="pandas")
+        .groupby(_GK)
+        .map_groups(sum_bucket, batch_format="pandas")
+    )
