@@ -130,13 +130,13 @@ def decontaminate(
     def bench_slice(b: pd.DataFrame) -> pd.DataFrame:
         return b[b["doc_id"].to_numpy(np.int64) % holdout_mod == 0]
 
-    bench_grams = (
-        documents.map_batches(bench_slice, batch_format="pandas")
-        .map_batches(_bench_gram_partial(n), batch_format="pandas")
-        .groupby("g")
-        .count()
-    )
-    gram_list = [r["g"] for r in bench_grams.take_all()]
+    # per-batch distinct grams, deduped on the driver — the benchmark slice
+    # is bounded by contract, and this avoids Ray's aggregate operator
+    # (min_parallelism reduce partitions: ~25 s of scheduling for tiny data)
+    bench_grams = documents.map_batches(
+        bench_slice, batch_format="pandas"
+    ).map_batches(_bench_gram_partial(n), batch_format="pandas")
+    gram_list = list({r["g"] for r in bench_grams.take_all()})
     bench_ref = ray.put(gram_list)
     return documents.map_batches(
         _ContaminationProbe,
@@ -253,14 +253,16 @@ def unigram_logprob(documents: "ray.data.Dataset") -> "ray.data.Dataset":
     partial ``value_counts`` per batch + one small ``groupby`` combine
     (vocabulary-bounded); (2) broadcast the -ln p table and score every doc
     in a vectorized batch kernel. Output: (doc_id, n_words, mean_nll)."""
-    counts = (
-        documents.map_batches(_word_count_partial, batch_format="pandas")
-        .groupby("w")
-        .sum("cnt")
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    counts = grouped_sum(
+        documents.map_batches(_word_count_partial, batch_format="pandas"),
+        "w",
+        "cnt",
     )
     rows = counts.take_all()  # vocabulary-sized, NOT corpus-sized
     words = np.array([r["w"] for r in rows], dtype=object)
-    cnt = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
+    cnt = np.array([r["cnt"] for r in rows], dtype=np.int64)
     total = int(cnt.sum())
     logp_ref = ray.put((words, -np.log(cnt / float(total))))
     return documents.map_batches(
@@ -317,31 +319,31 @@ def tfidf_topterms(documents: "ray.data.Dataset", *, k: int = 10) -> "ray.data.D
     the source count are derived from that (vocabulary-bounded) table,
     broadcast once; ranking is a per-source ``map_groups`` top-k —
     deterministic ties ``(score DESC, w ASC)``."""
-    tf = (
-        documents.map_batches(_tf_partial, batch_format="pandas")
-        .groupby(["source", "w"])
-        .sum("tf")
-    )
-    tf = tf.map_batches(
-        lambda b: b.rename(columns={"sum(tf)": "tf"}), batch_format="pandas"
-    )
-    df_rows = (
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    tf = grouped_sum(
+        documents.map_batches(_tf_partial, batch_format="pandas"),
+        ["source", "w"],
+        "tf",
+    ).materialize()  # consumed three times below (df, n_src, ranking)
+    df_rows = grouped_sum(
         tf.map_batches(
             lambda b: pd.DataFrame({"w": b["w"], "one": np.ones(len(b), np.int64)}),
             batch_format="pandas",
-        )
-        .groupby("w")
-        .sum("one")
-        .take_all()
-    )  # vocabulary-sized
+        ),
+        "w",
+        "one",
+    ).take_all()  # vocabulary-sized
     words = np.array([r["w"] for r in df_rows], dtype=object)
-    df = np.array([r["sum(one)"] for r in df_rows], dtype=np.int64)
+    df = np.array([r["one"] for r in df_rows], dtype=np.int64)
     n_src = len(
-        tf.map_batches(
-            lambda b: pd.DataFrame({"source": pd.unique(b["source"])}),
-            batch_format="pandas",
-        )
-        .unique("source")
+        {
+            r["source"]
+            for r in tf.map_batches(
+                lambda b: pd.DataFrame({"source": pd.unique(b["source"])}),
+                batch_format="pandas",
+            ).take_all()
+        }
     )
     df_ref = ray.put((words, df))
     scored = tf.map_batches(
