@@ -1459,6 +1459,19 @@ def _ntile_volume(sf_dir: str):
     return ntile_volume(_fixture(sf_dir), n_tiles=4, check_tokens=False)
 
 
+def _split_assign(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test labels from the seeded doc-id
+    hash band (leakage-free, stable under resharding; nested with
+    stratified_sample's rate bands) — pipelines/corpus.split_assign."""
+    from datafiller_ray.pipelines.corpus import split_assign
+
+    ds = split_assign(
+        _read(sf_dir, "documents"), fractions=(0.9, 0.05, 0.05),
+        seed=_SAMPLE_SEED,
+    )
+    return ds.select_columns(["doc_id", "source", "split"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # eagerly materialise the oracle-scale fixture so oracle_sql()'s
     # read_parquet path exists no matter which side the driver runs first
@@ -1564,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_diversity": _token_diversity,
         "winsorize_1m": _winsorize,
         "ntile_volume_1m": _ntile_volume,
+        "split_assign": _split_assign,
     }
 
 
@@ -1630,6 +1644,31 @@ def _acf_sql(rollup_60: str, lags=(1, 2, 3)) -> str:
                       / SQRT(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))
                      * 1000000 + 0.5) / 1000000.0 AS acf
         FROM c WHERE n_pairs >= 3 AND d1 > 0 AND d2 > 0
+    """
+
+
+def _split_assign_sql() -> str:
+    """Splitmix CTE chain + CASE over the same cumulative uint64 cut
+    literals split_assign embeds (split_thresholds convention)."""
+    import numpy as np
+
+    from datafiller_ray.functions.hashing import splitmix64
+    from datafiller_ray.pipelines.corpus import split_thresholds
+
+    cuts = split_thresholds((0.9, 0.05, 0.05))
+    seed_mix = int(splitmix64(np.array([_SAMPLE_SEED], dtype=np.uint64))[0])
+    ctes, fin = _sql_splitmix_ctes(
+        "d", ["doc_id", "source"],
+        f"xor(CAST(doc_id AS UBIGINT), {seed_mix})", "sp",
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, source FROM documents),
+        {ctes}
+        SELECT doc_id, source,
+               CASE WHEN v < {cuts[0]}::UBIGINT THEN 'train'
+                    WHEN v < {cuts[1]}::UBIGINT THEN 'val'
+                    ELSE 'test' END AS split
+        FROM {fin}
     """
 
 
@@ -3350,6 +3389,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS tile
             FROM r
         """,
+        "split_assign": _split_assign_sql(),
         "dedup_normalized": r"""
             WITH norm AS (
               SELECT doc_id, source, n_chars,

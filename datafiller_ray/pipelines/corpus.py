@@ -46,6 +46,8 @@ __all__ = [
     "token_moments",
     "approx_quantiles",
     "token_diversity",
+    "split_assign",
+    "split_thresholds",
 ]
 
 _U64 = 1 << 64
@@ -804,3 +806,59 @@ def token_diversity(ds) -> "object":
     return ds.map_batches(
         _diversity_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- deterministic train/val/test split assignment ---------------------------
+
+
+def split_thresholds(fractions: "tuple[float, ...]") -> "list[int]":
+    """Cumulative uint64 cut points for :func:`split_assign`, computed once
+    in Python and embedded as literals in both the engine filter and the
+    SQL oracle (the ``sample_threshold`` convention) so float
+    representation can never diverge between the two sides."""
+    if not fractions or any(f <= 0.0 for f in fractions):
+        raise EngineValueError(f"fractions must be positive, got {fractions!r}")
+    total = float(sum(fractions))
+    if abs(total - 1.0) > 1e-9:
+        raise EngineValueError(f"fractions must sum to 1, got {total}")
+    cuts, acc = [], 0.0
+    for f in fractions[:-1]:
+        acc += float(f)
+        cuts.append(min(int(acc * _U64), _U64 - 1))
+    cuts.append(_U64)  # the last split takes the remainder exactly
+    if any(b <= a for a, b in zip(cuts, cuts[1:])):
+        raise EngineValueError("fractions too small to separate at 2^-64")
+    return cuts
+
+
+def split_assign(
+    docs,
+    *,
+    fractions: "tuple[float, ...]" = (0.9, 0.05, 0.05),
+    names: "tuple[str, ...]" = ("train", "val", "test"),
+    seed: int = 0,
+    id_col: str = "doc_id",
+):
+    """Deterministic train/val/test split labels: doc ``i`` lands in the
+    split whose cumulative hash band contains ``splitmix64(i ^ mix(seed))``
+    — the standard leakage-free assignment (stable under re-runs,
+    re-shards, and corpus growth: a doc's label never depends on any other
+    doc). Same seeded hash stream as ``stratified_sample``, so a
+    ``rate=f_train`` sample is EXACTLY the train split (nested-sample
+    property). Pure map, zero shuffles.
+    """
+    if len(fractions) != len(names):
+        raise EngineValueError("fractions and names must have equal length")
+    if len(set(names)) != len(names):
+        raise EngineValueError(f"split names must be unique, got {names!r}")
+    cuts = split_thresholds(tuple(fractions))
+    seed_mix = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+    labels = np.asarray(names, dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed_mix))
+        idx = np.searchsorted(np.asarray(cuts[:-1], dtype=np.uint64), h, side="right")
+        return t.append_column("split", pa.array(labels[idx], type=pa.string()))
+
+    return docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -438,3 +438,46 @@ def test_token_diversity_matches_python_sets(ray_session):
         0.0,
     )
     np.testing.assert_array_equal(out["diversity"].to_numpy(), exp_div)
+
+
+def test_split_assign_nested_with_sample_and_guards(ray_session):
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.corpus import (
+        split_assign,
+        split_thresholds,
+        stratified_sample,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10_000, dtype=np.int64)),
+            "source": pa.array(["s"] * 10_000),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = split_assign(ds, fractions=(0.9, 0.05, 0.05), seed=7).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+    # nested-sample property: rate=0.9 sample IS the train split
+    samp = set(
+        stratified_sample(ds, rate=0.9, seed=7).to_pandas()["doc_id"]
+    )
+    train = set(out[out["split"] == "train"]["doc_id"])
+    assert samp == train
+    # determinism across runs
+    again = split_assign(ds, fractions=(0.9, 0.05, 0.05), seed=7).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+    for bad in (
+        dict(fractions=(0.9, 0.1, 0.1)),
+        dict(fractions=(0.9, 0.05, 0.05), names=("a", "b")),
+        dict(fractions=(1.0, 0.0), names=("a", "b")),
+    ):
+        with pytest.raises(EngineValueError):
+            split_assign(ds, **bad)
+    assert split_thresholds((0.5, 0.5))[-1] == 1 << 64
