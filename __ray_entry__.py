@@ -1472,6 +1472,18 @@ def _split_assign(sf_dir: str):
     return ds.select_columns(["doc_id", "source", "split"])
 
 
+def _chunk_sequences(sf_dir: str):
+    """Fixed-length chunk manifest with overlap (max_len=128, overlap=16)
+    over the pre-tokenized contract table — the splitting complement of
+    pack_sequences; tokens never move — pipelines/packing.chunk_sequences."""
+    from datafiller_ray.pipelines.packing import chunk_sequences
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return chunk_sequences(
+        read_input(_fixture(sf_dir), with_tokens=False), max_len=128, overlap=16
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # eagerly materialise the oracle-scale fixture so oracle_sql()'s
     # read_parquet path exists no matter which side the driver runs first
@@ -1578,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_1m": _winsorize,
         "ntile_volume_1m": _ntile_volume,
         "split_assign": _split_assign,
+        "chunk_sequences": _chunk_sequences,
     }
 
 
@@ -3390,6 +3403,22 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "split_assign": _split_assign_sql(),
+        # integer chunk-count rule shared with chunk_counts:
+        # 1 + (n - max_len + stride - 1) // stride, stride = 128 - 16
+        "chunk_sequences": f"""
+            WITH d AS (
+              SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n
+              FROM read_parquet('{p}/*.parquet')),
+            c AS (
+              SELECT doc_id, source, n,
+                     CASE WHEN n <= 128 THEN 1
+                          ELSE 1 + (n - 128 + 111) // 112 END AS k
+              FROM d)
+            SELECT doc_id, source, i AS chunk_idx, i*112 AS tok_start,
+                   LEAST(i*112 + 128, n) AS tok_end,
+                   LEAST(i*112 + 128, n) - i*112 AS chunk_len
+            FROM c, UNNEST(generate_series(0, k - 1)) AS t(i)
+        """,
         "dedup_normalized": r"""
             WITH norm AS (
               SELECT doc_id, source, n_chars,

@@ -228,3 +228,72 @@ def pack_tokens(
 
     group_fn = _collision_safe_group_fn(one_source, chunk_span)
     return keyed.groupby(keys).map_groups(group_fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# fixed-length chunking with overlap (the flip side of packing)
+
+
+def chunk_counts(n_tok: np.ndarray, max_len: int, overlap: int) -> np.ndarray:
+    """Chunks per doc under the sliding rule: chunk ``i`` covers
+    ``[i*stride, min(i*stride + max_len, n_tok))`` with
+    ``stride = max_len - overlap``; a doc that fits is one chunk.
+    Integer arithmetic only (``1 + ceil((n_tok - max_len) / stride)`` via
+    the add-stride-minus-one trick), shared with the SQL oracle."""
+    stride = max_len - overlap
+    n = n_tok.astype(np.int64)
+    extra = np.maximum(n - max_len, 0)
+    return np.where(n <= max_len, 1, 1 + (extra + stride - 1) // stride)
+
+
+def chunk_sequences(
+    ds,
+    *,
+    max_len: int = 128,
+    overlap: int = 16,
+) -> "Dataset":
+    """Chunk MANIFEST for splitting long pre-tokenized docs into
+    fixed-length training windows with overlap — the complement of
+    :func:`pack_sequences` (packing joins short docs; chunking splits long
+    ones; real pipelines run both). Output: one row per (doc, chunk) with
+    ``(doc_id, source, chunk_idx, tok_start, tok_end, chunk_len)`` —
+    token indices only, computed from the (doc_id, n_tok) projection; the
+    ``tokens`` column never moves (materializing a chunk is a per-row
+    slice, embarrassingly parallel given this manifest).
+
+    Pure vectorized map, zero shuffles: per batch, docs fan out to chunk
+    rows through one ``repeat`` + offset-``arange``; no Python loop.
+    """
+    import pyarrow as pa
+
+    from datafiller_ray.config import EngineValueError
+
+    if max_len < 1:
+        raise EngineValueError(f"max_len must be >= 1, got {max_len}")
+    if not (0 <= overlap < max_len):
+        raise EngineValueError(
+            f"overlap must be in [0, max_len), got {overlap} for max_len={max_len}"
+        )
+    stride = max_len - overlap
+
+    def fan_out(t: "pa.Table") -> "pa.Table":
+        n = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = chunk_counts(n, max_len, overlap)
+        row = np.repeat(np.arange(n.size, dtype=np.int64), k)
+        # chunk_idx within each doc: global arange minus each doc's offset
+        off = np.concatenate([np.zeros(1, np.int64), np.cumsum(k)])[:-1]
+        cidx = np.arange(row.size, dtype=np.int64) - off[row]
+        start = cidx * stride
+        end = np.minimum(start + max_len, n[row])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(row, type=pa.int64())),
+                "source": t["source"].take(pa.array(row, type=pa.int64())),
+                "chunk_idx": pa.array(cidx),
+                "tok_start": pa.array(start),
+                "tok_end": pa.array(end),
+                "chunk_len": pa.array(end - start),
+            }
+        )
+
+    return ds.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)

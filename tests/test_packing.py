@@ -5,6 +5,7 @@ test_entry_contract[pack_sequences]."""
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data
 
 from datafiller_ray.pipelines.packing import _pack_one_source, pack_bounds
 
@@ -144,3 +145,54 @@ def test_chunked_packing_semantics(ray_session, tmp_path):
     packed = pack_tokens(str(path), max_len=512, chunk_span=span).to_pandas()
     total = int(full["n_tok"].sum())
     assert int(packed["tok_filled"].sum()) == total
+
+
+def test_chunk_counts_brute_force():
+    from datafiller_ray.pipelines.packing import chunk_counts
+
+    for max_len, ov in ((128, 16), (10, 0), (10, 9), (5, 2)):
+        stride = max_len - ov
+        for n in range(1, 400):
+            # brute force: walk chunk starts
+            s, k = 0, 0
+            while True:
+                k += 1
+                if s + max_len >= n:
+                    break
+                s += stride
+            got = chunk_counts(np.array([n]), max_len, ov)[0]
+            assert got == k, (n, max_len, ov, got, k)
+
+
+def test_chunk_sequences_manifest(ray_session):
+    import pyarrow as pa
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.packing import chunk_sequences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "source": pa.array(["s", "s", "t"]),
+            "n_tok": pa.array([5, 129, 241], type=pa.int32()),
+        }
+    )
+    out = (
+        chunk_sequences(ray.data.from_arrow(t), max_len=128, overlap=16)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert out[out.doc_id == "a"]["chunk_len"].tolist() == [5]
+    assert out[out.doc_id == "b"][["tok_start", "tok_end"]].values.tolist() == [
+        [0, 128], [112, 129],
+    ]
+    assert out[out.doc_id == "c"][["tok_start", "tok_end"]].values.tolist() == [
+        [0, 128], [112, 240], [224, 241],
+    ]
+    # every token position of each doc is covered, consecutive chunks overlap
+    for _, g in out.groupby("doc_id"):
+        assert g["tok_start"].iloc[0] == 0
+        assert (g["tok_start"].iloc[1:].to_numpy() < g["tok_end"].iloc[:-1].to_numpy()).all() or len(g) == 1
+    with pytest.raises(EngineValueError):
+        chunk_sequences(ray.data.from_arrow(t), max_len=8, overlap=8)
