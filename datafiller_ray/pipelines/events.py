@@ -528,29 +528,44 @@ def cohort_retention(
     if period_seconds < 1:
         raise EngineValueError(f"period_seconds must be >= 1, got {period_seconds}")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        periods = np.unique(g["period"].to_numpy(np.int64))
-        cohort = periods[0]
-        return pd.DataFrame(
-            {
-                "cohort_period": np.full(periods.size, cohort, np.int64),
-                "period_offset": periods - cohort,
-                "one": np.ones(periods.size, np.int64),
-            }
-        )
+    from datafiller_ray.functions.hashing import splitmix64
 
     def project(batch: pa.Table) -> pa.Table:
+        # per-batch distinct (user, period) + coarse user bucket: a
+        # user-keyed map_groups would pay one Python call PER USER
+        # (corpus-cardinality at scale); 256 hash buckets bound the group
+        # count and the per-bucket pass below is vectorized across users
         us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
         per = pc.divide(pc.divide(us, pa.scalar(1_000_000, pa.int64())),
                         pa.scalar(period_seconds, pa.int64()))
-        return pa.table({"user_id": batch["user_id"], "period": per})
+        t = pa.table({"user_id": batch["user_id"], "period": per})
+        t = t.group_by(["user_id", "period"]).aggregate([])
+        uids = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ub = (splitmix64(uids.view(np.uint64)) % np.uint64(256)).astype(np.int64)
+        return t.append_column("_ub", pa.array(ub))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of this bucket at once: sort by (user, period), find
+        # each user's first (= min) period, offsets are vectorized diffs
+        u = g["user_id"].to_numpy(np.int64)
+        per = g["period"].to_numpy(np.int64)
+        order = np.lexsort((per, u))
+        u, per = u[order], per[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (per[1:] != per[:-1])]
+        u2, p2 = u[keep], per[keep]
+        newu = np.r_[True, u2[1:] != u2[:-1]]
+        cohort = p2[newu][np.cumsum(newu) - 1]
+        cells = pd.DataFrame(
+            {"cohort_period": cohort, "period_offset": p2 - cohort}
+        ).groupby(["cohort_period", "period_offset"], as_index=False).size()
+        return cells.rename(columns={"size": "one"})
 
     slim = events.map_batches(
         project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     from datafiller_ray.stages.exchange import grouped_sum
 
-    pairs = slim.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    pairs = slim.groupby("_ub").map_groups(per_bucket, batch_format="pandas")
     counted = grouped_sum(pairs, ["cohort_period", "period_offset"], "one")
     return counted.map_batches(
         lambda b: b.rename(columns={"one": "n_active"}), batch_format="pandas"
