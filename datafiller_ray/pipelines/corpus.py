@@ -766,7 +766,12 @@ def _diversity_batch(t: "pa.Table") -> "pa.Table":
     # row id, count boundary transitions of the (row, token)-sorted stream
     row = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
     if flat.size:
-        key = row * (np.int64(1) << np.int64(32)) + flat  # token ids < 2^31
+        if int(flat.min()) < 0:
+            raise EngineValueError(
+                "token_diversity requires non-negative token ids "
+                "(packed-key row attribution breaks on negatives)"
+            )
+        key = row * (np.int64(1) << np.int64(32)) + flat  # token ids in [0, 2^31)
         key.sort(kind="stable")
         new = np.empty(key.size, dtype=bool)
         new[0] = True

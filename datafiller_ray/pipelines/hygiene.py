@@ -410,8 +410,11 @@ def pii_scrub(documents: "ray.data.Dataset") -> "ray.data.Dataset":
 def _window_totals(n: int):
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         # window count is just max(n_words - n + 1, 0): one vectorized
-        # token count, no gram materialization in this pass
-        words = batch["text"].str.count(r"\S+").to_numpy(np.int64)
+        # token count, no gram materialization in this pass (fillna first —
+        # str.count on null text yields NaN, word_grams' contract is "")
+        words = (
+            batch["text"].fillna("").str.count(r"\S+").to_numpy(np.int64)
+        )
         nw = np.maximum(words - (n - 1), 0)
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].to_numpy(np.int64), "nw": nw}

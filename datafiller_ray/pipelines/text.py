@@ -52,9 +52,13 @@ def exact_dedup(documents: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def _normalize_series(text: pd.Series) -> pd.Series:
     # ASCII-pinned \s (token_count_bpe precedent) so DuckDB's RE2 '\s'
-    # matches the same characters; lower() agrees on ASCII by definition
+    # matches the same characters; lower() agrees on ASCII by definition.
+    # strip(" ") — ASCII space ONLY, matching DuckDB trim(); bare .strip()
+    # would also eat Unicode whitespace (NBSP) the oracle keeps
     return (
-        text.str.lower().str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip()
+        text.str.lower()
+        .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+        .str.strip(" ")
     )
 
 

@@ -837,15 +837,23 @@ def acf(
 # robust (median/MAD) per-source outliers
 
 
-def _interp_median(x_sorted: np.ndarray) -> float:
-    """SQL quantile_cont(0.5) linear interpolation: pos = 0.5 * (n - 1),
-    v = lo + (hi - lo) * frac — the exact op order of source_quantiles, so
-    integer-valued inputs yield bit-exact medians on both oracle sides."""
-    n = x_sorted.size
-    pos = 0.5 * (n - 1)
+def _quantile_pos(n: int, q: float) -> "tuple[int, int, float]":
+    """THE pinned quantile_cont position rule — pos = q * (n - 1), linear
+    between the bracketing order statistics. Single source of truth: every
+    quantile expression in this module (median, MAD, rolling median,
+    winsorize bands) must derive lo/hi/frac from here so the IEEE op order
+    can never drift between call sites (the oracles hash-match only
+    because this exact sequence is mirrored in SQL)."""
+    pos = q * (n - 1)
     lo = int(np.floor(pos))
     hi = min(lo + 1, n - 1)
-    frac = pos - lo
+    return lo, hi, pos - lo
+
+
+def _interp_median(x_sorted: np.ndarray) -> float:
+    """SQL quantile_cont(0.5) via the shared :func:`_quantile_pos` rule —
+    integer-valued inputs yield bit-exact medians on both oracle sides."""
+    lo, hi, frac = _quantile_pos(x_sorted.size, 0.5)
     return float(x_sorted[lo] + (x_sorted[hi] - x_sorted[lo]) * frac)
 
 
@@ -919,10 +927,7 @@ def _rolling_median_one_source(
         from numpy.lib.stride_tricks import sliding_window_view
 
         w = np.sort(sliding_window_view(s, window), axis=1).astype(np.float64)
-        pos = 0.5 * (window - 1)
-        lo = int(np.floor(pos))
-        hi = min(lo + 1, window - 1)
-        frac = pos - lo
+        lo, hi, frac = _quantile_pos(window, 0.5)
         med[window - 1 :] = w[:, lo] + (w[:, hi] - w[:, lo]) * frac
     return pd.DataFrame(
         {
@@ -1048,13 +1053,9 @@ def source_trend(
 
 
 def _interp_quantile(x_sorted: np.ndarray, q: float) -> float:
-    """SQL ``quantile_cont(q)``: pos = q*(n-1), linear between bracketing
-    order statistics — the generalization of :func:`_interp_median`."""
-    n = x_sorted.size
-    pos = q * (n - 1)
-    lo = int(np.floor(pos))
-    hi = min(lo + 1, n - 1)
-    frac = pos - lo
+    """SQL ``quantile_cont(q)`` via the shared :func:`_quantile_pos` rule —
+    the generalization of :func:`_interp_median`."""
+    lo, hi, frac = _quantile_pos(x_sorted.size, q)
     return float(x_sorted[lo] + (x_sorted[hi] - x_sorted[lo]) * frac)
 
 

@@ -67,14 +67,18 @@ def grouped_sum(
     def add_gk(batch: pd.DataFrame) -> pd.DataFrame:
         h = _hash_column(batch[keys[0]])
         for k in keys[1:]:
-            # order-sensitive mix so (a, b) != (b, a)
-            h = splitmix64(h + _hash_column(batch[k]))
+            # order-sensitive mix: re-scramble the accumulator BEFORE adding
+            # the next key's hash, so (a, b) and (b, a) land differently
+            # (splitmix64(h_a + h_b) alone is commutative)
+            h = splitmix64(h) + _hash_column(batch[k])
         batch = batch[keys + values].copy()
         batch[_GK] = (h % np.uint64(n_buckets)).astype(np.int64)
         return batch
 
     def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(keys, sort=True, as_index=False)[values].sum()
+        # dropna=False: null keys form a group like Ray's aggregate (the
+        # pandas default silently DROPS their rows)
+        out = g.groupby(keys, sort=True, as_index=False, dropna=False)[values].sum()
         return out
 
     return (

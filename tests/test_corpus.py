@@ -481,3 +481,20 @@ def test_split_assign_nested_with_sample_and_guards(ray_session):
         with pytest.raises(EngineValueError):
             split_assign(ds, **bad)
     assert split_thresholds((0.5, 0.5))[-1] == 1 << 64
+
+
+def test_token_diversity_rejects_negative_token_ids(ray_session):
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.corpus import token_diversity
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a"]),
+            "source": pa.array(["s"]),
+            "n_tok": pa.array([2], type=pa.int32()),
+            "tokens": pa.array([[1, -1]], type=pa.list_(pa.int32())),
+        }
+    )
+    with pytest.raises(Exception, match="non-negative token ids"):
+        token_diversity(ray.data.from_arrow(t)).to_pandas()

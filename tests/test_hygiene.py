@@ -247,3 +247,24 @@ def test_substring_dup_validation(ray_session):
         substring_dup(docs, n=1)
     with pytest.raises(EngineValueError):
         substring_dup(docs, n_buckets=0)
+
+
+def test_substring_dup_null_text(ray_session):
+    from datafiller_ray.pipelines.hygiene import substring_dup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["one two three four five six seven eight", None,
+                     "one two three four five six seven eight"],
+            "source": ["s"] * 3,
+            "n_chars": np.zeros(3, np.int64),
+        }
+    )
+    out = (
+        substring_dup(ray.data.from_pandas(df), n=8)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_windows"] == 0 and out.loc[1, "shared_frac"] == 0.0
+    assert out.loc[0, "n_shared"] == 1 and out.loc[2, "n_shared"] == 1

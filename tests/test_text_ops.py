@@ -333,3 +333,14 @@ def test_normalize_series_ascii_whitespace_only():
 
     s = pd.Series(["A  B"])  # NBSP is NOT \s under the ASCII pin
     assert _normalize_series(s).iloc[0] == "a  b"
+
+
+def test_normalize_series_keeps_unicode_whitespace_like_sql_trim():
+    from datafiller_ray.pipelines.text import _normalize_series
+
+    # NBSP is neither collapsed (ASCII-pinned class) nor stripped
+    # (strip(" ") == DuckDB trim) — engine and oracle agree on keeping it
+    s = pd.Series([" hello world", " hello world "])
+    out = _normalize_series(s)
+    assert out.iloc[0] == " hello world"
+    assert out.iloc[1] == "hello world"
