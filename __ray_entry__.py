@@ -1422,6 +1422,115 @@ def _customers_no_events(sf_dir: str):
     )
 
 
+def _supplier_demand_salted(sf_dir: str):
+    """lineitem JOIN supplier on suppkey through the SKEW-SALTED exchange
+    (pipelines/joins.salted_equi_join): max_group_rows is set below the
+    ~600-row per-supplier fan-out so the hot-key census marks EVERY
+    supplier hot, left rows scatter across salt sub-groups by a hash of
+    l_orderkey, and supplier rows replicate per salt — the bounded-task
+    remedy equi_join names. Results are row-identical to the plain join
+    (pinned in tests/test_joins.py), aggregated per supplier nation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import salted_equi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "skey": t["l_suppkey"],
+                "lid": t["l_orderkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    def sup_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"skey": t["s_suppkey"], "s_nationkey": t["s_nationkey"]})
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sup = _read(sf_dir, "supplier").map_batches(
+        sup_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = salted_equi_join(
+        li,
+        sup,
+        key="skey",
+        salt_by="lid",
+        max_group_rows=32,
+        left_payload={"qty": "qty"},
+        right_payload={"s_nationkey": "s_nationkey"},
+    )
+
+    def to_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "s_nationkey": t["s_nationkey"],
+                "n_items": pa.array(np.ones(t.num_rows, np.int64)),
+                "sum_qty": t["qty"],
+            }
+        )
+
+    partial = joined.map_batches(
+        to_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_sum(partial, "s_nationkey", ["n_items", "sum_qty"], n_buckets=8)
+
+
+def _activity_order_full(sf_dir: str):
+    """FULL OUTER join of per-user event counts vs per-customer order
+    counts (pipelines/joins.equi_join how='full' — SQL USING(key)
+    semantics, null keys never match; the right-unmatched padding branch
+    is live: most ordering customers have no events)."""
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.joins import equi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def ev_proj(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {"k": t["user_id"], "n_ev": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {"k": t["o_custkey"], "n_ord": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    ev = grouped_sum(
+        _read(sf_dir, "events").map_batches(
+            ev_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "k",
+        "n_ev",
+        n_buckets=16,
+    )
+    orr = grouped_sum(
+        _read(sf_dir, "orders").map_batches(
+            ord_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "k",
+        "n_ord",
+        n_buckets=16,
+    )
+    return equi_join(
+        ev,
+        orr,
+        key="k",
+        left_payload={"k": "k", "n_ev": "n_ev"},
+        right_payload={"n_ord": "n_ord"},
+        how="full",
+    )
+
+
 def _dedup_normalized(sf_dir: str):
     """Case/whitespace-normalized near-exact dedup (keep min doc_id per
     normalized-text class) — pipelines/text.normalized_dedup."""
@@ -1585,6 +1694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_trend": _source_trend,
         "customers_with_orders": _customers_with_orders,
         "customers_no_events": _customers_no_events,
+        "supplier_demand_salted": _supplier_demand_salted,
+        "activity_order_full": _activity_order_full,
         "dedup_normalized": _dedup_normalized,
         "token_diversity": _token_diversity,
         "winsorize_1m": _winsorize,
@@ -3369,6 +3480,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)
+        """,
+        "supplier_demand_salted": """
+            SELECT s.s_nationkey,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1
+        """,
+        "activity_order_full": """
+            WITH e AS (SELECT user_id AS k, COUNT(*) AS n_ev
+                       FROM events GROUP BY 1),
+                 o AS (SELECT o_custkey AS k, COUNT(*) AS n_ord
+                       FROM orders GROUP BY 1)
+            SELECT k, e.n_ev, o.n_ord FROM e FULL JOIN o USING (k)
         """,
         "token_diversity": f"""
             SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,

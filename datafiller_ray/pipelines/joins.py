@@ -42,6 +42,7 @@ __all__ = [
     "broadcast_join",
     "equi_join",
     "range_join",
+    "salted_equi_join",
     "semi_join",
 ]
 
@@ -80,7 +81,7 @@ def _check_reserved(lp, rp, key, lschema, rschema):
     """Payload out-names may not shadow the internal columns, and may only
     reuse the key name for the key column itself (then the single union key
     column serves both roles)."""
-    reserved = {"_t", "_lo", "_hi", "_side"}
+    reserved = {"_t", "_lo", "_hi", "_side", "_salt"}
     for pd_, role in ((lp, "left"), (rp, "right")):
         for out, src in pd_.items():
             if out in reserved:
@@ -336,6 +337,94 @@ def range_join(
 _MAX_JOIN_GROUP_ROWS = 50_000_000
 
 
+def _equi_plan(left, right, *, key, left_payload, right_payload, extra_fields=()):
+    """Shared front half of the equi-join family: validate payloads, build
+    the tagged union schema (plus any ``extra_fields``, e.g. the salt
+    column), and return everything the kernels need."""
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lp = _payload_dict(left_payload, lschema, role="left")
+    rp = _payload_dict(right_payload, rschema, role="right")
+    if set(lp) & set(rp):
+        raise EngineValueError(f"payload name collision: {set(lp) & set(rp)}")
+    l_fields = [pa.field(o, lschema.field(s).type) for o, s in lp.items()]
+    r_fields = [pa.field(o, rschema.field(s).type) for o, s in rp.items()]
+    out_schema = pa.schema(l_fields + r_fields)
+    _check_reserved(lp, rp, key, lschema, rschema)
+    union_fields = [
+        pa.field(key, lschema.field(key).type),
+        *[f for f in l_fields + r_fields if f.name != key],
+        *extra_fields,
+        pa.field("_side", pa.int8()),
+    ]
+    return lp, rp, l_fields, r_fields, out_schema, union_fields
+
+
+def _make_cross_kernel(
+    *, key, how, l_fields, r_fields, out_schema, max_group_rows, label
+):
+    """Per-group kernel shared by :func:`equi_join` and
+    :func:`salted_equi_join`: emits the left x right cross product with SQL
+    inner/left/full semantics. Null keys follow three-valued logic — a null
+    never matches, so null-key rows survive only as outer-padded rows.
+    The join-key output column has SQL ``USING(key)`` semantics (coalesced:
+    present even on right-unmatched full-outer rows)."""
+    empty = _empty_like(out_schema)
+    l_names, r_names = [f.name for f in l_fields], [f.name for f in r_fields]
+
+    def left_only(g: pa.Table, l_rows: np.ndarray) -> pa.Table:
+        cols = _take_with_validity(g, l_names, l_rows, None)
+        cols.update({f.name: pa.nulls(l_rows.size, type=f.type) for f in r_fields})
+        return pa.table(cols, schema=out_schema)
+
+    def right_only(g: pa.Table, r_rows: np.ndarray) -> pa.Table:
+        idx = pa.array(r_rows, type=pa.int64())
+        cols = {}
+        for f in l_fields:
+            # USING semantics: the key column is the shared union column,
+            # so it carries the right side's value on unmatched-right rows
+            if f.name == key:
+                cols[key] = g[key].take(idx)
+            else:
+                cols[f.name] = pa.nulls(r_rows.size, type=f.type)
+        cols.update(_take_with_validity(g, r_names, r_rows, None))
+        return pa.table(cols, schema=out_schema)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        l_rows = np.flatnonzero(side == 0)
+        r_rows = np.flatnonzero(side == 1)
+        if g.column(key).null_count > 0:  # the null-key group: never matches
+            parts = []
+            if how in ("left", "full") and l_rows.size:
+                parts.append(left_only(g, l_rows))
+            if how == "full" and r_rows.size:
+                parts.append(right_only(g, r_rows))
+            return pa.concat_tables(parts) if parts else empty
+        if l_rows.size == 0:
+            if how == "full" and r_rows.size:
+                return right_only(g, r_rows)
+            return empty
+        if r_rows.size == 0:
+            if how == "inner":
+                return empty
+            return left_only(g, l_rows)
+        n_out = l_rows.size * r_rows.size
+        if n_out > max_group_rows:
+            raise EngineValueError(
+                f"{label} group for {key}={g[key][0].as_py()!r} would emit "
+                f"{n_out} rows (> max_group_rows={max_group_rows}); "
+                "pre-aggregate one side or use salted_equi_join"
+            )
+        l_idx = np.repeat(l_rows, r_rows.size)
+        r_idx = np.tile(r_rows, l_rows.size)
+        cols = _take_with_validity(g, l_names, l_idx, None)
+        cols.update(_take_with_validity(g, r_names, r_idx, None))
+        return pa.table(cols, schema=out_schema)
+
+    return per_key
+
+
 def equi_join(
     left,
     right,
@@ -350,69 +439,233 @@ def equi_join(
     exchange as the ordered joins: both sides project to the pruned tagged
     union schema, one ``groupby(key)`` co-locates each key, and the
     per-key kernel emits the left x right cross product for that key
-    (standard SQL inner/left join semantics, duplicates multiply).
+    (standard SQL inner/left/full-outer semantics, duplicates multiply;
+    the key output column follows SQL ``USING(key)`` — coalesced on
+    outer-padded rows; null keys never match).
 
     Partitioning assumption: one key's OUTPUT (|L_k| x |R_k| rows) fits in
     a task. For star-schema keys (orderkey, custkey) groups are tiny; a
     hot key whose product exceeds ``max_group_rows`` raises
     EngineValueError naming the key rather than silently OOMing the
-    worker — the remedies are pre-aggregating one side or salting the key
-    and broadcasting the smaller side's hot rows.
+    worker — the remedy is :func:`salted_equi_join`, which splits hot
+    keys across salt sub-groups before the exchange.
     """
-    if how not in ("inner", "left"):
-        raise EngineValueError("how must be 'inner' or 'left'")
-    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
-    lp = _payload_dict(left_payload, lschema, role="left")
-    rp = _payload_dict(right_payload, rschema, role="right")
-    if set(lp) & set(rp):
-        raise EngineValueError(f"payload name collision: {set(lp) & set(rp)}")
-    l_fields = [pa.field(o, lschema.field(s).type) for o, s in lp.items()]
-    r_fields = [pa.field(o, rschema.field(s).type) for o, s in rp.items()]
-    out_schema = pa.schema(l_fields + r_fields)
-    _check_reserved(lp, rp, key, lschema, rschema)
-    union_fields = [
-        pa.field(key, lschema.field(key).type),
-        *[f for f in l_fields + r_fields if f.name != key],
-        pa.field("_side", pa.int8()),
-    ]
+    if how not in ("inner", "left", "full"):
+        raise EngineValueError("how must be 'inner', 'left' or 'full'")
+    lp, rp, l_fields, r_fields, out_schema, union_fields = _equi_plan(
+        left, right, key=key, left_payload=left_payload, right_payload=right_payload
+    )
     l_proj = _project_side(
         left, union_fields=union_fields, src_map={key: key, **lp}, side=0
     )
     r_proj = _project_side(
         right, union_fields=union_fields, src_map={key: key, **rp}, side=1
     )
-    empty = _empty_like(out_schema)
-    l_names, r_names = [f.name for f in l_fields], [f.name for f in r_fields]
-
-    def per_key(g: pa.Table) -> pa.Table:
-        g = g.combine_chunks()
-        side = g["_side"].to_numpy(zero_copy_only=False)
-        l_rows = np.flatnonzero(side == 0)
-        if l_rows.size == 0:
-            return empty
-        r_rows = np.flatnonzero(side == 1)
-        if r_rows.size == 0:
-            if how == "inner":
-                return empty
-            cols = _take_with_validity(g, l_names, l_rows, None)
-            cols.update(
-                {f.name: pa.nulls(l_rows.size, type=f.type) for f in r_fields}
-            )
-            return pa.table(cols, schema=out_schema)
-        n_out = l_rows.size * r_rows.size
-        if n_out > max_group_rows:
-            raise EngineValueError(
-                f"equi_join group for {key}={g[key][0].as_py()!r} would emit "
-                f"{n_out} rows (> max_group_rows={max_group_rows}); "
-                "pre-aggregate one side or salt the hot key"
-            )
-        l_idx = np.repeat(l_rows, r_rows.size)
-        r_idx = np.tile(r_rows, l_rows.size)
-        cols = _take_with_validity(g, l_names, l_idx, None)
-        cols.update(_take_with_validity(g, r_names, r_idx, None))
-        return pa.table(cols, schema=out_schema)
-
+    per_key = _make_cross_kernel(
+        key=key,
+        how=how,
+        l_fields=l_fields,
+        r_fields=r_fields,
+        out_schema=out_schema,
+        max_group_rows=max_group_rows,
+        label="equi_join",
+    )
     return l_proj.union(r_proj).groupby(key).map_groups(
+        per_key, batch_format="pyarrow"
+    )
+
+
+def _salt_hash(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash of the salt-by column (int or string)."""
+    from datafiller_ray.functions.hashing import splitmix64, string_hash64
+
+    if np.issubdtype(values.dtype, np.integer):
+        return splitmix64(values.astype(np.int64).view(np.uint64))
+    return string_hash64(np.asarray(values, dtype="U"))
+
+
+def _nsalt_vector(keys: np.ndarray, hot: dict, n: int) -> np.ndarray:
+    """Per-row salt count: ``hot[key]`` for hot keys, 1 elsewhere. Linear
+    scans per hot key — the hot set is small by the skew assumption."""
+    nsalt = np.ones(n, dtype=np.int64)
+    for k, s in hot.items():
+        nsalt[keys == k] = s
+    return nsalt
+
+
+def salted_equi_join(
+    left,
+    right,
+    *,
+    key: str,
+    left_payload,
+    right_payload,
+    how: str = "inner",
+    salt_by: str,
+    max_group_rows: int = _MAX_JOIN_GROUP_ROWS,
+    max_salt: int = 1024,
+    count_buckets: int = 64,
+):
+    """Skew-resilient hash equi-join: the remedy :func:`equi_join` names
+    when a hot key's cross product would blow a task.
+
+    Physical plan (two exchanges, both bounded):
+
+    1. **Hot-key census** — each side pre-aggregates per-batch key counts
+       (pyarrow ``group_by`` partials, 16-byte rows), the tagged partials
+       meet in one small :func:`~datafiller_ray.stages.exchange.grouped_sum`
+       exchange, and only keys whose join product (or left count) exceeds
+       ``max_group_rows`` reach the driver — bounded by the skew
+       assumption that hot keys are few.
+    2. **Salted exchange** — left rows of a hot key scatter across
+       ``n_salt = ceil(max(|L|x|R|, |L|)/max_group_rows)`` sub-groups by a
+       deterministic hash of ``salt_by`` (a well-distributed left column,
+       e.g. a row id); the hot key's RIGHT rows replicate into every salt
+       sub-group (replication cost |R_hot| x n_salt — the small side of
+       the hot key pays, never the fact side). Non-hot keys ride the same
+       exchange with salt 0. One ``groupby([key, salt])`` co-locates each
+       sub-group and the shared cross kernel runs unchanged.
+
+    Results are row-identical to :func:`equi_join` (inner/left); ``full``
+    is rejected because unmatched-right padding would duplicate per salt
+    sub-group. With no hot keys the plan degenerates to the plain join
+    plus the census cost.
+
+    Per-salt-group products are ~``max_group_rows`` in expectation; the
+    kernel guard allows 4x slack for hash variance before raising.
+    """
+    if how not in ("inner", "left"):
+        raise EngineValueError(
+            "salted_equi_join supports how='inner'/'left' only; use "
+            "equi_join for full-outer (unmatched-right padding would "
+            "duplicate per salt sub-group)"
+        )
+    import pandas as pd
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    lschema = _arrow_schema(left)
+    if salt_by not in lschema.names:
+        raise EngineValueError(f"salt_by column {salt_by!r} not in left schema")
+    if max_group_rows < 1:
+        raise EngineValueError("max_group_rows must be >= 1")
+
+    # ---- phase 1: hot-key census -------------------------------------
+    def partial_counts(side):
+        def fn(t: pa.Table) -> pa.Table:
+            ones = pa.table(
+                {key: t[key], "_n": pa.array(np.ones(t.num_rows, np.int64))}
+            )
+            g = ones.group_by(key).aggregate([("_n", "sum")])
+            n = g["_n_sum"].cast(pa.int64())
+            z = pa.array(np.zeros(len(g), np.int64))
+            return pa.table(
+                {key: g[key], "lcnt": n if side == 0 else z, "rcnt": z if side == 0 else n}
+            )
+
+        return fn
+
+    census = (
+        left.map_batches(partial_counts(0), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            right.map_batches(
+                partial_counts(1), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    )
+    totals = grouped_sum(census, key, ["lcnt", "rcnt"], n_buckets=count_buckets)
+
+    def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[key])  # null keys never match: no product
+        load = np.maximum(df["lcnt"].to_numpy() * df["rcnt"].to_numpy(),
+                          df["lcnt"].to_numpy())
+        sel = load > max_group_rows
+        nsalt = np.minimum(-(-load[sel] // max_group_rows), max_salt)
+        return pd.DataFrame({key: df[key].to_numpy()[sel], "_nsalt": nsalt})
+
+    hot_rows = totals.map_batches(keep_hot, batch_format="pandas").take_all()
+    hot = {r[key]: int(r["_nsalt"]) for r in hot_rows}
+    if not hot:
+        return equi_join(
+            left,
+            right,
+            key=key,
+            left_payload=left_payload,
+            right_payload=right_payload,
+            how=how,
+            max_group_rows=4 * max_group_rows,
+        )
+
+    # ---- phase 2: salted exchange ------------------------------------
+    lp, rp, l_fields, r_fields, out_schema, union_fields = _equi_plan(
+        left,
+        right,
+        key=key,
+        left_payload=left_payload,
+        right_payload=right_payload,
+        extra_fields=(pa.field("_salt", pa.int32()),),
+    )
+    union_schema = pa.schema(union_fields)
+
+    def project_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys_np = t[key].to_numpy(zero_copy_only=False)
+        nsalt = _nsalt_vector(keys_np, hot, n)
+        salt = np.zeros(n, dtype=np.int32)
+        hot_mask = nsalt > 1
+        if hot_mask.any():
+            h = _salt_hash(t[salt_by].to_numpy(zero_copy_only=False)[hot_mask])
+            salt[hot_mask] = (h % nsalt[hot_mask].astype(np.uint64)).astype(np.int32)
+        src = {key: key, **lp}
+        cols = []
+        for f in union_fields:
+            if f.name == "_side":
+                cols.append(pa.array(np.zeros(n, dtype=np.int8)))
+            elif f.name == "_salt":
+                cols.append(pa.array(salt))
+            elif f.name in src:
+                cols.append(t[src[f.name]].cast(f.type))
+            else:
+                cols.append(pa.nulls(n, type=f.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def project_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys_np = t[key].to_numpy(zero_copy_only=False)
+        nsalt = _nsalt_vector(keys_np, hot, n)
+        idx = np.repeat(np.arange(n, dtype=np.int64), nsalt)
+        starts = np.cumsum(nsalt) - nsalt  # first output slot of each row
+        salt = (np.arange(idx.size, dtype=np.int64) - starts[idx]).astype(np.int32)
+        taken = t.take(pa.array(idx))
+        src = {key: key, **rp}
+        cols = []
+        for f in union_fields:
+            if f.name == "_side":
+                cols.append(pa.array(np.ones(idx.size, dtype=np.int8)))
+            elif f.name == "_salt":
+                cols.append(pa.array(salt))
+            elif f.name in src:
+                cols.append(taken[src[f.name]].cast(f.type))
+            else:
+                cols.append(pa.nulls(idx.size, type=f.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    l_proj = left.map_batches(
+        project_left, batch_format="pyarrow", zero_copy_batch=True
+    )
+    r_proj = right.map_batches(
+        project_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_key = _make_cross_kernel(
+        key=key,
+        how=how,
+        l_fields=l_fields,
+        r_fields=r_fields,
+        out_schema=out_schema,
+        max_group_rows=4 * max_group_rows,
+        label="salted_equi_join",
+    )
+    return l_proj.union(r_proj).groupby([key, "_salt"]).map_groups(
         per_key, batch_format="pyarrow"
     )
 

@@ -502,3 +502,188 @@ def test_semi_join_validation(ray_session):
             key="k",
             left_payload={"_side": "v"},
         )
+
+
+# ---------------------------------------------------------------------------
+# full outer + null keys + salted equi join
+
+
+def _nullable_sides(seed=11, n_l=300, n_r=200, keys=12):
+    """Random m:n frames with null keys on BOTH sides (SQL three-valued
+    logic: a null never matches, but outer rows must survive)."""
+    rng = np.random.default_rng(seed)
+    lk = [
+        None if rng.random() < 0.1 else f"k{rng.integers(0, keys)}"
+        for _ in range(n_l)
+    ]
+    rk = [
+        None if rng.random() < 0.1 else f"k{rng.integers(0, keys + 3)}"
+        for _ in range(n_r)
+    ]
+    L = pd.DataFrame({"k": lk, "lv": np.arange(n_l, dtype=np.int64)})
+    R = pd.DataFrame({"k": rk, "rv": np.arange(n_r, dtype=np.int64) + 10_000})
+    return L, R
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    for c in out.columns:
+        if out[c].dtype != object:
+            out[c] = out[c].astype("float64")
+    out = out.sort_values(list(out.columns), na_position="last")
+    return out.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "full"])
+def test_equi_join_null_keys_and_full_outer_match_duckdb(ray_session, how):
+    import duckdb
+    import ray.data
+
+    from datafiller_ray.pipelines.joins import equi_join
+
+    L, R = _nullable_sides()
+    sql_how = {"inner": "JOIN", "left": "LEFT JOIN", "full": "FULL JOIN"}[how]
+    want = duckdb.sql(
+        f"SELECT k, l.lv, r.rv FROM L l {sql_how} R r USING (k)"
+    ).df()
+    got = equi_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        key="k",
+        left_payload={"k": "k", "lv": "lv"},
+        right_payload={"rv": "rv"},
+        how=how,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def _skewed_sides(seed=5, n_l=4000, n_r=60):
+    """One hot key (0) holding half the fact side, plus a uniform tail."""
+    rng = np.random.default_rng(seed)
+    lk = np.where(rng.random(n_l) < 0.5, 0, rng.integers(1, 40, n_l))
+    L = pd.DataFrame(
+        {"k": lk.astype(np.int64), "lid": np.arange(n_l, dtype=np.int64)}
+    )
+    rk = rng.integers(0, 44, n_r)
+    rk[:4] = 0  # the hot key always has right rows -> real cross blow-up
+    R = pd.DataFrame({"k": rk.astype(np.int64), "rv": np.arange(n_r, dtype=np.int64)})
+    return L, R
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_equi_join_matches_plain(ray_session, how):
+    import ray.data
+
+    from datafiller_ray.pipelines.joins import equi_join, salted_equi_join
+
+    L, R = _skewed_sides()
+    kw = dict(
+        key="k",
+        left_payload={"k": "k", "lid": "lid"},
+        right_payload={"rv": "rv"},
+        how=how,
+    )
+    plain = equi_join(
+        ray.data.from_pandas(L), ray.data.from_pandas(R), **kw
+    ).to_pandas()
+    salted = salted_equi_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        salt_by="lid",
+        max_group_rows=500,  # hot key product ~2000 x |R_0| >> 500
+        **kw,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(salted), _norm(plain), check_dtype=False)
+
+
+def test_salted_equi_join_survives_where_plain_raises(ray_session):
+    import duckdb
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.joins import equi_join, salted_equi_join
+
+    L, R = _skewed_sides(seed=9)
+    kw = dict(
+        key="k",
+        left_payload={"k": "k", "lid": "lid"},
+        right_payload={"rv": "rv"},
+    )
+    with pytest.raises(EngineValueError, match="max_group_rows"):
+        equi_join(
+            ray.data.from_pandas(L),
+            ray.data.from_pandas(R),
+            max_group_rows=1000,
+            **kw,
+        ).to_pandas()
+    got = salted_equi_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        salt_by="lid",
+        max_group_rows=1000,
+        **kw,
+    ).to_pandas()
+    want = duckdb.sql("SELECT k, l.lid, r.rv FROM L l JOIN R r USING (k)").df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_salted_equi_join_no_hot_delegates(ray_session):
+    from datafiller_ray.pipelines.joins import equi_join, salted_equi_join
+
+    l, r = _two_sides(ray_session)
+    kw = dict(
+        key="k", left_payload={"k": "k", "lv": "lv"}, right_payload={"rv": "rv"}
+    )
+    plain = equi_join(l, r, **kw).to_pandas()
+    salted = salted_equi_join(l, r, salt_by="lv", max_group_rows=10_000, **kw).to_pandas()
+    pd.testing.assert_frame_equal(_norm(salted), _norm(plain), check_dtype=False)
+
+
+def test_salted_equi_join_string_keys_and_validation(ray_session):
+    import duckdb
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.joins import salted_equi_join
+
+    rng = np.random.default_rng(2)
+    L = pd.DataFrame(
+        {
+            "k": rng.choice(["hot", "a", "b"], 600, p=[0.8, 0.1, 0.1]),
+            "lid": np.arange(600, dtype=np.int64),
+        }
+    )
+    R = pd.DataFrame({"k": ["hot", "hot", "a", "c"], "rv": np.arange(4, dtype=np.int64)})
+    got = salted_equi_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        key="k",
+        salt_by="lid",
+        max_group_rows=100,
+        left_payload={"k": "k", "lid": "lid"},
+        right_payload={"rv": "rv"},
+    ).to_pandas()
+    want = duckdb.sql("SELECT k, l.lid, r.rv FROM L l JOIN R r USING (k)").df()
+    got_s = got.sort_values(["k", "lid", "rv"]).reset_index(drop=True)
+    want_s = want.sort_values(["k", "lid", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+    with pytest.raises(EngineValueError, match="salt_by"):
+        salted_equi_join(
+            ray.data.from_pandas(L),
+            ray.data.from_pandas(R),
+            key="k",
+            salt_by="nope",
+            left_payload={"k": "k"},
+            right_payload={"rv": "rv"},
+        )
+    with pytest.raises(EngineValueError, match="full-outer"):
+        salted_equi_join(
+            ray.data.from_pandas(L),
+            ray.data.from_pandas(R),
+            key="k",
+            salt_by="lid",
+            how="full",
+            left_payload={"k": "k"},
+            right_payload={"rv": "rv"},
+        )
