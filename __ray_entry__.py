@@ -738,6 +738,60 @@ def _budget_sample(sf_dir: str):
     )
 
 
+_TEMP_BUDGET = 30_000
+
+
+def _temperature_sample(sf_dir: str):
+    """Temperature-scaled (alpha=0.5) mixture sampling: stratum budgets
+    proportional to sqrt of stratum weight, then the budget_sample
+    hash-order prefix — pipelines/corpus.temperature_sample (integer-exact
+    allocation; sqrt is correctly rounded so the SQL oracle reproduces the
+    budgets bit-for-bit)."""
+    from datafiller_ray.pipelines.corpus import temperature_sample
+
+    docs = _read(sf_dir, "documents").map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return temperature_sample(
+        docs,
+        total_budget=_TEMP_BUDGET,
+        alpha=0.5,
+        weight_col="n_chars",
+        seed=_SAMPLE_SEED,
+    )
+
+
+def _temperature_sample_sql() -> str:
+    import numpy as np
+
+    from datafiller_ray.functions.hashing import splitmix64
+
+    seed_mix = int(splitmix64(np.array([_SAMPLE_SEED], dtype=np.uint64))[0])
+    ctes, fin = _sql_splitmix_ctes(
+        "d", ["doc_id", "source", "n_chars"],
+        f"xor(CAST(doc_id AS UBIGINT), {seed_mix})", "tsm",
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        tot AS (SELECT source,
+                       CAST(FLOOR(SQRT(CAST(SUM(n_chars) AS DOUBLE))) AS BIGINT) AS s
+                FROM d GROUP BY 1),
+        bud AS (SELECT source,
+                       CAST(({_TEMP_BUDGET}::BIGINT * s)
+                            // (SELECT SUM(s) FROM tot) AS BIGINT) AS b
+                FROM tot),
+        {ctes}
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 SUM(n_chars) OVER (PARTITION BY source ORDER BY v, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM {fin}) f JOIN bud USING (source)
+        WHERE run <= b
+    """
+
+
 def _budget_sample_sql() -> str:
     import numpy as np
 
@@ -1647,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": _sample_stratified,
         "sample_fixed_k": _sample_fixed_k,
         "budget_sample": _budget_sample,
+        "temperature_sample": _temperature_sample,
         "vocab_topk": _vocab_topk,
         "source_quantiles": _source_quantiles,
         "global_quantiles": _global_quantiles,
@@ -2961,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_topk": _bigram_topk_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "budget_sample": _budget_sample_sql(),
+        "temperature_sample": _temperature_sample_sql(),
         "global_quantiles": """
             SELECT
               floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.25)*1000000 + 0.5)/1000000 AS q0_25,

@@ -452,6 +452,74 @@ def budget_sample(
     )
 
 
+def temperature_sample(
+    docs,
+    *,
+    total_budget: int,
+    alpha: float = 0.5,
+    weight_col: str = "n_chars",
+    seed: int = 0,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+):
+    """Temperature-scaled mixture sampling (the mT5/XLM-R multilingual
+    rule): stratum budgets are allocated proportional to ``n_s^alpha`` of
+    each stratum's total weight ``n_s``, flattening the head so low-resource
+    strata are over-represented, then the kept set per stratum is
+    :func:`budget_sample`'s deterministic hash-order prefix.
+
+    The allocation is INTEGER-exact for reproducibility across engines:
+    ``s_s = floor(n_s ** alpha)`` and ``b_s = total_budget * s_s // sum(s)``
+    — for ``alpha=0.5`` (default) the power is IEEE ``sqrt``, which is
+    correctly rounded everywhere, so a SQL ``FLOOR(SQRT(...))`` oracle
+    reproduces the budgets bit-for-bit (for n_s < 2**51); ``alpha=1`` is the
+    identity (plain proportional). Other alphas are deterministic within
+    this engine but ``pow`` may differ by an ulp across libms.
+
+    Physical plan: one tiny per-stratum weight census (per-batch pyarrow
+    partials through ``grouped_sum``; only |strata| rows reach the driver),
+    then the single 24-byte-projection exchange of :func:`budget_sample`.
+    """
+    import pandas as pd
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if total_budget < 0:
+        raise EngineValueError("total_budget must be >= 0")
+    if not (0.0 < alpha <= 1.0):
+        raise EngineValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    def proj(t: pa.Table) -> pa.Table:
+        ones = t[weight_col].cast(pa.int64())
+        return pa.table({strata_col: t[strata_col], "_w": ones})
+
+    totals = grouped_sum(
+        docs.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        strata_col,
+        "_w",
+        n_buckets=16,
+    ).take_all()  # |strata| rows only
+    n = {r[strata_col]: int(r["_w"]) for r in totals}
+    if alpha == 0.5:
+        s = {k: int(np.floor(np.sqrt(np.float64(v)))) for k, v in n.items()}
+    elif alpha == 1.0:
+        s = dict(n)
+    else:
+        s = {k: int(np.floor(np.float64(v) ** alpha)) for k, v in n.items()}
+    T = sum(s.values())
+    if T == 0:
+        raise EngineValueError("all strata have zero weight")
+    budgets = {k: (total_budget * v) // T for k, v in s.items()}
+    return budget_sample(
+        docs,
+        budgets=budgets,
+        weight_col=weight_col,
+        seed=seed,
+        id_col=id_col,
+        strata_col=strata_col,
+    )
+
+
 # -- token bigram statistics over the pre-tokenized sequence table ----------
 
 

@@ -498,3 +498,97 @@ def test_token_diversity_rejects_negative_token_ids(ray_session):
     )
     with pytest.raises(Exception, match="non-negative token ids"):
         token_diversity(ray.data.from_arrow(t)).to_pandas()
+
+
+def test_temperature_sample_budgets_and_prefix(ray_session):
+    """alpha=0.5 budgets equal the integer rule floor(sqrt(n_s)) scaled to
+    the total; the kept set is exactly budget_sample with those budgets."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import budget_sample, temperature_sample
+
+    rng = np.random.default_rng(4)
+    n = 400
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": rng.choice(["web", "wiki", "code"], n, p=[0.7, 0.2, 0.1]),
+            "n_chars": rng.integers(50, 500, n).astype(np.int64),
+        }
+    )
+    B = 20_000
+    got = (
+        temperature_sample(
+            ray.data.from_pandas(docs), total_budget=B, alpha=0.5, seed=7
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tots = docs.groupby("source")["n_chars"].sum()
+    s = {k: int(np.floor(np.sqrt(float(v)))) for k, v in tots.items()}
+    T = sum(s.values())
+    budgets = {k: (B * v) // T for k, v in s.items()}
+    want = (
+        budget_sample(ray.data.from_pandas(docs), budgets=budgets, seed=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # sqrt-temperature flattens: the biggest stratum's budget share is
+    # smaller than its weight share
+    assert budgets["web"] / B < tots["web"] / tots.sum()
+
+
+def test_temperature_sample_alpha_one_is_proportional(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import budget_sample, temperature_sample
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype=np.int64),
+            "source": ["a"] * 40 + ["b"] * 20,
+            "n_chars": np.full(60, 100, dtype=np.int64),
+        }
+    )
+    B = 3000
+    got = temperature_sample(
+        ray.data.from_pandas(docs), total_budget=B, alpha=1.0, seed=1
+    ).to_pandas()
+    want = budget_sample(
+        ray.data.from_pandas(docs),
+        budgets={"a": B * 4000 // 6000, "b": B * 2000 // 6000},
+        seed=1,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_temperature_sample_validation(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.corpus import temperature_sample
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.array([1], np.int64), "source": ["a"],
+             "n_chars": np.array([10], np.int64)}
+        )
+    )
+    with pytest.raises(EngineValueError, match="alpha"):
+        temperature_sample(docs, total_budget=10, alpha=0.0)
+    with pytest.raises(EngineValueError, match="alpha"):
+        temperature_sample(docs, total_budget=10, alpha=1.5)
+    with pytest.raises(EngineValueError, match="total_budget"):
+        temperature_sample(docs, total_budget=-1)
