@@ -410,6 +410,15 @@ def _events_linear(sf_dir: str):
     return _drop_null_fills(events_gapfill_linear(_read(sf_dir, "events"), step=60))
 
 
+def _time_weighted_avg(sf_dir: str):
+    """Within-bucket time-weighted (LOCF-span) average of event value per
+    (event_type, hour) — pipelines/events.time_weighted_avg: integer
+    micro-unit numerators, integer-second weights, one pinned division."""
+    from datafiller_ray.pipelines.events import time_weighted_avg
+
+    return time_weighted_avg(_read(sf_dir, "events"), step=3600)
+
+
 def _events_sessions(sf_dir: str):
     from datafiller_ray.pipelines.events import events_sessions
 
@@ -1696,6 +1705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_locf_1m": _events_locf,
         "events_gapfill_linear_1m": _events_linear,
         "events_sessions": _events_sessions,
+        "time_weighted_avg_1h": _time_weighted_avg,
         "purchase_attribution": _purchase_attribution,
         "session_range_join": _session_range_join,
         "sample_stratified": _sample_stratified,
@@ -2858,6 +2868,26 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value) AS min_value,
                    MAX(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "time_weighted_avg_1h": """
+            WITH e AS (
+              SELECT event_type, event_id,
+                     epoch_us(ts) // 1000000 AS ts_s,
+                     (epoch_us(ts) // 1000000 // 3600) * 3600 AS bucket_ts,
+                     CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_int
+              FROM events),
+            w AS (
+              SELECT event_type, bucket_ts, v_int,
+                     COALESCE(LEAD(ts_s) OVER (PARTITION BY event_type, bucket_ts
+                                               ORDER BY ts_s, event_id),
+                              bucket_ts + 3600) - ts_s AS w
+              FROM e)
+            SELECT event_type, bucket_ts,
+                   COUNT(*) AS n_obs,
+                   CAST(SUM(w) AS BIGINT) AS wsum,
+                   CAST(SUM(v_int * w) AS DOUBLE)
+                     / (1000000.0 * CAST(SUM(w) AS DOUBLE)) AS twa
+            FROM w GROUP BY 1, 2
         """,
         "events_rolling_1m": """
             WITH r AS (

@@ -97,6 +97,103 @@ def events_rollup(
     )
 
 
+def time_weighted_avg(
+    events: "ray.data.Dataset", *, step: int = 3600, span_buckets: int = 4096
+) -> "ray.data.Dataset":
+    """Within-bucket time-weighted average of ``value`` per (event_type,
+    step-aligned bucket) — the irregular-sampling rollup: each observation
+    holds its value (LOCF) until the next observation in the SAME bucket,
+    the last one until the bucket end, so densely-sampled bursts don't
+    dominate the mean the way a plain AVG lets them.
+
+    An observation's influence is clamped at its bucket boundary, which
+    makes buckets independent: the exchange key is (event_type,
+    time-chunk) exactly like :func:`events_rollup` — no cross-chunk
+    anchors, parallelism = #chunks.
+
+    Exactness contract (oracle-comparable): values quantize to integer
+    micro-units ``floor(v * 1e6 + 0.5)`` (identical IEEE ops in numpy and
+    SQL), weights are integer seconds, the numerator/denominator sums are
+    int64-exact in any order, and the final ``twa`` is the single pinned
+    division ``num / (1e6 * den)``. Duplicate timestamps tie-break by
+    event_id (zero-width spans contribute nothing; the last duplicate
+    carries the span).
+
+    Emits (event_type, bucket_ts, n_obs, wsum, twa).
+    """
+    from datafiller_ray.functions.hashing import string_hash64
+
+    if step < 1:
+        from datafiller_ray.config import EngineValueError
+
+        raise EngineValueError(f"step must be >= 1, got {step}")
+    span = step * span_buckets
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64())
+        ts_s = pc.divide(us, pa.scalar(1_000_000, pa.int64()))
+        bucket = pc.multiply(
+            pc.divide(ts_s, pa.scalar(step, pa.int64())), pa.scalar(step, pa.int64())
+        )
+        chunk = pc.divide(bucket, pa.scalar(span, pa.int64()))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        v_int = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        ekey = string_hash64(
+            np.asarray(t["event_type"].to_pandas(), dtype="U")
+        ).view(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "ekey": pa.array(ekey, pa.int64()),
+                "chunk": chunk,
+                "bucket_ts": bucket,
+                "ts_s": ts_s,
+                "event_id": t["event_id"].cast(pa.int64()),
+                "v_int": pa.array(v_int, pa.int64()),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if g["event_type"].nunique() != 1:
+            return pd.concat(
+                [combine(sub) for _, sub in g.groupby("event_type", sort=True)],
+                ignore_index=True,
+            )
+        order = np.lexsort(
+            (g["event_id"].to_numpy(np.int64), g["ts_s"].to_numpy(np.int64))
+        )
+        ts = g["ts_s"].to_numpy(np.int64)[order]
+        bucket = g["bucket_ts"].to_numpy(np.int64)[order]
+        v_int = g["v_int"].to_numpy(np.int64)[order]
+        nxt = np.empty_like(ts)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = np.iinfo(np.int64).max
+        same_bucket = np.empty(ts.size, dtype=bool)
+        same_bucket[:-1] = bucket[:-1] == bucket[1:]
+        same_bucket[-1] = False
+        w = np.where(same_bucket, nxt - ts, bucket + step - ts)
+        # per-bucket int64-exact reductions (buckets are sorted runs)
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        num = np.add.reduceat(v_int * w, starts)
+        den = np.add.reduceat(w, starts)
+        n_obs = np.diff(np.r_[starts, ts.size])
+        twa = num.astype(np.float64) / (1e6 * den.astype(np.float64))
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "bucket_ts": bucket[starts],
+                "n_obs": n_obs.astype(np.int64),
+                "wsum": den.astype(np.int64),
+                "twa": twa,
+            }
+        )
+
+    slim = events.map_batches(
+        project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return slim.groupby(["ekey", "chunk"]).map_groups(combine, batch_format="pandas")
+
+
 def _round6_half_up(x: np.ndarray) -> np.ndarray:
     """floor(x*1e6 + 0.5)/1e6 — the fill-value rounding used on BOTH the
     engine and oracle side. Unlike np.round vs DuckDB round_even (whose

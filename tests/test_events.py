@@ -150,3 +150,63 @@ def test_cohort_retention_matrix(ray_session):
         for r in out.itertuples()
     }
     assert cells == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+
+
+def test_time_weighted_avg_matches_scalar_oracle(ray_session):
+    """Brute per-row loop oracle: LOCF spans clamped at bucket end,
+    duplicate timestamps tie-broken by event_id; sum of weights never
+    exceeds the bucket length."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.pipelines.events import time_weighted_avg
+
+    rng = np.random.default_rng(12)
+    n, step = 500, 600
+    ts_s = np.sort(rng.integers(0, 5 * step, n))
+    ts_s[10] = ts_s[11] = ts_s[12]  # duplicate timestamps
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(ts_s * 1_000_000, unit="us"),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+            "value": rng.normal(scale=3.0, size=n),
+            "props": [""] * n,
+        }
+    )
+    got = (
+        time_weighted_avg(ray.data.from_pandas(df), step=step)
+        .to_pandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+
+    # scalar oracle
+    rows = {}
+    for et, sub in df.assign(ts_s=ts_s).groupby("event_type"):
+        sub = sub.sort_values(["ts_s", "event_id"])
+        t = sub["ts_s"].to_numpy()
+        v = np.floor(sub["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        b = (t // step) * step
+        for i in range(len(sub)):
+            end = t[i + 1] if i + 1 < len(sub) and b[i + 1] == b[i] else b[i] + step
+            w = int(end - t[i])
+            key = (et, int(b[i]))
+            num, den, cnt = rows.get(key, (0, 0, 0))
+            rows[key] = (num + int(v[i]) * w, den + w, cnt + 1)
+    want = pd.DataFrame(
+        [
+            {
+                "event_type": et,
+                "bucket_ts": bt,
+                "n_obs": cnt,
+                "wsum": den,
+                "twa": num / (1e6 * den),
+            }
+            for (et, bt), (num, den, cnt) in sorted(rows.items())
+        ]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["wsum"] <= step).all()
