@@ -919,6 +919,40 @@ def _bigram_topk(sf_dir: str):
     return bigram_topk(ds, k=100)
 
 
+def _pmi_topk(sf_dir: str):
+    """Top-100 word collocations by PMI over documents (min_count=5, 6-dec
+    half-even absorber on the single ln expression) —
+    pipelines/corpus.pmi_topk; one text pass, unigram table broadcast
+    once, only (gram, cnt) partials shuffle."""
+    from datafiller_ray.pipelines.corpus import pmi_topk
+
+    return pmi_topk(_read(sf_dir, "documents"), k=100, min_count=5)
+
+
+def _pmi_topk_sql() -> str:
+    return r"""
+        WITH t AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+        uni AS (SELECT UNNEST(ws) AS w FROM t),
+        uc AS (SELECT w, COUNT(*)::BIGINT AS c FROM uni GROUP BY 1),
+        tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS tok_total FROM uc),
+        p AS (SELECT ws[i] AS wa, ws[i + 1] AS wb
+              FROM t, UNNEST(range(1, len(ws))) AS u(i)),
+        bc AS (SELECT wa, wb, COUNT(*)::BIGINT AS cnt FROM p GROUP BY 1, 2),
+        pt AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS pair_total FROM bc),
+        scored AS (
+          SELECT wa, wb, cnt,
+                 round_even(ln(((CAST(cnt AS DOUBLE) * tok_total) * tok_total)
+                               / ((pair_total * CAST(a.c AS DOUBLE))
+                                  * CAST(b.c AS DOUBLE))), 6) AS pmi
+          FROM bc, tt, pt
+          JOIN uc a ON bc.wa = a.w
+          JOIN uc b ON bc.wb = b.w
+          WHERE cnt >= 5)
+        SELECT wa, wb, cnt, pmi
+        FROM scored ORDER BY pmi DESC, wa ASC, wb ASC LIMIT 100
+    """
+
+
 def _shuffle_manifest(sf_dir: str):
     """Deterministic global training-shuffle manifest of the documents
     table: shard = splitmix64(doc_id ^ mix(seed)) % 64, per-shard rank by
@@ -1725,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoints": _cusum_changepoints,
         "source_correlation": _source_correlation,
         "bigram_topk": _bigram_topk,
+        "pmi_topk": _pmi_topk,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "shuffle_manifest": _shuffle_manifest,
         "lttb_downsample": _lttb_downsample,
@@ -3044,6 +3079,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_fixed_k": _sample_fixed_k_sql(),
         "shuffle_manifest": _shuffle_manifest_sql(),
         "bigram_topk": _bigram_topk_sql(),
+        "pmi_topk": _pmi_topk_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "budget_sample": _budget_sample_sql(),
         "temperature_sample": _temperature_sample_sql(),

@@ -601,6 +601,145 @@ def bigram_topk(ds, *, k: int = 100, vocab_size: int = 50_000):
     return top.map_batches(decompose, batch_format="pyarrow")
 
 
+def pmi_topk(documents, *, k: int = 100, min_count: int = 5):
+    """Global top-k word collocations by pointwise mutual information —
+    ``pmi(a,b) = ln( p(ab) / (p(a) p(b)) )`` with ``p(ab) = c_ab / P``
+    (P = total adjacent word pairs) and ``p(w) = c_w / T`` (T = total
+    words); ``min_count`` drops the unstable low-count tail as is standard
+    for PMI. Words are whitespace runs via the shared
+    :func:`~datafiller_ray.pipelines.hygiene.word_grams` kernel (oracle
+    parity: ``regexp_extract_all(text, '\\S+')``).
+
+    Physical plan — the text never shuffles:
+
+    1. ONE pass over the text computes per-batch unigram AND bigram counts
+       (side-tagged rows through a single ``grouped_sum`` exchange; the
+       empty-string sentinel row carries the batch pair total, which
+       ``str.split`` can never produce as a word);
+    2. the vocabulary-bounded unigram table (plus totals) is gathered once
+       and broadcast via ``ray.put`` — same contract as
+       :func:`~datafiller_ray.pipelines.hygiene.unigram_logprob`;
+    3. surviving bigrams score vectorized against the broadcast table;
+       per-block partial top-k then one final combine.
+
+    Exactness: counts are int64-exact; the float appears only in the
+    single pinned expression ``ln(((cnt*T)*T) / ((P*ca)*cb))`` rounded
+    half-even to 6 decimals on both sides (a cross-libm ulp in ``ln``
+    cannot survive the rounding except on measure-zero boundaries).
+    Output (wa, wb, cnt, pmi) in (pmi desc, wa asc, wb asc) rank order.
+    """
+    import pandas as pd
+    import ray
+
+    from datafiller_ray.pipelines.hygiene import word_grams
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if k <= 0:
+        raise EngineValueError("k must be positive")
+    if min_count < 1:
+        raise EngineValueError("min_count must be >= 1")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, w1 = word_grams(batch["text"], 1)
+        _, w2 = word_grams(batch["text"], 2)
+        u = pd.Series(w1, dtype=object).value_counts()
+        b = pd.Series(w2, dtype=object).value_counts()
+        g = np.r_[u.index.to_numpy(object), np.array([""], object),
+                  b.index.to_numpy(object)]
+        cnt = np.r_[u.to_numpy(np.int64), [np.int64(len(w2))],
+                    b.to_numpy(np.int64)]
+        side = np.r_[np.zeros(len(u) + 1, np.int64), np.ones(len(b), np.int64)]
+        return pd.DataFrame({"g": g, "side": side, "cnt": cnt})
+
+    counts = grouped_sum(
+        documents.map_batches(partial, batch_format="pandas"),
+        ["g", "side"],
+        "cnt",
+        n_buckets=32,
+    ).materialize()  # small (vocab + distinct-bigram rows); the text pass
+    # and its exchange run ONCE for both the census and the scoring stage
+
+    uni_rows = counts.map_batches(
+        lambda b: b[b["side"] == 0], batch_format="pandas"
+    ).take_all()  # vocabulary-bounded (+1 sentinel row)
+    P = 0
+    uni_words, uni_counts = [], []
+    for r in uni_rows:
+        if r["g"] == "":
+            P = int(r["cnt"])
+        else:
+            uni_words.append(r["g"])
+            uni_counts.append(int(r["cnt"]))
+    T = int(sum(uni_counts))
+    empty = pd.DataFrame(
+        {
+            "wa": pd.Series([], dtype=object),
+            "wb": pd.Series([], dtype=object),
+            "cnt": pd.Series([], dtype=np.int64),
+            "pmi": pd.Series([], dtype=np.float64),
+        }
+    )
+    if P == 0 or T == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "wa": pa.array([], pa.string()),
+                    "wb": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        )
+    uni_ref = ray.put(pd.Series(np.asarray(uni_counts, np.float64), index=uni_words))
+
+    class Score:
+        def __init__(self, uni_ref, T, P):
+            self.uni = ray.get(uni_ref)
+            self.T = float(T)
+            self.P = float(P)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[(batch["side"] == 1) & (batch["cnt"] >= min_count)]
+            if len(batch) == 0:
+                return empty
+            parts = batch["g"].str.partition(" ")
+            wa = parts[0].to_numpy(object)
+            wb = parts[2].to_numpy(object)
+            cnts = batch["cnt"].to_numpy(np.int64)
+            ca = self.uni.reindex(wa).to_numpy(np.float64)
+            cb = self.uni.reindex(wb).to_numpy(np.float64)
+            num = (cnts.astype(np.float64) * self.T) * self.T
+            den = (self.P * ca) * cb
+            pmi = np.round(np.log(num / den), 6)
+            return pd.DataFrame({"wa": wa, "wb": wb, "cnt": cnts, "pmi": pmi})
+
+    def topk_block(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) <= k:
+            return b
+        return b.sort_values(
+            ["pmi", "wa", "wb"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+
+    scored = counts.map_batches(
+        Score, fn_constructor_args=(uni_ref, T, P), batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    top = (
+        scored.map_batches(topk_block, batch_format="pandas")
+        .repartition(1)
+        .map_batches(topk_block, batch_format="pandas")
+    )
+
+    def rank_order(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["pmi", "wa", "wb"], ascending=[False, True, True], kind="mergesort"
+        ).reset_index(drop=True)
+
+    return top.map_batches(rank_order, batch_format="pandas")
+
+
 # -- deterministic global training shuffle ----------------------------------
 
 

@@ -592,3 +592,76 @@ def test_temperature_sample_validation(ray_session):
         temperature_sample(docs, total_budget=10, alpha=1.5)
     with pytest.raises(EngineValueError, match="total_budget"):
         temperature_sample(docs, total_budget=-1)
+
+
+def test_pmi_topk_matches_brute_force(ray_session):
+    """Scalar brute-force PMI over a tiny Zipf-ish corpus: identical counts,
+    identical pinned float expression, identical (pmi desc, wa, wb) rank."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import pmi_topk
+
+    rng = np.random.default_rng(8)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran"]
+    probs = np.array([0.3, 0.2, 0.15, 0.12, 0.1, 0.08, 0.05])
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(vocab, rng.integers(5, 30), p=probs))
+                for _ in range(40)
+            ],
+        }
+    )
+    k, mc = 10, 3
+    got = pmi_topk(ray.data.from_pandas(docs), k=k, min_count=mc).to_pandas()
+
+    uni, big, P = {}, {}, 0
+    for text in docs["text"]:
+        ws = text.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            P += 1
+    T = sum(uni.values())
+    rows = []
+    for (a, b), c in big.items():
+        if c < mc:
+            continue
+        num = (float(c) * float(T)) * float(T)
+        den = (float(P) * float(uni[a])) * float(uni[b])
+        rows.append((a, b, c, np.round(math.log(num / den), 6)))
+    want = (
+        pd.DataFrame(rows, columns=["wa", "wb", "cnt", "pmi"])
+        .sort_values(["pmi", "wa", "wb"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pmi_topk_empty_and_validation(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.corpus import pmi_topk
+
+    empty_docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.array([1], np.int64), "text": [""]})
+    )
+    out = pmi_topk(empty_docs, k=5)
+    # Ray's to_pandas drops columns on empty datasets; assert the schema
+    # at the Dataset level instead
+    assert out.schema().names == ["wa", "wb", "cnt", "pmi"]
+    assert out.count() == 0
+    with pytest.raises(EngineValueError, match="k must"):
+        pmi_topk(empty_docs, k=0)
+    with pytest.raises(EngineValueError, match="min_count"):
+        pmi_topk(empty_docs, min_count=0)
