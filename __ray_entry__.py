@@ -919,6 +919,34 @@ def _bigram_topk(sf_dir: str):
     return bigram_topk(ds, k=100)
 
 
+def _events_skew_report(sf_dir: str):
+    """Shuffle-key skew diagnostics over events.user_id — one summary row
+    (key count, per-key count quantiles, max/mean skew ratio, hottest key)
+    — pipelines/corpus.skew_report; only (key, cnt) partials shuffle."""
+    from datafiller_ray.pipelines.corpus import skew_report
+
+    return skew_report(_read(sf_dir, "events"), key_col="user_id")
+
+
+def _events_skew_report_sql() -> str:
+    q6 = lambda expr, name: (
+        f"floor({expr}*1000000 + 0.5)/1000000 AS {name}"
+    )
+    return f"""
+        WITH c AS (SELECT user_id AS k, COUNT(*)::BIGINT AS cnt
+                   FROM events GROUP BY 1)
+        SELECT COUNT(*)::BIGINT AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS total_rows,
+               MAX(cnt) AS max_rows,
+               {q6("quantile_cont(CAST(cnt AS DOUBLE), 0.5)", "q0_5")},
+               {q6("quantile_cont(CAST(cnt AS DOUBLE), 0.9)", "q0_9")},
+               {q6("quantile_cont(CAST(cnt AS DOUBLE), 0.99)", "q0_99")},
+               {q6("CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)", "skew_ratio")},
+               (SELECT k FROM c ORDER BY cnt DESC, k ASC LIMIT 1) AS top_key
+        FROM c
+    """
+
+
 def _pmi_topk(sf_dir: str):
     """Top-100 word collocations by PMI over documents (min_count=5, 6-dec
     half-even absorber on the single ln expression) —
@@ -1760,6 +1788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_correlation": _source_correlation,
         "bigram_topk": _bigram_topk,
         "pmi_topk": _pmi_topk,
+        "events_skew_report": _events_skew_report,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "shuffle_manifest": _shuffle_manifest,
         "lttb_downsample": _lttb_downsample,
@@ -3080,6 +3109,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_manifest": _shuffle_manifest_sql(),
         "bigram_topk": _bigram_topk_sql(),
         "pmi_topk": _pmi_topk_sql(),
+        "events_skew_report": _events_skew_report_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "budget_sample": _budget_sample_sql(),
         "temperature_sample": _temperature_sample_sql(),

@@ -601,6 +601,84 @@ def bigram_topk(ds, *, k: int = 100, vocab_size: int = 50_000):
     return top.map_batches(decompose, batch_format="pyarrow")
 
 
+def skew_report(ds, *, key_col: str = "source", qs: "tuple[float, ...]" = (0.5, 0.9, 0.99)):
+    """Partition-skew diagnostics for a prospective shuffle key — the
+    pre-flight check this engine's own salting/bucketing knobs are sized
+    with (``salted_equi_join.max_group_rows``, ``FillConfig`` salting,
+    bucket counts): per-key row counts reduce to ONE summary row with
+
+    - ``n_keys``, ``total_rows``, ``max_rows`` (int64-exact),
+    - ``q*`` quantiles of the per-key counts (the shared quantile_cont
+      rule + 6-dec floor-half-up absorber),
+    - ``skew_ratio`` = max/mean as the single pinned expression
+      ``round6((max_rows * n_keys) / total_rows)`` (integer numerator), and
+    - ``top_key`` (count desc, key asc tie-break).
+
+    Physical plan: per-batch pyarrow count partials -> one small
+    ``grouped_sum`` exchange (16-byte rows, |keys| total) -> single-block
+    summary. The table itself never shuffles.
+    """
+    import pandas as pd
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if not qs:
+        raise EngineValueError("qs must be non-empty")
+    names = [f"q{str(q).replace('.', '_')}" for q in qs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        ones = pa.table(
+            {key_col: t[key_col], "_n": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+        g = ones.group_by(key_col).aggregate([("_n", "sum")])
+        return pa.table({key_col: g[key_col], "cnt": g["_n_sum"].cast(pa.int64())})
+
+    counts = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key_col,
+        "cnt",
+        n_buckets=16,
+    )
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b["cnt"].to_numpy(np.int64)
+        if cnt.size == 0:
+            return pd.DataFrame(
+                {
+                    "n_keys": pd.Series([], dtype=np.int64),
+                    "total_rows": pd.Series([], dtype=np.int64),
+                    "max_rows": pd.Series([], dtype=np.int64),
+                    **{n: pd.Series([], dtype=np.float64) for n in names},
+                    "skew_ratio": pd.Series([], dtype=np.float64),
+                    "top_key": pd.Series([], dtype=object),
+                }
+            )
+        keys = b[key_col].to_numpy()
+        order = np.lexsort((keys, -cnt))
+        x = np.sort(cnt.astype(np.float64))
+        row = {
+            "n_keys": np.int64(cnt.size),
+            "total_rows": np.int64(cnt.sum()),
+            "max_rows": np.int64(cnt.max()),
+        }
+        for q, name in zip(qs, names):
+            pos = q * (cnt.size - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, cnt.size - 1)
+            v = x[lo] + (x[hi] - x[lo]) * (pos - lo)
+            row[name] = float(np.floor(v * 1e6 + 0.5) / 1e6)
+        row["skew_ratio"] = float(
+            np.floor(
+                float(row["max_rows"] * row["n_keys"]) / float(row["total_rows"])
+                * 1e6 + 0.5
+            ) / 1e6
+        )
+        row["top_key"] = keys[order[0]]
+        return pd.DataFrame([row])
+
+    return counts.repartition(1).map_batches(summarize, batch_format="pandas")
+
+
 def pmi_topk(documents, *, k: int = 100, min_count: int = 5):
     """Global top-k word collocations by pointwise mutual information —
     ``pmi(a,b) = ln( p(ab) / (p(a) p(b)) )`` with ``p(ab) = c_ab / P``

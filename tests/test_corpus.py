@@ -665,3 +665,34 @@ def test_pmi_topk_empty_and_validation(ray_session):
         pmi_topk(empty_docs, k=0)
     with pytest.raises(EngineValueError, match="min_count"):
         pmi_topk(empty_docs, min_count=0)
+
+
+def test_skew_report_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import skew_report
+
+    rng = np.random.default_rng(3)
+    keys = np.r_[np.zeros(500, np.int64), rng.integers(1, 50, 800)]
+    df = pd.DataFrame({"user_id": keys, "v": np.arange(keys.size)})
+    got = skew_report(
+        ray.data.from_pandas(df), key_col="user_id"
+    ).to_pandas()
+    assert len(got) == 1
+    cnt = df.groupby("user_id").size().to_numpy(np.float64)
+    r = got.iloc[0]
+    assert r["n_keys"] == cnt.size
+    assert r["total_rows"] == keys.size
+    assert r["max_rows"] == 500
+    assert r["top_key"] == 0
+    x = np.sort(cnt)
+    for q, name in [(0.5, "q0_5"), (0.9, "q0_9"), (0.99, "q0_99")]:
+        pos = q * (cnt.size - 1)
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, cnt.size - 1)
+        v = x[lo] + (x[hi] - x[lo]) * (pos - lo)
+        assert r[name] == np.floor(v * 1e6 + 0.5) / 1e6
+    exp_skew = np.floor(500.0 * cnt.size / keys.size * 1e6 + 0.5) / 1e6
+    assert r["skew_ratio"] == exp_skew
