@@ -729,13 +729,23 @@ def pmi_topk(documents, *, k: int = 100, min_count: int = 5):
         side = np.r_[np.zeros(len(u) + 1, np.int64), np.ones(len(b), np.int64)]
         return pd.DataFrame({"g": g, "side": side, "cnt": cnt})
 
-    counts = grouped_sum(
-        documents.map_batches(partial, batch_format="pandas"),
-        ["g", "side"],
-        "cnt",
-        n_buckets=32,
-    ).materialize()  # small (vocab + distinct-bigram rows); the text pass
-    # and its exchange run ONCE for both the census and the scoring stage
+    def prune(b):
+        # drop the sub-min_count bigram tail BEFORE materializing: on web
+        # text the hapax bigrams dominate the distinct-gram table, and
+        # nothing downstream can resurrect them
+        return b[(b["side"] == 0) | (b["cnt"] >= min_count)]
+
+    counts = (
+        grouped_sum(
+            documents.map_batches(partial, batch_format="pandas"),
+            ["g", "side"],
+            "cnt",
+            n_buckets=32,
+        )
+        .map_batches(prune, batch_format="pandas")
+        .materialize()
+    )  # vocab + surviving-bigram rows only; the text pass and its
+    # exchange run ONCE for both the census and the scoring stage
 
     uni_rows = counts.map_batches(
         lambda b: b[b["side"] == 0], batch_format="pandas"
