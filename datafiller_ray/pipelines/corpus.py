@@ -480,8 +480,6 @@ def temperature_sample(
     partials through ``grouped_sum``; only |strata| rows reach the driver),
     then the single 24-byte-projection exchange of :func:`budget_sample`.
     """
-    import pandas as pd
-
     from datafiller_ray.stages.exchange import grouped_sum
 
     if total_budget < 0:
@@ -653,8 +651,15 @@ def skew_report(ds, *, key_col: str = "source", qs: "tuple[float, ...]" = (0.5, 
                     "top_key": pd.Series([], dtype=object),
                 }
             )
-        keys = b[key_col].to_numpy()
-        order = np.lexsort((keys, -cnt))
+        # top key = (count desc, key asc, nulls last): pandas masks NA
+        # before sorting, so a null key (legitimate for a skew probe)
+        # cannot crash the comparison the way a raw lexsort would
+        top = b.sort_values(
+            ["cnt", key_col],
+            ascending=[False, True],
+            na_position="last",
+            kind="mergesort",
+        )[key_col].iloc[0]
         x = np.sort(cnt.astype(np.float64))
         row = {
             "n_keys": np.int64(cnt.size),
@@ -673,7 +678,7 @@ def skew_report(ds, *, key_col: str = "source", qs: "tuple[float, ...]" = (0.5, 
                 * 1e6 + 0.5
             ) / 1e6
         )
-        row["top_key"] = keys[order[0]]
+        row["top_key"] = top
         return pd.DataFrame([row])
 
     return counts.repartition(1).map_batches(summarize, batch_format="pandas")

@@ -81,7 +81,7 @@ def _check_reserved(lp, rp, key, lschema, rschema):
     """Payload out-names may not shadow the internal columns, and may only
     reuse the key name for the key column itself (then the single union key
     column serves both roles)."""
-    reserved = {"_t", "_lo", "_hi", "_side", "_salt"}
+    reserved = {"_t", "_lo", "_hi", "_side", "_salt", "_knull"}
     for pd_, role in ((lp, "left"), (rp, "right")):
         for out, src in pd_.items():
             if out in reserved:
@@ -92,22 +92,87 @@ def _check_reserved(lp, rp, key, lschema, rschema):
                 )
 
 
-def _project_side(ds, *, union_fields: "list[pa.Field]", src_map: "dict[str, str]", side: int):
+def _sentinel_filled_key(col, key_type):
+    """(filled_key, knull) for a possibly-null key column: the sort-based
+    groupby exchange cannot compare None against real values (Ray's
+    boundary ``searchsorted`` raises on mixed None/str blocks), so null
+    keys never enter the sort — each gets a stand-in key value plus a
+    ``_knull`` flag the kernel uses to route it to outer padding instead
+    of matching. ANY stand-in value is correct (the flag, not the key,
+    decides), so forward/backward fill spreads null rows across the same
+    groups as the data instead of piling them into one hot group."""
+    valid = pc.is_valid(col)
+    knull = pc.cast(pc.invert(valid), pa.int8())
+    filled = pc.fill_null_backward(pc.fill_null_forward(col))
+    if filled.null_count > 0:  # batch is entirely null-keyed
+        zero = (
+            pa.scalar("", key_type)
+            if pa.types.is_string(key_type) or pa.types.is_large_string(key_type)
+            else pa.scalar(0).cast(key_type)
+        )
+        filled = pc.fill_null(filled, zero)
+    return filled, knull
+
+
+def _union_columns(
+    t: pa.Table,
+    union_fields: "list[pa.Field]",
+    src_map: "dict[str, str]",
+    side: int,
+    *,
+    key: "str | None" = None,
+    salt: "np.ndarray | None" = None,
+) -> "list":
+    """Build the union-schema column list for one side's batch: columns in
+    ``src_map`` come from the batch, ``_side``/``_salt``/``_knull`` are
+    computed, the rest are typed nulls. Shared by every equi-join
+    projection so schema handling cannot diverge between the plain and
+    salted paths."""
+    n = t.num_rows
+    has_knull = any(f.name == "_knull" for f in union_fields)
+    filled = knull = None
+    if has_knull and key is not None:
+        key_type = next(f.type for f in union_fields if f.name == key)
+        filled, knull = _sentinel_filled_key(t[src_map[key]], key_type)
+    cols = []
+    for f in union_fields:
+        if f.name == "_side":
+            cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+        elif f.name == "_salt":
+            cols.append(
+                pa.array(salt if salt is not None else np.zeros(n, np.int32))
+            )
+        elif f.name == "_knull":
+            cols.append(knull if knull is not None else pa.array(np.zeros(n, np.int8)))
+        elif f.name == key and filled is not None:
+            cols.append(filled.cast(f.type))
+        elif f.name in src_map:
+            cols.append(t[src_map[f.name]].cast(f.type))
+        else:
+            cols.append(pa.nulls(n, type=f.type))
+    return cols
+
+
+def _project_side(
+    ds,
+    *,
+    union_fields: "list[pa.Field]",
+    src_map: "dict[str, str]",
+    side: int,
+    key: "str | None" = None,
+    drop_null_keys: bool = False,
+):
     """Map a side onto the shared union schema (identical field order on
-    both sides — ``union`` requires it): columns present in ``src_map``
-    come from the side's own table, the rest are typed nulls."""
+    both sides — ``union`` requires it). With ``key`` set and a ``_knull``
+    field present, null join keys are sentinel-filled (see
+    :func:`_sentinel_filled_key`); ``drop_null_keys`` filters them out
+    entirely (inner-join fast path)."""
     union_schema = pa.schema(union_fields)
 
     def project(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        cols = []
-        for f in union_fields:
-            if f.name == "_side":
-                cols.append(pa.array(np.full(n, side, dtype=np.int8)))
-            elif f.name in src_map:
-                cols.append(t[src_map[f.name]].cast(f.type))
-            else:
-                cols.append(pa.nulls(n, type=f.type))
+        if drop_null_keys and key is not None:
+            t = t.filter(pc.is_valid(t[src_map[key]]))
+        cols = _union_columns(t, union_fields, src_map, side, key=key)
         return pa.Table.from_arrays(cols, schema=union_schema)
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
@@ -354,6 +419,7 @@ def _equi_plan(left, right, *, key, left_payload, right_payload, extra_fields=()
         pa.field(key, lschema.field(key).type),
         *[f for f in l_fields + r_fields if f.name != key],
         *extra_fields,
+        pa.field("_knull", pa.int8()),
         pa.field("_side", pa.int8()),
     ]
     return lp, rp, l_fields, r_fields, out_schema, union_fields
@@ -364,26 +430,41 @@ def _make_cross_kernel(
 ):
     """Per-group kernel shared by :func:`equi_join` and
     :func:`salted_equi_join`: emits the left x right cross product with SQL
-    inner/left/full semantics. Null keys follow three-valued logic — a null
-    never matches, so null-key rows survive only as outer-padded rows.
+    inner/left/full semantics. Null keys follow three-valued logic — a
+    null never matches. Null-keyed rows arrive sentinel-filled with
+    ``_knull=1`` (see :func:`_sentinel_filled_key`) so the sort exchange
+    never compares None; the kernel routes them straight to outer padding
+    (with the key column nulled back) and they never match anything.
     The join-key output column has SQL ``USING(key)`` semantics (coalesced:
     present even on right-unmatched full-outer rows)."""
     empty = _empty_like(out_schema)
     l_names, r_names = [f.name for f in l_fields], [f.name for f in r_fields]
+    remedy = (
+        "swap the join sides (the LEFT side is salted; a right-heavy hot "
+        "key does not split) or pre-aggregate the right side"
+        if label == "salted_equi_join"
+        else "pre-aggregate one side or use salted_equi_join"
+    )
 
-    def left_only(g: pa.Table, l_rows: np.ndarray) -> pa.Table:
+    def left_only(g: pa.Table, l_rows: np.ndarray, key_null: bool = False) -> pa.Table:
         cols = _take_with_validity(g, l_names, l_rows, None)
         cols.update({f.name: pa.nulls(l_rows.size, type=f.type) for f in r_fields})
+        if key_null and key in cols:
+            cols[key] = pa.nulls(l_rows.size, type=out_schema.field(key).type)
         return pa.table(cols, schema=out_schema)
 
-    def right_only(g: pa.Table, r_rows: np.ndarray) -> pa.Table:
+    def right_only(g: pa.Table, r_rows: np.ndarray, key_null: bool = False) -> pa.Table:
         idx = pa.array(r_rows, type=pa.int64())
         cols = {}
         for f in l_fields:
             # USING semantics: the key column is the shared union column,
             # so it carries the right side's value on unmatched-right rows
             if f.name == key:
-                cols[key] = g[key].take(idx)
+                cols[key] = (
+                    pa.nulls(r_rows.size, type=f.type)
+                    if key_null
+                    else g[key].take(idx)
+                )
             else:
                 cols[f.name] = pa.nulls(r_rows.size, type=f.type)
         cols.update(_take_with_validity(g, r_names, r_rows, None))
@@ -392,35 +473,42 @@ def _make_cross_kernel(
     def per_key(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
         side = g["_side"].to_numpy(zero_copy_only=False)
-        l_rows = np.flatnonzero(side == 0)
-        r_rows = np.flatnonzero(side == 1)
-        if g.column(key).null_count > 0:  # the null-key group: never matches
-            parts = []
-            if how in ("left", "full") and l_rows.size:
-                parts.append(left_only(g, l_rows))
-            if how == "full" and r_rows.size:
-                parts.append(right_only(g, r_rows))
-            return pa.concat_tables(parts) if parts else empty
+        knull = g["_knull"].to_numpy(zero_copy_only=False).astype(bool)
+        parts = []
+        if knull.any():
+            null_l = np.flatnonzero((side == 0) & knull)
+            null_r = np.flatnonzero((side == 1) & knull)
+            if how in ("left", "full") and null_l.size:
+                parts.append(left_only(g, null_l, key_null=True))
+            if how == "full" and null_r.size:
+                parts.append(right_only(g, null_r, key_null=True))
+            l_rows = np.flatnonzero((side == 0) & ~knull)
+            r_rows = np.flatnonzero((side == 1) & ~knull)
+        else:
+            l_rows = np.flatnonzero(side == 0)
+            r_rows = np.flatnonzero(side == 1)
         if l_rows.size == 0:
             if how == "full" and r_rows.size:
-                return right_only(g, r_rows)
+                parts.append(right_only(g, r_rows))
+        elif r_rows.size == 0:
+            if how != "inner":
+                parts.append(left_only(g, l_rows))
+        else:
+            n_out = l_rows.size * r_rows.size
+            if n_out > max_group_rows:
+                raise EngineValueError(
+                    f"{label} group for {key}={g[key][int(l_rows[0])].as_py()!r} "
+                    f"would emit {n_out} rows (> max_group_rows="
+                    f"{max_group_rows}); {remedy}"
+                )
+            l_idx = np.repeat(l_rows, r_rows.size)
+            r_idx = np.tile(r_rows, l_rows.size)
+            cols = _take_with_validity(g, l_names, l_idx, None)
+            cols.update(_take_with_validity(g, r_names, r_idx, None))
+            parts.append(pa.table(cols, schema=out_schema))
+        if not parts:
             return empty
-        if r_rows.size == 0:
-            if how == "inner":
-                return empty
-            return left_only(g, l_rows)
-        n_out = l_rows.size * r_rows.size
-        if n_out > max_group_rows:
-            raise EngineValueError(
-                f"{label} group for {key}={g[key][0].as_py()!r} would emit "
-                f"{n_out} rows (> max_group_rows={max_group_rows}); "
-                "pre-aggregate one side or use salted_equi_join"
-            )
-        l_idx = np.repeat(l_rows, r_rows.size)
-        r_idx = np.tile(r_rows, l_rows.size)
-        cols = _take_with_validity(g, l_names, l_idx, None)
-        cols.update(_take_with_validity(g, r_names, r_idx, None))
-        return pa.table(cols, schema=out_schema)
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     return per_key
 
@@ -456,10 +544,20 @@ def equi_join(
         left, right, key=key, left_payload=left_payload, right_payload=right_payload
     )
     l_proj = _project_side(
-        left, union_fields=union_fields, src_map={key: key, **lp}, side=0
+        left,
+        union_fields=union_fields,
+        src_map={key: key, **lp},
+        side=0,
+        key=key,
+        drop_null_keys=(how == "inner"),
     )
     r_proj = _project_side(
-        right, union_fields=union_fields, src_map={key: key, **rp}, side=1
+        right,
+        union_fields=union_fields,
+        src_map={key: key, **rp},
+        side=1,
+        key=key,
+        drop_null_keys=(how in ("inner", "left")),
     )
     per_key = _make_cross_kernel(
         key=key,
@@ -608,6 +706,8 @@ def salted_equi_join(
     union_schema = pa.schema(union_fields)
 
     def project_left(t: pa.Table) -> pa.Table:
+        if how == "inner":
+            t = t.filter(pc.is_valid(t[key]))  # nulls never match
         n = t.num_rows
         keys_np = t[key].to_numpy(zero_copy_only=False)
         nsalt = _nsalt_vector(keys_np, hot, n)
@@ -616,20 +716,14 @@ def salted_equi_join(
         if hot_mask.any():
             h = _salt_hash(t[salt_by].to_numpy(zero_copy_only=False)[hot_mask])
             salt[hot_mask] = (h % nsalt[hot_mask].astype(np.uint64)).astype(np.int32)
-        src = {key: key, **lp}
-        cols = []
-        for f in union_fields:
-            if f.name == "_side":
-                cols.append(pa.array(np.zeros(n, dtype=np.int8)))
-            elif f.name == "_salt":
-                cols.append(pa.array(salt))
-            elif f.name in src:
-                cols.append(t[src[f.name]].cast(f.type))
-            else:
-                cols.append(pa.nulls(n, type=f.type))
+        cols = _union_columns(
+            t, union_fields, {key: key, **lp}, 0, key=key, salt=salt
+        )
         return pa.Table.from_arrays(cols, schema=union_schema)
 
     def project_right(t: pa.Table) -> pa.Table:
+        # inner/left only: right null keys can never contribute output
+        t = t.filter(pc.is_valid(t[key]))
         n = t.num_rows
         keys_np = t[key].to_numpy(zero_copy_only=False)
         nsalt = _nsalt_vector(keys_np, hot, n)
@@ -637,17 +731,9 @@ def salted_equi_join(
         starts = np.cumsum(nsalt) - nsalt  # first output slot of each row
         salt = (np.arange(idx.size, dtype=np.int64) - starts[idx]).astype(np.int32)
         taken = t.take(pa.array(idx))
-        src = {key: key, **rp}
-        cols = []
-        for f in union_fields:
-            if f.name == "_side":
-                cols.append(pa.array(np.ones(idx.size, dtype=np.int8)))
-            elif f.name == "_salt":
-                cols.append(pa.array(salt))
-            elif f.name in src:
-                cols.append(taken[src[f.name]].cast(f.type))
-            else:
-                cols.append(pa.nulls(idx.size, type=f.type))
+        cols = _union_columns(
+            taken, union_fields, {key: key, **rp}, 1, key=key, salt=salt
+        )
         return pa.Table.from_arrays(cols, schema=union_schema)
 
     l_proj = left.map_batches(

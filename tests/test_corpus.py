@@ -696,3 +696,26 @@ def test_skew_report_matches_brute_force(ray_session):
         assert r[name] == np.floor(v * 1e6 + 0.5) / 1e6
     exp_skew = np.floor(500.0 * cnt.size / keys.size * 1e6 + 0.5) / 1e6
     assert r["skew_ratio"] == exp_skew
+
+
+def test_skew_report_null_keys(ray_session):
+    """Regression: a null among string keys crashed the top-key lexsort.
+    Null keys are legitimate for a skew probe; ties prefer non-null keys
+    (SQL NULLS LAST)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import skew_report
+
+    df = pd.DataFrame(
+        {
+            "source": ["a"] * 5 + ["b"] * 3 + [None] * 7,
+            "v": np.arange(15),
+        }
+    )
+    got = skew_report(ray.data.from_pandas(df), key_col="source").to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["n_keys"] == 3 and r["total_rows"] == 15 and r["max_rows"] == 7
+    assert pd.isna(r["top_key"])  # the null group IS the hottest key

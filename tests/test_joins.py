@@ -687,3 +687,67 @@ def test_salted_equi_join_string_keys_and_validation(ray_session):
             left_payload={"k": "k"},
             right_payload={"rv": "rv"},
         )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "full"])
+def test_equi_join_null_keys_skewed_distribution(ray_session, how):
+    """Regression: a skewed key distribution with nulls used to crash the
+    sort exchange (boundary searchsorted comparing None vs str) before the
+    kernel's null routing ever ran. Null keys now never enter the sort."""
+    import duckdb
+    import ray.data
+
+    from datafiller_ray.pipelines.joins import equi_join
+
+    L = pd.DataFrame(
+        {
+            "k": ["h"] * 300 + ["a"] * 20 + [None] * 10,
+            "lv": np.arange(330, dtype=np.int64),
+        }
+    )
+    R = pd.DataFrame({"k": ["a", "b", None], "rv": np.arange(3, dtype=np.int64)})
+    sql_how = {"inner": "JOIN", "left": "LEFT JOIN", "full": "FULL JOIN"}[how]
+    want = duckdb.sql(
+        f"SELECT k, l.lv, r.rv FROM L l {sql_how} R r USING (k)"
+    ).df()
+    got = equi_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        key="k",
+        left_payload={"k": "k", "lv": "lv"},
+        right_payload={"rv": "rv"},
+        how=how,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_salted_equi_join_null_keys_skewed(ray_session):
+    import duckdb
+    import ray.data
+
+    from datafiller_ray.pipelines.joins import salted_equi_join
+
+    L = pd.DataFrame(
+        {
+            "k": ["h"] * 300 + ["a"] * 20 + [None] * 10,
+            "lid": np.arange(330, dtype=np.int64),
+        }
+    )
+    R = pd.DataFrame(
+        {"k": ["h", "h", "a", None], "rv": np.arange(4, dtype=np.int64)}
+    )
+    for how, sql in [("inner", "JOIN"), ("left", "LEFT JOIN")]:
+        got = salted_equi_join(
+            ray.data.from_pandas(L),
+            ray.data.from_pandas(R),
+            key="k",
+            salt_by="lid",
+            max_group_rows=50,
+            left_payload={"k": "k", "lid": "lid"},
+            right_payload={"rv": "rv"},
+            how=how,
+        ).to_pandas()
+        want = duckdb.sql(
+            f"SELECT k, l.lid, r.rv FROM L l {sql} R r USING (k)"
+        ).df()
+        pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
