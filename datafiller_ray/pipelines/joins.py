@@ -243,16 +243,19 @@ def asof_join(
         pa.field(key, lschema.field(key).type),
         pa.field("_t", lschema.field(on).type),
         *[f for f in l_fields + r_fields if f.name != key],
+        pa.field("_knull", pa.int8()),
         pa.field("_side", pa.int8()),
     ]
     l_proj = _project_side(
         left, union_fields=union_fields,
         src_map={key: key, "_t": on, **{o: s for o, s in lp.items()}}, side=0,
+        key=key, drop_null_keys=(how == "inner"),
     )
     r_proj = _project_side(
         right, union_fields=union_fields,
         src_map={key: key, "_t": right_on or on, **{o: s for o, s in rp.items()}},
         side=1,
+        key=key, drop_null_keys=True,  # a null right key can never match
     )
     empty = _empty_like(out_schema)
     l_names, r_names = [f.name for f in l_fields], [f.name for f in r_fields]
@@ -261,20 +264,31 @@ def asof_join(
     def per_key(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
         side = g["_side"].to_numpy(zero_copy_only=False)
-        l_rows = np.flatnonzero(side == 0)
+        knull = g["_knull"].to_numpy(zero_copy_only=False).astype(bool)
+        parts = []
+        if knull.any():  # null left keys (how="left" only): never match
+            null_l = np.flatnonzero((side == 0) & knull)
+            if how == "left" and null_l.size:
+                parts.append(
+                    _left_pad(g, null_l, l_names, r_fields, out_schema, key, True)
+                )
+            l_rows = np.flatnonzero((side == 0) & ~knull)
+        else:
+            l_rows = np.flatnonzero(side == 0)
         if l_rows.size == 0:
-            return empty
+            if not parts:
+                return empty
+            return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
         t = g["_t"].to_numpy(zero_copy_only=False)
         r_rows = np.flatnonzero(side == 1)
         lt = t[l_rows]
         if r_rows.size == 0:
             if how == "inner":
                 return empty
-            cols = _take_with_validity(g, l_names, l_rows, None)
-            cols.update(
-                {f.name: pa.nulls(l_rows.size, type=f.type) for f in r_fields}
+            parts.append(
+                _left_pad(g, l_rows, l_names, r_fields, out_schema, key, False)
             )
-            return pa.table(cols, schema=out_schema)
+            return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
         order = np.argsort(t[r_rows], kind="stable")
         r_sorted = r_rows[order]
         rt = t[r_sorted]
@@ -296,7 +310,8 @@ def asof_join(
         else:
             cols = _take_with_validity(g, l_names, l_rows, None)
             cols.update(_take_with_validity(g, r_names, r_sorted[safe], valid))
-        return pa.table(cols, schema=out_schema)
+        parts.append(pa.table(cols, schema=out_schema))
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     return l_proj.union(r_proj).groupby(key).map_groups(
         per_key, batch_format="pyarrow"
@@ -341,16 +356,19 @@ def range_join(
         pa.field("_lo", bound_type),
         pa.field("_hi", bound_type),
         *[f for f in l_fields + r_fields if f.name != key],
+        pa.field("_knull", pa.int8()),
         pa.field("_side", pa.int8()),
     ]
     l_proj = _project_side(
         left, union_fields=union_fields,
         src_map={key: key, "_lo": point, **{o: s for o, s in lp.items()}}, side=0,
+        key=key, drop_null_keys=(how == "inner"),
     )
     r_proj = _project_side(
         right, union_fields=union_fields,
         src_map={key: key, "_lo": lo, "_hi": hi, **{o: s for o, s in rp.items()}},
         side=1,
+        key=key, drop_null_keys=True,  # a null right key can never match
     )
     empty = _empty_like(out_schema)
     l_names, r_names = [f.name for f in l_fields], [f.name for f in r_fields]
@@ -358,9 +376,21 @@ def range_join(
     def per_key(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
         side = g["_side"].to_numpy(zero_copy_only=False)
-        l_rows = np.flatnonzero(side == 0)
+        knull = g["_knull"].to_numpy(zero_copy_only=False).astype(bool)
+        parts = []
+        if knull.any():  # null left keys (how="left" only): never match
+            null_l = np.flatnonzero((side == 0) & knull)
+            if how == "left" and null_l.size:
+                parts.append(
+                    _left_pad(g, null_l, l_names, r_fields, out_schema, key, True)
+                )
+            l_rows = np.flatnonzero((side == 0) & ~knull)
+        else:
+            l_rows = np.flatnonzero(side == 0)
         if l_rows.size == 0:
-            return empty
+            if not parts:
+                return empty
+            return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
         # "_hi" is null on left rows: take the side's rows arrow-side BEFORE
         # to_numpy so the null slots never force a float/object conversion
         pts = g["_lo"].take(pa.array(l_rows, type=pa.int64())).to_numpy(
@@ -370,11 +400,10 @@ def range_join(
         if r_rows.size == 0:
             if how == "inner":
                 return empty
-            cols = _take_with_validity(g, l_names, l_rows, None)
-            cols.update(
-                {f.name: pa.nulls(l_rows.size, type=f.type) for f in r_fields}
+            parts.append(
+                _left_pad(g, l_rows, l_names, r_fields, out_schema, key, False)
             )
-            return pa.table(cols, schema=out_schema)
+            return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
         r_take = pa.array(r_rows, type=pa.int64())
         los = g["_lo"].take(r_take).to_numpy(zero_copy_only=False)
         his = g["_hi"].take(r_take).to_numpy(zero_copy_only=False)
@@ -392,7 +421,8 @@ def range_join(
         else:
             cols = _take_with_validity(g, l_names, l_rows, None)
             cols.update(_take_with_validity(g, r_names, r_sorted[safe], valid))
-        return pa.table(cols, schema=out_schema)
+        parts.append(pa.table(cols, schema=out_schema))
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     return l_proj.union(r_proj).groupby(key).map_groups(
         per_key, batch_format="pyarrow"
@@ -425,6 +455,16 @@ def _equi_plan(left, right, *, key, left_payload, right_payload, extra_fields=()
     return lp, rp, l_fields, r_fields, out_schema, union_fields
 
 
+def _left_pad(g, rows, l_names, r_fields, out_schema, key, key_null):
+    """Left rows with null right payload (outer padding). ``key_null``
+    nulls the key output column back for sentinel-filled null-key rows."""
+    cols = _take_with_validity(g, l_names, rows, None)
+    cols.update({f.name: pa.nulls(rows.size, type=f.type) for f in r_fields})
+    if key_null and key in cols:
+        cols[key] = pa.nulls(rows.size, type=out_schema.field(key).type)
+    return pa.table(cols, schema=out_schema)
+
+
 def _make_cross_kernel(
     *, key, how, l_fields, r_fields, out_schema, max_group_rows, label
 ):
@@ -447,11 +487,7 @@ def _make_cross_kernel(
     )
 
     def left_only(g: pa.Table, l_rows: np.ndarray, key_null: bool = False) -> pa.Table:
-        cols = _take_with_validity(g, l_names, l_rows, None)
-        cols.update({f.name: pa.nulls(l_rows.size, type=f.type) for f in r_fields})
-        if key_null and key in cols:
-            cols[key] = pa.nulls(l_rows.size, type=out_schema.field(key).type)
-        return pa.table(cols, schema=out_schema)
+        return _left_pad(g, l_rows, l_names, r_fields, out_schema, key, key_null)
 
     def right_only(g: pa.Table, r_rows: np.ndarray, key_null: bool = False) -> pa.Table:
         idx = pa.array(r_rows, type=pa.int64())
@@ -793,11 +829,16 @@ def semi_join(
     union_fields = [
         pa.field(key, key_type),
         *[f for f in l_fields if f.name != key],
+        pa.field("_knull", pa.int8()),
         pa.field("_side", pa.int8()),
     ]
     union_schema = pa.schema(union_fields)
+    # semi: null-key left rows can never pass EXISTS — drop them before the
+    # sort exchange (it cannot compare None against real keys); anti: they
+    # always pass NOT EXISTS — sentinel-fill and route via _knull
     l_proj = _project_side(
-        left, union_fields=union_fields, src_map={key: key, **lp}, side=0
+        left, union_fields=union_fields, src_map={key: key, **lp}, side=0,
+        key=key, drop_null_keys=not anti,
     )
 
     def project_right(t: pa.Table) -> pa.Table:
@@ -809,6 +850,8 @@ def semi_join(
                 cols.append(keys)
             elif f.name == "_side":
                 cols.append(pa.array(np.ones(n, dtype=np.int8)))
+            elif f.name == "_knull":
+                cols.append(pa.array(np.zeros(n, dtype=np.int8)))
             else:
                 cols.append(pa.nulls(n, type=f.type))
         return pa.Table.from_arrays(cols, schema=union_schema)
@@ -822,12 +865,27 @@ def semi_join(
     def per_key(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
         side = g["_side"].to_numpy(zero_copy_only=False)
-        l_rows = np.flatnonzero(side == 0)
-        if l_rows.size == 0 or (side == 1).any() == anti:
+        knull = g["_knull"].to_numpy(zero_copy_only=False).astype(bool)
+        parts = []
+        if knull.any():  # anti only: null-key left rows always survive
+            null_l = np.flatnonzero((side == 0) & knull)
+            if null_l.size:
+                parts.append(
+                    _left_pad(g, null_l, l_names, [], out_schema, key, True)
+                )
+            l_rows = np.flatnonzero((side == 0) & ~knull)
+        else:
+            l_rows = np.flatnonzero(side == 0)
+        if l_rows.size and (side == 1).any() != anti:
+            parts.append(
+                pa.table(
+                    _take_with_validity(g, l_names, l_rows, None),
+                    schema=out_schema,
+                )
+            )
+        if not parts:
             return empty
-        return pa.table(
-            _take_with_validity(g, l_names, l_rows, None), schema=out_schema
-        )
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     return l_proj.union(r_proj).groupby(key).map_groups(
         per_key, batch_format="pyarrow"

@@ -751,3 +751,90 @@ def test_salted_equi_join_null_keys_skewed(ray_session):
             f"SELECT k, l.lid, r.rv FROM L l {sql} R r USING (k)"
         ).df()
         pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_semi_anti_join_null_left_keys_skewed(ray_session):
+    """Regression: skewed string keys with nulls used to crash the sort
+    exchange. Semi drops null-key left rows (EXISTS never true); anti
+    keeps them all (NOT EXISTS never false)."""
+    import ray.data
+
+    from datafiller_ray.pipelines.joins import anti_join, semi_join
+
+    L = pd.DataFrame(
+        {
+            "k": ["h"] * 200 + ["a"] * 20 + [None] * 15,
+            "lid": np.arange(235, dtype=np.int64),
+        }
+    )
+    R = pd.DataFrame({"k": ["a", None]})
+    semi = semi_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        key="k",
+        left_payload=["k", "lid"],
+    ).to_pandas()
+    assert sorted(semi["k"].unique()) == ["a"] and len(semi) == 20
+    anti = anti_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        key="k",
+        left_payload=["k", "lid"],
+    ).to_pandas()
+    assert len(anti) == 215  # 200 'h' + 15 null-key rows
+    assert anti["k"].isna().sum() == 15
+
+
+def test_asof_range_join_null_keys_skewed(ray_session):
+    """Same latent sort crash for the ordered joins: null keys never
+    match; how='left' pads them."""
+    import ray.data
+
+    from datafiller_ray.pipelines.joins import asof_join, range_join
+
+    L = pd.DataFrame(
+        {
+            "k": ["h"] * 150 + ["a"] * 10 + [None] * 8,
+            "t": np.arange(168, dtype=np.int64),
+            "lid": np.arange(168, dtype=np.int64),
+        }
+    )
+    R = pd.DataFrame(
+        {"k": ["h", "a", None], "t": np.array([0, 0, 0], np.int64),
+         "val": [1.0, 2.0, 3.0]}
+    )
+    inner = asof_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        key="k", on="t",
+        left_payload={"k": "k", "lid": "lid"},
+        right_payload={"val": "val"},
+    ).to_pandas()
+    assert len(inner) == 160 and inner["k"].notna().all()
+    left = asof_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(R),
+        key="k", on="t",
+        left_payload={"k": "k", "lid": "lid"},
+        right_payload={"val": "val"},
+        how="left",
+    ).to_pandas()
+    assert len(left) == 168
+    nulls = left[left["k"].isna()]
+    assert len(nulls) == 8 and nulls["val"].isna().all()
+
+    IV = pd.DataFrame(
+        {"k": ["h", "a"], "lo": np.array([0, 0], np.int64),
+         "hi": np.array([500, 500], np.int64), "name": ["wh", "wa"]}
+    )
+    rj = range_join(
+        ray.data.from_pandas(L),
+        ray.data.from_pandas(IV),
+        key="k", point="t", lo="lo", hi="hi",
+        left_payload={"k": "k", "lid": "lid"},
+        right_payload={"name": "name"},
+        how="left",
+    ).to_pandas()
+    assert len(rj) == 168
+    assert rj[rj["k"].isna()]["name"].isna().all()
+    assert (rj[rj["k"] == "h"]["name"] == "wh").all()
