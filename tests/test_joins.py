@@ -838,3 +838,32 @@ def test_asof_range_join_null_keys_skewed(ray_session):
     assert len(rj) == 168
     assert rj[rj["k"].isna()]["name"].isna().all()
     assert (rj[rj["k"] == "h"]["name"] == "wh").all()
+
+
+def test_salted_equi_join_block_layout_invariant(ray_session):
+    """Salt depends only on hash(salt_by), never on block boundaries: the
+    same input repartitioned arbitrarily yields the identical result —
+    the cluster-size-independence property the 100-TB posture needs."""
+    import ray.data
+
+    from datafiller_ray.pipelines.joins import salted_equi_join
+
+    L, R = _skewed_sides(seed=21)
+    kw = dict(
+        key="k",
+        salt_by="lid",
+        max_group_rows=300,
+        left_payload={"k": "k", "lid": "lid"},
+        right_payload={"rv": "rv"},
+    )
+    one = salted_equi_join(
+        ray.data.from_pandas(L).repartition(1),
+        ray.data.from_pandas(R).repartition(1),
+        **kw,
+    ).to_pandas()
+    many = salted_equi_join(
+        ray.data.from_pandas(L).repartition(13),
+        ray.data.from_pandas(R).repartition(5),
+        **kw,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(one), _norm(many), check_dtype=False)
