@@ -316,8 +316,11 @@ def run_bench() -> dict:
             topk_buckets,
         )
 
-        rolling_aggregates(fixture, window=60).count()
-        topk_buckets(fixture, k=5).count()
+        # production path: the explicit storage exchange (measured 2-5x
+        # faster than the sort shuffle at sf0.1; the sort path stays
+        # covered by the flagship's *_sortshuffle row)
+        rolling_aggregates(fixture, window=60, shuffle="bucketed").count()
+        topk_buckets(fixture, k=5, shuffle="bucketed").count()
 
     timed("rolling_window_topk", windows)
 
