@@ -904,6 +904,63 @@ def _ewma_smooth(sf_dir: str):
     return ewma_smooth(_fixture(sf_dir), alpha=0.25, check_tokens=False)
 
 
+def _holt_smooth(sf_dir: str):
+    """Brown double-exponential (Holt-equivalent) smoothing: level, trend
+    and one-step forecast per observed 1m bucket (alpha=0.25) —
+    pipelines/window.holt_smooth; vendored scalar double-recursion
+    oracle."""
+    from datafiller_ray.pipelines.window import holt_smooth
+
+    return holt_smooth(_fixture(sf_dir), alpha=0.25, check_tokens=False)
+
+
+def _stl_decompose(sf_dir: str):
+    """STL-lite trend/seasonal/residual decomposition (trend = centered
+    13-bucket rolling mean, seasonal = hour-of-day detrended mean), in
+    exact integer micro-units — pipelines/window.stl_decompose."""
+    from datafiller_ray.pipelines.window import stl_decompose
+
+    return stl_decompose(_fixture(sf_dir), trend_window=13, check_tokens=False)
+
+
+def _m4_downsample(sf_dir: str):
+    """M4 min/max-preserving hourly downsample: first/last/min/max token
+    sums per (source, hour pixel) with the earliest bucket achieving each
+    extremum — pipelines/window.m4_downsample; integer-exact."""
+    from datafiller_ray.pipelines.window import m4_downsample
+
+    return m4_downsample(_fixture(sf_dir), px_seconds=3600, check_tokens=False)
+
+
+def _dominant_period(sf_dir: str):
+    """Per-source dominant seasonality period: ROW lag in [2, 24]
+    maximizing the exact five-moment ACF (rounded-value argmax, lag-asc
+    ties) — pipelines/window.dominant_period."""
+    from datafiller_ray.pipelines.window import dominant_period
+
+    return dominant_period(_fixture(sf_dir), max_lag=24, check_tokens=False)
+
+
+def _oov_rate(sf_dir: str):
+    """Per-source out-of-vocabulary token fraction vs the corpus' own
+    top-1024 token ids (deterministic count-desc/tok-asc cutoff; sorted id
+    array broadcast once) — pipelines/corpus.oov_rate."""
+    from datafiller_ray.pipelines.corpus import oov_rate
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return oov_rate(read_input(_fixture(sf_dir), with_tokens=True), vocab_size=1024)
+
+
+def _doc_entropy(sf_dir: str):
+    """Per-doc Shannon entropy (nats) of the token-id distribution over
+    the pre-tokenized table — pipelines/corpus.doc_entropy; pure map,
+    zero shuffles."""
+    from datafiller_ray.pipelines.corpus import doc_entropy
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return doc_entropy(read_input(_fixture(sf_dir), with_tokens=True))
+
+
 _SHUFFLE_SHARDS = 64
 
 
@@ -1784,6 +1841,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_histogram": _token_histogram,
         "hourly_profile": _hourly_profile,
         "ewma_smooth_1m": _ewma_smooth,
+        "holt_smooth_1m": _holt_smooth,
+        "stl_decompose_1m": _stl_decompose,
+        "m4_downsample": _m4_downsample,
+        "dominant_period": _dominant_period,
+        "oov_rate": _oov_rate,
+        "doc_entropy": _doc_entropy,
         "cusum_changepoints": _cusum_changepoints,
         "source_correlation": _source_correlation,
         "bigram_topk": _bigram_topk,
@@ -1897,6 +1960,19 @@ def _acf_sql(rollup_60: str, lags=(1, 2, 3)) -> str:
                       / SQRT(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))
                      * 1000000 + 0.5) / 1000000.0 AS acf
         FROM c WHERE n_pairs >= 3 AND d1 > 0 AND d2 > 0
+    """
+
+
+def _dominant_period_sql(rollup_60: str, max_lag: int = 24) -> str:
+    """ACF table at lags 2..max_lag (the _acf_sql five-moment expression,
+    same n_pairs >= 3 / positive-variance filters), then the rounded-value
+    argmax pick: ROW_NUMBER OVER (acf DESC, lag ASC) = 1 per source."""
+    inner = _acf_sql(rollup_60, lags=tuple(range(2, max_lag + 1)))
+    return f"""
+        SELECT source, lag AS best_lag, n_pairs, acf FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY source ORDER BY acf DESC, lag ASC) AS rn
+          FROM ({inner})) WHERE rn = 1
     """
 
 
@@ -2596,6 +2672,29 @@ def _build_ewma_oracle() -> "pd.DataFrame":
     return pd.concat(frames, ignore_index=True)
 
 
+def _build_holt_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    frames = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep]
+        level, trend, forecast = o.holt_recursion(y, 0.25)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": src,
+                    "bucket_ts": ts,
+                    "sum_tok": y.astype(np.int64),
+                    "level_tok": o.round_half_up(level),
+                    "trend_tok": o.round_half_up(trend),
+                    "forecast_tok": o.round_half_up(forecast),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def _build_cusum_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     frames = []
@@ -2657,6 +2756,7 @@ _FILL_ORACLE_BUILDERS = {
     "knn_fill_1m": _build_knn_oracle,
     "lang_fill": _build_lang_oracle,
     "ewma_smooth_1m": _build_ewma_oracle,
+    "holt_smooth_1m": _build_holt_oracle,
     "lttb_downsample": _build_lttb_oracle,
     "cusum_changepoints": _build_cusum_oracle,
     "approx_distinct_docs": _build_hll_oracle,
@@ -3277,6 +3377,107 @@ def oracle_sql() -> dict[str, str]:
         "ewma_smooth_1m": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('ewma_smooth_1m')}')"
         ),
+        "holt_smooth_1m": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('holt_smooth_1m')}')"
+        ),
+        # STL-lite decomposition, exact integer micro-units: trend via the
+        # pure-integer half-up division (nonneg operands, so DuckDB's //
+        # and numpy's floor-div agree), seasonal via the one pinned
+        # floor(x + 0.5) double division per (source, hour) bin
+        "stl_decompose_1m": f"""
+            WITH r AS ({rollup(60)}),
+            w AS (
+              SELECT source, bucket_ts, sum_tok,
+                     SUM(CAST(sum_tok AS HUGEINT)) OVER (
+                         PARTITION BY source ORDER BY bucket_ts
+                         ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS ws,
+                     COUNT(*) OVER (
+                         PARTITION BY source ORDER BY bucket_ts
+                         ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS wc
+              FROM r),
+            d AS (
+              SELECT source, bucket_ts, sum_tok,
+                     CAST((2 * ws * 1000000 + wc) // (2 * wc) AS BIGINT)
+                       AS trend_u,
+                     CAST(sum_tok AS BIGINT) * 1000000
+                       - CAST((2 * ws * 1000000 + wc) // (2 * wc) AS BIGINT)
+                       AS detr_u,
+                     (bucket_ts // 3600) % 24 AS hr
+              FROM w),
+            s AS (
+              SELECT source, hr,
+                     CAST(FLOOR(CAST(SUM(CAST(detr_u AS HUGEINT)) AS DOUBLE)
+                                / COUNT(*) + 0.5) AS BIGINT) AS seasonal_u
+              FROM d GROUP BY 1, 2)
+            SELECT d.source, d.bucket_ts, d.sum_tok, d.trend_u,
+                   s.seasonal_u, d.detr_u - s.seasonal_u AS resid_u
+            FROM d JOIN s ON d.source = s.source AND d.hr = s.hr
+        """,
+        # M4 (Jugel et al.) pixel aggregates: first/last by time via
+        # arg_min/arg_max on the unique-per-pixel bucket_ts, extremum
+        # timestamps as the EARLIEST matching bucket (deterministic ties)
+        "m4_downsample": f"""
+            WITH r AS ({rollup(60)}),
+            px AS (
+              SELECT source, (bucket_ts // 3600) * 3600 AS px_ts,
+                     bucket_ts, sum_tok
+              FROM r),
+            a AS (
+              SELECT source, px_ts, COUNT(*)::BIGINT AS n_buckets,
+                     arg_min(sum_tok, bucket_ts) AS first_tok,
+                     arg_max(sum_tok, bucket_ts) AS last_tok,
+                     MIN(sum_tok) AS min_tok, MAX(sum_tok) AS max_tok
+              FROM px GROUP BY 1, 2),
+            m AS (
+              SELECT p.source, p.px_ts,
+                     MIN(CASE WHEN p.sum_tok = a.min_tok
+                              THEN p.bucket_ts END) AS min_ts,
+                     MIN(CASE WHEN p.sum_tok = a.max_tok
+                              THEN p.bucket_ts END) AS max_ts
+              FROM px p JOIN a USING (source, px_ts) GROUP BY 1, 2)
+            SELECT a.source, a.px_ts, a.n_buckets, a.first_tok, a.last_tok,
+                   a.min_tok, m.min_ts, a.max_tok, m.max_ts
+            FROM a JOIN m USING (source, px_ts)
+        """,
+        "dominant_period": _dominant_period_sql(rollup(60), 24),
+        # OOV rate vs the corpus' own top-1024 token ids (count desc, tok
+        # asc cutoff — deterministic under uniform-count ties)
+        "oov_rate": f"""
+            WITH flat AS (
+              SELECT source, UNNEST(tokens) AS tok
+              FROM read_parquet('{p}/*.parquet')),
+            v AS (
+              SELECT tok FROM (
+                SELECT tok, COUNT(*) AS c FROM flat GROUP BY 1)
+              ORDER BY c DESC, tok ASC LIMIT 1024),
+            agg AS (
+              SELECT source, COUNT(*)::BIGINT AS total_tok,
+                     CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v)
+                                   THEN 0 ELSE 1 END) AS BIGINT) AS oov_tok
+              FROM flat GROUP BY 1)
+            SELECT source, total_tok, oov_tok,
+                   FLOOR(CAST(oov_tok AS DOUBLE) / total_tok * 1000000
+                         + 0.5) / 1000000.0 AS oov_rate
+            FROM agg
+        """,
+        # per-doc token entropy ln(n) - SUM(c*ln(c))/n; the float SUM
+        # order differs from the engine's token-ascending reduce by
+        # ~1e-13 relative — absorbed by the shared round6 (pmi precedent)
+        "doc_entropy": f"""
+            WITH f AS (
+              SELECT doc_id, UNNEST(tokens) AS tok
+              FROM read_parquet('{p}/*.parquet')),
+            c AS (
+              SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+              FROM f GROUP BY 1, 2),
+            s AS (
+              SELECT doc_id, SUM(c * LN(c)) AS sterm FROM c GROUP BY 1)
+            SELECT d.doc_id, d.source, CAST(d.n_tok AS BIGINT) AS n_tok,
+                   FLOOR((LN(CAST(d.n_tok AS DOUBLE))
+                          - s.sterm / CAST(d.n_tok AS DOUBLE)) * 1000000
+                         + 0.5) / 1000000.0 AS entropy
+            FROM read_parquet('{p}/*.parquet') d JOIN s USING (doc_id)
+        """,
         "lttb_downsample": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('lttb_downsample')}')"
         ),

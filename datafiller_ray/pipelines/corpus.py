@@ -1167,3 +1167,196 @@ def split_assign(
         return t.append_column("split", pa.array(labels[idx], type=pa.string()))
 
     return docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# OOV rate vs a top-V token vocabulary
+
+
+def _id_vocab_partial(t: "pa.Table") -> "pa.Table":
+    arr = t["tokens"].combine_chunks()
+    flat = np.asarray(pc.list_flatten(arr)).astype(np.int64)
+    if flat.size == 0:
+        return pa.table(
+            {"tok": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+    uniq, counts = np.unique(flat, return_counts=True)
+    return pa.table(
+        {"tok": pa.array(uniq, pa.int64()),
+         "cnt": pa.array(counts.astype(np.int64))}
+    )
+
+
+def _topk_ids_block(k: int):
+    def fn(t: "pa.Table") -> "pa.Table":
+        if t.num_rows <= k:
+            return t
+        toks = t["tok"].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -cnts))[:k]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    return fn
+
+
+def token_id_vocab(ds, *, k: int) -> np.ndarray:
+    """Top-k token IDS by (count desc, tok asc) over the pre-tokenized
+    sequence table, returned as a SORTED int64 id array (the broadcast
+    probe side of oov_rate). Same plan as vocab_topk: per-batch np.unique
+    partials, grouped_sum of the SMALL (tok, cnt) rows, per-block prune,
+    one final combine — the k ids are the only thing that reaches the
+    driver."""
+    if k <= 0:
+        raise EngineValueError("k must be positive")
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    partial = ds.map_batches(
+        _id_vocab_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = grouped_sum(partial, "tok", "cnt")
+    pruned = counts.map_batches(_topk_ids_block(k), batch_format="pyarrow")
+    top = pruned.repartition(1).map_batches(
+        _topk_ids_block(k), batch_format="pyarrow"
+    )
+    ids = np.sort(
+        np.concatenate(
+            [b["tok"].to_numpy(zero_copy_only=False)
+             for b in top.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]
+        ).astype(np.int64)
+    )
+    return ids
+
+
+def oov_rate(ds, *, vocab_size: int = 1024):
+    """Per-source out-of-vocabulary token fraction against the corpus'
+    own top-``vocab_size`` token ids — the vocabulary-coverage check run
+    before committing to a tokenizer/vocab truncation.
+
+    Two passes over the (columns-pruned) tokens column: pass 1 builds the
+    top-V id vocabulary (token_id_vocab, deterministic count-desc/tok-asc
+    cutoff); the sorted id array broadcasts ONCE via ``ray.put``; pass 2
+    emits per-batch (source, total, oov) int64 partials — a searchsorted
+    probe per batch, no Python row loop — combined by one small
+    grouped_sum exchange. Ends in the single pinned division with the
+    engine-wide 6-decimal floor-half-up."""
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    vocab_ref = ray.put(token_id_vocab(ds, k=vocab_size))
+
+    class _OovPartial:
+        def __init__(self) -> None:
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, t: "pa.Table") -> "pa.Table":
+            arr = t["tokens"].combine_chunks()
+            lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            flat = np.asarray(pc.list_flatten(arr)).astype(np.int64)
+            src = np.asarray(t["source"].to_pylist(), dtype=object)
+            row_src = np.repeat(src, lens)
+            if flat.size:
+                pos = np.searchsorted(self.vocab, flat)
+                pos = np.minimum(pos, max(self.vocab.size - 1, 0))
+                in_vocab = (
+                    self.vocab[pos] == flat if self.vocab.size else
+                    np.zeros(flat.size, dtype=bool)
+                )
+            else:
+                in_vocab = np.zeros(0, dtype=bool)
+            uniq_src, inv = np.unique(row_src, return_inverse=True)
+            total = np.bincount(inv, minlength=uniq_src.size)
+            oov = np.bincount(
+                inv, weights=(~in_vocab).astype(np.float64),
+                minlength=uniq_src.size,
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "source": pa.array(uniq_src.tolist(), pa.string()),
+                    "total_tok": pa.array(total.astype(np.int64)),
+                    "oov_tok": pa.array(oov),
+                }
+            )
+
+    partial = ds.map_batches(
+        _OovPartial, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    combined = grouped_sum(partial, "source", ["total_tok", "oov_tok"])
+
+    def finish(t: "pa.Table") -> "pa.Table":
+        total = t["total_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        oov = t["oov_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rate = np.zeros(total.size, np.float64)
+        nz = total > 0
+        rate[nz] = np.floor(oov[nz] / total[nz] * 1e6 + 0.5) / 1e6
+        return t.append_column("oov_rate", pa.array(rate))
+
+    return combined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-document token entropy
+
+
+def _entropy_batch(t: "pa.Table") -> "pa.Table":
+    arr = t["tokens"].combine_chunks()
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(pc.list_flatten(arr)).astype(np.int64)
+    row = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    if flat.size:
+        if int(flat.min()) < 0:
+            raise EngineValueError(
+                "doc_entropy requires non-negative token ids "
+                "(packed-key row attribution breaks on negatives)"
+            )
+        key = row * (np.int64(1) << np.int64(32)) + flat
+        key.sort(kind="stable")
+        new = np.empty(key.size, dtype=bool)
+        new[0] = True
+        np.not_equal(key[1:], key[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.concatenate([starts, [key.size]])).astype(np.float64)
+        # per-doc sum of c*ln(c) in token-ascending order (the float sum a
+        # SQL SUM reproduces to ~1e-13 relative; round6 absorbs the order)
+        terms = cnts * np.log(cnts)
+        doc_of_start = (key[starts] >> np.int64(32)).astype(np.int64)
+        s = np.zeros(lens.size, np.float64)
+        np.add.at(s, doc_of_start, terms)
+    else:
+        s = np.zeros(lens.size, np.float64)
+    ent = np.zeros(lens.size, np.float64)
+    nz = lens > 0
+    nf = lens.astype(np.float64)
+    ent[nz] = np.log(nf[nz]) - s[nz] / nf[nz]
+    ent = np.floor(ent * 1e6 + 0.5) / 1e6
+    # -0.0 from floor(-eps*1e6+0.5)/1e6 can't occur (entropy >= 0 exactly:
+    # ln(n) - sum(c ln c)/n >= 0 with equality only all-same-token, where
+    # the expression is exactly 0.0); single-token docs emit exact 0.0
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "n_tok": pa.array(lens),
+            "entropy": pa.array(ent),
+        }
+    )
+
+
+def doc_entropy(ds):
+    """Per-document Shannon entropy (nats) of the token-id distribution:
+    ``ln(n) - sum(c * ln(c)) / n`` over each doc's token counts — the
+    repetition/compressibility quality signal on the PRE-TOKENIZED table
+    (token_diversity's information-weighted sibling: a doc alternating two
+    tokens has diversity ~0 but entropy ln 2).
+
+    Pure map, zero shuffles: one flatten + one (row, token) packed-key
+    sort per batch (the token_diversity kernel), ``c * ln(c)`` terms
+    reduced per doc with np.add.at. The final expression is pinned
+    ``ln(n) - S/n`` with the 6-decimal floor-half-up absorber; the DuckDB
+    oracle (UNNEST -> per-(doc, tok) counts -> SUM(c*ln(c))) differs only
+    in float summation order, ~1e-13 relative, absorbed."""
+    return ds.map_batches(
+        _entropy_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1168,3 +1168,281 @@ def ntile_volume(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown double-exponential (Holt-equivalent) smoothing
+
+
+def _holt_one_source(obs: pd.DataFrame, source: str, alpha: float) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    y = s.astype(np.float64)
+    # Brown's linear (double) exponential smoothing: the trend-aware
+    # sibling of ewma_smooth. Two chained unadjusted EWMA recursions
+    # (pandas' C ewm kernel computes the pinned scalar recursion
+    # bit-for-bit, the ewma_smooth precedent), then the classic
+    # level/trend/one-step-forecast identities in a fixed op order the
+    # vendored scalar oracle mirrors exactly.
+    s1 = pd.Series(y).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    s2 = pd.Series(s1).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    coef = alpha / (1.0 - alpha)
+    level = 2.0 * s1 - s2
+    trend = coef * (s1 - s2)
+    forecast = level + trend
+    return pd.DataFrame(
+        {
+            "source": np.full(ts.size, source, dtype=object),
+            "bucket_ts": ts,
+            "sum_tok": s,
+            "level_tok": _round6_half_up(level),
+            "trend_tok": _round6_half_up(trend),
+            "forecast_tok": _round6_half_up(forecast),
+        }
+    )
+
+
+def holt_smooth(
+    input_path,
+    *,
+    alpha: float = 0.25,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """Brown double-exponential (linear/Holt-equivalent) smoothing of
+    per-minute token sums over each source's OBSERVED 1m buckets:
+    ``s1 = ewm(y)``, ``s2 = ewm(s1)``, level ``2*s1 - s2``, trend
+    ``alpha/(1-alpha) * (s1 - s2)``, one-step forecast ``level + trend``.
+    Trend-aware smoothing for drifting throughput series, where plain EWMA
+    lags a ramp. alpha must be in (0, 1) — the s2 recursion degenerates at
+    alpha == 1 (coef divides by zero). Non-SQL scan, oracled by the
+    vendored scalar double recursion (tests/oracle/fills.py)."""
+    from datafiller_ray.config import EngineValueError
+
+    if not (0.0 < alpha < 1.0):
+        raise EngineValueError(f"alpha must be in (0, 1), got {alpha}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _holt_one_source(obs, src, alpha),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition (integer micro-units end to end)
+
+
+def _stl_one_source(obs: pd.DataFrame, source: str, half: int) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    n = s.size
+    i = np.arange(n)
+    lo = np.maximum(0, i - half)
+    hi = np.minimum(n - 1, i + half)
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+    wsum = cs[hi + 1] - cs[lo]
+    wcnt = hi + 1 - lo
+    # trend in integer micro-units via pure-integer half-up division
+    # (non-negative sums): floor((2*w*1e6 + c) / (2*c)). Bounds: window
+    # sums stay < 2^63 / 2e6 ~ 4.6e12 — enforced below so the int64 math
+    # can never wrap silently at scale.
+    if wsum.size and int(wsum.max()) > 4_600_000_000_000:
+        from datafiller_ray.config import EngineValueError
+
+        raise EngineValueError(
+            "stl_decompose window sum exceeds the int64-exact micro-unit "
+            "range; reduce the trend window or pre-scale the series"
+        )
+    trend_u = (2 * wsum * 1_000_000 + wcnt) // (2 * wcnt)
+    detr_u = s * 1_000_000 - trend_u  # int64-exact, may be negative
+    # hour-of-day seasonal component: mean of detrended micro-units per
+    # (source, hour) bin — 24-entry bincount, one pinned double division
+    # with the floor(x + 0.5) half-up absorber (negative-safe: identical
+    # expression in the SQL oracle)
+    hour = (ts // 3600) % 24
+    bin_sum = np.bincount(hour, weights=detr_u.astype(np.float64), minlength=24)
+    bin_cnt = np.bincount(hour, minlength=24)
+    seas_u = np.zeros(24, dtype=np.int64)
+    nz = bin_cnt > 0
+    seas_u[nz] = np.floor(bin_sum[nz] / bin_cnt[nz] + 0.5).astype(np.int64)
+    seasonal_u = seas_u[hour]
+    resid_u = detr_u - seasonal_u
+    return pd.DataFrame(
+        {
+            "source": np.full(n, source, dtype=object),
+            "bucket_ts": ts,
+            "sum_tok": s,
+            "trend_u": trend_u,
+            "seasonal_u": seasonal_u,
+            "resid_u": resid_u,
+        }
+    )
+
+
+def stl_decompose(
+    input_path,
+    *,
+    trend_window: int = 13,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """STL-lite trend/seasonal/residual decomposition of each source's
+    observed 1m token sums, integer micro-units end to end (hash-exact,
+    no float accumulation anywhere):
+
+    - trend: centered rolling mean over ``trend_window`` OBSERVED buckets
+      (ROWS BETWEEN half PRECEDING AND half FOLLOWING, edges use the
+      available window — SQL ROWS-window edge semantics), as a micro-unit
+      int64 via pure-integer half-up division;
+    - seasonal: hour-of-day mean of the detrended micro-units per source
+      (24 bins; the hourly_profile key), one pinned ``floor(x + 0.5)``
+      division per bin;
+    - residual: ``y*1e6 - trend_u - seasonal_u``, exact int64.
+
+    ``y == (trend_u + seasonal_u + resid_u) / 1e6`` by construction.
+    The micro-unit columns ARE the output contract (BIGINT), so the DuckDB
+    oracle (window AVG as integer sums/counts + the same two divisions)
+    hashes bit-for-bit. trend_window must be odd so the window is centered.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if trend_window < 1 or trend_window % 2 == 0:
+        raise EngineValueError(
+            f"trend_window must be a positive odd int, got {trend_window}"
+        )
+    half = trend_window // 2
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _stl_one_source(obs, src, half),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 min/max-preserving visual downsample
+
+
+def _m4_one_source(obs: pd.DataFrame, source: str, px_w: int) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    px = (ts // px_w) * px_w
+    # observed buckets arrive time-sorted per source (combine_partials
+    # contract), so pixel runs are contiguous: searchsorted bounds
+    starts = np.searchsorted(px, np.unique(px), side="left")
+    ends = np.concatenate([starts[1:], [px.size]])
+    n_px = starts.size
+    first_tok = s[starts]
+    last_tok = s[ends - 1]
+    min_tok = np.minimum.reduceat(s, starts)
+    max_tok = np.maximum.reduceat(s, starts)
+    # EARLIEST bucket achieving each extremum (deterministic ties):
+    # first index i in [start, end) with s[i] == extremum, vectorized as a
+    # min-reduceat over positions masked to the matching rows
+    eq_min = s == np.repeat(min_tok, ends - starts)
+    eq_max = s == np.repeat(max_tok, ends - starts)
+    idx = np.arange(px.size, dtype=np.int64)
+    big = np.int64(px.size)
+    min_ts = ts[np.minimum.reduceat(np.where(eq_min, idx, big), starts)]
+    max_ts = ts[np.minimum.reduceat(np.where(eq_max, idx, big), starts)]
+    return pd.DataFrame(
+        {
+            "source": np.full(n_px, source, dtype=object),
+            "px_ts": px[starts],
+            "n_buckets": (ends - starts).astype(np.int64),
+            "first_tok": first_tok,
+            "last_tok": last_tok,
+            "min_tok": min_tok,
+            "min_ts": min_ts,
+            "max_tok": max_tok,
+            "max_ts": max_ts,
+        }
+    )
+
+
+def m4_downsample(
+    input_path,
+    *,
+    px_seconds: int = 3600,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """M4 min/max-preserving visual downsample (Jugel et al., VLDB 2014:
+    a pixel column is exactly reproduced by the first/last/min/max of the
+    points that fall in it): per (source, ``px_seconds`` pixel) emit the
+    first/last token sum by time plus each extremum with the EARLIEST
+    bucket_ts achieving it (deterministic under ties). Integer-exact end
+    to end; the LTTB complement for error-free line rendering."""
+    from datafiller_ray.config import EngineValueError
+
+    if px_seconds < 60:
+        raise EngineValueError(f"px_seconds must be >= 60, got {px_seconds}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _m4_one_source(obs, src, px_seconds),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dominant seasonality period via ACF argmax
+
+
+def _dominant_period_one_source(
+    obs: pd.DataFrame, source: str, max_lag: int, min_pairs: int
+) -> pd.DataFrame:
+    cand = _acf_one_source(
+        obs, source, tuple(range(2, max_lag + 1)), min_pairs
+    )
+    if len(cand) == 0:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": np.empty(0, dtype=object),
+                    "best_lag": np.empty(0, np.int64),
+                    "n_pairs": np.empty(0, np.int64),
+                    "acf": np.empty(0, np.float64),
+                }
+            )
+        )
+    a = cand["acf"].to_numpy()  # already round6 — argmax on ROUNDED values
+    lags = cand["lag"].to_numpy(np.int64)
+    best = np.lexsort((lags, -a))[0]  # acf desc, lag asc: deterministic
+    return pd.DataFrame(
+        {
+            "source": [source],
+            "best_lag": lags[[best]],
+            "n_pairs": cand["n_pairs"].to_numpy(np.int64)[[best]],
+            "acf": a[[best]],
+        }
+    )
+
+
+def dominant_period(
+    input_path,
+    *,
+    max_lag: int = 24,
+    min_pairs: int = 3,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source dominant seasonality period: the ROW lag in [2, max_lag]
+    maximizing the exact five-moment ACF (acf()'s integer formulation; the
+    argmax compares the ROUNDED 6-decimal values with lag-asc ties, so the
+    SQL oracle's ROW_NUMBER pick is bit-deterministic). Lag 1 is excluded
+    (trivially maximal on smooth series); sources with no valid lag (too
+    short, or zero variance at every lag) are omitted."""
+    from datafiller_ray.config import EngineValueError
+
+    if max_lag < 2:
+        raise EngineValueError(f"max_lag must be >= 2, got {max_lag}")
+    if min_pairs < 2:
+        raise EngineValueError(f"min_pairs must be >= 2, got {min_pairs}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _dominant_period_one_source(obs, src, max_lag, min_pairs),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

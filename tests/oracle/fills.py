@@ -586,6 +586,35 @@ def ewma_recursion(y: np.ndarray, alpha: float) -> np.ndarray:
     return out
 
 
+def holt_recursion(y: np.ndarray, alpha: float):
+    """Brown double-exponential smoothing, scalar re-derivation: two
+    chained unadjusted-EWMA recursions (s1 over y, s2 over s1), then the
+    pinned identities ``level = 2*s1 - s2``,
+    ``trend = (alpha/(1-alpha)) * (s1 - s2)``, ``forecast = level + trend``
+    — each evaluated per element in the SAME float64 op order the engine
+    uses, so the comparison is bit-exact before the shared round6."""
+    n = y.size
+    level = np.empty(n, dtype=np.float64)
+    trend = np.empty(n, dtype=np.float64)
+    forecast = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return level, trend, forecast
+    b = 1.0 - alpha
+    coef = alpha / (1.0 - alpha)
+    s1 = float(y[0])
+    s2 = s1
+    level[0] = 2.0 * s1 - s2
+    trend[0] = coef * (s1 - s2)
+    forecast[0] = level[0] + trend[0]
+    for i in range(1, n):
+        s1 = b * s1 + alpha * float(y[i])
+        s2 = b * s2 + alpha * s1
+        level[i] = 2.0 * s1 - s2
+        trend[i] = coef * (s1 - s2)
+        forecast[i] = level[i] + trend[i]
+    return level, trend, forecast
+
+
 def lttb_select_loop(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
     """Per-point-loop LTTB (Steinarsson 2013) under the pinned arithmetic
     contract (integer bucket bounds ``1 + k*(n-2)//nb``; bucket means via

@@ -719,3 +719,96 @@ def test_skew_report_null_keys(ray_session):
     r = got.iloc[0]
     assert r["n_keys"] == 3 and r["total_rows"] == 15 and r["max_rows"] == 7
     assert pd.isna(r["top_key"])  # the null group IS the hottest key
+
+
+# ---------------------------------------------------------------------------
+# oov_rate / doc_entropy (token-id corpus checks)
+
+
+def _token_table(rows, sources=None):
+    import pyarrow as pa
+
+    sources = sources or ["s"] * len(rows)
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(len(rows))]),
+            "source": pa.array(sources),
+            "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+            "tokens": pa.array(
+                [list(map(int, r)) for r in rows], type=pa.list_(pa.int32())
+            ),
+        }
+    )
+
+
+def test_token_id_vocab_deterministic_cutoff(ray_session):
+    from datafiller_ray.pipelines.corpus import token_id_vocab
+
+    # counts: tok 5 x3, toks 1,2,3 x2 each (tie broken tok asc), tok 9 x1
+    rows = [[5, 5, 5, 1, 1], [2, 2, 3, 3, 9]]
+    ds = ray.data.from_arrow(_token_table(rows))
+    np.testing.assert_array_equal(token_id_vocab(ds, k=3), [1, 2, 5])
+    np.testing.assert_array_equal(token_id_vocab(ds, k=1), [5])
+    with pytest.raises(EngineValueError):
+        token_id_vocab(ds, k=0)
+
+
+def test_oov_rate_matches_python_sets(ray_session):
+    from datafiller_ray.pipelines.corpus import oov_rate, token_id_vocab
+
+    rng = np.random.default_rng(41)
+    rows = [rng.integers(0, 200, rng.integers(5, 60)) for _ in range(300)]
+    srcs = [rng.choice(["a", "b", "c"]) for _ in range(300)]
+    ds = ray.data.from_arrow(_token_table(rows, srcs))
+    out = oov_rate(ds, vocab_size=50).to_pandas().set_index("source")
+    vocab = set(token_id_vocab(ds, k=50).tolist())
+    for src in ("a", "b", "c"):
+        toks = np.concatenate([r for r, s in zip(rows, srcs) if s == src])
+        oov = sum(1 for t in toks for _ in [0] if int(t) not in vocab)
+        assert out.loc[src, "total_tok"] == toks.size
+        assert out.loc[src, "oov_tok"] == oov
+        assert out.loc[src, "oov_rate"] == np.floor(oov / toks.size * 1e6 + 0.5) / 1e6
+
+
+def test_doc_entropy_matches_scalar(ray_session):
+    import math
+
+    from datafiller_ray.pipelines.corpus import doc_entropy
+
+    rng = np.random.default_rng(43)
+    rows = [rng.integers(0, 30, rng.integers(1, 50)) for _ in range(200)]
+    rows.append(np.array([7, 7, 7, 7], dtype=np.int64))  # single-token doc
+    rows.append(np.array([], dtype=np.int64))  # empty doc
+    ds = ray.data.from_arrow(_token_table(rows))
+    out = (
+        doc_entropy(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, r in enumerate(rows):
+        n = len(r)
+        if n == 0:
+            exp = 0.0
+        else:
+            cnts = np.unique(np.asarray(r), return_counts=True)[1].astype(float)
+            s = float(np.sum(cnts * np.log(cnts)))
+            exp = np.floor((math.log(n) - s / n) * 1e6 + 0.5) / 1e6
+        assert out["entropy"].iloc[i] == pytest.approx(exp, abs=2e-6)
+    # all-same-token doc has exactly zero entropy
+    assert out["entropy"].iloc[200] == 0.0
+    assert (out["entropy"] >= 0).all()
+
+
+def test_doc_entropy_rejects_negative_token_ids(ray_session):
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.corpus import doc_entropy
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d0"]),
+            "source": pa.array(["s"]),
+            "n_tok": pa.array([2], type=pa.int32()),
+            "tokens": pa.array([[-1, 3]], type=pa.list_(pa.int32())),
+        }
+    )
+    with pytest.raises(Exception, match="non-negative token ids"):
+        doc_entropy(ray.data.from_arrow(t)).to_pandas()

@@ -677,3 +677,170 @@ def test_ntile_end_to_end(ray_session, small_fixture):
         assert set(g["tile"]) <= {1, 2, 3, 4}
     with pytest.raises(EngineValueError):
         ntile_volume(small_fixture, n_tiles=0)
+
+
+# ---------------------------------------------------------------------------
+# Brown/Holt smoothing, STL-lite decomposition, M4 downsample, dominant period
+
+
+def test_holt_engine_matches_recursion_oracle():
+    from datafiller_ray.pipelines.window import _holt_one_source
+
+    o = _oracle_fills()
+    rng = np.random.default_rng(11)
+    s = rng.integers(0, 100000, size=4321)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(s.size, dtype=np.int64) * 60, "sum": s}
+    )
+    for alpha in (0.25, 0.1, 0.37):
+        eng = _holt_one_source(obs, "s", alpha)
+        level, trend, forecast = o.holt_recursion(s.astype(np.float64), alpha)
+        np.testing.assert_array_equal(
+            eng["level_tok"].to_numpy(), o.round_half_up(level)
+        )
+        np.testing.assert_array_equal(
+            eng["trend_tok"].to_numpy(), o.round_half_up(trend)
+        )
+        np.testing.assert_array_equal(
+            eng["forecast_tok"].to_numpy(), o.round_half_up(forecast)
+        )
+
+
+def test_holt_tracks_linear_ramp():
+    # on an exact ramp the one-step forecast converges to the next value;
+    # plain EWMA lags by a constant — the property Holt adds
+    from datafiller_ray.pipelines.window import _holt_one_source
+
+    s = (np.arange(400, dtype=np.int64) * 10) + 1000
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(s.size, dtype=np.int64) * 60, "sum": s}
+    )
+    out = _holt_one_source(obs, "s", 0.3)
+    tail_err = out["forecast_tok"].to_numpy()[-20:] - (s[-20:] + 10)
+    assert np.abs(tail_err).max() < 1.0
+    # trend estimate converges to the true slope
+    assert abs(out["trend_tok"].iloc[-1] - 10.0) < 0.5
+
+
+def test_stl_identity_and_trend_window():
+    from datafiller_ray.pipelines.window import _stl_one_source
+
+    rng = np.random.default_rng(17)
+    n = 1000
+    ts = np.arange(n, dtype=np.int64) * 60
+    s = rng.integers(0, 5000, size=n).astype(np.int64)
+    out = _stl_one_source(pd.DataFrame({"bucket_ts": ts, "sum": s}), "s", 6)
+    # exact additive identity in micro-units
+    np.testing.assert_array_equal(
+        out["trend_u"] + out["seasonal_u"] + out["resid_u"],
+        s * 1_000_000,
+    )
+    # trend at an interior point == half-up rounded 13-bucket mean
+    i = 500
+    w = s[i - 6 : i + 7]
+    exp = (2 * int(w.sum()) * 1_000_000 + 13) // 26
+    assert out["trend_u"].iloc[i] == exp
+
+
+def test_stl_constant_series_zero_residual():
+    from datafiller_ray.pipelines.window import _stl_one_source
+
+    ts = np.arange(100, dtype=np.int64) * 60
+    s = np.full(100, 777, dtype=np.int64)
+    out = _stl_one_source(pd.DataFrame({"bucket_ts": ts, "sum": s}), "s", 6)
+    assert (out["trend_u"] == 777_000_000).all()
+    assert (out["seasonal_u"] == 0).all()
+    assert (out["resid_u"] == 0).all()
+
+
+def test_m4_one_source_brute_force():
+    from datafiller_ray.pipelines.window import _m4_one_source
+
+    rng = np.random.default_rng(23)
+    # sparse grid with duplicated extrema to exercise earliest-ts ties
+    ts = np.sort(rng.choice(np.arange(0, 86400, 60), size=600, replace=False))
+    s = rng.integers(0, 50, size=600).astype(np.int64)  # small range: many ties
+    out = _m4_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": s}), "s", 3600
+    )
+    px = (ts // 3600) * 3600
+    for _, r in out.iterrows():
+        m = px == r["px_ts"]
+        tsm, sm = ts[m], s[m]
+        assert r["n_buckets"] == m.sum()
+        assert r["first_tok"] == sm[0] and r["last_tok"] == sm[-1]
+        assert r["min_tok"] == sm.min() and r["max_tok"] == sm.max()
+        assert r["min_ts"] == tsm[sm == sm.min()][0]
+        assert r["max_ts"] == tsm[sm == sm.max()][0]
+
+
+def test_dominant_period_finds_planted_cycle():
+    from datafiller_ray.pipelines.window import _dominant_period_one_source
+
+    n = 600
+    ts = np.arange(n, dtype=np.int64) * 60
+    rng = np.random.default_rng(29)
+    s = (1000 + 500 * np.cos(2 * np.pi * np.arange(n) / 12)).astype(np.int64)
+    s += rng.integers(0, 50, size=n)
+    out = _dominant_period_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": s}), "s", 24, 3
+    )
+    assert out["best_lag"].tolist() == [12]
+    assert out["acf"].iloc[0] > 0.9
+
+
+def test_dominant_period_short_series_omitted():
+    from datafiller_ray.pipelines.window import _dominant_period_one_source
+
+    obs = pd.DataFrame(
+        {"bucket_ts": np.array([0, 60], dtype=np.int64),
+         "sum": np.array([1, 2], dtype=np.int64)}
+    )
+    out = _dominant_period_one_source(obs, "s", 24, 3)
+    assert len(out) == 0 and "best_lag" in out.columns
+
+
+def test_new_window_ops_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import (
+        dominant_period,
+        holt_smooth,
+        m4_downsample,
+        stl_decompose,
+    )
+
+    holt = holt_smooth(small_fixture, alpha=0.25).to_pandas()
+    assert {"level_tok", "trend_tok", "forecast_tok"} <= set(holt.columns)
+
+    stl = stl_decompose(small_fixture, trend_window=13).to_pandas()
+    np.testing.assert_array_equal(
+        stl["trend_u"] + stl["seasonal_u"] + stl["resid_u"],
+        stl["sum_tok"].to_numpy(np.int64) * 1_000_000,
+    )
+
+    m4 = m4_downsample(small_fixture, px_seconds=3600).to_pandas()
+    assert (m4["min_tok"] <= m4["max_tok"]).all()
+    assert (m4["px_ts"] % 3600 == 0).all()
+
+    dom = dominant_period(small_fixture, max_lag=12).to_pandas()
+    assert dom["best_lag"].between(2, 12).all()
+    # one row per source at most
+    assert dom["source"].is_unique
+
+
+def test_new_window_param_guards():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import (
+        dominant_period,
+        holt_smooth,
+        m4_downsample,
+        stl_decompose,
+    )
+
+    with pytest.raises(EngineValueError):
+        holt_smooth("/nonexistent", alpha=1.0)  # coef degenerates
+    with pytest.raises(EngineValueError):
+        stl_decompose("/nonexistent", trend_window=12)  # even window
+    with pytest.raises(EngineValueError):
+        m4_downsample("/nonexistent", px_seconds=30)
+    with pytest.raises(EngineValueError):
+        dominant_period("/nonexistent", max_lag=1)
