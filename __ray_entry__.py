@@ -941,6 +941,61 @@ def _dominant_period(sf_dir: str):
     return dominant_period(_fixture(sf_dir), max_lag=24, check_tokens=False)
 
 
+def _anomaly_intervals(sf_dir: str):
+    """Contiguous anomaly intervals: grid-adjacent buckets exceeding
+    1.25x the 60-bucket trailing mean merged into alert rows with peak +
+    earliest peak_ts — pipelines/window.anomaly_intervals (SQL
+    gaps-and-islands oracle)."""
+    from datafiller_ray.pipelines.window import anomaly_intervals
+
+    return anomaly_intervals(
+        _fixture(sf_dir), window=60, factor=1.25, min_window=10,
+        check_tokens=False,
+    )
+
+
+def _source_similarity(sf_dir: str):
+    """Pairwise cosine similarity of per-source binned token-id histograms
+    (256 bins x width 256; int64-exact dots, one pinned division per pair)
+    — pipelines/corpus.source_similarity."""
+    from datafiller_ray.pipelines.corpus import source_similarity
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return source_similarity(
+        read_input(_fixture(sf_dir), with_tokens=True), bin_width=256, n_bins=256
+    )
+
+
+def _token_kl_drift(sf_dir: str):
+    """Per-source KL divergence of the binned token-id distribution vs the
+    global blend (Laplace-smoothed, 256 bins) —
+    pipelines/corpus.token_kl_drift."""
+    from datafiller_ray.pipelines.corpus import token_kl_drift
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return token_kl_drift(
+        read_input(_fixture(sf_dir), with_tokens=True), bin_width=256, n_bins=256
+    )
+
+
+_QUOTA_BUDGET = 5000
+
+
+def _hourly_quota(sf_dir: str):
+    """Per-(source, hour) token-budget quota: docs kept in seeded
+    hash order while the running n_tok total stays within budget —
+    pipelines/corpus.hourly_quota (tokens never read: 3-column
+    projection)."""
+    from datafiller_ray.pipelines.corpus import hourly_quota
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return hourly_quota(
+        read_input(_fixture(sf_dir), with_tokens=False),
+        budget=_QUOTA_BUDGET,
+        seed=_SAMPLE_SEED,
+    )
+
+
 def _oov_rate(sf_dir: str):
     """Per-source out-of-vocabulary token fraction vs the corpus' own
     top-1024 token ids (deterministic count-desc/tok-asc cutoff; sorted id
@@ -1847,6 +1902,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_period": _dominant_period,
         "oov_rate": _oov_rate,
         "doc_entropy": _doc_entropy,
+        "anomaly_intervals": _anomaly_intervals,
+        "source_similarity": _source_similarity,
+        "token_kl_drift": _token_kl_drift,
+        "hourly_quota": _hourly_quota,
         "cusum_changepoints": _cusum_changepoints,
         "source_correlation": _source_correlation,
         "bigram_topk": _bigram_topk,
@@ -1973,6 +2032,44 @@ def _dominant_period_sql(rollup_60: str, max_lag: int = 24) -> str:
           SELECT *, ROW_NUMBER() OVER (
               PARTITION BY source ORDER BY acf DESC, lag ASC) AS rn
           FROM ({inner})) WHERE rn = 1
+    """
+
+
+def _hourly_quota_sql() -> str:
+    """string_hash64(doc_id) (FNV-1a + splitmix, the simhash-oracle
+    derivation) xor the seed mix, splitmix again — then the windowed
+    running-sum prefix within each (source, hour) budget, exactly
+    corpus.hourly_quota's kept set (ORDER BY v, doc_id on UBIGINT v
+    matches the engine's uint64 lexsort)."""
+    import numpy as np
+
+    from datafiller_ray.functions.hashing import splitmix64
+
+    p = _fixture_sql_path()
+    seed_mix = int(splitmix64(np.array([_SAMPLE_SEED], dtype=np.uint64))[0])
+    cols = ["doc_id", "source", "n_tok", "hour_ts"]
+    fnv = (
+        f"list_reduce(list_prepend({0xCBF29CE484222325}::UBIGINT, "
+        f"list_transform(string_split(doc_id, ''), c -> unicode(c)::UBIGINT)), "
+        f"(a, b) -> {_sql_mulmod('xor(a, b)', 0x100000001B3)})"
+    )
+    sm1, fin1 = _sql_splitmix_ctes("d0", cols, fnv, "qh")
+    sm2, fin2 = _sql_splitmix_ctes(fin1, cols, f"xor(v, {seed_mix})", "qv")
+    return f"""
+        WITH d0 AS (
+          SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+                 (CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)
+                  * 60 // 3600) * 3600 AS hour_ts
+          FROM read_parquet('{p}/*.parquet')),
+        {sm1},
+        {sm2}
+        SELECT doc_id, source, n_tok, hour_ts FROM (
+          SELECT doc_id, source, n_tok, hour_ts,
+                 SUM(n_tok) OVER (
+                     PARTITION BY source, hour_ts ORDER BY v, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM {fin2})
+        WHERE run <= {_QUOTA_BUDGET}
     """
 
 
@@ -3460,6 +3557,94 @@ def oracle_sql() -> dict[str, str]:
                          + 0.5) / 1000000.0 AS oov_rate
             FROM agg
         """,
+        # gaps-and-islands over the rolling-anomaly flag rule: island id =
+        # grid index minus ROW_NUMBER; peak_ts joined back as the earliest
+        # bucket achieving the island max (m4 precedent)
+        "anomaly_intervals": f"""
+            WITH r AS ({rollup(60)}),
+            w AS (
+              SELECT source, bucket_ts, sum_tok,
+                     COUNT(*) OVER w AS roll_cnt,
+                     CAST(SUM(sum_tok) OVER w AS DOUBLE) / COUNT(*) OVER w
+                         AS mean_raw
+              FROM r
+              WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
+                           ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)),
+            f AS (
+              SELECT source, bucket_ts, sum_tok FROM w
+              WHERE roll_cnt >= 10
+                AND CAST(sum_tok AS DOUBLE) > 1.25 * mean_raw),
+            i AS (
+              SELECT source, bucket_ts, sum_tok,
+                     bucket_ts // 60 - ROW_NUMBER() OVER (
+                         PARTITION BY source ORDER BY bucket_ts) AS isl
+              FROM f),
+            a AS (
+              SELECT source, isl, MIN(bucket_ts) AS start_ts,
+                     MAX(bucket_ts) AS end_ts, COUNT(*)::BIGINT AS n_buckets,
+                     MAX(sum_tok) AS peak_tok
+              FROM i GROUP BY 1, 2),
+            m AS (
+              SELECT i.source, i.isl,
+                     MIN(CASE WHEN i.sum_tok = a.peak_tok
+                              THEN i.bucket_ts END) AS peak_ts
+              FROM i JOIN a USING (source, isl) GROUP BY 1, 2)
+            SELECT a.source, a.start_ts, a.end_ts, a.n_buckets, a.peak_tok,
+                   m.peak_ts
+            FROM a JOIN m USING (source, isl)
+        """,
+        # pairwise cosine of binned token-id histograms: HUGEINT dots via
+        # a bin self-join, every pair emitted through the norms cross join
+        "source_similarity": f"""
+            WITH flat AS (
+              SELECT source, UNNEST(tokens) AS tok
+              FROM read_parquet('{p}/*.parquet')),
+            h AS (
+              SELECT source, tok // 256 AS bin, COUNT(*)::HUGEINT AS c
+              FROM flat GROUP BY 1, 2),
+            n AS (SELECT source, SUM(c * c) AS nrm FROM h GROUP BY 1),
+            d AS (
+              SELECT a.source AS sa, b.source AS sb, SUM(a.c * b.c) AS dot
+              FROM h a JOIN h b ON a.bin = b.bin AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT na.source AS src_a, nb.source AS src_b,
+                   FLOOR(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                         / (SQRT(CAST(na.nrm AS DOUBLE))
+                            * SQRT(CAST(nb.nrm AS DOUBLE)))
+                         * 1000000 + 0.5) / 1000000.0 AS cos_sim
+            FROM n na JOIN n nb ON na.source < nb.source
+            LEFT JOIN d ON d.sa = na.source AND d.sb = nb.source
+        """,
+        # per-source KL vs the global blend over ALL 256 Laplace-smoothed
+        # bins (generate_series grid so empty bins contribute both sides);
+        # SUM order differs from the engine's bin-ascending reduce by
+        # ~1e-15 relative — absorbed by the shared round6
+        "token_kl_drift": f"""
+            WITH flat AS (
+              SELECT source, UNNEST(tokens) AS tok
+              FROM read_parquet('{p}/*.parquet')),
+            h AS (
+              SELECT source, tok // 256 AS bin, COUNT(*)::BIGINT AS c
+              FROM flat GROUP BY 1, 2),
+            srcs AS (SELECT source, SUM(c) AS n FROM h GROUP BY 1),
+            bins AS (SELECT UNNEST(generate_series(0, 255)) AS bin),
+            g AS (SELECT bin, SUM(c) AS gc FROM h GROUP BY 1),
+            gt AS (SELECT SUM(c) AS t FROM h),
+            grid AS (
+              SELECT s.source, s.n, b.bin, COALESCE(h.c, 0) AS c,
+                     COALESCE(g.gc, 0) AS gc, (SELECT t FROM gt) AS t
+              FROM srcs s CROSS JOIN bins b
+              LEFT JOIN h ON h.source = s.source AND h.bin = b.bin
+              LEFT JOIN g ON g.bin = b.bin)
+            SELECT source, CAST(n AS BIGINT) AS total_tok,
+                   FLOOR(SUM(
+                     (CAST(c + 1 AS DOUBLE) / (n + 256))
+                     * LN((CAST(c + 1 AS DOUBLE) / (n + 256))
+                          / (CAST(gc + 1 AS DOUBLE) / (t + 256)))
+                   ) * 1000000 + 0.5) / 1000000.0 AS kl
+            FROM grid GROUP BY source, n
+        """,
+        "hourly_quota": _hourly_quota_sql(),
         # per-doc token entropy ln(n) - SUM(c*ln(c))/n; the float SUM
         # order differs from the engine's token-ascending reduce by
         # ~1e-13 relative — absorbed by the shared round6 (pmi precedent)

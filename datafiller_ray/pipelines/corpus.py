@@ -1360,3 +1360,245 @@ def doc_entropy(ds):
     return ds.map_batches(
         _entropy_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# binned token-id histograms -> source similarity / KL drift
+
+
+def _token_bin_partial(bin_width: int, n_bins: int):
+    limit = bin_width * n_bins
+
+    def fn(t: "pa.Table") -> "pa.Table":
+        arr = t["tokens"].combine_chunks()
+        flat = np.asarray(pc.list_flatten(arr)).astype(np.int64)
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(t["source"].to_pylist(), dtype=object), lens)
+        if flat.size == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        if int(flat.min()) < 0 or int(flat.max()) >= limit:
+            raise EngineValueError(
+                f"token id outside [0, {limit}) — raise bin_width/n_bins"
+            )
+        bins = flat // bin_width
+        uniq_src, inv = np.unique(src, return_inverse=True)
+        key = inv * np.int64(n_bins) + bins
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(
+                    uniq_src[uk // n_bins].tolist(), pa.string()
+                ),
+                "bin": pa.array(uk % n_bins, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return fn
+
+
+def _source_bin_counts(ds, *, bin_width: int, n_bins: int):
+    """(source, bin, cnt) exact counts of binned token ids — per-batch
+    np.unique partials over the flattened Arrow list values, one small
+    grouped_sum exchange. The shuffle carries at most
+    |sources| x n_bins rows per block."""
+    if bin_width <= 0 or n_bins <= 0:
+        raise EngineValueError("bin_width and n_bins must be positive")
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    partial = ds.map_batches(
+        _token_bin_partial(bin_width, n_bins),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_sum(partial, ["source", "bin"], "cnt")
+
+
+def source_similarity(ds, *, bin_width: int = 256, n_bins: int = 256):
+    """Pairwise cosine similarity between sources' binned token-id
+    histograms — the "which corpora look alike" diagnostic that drives
+    mixing/dedup decisions between ingest feeds.
+
+    Distributed part: exact (source, bin, cnt) counts via one small
+    grouped_sum exchange (the token payload never shuffles). The final
+    S x n_bins count matrix is tiny (sources x bins, NOT data-sized), so
+    the pairwise pass runs in ONE task over one block. Dot products and
+    norms are int64-exact (guarded: n_bins * max_cnt^2 must stay below
+    2^63 — at bigger counts raise n_bins or pre-scale); each pair ends in
+    the single pinned expression ``dot / (sqrt(na) * sqrt(nb))`` with the
+    engine-wide round6, so the DuckDB HUGEINT self-join oracle hashes
+    bit-for-bit. Output: (src_a < src_b, cos_sim) for every source pair.
+    """
+    counts = _source_bin_counts(ds, bin_width=bin_width, n_bins=n_bins)
+
+    def pairwise(df: "object") -> "object":
+        import math
+
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "src_a": pd.Series([], dtype="string"),
+                    "src_b": pd.Series([], dtype="string"),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        srcs = np.asarray(sorted(df["source"].unique()), dtype=object)
+        s_idx = {s: i for i, s in enumerate(srcs)}
+        C = np.zeros((srcs.size, n_bins), dtype=np.int64)
+        C[
+            df["source"].map(s_idx).to_numpy(np.int64),
+            df["bin"].to_numpy(np.int64),
+        ] = df["cnt"].to_numpy(np.int64)
+        cmax = int(C.max())
+        if n_bins * cmax * cmax >= 1 << 63:
+            raise EngineValueError(
+                "source_similarity dot product exceeds int64-exact range; "
+                "increase n_bins or pre-thin the corpus"
+            )
+        G = C @ C.T  # int64-exact under the guard
+        rows_a, rows_b, sims = [], [], []
+        for i in range(srcs.size):
+            for j in range(i + 1, srcs.size):
+                sim = float(G[i, j]) / (
+                    math.sqrt(float(G[i, i])) * math.sqrt(float(G[j, j]))
+                )
+                rows_a.append(srcs[i])
+                rows_b.append(srcs[j])
+                sims.append(np.floor(sim * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame(
+            {"src_a": rows_a, "src_b": rows_b, "cos_sim": sims}
+        )
+
+    return counts.repartition(1).map_batches(
+        pairwise, batch_format="pandas", batch_size=None
+    )
+
+
+def token_kl_drift(ds, *, bin_width: int = 256, n_bins: int = 256):
+    """Per-source KL divergence of the binned token-id distribution vs the
+    GLOBAL distribution (Laplace-smoothed over all ``n_bins`` bins) — the
+    cross-sectional drift complement of psi_drift's early-vs-late split:
+    which ingest feed's token mix deviates most from the corpus blend.
+
+    Same (source, bin, cnt) exchange as source_similarity; the final pass
+    is one task over the tiny count matrix. Per term the op order is
+    pinned (``p = (c+1)/(n+B)``, ``q = (g+1)/(G+B)``, ``p * ln(p/q)``);
+    the 256-term sum differs from SQL only in accumulation order (~1e-15
+    relative), absorbed by the shared round6."""
+    counts = _source_bin_counts(ds, bin_width=bin_width, n_bins=n_bins)
+
+    def finish(df: "object") -> "object":
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="string"),
+                    "total_tok": pd.Series([], dtype="int64"),
+                    "kl": pd.Series([], dtype="float64"),
+                }
+            )
+        srcs = np.asarray(sorted(df["source"].unique()), dtype=object)
+        s_idx = {s: i for i, s in enumerate(srcs)}
+        C = np.zeros((srcs.size, n_bins), dtype=np.int64)
+        C[
+            df["source"].map(s_idx).to_numpy(np.int64),
+            df["bin"].to_numpy(np.int64),
+        ] = df["cnt"].to_numpy(np.int64)
+        g = C.sum(axis=0)
+        G = int(g.sum())
+        n = C.sum(axis=1)
+        B = np.float64(n_bins)
+        q = (g + 1).astype(np.float64) / np.float64(G + n_bins)
+        p = (C + 1).astype(np.float64) / (n + n_bins).astype(np.float64)[:, None]
+        kl = np.floor(
+            np.sum(p * np.log(p / q[None, :]), axis=1) * 1e6 + 0.5
+        ) / 1e6
+        return pd.DataFrame(
+            {"source": srcs, "total_tok": n.astype(np.int64), "kl": kl}
+        )
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-(source, hour) token-budget quota
+
+
+def hourly_quota(ds, *, budget: int, seed: int = 0):
+    """Deterministic per-(source, hour) token-budget enforcement — the
+    rate-limiting complement of budget_sample's global mixing budgets:
+    within each source-hour, documents are kept in seeded
+    splitmix64(string_hash64(doc_id)) order while the running ``n_tok``
+    total stays <= ``budget`` (hash order, so the kept set is reproducible
+    and independent of block layout / cluster size).
+
+    Shuffles only the 3-column (doc_id, source, n_tok) projection plus the
+    hash; the group key is an int64 mix of the source hash and the hour,
+    sub-grouped by the real (source, hour_ts) inside the task so key
+    collisions can never merge quotas. SQL-exact: the kept set is the
+    ``SUM(n_tok) OVER (PARTITION BY source, hour_ts ORDER BY v, doc_id)``
+    prefix within budget."""
+    import pandas as pd
+
+    from datafiller_ray.stages.validate import extract_epoch_minute
+
+    if budget < 0:
+        raise EngineValueError(f"budget must be >= 0, got {budget}")
+    seed_mix = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+
+    def project(t: "pa.Table") -> "pa.Table":
+        minute = np.asarray(extract_epoch_minute(t["doc_id"]), dtype=np.int64)
+        hour_ts = (minute * 60 // 3600) * 3600
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype="U")
+        from datafiller_ray.functions.hashing import string_hash64
+
+        h = string_hash64(ids)
+        v = splitmix64(h ^ np.uint64(seed_mix))
+        src = np.asarray(t["source"].to_pylist(), dtype="U")
+        qk = splitmix64(
+            string_hash64(src) ^ hour_ts.astype(np.uint64)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "hour_ts": pa.array(hour_ts, pa.int64()),
+                "v": pa.array(v.view(np.int64), pa.int64()),
+                "qk": pa.array(qk, pa.int64()),
+            }
+        )
+
+    def take_prefix(g: "pd.DataFrame") -> "pd.DataFrame":
+        outs = []
+        for _, sub in g.groupby(["source", "hour_ts"], sort=True):
+            v = sub["v"].to_numpy(np.int64).view(np.uint64)
+            ids = sub["doc_id"].to_numpy()
+            w = sub["n_tok"].to_numpy(np.int64)
+            order = np.lexsort((ids, v))
+            run = np.cumsum(w[order])
+            keep = np.sort(order[run <= budget])
+            outs.append(sub.iloc[keep])
+        out = pd.concat(outs, ignore_index=True) if outs else g.iloc[0:0]
+        out = out.drop(columns=["v", "qk"]).reset_index(drop=True)
+        if len(out) == 0:
+            out = out.copy()
+            out["doc_id"] = out["doc_id"].astype("string")
+            out["source"] = out["source"].astype("string")
+        return out
+
+    projected = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return projected.groupby("qk").map_groups(take_prefix, batch_format="pandas")

@@ -1446,3 +1446,86 @@ def dominant_period(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+# ---------------------------------------------------------------------------
+# anomaly intervals (gaps-and-islands over the rolling-anomaly flags)
+
+
+def _anomaly_intervals_one_source(
+    obs: pd.DataFrame, source: str, window: int, factor: float, min_window: int
+) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "source": np.empty(0, dtype=object),
+            "start_ts": np.empty(0, np.int64),
+            "end_ts": np.empty(0, np.int64),
+            "n_buckets": np.empty(0, np.int64),
+            "peak_tok": np.empty(0, np.int64),
+            "peak_ts": np.empty(0, np.int64),
+        }
+    )
+    roll = _rolling_one_source(obs, source, window)
+    mean_raw = roll["roll_sum_tok"].to_numpy(np.float64) / roll[
+        "roll_cnt"
+    ].to_numpy(np.float64)
+    flag = (roll["roll_cnt"].to_numpy() >= min_window) & (
+        roll["sum_tok"].to_numpy(np.float64) > factor * mean_raw
+    )
+    if not flag.any():
+        return _string_typed_if_empty(empty)
+    ts = roll["bucket_ts"].to_numpy(np.int64)[flag]
+    s = roll["sum_tok"].to_numpy(np.int64)[flag]
+    # islands: split where flagged buckets are not grid-adjacent (gap > 60s)
+    brk = np.flatnonzero(np.diff(ts) != 60) + 1
+    starts = np.concatenate([[0], brk])
+    ends = np.concatenate([brk, [ts.size]])
+    peak = np.maximum.reduceat(s, starts)
+    idx = np.arange(ts.size, dtype=np.int64)
+    eq = s == np.repeat(peak, ends - starts)
+    big = np.int64(ts.size)
+    peak_ts = ts[np.minimum.reduceat(np.where(eq, idx, big), starts)]
+    return pd.DataFrame(
+        {
+            "source": np.full(starts.size, source, dtype=object),
+            "start_ts": ts[starts],
+            "end_ts": ts[ends - 1],
+            "n_buckets": (ends - starts).astype(np.int64),
+            "peak_tok": peak,
+            "peak_ts": peak_ts,
+        }
+    )
+
+
+def anomaly_intervals(
+    input_path,
+    *,
+    window: int = 60,
+    factor: float = 2.0,
+    min_window: int = 10,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """Contiguous anomaly INTERVALS per source: the rolling_anomalies flag
+    rule (sum > factor x the unrounded trailing-``window`` mean, window
+    populated with >= ``min_window`` rows), with grid-adjacent flagged 1m
+    buckets merged into (start_ts, end_ts, n_buckets, peak_tok, peak_ts)
+    alert rows — the page-worthy unit (one sustained burst = ONE row, not
+    sixty). A gap of more than one grid step splits the island; peak_ts is
+    the EARLIEST bucket achieving the interval peak (deterministic ties).
+    SQL-oracle-able as the classic gaps-and-islands ROW_NUMBER difference.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if window < 1:
+        raise EngineValueError(f"window must be >= 1, got {window}")
+    if min_window < 1:
+        raise EngineValueError(f"min_window must be >= 1, got {min_window}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _anomaly_intervals_one_source(
+            obs, src, window, factor, min_window
+        ),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

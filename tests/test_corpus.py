@@ -812,3 +812,111 @@ def test_doc_entropy_rejects_negative_token_ids(ray_session):
     )
     with pytest.raises(Exception, match="non-negative token ids"):
         doc_entropy(ray.data.from_arrow(t)).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# source_similarity / token_kl_drift / hourly_quota
+
+
+def test_source_similarity_matches_brute_force(ray_session):
+    import math
+
+    from datafiller_ray.pipelines.corpus import source_similarity
+
+    rng = np.random.default_rng(51)
+    rows, srcs = [], []
+    for src, lo in (("a", 0), ("b", 0), ("c", 500)):
+        for _ in range(50):
+            rows.append(rng.integers(lo, lo + 400, rng.integers(5, 40)))
+            srcs.append(src)
+    ds = ray.data.from_arrow(_token_table(rows, srcs))
+    out = source_similarity(ds, bin_width=32, n_bins=32).to_pandas()
+    assert len(out) == 3  # (a,b) (a,c) (b,c)
+    hist = {}
+    for src in ("a", "b", "c"):
+        toks = np.concatenate([r for r, s in zip(rows, srcs) if s == src])
+        hist[src] = np.bincount(toks // 32, minlength=32).astype(np.int64)
+    for _, r in out.iterrows():
+        ha, hb = hist[r["src_a"]], hist[r["src_b"]]
+        exp = float(ha @ hb) / (
+            math.sqrt(float(ha @ ha)) * math.sqrt(float(hb @ hb))
+        )
+        assert r["cos_sim"] == np.floor(exp * 1e6 + 0.5) / 1e6
+    # disjoint bins -> ~0; overlapping sources -> high similarity
+    ab = out.set_index(["src_a", "src_b"])["cos_sim"]
+    assert ab[("a", "b")] > 0.9
+    assert ab[("a", "c")] < 0.1 and ab[("b", "c")] < 0.1
+
+
+def test_source_similarity_token_range_guard(ray_session):
+    from datafiller_ray.pipelines.corpus import source_similarity
+
+    ds = ray.data.from_arrow(_token_table([[5, 2000]]))
+    with pytest.raises(Exception, match="token id outside"):
+        source_similarity(ds, bin_width=32, n_bins=32).to_pandas()
+
+
+def test_token_kl_drift_matches_scalar(ray_session):
+    from datafiller_ray.pipelines.corpus import token_kl_drift
+
+    rng = np.random.default_rng(53)
+    rows, srcs = [], []
+    for src, hi in (("a", 100), ("b", 1000)):
+        for _ in range(80):
+            rows.append(rng.integers(0, hi, rng.integers(5, 40)))
+            srcs.append(src)
+    B = 64
+    ds = ray.data.from_arrow(_token_table(rows, srcs))
+    out = token_kl_drift(ds, bin_width=16, n_bins=B).to_pandas().set_index("source")
+    cnt = {}
+    for src in ("a", "b"):
+        toks = np.concatenate([r for r, s in zip(rows, srcs) if s == src])
+        cnt[src] = np.bincount(toks // 16, minlength=B).astype(np.int64)
+    g = cnt["a"] + cnt["b"]
+    G = int(g.sum())
+    for src in ("a", "b"):
+        n = int(cnt[src].sum())
+        p = (cnt[src] + 1).astype(float) / float(n + B)
+        q = (g + 1).astype(float) / float(G + B)
+        exp = np.floor(np.sum(p * np.log(p / q)) * 1e6 + 0.5) / 1e6
+        assert out.loc[src, "kl"] == pytest.approx(exp, abs=2e-6)
+        assert out.loc[src, "total_tok"] == n
+    # the narrow source deviates more from the blend than the broad one
+    assert out.loc["b", "kl"] > 0
+
+
+def test_hourly_quota_budget_and_determinism(ray_session):
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.corpus import hourly_quota
+
+    rng = np.random.default_rng(57)
+    n = 500
+    minutes = rng.integers(0, 180, size=n)  # 3 hours
+    srcs = rng.choice(["a", "b"], size=n)
+    ntok = rng.integers(10, 200, size=n).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                [f"{s}:{m:010d}" for s, m in zip(srcs, minutes)]
+            ),
+            "source": pa.array(srcs.tolist()),
+            "n_tok": pa.array(ntok, type=pa.int32()),
+        }
+    )
+    out = hourly_quota(ray.data.from_arrow(t), budget=1500, seed=3).to_pandas()
+    grp = out.groupby(["source", "hour_ts"])["n_tok"].sum()
+    assert (grp <= 1500).all()
+    assert len(out) < n  # something was actually dropped
+    # block-layout invariance: same result from a 7-way split input
+    outs = hourly_quota(
+        ray.data.from_arrow(t).repartition(7), budget=1500, seed=3
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = outs.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # zero budget keeps nothing; huge budget keeps everything
+    assert len(hourly_quota(ray.data.from_arrow(t), budget=0).to_pandas()) == 0
+    assert len(hourly_quota(ray.data.from_arrow(t), budget=10**9).to_pandas()) == n
+    with pytest.raises(EngineValueError):
+        hourly_quota(ray.data.from_arrow(t), budget=-1)

@@ -844,3 +844,57 @@ def test_new_window_param_guards():
         m4_downsample("/nonexistent", px_seconds=30)
     with pytest.raises(EngineValueError):
         dominant_period("/nonexistent", max_lag=1)
+
+
+def test_anomaly_intervals_island_merge():
+    from datafiller_ray.pipelines.window import _anomaly_intervals_one_source
+
+    # flat series with two bursts: one 3-bucket island, one singleton;
+    # window=3/min_window=1 so the trailing mean reacts late enough to flag
+    base = np.full(60, 100, dtype=np.int64)
+    base[20:23] = 1000  # adjacent burst
+    base[40] = 1000  # lone spike
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(60, dtype=np.int64) * 60, "sum": base}
+    )
+    out = _anomaly_intervals_one_source(obs, "s", 60, 2.0, 10)
+    assert len(out) == 2
+    first = out.iloc[0]
+    assert first["start_ts"] == 20 * 60 and first["end_ts"] == 22 * 60
+    assert first["n_buckets"] == 3
+    assert first["peak_tok"] == 1000 and first["peak_ts"] == 20 * 60  # earliest tie
+    lone = out.iloc[1]
+    assert lone["start_ts"] == lone["end_ts"] == 40 * 60
+    assert lone["n_buckets"] == 1
+
+
+def test_anomaly_intervals_gap_splits_island():
+    from datafiller_ray.pipelines.window import _anomaly_intervals_one_source
+
+    # two flagged buckets separated by an unobserved minute must NOT merge
+    base = np.full(60, 100, dtype=np.int64)
+    base[30] = 1000
+    base[32] = 1000
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(60, dtype=np.int64) * 60, "sum": base}
+    )
+    # drop bucket 31 from the observed grid entirely
+    obs = obs[obs["bucket_ts"] != 31 * 60].reset_index(drop=True)
+    out = _anomaly_intervals_one_source(obs, "s", 60, 2.0, 10)
+    assert len(out) == 2
+    assert (out["n_buckets"] == 1).all()
+
+
+def test_anomaly_intervals_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import anomaly_intervals
+
+    out = anomaly_intervals(
+        small_fixture, window=60, factor=1.1, min_window=5
+    ).to_pandas()
+    assert set(out.columns) == {
+        "source", "start_ts", "end_ts", "n_buckets", "peak_tok", "peak_ts",
+    }
+    assert (out["start_ts"] <= out["peak_ts"]).all()
+    assert (out["peak_ts"] <= out["end_ts"]).all()
+    # interval length consistent with the grid
+    assert ((out["end_ts"] - out["start_ts"]) // 60 + 1 >= out["n_buckets"]).all()
