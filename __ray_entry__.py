@@ -941,6 +941,15 @@ def _dominant_period(sf_dir: str):
     return dominant_period(_fixture(sf_dir), max_lag=24, check_tokens=False)
 
 
+def _interarrival_stats(sf_dir: str):
+    """Per-event-type inter-arrival count/mean/quantiles in exact
+    microseconds — pipelines/events.interarrival_stats (chunk-sharded
+    histograms + boundary gaps; quantile_cont rule)."""
+    from datafiller_ray.pipelines.events import interarrival_stats
+
+    return interarrival_stats(_read(sf_dir, "events"))
+
+
 def _anomaly_intervals(sf_dir: str):
     """Contiguous anomaly intervals: grid-adjacent buckets exceeding
     1.25x the 60-bucket trailing mean merged into alert rows with peak +
@@ -1902,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_period": _dominant_period,
         "oov_rate": _oov_rate,
         "doc_entropy": _doc_entropy,
+        "interarrival_stats": _interarrival_stats,
         "anomaly_intervals": _anomaly_intervals,
         "source_similarity": _source_similarity,
         "token_kl_drift": _token_kl_drift,
@@ -3556,6 +3566,30 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(CAST(oov_tok AS DOUBLE) / total_tok * 1000000
                          + 0.5) / 1000000.0 AS oov_rate
             FROM agg
+        """,
+        # LAG() gaps in exact microseconds; quantile_cont shares the
+        # engine's pos = q*(n-1) interpolation rule (source_quantiles
+        # precedent), mean is the one pinned division
+        "interarrival_stats": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS ts_us, event_id
+              FROM events),
+            d AS (
+              SELECT event_type,
+                     ts_us - LAG(ts_us) OVER (
+                         PARTITION BY event_type
+                         ORDER BY ts_us, event_id) AS dt
+              FROM e)
+            SELECT event_type, COUNT(dt)::BIGINT AS n_intervals,
+                   FLOOR(CAST(SUM(dt) AS DOUBLE) / COUNT(dt) / 1000000
+                         * 1000000 + 0.5) / 1000000.0 AS mean_s,
+                   FLOOR(quantile_cont(CAST(dt AS DOUBLE), 0.5) / 1000000
+                         * 1000000 + 0.5) / 1000000.0 AS p0_5_s,
+                   FLOOR(quantile_cont(CAST(dt AS DOUBLE), 0.9) / 1000000
+                         * 1000000 + 0.5) / 1000000.0 AS p0_9_s,
+                   FLOOR(quantile_cont(CAST(dt AS DOUBLE), 0.99) / 1000000
+                         * 1000000 + 0.5) / 1000000.0 AS p0_99_s
+            FROM d WHERE dt IS NOT NULL GROUP BY 1
         """,
         # gaps-and-islands over the rolling-anomaly flag rule: island id =
         # grid index minus ROW_NUMBER; peak_ts joined back as the earliest

@@ -667,3 +667,184 @@ def cohort_retention(
     return counted.map_batches(
         lambda b: b.rename(columns={"one": "n_active"}), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival time statistics (exact, chunk-sharded)
+
+
+def interarrival_stats(
+    events: "ray.data.Dataset",
+    *,
+    qs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    span_seconds: int = 3600 * 4096,
+) -> "ray.data.Dataset":
+    """Exact per-event-type inter-arrival statistics (count, mean and
+    quantiles IN SECONDS of the gaps between consecutive events of a
+    type, ordered by (ts, event_id); gaps measured in exact integer
+    microseconds internally) — the stream-health profile that sizes
+    gap-fill ``max_gap`` and rollup steps for irregular feeds.
+
+    Two-stage exact plan, no per-key-fits-in-a-task restriction on the
+    EVENT data: stage 1 groups by (event_type-hash, time-chunk) and emits
+    a (dt, count) HISTOGRAM partial per chunk plus one boundary row
+    (first_ts, last_ts) — chunks are time-disjoint, so the only gaps a
+    chunk cannot see are the #chunks-1 boundary gaps. Stage 2 groups the
+    TINY partials by type, adds the boundary gaps between consecutive
+    present chunks, and reads the quantiles off the merged histogram via
+    cumulative counts — the same ``pos = q*(n-1)`` linear-interpolation
+    rule as every quantile in the engine (window._quantile_pos), so
+    DuckDB's ``quantile_cont`` over a LAG() oracle matches bit-for-bit.
+    Duplicate timestamps contribute zero-width gaps (kept, deterministic
+    by the event_id tie-break). Mean is the single pinned division over
+    int64-exact sums.
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import string_hash64
+    from datafiller_ray.pipelines.window import _quantile_pos
+
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise EngineValueError(f"qs must be fractions in [0, 1], got {qs!r}")
+    if span_seconds < 1:
+        raise EngineValueError(f"span_seconds must be >= 1, got {span_seconds}")
+    span_us = span_seconds * 1_000_000
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64())
+        ekey = string_hash64(
+            np.asarray(t["event_type"].to_pandas(), dtype="U")
+        ).view(np.int64)
+        chunk = pc.divide(us, pa.scalar(span_us, pa.int64()))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "ekey": pa.array(ekey, pa.int64()),
+                "chunk": chunk,
+                "ts_us": us,
+                "event_id": t["event_id"].cast(pa.int64()),
+            }
+        )
+
+    def chunk_partial(g: pd.DataFrame) -> pd.DataFrame:
+        def one(sub: pd.DataFrame) -> pd.DataFrame:
+            order = np.lexsort(
+                (sub["event_id"].to_numpy(np.int64),
+                 sub["ts_us"].to_numpy(np.int64))
+            )
+            ts = sub["ts_us"].to_numpy(np.int64)[order]
+            dts = ts[1:] - ts[:-1]
+            uniq, counts = np.unique(dts, return_counts=True)
+            et = sub["event_type"].iloc[0]
+            ch = np.int64(sub["chunk"].iloc[0])
+            h = pd.DataFrame(
+                {
+                    "event_type": np.full(uniq.size, et, dtype=object),
+                    "ekey": np.full(uniq.size, sub["ekey"].iloc[0], np.int64),
+                    "chunk": np.full(uniq.size, ch, np.int64),
+                    "kind": np.zeros(uniq.size, np.int64),
+                    "dt": uniq,
+                    "cnt": counts.astype(np.int64),
+                    "f_ts": np.zeros(uniq.size, np.int64),
+                    "l_ts": np.zeros(uniq.size, np.int64),
+                }
+            )
+            b = pd.DataFrame(
+                {
+                    "event_type": [et],
+                    "ekey": [np.int64(sub["ekey"].iloc[0])],
+                    "chunk": [ch],
+                    "kind": np.ones(1, np.int64),
+                    "dt": np.zeros(1, np.int64),
+                    "cnt": np.zeros(1, np.int64),
+                    "f_ts": ts[[0]],
+                    "l_ts": ts[[-1]],
+                }
+            )
+            return pd.concat([h, b], ignore_index=True)
+
+        if g["event_type"].nunique() == 1:
+            return one(g)
+        return pd.concat(
+            [one(sub) for _, sub in g.groupby("event_type", sort=True)],
+            ignore_index=True,
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        def one(sub: pd.DataFrame) -> pd.DataFrame:
+            hist = sub[sub["kind"] == 0]
+            bound = sub[sub["kind"] == 1].sort_values("chunk")
+            # boundary gaps between consecutive PRESENT chunks
+            f = bound["f_ts"].to_numpy(np.int64)
+            l = bound["l_ts"].to_numpy(np.int64)
+            cross = f[1:] - l[:-1]
+            dts = np.concatenate([hist["dt"].to_numpy(np.int64), cross])
+            cnts = np.concatenate(
+                [hist["cnt"].to_numpy(np.int64),
+                 np.ones(cross.size, np.int64)]
+            )
+            order = np.argsort(dts, kind="stable")
+            dts, cnts = dts[order], cnts[order]
+            # re-merge equal dt bins from different chunks
+            if dts.size:
+                new = np.r_[True, dts[1:] != dts[:-1]]
+                starts = np.flatnonzero(new)
+                dts = dts[starts]
+                cnts = np.add.reduceat(cnts, starts)
+            n = int(cnts.sum())
+            et = sub["event_type"].iloc[0]
+            if n == 0:
+                return pd.DataFrame(
+                    {
+                        "event_type": pd.Series([], dtype="string"),
+                        "n_intervals": pd.Series([], dtype="int64"),
+                        "mean_s": pd.Series([], dtype="float64"),
+                        **{
+                            f"p{str(q).replace('.', '_')}_s":
+                                pd.Series([], dtype="float64")
+                            for q in qs
+                        },
+                    }
+                )
+            # unbounded Python ints: dt(µs) x count products can pass 2^63
+            # on wide time ranges (the acf/source_correlation precedent)
+            total = sum(
+                int(d) * int(c) for d, c in zip(dts.tolist(), cnts.tolist())
+            )
+            # report in SECONDS: µs magnitudes (~1e10) are beyond the
+            # round6 absorber's reach (x*1e6 > 2^53), while second-scale
+            # values leave it ~5 decades of headroom over the ~1-ulp
+            # divergence of the two quantile interpolation paths
+            mean = np.floor(float(total) / float(n) / 1e6 * 1e6 + 0.5) / 1e6
+            cum = np.cumsum(cnts)
+
+            def order_stat(k: int) -> float:
+                return float(dts[np.searchsorted(cum, k, side="right")])
+
+            row: dict = {
+                "event_type": [et],
+                "n_intervals": np.array([n], np.int64),
+                "mean_s": np.array([mean], np.float64),
+            }
+            for q in qs:
+                lo, hi, frac = _quantile_pos(n, q)
+                x_lo, x_hi = order_stat(lo), order_stat(hi)
+                v = (x_lo + (x_hi - x_lo) * frac) / 1e6
+                row[f"p{str(q).replace('.', '_')}_s"] = np.array(
+                    [np.floor(v * 1e6 + 0.5) / 1e6], np.float64
+                )
+            return pd.DataFrame(row)
+
+        if g["event_type"].nunique() == 1:
+            return one(g)
+        return pd.concat(
+            [one(sub) for _, sub in g.groupby("event_type", sort=True)],
+            ignore_index=True,
+        )
+
+    slim = events.map_batches(
+        project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    partials = slim.groupby(["ekey", "chunk"]).map_groups(
+        chunk_partial, batch_format="pandas"
+    )
+    return partials.groupby("ekey").map_groups(merge, batch_format="pandas")

@@ -210,3 +210,86 @@ def test_time_weighted_avg_matches_scalar_oracle(ray_session):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["wsum"] <= step).all()
+
+
+def test_interarrival_stats_matches_brute_force(ray_session):
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.events import interarrival_stats
+    from datafiller_ray.pipelines.window import _quantile_pos
+
+    rng = np.random.default_rng(61)
+    n = 800
+    ts_us = np.sort(rng.integers(0, 3 * 86400 * 10**6, size=n))
+    types = rng.choice(["a", "b", "c"], size=n)
+    # duplicate timestamps to exercise the event_id tie-break
+    ts_us[100] = ts_us[101]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "event_type": pa.array(types.tolist()),
+            "value": pa.array(np.zeros(n)),
+            "props": pa.array([""] * n),
+        }
+    )
+    # tiny span forces MANY chunks -> exercises the boundary-gap merge
+    out = (
+        interarrival_stats(ray.data.from_arrow(t), span_seconds=3600)
+        .to_pandas()
+        .set_index("event_type")
+    )
+    for et in ("a", "b", "c"):
+        sub = np.sort(ts_us[types == et])
+        dts = np.sort((sub[1:] - sub[:-1]).astype(np.int64))
+        assert out.loc[et, "n_intervals"] == dts.size
+        exp_mean = np.floor(
+            float(dts.sum()) / float(dts.size) / 1e6 * 1e6 + 0.5
+        ) / 1e6
+        assert out.loc[et, "mean_s"] == exp_mean
+        for q, col in ((0.5, "p0_5_s"), (0.9, "p0_9_s"), (0.99, "p0_99_s")):
+            lo, hi, frac = _quantile_pos(dts.size, q)
+            v = (float(dts[lo]) + (float(dts[hi]) - float(dts[lo])) * frac) / 1e6
+            assert out.loc[et, col] == np.floor(v * 1e6 + 0.5) / 1e6
+
+
+def test_interarrival_stats_span_invariant(ray_session):
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.events import interarrival_stats
+
+    rng = np.random.default_rng(67)
+    n = 300
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 86400 * 10**6, size=n)),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array(np.zeros(n)),
+            "props": pa.array([""] * n),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    a = interarrival_stats(ds, span_seconds=60).to_pandas()
+    b = interarrival_stats(ds, span_seconds=10**9).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("event_type").reset_index(drop=True),
+        b.sort_values("event_type").reset_index(drop=True),
+    )
+
+
+def test_interarrival_stats_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.events import interarrival_stats
+
+    with pytest.raises(EngineValueError):
+        interarrival_stats(None, qs=())
+    with pytest.raises(EngineValueError):
+        interarrival_stats(None, qs=(1.5,))
+    with pytest.raises(EngineValueError):
+        interarrival_stats(None, span_seconds=0)
