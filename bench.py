@@ -343,6 +343,23 @@ def run_bench() -> dict:
 
     timed("pack_manifest", packing)
 
+    def stream_profiles():
+        # fifth-session family: two-stage chunked inter-arrival profile
+        # over events + flags->islands anomaly intervals over the fixture
+        # (production storage exchange)
+        from datafiller_ray.pipelines.events import interarrival_stats
+        from datafiller_ray.pipelines.window import anomaly_intervals
+
+        interarrival_stats(
+            ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+        ).count()
+        anomaly_intervals(
+            fixture, window=60, factor=1.25, min_window=10,
+            shuffle="bucketed",
+        ).count()
+
+    timed("interarrival_anomaly_intervals", stream_profiles)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",
