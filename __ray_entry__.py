@@ -941,6 +941,15 @@ def _dominant_period(sf_dir: str):
     return dominant_period(_fixture(sf_dir), max_lag=24, check_tokens=False)
 
 
+def _embedding_clusters(sf_dir: str):
+    """K-means cluster id for every corpus vector (quantizer trained on
+    the bounded hash sample, centroids broadcast once, assignment
+    distributed) — pipelines/ann.embedding_clusters."""
+    from datafiller_ray.pipelines.ann import embedding_clusters
+
+    return embedding_clusters(_read(sf_dir, "embeddings"))
+
+
 def _interarrival_stats(sf_dir: str):
     """Per-event-type inter-arrival count/mean/quantiles in exact
     microseconds — pipelines/events.interarrival_stats (chunk-sharded
@@ -1912,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": _oov_rate,
         "doc_entropy": _doc_entropy,
         "interarrival_stats": _interarrival_stats,
+        "embedding_clusters": _embedding_clusters,
         "anomaly_intervals": _anomaly_intervals,
         "source_similarity": _source_similarity,
         "token_kl_drift": _token_kl_drift,
@@ -2431,6 +2441,43 @@ def _ann_ivf_sql() -> str:
                                     ORDER BY sim DESC, vec_id) AS rank
           FROM sims)
         WHERE rank <= {_ANN_K}
+    """
+
+
+def _embedding_clusters_sql() -> str:
+    """Cluster assignment for every vector with the oracle's own k-means
+    centroids as SQL literals — the _ann_ivf_sql derivation (bounded hash
+    sample -> deterministic Lloyd), assignment CASE only."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    n_cells, n_iters, seed, n_train = 16, 5, 7, 1024
+    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    mod = 1 << 16
+    thr = mod if vids.size <= n_train else max(1, math.ceil(n_train * mod / vids.size))
+    keep = (_oracle_splitmix64(vids.view(np.uint64)) % np.uint64(mod)) < thr
+    ksel = np.flatnonzero(keep)[np.argsort(vids[keep])]
+    C = _oracle_kmeans(M[ksel], n_cells, n_iters, seed)
+
+    def lit(vec):
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
+
+    dists = [f"list_distance(de, {lit(C[c])})" for c in range(n_cells)]
+    least = "LEAST(" + ", ".join(dists) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {dists[c]} = {least} THEN {c} " for c in range(n_cells)
+        )
+        + "END"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+        SELECT vec_id, CAST({case} AS BIGINT) AS cell FROM e
     """
 
 
@@ -3458,6 +3505,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_sql(),
         # indexed serving shares the scan path's centroids + ranking exactly
         "ann_ivf_indexed": _ann_ivf_sql(),
+        "embedding_clusters": _embedding_clusters_sql(),
         "lineitem_daily": """
             SELECT l_returnflag,
                    epoch_us(l_shipdate) // 86400000000 AS ship_day,

@@ -821,3 +821,45 @@ def ivf_topk_indexed(
     for p in pieces[1:]:
         out = out.union(p)
     return out.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+def embedding_clusters(
+    embeddings: "ray.data.Dataset",
+    *,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 7,
+    n_train: int = 1024,
+) -> "ray.data.Dataset":
+    """K-means cluster assignment for EVERY corpus vector — the corpus
+    cartography primitive (balance the training mix across embedding
+    clusters, spot collapsed feeds) and the standalone face of the IVF
+    quantizer: train on the bounded hash sample (``ivf_training_sample``;
+    ~n_train rows reach the driver, never the corpus), broadcast the
+    centroid matrix once via ``ray.put``, assign distributed with the
+    exact-int (vec_id, cell) output — ties break to the FIRST nearest
+    cell exactly like ``ivf_topk``'s assignment, so the literal-centroid
+    CASE oracle matches bit-for-bit."""
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+
+    if n_cells < 1:
+        raise EngineValueError(f"n_cells must be >= 1, got {n_cells}")
+    M = ivf_training_sample(embeddings, n_train=n_train)
+    C = train_ivf_centroids(M, n_cells=n_cells, n_iters=n_iters, seed=seed)
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self) -> None:
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, Mb = _batch_matrix(batch)
+            return pd.DataFrame(
+                {"vec_id": ids, "cell": _assign_cells(Mb, self.C)}
+            )
+
+    return embeddings.map_batches(
+        Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )

@@ -157,3 +157,37 @@ def test_ivf_index_prunes_partitions_and_matches_scan(embeddings, tmp_path):
         scan[["query_id", "vec_id", "sim", "rank"]],
         idx[["query_id", "vec_id", "sim", "rank"]],
     )
+
+
+def test_embedding_clusters_assignment(embeddings):
+    from datafiller_ray.pipelines.ann import (
+        _assign_cells,
+        embedding_clusters,
+        ivf_training_sample,
+        train_ivf_centroids,
+    )
+
+    ds, M_all = embeddings
+    out = (
+        embedding_clusters(ds, n_cells=8, n_train=256)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == M_all.shape[0]
+    assert out["cell"].between(0, 7).all()
+    # brute-force re-derivation: same sample -> same centroids -> same cells
+    S = ivf_training_sample(ds, n_train=256)
+    C = train_ivf_centroids(S, n_cells=8)
+    exp = _assign_cells(M_all.astype(np.float64), C)
+    np.testing.assert_array_equal(out["cell"].to_numpy(np.int64), exp)
+    # block-layout invariance
+    out2 = (
+        embedding_clusters(ds.repartition(5), n_cells=8, n_train=256)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        out["cell"].to_numpy(), out2["cell"].to_numpy()
+    )
