@@ -941,6 +941,59 @@ def _dominant_period(sf_dir: str):
     return dominant_period(_fixture(sf_dir), max_lag=24, check_tokens=False)
 
 
+def _rollup_5m(sf_dir: str):
+    """Rollup at an ARBITRARY custom step (5 minutes) via the
+    {name: step_seconds} tier mapping — pins that the tier cascade is not
+    hardwired to 1m/1h/1d (stages/fill.py:200-205)."""
+    from datafiller_ray.config import FillConfig
+    from datafiller_ray.pipelines.rollup import rollup_tiers
+
+    ds = rollup_tiers(
+        _fixture(sf_dir),
+        fill=FillConfig(strategy=None),
+        tiers={"5m": 300},
+        check_tokens=False,
+    )
+
+    def project(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.greater(batch["count"], 0))
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "n_obs": b["count"],
+                "sum_tok": pc.cast(b["sum"], pa.int64()),
+                "min_tok": pc.cast(b["min"], pa.int64()),
+                "max_tok": pc.cast(b["max"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _source_gini(sf_dir: str):
+    """Gini coefficient of token volume across sources (exact integer
+    rank-weighted moments, one pinned float) —
+    pipelines/corpus.source_gini."""
+    from datafiller_ray.pipelines.corpus import source_gini
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return source_gini(read_input(_fixture(sf_dir), with_tokens=False))
+
+
+def _zipf_fit(sf_dir: str):
+    """OLS Zipf rank-frequency fit over global token-id counts
+    (slope/intercept/R^2 of ln(count) on ln(rank)) —
+    pipelines/corpus.zipf_fit."""
+    from datafiller_ray.pipelines.corpus import zipf_fit
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return zipf_fit(read_input(_fixture(sf_dir), with_tokens=True))
+
+
 def _embedding_clusters(sf_dir: str):
     """K-means cluster id for every corpus vector (quantizer trained on
     the bounded hash sample, centroids broadcast once, assignment
@@ -1922,6 +1975,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": _doc_entropy,
         "interarrival_stats": _interarrival_stats,
         "embedding_clusters": _embedding_clusters,
+        "rollup_5m": _rollup_5m,
+        "source_gini": _source_gini,
+        "zipf_fit": _zipf_fit,
         "anomaly_intervals": _anomaly_intervals,
         "source_similarity": _source_similarity,
         "token_kl_drift": _token_kl_drift,
@@ -3727,6 +3783,54 @@ def oracle_sql() -> dict[str, str]:
             FROM grid GROUP BY source, n
         """,
         "hourly_quota": _hourly_quota_sql(),
+        "rollup_5m": rollup(300),
+        # exact integer rank-weighted Gini, one pinned float expression
+        "source_gini": f"""
+            WITH s AS (
+              SELECT source, CAST(SUM(n_tok) AS BIGINT) AS x
+              FROM read_parquet('{p}/*.parquet') GROUP BY 1),
+            r AS (
+              SELECT x, ROW_NUMBER() OVER (ORDER BY x, source) AS i FROM s),
+            a AS (
+              SELECT COUNT(*)::BIGINT AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+                     SUM(CAST(i AS HUGEINT) * x) AS six
+              FROM r)
+            SELECT n AS n_sources, CAST(sx AS BIGINT) AS total_tok,
+                   FLOOR(((2.0 * CAST(six AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                          - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * 1000000 + 0.5) / 1000000.0 AS gini
+            FROM a
+        """,
+        # ln-ln OLS over the deterministic (cnt desc, tok asc) rank; SUM
+        # order drift ~1e-13 relative, absorbed by round6 on the three
+        # pinned source_trend expressions
+        "zipf_fit": f"""
+            WITH flat AS (
+              SELECT UNNEST(tokens) AS tok FROM read_parquet('{p}/*.parquet')),
+            c AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM flat GROUP BY 1),
+            l AS (
+              SELECT LN(CAST(ROW_NUMBER() OVER (
+                         ORDER BY cnt DESC, tok ASC) AS DOUBLE)) AS lx,
+                     LN(CAST(cnt AS DOUBLE)) AS ly
+              FROM c),
+            m AS (
+              SELECT COUNT(*)::BIGINT AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+                     SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx,
+                     SUM(ly * ly) AS syy
+              FROM l)
+            SELECT n AS n_types,
+                   FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         * 1000000 + 0.5) / 1000000.0 AS slope,
+                   FLOOR((sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+                         * 1000000 + 0.5) / 1000000.0 AS intercept,
+                   FLOOR(CASE WHEN n * syy - sy * sy > 0
+                              THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                                   / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                              ELSE 1.0 END * 1000000 + 0.5) / 1000000.0 AS r2
+            FROM m
+            WHERE n >= 2 AND n * sxx - sx * sx > 0
+        """,
         # per-doc token entropy ln(n) - SUM(c*ln(c))/n; the float SUM
         # order differs from the engine's token-ascending reduce by
         # ~1e-13 relative — absorbed by the shared round6 (pmi precedent)

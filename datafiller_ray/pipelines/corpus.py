@@ -1602,3 +1602,135 @@ def hourly_quota(ds, *, budget: int, seed: int = 0):
         project, batch_format="pyarrow", zero_copy_batch=True
     )
     return projected.groupby("qk").map_groups(take_prefix, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# corpus concentration statistics: Gini + Zipf fit
+
+
+def source_gini(ds):
+    """Gini coefficient of token volume across sources — the one-number
+    skew/concentration summary (0 = every source contributes equally,
+    ->1 = one source dominates) that motivates temperature_sample /
+    budget_sample rebalancing.
+
+    Per-batch (source, n_tok-sum) int partials -> one small grouped_sum
+    exchange -> a single-row final pass: totals sorted (value asc, source
+    asc; the rank-weighted sum is tie-order invariant), then the classic
+    ``G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n`` with every moment an exact
+    integer and ONE pinned float expression — bit-identical to the DuckDB
+    ROW_NUMBER oracle with no absorber needed beyond the shared round6."""
+    import pandas as pd
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        n_tok = np.asarray(t["n_tok"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        sums = np.bincount(inv, weights=n_tok.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(uniq.tolist(), pa.string()),
+                "x": pa.array(sums),
+            }
+        )
+
+    totals = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "source",
+        "x",
+    )
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "n_sources": pd.Series([], dtype="int64"),
+                    "total_tok": pd.Series([], dtype="int64"),
+                    "gini": pd.Series([], dtype="float64"),
+                }
+            )
+        x = df["x"].to_numpy(np.int64)
+        src = df["source"].to_numpy()
+        order = np.lexsort((src, x))
+        xs = x[order]
+        n = xs.size
+        # unbounded Python ints (acf precedent): i*x_i can pass 2^63
+        six = sum((i + 1) * int(v) for i, v in enumerate(xs.tolist()))
+        sx = int(xs.sum())
+        g = (2.0 * float(six)) / (float(n) * float(sx)) - float(n + 1) / float(n)
+        return pd.DataFrame(
+            {
+                "n_sources": np.array([n], np.int64),
+                "total_tok": np.array([sx], np.int64),
+                "gini": np.array([np.floor(g * 1e6 + 0.5) / 1e6], np.float64),
+            }
+        )
+
+    return totals.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def zipf_fit(ds):
+    """OLS fit of the Zipf rank-frequency law over the GLOBAL token-id
+    counts: slope/intercept/R^2 of ``ln(count)`` on ``ln(rank)`` (rank by
+    count desc, tok asc) — the corpus-statistics check that the token
+    distribution has the expected power-law shape (a collapsed or
+    synthetic feed shows up as a bent curve / far-from--1 slope).
+
+    Same exchange shape as token_id_vocab: tiny (tok, cnt) partials, one
+    grouped_sum, a single-block final OLS. The log moments are float sums
+    (engine reduces rank-ascending, SQL in its own order: ~1e-13 relative
+    drift, absorbed by round6 on the three pinned output expressions —
+    the source_trend formulas with float inputs)."""
+    import pandas as pd
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    partial = ds.map_batches(
+        _id_vocab_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = grouped_sum(partial, "tok", "cnt")
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "n_types": pd.Series([], dtype="int64"),
+                "slope": pd.Series([], dtype="float64"),
+                "intercept": pd.Series([], dtype="float64"),
+                "r2": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(df) < 2:
+            return empty
+        toks = df["tok"].to_numpy(np.int64)
+        cnts = df["cnt"].to_numpy(np.int64)
+        order = np.lexsort((toks, -cnts))
+        y = np.log(cnts[order].astype(np.float64))
+        x = np.log(np.arange(1, y.size + 1, dtype=np.float64))
+        n = float(y.size)
+        sx, sy = float(x.sum()), float(y.sum())
+        sxy, sxx, syy = float(x @ y), float(x @ x), float(y @ y)
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0.0:
+            return empty  # all counts identical rank curve degenerate
+        num = n * sxy - sx * sy
+        slope = num / d1
+        intercept = (sy * sxx - sx * sxy) / d1
+        r2 = (num * num) / (d1 * d2) if d2 > 0.0 else 1.0
+        r6 = lambda v: np.floor(v * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "n_types": np.array([y.size], np.int64),
+                "slope": np.array([r6(slope)], np.float64),
+                "intercept": np.array([r6(intercept)], np.float64),
+                "r2": np.array([r6(r2)], np.float64),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )

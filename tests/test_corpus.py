@@ -920,3 +920,62 @@ def test_hourly_quota_budget_and_determinism(ray_session):
     assert len(hourly_quota(ray.data.from_arrow(t), budget=10**9).to_pandas()) == n
     with pytest.raises(EngineValueError):
         hourly_quota(ray.data.from_arrow(t), budget=-1)
+
+
+def test_source_gini_brute_force(ray_session):
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.corpus import source_gini
+
+    rng = np.random.default_rng(71)
+    n = 400
+    srcs = rng.choice([f"s{i}" for i in range(12)], size=n)
+    ntok = rng.integers(1, 500, size=n).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(n)]),
+            "source": pa.array(srcs.tolist()),
+            "n_tok": pa.array(ntok, type=pa.int32()),
+        }
+    )
+    out = source_gini(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 1
+    totals = pd.Series(ntok).groupby(pd.Series(srcs)).sum().sort_values().to_numpy()
+    nn = totals.size
+    six = sum((i + 1) * int(v) for i, v in enumerate(totals))
+    g = (2.0 * six) / (nn * float(totals.sum())) - (nn + 1) / nn
+    assert out["gini"].iloc[0] == pytest.approx(
+        np.floor(g * 1e6 + 0.5) / 1e6, abs=2e-6
+    )
+    assert out["n_sources"].iloc[0] == nn
+    assert out["total_tok"].iloc[0] == int(ntok.sum())
+    # equal volumes -> gini 0
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "source": pa.array(["x", "y", "z"]),
+            "n_tok": pa.array([100, 100, 100], type=pa.int32()),
+        }
+    )
+    eq = source_gini(ray.data.from_arrow(t2)).to_pandas()
+    assert eq["gini"].iloc[0] == 0.0
+
+
+def test_zipf_fit_recovers_planted_exponent(ray_session):
+    from datafiller_ray.pipelines.corpus import zipf_fit
+
+    # counts ~ r^-1 exactly: tok r appears ceil(1200/r) times
+    rows = []
+    stream = []
+    for r in range(1, 200):
+        stream.extend([r] * (1200 // r))
+    stream = np.asarray(stream, dtype=np.int64)
+    rng = np.random.default_rng(73)
+    rng.shuffle(stream)
+    for i in range(0, stream.size, 50):
+        rows.append(stream[i : i + 50])
+    out = zipf_fit(ray.data.from_arrow(_token_table(rows))).to_pandas()
+    assert len(out) == 1
+    assert out["n_types"].iloc[0] == 199
+    assert out["slope"].iloc[0] == pytest.approx(-1.0, abs=0.05)
+    assert out["r2"].iloc[0] > 0.99
