@@ -941,6 +941,14 @@ def _dominant_period(sf_dir: str):
     return dominant_period(_fixture(sf_dir), max_lag=24, check_tokens=False)
 
 
+def _staleness_report(sf_dir: str):
+    """Per-source feed freshness: last observed 1m bucket + lag behind the
+    freshest source — pipelines/window.staleness_report."""
+    from datafiller_ray.pipelines.window import staleness_report
+
+    return staleness_report(_fixture(sf_dir), check_tokens=False)
+
+
 def _rollup_5m(sf_dir: str):
     """Rollup at an ARBITRARY custom step (5 minutes) via the
     {name: step_seconds} tier mapping — pins that the tier cascade is not
@@ -1976,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_stats": _interarrival_stats,
         "embedding_clusters": _embedding_clusters,
         "rollup_5m": _rollup_5m,
+        "staleness_report": _staleness_report,
         "source_gini": _source_gini,
         "zipf_fit": _zipf_fit,
         "anomaly_intervals": _anomaly_intervals,
@@ -3784,6 +3793,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hourly_quota": _hourly_quota_sql(),
         "rollup_5m": rollup(300),
+        "staleness_report": f"""
+            WITH r AS ({rollup(60)}),
+            s AS (
+              SELECT source, MAX(bucket_ts) AS last_bucket_ts,
+                     COUNT(*)::BIGINT AS n_buckets,
+                     CAST(SUM(n_obs) AS BIGINT) AS n_docs
+              FROM r GROUP BY 1)
+            SELECT source, last_bucket_ts, n_buckets, n_docs,
+                   (SELECT MAX(last_bucket_ts) FROM s) - last_bucket_ts
+                       AS lag_s
+            FROM s
+        """,
         # exact integer rank-weighted Gini, one pinned float expression
         "source_gini": f"""
             WITH s AS (

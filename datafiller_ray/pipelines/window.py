@@ -1529,3 +1529,50 @@ def anomaly_intervals(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+# ---------------------------------------------------------------------------
+# feed staleness / freshness report
+
+
+def _staleness_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "source": [source],
+            "last_bucket_ts": ts[[-1]] if ts.size else np.array([0], np.int64),
+            "n_buckets": np.array([ts.size], np.int64),
+            "n_docs": np.array([int(obs["count"].sum())], np.int64),
+        }
+    )
+
+
+def staleness_report(
+    input_path, *, check_tokens: bool = False, shuffle: str = "sort"
+):
+    """Per-source feed freshness: last observed 1m bucket, observed-bucket
+    and document counts, and the lag (seconds) behind the freshest source
+    — the "which feeds went quiet" operational check run before blaming
+    the pipeline for missing data.
+
+    Same single per-source exchange as the whole window family; the
+    per-source summary table is tiny, so the global-max lag joins in ONE
+    final single-block pass (never a second shuffle). Integer-exact."""
+    per_src = _run_per_source(
+        input_path, _staleness_one_source,
+        check_tokens=check_tokens, shuffle=shuffle,
+    )
+
+    def add_lag(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out["lag_s"] = pd.Series([], dtype="int64")
+            return _string_typed_if_empty(out)
+        last = df["last_bucket_ts"].to_numpy(np.int64)
+        df = df.copy()
+        df["lag_s"] = int(last.max()) - last
+        return df
+
+    return per_src.repartition(1).map_batches(
+        add_lag, batch_format="pandas", batch_size=None
+    )

@@ -898,3 +898,20 @@ def test_anomaly_intervals_end_to_end(ray_session, small_fixture):
     assert (out["peak_ts"] <= out["end_ts"]).all()
     # interval length consistent with the grid
     assert ((out["end_ts"] - out["start_ts"]) // 60 + 1 >= out["n_buckets"]).all()
+
+
+def test_staleness_report_lag(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import staleness_report
+
+    out = staleness_report(small_fixture).to_pandas()
+    assert set(out.columns) == {
+        "source", "last_bucket_ts", "n_buckets", "n_docs", "lag_s",
+    }
+    assert out["source"].is_unique
+    # the freshest source has zero lag; lags are relative to the global max
+    assert (out["lag_s"] >= 0).all()
+    assert (out["lag_s"] == 0).any()
+    gmax = out["last_bucket_ts"].max()
+    np.testing.assert_array_equal(
+        out["lag_s"].to_numpy(), gmax - out["last_bucket_ts"].to_numpy()
+    )
