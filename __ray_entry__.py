@@ -1020,6 +1020,15 @@ def _interarrival_stats(sf_dir: str):
     return interarrival_stats(_read(sf_dir, "events"))
 
 
+def _user_top_event(sf_dir: str):
+    """Per-user modal event type (count desc, type asc ties) —
+    pipelines/events.user_top_event: partial (user, type) counts per block,
+    ONE bounded coarse exchange, vectorized per-bucket argmax."""
+    from datafiller_ray.pipelines.events import user_top_event
+
+    return user_top_event(_read(sf_dir, "events"))
+
+
 def _anomaly_intervals(sf_dir: str):
     """Contiguous anomaly intervals: grid-adjacent buckets exceeding
     1.25x the 60-bucket trailing mean merged into alert rows with peak +
@@ -1982,6 +1991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": _oov_rate,
         "doc_entropy": _doc_entropy,
         "interarrival_stats": _interarrival_stats,
+        "user_top_event": _user_top_event,
         "embedding_clusters": _embedding_clusters,
         "rollup_5m": _rollup_5m,
         "staleness_report": _staleness_report,
@@ -3683,6 +3693,15 @@ def oracle_sql() -> dict[str, str]:
         # LAG() gaps in exact microseconds; quantile_cont shares the
         # engine's pos = q*(n-1) interpolation rule (source_quantiles
         # precedent), mean is the one pinned division
+        "user_top_event": """
+            SELECT user_id, event_type AS top_event, cnt FROM (
+              SELECT user_id, event_type, count(*)::BIGINT AS cnt,
+                     row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1
+        """,
         "interarrival_stats": """
             WITH e AS (
               SELECT event_type, epoch_us(ts) AS ts_us, event_id

@@ -848,3 +848,62 @@ def interarrival_stats(
         chunk_partial, batch_format="pandas"
     )
     return partials.groupby("ekey").map_groups(merge, batch_format="pandas")
+
+
+def user_top_event(
+    events: "ray.data.Dataset", *, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Per-user modal event type — the grouped-mode operator (SQL
+    ``row_number() OVER (PARTITION BY user ORDER BY count DESC, type)``):
+    for every user, the event_type with the highest event count, ties to
+    the lexicographically smallest type. Emits (user_id, top_event, cnt).
+
+    Scale shape: one pruned zero-copy projection collapses each input block
+    to (user_id, event_type, cnt) partial counts (the only rows that move),
+    then ONE bounded coarse exchange on ``splitmix64(user_id) % n_buckets``
+    — per-bucket work is a vectorized pandas sum + stable first-row-per-user
+    pick, never a per-user Python call. Integer counts are order-independent
+    exactly, so the plan is deterministic under any block layout.
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import splitmix64
+
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        slim = pa.table({"user_id": t["user_id"], "event_type": t["event_type"]})
+        agg = slim.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        uid = agg["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gk = splitmix64(uid.view(np.uint64)) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "user_id": agg["user_id"],
+                "event_type": agg["event_type"],
+                "cnt": agg["count_all"],
+                "gkey": pa.array(gk.astype(np.int64)),
+            }
+        )
+
+    def top_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        summed = g.groupby(["user_id", "event_type"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+        summed = summed.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        top = summed.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy(np.int64),
+                "top_event": top["event_type"].to_numpy(),
+                "cnt": top["cnt"].to_numpy(np.int64),
+            }
+        )
+
+    partials = events.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return partials.groupby("gkey").map_groups(top_per_user, batch_format="pandas")

@@ -293,3 +293,55 @@ def test_interarrival_stats_validation(ray_session):
         interarrival_stats(None, qs=(1.5,))
     with pytest.raises(EngineValueError):
         interarrival_stats(None, span_seconds=0)
+
+
+class TestUserTopEvent:
+    def _make(self, ray_session):
+        rows = []
+        # user 1: tie between "a" and "b" (2 each) -> lexicographic "a" wins
+        for et in ("a", "b", "a", "b"):
+            rows.append({"event_id": len(rows), "user_id": 1, "event_type": et})
+        # user 2: clear winner "z"
+        for et in ("z", "z", "z", "y"):
+            rows.append({"event_id": len(rows), "user_id": 2, "event_type": et})
+        # user 3: single event
+        rows.append({"event_id": len(rows), "user_id": 3, "event_type": "solo"})
+        df = pd.DataFrame(rows)
+        df["ts"] = pd.to_datetime(1_700_000_000 + df["event_id"], unit="s")
+        df["value"] = 1.0
+        df["props"] = ""
+        return df
+
+    def test_mode_and_ties(self, ray_session):
+        from datafiller_ray.pipelines.events import user_top_event
+
+        df = self._make(ray_session)
+        out = (
+            user_top_event(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert out["user_id"].tolist() == [1, 2, 3]
+        assert out["top_event"].tolist() == ["a", "z", "solo"]
+        assert out["cnt"].tolist() == [2, 3, 1]
+
+    def test_block_layout_invariance(self, ray_session):
+        """Partial counts merge across blocks: a 1-row-per-block layout must
+        give the same answer as one block."""
+        from datafiller_ray.pipelines.events import user_top_event
+
+        df = self._make(ray_session)
+        one = (
+            user_top_event(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        many = (
+            user_top_event(ray.data.from_pandas(df).repartition(len(df)))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(one, many)
