@@ -327,6 +327,25 @@ def _near_dup_clusters(sf_dir: str):
     return near_dup_clusters_distributed(verified)
 
 
+def _dedup_near_keep_best(sf_dir: str):
+    """Cluster-representative dedup: near-dup clusters (minhash -> exact
+    Jaccard verify -> distributed min-label components), then keep only the
+    longest doc per cluster (ties -> smallest doc_id) plus every
+    un-clustered doc — pipelines/text.near_dup_keep_best."""
+    from datafiller_ray.pipelines.text import (
+        minhash_near_dup,
+        near_dup_clusters_distributed,
+        near_dup_keep_best,
+        verify_near_dup_pairs,
+    )
+
+    docs = _read(sf_dir, "documents")
+    pairs = minhash_near_dup(docs)
+    verified = verify_near_dup_pairs(docs, pairs, threshold=0.5)
+    clusters = near_dup_clusters_distributed(verified)
+    return near_dup_keep_best(docs, clusters)
+
+
 def _embedding_near_dup(sf_dir: str):
     from datafiller_ray.pipelines.ann import embedding_near_dup
 
@@ -1959,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _minhash,
         "near_dup_jaccard": _near_dup_jaccard,
         "near_dup_clusters": _near_dup_clusters,
+        "dedup_near_keep_best": _dedup_near_keep_best,
         "token_count_bpe": _token_counts,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
@@ -3564,6 +3584,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dup_jaccard": _near_dup_jaccard_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
+        "dedup_near_keep_best": f"""
+            WITH clusters AS (SELECT * FROM ({_near_dup_clusters_sql()})),
+            winners AS (
+              SELECT doc_id FROM (
+                SELECT c.doc_id,
+                       row_number() OVER (
+                           PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, c.doc_id) AS rn
+                FROM clusters c JOIN documents d USING (doc_id))
+              WHERE rn = 1),
+            losers AS (
+              SELECT doc_id FROM clusters
+              EXCEPT SELECT doc_id FROM winners)
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
         "embedding_near_dup": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)

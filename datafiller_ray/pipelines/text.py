@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from datafiller_ray.functions.hashing import splitmix64, string_hash64
@@ -829,3 +830,87 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def near_dup_keep_best(
+    docs: "ray.data.Dataset", clusters: pd.DataFrame
+) -> "ray.data.Dataset":
+    """Cluster-representative dedup: from each near-dup cluster keep the
+    single "best" document (longest ``n_chars``, ties to the smallest
+    ``doc_id``) and pass every un-clustered document through untouched —
+    the keep-one policy that turns the near-dup edge machinery into an
+    actual corpus-shrinking dedup step.
+
+    ``clusters`` is the (doc_id, cluster_id) frame from
+    :func:`near_dup_clusters` / :func:`near_dup_clusters_distributed` —
+    driver-resident by that contract (bounded by the VERIFIED near-dup doc
+    set, orders smaller than the corpus; the at-scale escape hatch is the
+    same as theirs: keep it a Dataset and swap the merge below for one
+    bounded exchange).
+
+    Scale shape: two broadcast set-membership passes over the corpus —
+    pass 1 projects (doc_id, n_chars) for clustered ids only (the text
+    column never moves), the winner pick is a vectorized stable sort over
+    the tiny clustered frame on the driver, pass 2 filters the corpus
+    against the broadcast LOSER id set (survivors stream through). All
+    integer/string ops — deterministic under any block layout.
+
+    Output: (doc_id, source, n_chars) of surviving documents.
+    """
+    import ray
+
+    if len(clusters) == 0:
+        def ident(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "source": t["source"],
+                    "n_chars": t["n_chars"],
+                }
+            )
+
+        return docs.map_batches(
+            ident, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+
+    cluster_ids = np.sort(clusters["doc_id"].to_numpy(np.int64))
+    idref = ray.put(cluster_ids)
+
+    def clustered_meta(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        member = np.isin(ids, ray.get(idref), assume_unique=False)
+        sub = t.select(["doc_id", "n_chars"]).filter(pa.array(member))
+        return sub
+
+    meta = docs.map_batches(
+        clustered_meta, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()  # bounded: one row per clustered doc
+
+    merged = clusters.merge(meta, on="doc_id", how="left")
+    merged = merged.sort_values(
+        ["cluster_id", "n_chars", "doc_id"],
+        ascending=[True, False, True],
+        kind="stable",
+    )
+    winners = merged.drop_duplicates("cluster_id", keep="first")["doc_id"]
+    losers = np.sort(
+        np.setdiff1d(
+            merged["doc_id"].to_numpy(np.int64), winners.to_numpy(np.int64)
+        )
+    )
+    lref = ray.put(losers)
+
+    def keep_survivors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isin(ids, ray.get(lref))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_chars": t["n_chars"],
+            }
+        ).filter(pa.array(keep))
+
+    return docs.map_batches(
+        keep_survivors, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

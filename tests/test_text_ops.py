@@ -344,3 +344,38 @@ def test_normalize_series_keeps_unicode_whitespace_like_sql_trim():
     out = _normalize_series(s)
     assert out.iloc[0] == " hello world"
     assert out.iloc[1] == "hello world"
+
+
+def test_near_dup_keep_best(ray_session):
+    """Keep the longest doc per cluster (ties -> smallest doc_id); pass
+    un-clustered docs through; empty clusters == identity."""
+    from datafiller_ray.pipelines.text import near_dup_keep_best
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 10, 11, 50],
+            "text": ["a", "b", "c", "d", "e", "f"],
+            "lang": ["en"] * 6,
+            "source": ["s1"] * 6,
+            # cluster {1,2,3}: 2 and 3 tie at max length -> doc 2 wins
+            "n_chars": [5, 9, 9, 4, 4, 7],
+        }
+    )
+    clusters = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 10, 11], "cluster_id": [1, 1, 1, 10, 10]}
+    )
+    out = (
+        near_dup_keep_best(ray.data.from_pandas(docs), clusters)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [2, 10, 50]
+    # ties inside cluster 10 (both n_chars=4) -> smallest doc_id kept
+    assert 10 in out["doc_id"].tolist() and 11 not in out["doc_id"].tolist()
+
+    # empty clusters: identity projection
+    ident = near_dup_keep_best(
+        ray.data.from_pandas(docs), clusters.iloc[:0]
+    ).to_pandas()
+    assert sorted(ident["doc_id"].tolist()) == docs["doc_id"].tolist()
