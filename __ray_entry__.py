@@ -852,6 +852,15 @@ def _global_quantiles(sf_dir: str):
     return global_quantiles(_read(sf_dir, "documents"))
 
 
+def _bm25_topk(sf_dir: str):
+    """BM25 top-20 docs for a fixed 3-term query — pipelines/corpus.bm25_topk
+    (integer df/tf/dl partials through one bounded exchange; one pinned
+    float score expression per doc, 6-decimal floor-half-up)."""
+    from datafiller_ray.pipelines.corpus import bm25_topk
+
+    return bm25_topk(_read(sf_dir, "documents"), "fast hash join", k=20)
+
+
 def _vocab_topk(sf_dir: str):
     """Global top-100 vocabulary (count desc, token asc ties) —
     pipelines/corpus.vocab_topk; heavy text collapses to (token, count)
@@ -1995,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_sample": _budget_sample,
         "temperature_sample": _temperature_sample,
         "vocab_topk": _vocab_topk,
+        "bm25_topk": _bm25_topk,
         "source_quantiles": _source_quantiles,
         "global_quantiles": _global_quantiles,
         "rolling_window_1m": _rolling_window,
@@ -3470,6 +3480,33 @@ def oracle_sql() -> dict[str, str]:
               floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.9)*1000000 + 0.5)/1000000 AS q0_9,
               floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.99)*1000000 + 0.5)/1000000 AS q0_99
             FROM documents
+        """,
+        # BM25 (k1=1.2, b=0.75, query "fast hash join"): integer tf/df/dl
+        # from the shared \w+|[^\w\s] tokenizer; the float score is the
+        # same expression tree as the engine's, rounded 6-dp floor-half-up
+        # (SUM over <= 3 terms: op-order drift « 1e-6)
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS tok
+              FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+            g AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                         (SELECT count(*) FROM toks)::BIGINT AS total_dl),
+            tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
+                   WHERE tok IN ('fast','hash','join') GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+                   WHERE tok IN ('fast','hash','join') GROUP BY tok),
+            scored AS (
+              SELECT tf.doc_id,
+                     SUM( ln(1.0 + (g.n_docs - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * (1.0 - 0.75
+                               + 0.75 * dl.dl
+                                 / (CAST(g.total_dl AS DOUBLE) / g.n_docs))) ) AS raw
+              FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN g
+              GROUP BY tf.doc_id)
+            SELECT doc_id, floor(raw * 1000000 + 0.5) / 1000000 AS score
+            FROM scored ORDER BY score DESC, doc_id LIMIT 20
         """,
         "vocab_topk": r"""
             SELECT tok, cnt FROM (

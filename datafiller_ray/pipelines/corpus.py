@@ -1734,3 +1734,151 @@ def zipf_fit(ds):
     return counts.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+
+
+def bm25_topk(
+    docs,
+    query: str,
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 ranked retrieval of the top-k documents for ``query`` — the
+    lexical search primitive (Robertson/Sparck-Jones idf in the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form, tf saturation ``k1``,
+    length normalization ``b``).
+
+    Two passes, both collapsing to tiny integer partials before anything
+    moves:
+
+    - stats pass: per-batch rows ``(term, df_partial)`` for the query's
+      terms only, plus sentinel rows for the doc count and total token
+      count -> one bounded ``grouped_sum`` exchange -> <= |terms|+2 rows on
+      the driver. All integers, so merge order is exact.
+    - score pass: broadcast (N, total_dl, df per sorted term); per batch
+      each doc's (tf_t, dl) are integers and the float score is ONE pinned
+      expression summed in sorted-term order, rounded through the shared
+      6-decimal floor-half-up. Per-batch partial top-k by
+      (score desc, doc_id asc) -> single final combine over <= k*blocks
+      rows (the ``vocab_topk`` reduction shape).
+
+    Only docs matching >= 1 query term can score; everything else is
+    filtered batch-side. Output: (doc_id, score) — the top-k by
+    (rounded score desc, doc_id asc).
+    """
+    if k <= 0:
+        raise EngineValueError("k must be positive")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise EngineValueError(f"bad BM25 params k1={k1} b={b}")
+    bpe = re.compile(r"\w+|[^\w\s]", re.ASCII)
+    terms = sorted(set(bpe.findall(query)))
+    if not terms:
+        raise EngineValueError(f"query has no tokens: {query!r}")
+
+    class StatsPartial:
+        def __init__(self) -> None:
+            self.bpe = re.compile(r"\w+|[^\w\s]", re.ASCII)
+            self.terms = terms
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            df_counts = {q: 0 for q in self.terms}
+            total_dl = 0
+            findall = self.bpe.findall
+            for s in texts:
+                toks = findall(s) if s else []
+                total_dl += len(toks)
+                tokset = set(toks)
+                for q in self.terms:
+                    if q in tokset:
+                        df_counts[q] += 1
+            keys = list(self.terms) + ["\x00N", "\x00DL"]
+            vals = [df_counts[q] for q in self.terms] + [len(texts), total_dl]
+            return pa.table(
+                {
+                    "term": pa.array(keys, type=pa.string()),
+                    "cnt": pa.array(np.asarray(vals, dtype=np.int64)),
+                }
+            )
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    partial = docs.map_batches(
+        StatsPartial, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    stats = {
+        r["term"]: int(r["cnt"])
+        for r in grouped_sum(partial, "term", "cnt").take_all()
+    }
+    n_docs = stats.pop("\x00N")
+    total_dl = stats.pop("\x00DL")
+    if n_docs == 0 or total_dl == 0:
+        import pandas as pd
+
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    avgdl = float(total_dl) / float(n_docs)
+    # ln(1 + x) spelled exactly like the SQL oracle's expression tree
+    idf = {
+        q: float(np.log(1.0 + (n_docs - stats[q] + 0.5) / (stats[q] + 0.5)))
+        for q in terms
+    }
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.bpe = re.compile(r"\w+|[^\w\s]", re.ASCII)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_ids, out_scores = [], []
+            findall = self.bpe.findall
+            from collections import Counter
+
+            for did, s in zip(ids, texts):
+                toks = findall(s) if s else []
+                if not toks:
+                    continue
+                dl = len(toks)
+                tfs = Counter(toks)  # one pass per doc, not one per term
+                score = 0.0
+                for q in terms:  # sorted-term order: deterministic sum
+                    tf = tfs.get(q, 0)
+                    if tf:
+                        score += (
+                            idf[q]
+                            * (tf * (k1 + 1.0))
+                            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                        )
+                if score > 0.0:
+                    out_ids.append(int(did))
+                    out_scores.append(
+                        float(np.floor(score * 1e6 + 0.5) / 1e6)
+                    )
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
+                    "score": pa.array(np.asarray(out_scores, dtype=np.float64)),
+                }
+            )
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))[:k]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    scored = docs.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8))
+    pruned = scored.map_batches(topk_block, batch_format="pyarrow")
+    return pruned.repartition(1).map_batches(topk_block, batch_format="pyarrow")

@@ -979,3 +979,73 @@ def test_zipf_fit_recovers_planted_exponent(ray_session):
     assert out["n_types"].iloc[0] == 199
     assert out["slope"].iloc[0] == pytest.approx(-1.0, abs=0.05)
     assert out["r2"].iloc[0] > 0.99
+
+
+def _bm25_docs():
+    return pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "fast hash join",          # all 3 terms, short
+                "fast fast fast scan",     # one term repeated
+                "slow merge sort",         # no terms
+                "hash join hash join padding words here",  # 2 terms, longer
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [14, 19, 15, 38],
+        }
+    )
+
+
+def test_bm25_topk_reference_values(ray_session):
+    """Pin against an independent literal BM25 computation."""
+    import math
+
+    from datafiller_ray.pipelines.corpus import bm25_topk
+
+    docs = _bm25_docs()
+    out = bm25_topk(ray.data.from_pandas(docs), "fast hash join", k=10).to_pandas()
+    # independent recomputation
+    import re as _re
+
+    tok = lambda s: _re.compile(r"\w+|[^\w\s]", _re.ASCII).findall(s)
+    corpus = {int(r.doc_id): tok(r.text) for r in docs.itertuples()}
+    N = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / N
+    want = {}
+    for did, toks in corpus.items():
+        s = 0.0
+        for q in sorted({"fast", "hash", "join"}):
+            tf = toks.count(q)
+            if not tf:
+                continue
+            df = sum(q in set(v) for v in corpus.values())
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+        if s > 0:
+            want[did] = math.floor(s * 1e6 + 0.5) / 1e6
+    got = dict(zip(out["doc_id"], out["score"]))
+    assert got == want
+    # doc 3 has no query terms -> absent
+    assert 3 not in got
+
+
+def test_bm25_topk_layout_invariance_and_validation(ray_session):
+    from datafiller_ray.pipelines.corpus import bm25_topk
+
+    docs = _bm25_docs()
+    one = bm25_topk(ray.data.from_pandas(docs), "fast hash join", k=2).to_pandas()
+    many = bm25_topk(
+        ray.data.from_pandas(docs).repartition(4), "fast hash join", k=2
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        one.reset_index(drop=True), many.reset_index(drop=True)
+    )
+    assert len(one) == 2
+    with pytest.raises(EngineValueError):
+        bm25_topk(ray.data.from_pandas(docs), "   ", k=2)
+    with pytest.raises(EngineValueError):
+        bm25_topk(ray.data.from_pandas(docs), "fast", k=0)
+    with pytest.raises(EngineValueError):
+        bm25_topk(ray.data.from_pandas(docs), "fast", b=1.5)
