@@ -1039,6 +1039,16 @@ def _embedding_clusters(sf_dir: str):
     return embedding_clusters(_read(sf_dir, "embeddings"))
 
 
+def _embedding_pca(sf_dir: str):
+    """Distributed PCA projection onto the top-2 corpus components —
+    pipelines/ann.embedding_pca: per-batch exact integer Gram partials
+    (quantized 2^-16 grid) through one bounded exchange, driver eigh on the
+    tiny d x d covariance, broadcast (mu, W) projection pass."""
+    from datafiller_ray.pipelines.ann import embedding_pca
+
+    return embedding_pca(_read(sf_dir, "embeddings"), n_components=2)
+
+
 def _interarrival_stats(sf_dir: str):
     """Per-event-type inter-arrival count/mean/quantiles in exact
     microseconds — pipelines/events.interarrival_stats (chunk-sharded
@@ -2022,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": _doc_entropy,
         "interarrival_stats": _interarrival_stats,
         "user_top_event": _user_top_event,
+        "embedding_pca": _embedding_pca,
         "embedding_clusters": _embedding_clusters,
         "rollup_5m": _rollup_5m,
         "staleness_report": _staleness_report,
@@ -3009,6 +3020,19 @@ def _build_lttb_oracle() -> "pd.DataFrame":
     return pd.concat(frames, ignore_index=True)
 
 
+def _build_pca_oracle() -> "pd.DataFrame":
+    """Independent distributed-PCA oracle (tests/oracle/fills.py
+    embedding_pca_frame): whole-matrix exact Python-int Gram, pinned
+    covariance, eigh, sign-fixed top-2 components, 6-dp projection."""
+    import pyarrow.parquet as pq
+
+    o = _fills_oracle_module()
+    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    return o.embedding_pca_frame(ids, M, n_components=2, scale_bits=16)
+
+
 _FILL_ORACLE_BUILDERS = {
     "gapfill_model_1m": _build_model_oracle,
     "gapfill_spline_1m": _build_spline_oracle,
@@ -3023,6 +3047,7 @@ _FILL_ORACLE_BUILDERS = {
     "bloom_new_docs": _build_bloom_oracle,
     "pack_sequences": _build_pack_oracle,
     "pack_tokens": _build_pack_tokens_oracle,
+    "embedding_pca": _build_pca_oracle,
 }
 
 
@@ -3766,6 +3791,9 @@ def oracle_sql() -> dict[str, str]:
         # LAG() gaps in exact microseconds; quantile_cont shares the
         # engine's pos = q*(n-1) interpolation rule (source_quantiles
         # precedent), mean is the one pinned division
+        "embedding_pca": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('embedding_pca')}')"
+        ),
         "user_top_event": """
             SELECT user_id, event_type AS top_event, cnt FROM (
               SELECT user_id, event_type, count(*)::BIGINT AS cnt,

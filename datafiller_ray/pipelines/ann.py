@@ -863,3 +863,141 @@ def embedding_clusters(
     return embeddings.map_batches(
         Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
+
+
+PCA_SCALE_BITS = 16  # quantization grid: q = floor(v * 2^16 + 0.5), exact int64
+
+
+def embedding_pca(
+    embeddings: "ray.data.Dataset",
+    *,
+    n_components: int = 2,
+) -> "ray.data.Dataset":
+    """Distributed PCA projection of the embedding corpus — the corpus
+    cartography / visualization primitive (project every vector onto the
+    top principal components of the corpus covariance).
+
+    Exactness contract (the engine's standing pattern: integer-exact
+    distributed part + one pinned float expression): input floats are
+    quantized onto the ``2^-16`` grid (``q = floor(v * 2^16 + 0.5)``,
+    exact in int64), and the ONLY thing that crosses the exchange is the
+    per-batch integer Gram upper triangle + column sums + count —
+    ``d*(d+1)/2 + d + 1`` int64 rows per batch, order-independent exactly.
+    The driver combines them with Python-int (arbitrary precision)
+    arithmetic into the pinned covariance ``C_ij = (n*G_ij - S_i*S_j) /
+    (n^2 * 2^32)``, runs ``np.linalg.eigh`` ONCE on the tiny d x d matrix,
+    takes the top ``n_components`` eigenvectors (eigenvalue desc, sign
+    fixed so each component's largest-|w| element is positive, ties to the
+    first index), and broadcasts (mu, W) for a distributed projection pass
+    ``(q/2^16 - mu) @ W`` with the shared 6-decimal floor-half-up on the
+    output. n_pc columns are named pc1..pcK.
+
+    Overflow guard: per-partial sums need ``rows_per_batch * maxq^2 <
+    2^63`` and the combined Gram needs ``n * maxq^2 < 2^63`` — with
+    unit-ish embeddings (|v| <= ~1 -> maxq ~ 2^16) that is n < ~2^30
+    vectors; beyond that, shrink PCA_SCALE_BITS or pre-sample. Checked at
+    combine time, raising EngineValueError rather than wrapping silently.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if n_components < 1:
+        raise EngineValueError(f"n_components must be >= 1, got {n_components}")
+    scale = float(1 << PCA_SCALE_BITS)
+
+    def gram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, M = _batch_matrix(batch)
+        if M.size == 0:
+            return pd.DataFrame(
+                {
+                    "i": pd.Series([], dtype=np.int64),
+                    "j": pd.Series([], dtype=np.int64),
+                    "s": pd.Series([], dtype=np.int64),
+                }
+            )
+        Q = np.floor(M.astype(np.float64) * scale + 0.5).astype(np.int64)
+        d = Q.shape[1]
+        G = Q.T @ Q  # int64 exact under the documented guard
+        i_idx, j_idx = np.triu_indices(d)
+        rows_i = np.concatenate([i_idx, np.arange(d), [-1]])
+        rows_j = np.concatenate([j_idx, np.full(d, -1), [-1]])
+        vals = np.concatenate(
+            [G[i_idx, j_idx], Q.sum(axis=0, dtype=np.int64), [Q.shape[0]]]
+        )
+        return pd.DataFrame(
+            {
+                "i": rows_i.astype(np.int64),
+                "j": rows_j.astype(np.int64),
+                "s": vals.astype(np.int64),
+            }
+        )
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    partials = embeddings.map_batches(
+        gram_partial, batch_format="pandas", batch_size=4096
+    )
+    rows = grouped_sum(partials, ["i", "j"], "s").to_pandas()  # <= d(d+1)/2+d+1
+    if len(rows) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    **{
+                        f"pc{c + 1}": pd.Series([], dtype=np.float64)
+                        for c in range(n_components)
+                    },
+                }
+            )
+        )
+    n = int(rows.loc[(rows["i"] == -1) & (rows["j"] == -1), "s"].iloc[0])
+    svec = rows[(rows["i"] >= 0) & (rows["j"] == -1)].sort_values("i")
+    d = len(svec)
+    if n_components > d:
+        raise EngineValueError(
+            f"n_components={n_components} exceeds embedding dim {d}"
+        )
+    # Python-int exact combine (n*G - S S^T overflows int64 at corpus scale)
+    S = [int(v) for v in svec["s"]]
+    G = [[0] * d for _ in range(d)]
+    tri = rows[(rows["i"] >= 0) & (rows["j"] >= 0)]
+    maxabs = 0
+    for i_, j_, s_ in zip(tri["i"], tri["j"], tri["s"]):
+        G[int(i_)][int(j_)] = int(s_)
+        G[int(j_)][int(i_)] = int(s_)
+        maxabs = max(maxabs, abs(int(s_)))
+    if maxabs >= (1 << 62):
+        raise EngineValueError(
+            "embedding_pca integer Gram exceeds the exact int64 range; "
+            "reduce PCA_SCALE_BITS or pre-sample the corpus"
+        )
+    denom = float(n) * float(n) * scale * scale
+    C = np.empty((d, d), dtype=np.float64)
+    for i_ in range(d):
+        for j_ in range(d):
+            C[i_, j_] = float(n * G[i_][j_] - S[i_] * S[j_]) / denom
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(-evals, kind="stable")[:n_components]
+    W = evecs[:, order].copy()
+    for c in range(W.shape[1]):
+        a = int(np.argmax(np.abs(W[:, c])))  # first index on ties
+        if W[a, c] < 0:
+            W[:, c] = -W[:, c]
+    mu = np.array([float(si) / (float(n) * scale) for si in S], dtype=np.float64)
+    wref = ray.put((mu, W))
+
+    class Project:
+        def __init__(self) -> None:
+            self.mu, self.W = ray.get(wref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, M = _batch_matrix(batch)
+            Q = np.floor(M.astype(np.float64) * scale + 0.5) / scale
+            P = (Q - self.mu) @ self.W
+            out = {"vec_id": ids}
+            for c in range(P.shape[1]):
+                out[f"pc{c + 1}"] = np.floor(P[:, c] * 1e6 + 0.5) / 1e6
+            return pd.DataFrame(out)
+
+    return embeddings.map_batches(
+        Project, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )

@@ -865,3 +865,37 @@ def cusum_stats(y: np.ndarray, drift: float, min_points: int):
             s[i] = p - m
         out.append(s)
     return out[0], out[1]
+
+
+def embedding_pca_frame(ids, M, n_components=2, scale_bits=16):
+    """Independent PCA oracle: quantize to the 2^-scale_bits grid, exact
+    Python-int Gram over the WHOLE matrix at once, pinned covariance
+    C = (n*G - S S^T) / (n^2 * scale^2), eigh, top components by
+    eigenvalue desc with sign fixed at the largest-|w| element (first
+    index on ties), project (q/scale - mu) @ W, 6-dp floor-half-up."""
+    import pandas as pd
+
+    scale = float(1 << scale_bits)
+    Qf = np.floor(np.asarray(M, dtype=np.float64) * scale + 0.5)
+    Q = Qf.astype(object)  # arbitrary-precision integer arithmetic
+    n, d = Q.shape
+    S = Q.sum(axis=0)
+    G = Q.T @ Q
+    denom = float(n) * float(n) * scale * scale
+    C = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(d):
+            C[i, j] = float(n * G[i, j] - S[i] * S[j]) / denom
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(-evals, kind="stable")[:n_components]
+    W = evecs[:, order].copy()
+    for c in range(W.shape[1]):
+        a = int(np.argmax(np.abs(W[:, c])))
+        if W[a, c] < 0:
+            W[:, c] = -W[:, c]
+    mu = np.array([float(si) / (float(n) * scale) for si in S], dtype=np.float64)
+    P = (Qf / scale - mu) @ W
+    out = {"vec_id": np.asarray(ids, dtype=np.int64)}
+    for c in range(n_components):
+        out[f"pc{c + 1}"] = np.floor(P[:, c] * 1e6 + 0.5) / 1e6
+    return pd.DataFrame(out)

@@ -191,3 +191,43 @@ def test_embedding_clusters_assignment(embeddings):
     np.testing.assert_array_equal(
         out["cell"].to_numpy(), out2["cell"].to_numpy()
     )
+
+
+def test_embedding_pca_contract(ray_session):
+    """Top component carries the most variance; output is block-layout
+    invariant; bad n_components raises."""
+    import numpy as np
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.ann import embedding_pca
+
+    rng = np.random.default_rng(3)
+    # anisotropic cloud: x-axis 10x the spread of the rest
+    M = rng.standard_normal((300, 8)) * 0.01
+    M[:, 0] += rng.standard_normal(300) * 0.1
+    df = pd.DataFrame(
+        {"vec_id": np.arange(300), "embedding": [row.tolist() for row in M]}
+    )
+    out = (
+        embedding_pca(ray.data.from_pandas(df), n_components=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["vec_id", "pc1", "pc2"]
+    assert out["pc1"].var() > out["pc2"].var() * 5
+    # pc1 must essentially be the x-axis (sign fixed positive at max-|w|)
+    assert abs(np.corrcoef(out["pc1"], M[:, 0])[0, 1]) > 0.99
+
+    out2 = (
+        embedding_pca(ray.data.from_pandas(df).repartition(11), n_components=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+    with pytest.raises(EngineValueError):
+        embedding_pca(ray.data.from_pandas(df), n_components=0)
+    with pytest.raises(EngineValueError):
+        embedding_pca(ray.data.from_pandas(df), n_components=9)
