@@ -1049,6 +1049,15 @@ def _embedding_pca(sf_dir: str):
     return embedding_pca(_read(sf_dir, "embeddings"), n_components=2)
 
 
+def _kmeans_quality(sf_dir: str):
+    """Per-cell k-means member count + inertia (integer micro-unit exact
+    sums) — pipelines/ann.kmeans_quality; same trained cells as
+    embedding_clusters."""
+    from datafiller_ray.pipelines.ann import kmeans_quality
+
+    return kmeans_quality(_read(sf_dir, "embeddings"))
+
+
 def _interarrival_stats(sf_dir: str):
     """Per-event-type inter-arrival count/mean/quantiles in exact
     microseconds — pipelines/events.interarrival_stats (chunk-sharded
@@ -2033,6 +2042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_stats": _interarrival_stats,
         "user_top_event": _user_top_event,
         "embedding_pca": _embedding_pca,
+        "kmeans_quality": _kmeans_quality,
         "embedding_clusters": _embedding_clusters,
         "rollup_5m": _rollup_5m,
         "staleness_report": _staleness_report,
@@ -2594,6 +2604,65 @@ def _embedding_clusters_sql() -> str:
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
         SELECT vec_id, CAST({case} AS BIGINT) AS cell FROM e
+    """
+
+
+def _kmeans_quality_sql() -> str:
+    """Per-cell inertia with the oracle's own k-means centroids as SQL
+    literals: assignment CASE (the _embedding_clusters_sql derivation),
+    then the engine's pinned squared-distance expression
+    ``<x,x> - 2<x,c> + <c,c>`` floored onto the 1e-6 integer grid per
+    vector so the per-cell sum is exact."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    n_cells, n_iters, seed, n_train = 16, 5, 7, 1024
+    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    mod = 1 << 16
+    thr = mod if vids.size <= n_train else max(1, math.ceil(n_train * mod / vids.size))
+    keep = (_oracle_splitmix64(vids.view(np.uint64)) % np.uint64(mod)) < thr
+    ksel = np.flatnonzero(keep)[np.argsort(vids[keep])]
+    C = _oracle_kmeans(M[ksel], n_cells, n_iters, seed)
+    cnorm = (C * C).sum(axis=1)
+
+    def lit(vec):
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
+
+    dists = [f"list_distance(de, {lit(C[c])})" for c in range(n_cells)]
+    least = "LEAST(" + ", ".join(dists) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN {dists[c]} = {least} THEN {c} " for c in range(n_cells))
+        + "END"
+    )
+    case_ip = (
+        "CASE cell "
+        + " ".join(
+            f"WHEN {c} THEN list_inner_product(de, {lit(C[c])}) "
+            for c in range(n_cells)
+        )
+        + "END"
+    )
+    case_cc = (
+        "CASE cell "
+        + " ".join(f"WHEN {c} THEN {repr(float(cnorm[c]))} " for c in range(n_cells))
+        + "END"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        a AS (SELECT vec_id, de, CAST({case} AS BIGINT) AS cell FROM e),
+        s AS (SELECT cell,
+                CAST(floor((list_inner_product(de, de)
+                            - 2.0 * ({case_ip}) + ({case_cc})) * 1000000
+                           + 0.5) AS BIGINT) AS usq
+              FROM a)
+        SELECT cell, count(*)::BIGINT AS n_vecs,
+               CAST(SUM(usq) AS DOUBLE) / 1000000.0 AS inertia
+        FROM s GROUP BY cell
     """
 
 
@@ -3794,6 +3863,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('embedding_pca')}')"
         ),
+        "kmeans_quality": _kmeans_quality_sql(),
         "user_top_event": """
             SELECT user_id, event_type AS top_event, cnt FROM (
               SELECT user_id, event_type, count(*)::BIGINT AS cnt,

@@ -1001,3 +1001,82 @@ def embedding_pca(
     return embeddings.map_batches(
         Project, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
+
+
+def kmeans_quality(
+    embeddings: "ray.data.Dataset",
+    *,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 7,
+    n_train: int = 1024,
+) -> "ray.data.Dataset":
+    """Clustering-quality report for the :func:`embedding_clusters`
+    assignment: per cell, the member count and the inertia (sum of squared
+    Euclidean distance to the assigned centroid) — the "is my quantizer any
+    good / which cells collapsed" diagnostic read before trusting IVF
+    probes or cluster-balanced mixing.
+
+    Determinism: the per-vector squared distance is ONE pinned expression
+    (``<x,x> - 2<x,c> + <c,c>``, the `_assign_cells` form), floored onto
+    the 1e-6 grid as integer micro-units per vector (the
+    ``time_weighted_avg`` precedent) so per-cell sums are int64-exact and
+    order-independent; the single final division by 1e6 happens once per
+    cell. Trained exactly like ``embedding_clusters`` (bounded hash
+    sample, deterministic Lloyd) so both queries describe the same cells.
+
+    Scale shape: centroids broadcast once; each batch collapses to
+    <= n_cells (cell, n, usq) partial rows; one bounded grouped_sum.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if n_cells < 1:
+        raise EngineValueError(f"n_cells must be >= 1, got {n_cells}")
+    M = ivf_training_sample(embeddings, n_train=n_train)
+    C = train_ivf_centroids(M, n_cells=n_cells, n_iters=n_iters, seed=seed)
+    cref = ray.put(C)
+
+    class Partial:
+        def __init__(self) -> None:
+            self.C = ray.get(cref)
+            self.cnorm = (self.C * self.C).sum(axis=1)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, Mb = _batch_matrix(batch)
+            Mb = Mb.astype(np.float64)
+            cells = _assign_cells(Mb, self.C)
+            sq = (
+                (Mb * Mb).sum(axis=1)
+                - 2.0 * np.einsum("ij,ij->i", Mb, self.C[cells])
+                + self.cnorm[cells]
+            )
+            usq = np.floor(sq * 1e6 + 0.5).astype(np.int64)
+            n = np.bincount(cells, minlength=self.C.shape[0]).astype(np.int64)
+            usum = np.zeros(self.C.shape[0], dtype=np.int64)
+            np.add.at(usum, cells, usq)
+            present = n > 0
+            return pd.DataFrame(
+                {
+                    "cell": np.flatnonzero(present).astype(np.int64),
+                    "n_vecs": n[present],
+                    "usq": usum[present],
+                }
+            )
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    partials = embeddings.map_batches(
+        Partial, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+    summed = grouped_sum(partials, "cell", ["n_vecs", "usq"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cell": df["cell"].to_numpy(np.int64),
+                "n_vecs": df["n_vecs"].to_numpy(np.int64),
+                "inertia": df["usq"].to_numpy(np.float64) / 1e6,
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pandas")

@@ -231,3 +231,58 @@ def test_embedding_pca_contract(ray_session):
         embedding_pca(ray.data.from_pandas(df), n_components=0)
     with pytest.raises(EngineValueError):
         embedding_pca(ray.data.from_pandas(df), n_components=9)
+
+
+def test_kmeans_quality_contract(ray_session):
+    """n_vecs sums to corpus size; inertia is layout-invariant (integer
+    micro-unit sums); tight clusters yield near-zero inertia."""
+    import numpy as np
+
+    from datafiller_ray.pipelines.ann import embedding_clusters, kmeans_quality
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 16)) * 5.0
+    M = np.repeat(centers, 50, axis=0) + rng.standard_normal((200, 16)) * 1e-4
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200), "embedding": [r.tolist() for r in M]}
+    )
+    ds = ray.data.from_pandas(df)
+    out = kmeans_quality(ds, n_cells=4).to_pandas().sort_values("cell")
+    assert out["n_vecs"].sum() == 200
+    assert (out["inertia"] >= 0).all()
+
+    # pin against a direct single-pass recomputation with the same centroids
+    from datafiller_ray.pipelines.ann import (
+        _assign_cells,
+        ivf_training_sample,
+        train_ivf_centroids,
+    )
+
+    C = train_ivf_centroids(
+        ivf_training_sample(ds, n_train=1024), n_cells=4, n_iters=5, seed=7
+    )
+    cells = _assign_cells(M.astype(np.float64), C)
+    sq = (
+        (M * M).sum(axis=1)
+        - 2.0 * np.einsum("ij,ij->i", M, C[cells])
+        + (C * C).sum(axis=1)[cells]
+    )
+    usq = np.floor(sq * 1e6 + 0.5).astype(np.int64)
+    want_inertia = {
+        int(c): float(usq[cells == c].sum()) / 1e6 for c in np.unique(cells)
+    }
+    assert out.set_index("cell")["inertia"].to_dict() == want_inertia
+
+    out2 = (
+        kmeans_quality(ds.repartition(13), n_cells=4)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), out2)
+
+    # same cells as embedding_clusters: per-cell counts agree
+    assign = embedding_clusters(ds, n_cells=4).to_pandas()
+    want = assign.groupby("cell").size()
+    got = out.set_index("cell")["n_vecs"]
+    assert got.to_dict() == want.to_dict()
