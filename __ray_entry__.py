@@ -1067,6 +1067,14 @@ def _interarrival_stats(sf_dir: str):
     return interarrival_stats(_read(sf_dir, "events"))
 
 
+def _transition_topk(sf_dir: str):
+    """Top-20 consecutive event-type transitions across user timelines
+    ((ts, event_id) order) — pipelines/events.transition_topk."""
+    from datafiller_ray.pipelines.events import transition_topk
+
+    return transition_topk(_read(sf_dir, "events"), k=20)
+
+
 def _user_top_event(sf_dir: str):
     """Per-user modal event type (count desc, type asc ties) —
     pipelines/events.user_top_event: partial (user, type) counts per block,
@@ -1738,6 +1746,15 @@ def _acf(sf_dir: str):
     return acf(_fixture(sf_dir), lags=(1, 2, 3), check_tokens=False)
 
 
+def _seasonal_naive_mase(sf_dir: str):
+    """Per-source MASE of the seasonal-naive (lag-60-rows) forecast over
+    observed 1m buckets — pipelines/window.seasonal_naive_mase (exact
+    integer error sums, one pinned division, round6)."""
+    from datafiller_ray.pipelines.window import seasonal_naive_mase
+
+    return seasonal_naive_mase(_fixture(sf_dir), season=60)
+
+
 def _mad_outliers(sf_dir: str):
     """Robust per-source outliers: |sum_tok - median| > 3 * MAD over the
     observed 1m buckets (quantile_cont medians — IEEE-exact on integer
@@ -2041,6 +2058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": _doc_entropy,
         "interarrival_stats": _interarrival_stats,
         "user_top_event": _user_top_event,
+        "transition_topk": _transition_topk,
         "embedding_pca": _embedding_pca,
         "kmeans_quality": _kmeans_quality,
         "embedding_clusters": _embedding_clusters,
@@ -2087,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _approx_quantiles,
         "acf_1m": _acf,
         "mad_outliers": _mad_outliers,
+        "seasonal_naive_mase": _seasonal_naive_mase,
         "rolling_median_1m": _rolling_median,
         "source_trend": _source_trend,
         "customers_with_orders": _customers_with_orders,
@@ -3864,6 +3883,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('embedding_pca')}')"
         ),
         "kmeans_quality": _kmeans_quality_sql(),
+        "transition_topk": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+              FROM events),
+            p AS (
+              SELECT event_type AS nxt,
+                     LAG(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts_us, event_id) AS prev
+              FROM e)
+            SELECT prev, nxt, count(*)::BIGINT AS cnt FROM p
+            WHERE prev IS NOT NULL
+            GROUP BY prev, nxt ORDER BY cnt DESC, prev, nxt LIMIT 20
+        """,
         "user_top_event": """
             SELECT user_id, event_type AS top_event, cnt FROM (
               SELECT user_id, event_type, count(*)::BIGINT AS cnt,
@@ -4343,6 +4376,24 @@ def oracle_sql() -> dict[str, str]:
         # medians via quantile_cont: on integer-valued sums every
         # intermediate (median, |x - med|, MAD, 3 * MAD) is IEEE-exact,
         # so the flag comparison is identical on both sides
+        "seasonal_naive_mase": f"""
+            WITH r AS ({rollup(60)}),
+            d AS (SELECT source, sum_tok,
+                         LAG(sum_tok, 1) OVER w AS l1,
+                         LAG(sum_tok, 60) OVER w AS ls
+                  FROM r
+                  WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)),
+            agg AS (SELECT source, COUNT(*)::BIGINT AS n_obs,
+                           SUM(ABS(sum_tok - ls)) AS num,
+                           COUNT(ls)::BIGINT AS cnt_num,
+                           SUM(ABS(sum_tok - l1)) AS den,
+                           COUNT(l1)::BIGINT AS cnt_den
+                    FROM d GROUP BY source)
+            SELECT source, n_obs,
+                   FLOOR(CAST(num * cnt_den AS DOUBLE) / (den * cnt_num)
+                         * 1000000 + 0.5) / 1000000.0 AS mase
+            FROM agg WHERE cnt_num > 0 AND den > 0
+        """,
         "mad_outliers": f"""
             WITH r AS ({rollup(60)}),
             med AS (

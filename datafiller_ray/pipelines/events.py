@@ -907,3 +907,80 @@ def user_top_event(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     return partials.groupby("gkey").map_groups(top_per_user, batch_format="pandas")
+
+
+def transition_topk(
+    events: "ray.data.Dataset", *, k: int = 20, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Top-k event-type transitions (the first-order Markov structure of
+    the stream): count consecutive (prev_type, next_type) pairs within each
+    user's timeline ordered by (ts, event_id) — the deterministic ordering
+    every sequential events operator here shares — and rank globally by
+    (count desc, prev asc, next asc).
+
+    Scale shape: a pruned zero-copy projection, ONE bounded coarse exchange
+    on ``splitmix64(user_id) % n_buckets`` (each user's timeline lands
+    whole in one bucket; the heavy props/value columns never move), a fully
+    vectorized pair extraction per bucket (sort + shifted-equality mask —
+    no per-user Python), a second tiny exchange over the (prev, next, cnt)
+    partials, then the vocab_topk partial-top-k reduction. Integer counts:
+    order-independent exactly.
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import splitmix64
+
+    if k <= 0:
+        raise EngineValueError("k must be positive")
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gk = splitmix64(uid.view(np.uint64)) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": us,
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "gkey": pa.array(gk.astype(np.int64)),
+            }
+        )
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        if u.size < 2:
+            return pd.DataFrame(
+                {
+                    "prev": pd.Series([], dtype="string"),
+                    "nxt": pd.Series([], dtype="string"),
+                    "cnt": pd.Series([], dtype=np.int64),
+                }
+            )
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"prev": et[:-1][same], "nxt": et[1:][same]})
+        out = df.groupby(["prev", "nxt"], sort=False).size().reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        prev = np.asarray(t["prev"].to_pylist(), dtype=object)
+        nxt = np.asarray(t["nxt"].to_pylist(), dtype=object)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nxt, prev, -cnt))[:k]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    slim = events.map_batches(
+        project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    partials = slim.groupby("gkey").map_groups(pair_counts, batch_format="pandas")
+    counts = grouped_sum(partials, ["prev", "nxt"], "cnt")
+    pruned = counts.map_batches(topk_block, batch_format="pyarrow")
+    return pruned.repartition(1).map_batches(topk_block, batch_format="pyarrow")

@@ -1576,3 +1576,67 @@ def staleness_report(
     return per_src.repartition(1).map_batches(
         add_lag, batch_format="pandas", batch_size=None
     )
+
+
+def _mase_one_source(obs: pd.DataFrame, source: str, season: int) -> pd.DataFrame:
+    s = obs["sum"].to_numpy(np.int64)
+    n = s.size
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype=object),
+            "n_obs": pd.Series([], dtype=np.int64),
+            "mase": pd.Series([], dtype=np.float64),
+        }
+    )
+    if n <= season:
+        return empty
+    # exact integer error sums promoted to Python ints before the cross
+    # multiply (acf/source_correlation precedent — no overflow at any scale)
+    num = int(np.abs(s[season:] - s[:-season]).sum())
+    den = int(np.abs(s[1:] - s[:-1]).sum())
+    cnt_num = n - season
+    cnt_den = n - 1
+    if den == 0:
+        return empty  # constant series: naive error 0, MASE undefined
+    mase = float(num * cnt_den) / float(den * cnt_num)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_obs": np.array([n], dtype=np.int64),
+            "mase": _round6_half_up(np.array([mase], dtype=np.float64)),
+        }
+    )
+
+
+def seasonal_naive_mase(
+    input_path,
+    *,
+    season: int = 60,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source MASE (mean absolute scaled error, Hyndman & Koehler) of
+    the seasonal-naive forecast ``y_hat_t = y_{t-season}`` over the
+    observed 1m buckets, scaled by the one-step naive error — the
+    "is this series even forecastable at this season" score read before
+    trusting any smoothing/forecast output downstream. ROW-lag semantics
+    (observed-bucket sequence, the ``acf`` convention) so the SQL LAG
+    oracle reproduces it exactly.
+
+    MASE = (sum|y_t - y_{t-season}| / (n - season))
+         / (sum|y_t - y_{t-1}| / (n - 1)), computed as exact integer error
+    sums cross-multiplied in Python ints and ONE pinned float division +
+    the shared 6-decimal floor-half-up. Sources with n <= season buckets
+    or a constant series (zero naive error) are omitted. Single per-source
+    exchange like the rest of the window family.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if season < 1:
+        raise EngineValueError(f"season must be >= 1, got {season}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _mase_one_source(obs, src, season),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -345,3 +345,43 @@ class TestUserTopEvent:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(one, many)
+
+
+def test_transition_topk_counts_and_ties(ray_session):
+    from datafiller_ray.pipelines.events import transition_topk
+
+    rows = []
+    # user 1 timeline: a -> b -> a -> b  (a->b x2, b->a x1)
+    for i, et in enumerate(["a", "b", "a", "b"]):
+        rows.append(
+            {"event_id": i, "user_id": 1, "event_type": et,
+             "ts": pd.Timestamp(1_700_000_000 + i, unit="s")}
+        )
+    # user 2: c -> a  (no cross-user pair with user 1)
+    for i, et in enumerate(["c", "a"]):
+        rows.append(
+            {"event_id": 100 + i, "user_id": 2, "event_type": et,
+             "ts": pd.Timestamp(1_700_000_000 + i, unit="s")}
+        )
+    df = pd.DataFrame(rows)
+    df["value"] = 1.0
+    df["props"] = ""
+    out = transition_topk(ray.data.from_pandas(df), k=10).to_pandas()
+    got = {(r.prev, r.nxt): int(r.cnt) for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("c", "a"): 1}
+    # ranking: count desc then lexicographic
+    assert out.iloc[0][["prev", "nxt"]].tolist() == ["a", "b"]
+
+    # same-timestamp ties order by event_id: 0 then 1
+    tie = pd.DataFrame(
+        {
+            "event_id": [1, 0],
+            "user_id": [9, 9],
+            "event_type": ["y", "x"],
+            "ts": [pd.Timestamp(1_700_000_000, unit="s")] * 2,
+            "value": [1.0, 1.0],
+            "props": ["", ""],
+        }
+    )
+    out2 = transition_topk(ray.data.from_pandas(tie), k=5).to_pandas()
+    assert {(r.prev, r.nxt) for r in out2.itertuples()} == {("x", "y")}

@@ -915,3 +915,41 @@ def test_staleness_report_lag(ray_session, small_fixture):
     np.testing.assert_array_equal(
         out["lag_s"].to_numpy(), gmax - out["last_bucket_ts"].to_numpy()
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive MASE
+
+
+def test_mase_one_source_matches_literal():
+    from datafiller_ray.pipelines.window import _mase_one_source
+
+    rng = np.random.default_rng(13)
+    s = rng.integers(1, 1000, size=100).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(100, dtype=np.int64) * 60, "sum": s}
+    )
+    out = _mase_one_source(obs, "s", season=10)
+    num = np.abs(s[10:] - s[:-10]).sum() / (100 - 10)
+    den = np.abs(s[1:] - s[:-1]).sum() / (100 - 1)
+    assert len(out) == 1
+    assert abs(float(out["mase"].iloc[0]) - num / den) < 1e-6
+    assert int(out["n_obs"].iloc[0]) == 100
+
+
+def test_mase_skips_short_and_constant():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import (
+        _mase_one_source,
+        seasonal_naive_mase,
+    )
+
+    const = pd.DataFrame(
+        {"bucket_ts": np.arange(50, dtype=np.int64) * 60,
+         "sum": np.full(50, 7, dtype=np.int64)}
+    )
+    assert len(_mase_one_source(const, "s", season=10)) == 0
+    short = const.head(5)
+    assert len(_mase_one_source(short, "s", season=10)) == 0
+    with pytest.raises(EngineValueError):
+        seasonal_naive_mase("/nonexistent", season=0)
