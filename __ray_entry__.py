@@ -1049,6 +1049,14 @@ def _embedding_pca(sf_dir: str):
     return embedding_pca(_read(sf_dir, "embeddings"), n_components=2)
 
 
+def _label_centroid_similarity(sf_dir: str):
+    """Pairwise cosine between per-label embedding centroids (exact int
+    sums through the exchange) — pipelines/ann.label_centroid_similarity."""
+    from datafiller_ray.pipelines.ann import label_centroid_similarity
+
+    return label_centroid_similarity(_read(sf_dir, "embeddings"))
+
+
 def _kmeans_quality(sf_dir: str):
     """Per-cell k-means member count + inertia (integer micro-unit exact
     sums) — pipelines/ann.kmeans_quality; same trained cells as
@@ -1073,6 +1081,14 @@ def _transition_topk(sf_dir: str):
     from datafiller_ray.pipelines.events import transition_topk
 
     return transition_topk(_read(sf_dir, "events"), k=20)
+
+
+def _events_cube(sf_dir: str):
+    """GROUPING SETS cube (event_type x hour + margins) with integer
+    micro-unit value sums — pipelines/events.events_cube."""
+    from datafiller_ray.pipelines.events import events_cube
+
+    return events_cube(_read(sf_dir, "events"), step=3600)
 
 
 def _user_top_event(sf_dir: str):
@@ -2059,8 +2075,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_stats": _interarrival_stats,
         "user_top_event": _user_top_event,
         "transition_topk": _transition_topk,
+        "events_cube": _events_cube,
         "embedding_pca": _embedding_pca,
         "kmeans_quality": _kmeans_quality,
+        "label_centroid_similarity": _label_centroid_similarity,
         "embedding_clusters": _embedding_clusters,
         "rollup_5m": _rollup_5m,
         "staleness_report": _staleness_report,
@@ -3883,6 +3901,50 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('embedding_pca')}')"
         ),
         "kmeans_quality": _kmeans_quality_sql(),
+        "label_centroid_similarity": """
+            WITH x AS (
+              SELECT label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     unnest(range(len(embedding))) AS i
+              FROM embeddings),
+            s AS (SELECT label, i,
+                         SUM(CAST(floor(v * 65536 + 0.5) AS BIGINT)) AS s
+                  FROM x GROUP BY label, i),
+            n AS (SELECT label, count(*)::BIGINT AS n
+                  FROM embeddings GROUP BY label),
+            c AS (SELECT s.label, s.i,
+                         CAST(s.s AS DOUBLE) / (n.n * 65536.0) AS c
+                  FROM s JOIN n USING (label)),
+            p AS (SELECT a.label AS label_a, b.label AS label_b,
+                         SUM(a.c * b.c) AS dot
+                  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+                  GROUP BY a.label, b.label),
+            nn AS (SELECT label, SUM(c * c) AS nsq FROM c GROUP BY label)
+            SELECT CAST(p.label_a AS BIGINT) AS label_a,
+                   CAST(p.label_b AS BIGINT) AS label_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   floor(p.dot / (sqrt(nna.nsq) * sqrt(nnb.nsq))
+                         * 1000000 + 0.5) / 1000000.0 AS cos_sim
+            FROM p
+            JOIN nn nna ON nna.label = p.label_a
+            JOIN nn nnb ON nnb.label = p.label_b
+            JOIN n na ON na.label = p.label_a
+            JOIN n nb ON nb.label = p.label_b
+            WHERE nna.nsq > 0 AND nnb.nsq > 0
+        """,
+        "events_cube": """
+            WITH e AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 // 3600) * 3600 AS hr,
+                     CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS val_u
+              FROM events)
+            SELECT COALESCE(event_type, '<ALL>') AS event_type,
+                   COALESCE(hr, -1) AS bucket_ts,
+                   count(*)::BIGINT AS n_events,
+                   CAST(SUM(val_u) AS DOUBLE) / 1000000.0 AS sum_value
+            FROM e
+            GROUP BY GROUPING SETS ((event_type, hr), (event_type), (hr), ())
+        """,
         "transition_topk": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type

@@ -360,6 +360,24 @@ def run_bench() -> dict:
 
     timed("interarrival_anomaly_intervals", stream_profiles)
 
+    def search_cartography():
+        # sixth-session family: BM25 lexical top-k over documents + exact
+        # integer-Gram PCA projection of the embedding corpus
+        from datafiller_ray.pipelines.ann import embedding_pca
+        from datafiller_ray.pipelines.corpus import bm25_topk
+
+        bm25_topk(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet"),
+            "fast hash join",
+            k=20,
+        ).count()
+        embedding_pca(
+            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+            n_components=2,
+        ).count()
+
+    timed("bm25_pca", search_cartography)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",

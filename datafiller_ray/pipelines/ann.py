@@ -1080,3 +1080,106 @@ def kmeans_quality(
         )
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def label_centroid_similarity(
+    embeddings: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the supervised complement of ``source_similarity`` (which labels'
+    vector populations overlap enough to confuse a classifier / collapse
+    under mixing).
+
+    Exactness (the embedding_pca pattern): vectors are quantized onto the
+    2^-16 grid, and only per-(label, dim) int64 sums + per-label counts
+    cross the ONE bounded exchange — order-independent exactly. Centroids
+    and each pair's cosine are computed on the driver over the tiny
+    |labels| x d table with the engine's pinned pair expression
+    ``dot / (sqrt(na) * sqrt(nb))`` + 6-decimal floor-half-up
+    (source_similarity precedent). Output: (label_a < label_b, n_a, n_b,
+    cos_sim).
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    scale = float(1 << PCA_SCALE_BITS)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, M = _batch_matrix(batch)
+        labels = batch["label"].to_numpy(np.int64)
+        if M.size == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype=np.int64),
+                    "i": pd.Series([], dtype=np.int64),
+                    "s": pd.Series([], dtype=np.int64),
+                }
+            )
+        Q = np.floor(M.astype(np.float64) * scale + 0.5).astype(np.int64)
+        d = Q.shape[1]
+        uniq, inv = np.unique(labels, return_inverse=True)
+        S = np.zeros((uniq.size, d), dtype=np.int64)
+        np.add.at(S, inv, Q)
+        n = np.bincount(inv).astype(np.int64)
+        lab_rows = np.repeat(uniq, d)
+        i_rows = np.tile(np.arange(d, dtype=np.int64), uniq.size)
+        out = pd.DataFrame(
+            {
+                "label": np.concatenate([lab_rows, uniq]),
+                "i": np.concatenate([i_rows, np.full(uniq.size, -1)]),
+                "s": np.concatenate([S.ravel(), n]),
+            }
+        )
+        return out.astype({"label": np.int64, "i": np.int64, "s": np.int64})
+
+    partials = embeddings.map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+    rows = grouped_sum(partials, ["label", "i"], "s").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "label_a": pd.Series([], dtype=np.int64),
+            "label_b": pd.Series([], dtype=np.int64),
+            "n_a": pd.Series([], dtype=np.int64),
+            "n_b": pd.Series([], dtype=np.int64),
+            "cos_sim": pd.Series([], dtype=np.float64),
+        }
+    )
+    if len(rows) == 0:
+        return ray.data.from_pandas(empty)
+    counts = rows[rows["i"] == -1].set_index("label")["s"]
+    dims = rows[rows["i"] >= 0]
+    labels = np.sort(counts.index.to_numpy(np.int64))
+    d = int(dims["i"].max()) + 1
+    C = np.zeros((labels.size, d), dtype=np.float64)
+    lab_pos = {int(l): p for p, l in enumerate(labels)}
+    for l_, i_, s_ in zip(dims["label"], dims["i"], dims["s"]):
+        # centroid element: ONE pinned expression from exact integers
+        C[lab_pos[int(l_)], int(i_)] = float(int(s_)) / (
+            float(int(counts.loc[int(l_)])) * scale
+        )
+    import math
+
+    rows_a, rows_b, nas, nbs, sims = [], [], [], [], []
+    for a in range(labels.size):
+        for b in range(a + 1, labels.size):
+            na = float(np.dot(C[a], C[a]))
+            nb = float(np.dot(C[b], C[b]))
+            if na <= 0.0 or nb <= 0.0:
+                continue  # zero centroid: cosine undefined
+            sim = float(np.dot(C[a], C[b])) / (math.sqrt(na) * math.sqrt(nb))
+            rows_a.append(int(labels[a]))
+            rows_b.append(int(labels[b]))
+            nas.append(int(counts.loc[int(labels[a])]))
+            nbs.append(int(counts.loc[int(labels[b])]))
+            sims.append(math.floor(sim * 1e6 + 0.5) / 1e6)
+    out = pd.DataFrame(
+        {
+            "label_a": np.asarray(rows_a, dtype=np.int64),
+            "label_b": np.asarray(rows_b, dtype=np.int64),
+            "n_a": np.asarray(nas, dtype=np.int64),
+            "n_b": np.asarray(nbs, dtype=np.int64),
+            "cos_sim": np.asarray(sims, dtype=np.float64),
+        }
+    )
+    return ray.data.from_pandas(out if len(out) else empty)

@@ -1776,41 +1776,44 @@ def bm25_topk(
     if not terms:
         raise EngineValueError(f"query has no tokens: {query!r}")
 
-    class StatsPartial:
-        def __init__(self) -> None:
-            self.bpe = re.compile(r"\w+|[^\w\s]", re.ASCII)
-            self.terms = terms
+    # vectorized tf counting: a \w+ token equals term T iff the text
+    # matches (?<!\w)T(?!\w) — the maximal-run boundary of the shared
+    # tokenizer; a punctuation token ([^\w\s] branch) is its own single
+    # char, so a plain escaped count suffices. (?a) pins re.ASCII exactly
+    # like the compiled tokenizer. pandas str.count runs the C regex loop
+    # instead of building per-doc Python token lists.
+    def _term_pattern(q: str) -> str:
+        if re.fullmatch(r"\w+", q, re.ASCII):
+            return rf"(?a)(?<!\w){re.escape(q)}(?!\w)"
+        return rf"(?a){re.escape(q)}"
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t["text"].to_pylist()
-            df_counts = {q: 0 for q in self.terms}
-            total_dl = 0
-            findall = self.bpe.findall
-            for s in texts:
-                toks = findall(s) if s else []
-                total_dl += len(toks)
-                tokset = set(toks)
-                for q in self.terms:
-                    if q in tokset:
-                        df_counts[q] += 1
-            keys = list(self.terms) + ["\x00N", "\x00DL"]
-            vals = [df_counts[q] for q in self.terms] + [len(texts), total_dl]
-            return pa.table(
-                {
-                    "term": pa.array(keys, type=pa.string()),
-                    "cnt": pa.array(np.asarray(vals, dtype=np.int64)),
-                }
-            )
+    tok_pattern = r"(?a)\w+|[^\w\s]"
+    term_patterns = {q: _term_pattern(q) for q in terms}
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        total_dl = int(texts.str.count(tok_pattern).sum())
+        df_counts = {
+            q: int((texts.str.count(p) > 0).sum())
+            for q, p in term_patterns.items()
+        }
+        keys = list(terms) + ["\x00N", "\x00DL"]
+        vals = [df_counts[q] for q in terms] + [len(texts), total_dl]
+        return pa.table(
+            {
+                "term": pa.array(keys, type=pa.string()),
+                "cnt": pa.array(np.asarray(vals, dtype=np.int64)),
+            }
+        )
 
     from datafiller_ray.stages.exchange import grouped_sum
 
-    partial = docs.map_batches(
-        StatsPartial, batch_format="pyarrow", concurrency=(1, 8)
-    )
-    stats = {
-        r["term"]: int(r["cnt"])
-        for r in grouped_sum(partial, "term", "cnt").take_all()
-    }
+    partial = docs.map_batches(stats_partial, batch_format="pyarrow")
+    # |terms|+2 rows per BATCH: no exchange needed — driver-sum the bounded
+    # integer partials directly (order-independent exactly)
+    stats: "dict[str, int]" = {}
+    for r in partial.take_all():
+        stats[r["term"]] = stats.get(r["term"], 0) + int(r["cnt"])
     n_docs = stats.pop("\x00N")
     total_dl = stats.pop("\x00DL")
     if n_docs == 0 or total_dl == 0:
@@ -1833,43 +1836,35 @@ def bm25_topk(
         for q in terms
     }
 
-    class Scorer:
-        def __init__(self) -> None:
-            self.bpe = re.compile(r"\w+|[^\w\s]", re.ASCII)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t["text"].to_pylist()
-            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            out_ids, out_scores = [], []
-            findall = self.bpe.findall
-            from collections import Counter
-
-            for did, s in zip(ids, texts):
-                toks = findall(s) if s else []
-                if not toks:
-                    continue
-                dl = len(toks)
-                tfs = Counter(toks)  # one pass per doc, not one per term
-                score = 0.0
-                for q in terms:  # sorted-term order: deterministic sum
-                    tf = tfs.get(q, 0)
-                    if tf:
-                        score += (
-                            idf[q]
-                            * (tf * (k1 + 1.0))
-                            / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                        )
-                if score > 0.0:
-                    out_ids.append(int(did))
-                    out_scores.append(
-                        float(np.floor(score * 1e6 + 0.5) / 1e6)
-                    )
+    def scorer(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(texts)
+        if n == 0:
             return pa.table(
                 {
-                    "doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
-                    "score": pa.array(np.asarray(out_scores, dtype=np.float64)),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
                 }
             )
+        dl = texts.str.count(tok_pattern).to_numpy(np.float64)
+        # same float expression tree as the scalar form, element-wise:
+        # (1.0 - b) + (b * dl) / avgdl, shared across terms
+        inner = 1.0 - b + b * dl / avgdl
+        score = np.zeros(n, dtype=np.float64)
+        # b=1 + dl=0 gives 0/0 -> NaN; such docs have tf=0 everywhere so
+        # the NaN only ever lands on score-0 rows (keep stays False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for q in terms:  # sorted-term order: deterministic sum
+                tfq = texts.str.count(term_patterns[q]).to_numpy(np.float64)
+                score += idf[q] * (tfq * (k1 + 1.0)) / (tfq + k1 * inner)
+        keep = score > 0.0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "score": pa.array(np.floor(score[keep] * 1e6 + 0.5) / 1e6),
+            }
+        )
 
     def topk_block(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
@@ -1879,6 +1874,6 @@ def bm25_topk(
         order = np.lexsort((ids, -sc))[:k]
         return t.take(pa.array(np.sort(order), type=pa.int64()))
 
-    scored = docs.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8))
+    scored = docs.map_batches(scorer, batch_format="pyarrow")
     pruned = scored.map_batches(topk_block, batch_format="pyarrow")
     return pruned.repartition(1).map_batches(topk_block, batch_format="pyarrow")

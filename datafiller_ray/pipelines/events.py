@@ -984,3 +984,97 @@ def transition_topk(
     counts = grouped_sum(partials, ["prev", "nxt"], "cnt")
     pruned = counts.map_batches(topk_block, batch_format="pyarrow")
     return pruned.repartition(1).map_batches(topk_block, batch_format="pyarrow")
+
+
+CUBE_ALL = "<ALL>"  # grouping-sets margin sentinel (avoids null shuffle keys)
+
+
+def events_cube(
+    events: "ray.data.Dataset", *, step: int = 3600
+) -> "ray.data.Dataset":
+    """GROUPING SETS cube over the event stream: event count + value sum
+    for every combination of (event_type, time bucket) INCLUDING the
+    margins — per type across all time, per bucket across all types, and
+    the grand total (SQL ``GROUP BY GROUPING SETS ((t, h), (t), (h),
+    ())``). Margin rows carry the ``<ALL>`` / ``-1`` sentinels instead of
+    SQL NULLs so the shuffle key is never null (the engine's null-key
+    routing lesson from the join family, applied by construction).
+
+    Exactness: counts are integers; the double ``value`` is floored onto
+    the 1e-6 grid PER EVENT (``time_weighted_avg``'s integer micro-unit
+    precedent) so all four grouping-set sums are int64-exact and
+    order-independent, with one final division each.
+
+    Scale shape: each input block pre-aggregates to at most
+    ``4 * |types x buckets-in-block|`` partial rows inside ``map_batches``
+    (the cube fan-out happens AFTER the per-batch collapse, not per
+    event), then ONE bounded grouped_sum exchange.
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if step < 1:
+        raise EngineValueError(f"step must be >= 1, got {step}")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hr = (us // 1_000_000 // step) * step
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        val_u = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        base = pd.DataFrame({"event_type": et, "bucket_ts": hr, "val_u": val_u})
+        fine = (
+            base.groupby(["event_type", "bucket_ts"], sort=False)
+            .agg(n_events=("val_u", "size"), val_u=("val_u", "sum"))
+            .reset_index()
+        )
+        by_type = (
+            fine.groupby("event_type", sort=False)
+            .agg(n_events=("n_events", "sum"), val_u=("val_u", "sum"))
+            .reset_index()
+        )
+        by_type["bucket_ts"] = np.int64(-1)
+        by_hr = (
+            fine.groupby("bucket_ts", sort=False)
+            .agg(n_events=("n_events", "sum"), val_u=("val_u", "sum"))
+            .reset_index()
+        )
+        by_hr["event_type"] = CUBE_ALL
+        total = pd.DataFrame(
+            {
+                "event_type": [CUBE_ALL],
+                "bucket_ts": np.array([-1], dtype=np.int64),
+                "n_events": [int(fine["n_events"].sum())],
+                "val_u": [int(fine["val_u"].sum())],
+            }
+        )
+        cols = ["event_type", "bucket_ts", "n_events", "val_u"]
+        out = pd.concat(
+            [fine[cols], by_type[cols], by_hr[cols], total[cols]],
+            ignore_index=True,
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["val_u"] = out["val_u"].astype(np.int64)
+        return out
+
+    partials = events.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    summed = grouped_sum(
+        partials, ["event_type", "bucket_ts"], ["n_events", "val_u"]
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(object),
+                "bucket_ts": df["bucket_ts"].to_numpy(np.int64),
+                "n_events": df["n_events"].to_numpy(np.int64),
+                "sum_value": df["val_u"].to_numpy(np.float64) / 1e6,
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pandas")

@@ -286,3 +286,37 @@ def test_kmeans_quality_contract(ray_session):
     want = assign.groupby("cell").size()
     got = out.set_index("cell")["n_vecs"]
     assert got.to_dict() == want.to_dict()
+
+
+def test_label_centroid_similarity_contract(ray_session):
+    """Identical-label populations -> cos ~ 1 for aligned centroids;
+    layout-invariant; counts correct."""
+    import numpy as np
+
+    from datafiller_ray.pipelines.ann import label_centroid_similarity
+
+    rng = np.random.default_rng(9)
+    # label 0 and 1 share a direction, label 2 is orthogonal-ish
+    base = rng.standard_normal(8)
+    M0 = base + rng.standard_normal((40, 8)) * 0.01
+    M1 = base + rng.standard_normal((30, 8)) * 0.01
+    M2 = np.roll(base, 4) + rng.standard_normal((30, 8)) * 0.01
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(100),
+            "embedding": [r.tolist() for r in np.vstack([M0, M1, M2])],
+            "label": np.repeat([0, 1, 2], [40, 30, 30]).astype(np.int32),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = label_centroid_similarity(ds).to_pandas()
+    assert set(zip(out["label_a"], out["label_b"])) == {(0, 1), (0, 2), (1, 2)}
+    sim01 = float(out.set_index(["label_a", "label_b"]).loc[(0, 1), "cos_sim"])
+    assert sim01 > 0.999
+    assert out.set_index(["label_a", "label_b"]).loc[(0, 1), "n_a"] == 40
+
+    out2 = label_centroid_similarity(ds.repartition(9)).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["label_a", "label_b"]).reset_index(drop=True),
+        out2.sort_values(["label_a", "label_b"]).reset_index(drop=True),
+    )

@@ -385,3 +385,55 @@ def test_transition_topk_counts_and_ties(ray_session):
     )
     out2 = transition_topk(ray.data.from_pandas(tie), k=5).to_pandas()
     assert {(r.prev, r.nxt) for r in out2.itertuples()} == {("x", "y")}
+
+
+def test_events_cube_matches_duckdb(ray_session):
+    import duckdb
+
+    from datafiller_ray.pipelines.events import events_cube
+
+    rng = np.random.default_rng(2)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 20, n),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "ts": pd.to_datetime(
+                1_700_000_000 + rng.integers(0, 86400, n), unit="s"
+            ),
+            "value": rng.normal(10, 3, n),
+            "props": "",
+        }
+    )
+    out = (
+        events_cube(ray.data.from_pandas(df).repartition(7), step=3600)
+        .to_pandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.sql(
+        """
+        WITH e AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 1000000 // 3600) * 3600 AS hr,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS val_u
+          FROM events)
+        SELECT COALESCE(event_type, '<ALL>') AS event_type,
+               COALESCE(hr, -1) AS bucket_ts,
+               count(*)::BIGINT AS n_events,
+               CAST(SUM(val_u) AS DOUBLE) / 1000000.0 AS sum_value
+        FROM e
+        GROUP BY GROUPING SETS ((event_type, hr), (event_type), (hr), ())
+        ORDER BY event_type, bucket_ts
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        out.astype({"bucket_ts": "int64", "n_events": "int64"}),
+        want.astype({"bucket_ts": "int64", "n_events": "int64"}),
+    )
+    # margins really are margins
+    grand = out[(out["event_type"] == "<ALL>") & (out["bucket_ts"] == -1)]
+    assert int(grand["n_events"].iloc[0]) == n
