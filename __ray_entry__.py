@@ -1075,6 +1075,14 @@ def _interarrival_stats(sf_dir: str):
     return interarrival_stats(_read(sf_dir, "events"))
 
 
+def _dedup_sequences(sf_dir: str):
+    """Exact token-array dedup of the primary table (manifest-only phase 1,
+    candidate-payload phase 2) — pipelines/packing.dedup_sequences."""
+    from datafiller_ray.pipelines.packing import dedup_sequences
+
+    return dedup_sequences(_fixture(sf_dir))
+
+
 def _transition_topk(sf_dir: str):
     """Top-20 consecutive event-type transitions across user timelines
     ((ts, event_id) order) — pipelines/events.transition_topk."""
@@ -2076,6 +2084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": _user_top_event,
         "transition_topk": _transition_topk,
         "events_cube": _events_cube,
+        "dedup_sequences": _dedup_sequences,
         "embedding_pca": _embedding_pca,
         "kmeans_quality": _kmeans_quality,
         "label_centroid_similarity": _label_centroid_similarity,
@@ -3931,6 +3940,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN n na ON na.label = p.label_a
             JOIN n nb ON nb.label = p.label_b
             WHERE nna.nsq > 0 AND nnb.nsq > 0
+        """,
+        "dedup_sequences": f"""
+            SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok FROM (
+              SELECT doc_id, source, n_tok,
+                     row_number() OVER (
+                         PARTITION BY tokens ORDER BY doc_id) AS rn
+              FROM read_parquet('{p}/*.parquet'))
+            WHERE rn = 1
         """,
         "events_cube": """
             WITH e AS (

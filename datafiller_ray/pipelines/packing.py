@@ -297,3 +297,163 @@ def chunk_sequences(
         )
 
     return ds.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# exact token-array dedup over the primary table
+
+
+def _sequence_hash_table(t) -> "pd.DataFrame":
+    """Vectorized order-sensitive 64-bit hash of every row's token array
+    (position-mixed splitmix64 terms summed mod 2^64 via one cumsum, then
+    length-finalized) — zero Python per row; the whole batch is three numpy
+    passes over the flattened Arrow values buffer."""
+    import pyarrow as pa
+
+    from datafiller_ray.functions.hashing import splitmix64
+
+    arr = t["tokens"].combine_chunks()
+    off = np.asarray(arr.offsets).astype(np.int64)
+    vals = np.asarray(arr.values).astype(np.int64)[off[0] : off[-1]]
+    off = off - off[0]
+    lens = np.diff(off)
+    pos = np.arange(vals.size, dtype=np.int64) - np.repeat(off[:-1], lens)
+    with np.errstate(over="ignore"):
+        terms = splitmix64(
+            (vals.view(np.uint64) * np.uint64(0x100000001B3))
+            + pos.view(np.uint64)
+            + np.uint64(1)
+        )
+        cs = np.concatenate([np.zeros(1, np.uint64), np.cumsum(terms)])
+        row = cs[off[1:]] - cs[off[:-1]]
+        h = splitmix64(row + lens.view(np.uint64))
+    return pd.DataFrame(
+        {
+            "doc_id": t["doc_id"].to_pandas().to_numpy(dtype=object),
+            "source": t["source"].to_pandas().to_numpy(dtype=object),
+            "n_tok": t["n_tok"].to_pandas().to_numpy(np.int64),
+            "_h": h.view(np.int64),
+        }
+    )
+
+
+def dedup_sequences(
+    input_path, *, n_buckets: int = 256, max_candidates: int = 5_000_000
+) -> "Dataset":
+    """Exact dedup of the PRIMARY tokenized-sequence table by token-array
+    equality (the input contract's per-row invariant): keep the smallest
+    doc_id per distinct token array, emitting the surviving manifest
+    (doc_id, source, n_tok) — the caller filters the corpus by id, the
+    pack/chunk manifest convention.
+
+    Two-phase so the token payload (the 99% of the bytes) never moves for
+    the non-duplicated bulk:
+
+    - phase 1: one read computes a vectorized order-sensitive content hash
+      per row; only the 24-byte manifest rows shuffle (coarse hash-bucket
+      exchange). Hashes appearing once are winners immediately — no
+      payload ever moves for them.
+    - phase 2: hashes with >= 2 rows (bounded by the DUPLICATE-GROUP
+      count, not the corpus; guarded by ``max_candidates``) are broadcast
+      as a sorted id set; a second pruned read re-hashes, keeps only
+      candidate rows, and ships JUST THOSE payloads through one exchange
+      for in-bucket byte-exact comparison (collision-proof: equal hash but
+      different bytes stay distinct).
+
+    At duplicate-heavy extremes where candidate hashes exceed the guard,
+    fall back to the text-family shape (full-payload single shuffle, see
+    ``text.exact_dedup``) — raising here instead of silently materializing
+    an unbounded driver set.
+    """
+    import ray
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import splitmix64
+
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    ds = ray.data.read_parquet(input_path)
+
+    def manifest_stage(t) -> pd.DataFrame:
+        m = _sequence_hash_table(t)
+        m["_gk"] = (
+            splitmix64(m["_h"].to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return m
+
+    man = ds.map_batches(manifest_stage, batch_format="pyarrow")
+
+    def split_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g["_h"].duplicated(keep=False)
+        win = g.loc[~dup, ["doc_id", "source", "n_tok"]].copy()
+        win["_cand_h"] = np.int64(0)
+        win["_is_winner"] = True
+        cand = g.loc[dup, ["_h"]].drop_duplicates()
+        ch = pd.DataFrame(
+            {
+                "doc_id": np.full(len(cand), "", dtype=object),
+                "source": np.full(len(cand), "", dtype=object),
+                "n_tok": np.zeros(len(cand), dtype=np.int64),
+                "_cand_h": cand["_h"].to_numpy(np.int64),
+                "_is_winner": np.zeros(len(cand), dtype=bool),
+            }
+        )
+        return pd.concat([win, ch], ignore_index=True)
+
+    mixed = (
+        man.groupby("_gk").map_groups(split_bucket, batch_format="pandas")
+    ).materialize()
+    winners1 = mixed.map_batches(
+        lambda df: df.loc[df["_is_winner"], ["doc_id", "source", "n_tok"]],
+        batch_format="pandas",
+    )
+    cand_rows = mixed.map_batches(
+        lambda df: df.loc[~df["_is_winner"], ["_cand_h"]],
+        batch_format="pandas",
+    )
+    cand_h = np.sort(
+        np.array([r["_cand_h"] for r in cand_rows.take_all()], dtype=np.int64)
+    )
+    if cand_h.size > max_candidates:
+        raise EngineValueError(
+            f"{cand_h.size} candidate duplicate hashes exceed "
+            f"max_candidates={max_candidates}; use the full-payload shuffle "
+            "fallback (text.exact_dedup shape) for duplicate-heavy corpora"
+        )
+    if cand_h.size == 0:
+        return winners1
+    href = ray.put(cand_h)
+
+    def candidate_payloads(t) -> pd.DataFrame:
+        m = _sequence_hash_table(t)
+        hit = np.isin(m["_h"].to_numpy(np.int64), ray.get(href))
+        if not hit.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=object),
+                    "source": pd.Series([], dtype=object),
+                    "n_tok": pd.Series([], dtype=np.int64),
+                    "_h": pd.Series([], dtype=np.int64),
+                    "_blob": pd.Series([], dtype=object),
+                }
+            )
+        arr = t["tokens"].combine_chunks()
+        off = np.asarray(arr.offsets).astype(np.int64)
+        vals = np.asarray(arr.values).astype(np.int32)
+        idx = np.flatnonzero(hit)
+        blobs = [vals[off[i] : off[i + 1]].astype("<i4").tobytes() for i in idx]
+        out = m.iloc[idx].copy()
+        out["_blob"] = np.asarray(blobs, dtype=object)
+        return out
+
+    cand = ds.map_batches(candidate_payloads, batch_format="pyarrow")
+
+    def exact_group(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values("doc_id").drop_duplicates("_blob", keep="first")
+        return keep[["doc_id", "source", "n_tok"]]
+
+    winners2 = cand.groupby("_h").map_groups(exact_group, batch_format="pandas")
+    return winners1.union(winners2)

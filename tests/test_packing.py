@@ -196,3 +196,66 @@ def test_chunk_sequences_manifest(ray_session):
         assert (g["tok_start"].iloc[1:].to_numpy() < g["tok_end"].iloc[:-1].to_numpy()).all() or len(g) == 1
     with pytest.raises(EngineValueError):
         chunk_sequences(ray.data.from_arrow(t), max_len=8, overlap=8)
+
+
+class TestDedupSequences:
+    def _write(self, tmp_path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+                "tokens": pa.array(
+                    [r[1] for r in rows], type=pa.list_(pa.int32())
+                ),
+                "n_tok": pa.array(
+                    [len(r[1]) for r in rows], type=pa.int32()
+                ),
+                "source": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+        d = tmp_path / "seqs"
+        d.mkdir()
+        pq.write_table(t.slice(0, len(rows) // 2), d / "a.parquet")
+        pq.write_table(t.slice(len(rows) // 2), d / "b.parquet")
+        return str(d)
+
+    def test_dedup_keeps_min_doc_id(self, ray_session, tmp_path):
+        from datafiller_ray.pipelines.packing import dedup_sequences
+
+        rows = [
+            ("d1", [1, 2, 3], "s1"),
+            ("d2", [1, 2, 3], "s2"),      # dup of d1 (cross-source, cross-file)
+            ("d3", [3, 2, 1], "s1"),      # same multiset, different order: kept
+            ("d4", [], "s1"),             # empty array
+            ("d5", [], "s2"),             # dup of empty
+            ("d6", [1, 2, 3, 4], "s1"),   # superset: kept
+        ]
+        path = self._write(tmp_path, rows)
+        out = dedup_sequences(path).to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == ["d1", "d3", "d4", "d6"]
+
+    def test_dedup_no_duplicates_identity(self, ray_session, tmp_path):
+        from datafiller_ray.pipelines.packing import dedup_sequences
+
+        rows = [(f"d{i}", [i, i + 1], "s") for i in range(10)]
+        path = self._write(tmp_path, rows)
+        out = dedup_sequences(path).to_pandas()
+        assert sorted(out["doc_id"]) == [f"d{i}" for i in range(10)]
+
+    def test_collision_guard_and_exact_compare(self, ray_session, tmp_path):
+        """Equal hashes with different bytes must both survive (the phase-2
+        byte-exact compare), and the candidate guard raises."""
+        import pandas as pd
+
+        from datafiller_ray.config import EngineValueError
+        from datafiller_ray.pipelines.packing import dedup_sequences
+
+        # guard: force max_candidates=0 with a real duplicate present
+        rows = [("d1", [5, 6], "s"), ("d2", [5, 6], "s")]
+        path = self._write(tmp_path, rows)
+        import pytest as _pytest
+
+        with _pytest.raises(EngineValueError):
+            dedup_sequences(path, max_candidates=0)
