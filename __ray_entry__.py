@@ -2552,44 +2552,62 @@ def _oracle_splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def _ann_ivf_sql() -> str:
-    """IVF top-k with the oracle's own k-means centroids (and per-query cell
-    probes) embedded as SQL literals — the LSH-hyperplane precedent applied
-    to a learned quantizer. The trainer consumes the engine's documented
-    bounded hash sample (splitmix64(vec_id) % 2^16 under the keep threshold,
-    sorted by vec_id), re-derived here independently."""
+def _oracle_ivf_centroids(n_cells=16, n_iters=5, seed=7, n_train=1024):
+    """Shared oracle-side quantizer derivation: read embeddings, take the
+    engine's documented bounded hash sample (splitmix64(vec_id) % 2^16
+    under the keep threshold, sorted by vec_id), run deterministic Lloyd.
+    Returns (vids, M, C). One copy — _ann_ivf_sql, _embedding_clusters_sql
+    and _kmeans_quality_sql previously each re-derived it, a drift risk."""
     import math
 
     import pyarrow.parquet as pq
 
-    n_cells, n_probe, n_iters, seed, n_train = 16, 4, 5, 7, 1024
     t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
     vids = np.asarray(t["vec_id"], dtype=np.int64)
-    order = np.argsort(vids)
     M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
     mod = 1 << 16
     thr = mod if vids.size <= n_train else max(1, math.ceil(n_train * mod / vids.size))
     keep = (_oracle_splitmix64(vids.view(np.uint64)) % np.uint64(mod)) < thr
     ksel = np.flatnonzero(keep)[np.argsort(vids[keep])]
     C = _oracle_kmeans(M[ksel], n_cells, n_iters, seed)
+    return vids, M, C
+
+
+def _centroid_lit(vec) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
+
+
+def _centroid_assign_case(C, *, trailing_space: bool) -> str:
+    """The literal-centroid nearest-cell CASE shared by every quantizer
+    oracle (first-match tie rule = argmin-first, like _assign_cells)."""
+    n_cells = C.shape[0]
+    dists = [f"list_distance(de, {_centroid_lit(C[c])})" for c in range(n_cells)]
+    least = "LEAST(" + ", ".join(dists) + ")"
+    sep = " " if trailing_space else ""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {dists[c]} = {least} THEN {c}{sep}" for c in range(n_cells)
+        )
+        + ("END" if trailing_space else " END")
+    )
+
+
+def _ann_ivf_sql() -> str:
+    """IVF top-k with the oracle's own k-means centroids (and per-query cell
+    probes) embedded as SQL literals — the LSH-hyperplane precedent applied
+    to a learned quantizer. The trainer consumes the engine's documented
+    bounded hash sample (splitmix64(vec_id) % 2^16 under the keep threshold,
+    sorted by vec_id), re-derived here independently."""
+    n_probe = 4
+    vids, M, C = _oracle_ivf_centroids()
+    order = np.argsort(vids)
     qsel = order[:_ANN_NQ]
     qids = vids[qsel]
     Q = M[qsel]
     qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
-
-    def lit(vec):
-        return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
-
-    dists = [f"list_distance(de, {lit(C[c])})" for c in range(n_cells)]
-    least = "LEAST(" + ", ".join(dists) + ")"
-    case = (
-        "CASE "
-        + " ".join(
-            f"WHEN {dists[c]} = {least} THEN {c}" for c in range(n_cells)
-        )
-        + " END"
-    )
+    case = _centroid_assign_case(C, trailing_space=False)
     probe_rows = ", ".join(
         f"({int(q)}, {int(c)})" for qi, q in enumerate(qids) for c in probes[qi]
     )
@@ -2618,34 +2636,10 @@ def _ann_ivf_sql() -> str:
 
 def _embedding_clusters_sql() -> str:
     """Cluster assignment for every vector with the oracle's own k-means
-    centroids as SQL literals — the _ann_ivf_sql derivation (bounded hash
-    sample -> deterministic Lloyd), assignment CASE only."""
-    import math
-
-    import pyarrow.parquet as pq
-
-    n_cells, n_iters, seed, n_train = 16, 5, 7, 1024
-    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
-    vids = np.asarray(t["vec_id"], dtype=np.int64)
-    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-    mod = 1 << 16
-    thr = mod if vids.size <= n_train else max(1, math.ceil(n_train * mod / vids.size))
-    keep = (_oracle_splitmix64(vids.view(np.uint64)) % np.uint64(mod)) < thr
-    ksel = np.flatnonzero(keep)[np.argsort(vids[keep])]
-    C = _oracle_kmeans(M[ksel], n_cells, n_iters, seed)
-
-    def lit(vec):
-        return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
-
-    dists = [f"list_distance(de, {lit(C[c])})" for c in range(n_cells)]
-    least = "LEAST(" + ", ".join(dists) + ")"
-    case = (
-        "CASE "
-        + " ".join(
-            f"WHEN {dists[c]} = {least} THEN {c} " for c in range(n_cells)
-        )
-        + "END"
-    )
+    centroids as SQL literals — the shared _oracle_ivf_centroids derivation
+    (bounded hash sample -> deterministic Lloyd), assignment CASE only."""
+    _, _, C = _oracle_ivf_centroids()
+    case = _centroid_assign_case(C, trailing_space=True)
     return f"""
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
@@ -2659,35 +2653,14 @@ def _kmeans_quality_sql() -> str:
     then the engine's pinned squared-distance expression
     ``<x,x> - 2<x,c> + <c,c>`` floored onto the 1e-6 integer grid per
     vector so the per-cell sum is exact."""
-    import math
-
-    import pyarrow.parquet as pq
-
-    n_cells, n_iters, seed, n_train = 16, 5, 7, 1024
-    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
-    vids = np.asarray(t["vec_id"], dtype=np.int64)
-    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-    mod = 1 << 16
-    thr = mod if vids.size <= n_train else max(1, math.ceil(n_train * mod / vids.size))
-    keep = (_oracle_splitmix64(vids.view(np.uint64)) % np.uint64(mod)) < thr
-    ksel = np.flatnonzero(keep)[np.argsort(vids[keep])]
-    C = _oracle_kmeans(M[ksel], n_cells, n_iters, seed)
+    _, _, C = _oracle_ivf_centroids()
+    n_cells = C.shape[0]
     cnorm = (C * C).sum(axis=1)
-
-    def lit(vec):
-        return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
-
-    dists = [f"list_distance(de, {lit(C[c])})" for c in range(n_cells)]
-    least = "LEAST(" + ", ".join(dists) + ")"
-    case = (
-        "CASE "
-        + " ".join(f"WHEN {dists[c]} = {least} THEN {c} " for c in range(n_cells))
-        + "END"
-    )
+    case = _centroid_assign_case(C, trailing_space=True)
     case_ip = (
         "CASE cell "
         + " ".join(
-            f"WHEN {c} THEN list_inner_product(de, {lit(C[c])}) "
+            f"WHEN {c} THEN list_inner_product(de, {_centroid_lit(C[c])}) "
             for c in range(n_cells)
         )
         + "END"

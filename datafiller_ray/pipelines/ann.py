@@ -905,8 +905,8 @@ def embedding_pca(
     scale = float(1 << PCA_SCALE_BITS)
 
     def gram_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, M = _batch_matrix(batch)
-        if M.size == 0:
+        # empty guard BEFORE _batch_matrix (np.stack raises on zero rows)
+        if len(batch) == 0:
             return pd.DataFrame(
                 {
                     "i": pd.Series([], dtype=np.int64),
@@ -914,9 +914,21 @@ def embedding_pca(
                     "s": pd.Series([], dtype=np.int64),
                 }
             )
+        ids, M = _batch_matrix(batch)
         Q = np.floor(M.astype(np.float64) * scale + 0.5).astype(np.int64)
+        # per-batch wraparound guard: the combine-time check can't see a
+        # Gram entry that already wrapped inside this batch's int64 matmul
+        maxq = int(np.abs(Q).max(initial=0))
+        if maxq and Q.shape[0] * maxq * maxq >= 1 << 63:
+            from datafiller_ray.config import EngineValueError
+
+            raise EngineValueError(
+                "embedding_pca per-batch integer Gram exceeds the exact "
+                "int64 range; reduce PCA_SCALE_BITS, batch_size, or rescale "
+                "the embeddings"
+            )
         d = Q.shape[1]
-        G = Q.T @ Q  # int64 exact under the documented guard
+        G = Q.T @ Q  # int64 exact under the per-batch guard above
         i_idx, j_idx = np.triu_indices(d)
         rows_i = np.concatenate([i_idx, np.arange(d), [-1]])
         rows_j = np.concatenate([j_idx, np.full(d, -1), [-1]])
@@ -1105,9 +1117,8 @@ def label_centroid_similarity(
     scale = float(1 << PCA_SCALE_BITS)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, M = _batch_matrix(batch)
-        labels = batch["label"].to_numpy(np.int64)
-        if M.size == 0:
+        # empty guard BEFORE _batch_matrix (np.stack raises on zero rows)
+        if len(batch) == 0:
             return pd.DataFrame(
                 {
                     "label": pd.Series([], dtype=np.int64),
@@ -1115,6 +1126,8 @@ def label_centroid_similarity(
                     "s": pd.Series([], dtype=np.int64),
                 }
             )
+        ids, M = _batch_matrix(batch)
+        labels = batch["label"].to_numpy(np.int64)
         Q = np.floor(M.astype(np.float64) * scale + 0.5).astype(np.int64)
         d = Q.shape[1]
         uniq, inv = np.unique(labels, return_inverse=True)

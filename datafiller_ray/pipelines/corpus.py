@@ -1866,14 +1866,9 @@ def bm25_topk(
             }
         )
 
-    def topk_block(t: pa.Table) -> pa.Table:
-        if t.num_rows <= k:
-            return t
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sc = t["score"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -sc))[:k]
-        return t.take(pa.array(np.sort(order), type=pa.int64()))
+    from datafiller_ray.stages.exchange import topk_block_fn
 
+    topk_block = topk_block_fn(k, "score", ["doc_id"])
     scored = docs.map_batches(scorer, batch_format="pyarrow")
     pruned = scored.map_batches(topk_block, batch_format="pyarrow")
     return pruned.repartition(1).map_batches(topk_block, batch_format="pyarrow")

@@ -886,9 +886,11 @@ def user_top_event(
         )
 
     def top_per_user(g: pd.DataFrame) -> pd.DataFrame:
-        summed = g.groupby(["user_id", "event_type"], sort=False, as_index=False)[
-            "cnt"
-        ].sum()
+        # dropna=False: null event_type forms a group exactly like the SQL
+        # oracle (pandas silently DROPS it by default — grouped_sum lesson)
+        summed = g.groupby(
+            ["user_id", "event_type"], sort=False, as_index=False, dropna=False
+        )["cnt"].sum()
         summed = summed.sort_values(
             ["user_id", "cnt", "event_type"],
             ascending=[True, False, True],
@@ -961,21 +963,24 @@ def transition_topk(
                 }
             )
         same = u[1:] == u[:-1]
-        df = pd.DataFrame({"prev": et[:-1][same], "nxt": et[1:][same]})
-        out = df.groupby(["prev", "nxt"], sort=False).size().reset_index(name="cnt")
+        prev = et[:-1][same]
+        nxt = et[1:][same]
+        # a null PREV is indistinguishable from the SQL LAG boundary null,
+        # so the oracle's WHERE prev IS NOT NULL drops it — mirror that;
+        # null NXT survives (dropna=False keeps its group)
+        ok = pd.notna(prev)
+        df = pd.DataFrame({"prev": prev[ok], "nxt": nxt[ok]})
+        out = (
+            df.groupby(["prev", "nxt"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="cnt")
+        )
         out["cnt"] = out["cnt"].astype(np.int64)
         return out
 
-    def topk_block(t: pa.Table) -> pa.Table:
-        if t.num_rows <= k:
-            return t
-        prev = np.asarray(t["prev"].to_pylist(), dtype=object)
-        nxt = np.asarray(t["nxt"].to_pylist(), dtype=object)
-        cnt = t["cnt"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((nxt, prev, -cnt))[:k]
-        return t.take(pa.array(np.sort(order), type=pa.int64()))
+    from datafiller_ray.stages.exchange import grouped_sum, topk_block_fn
 
-    from datafiller_ray.stages.exchange import grouped_sum
+    topk_block = topk_block_fn(k, "cnt", ["prev", "nxt"])
 
     slim = events.map_batches(
         project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
@@ -1017,11 +1022,26 @@ def events_cube(
         raise EngineValueError(f"step must be >= 1, got {step}")
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            # no unconditional total row for an empty batch (and an empty
+            # TABLE yields zero rows, unlike SQL's single () row — the one
+            # documented divergence, which only a rowless corpus can hit)
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "bucket_ts": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "val_u": pd.Series([], dtype=np.int64),
+                }
+            )
         us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
             zero_copy_only=False
         )
         hr = (us // 1_000_000 // step) * step
         et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        # a data-null type COALESCEs into the margin sentinel in the SQL
+        # oracle; mirror it here so neither side grows a null group
+        et = np.where(pd.isna(et), CUBE_ALL, et)
         val_u = np.floor(
             t["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
         ).astype(np.int64)

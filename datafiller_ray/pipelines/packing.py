@@ -337,6 +337,15 @@ def _sequence_hash_table(t) -> "pd.DataFrame":
     )
 
 
+def _dedup_exact_group(g: "pd.DataFrame") -> "pd.DataFrame":
+    """Phase-2 in-bucket byte-exact compare: equal hash, equal bytes ->
+    keep min doc_id; equal hash, DIFFERENT bytes (a collision) -> both
+    survive. Module-level so the collision-proofness is directly unit
+    testable."""
+    keep = g.sort_values("doc_id").drop_duplicates("_blob", keep="first")
+    return keep[["doc_id", "source", "n_tok"]]
+
+
 def dedup_sequences(
     input_path, *, n_buckets: int = 256, max_candidates: int = 5_000_000
 ) -> "Dataset":
@@ -414,17 +423,20 @@ def dedup_sequences(
         lambda df: df.loc[~df["_is_winner"], ["_cand_h"]],
         batch_format="pandas",
     )
-    cand_h = np.sort(
-        np.array([r["_cand_h"] for r in cand_rows.take_all()], dtype=np.int64)
-    )
-    if cand_h.size > max_candidates:
+    # guard with a DISTRIBUTED count BEFORE materializing the set — the
+    # whole point is that the driver never holds an unbounded array
+    n_cand = cand_rows.count()
+    if n_cand > max_candidates:
         raise EngineValueError(
-            f"{cand_h.size} candidate duplicate hashes exceed "
+            f"{n_cand} candidate duplicate hashes exceed "
             f"max_candidates={max_candidates}; use the full-payload shuffle "
             "fallback (text.exact_dedup shape) for duplicate-heavy corpora"
         )
-    if cand_h.size == 0:
+    if n_cand == 0:
         return winners1
+    cand_h = np.sort(
+        np.array([r["_cand_h"] for r in cand_rows.take_all()], dtype=np.int64)
+    )
     href = ray.put(cand_h)
 
     def candidate_payloads(t) -> pd.DataFrame:
@@ -451,9 +463,7 @@ def dedup_sequences(
 
     cand = ds.map_batches(candidate_payloads, batch_format="pyarrow")
 
-    def exact_group(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.sort_values("doc_id").drop_duplicates("_blob", keep="first")
-        return keep[["doc_id", "source", "n_tok"]]
-
-    winners2 = cand.groupby("_h").map_groups(exact_group, batch_format="pandas")
+    winners2 = cand.groupby("_h").map_groups(
+        _dedup_exact_group, batch_format="pandas"
+    )
     return winners1.union(winners2)

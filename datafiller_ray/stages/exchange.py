@@ -86,3 +86,24 @@ def grouped_sum(
         .groupby(_GK)
         .map_groups(sum_bucket, batch_format="pandas")
     )
+
+
+def topk_block_fn(k: int, rank_col: str, tie_cols: "list[str]"):
+    """Per-block partial top-k pruner shared by the ranked-reduction
+    pipelines (vocab_topk, bm25_topk, transition_topk): keep the k best
+    rows by (``rank_col`` desc, ``tie_cols`` asc), preserving the block's
+    row order so a final single-block pass applies the identical rule.
+    Deterministic: the tie columns must totally order equal-rank rows."""
+    import pyarrow as pa
+
+    def fn(t: "pa.Table") -> "pa.Table":
+        if t.num_rows <= k:
+            return t
+        rank = t[rank_col].to_numpy(zero_copy_only=False)
+        keys = [
+            np.asarray(t[c].to_pylist(), dtype=object) for c in tie_cols
+        ]
+        order = np.lexsort((*reversed(keys), -rank))[:k]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    return fn

@@ -250,7 +250,24 @@ class TestDedupSequences:
         import pandas as pd
 
         from datafiller_ray.config import EngineValueError
-        from datafiller_ray.pipelines.packing import dedup_sequences
+        from datafiller_ray.pipelines.packing import (
+            _dedup_exact_group,
+            dedup_sequences,
+        )
+
+        # collision-proofness: one synthetic bucket where three docs share
+        # a hash but only two share bytes -> the distinct array survives
+        g = pd.DataFrame(
+            {
+                "doc_id": ["d2", "d1", "d3"],
+                "source": ["s", "s", "s"],
+                "n_tok": [2, 2, 2],
+                "_h": [7, 7, 7],
+                "_blob": [b"\x01\x02", b"\x01\x02", b"\x09\x09"],
+            }
+        )
+        out = _dedup_exact_group(g)
+        assert sorted(out["doc_id"]) == ["d1", "d3"]
 
         # guard: force max_candidates=0 with a real duplicate present
         rows = [("d1", [5, 6], "s"), ("d2", [5, 6], "s")]
