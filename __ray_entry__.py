@@ -852,6 +852,15 @@ def _global_quantiles(sf_dir: str):
     return global_quantiles(_read(sf_dir, "documents"))
 
 
+def _length_ntile(sf_dir: str):
+    """Exact global NTILE(8) by (n_chars, doc_id) without a global sort —
+    pipelines/corpus.length_ntile (value-count pass + broadcast start
+    ranks + per-value rank exchange)."""
+    from datafiller_ray.pipelines.corpus import length_ntile
+
+    return length_ntile(_read(sf_dir, "documents"), n_tiles=8)
+
+
 def _bm25_topk(sf_dir: str):
     """BM25 top-20 docs for a fixed 3-term query — pipelines/corpus.bm25_topk
     (integer df/tf/dl partials through one bounded exchange; one pinned
@@ -2065,6 +2074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _temperature_sample,
         "vocab_topk": _vocab_topk,
         "bm25_topk": _bm25_topk,
+        "length_ntile": _length_ntile,
         "source_quantiles": _source_quantiles,
         "global_quantiles": _global_quantiles,
         "rolling_window_1m": _rolling_window,
@@ -3620,6 +3630,12 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id)
             SELECT doc_id, floor(raw * 1000000 + 0.5) / 1000000 AS score
             FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "length_ntile": """
+            SELECT doc_id, n_chars,
+                   CAST(NTILE(8) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                       AS tile
+            FROM documents
         """,
         "vocab_topk": r"""
             SELECT tok, cnt FROM (

@@ -1872,3 +1872,119 @@ def bm25_topk(
     scored = docs.map_batches(scorer, batch_format="pyarrow")
     pruned = scored.map_batches(topk_block, batch_format="pyarrow")
     return pruned.repartition(1).map_batches(topk_block, batch_format="pyarrow")
+
+
+def length_ntile(
+    docs,
+    *,
+    n_tiles: int = 8,
+    value_col: str = "n_chars",
+    n_buckets: int = 64,
+):
+    """Exact global NTILE over (value asc, doc_id asc) — curriculum /
+    length-bucket assignment (short-to-long training schedules, per-bucket
+    batch shaping) WITHOUT a global sort:
+
+    - pass 1 collapses each block to (value, count) partials -> one bounded
+      exchange -> the driver holds |distinct values| rows (lengths, not
+      docs) and computes each value's global start rank by cumulative sum.
+    - pass 2 shuffles only (doc_id, value) pairs on a coarse hash of the
+      VALUE (all docs of one value co-locate — the engine's standing
+      per-key-fits-in-a-task contract; sub-salt by doc_id range if one
+      single length ever dominates a corpus), ranks doc_ids within each
+      value, and adds the broadcast start rank.
+
+    Tile assignment is the SQL NTILE rule (first ``n % k`` tiles take the
+    extra row), so the ``NTILE(k) OVER (ORDER BY value, doc_id)`` oracle
+    matches row-for-row. All integers — deterministic under any layout.
+
+    Output: (doc_id, value_col, tile).
+    """
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if n_tiles < 1:
+        raise EngineValueError(f"n_tiles must be >= 1, got {n_tiles}")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"v": t[value_col]})
+            .group_by("v")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "v": pc.cast(agg["v"], pa.int64()),
+                "cnt": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        grouped_sum(
+            docs.map_batches(count_partial, batch_format="pyarrow"),
+            "v",
+            "cnt",
+        ).to_pandas()  # |distinct values| rows only
+    ).sort_values("v")
+    vals = counts["v"].to_numpy(np.int64)
+    cnts = counts["cnt"].to_numpy(np.int64)
+    n = int(cnts.sum())
+    if n == 0:
+        import pandas as pd
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    value_col: pd.Series([], dtype=np.int64),
+                    "tile": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+    starts = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+    q, r = divmod(n, n_tiles)
+    sref = ray.put((vals, starts))
+
+    def project(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.int64())
+        h = splitmix64(
+            v.to_numpy(zero_copy_only=False).view(np.uint64)
+        ) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "v": v,
+                "gkey": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def rank_bucket(g):
+        import pandas as pd
+
+        vals_b, starts_b = ray.get(sref)
+        g = g.sort_values(["v", "doc_id"], kind="stable")
+        v = g["v"].to_numpy(np.int64)
+        # local rank within each value run (input sorted by (v, doc_id))
+        idx = np.arange(len(g), dtype=np.int64)
+        new_run = np.concatenate([[True], v[1:] != v[:-1]])
+        run_start = np.maximum.accumulate(np.where(new_run, idx, -1))
+        local = idx - run_start
+        rank0 = starts_b[np.searchsorted(vals_b, v)] + local
+        # SQL NTILE: first r tiles take q+1 rows
+        big = rank0 < r * (q + 1)
+        tile = np.where(
+            big,
+            rank0 // max(q + 1, 1) + 1,
+            (rank0 - r * (q + 1)) // max(q, 1) + r + 1,
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                value_col: v,
+                "tile": tile,
+            }
+        )
+
+    slim = docs.map_batches(project, batch_format="pyarrow")
+    return slim.groupby("gkey").map_groups(rank_bucket, batch_format="pandas")

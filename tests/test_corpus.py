@@ -1049,3 +1049,47 @@ def test_bm25_topk_layout_invariance_and_validation(ray_session):
         bm25_topk(ray.data.from_pandas(docs), "fast", k=0)
     with pytest.raises(EngineValueError):
         bm25_topk(ray.data.from_pandas(docs), "fast", b=1.5)
+
+
+def test_length_ntile_matches_duckdb(ray_session):
+    import duckdb
+
+    from datafiller_ray.pipelines.corpus import length_ntile
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(137, dtype=np.int64),
+            "text": "x",
+            "lang": "en",
+            "source": "s",
+            # heavy ties: only 9 distinct lengths over 137 docs
+            "n_chars": rng.integers(10, 19, 137),
+        }
+    )
+    out = (
+        length_ntile(ray.data.from_pandas(df).repartition(11), n_tiles=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (
+        con.sql(
+            "SELECT doc_id, n_chars, CAST(NTILE(8) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile FROM documents"
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want.astype({"n_chars": "int64"}))
+
+    # n < k: each row its own tile
+    small = df.head(3)
+    out2 = (
+        length_ntile(ray.data.from_pandas(small), n_tiles=8)
+        .to_pandas()
+        .sort_values("tile")
+    )
+    assert out2["tile"].tolist() == [1, 2, 3]
