@@ -1100,6 +1100,15 @@ def _transition_topk(sf_dir: str):
     return transition_topk(_read(sf_dir, "events"), k=20)
 
 
+def _user_lifetime(sf_dir: str):
+    """Per-user first/last event, count, distinct active days —
+    pipelines/events.user_lifetime (one bounded coarse exchange of
+    (user, day) partials)."""
+    from datafiller_ray.pipelines.events import user_lifetime
+
+    return user_lifetime(_read(sf_dir, "events"))
+
+
 def _events_cube(sf_dir: str):
     """GROUPING SETS cube (event_type x hour + margins) with integer
     micro-unit value sums — pipelines/events.events_cube."""
@@ -2094,6 +2103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": _user_top_event,
         "transition_topk": _transition_topk,
         "events_cube": _events_cube,
+        "user_lifetime": _user_lifetime,
         "dedup_sequences": _dedup_sequences,
         "embedding_pca": _embedding_pca,
         "kmeans_quality": _kmeans_quality,
@@ -3937,6 +3947,15 @@ def oracle_sql() -> dict[str, str]:
                          PARTITION BY tokens ORDER BY doc_id) AS rn
               FROM read_parquet('{p}/*.parquet'))
             WHERE rn = 1
+        """,
+        "user_lifetime": """
+            SELECT user_id,
+                   MIN(epoch_us(ts)) AS first_us,
+                   MAX(epoch_us(ts)) AS last_us,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT epoch_us(ts) // 86400000000)::BIGINT
+                       AS active_days
+            FROM events GROUP BY user_id
         """,
         "events_cube": """
             WITH e AS (

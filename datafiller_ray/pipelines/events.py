@@ -1098,3 +1098,65 @@ def events_cube(
         )
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def user_lifetime(
+    events: "ray.data.Dataset", *, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Per-user lifetime summary: first/last event time (epoch
+    microseconds), total event count, and the number of DISTINCT active
+    days (UTC) — the churn/engagement profile every behavioral pipeline
+    starts from.
+
+    Scale shape: each block collapses to one partial row per (user, day)
+    plus per-user min/max/count partials; ONE bounded coarse exchange on
+    ``splitmix64(user_id) % n_buckets``; vectorized per-bucket combine.
+    All integers — exact under any layout.
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import splitmix64
+
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = us // 86_400_000_000
+        base = pd.DataFrame({"user_id": uid, "us": us, "day": day})
+        # one row per (user, day) with that slice's min/max/count
+        g = base.groupby(["user_id", "day"], sort=False, dropna=False).agg(
+            first_us=("us", "min"), last_us=("us", "max"), n_events=("us", "size")
+        )
+        out = g.reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        gk = splitmix64(
+            out["user_id"].to_numpy(np.int64).view(np.uint64)
+        ) % np.uint64(n_buckets)
+        out["gkey"] = gk.astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", sort=True, dropna=False).agg(
+            first_us=("first_us", "min"),
+            last_us=("last_us", "max"),
+            n_events=("n_events", "sum"),
+            active_days=("day", "nunique"),
+        )
+        out = agg.reset_index()
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "first_us": out["first_us"].to_numpy(np.int64),
+                "last_us": out["last_us"].to_numpy(np.int64),
+                "n_events": out["n_events"].to_numpy(np.int64),
+                "active_days": out["active_days"].to_numpy(np.int64),
+            }
+        )
+
+    partials = events.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return partials.groupby("gkey").map_groups(combine, batch_format="pandas")

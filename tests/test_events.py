@@ -437,3 +437,35 @@ def test_events_cube_matches_duckdb(ray_session):
     # margins really are margins
     grand = out[(out["event_type"] == "<ALL>") & (out["bucket_ts"] == -1)]
     assert int(grand["n_events"].iloc[0]) == n
+
+
+def test_user_lifetime_active_days(ray_session):
+    from datafiller_ray.pipelines.events import user_lifetime
+
+    # user 1: 3 events over 2 distinct UTC days; user 2: 1 event
+    ts = [
+        ("2023-11-14 23:59:59", 1),
+        ("2023-11-15 00:00:01", 1),
+        ("2023-11-15 12:00:00", 1),
+        ("2023-11-15 12:00:00", 2),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "user_id": [u for _, u in ts],
+            "event_type": "e",
+            "ts": pd.to_datetime([t for t, _ in ts]),
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    out = (
+        user_lifetime(ray.data.from_pandas(df).repartition(4))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [3, 1]
+    assert out["active_days"].tolist() == [2, 1]
+    assert out.loc[0, "first_us"] < out.loc[0, "last_us"]
