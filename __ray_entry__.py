@@ -852,6 +852,15 @@ def _global_quantiles(sf_dir: str):
     return global_quantiles(_read(sf_dir, "documents"))
 
 
+def _source_ks(sf_dir: str):
+    """Exact pairwise two-sample KS distance between sources' n_chars
+    distributions — pipelines/corpus.source_ks (integer cross numerators
+    on the shared value grid, one pinned division)."""
+    from datafiller_ray.pipelines.corpus import source_ks
+
+    return source_ks(_read(sf_dir, "documents"))
+
+
 def _length_ntile(sf_dir: str):
     """Exact global NTILE(8) by (n_chars, doc_id) without a global sort —
     pipelines/corpus.length_ntile (value-count pass + broadcast start
@@ -2084,6 +2093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _vocab_topk,
         "bm25_topk": _bm25_topk,
         "length_ntile": _length_ntile,
+        "source_ks": _source_ks,
         "source_quantiles": _source_quantiles,
         "global_quantiles": _global_quantiles,
         "rolling_window_1m": _rolling_window,
@@ -3640,6 +3650,31 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id)
             SELECT doc_id, floor(raw * 1000000 + 0.5) / 1000000 AS score
             FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "source_ks": """
+            WITH c AS (SELECT source, n_chars AS v, count(*)::BIGINT AS cnt
+                       FROM documents GROUP BY 1, 2),
+            n AS (SELECT source, count(*)::BIGINT AS n
+                  FROM documents GROUP BY 1),
+            grid AS (SELECT DISTINCT v FROM c),
+            gc AS (SELECT s.source, g.v
+                   FROM (SELECT DISTINCT source FROM c) s CROSS JOIN grid g),
+            cum AS (SELECT gc.source, gc.v,
+                           SUM(COALESCE(c.cnt, 0)) OVER (
+                               PARTITION BY gc.source ORDER BY gc.v) AS cum
+                    FROM gc LEFT JOIN c
+                      ON c.source = gc.source AND c.v = gc.v)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   floor(CAST(MAX(ABS(CAST(a.cum AS HUGEINT) * nb.n
+                                     - CAST(b.cum AS HUGEINT) * na.n))
+                              AS DOUBLE)
+                         / (na.n * nb.n) * 1000000 + 0.5) / 1000000.0 AS ks
+            FROM cum a
+            JOIN cum b ON a.v = b.v AND a.source < b.source
+            JOIN n na ON na.source = a.source
+            JOIN n nb ON nb.source = b.source
+            GROUP BY a.source, b.source, na.n, nb.n
         """,
         "length_ntile": """
             SELECT doc_id, n_chars,

@@ -1988,3 +1988,99 @@ def length_ntile(
 
     slim = docs.map_batches(project, batch_format="pyarrow")
     return slim.groupby("gkey").map_groups(rank_bucket, batch_format="pandas")
+
+
+def source_ks(docs, *, value_col: str = "n_chars"):
+    """Exact two-sample Kolmogorov-Smirnov distance between every pair of
+    sources' ``value_col`` distributions — the distribution-drift
+    complement of ``source_similarity`` (which compares token content):
+    ``KS = max_v |F_a(v) - F_b(v)|`` over the union of observed values.
+
+    Exactness: the only thing that shuffles is (source, value, count)
+    integer partials (bounded by sources x distinct values, not rows); the
+    driver evaluates both ECDFs on the shared value grid and maximizes the
+    INTEGER cross numerator ``|c_a * n_b - c_b * n_a|`` — no float
+    comparisons anywhere — ending in one pinned division + the shared
+    6-decimal floor-half-up. Overflow guard: ``max(n_a) * max(n_b)`` must
+    stay below 2^62 (per-source row counts, not corpus bytes); beyond
+    that, pre-bin values.
+
+    Output: (src_a < src_b, n_a, n_b, ks).
+    """
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        slim = pa.table(
+            {"source": t["source"], "v": pc.cast(t[value_col], pa.int64())}
+        )
+        agg = slim.group_by(["source", "v"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": agg["source"],
+                "v": agg["v"],
+                "cnt": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    rows = grouped_sum(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        ["source", "v"],
+        "cnt",
+    ).to_pandas()  # sources x distinct values, NOT row-sized
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "src_a": pd.Series([], dtype="string"),
+            "src_b": pd.Series([], dtype="string"),
+            "n_a": pd.Series([], dtype=np.int64),
+            "n_b": pd.Series([], dtype=np.int64),
+            "ks": pd.Series([], dtype=np.float64),
+        }
+    )
+    if len(rows) == 0:
+        return ray.data.from_pandas(empty)
+    srcs = np.asarray(sorted(rows["source"].unique()), dtype=object)
+    vals = np.sort(rows["v"].unique())
+    s_idx = {s: i for i, s in enumerate(srcs)}
+    v_idx = {int(v): i for i, v in enumerate(vals)}
+    C = np.zeros((srcs.size, vals.size), dtype=np.int64)
+    C[
+        rows["source"].map(s_idx).to_numpy(np.int64),
+        rows["v"].map(v_idx).to_numpy(np.int64),
+    ] = rows["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(C, axis=1)
+    n = cum[:, -1]
+    if int(n.max()) ** 2 >= 1 << 62:
+        raise EngineValueError(
+            "source_ks cross numerator exceeds the exact int64 range; "
+            "pre-bin the value column"
+        )
+    out_a, out_b, out_na, out_nb, out_ks = [], [], [], [], []
+    for i in range(srcs.size):
+        for j in range(i + 1, srcs.size):
+            if n[i] == 0 or n[j] == 0:
+                continue
+            num = int(np.abs(cum[i] * n[j] - cum[j] * n[i]).max())
+            out_a.append(srcs[i])
+            out_b.append(srcs[j])
+            out_na.append(int(n[i]))
+            out_nb.append(int(n[j]))
+            out_ks.append(
+                np.floor(float(num) / float(n[i] * n[j]) * 1e6 + 0.5) / 1e6
+            )
+    if not out_a:
+        return ray.data.from_pandas(empty)
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src_a": np.asarray(out_a, dtype=object),
+                "src_b": np.asarray(out_b, dtype=object),
+                "n_a": np.asarray(out_na, dtype=np.int64),
+                "n_b": np.asarray(out_nb, dtype=np.int64),
+                "ks": np.asarray(out_ks, dtype=np.float64),
+            }
+        )
+    )

@@ -1093,3 +1093,44 @@ def test_length_ntile_matches_duckdb(ray_session):
         .sort_values("tile")
     )
     assert out2["tile"].tolist() == [1, 2, 3]
+
+
+def test_source_ks_matches_scipy_style_literal(ray_session):
+    """Pin against the literal two-sample KS definition."""
+    from datafiller_ray.pipelines.corpus import source_ks
+
+    rng = np.random.default_rng(21)
+    a = rng.integers(10, 40, 200)
+    b = rng.integers(20, 50, 300)   # shifted distribution
+    c = rng.integers(10, 40, 150)   # same family as a
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(650, dtype=np.int64),
+            "text": "x",
+            "lang": "en",
+            "source": ["a"] * 200 + ["b"] * 300 + ["c"] * 150,
+            "n_chars": np.concatenate([a, b, c]),
+        }
+    )
+    out = (
+        source_ks(ray.data.from_pandas(df).repartition(7))
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+    )
+
+    def literal_ks(x, y):
+        grid = np.union1d(x, y)
+        fa = np.searchsorted(np.sort(x), grid, side="right") / x.size
+        fb = np.searchsorted(np.sort(y), grid, side="right") / y.size
+        return np.abs(fa - fb).max()
+
+    for pair, (x, y) in {
+        ("a", "b"): (a, b),
+        ("a", "c"): (a, c),
+        ("b", "c"): (b, c),
+    }.items():
+        got = float(out.loc[pair, "ks"])
+        assert abs(got - literal_ks(x, y)) < 1e-6, pair
+    # shifted pair is farther than the same-family pair
+    assert out.loc[("a", "b"), "ks"] > out.loc[("a", "c"), "ks"]
+    assert out.loc[("a", "b"), "n_a"] == 200
