@@ -852,6 +852,22 @@ def _global_quantiles(sf_dir: str):
     return global_quantiles(_read(sf_dir, "documents"))
 
 
+def _equidepth_histogram(sf_dir: str):
+    """Equal-count value buckets (boundary table of the NTILE rule) —
+    pipelines/corpus.equidepth_histogram."""
+    from datafiller_ray.pipelines.corpus import equidepth_histogram
+
+    return equidepth_histogram(_read(sf_dir, "documents"), n_tiles=8)
+
+
+def _daily_active_users(sf_dir: str):
+    """DAU per UTC day (distinct users + event count) —
+    pipelines/events.daily_active_users."""
+    from datafiller_ray.pipelines.events import daily_active_users
+
+    return daily_active_users(_read(sf_dir, "events"))
+
+
 def _source_ks(sf_dir: str):
     """Exact pairwise two-sample KS distance between sources' n_chars
     distributions — pipelines/corpus.source_ks (integer cross numerators
@@ -2094,6 +2110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _bm25_topk,
         "length_ntile": _length_ntile,
         "source_ks": _source_ks,
+        "equidepth_histogram": _equidepth_histogram,
+        "daily_active_users": _daily_active_users,
         "source_quantiles": _source_quantiles,
         "global_quantiles": _global_quantiles,
         "rolling_window_1m": _rolling_window,
@@ -3650,6 +3668,21 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id)
             SELECT doc_id, floor(raw * 1000000 + 0.5) / 1000000 AS score
             FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "equidepth_histogram": """
+            SELECT tile, MIN(n_chars) AS lo, MAX(n_chars) AS hi,
+                   count(*)::BIGINT AS n_rows
+            FROM (SELECT n_chars,
+                         CAST(NTILE(8) OVER (ORDER BY n_chars, doc_id)
+                              AS BIGINT) AS tile
+                  FROM documents)
+            GROUP BY tile
+        """,
+        "daily_active_users": """
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(DISTINCT user_id)::BIGINT AS dau,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1
         """,
         "source_ks": """
             WITH c AS (SELECT source, n_chars AS v, count(*)::BIGINT AS cnt

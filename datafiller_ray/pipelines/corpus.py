@@ -2084,3 +2084,87 @@ def source_ks(docs, *, value_col: str = "n_chars"):
             }
         )
     )
+
+
+def equidepth_histogram(
+    docs, *, n_tiles: int = 8, value_col: str = "n_chars"
+):
+    """Equi-depth (equal-count) histogram of ``value_col``: the SQL
+    ``NTILE(k) OVER (ORDER BY value, doc_id)`` buckets summarized as one
+    row per tile with (lo, hi, n_rows) — the boundary table a planner or
+    curriculum scheduler actually consumes (the per-row assignment is
+    :func:`length_ntile`).
+
+    Fully derived on the driver from the SAME bounded (value, count) pass
+    as ``length_ntile`` — |distinct values| integer rows, no second
+    exchange: tile t covers global ranks [start_t, end_t) (SQL NTILE
+    rule), and rank -> value is one searchsorted on the cumulative counts.
+    All integers — deterministic.
+    """
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if n_tiles < 1:
+        raise EngineValueError(f"n_tiles must be >= 1, got {n_tiles}")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"v": pc.cast(t[value_col], pa.int64())})
+            .group_by("v")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"v": agg["v"], "cnt": pc.cast(agg["count_all"], pa.int64())}
+        )
+
+    counts = (
+        grouped_sum(
+            docs.map_batches(count_partial, batch_format="pyarrow"), "v", "cnt"
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    import pandas as pd
+
+    vals = counts["v"].to_numpy(np.int64)
+    cum = np.cumsum(counts["cnt"].to_numpy(np.int64))
+    n = int(cum[-1]) if cum.size else 0
+    if n == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile": pd.Series([], dtype=np.int64),
+                    "lo": pd.Series([], dtype=np.int64),
+                    "hi": pd.Series([], dtype=np.int64),
+                    "n_rows": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+    k = min(n_tiles, n)
+    q, r = divmod(n, n_tiles)
+    tiles, los, his, sizes = [], [], [], []
+    start = 0
+    for t_ in range(1, k + 1):
+        size = q + 1 if t_ <= r else q
+        if size == 0:
+            break
+        end = start + size
+        # rank -> value: first value whose cumulative count exceeds rank
+        lo = int(vals[np.searchsorted(cum, start, side="right")])
+        hi = int(vals[np.searchsorted(cum, end - 1, side="right")])
+        tiles.append(t_)
+        los.append(lo)
+        his.append(hi)
+        sizes.append(size)
+        start = end
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "tile": np.asarray(tiles, dtype=np.int64),
+                "lo": np.asarray(los, dtype=np.int64),
+                "hi": np.asarray(his, dtype=np.int64),
+                "n_rows": np.asarray(sizes, dtype=np.int64),
+            }
+        )
+    )

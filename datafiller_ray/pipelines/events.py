@@ -1160,3 +1160,55 @@ def user_lifetime(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     return partials.groupby("gkey").map_groups(combine, batch_format="pandas")
+
+
+def daily_active_users(
+    events: "ray.data.Dataset", *, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Daily active users (the DAU metric): distinct user count + event
+    count per UTC day. Per-batch (day, user) dedup collapses the stream
+    before the ONE bounded coarse exchange on the day hash; per-bucket
+    nunique is vectorized. All integers — exact under any layout.
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import splitmix64
+
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = us // 86_400_000_000
+        g = (
+            pd.DataFrame({"day": day, "user_id": uid})
+            .groupby(["day", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+        )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        gk = splitmix64(g["day"].to_numpy(np.int64).view(np.uint64)) % np.uint64(
+            n_buckets
+        )
+        g["gkey"] = gk.astype(np.int64)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("day", sort=True).agg(
+            dau=("user_id", "nunique"), n_events=("n_events", "sum")
+        )
+        out = agg.reset_index()
+        return pd.DataFrame(
+            {
+                "day": out["day"].to_numpy(np.int64),
+                "dau": out["dau"].to_numpy(np.int64),
+                "n_events": out["n_events"].to_numpy(np.int64),
+            }
+        )
+
+    partials = events.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return partials.groupby("gkey").map_groups(combine, batch_format="pandas")

@@ -1134,3 +1134,36 @@ def test_source_ks_matches_scipy_style_literal(ray_session):
     # shifted pair is farther than the same-family pair
     assert out.loc[("a", "b"), "ks"] > out.loc[("a", "c"), "ks"]
     assert out.loc[("a", "b"), "n_a"] == 200
+
+
+def test_equidepth_histogram_covers_all_rows(ray_session):
+    from datafiller_ray.pipelines.corpus import equidepth_histogram, length_ntile
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "text": "x",
+            "lang": "en",
+            "source": "s",
+            "n_chars": rng.integers(5, 12, 100),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    hist = equidepth_histogram(ds, n_tiles=8).to_pandas().sort_values("tile")
+    assert hist["n_rows"].sum() == 100
+    # equal-depth: sizes differ by at most 1, first tiles take the extra
+    assert hist["n_rows"].max() - hist["n_rows"].min() <= 1
+    assert (hist["lo"] <= hist["hi"]).all()
+    # boundaries are non-decreasing across tiles
+    assert (hist["lo"].to_numpy()[1:] >= hist["lo"].to_numpy()[:-1]).all()
+
+    # agreement with the per-row assignment
+    assign = length_ntile(ds, n_tiles=8).to_pandas()
+    per_tile = assign.groupby("tile").agg(
+        lo=("n_chars", "min"), hi=("n_chars", "max"), n_rows=("tile", "size")
+    )
+    got = hist.set_index("tile")[["lo", "hi", "n_rows"]]
+    pd.testing.assert_frame_equal(
+        got, per_tile.astype({"n_rows": "int64"}), check_names=False
+    )

@@ -469,3 +469,32 @@ def test_user_lifetime_active_days(ray_session):
     assert out["n_events"].tolist() == [3, 1]
     assert out["active_days"].tolist() == [2, 1]
     assert out.loc[0, "first_us"] < out.loc[0, "last_us"]
+
+
+def test_daily_active_users(ray_session):
+    from datafiller_ray.pipelines.events import daily_active_users
+
+    ts = [
+        ("2023-11-14 10:00:00", 1),
+        ("2023-11-14 11:00:00", 1),   # same user same day: dau 1, events 2
+        ("2023-11-14 12:00:00", 2),   # second user
+        ("2023-11-15 00:00:01", 1),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "user_id": [u for _, u in ts],
+            "event_type": "e",
+            "ts": pd.to_datetime([t for t, _ in ts]),
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    out = (
+        daily_active_users(ray.data.from_pandas(df).repartition(4))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert out["dau"].tolist() == [2, 1]
+    assert out["n_events"].tolist() == [3, 1]
