@@ -860,6 +860,14 @@ def _equidepth_histogram(sf_dir: str):
     return equidepth_histogram(_read(sf_dir, "documents"), n_tiles=8)
 
 
+def _rolling_active_users(sf_dir: str):
+    """Trailing-7-day distinct users per observed day (sliding distinct —
+    not SQL-window expressible) — pipelines/events.rolling_active_users."""
+    from datafiller_ray.pipelines.events import rolling_active_users
+
+    return rolling_active_users(_read(sf_dir, "events"), window_days=7)
+
+
 def _daily_active_users(sf_dir: str):
     """DAU per UTC day (distinct users + event count) —
     pipelines/events.daily_active_users."""
@@ -2112,6 +2120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ks": _source_ks,
         "equidepth_histogram": _equidepth_histogram,
         "daily_active_users": _daily_active_users,
+        "rolling_active_users": _rolling_active_users,
         "source_quantiles": _source_quantiles,
         "global_quantiles": _global_quantiles,
         "rolling_window_1m": _rolling_window,
@@ -3683,6 +3692,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS dau,
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY 1
+        """,
+        "rolling_active_users": """
+            WITH du AS (
+              SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+              FROM events),
+            days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day, count(DISTINCT du.user_id)::BIGINT AS wau
+            FROM days d JOIN du
+              ON du.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
         """,
         "source_ks": """
             WITH c AS (SELECT source, n_chars AS v, count(*)::BIGINT AS cnt

@@ -1212,3 +1212,99 @@ def daily_active_users(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     return partials.groupby("gkey").map_groups(combine, batch_format="pandas")
+
+
+def rolling_active_users(
+    events: "ray.data.Dataset", *, window_days: int = 7, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Trailing-window distinct users (the WAU/MAU metric): for every
+    OBSERVED UTC day, the distinct user count over the last
+    ``window_days`` days — the sliding-distinct operator SQL window
+    functions cannot express (no COUNT(DISTINCT) OVER).
+
+    Exact fan-out formulation: the stream first collapses to distinct
+    (day, user) pairs per batch, each pair replicates to the <= window
+    days it can serve (pair volume x window, NOT event volume x window),
+    one bounded coarse exchange on the target day co-locates each day's
+    contributor set, and the per-bucket nunique is vectorized. Only days
+    actually present in the data are emitted (the SQL join-on-days rule);
+    the observed-day set (bounded: calendar days, not rows) broadcasts
+    once. All integers — exact under any layout.
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import splitmix64
+
+    if window_days < 1:
+        raise EngineValueError(f"window_days must be >= 1, got {window_days}")
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    import ray
+
+    def day_user(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = us // 86_400_000_000
+        g = pd.DataFrame({"day": day, "user_id": uid}).drop_duplicates()
+        return g
+
+    pairs = events.map_batches(
+        day_user, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    # observed days: bounded by the calendar, collected once and broadcast
+    days = np.sort(
+        np.unique(
+            np.array(
+                [r["day"] for r in pairs.map_batches(
+                    lambda df: df[["day"]].drop_duplicates(),
+                    batch_format="pandas",
+                ).take_all()],
+                dtype=np.int64,
+            )
+        )
+    )
+    if days.size == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype=np.int64),
+                    "wau": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+    dref = ray.put(days)
+
+    def fan_out(g: pd.DataFrame) -> pd.DataFrame:
+        obs = ray.get(dref)
+        day = g["day"].to_numpy(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        # each (day, user) serves observed target days in [day, day+w-1]
+        lo = np.searchsorted(obs, day, side="left")
+        hi = np.searchsorted(obs, day + window_days - 1, side="right")
+        reps = (hi - lo).astype(np.int64)
+        idx = np.repeat(np.arange(day.size), reps)
+        flat = np.concatenate(
+            [obs[l:h] for l, h in zip(lo, hi)]
+        ) if day.size else np.empty(0, np.int64)
+        out = pd.DataFrame(
+            {"wday": flat, "user_id": uid[idx]}
+        ).drop_duplicates()
+        gk = splitmix64(
+            out["wday"].to_numpy(np.int64).view(np.uint64)
+        ) % np.uint64(n_buckets)
+        out["gkey"] = gk.astype(np.int64)
+        return out
+
+    fanned = pairs.map_batches(fan_out, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("wday", sort=True)["user_id"].nunique()
+        return pd.DataFrame(
+            {
+                "day": agg.index.to_numpy(np.int64),
+                "wau": agg.to_numpy(np.int64),
+            }
+        )
+
+    return fanned.groupby("gkey").map_groups(combine, batch_format="pandas")

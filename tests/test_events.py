@@ -498,3 +498,38 @@ def test_daily_active_users(ray_session):
     )
     assert out["dau"].tolist() == [2, 1]
     assert out["n_events"].tolist() == [3, 1]
+
+
+def test_rolling_active_users_window(ray_session):
+    from datafiller_ray.pipelines.events import rolling_active_users
+
+    # days 0,1,2 observed; day 10 observed (gap) — windows respect gaps
+    ts = [
+        ("2023-11-01 10:00", 1), ("2023-11-01 11:00", 2),
+        ("2023-11-02 10:00", 2),
+        ("2023-11-03 10:00", 3),
+        ("2023-11-11 10:00", 1),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "user_id": [u for _, u in ts],
+            "event_type": "e",
+            "ts": pd.to_datetime([t for t, _ in ts]),
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    out = (
+        rolling_active_users(
+            ray.data.from_pandas(df).repartition(5), window_days=3
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    d0 = out["day"].min()
+    got = dict(zip(out["day"] - d0, out["wau"]))
+    # day0: {1,2}; day1: day0+day1 = {1,2}; day2: {1,2,3};
+    # day10: only itself in the trailing-3 window = {1}
+    assert got == {0: 2, 1: 2, 2: 3, 10: 1}
