@@ -40,6 +40,10 @@ def main() -> int:
                          "(incremental: only touched buckets recompute)")
     ap.add_argument("--retain-after", type=int, default=None,
                     help="keep buckets with ts >= this epoch second (all tiers)")
+    ap.add_argument("--compact-target", type=int, default=None, metavar="BYTES",
+                    help="after the run, merge small committed tier files "
+                         "up to this byte target per output file "
+                         "(retention.compact_small_files)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -90,6 +94,14 @@ def main() -> int:
             n_buckets=args.buckets,
             n_subbuckets=args.subbuckets,
             emit=args.emit,
+        )
+    if args.compact_target is not None:
+        from datafiller_ray.pipelines.retention import compact_small_files
+
+        tiers_dir = os.path.join(args.out, "tiers")
+        summary["compaction"] = compact_small_files(
+            tiers_dir if os.path.isdir(tiers_dir) else args.out,
+            target_bytes=args.compact_target,
         )
     summary["wall_sec"] = round(time.perf_counter() - t0, 2)
     summary.pop("manifest", None)

@@ -284,3 +284,23 @@ def test_heals_bucket_touched_only_by_crashed_prior_update(
     got = _norm(read_tier_output(out).to_pandas())
     want = _norm(rollup_tiers(full, fill=CFG).to_pandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_compaction_then_incremental_update(ray_session, split_inputs, tmp_path):
+    """Compacting committed tier files must not disturb resume or the
+    incremental fold: base -> compact -> update equals base -> update."""
+    from datafiller_ray.pipelines.retention import compact_small_files
+
+    full, early, late = split_inputs
+    a = str(tmp_path / "plain")
+    b = str(tmp_path / "compacted")
+    run_checkpointed(early, a, fill=CFG, n_buckets=5)
+    run_checkpointed(early, b, fill=CFG, n_buckets=5)
+    stats = compact_small_files(f"{b}/tiers", target_bytes=1 << 30)
+    assert stats["created"] >= 1  # compaction actually merged something
+    run_incremental(a, late)
+    run_incremental(b, late)
+    pd.testing.assert_frame_equal(
+        _norm(read_tier_output(a).to_pandas()),
+        _norm(read_tier_output(b).to_pandas()),
+    )
