@@ -406,6 +406,27 @@ def _events_rollup(sf_dir: str):
     return events_rollup(_read(sf_dir, "events"), step=60)
 
 
+def _events_rollup_week(sf_dir: str):
+    """Calendar-bucket rollup: count/sum/min/max of value per (event_type,
+    ISO week) — date_trunc semantics (weeks start Monday, NOT epoch-aligned
+    like the fixed-step tiers) via pipelines/events.events_rollup_calendar
+    (pc.floor_temporal bucket arithmetic, same partial+final algebra)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.events import events_rollup_calendar
+
+    out = events_rollup_calendar(_read(sf_dir, "events"), unit="week")
+
+    def to_epoch(t: pa.Table) -> pa.Table:
+        secs = pc.divide(
+            pc.cast(t["bucket_ts"], pa.int64()), pa.scalar(1_000_000, pa.int64())
+        )
+        return t.set_column(t.schema.get_field_index("bucket_ts"), "bucket_ts", secs)
+
+    return out.map_batches(to_epoch, batch_format="pyarrow")
+
+
 def _drop_null_fills(ds):
     def drop_leading_nulls(batch):
         import pyarrow.compute as pc
@@ -2104,6 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_topk": _ann_topk,
         "events_rollup_1m": _events_rollup,
+        "events_rollup_week": _events_rollup_week,
         "events_gapfill_locf_1m": _events_locf,
         "events_gapfill_linear_1m": _events_linear,
         "events_sessions": _events_sessions,
@@ -3456,6 +3478,16 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_1m": """
             SELECT event_type,
                    (epoch_us(ts) // 1000000 // 60) * 60 AS bucket_ts,
+                   COUNT(*) AS n_events,
+                   round_even(SUM(value), 6) AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_rollup_week": """
+            SELECT event_type,
+                   epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                     // 1000000 AS bucket_ts,
                    COUNT(*) AS n_events,
                    round_even(SUM(value), 6) AS sum_value,
                    MIN(value) AS min_value,

@@ -97,6 +97,85 @@ def events_rollup(
     )
 
 
+def events_rollup_calendar(
+    events: "ray.data.Dataset",
+    *,
+    unit: str = "month",
+    span_units: int = 4096,
+) -> "ray.data.Dataset":
+    """count/sum/min/max of ``value`` per (event_type, CALENDAR bucket) —
+    ``date_trunc`` semantics rather than fixed-step arithmetic. Calendar
+    buckets are not epoch-aligned multiples of a step (ISO weeks start
+    Monday, not the epoch's Thursday; months vary in length), so the
+    bucket function is ``pc.floor_temporal`` instead of the integer
+    divide used by :func:`events_rollup`; everything downstream — the
+    per-batch Arrow partial, the coarse (ekey, chunk) exchange, the
+    sharded final combine — is the same algebra.
+
+    ``unit`` is one of ``"day" | "week" | "month"`` (week = ISO,
+    Monday-start, matching DuckDB ``date_trunc('week', ...)``).
+    Emits (event_type, bucket_ts:timestamp, n_events, sum_value,
+    min_value, max_value).
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import string_hash64
+
+    if unit not in ("day", "week", "month"):
+        raise EngineValueError(f"unit must be day|week|month, got {unit!r}")
+    # chunk span for the exchange key: calendar units are bounded below by
+    # a day, so chunking on the bucket's day index keeps groups coarse
+    span_us = 86_400 * 1_000_000 * span_units
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = pc.floor_temporal(batch["ts"], unit=unit)
+        slim = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket_ts": bucket,
+                "value": batch["value"],
+            }
+        )
+        agg = slim.group_by(["event_type", "bucket_ts"]).aggregate(
+            [("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "bucket_ts": agg["bucket_ts"],
+                "n_events": agg["value_count"],
+                "sum_value": agg["value_sum"],
+                "min_value": agg["value_min"],
+                "max_value": agg["value_max"],
+            }
+        )
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        chunk = pc.divide(
+            pc.cast(t["bucket_ts"], pa.int64()), pa.scalar(span_us, pa.int64())
+        )
+        ekey = string_hash64(
+            np.asarray(t["event_type"].to_pandas(), dtype="U")
+        ).view(np.int64)
+        t = t.append_column("chunk", chunk)
+        return t.append_column("ekey", pa.array(ekey, pa.int64()))
+
+    partials = events.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).map_batches(add_keys, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if g["event_type"].nunique() != 1:
+            return pd.concat(
+                [combine(sub) for _, sub in g.groupby("event_type", sort=True)],
+                ignore_index=True,
+            )
+        return _final_combine(g.drop(columns=["chunk", "ekey"]))
+
+    return partials.groupby(["ekey", "chunk"]).map_groups(
+        combine, batch_format="pandas"
+    )
+
+
 def time_weighted_avg(
     events: "ray.data.Dataset", *, step: int = 3600, span_buckets: int = 4096
 ) -> "ray.data.Dataset":

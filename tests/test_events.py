@@ -533,3 +533,65 @@ def test_rolling_active_users_window(ray_session):
     # day0: {1,2}; day1: day0+day1 = {1,2}; day2: {1,2,3};
     # day10: only itself in the trailing-3 window = {1}
     assert got == {0: 2, 1: 2, 2: 3, 10: 1}
+
+
+def test_calendar_rollup_matches_duckdb_month_and_week(ray_session):
+    """Calendar buckets (date_trunc semantics) vs DuckDB over a frame that
+    spans month boundaries and a non-epoch-aligned ISO week start — the
+    cases fixed-step bucket arithmetic gets wrong."""
+    import duckdb
+
+    from datafiller_ray.pipelines.events import events_rollup_calendar
+
+    rng = np.random.default_rng(11)
+    ts = pd.to_datetime("2023-11-20") + pd.to_timedelta(
+        rng.integers(0, 120 * 86_400, size=600), unit="s"
+    )  # ~4 months, crossing a year boundary
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(600, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, 20, size=600),
+            "event_type": rng.choice(["a", "b", "c"], size=600),
+            "value": np.round(rng.normal(10, 3, size=600), 6),
+            "props": "",
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    for unit in ("month", "week"):
+        got = (
+            events_rollup_calendar(ray.data.from_pandas(df), unit=unit)
+            .to_pandas()
+            .sort_values(["event_type", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+        want = (
+            con.execute(
+                f"""
+            SELECT event_type,
+                   CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket_ts,
+                   COUNT(*) AS n_events,
+                   round_even(SUM(value), 6) AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        got["bucket_ts"] = pd.to_datetime(got["bucket_ts"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_calendar_rollup_validates_unit(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.events import events_rollup_calendar
+
+    df = pd.DataFrame(
+        {"event_id": [1], "ts": pd.to_datetime(["2024-01-01"]),
+         "user_id": [0], "event_type": ["a"], "value": [1.0], "props": [""]}
+    )
+    with pytest.raises(EngineValueError):
+        events_rollup_calendar(ray.data.from_pandas(df), unit="hour")
