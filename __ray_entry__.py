@@ -289,6 +289,22 @@ def _quality_filter(sf_dir: str):
     )
 
 
+def _corpus_prepare(sf_dir: str):
+    """Composed cleaning stack: quality filter -> lang keep -> exact dedup
+    in ONE pipeline emitting a per-doc manifest with first-drop-wins reason
+    attribution — pipelines/text.corpus_prepare (fused tag pass, rejected
+    docs shed their text before the single dedup exchange)."""
+    from datafiller_ray.pipelines.text import corpus_prepare
+
+    return corpus_prepare(
+        _read(sf_dir, "documents"),
+        min_tok=5,
+        min_alpha_ratio=0.5,
+        max_digit_ratio=0.3,
+        keep_langs=("en",),
+    )
+
+
 def _lang_id(sf_dir: str):
     from datafiller_ray.pipelines.text import lang_id
 
@@ -2111,6 +2127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
         "quality_filter": _quality_filter,
+        "corpus_prepare": _corpus_prepare,
         "lang_id": _lang_id,
         # categorical fill (classifier) is non-SQL-expressible: rows-only
         "lang_fill": _lang_fill,
@@ -2531,6 +2548,39 @@ def _minhash_sql() -> str:
                  doc_id AS doc_b
           FROM buckets)
         SELECT DISTINCT doc_a, doc_b FROM edges WHERE doc_a < doc_b
+    """
+
+
+def _corpus_prepare_sql() -> str:
+    """Composition of the quality_filter predicate, the lang_id CTE, and
+    the exact-dedup window rule — dedup runs among quality+lang survivors
+    only, exactly like the staged pipeline."""
+    lang = _lang_id_sql()
+    return rf"""
+        WITH q AS (
+          SELECT doc_id, source, n_chars, text,
+                 (len(regexp_extract_all(text, '\S+')) >= 5
+                  AND round_even(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / GREATEST(length(text), 1)::DOUBLE, 6) >= 0.5
+                  AND round_even(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        / GREATEST(length(text), 1)::DOUBLE, 6) <= 0.3) AS pass_q
+          FROM documents),
+        lp AS ({lang}),
+        tagged AS (
+          SELECT q.*, lp.lang_pred IN ('en') AS lang_ok
+          FROM q JOIN lp USING (doc_id)),
+        surv AS (
+          SELECT doc_id, source, n_chars,
+                 CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+                      THEN 'kept' ELSE 'duplicate' END AS reason
+          FROM tagged WHERE pass_q AND lang_ok)
+        SELECT doc_id, source, n_chars, 'quality' AS reason
+          FROM tagged WHERE NOT pass_q
+        UNION ALL
+        SELECT doc_id, source, n_chars, 'lang' AS reason
+          FROM tagged WHERE pass_q AND NOT lang_ok
+        UNION ALL
+        SELECT doc_id, source, n_chars, reason FROM surv
     """
 
 
@@ -3460,6 +3510,7 @@ def oracle_sql() -> dict[str, str]:
               AND round_even(length(regexp_replace(text, '[^0-9]', '', 'g'))
                              / GREATEST(length(text), 1)::DOUBLE, 6) <= 0.3
         """,
+        "corpus_prepare": _corpus_prepare_sql(),
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe

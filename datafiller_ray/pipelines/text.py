@@ -227,6 +227,111 @@ def quality_filter(
     )
 
 
+class _PrepareTag(TextStats):
+    """Fused tag stage for :func:`corpus_prepare`: ONE pass computes the
+    quality predicate (TextStats ratios), the language ID (LangId tables),
+    and the routing key. Docs dropped by quality/lang leave this stage with
+    their reason and an EMPTY text payload — only survivors carry text into
+    the dedup exchange."""
+
+    def __init__(self, min_tok, min_alpha_ratio, max_digit_ratio, keep_langs):
+        super().__init__()
+        self.min_tok = min_tok
+        self.min_alpha = min_alpha_ratio
+        self.max_digit = max_digit_ratio
+        self.keep_langs = frozenset(keep_langs)
+        self.lang = LangId()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        stats = TextStats.__call__(self, batch)
+        pass_q = (
+            (stats["tok_count"].to_numpy() >= self.min_tok)
+            & (stats["alpha_ratio"].to_numpy() >= self.min_alpha)
+            & (stats["digit_ratio"].to_numpy() <= self.max_digit)
+        )
+        pred = self.lang(batch)["lang_pred"]
+        lang_ok = pred.isin(self.keep_langs).to_numpy()
+        reason = np.where(~pass_q, "quality", np.where(~lang_ok, "lang", ""))
+        survivor = pass_q & lang_ok
+        doc_id = batch["doc_id"].to_numpy(np.int64)
+        # survivors route by content hash; dropped docs get a synthetic
+        # singleton key (marker bit keeps the spaces disjoint in practice;
+        # the group combine handles a freak collision generically)
+        h = np.where(
+            survivor,
+            string_hash64(batch["text"].fillna("").to_numpy(dtype="U")).astype(
+                np.int64
+            ),
+            splitmix64(doc_id.astype(np.uint64) ^ np.uint64(0xD1B54A32D192ED03))
+            .view(np.int64),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "source": batch["source"].to_numpy(object),
+                "n_chars": batch["n_chars"].to_numpy(np.int64),
+                "reason": reason,
+                "_h": h,
+                "text": np.where(survivor, batch["text"].fillna(""), ""),
+            }
+        )
+
+
+def _prepare_group(g: pd.DataFrame) -> pd.DataFrame:
+    # rows already dropped upstream pass through with their reason; the
+    # survivors in the bucket dedup by exact text equality (collision-proof),
+    # min doc_id per distinct text wins
+    out = g.drop(columns=["_h", "text"]).copy()
+    surv = g["reason"].to_numpy(dtype="U") == ""
+    if surv.any():
+        s = g.loc[surv].sort_values("doc_id")
+        winners = s.drop_duplicates("text", keep="first")["doc_id"].to_numpy()
+        reason = np.where(
+            np.isin(g["doc_id"].to_numpy(), winners), "kept", "duplicate"
+        )
+        out.loc[surv, "reason"] = reason[surv]
+    return out
+
+
+def corpus_prepare(
+    documents: "ray.data.Dataset",
+    *,
+    min_tok: int = 5,
+    min_alpha_ratio: float = 0.5,
+    max_digit_ratio: float = 0.3,
+    keep_langs=("en",),
+) -> "ray.data.Dataset":
+    """The composed pre-training cleaning stack as ONE pipeline: quality
+    filter -> language keep -> exact dedup, emitting a per-document manifest
+    (doc_id, source, n_chars, reason) with first-drop-wins attribution
+    (reason in {'quality', 'lang', 'duplicate', 'kept'}).
+
+    Scale shape: one fused map pass tags every doc (ratios + stopword lang
+    ID, both vectorized) so rejected docs drop their text payload BEFORE the
+    exchange; only quality+lang survivors carry text through the single
+    hash-keyed dedup groupby (the :func:`exact_dedup` plan). Dedup runs
+    among survivors only — matching the semantics of running the stages in
+    sequence — and a dropped doc never shuffles more than its manifest row.
+    """
+    return (
+        documents.map_batches(
+            _PrepareTag,
+            fn_constructor_args=(
+                min_tok,
+                min_alpha_ratio,
+                max_digit_ratio,
+                tuple(keep_langs),
+            ),
+            batch_format="pandas",
+            concurrency=(1, 4),
+            batch_size=4096,
+        )
+        .groupby("_h")
+        .map_groups(_prepare_group, batch_format="pandas")
+    )
+
+
 def lang_fill(
     documents: "ray.data.Dataset", *, mask_mod: int = 7, min_samples_train: int = 5
 ) -> "ray.data.Dataset":

@@ -379,3 +379,57 @@ def test_near_dup_keep_best(ray_session):
         ray.data.from_pandas(docs), clusters.iloc[:0]
     ).to_pandas()
     assert sorted(ident["doc_id"].tolist()) == docs["doc_id"].tolist()
+
+
+def test_corpus_prepare_reasons_and_staged_equivalence(ray_session):
+    from datafiller_ray.pipelines.text import corpus_prepare
+
+    en = "the and is of to in that it was for on are as with his they at be "
+    rows = [
+        # quality drop: too few tokens
+        {"doc_id": 1, "text": "one two"},
+        # quality drop: digit-heavy
+        {"doc_id": 2, "text": "1234567890 " * 8 + "word " * 4},
+        # lang drop: passes quality but no english stopwords
+        {"doc_id": 3, "text": "zzz qqq vvv kkk yyy www " * 10},
+        # survivors: 4/5 exact dups (min doc_id kept), 6 unique
+        {"doc_id": 4, "text": en * 3},
+        {"doc_id": 5, "text": en * 3},
+        {"doc_id": 6, "text": en * 3 + "tail words here now"},
+        # quality-dropped doc whose text equals a survivor's: must NOT
+        # participate in dedup (reason stays 'quality', 4 still 'kept')
+        {"doc_id": 7, "text": "12345 " * 40 + en},
+    ]
+    df = pd.DataFrame(rows)
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df["lang"] = "en"
+    ds = ray.data.from_pandas(df)
+
+    out = corpus_prepare(ds).to_pandas().set_index("doc_id")["reason"]
+    assert out[1] == "quality" and out[2] == "quality"
+    assert out[3] == "lang"
+    assert out[4] == "kept" and out[5] == "duplicate"
+    assert out[6] == "kept"
+    assert out[7] == "quality"
+
+    # staged equivalence: quality -> lang -> exact dedup run as separate
+    # pipeline stages must attribute identically
+    from datafiller_ray.pipelines.text import exact_dedup, lang_id, quality_filter
+
+    q_ids = set(quality_filter(ds).to_pandas()["doc_id"])
+    lang_pred = lang_id(ds).to_pandas().set_index("doc_id")["lang_pred"]
+    lang_ids = {i for i in q_ids if lang_pred[i] == "en"}
+    surv = ds.filter(lambda r: r["doc_id"] in lang_ids)
+    kept = set(exact_dedup(surv).to_pandas()["doc_id"])
+    for doc in df["doc_id"]:
+        expect = (
+            "quality"
+            if doc not in q_ids
+            else "lang"
+            if doc not in lang_ids
+            else "kept"
+            if doc in kept
+            else "duplicate"
+        )
+        assert out[doc] == expect, doc
