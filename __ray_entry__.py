@@ -416,6 +416,26 @@ def _ann_topk(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _ann_filtered_topk(sf_dir: str):
+    """Label-filtered exact top-k (metadata-filtered vector search): each
+    query scores only same-label corpus vectors —
+    pipelines/ann.filtered_topk (label-pruned sub-matrix matmuls)."""
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.ann import filtered_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(qt["vec_id"])[: _ANN_NQ]
+    head = qt.take(order)
+    qids = np.asarray(head["vec_id"])
+    qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    qlab = np.asarray(head["label"], dtype=np.int64)
+    ds = filtered_topk(_read(sf_dir, "embeddings"), qids, qmat, qlab, k=_ANN_K)
+    return ds.select_columns(["query_id", "rank", "vec_id"])
+
+
 def _events_rollup(sf_dir: str):
     from datafiller_ray.pipelines.events import events_rollup
 
@@ -1758,6 +1778,15 @@ def _cohort_retention(sf_dir: str):
     return cohort_retention(_read(sf_dir, "events"), period_seconds=86400)
 
 
+def _completeness_report(sf_dir: str):
+    """Per-source x 1h completeness SLO (dense hour grid over each
+    source's span; expected minutes clipped at span edges) —
+    pipelines/window.completeness_report."""
+    from datafiller_ray.pipelines.window import completeness_report
+
+    return completeness_report(_fixture(sf_dir), check_tokens=False)
+
+
 def _gap_stats(sf_dir: str):
     """Per-source missing-bucket profile (gap count / total / max / mean)
     over the observed 1m grid — pipelines/window.gap_stats."""
@@ -2141,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_topk": _ann_topk,
+        "ann_filtered_topk": _ann_filtered_topk,
         "events_rollup_1m": _events_rollup,
         "events_rollup_week": _events_rollup_week,
         "events_gapfill_locf_1m": _events_locf,
@@ -2217,6 +2247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_analysis": _funnel_analysis,
         "cohort_retention": _cohort_retention,
         "gap_stats": _gap_stats,
+        "completeness_report": _completeness_report,
         "psi_drift": _psi_drift,
         "decontaminate": _decontaminate,
         "doc_repetition": _doc_repetition,
@@ -3526,6 +3557,21 @@ def oracle_sql() -> dict[str, str]:
               FROM sims)
             WHERE rank <= {_ANN_K}
         """,
+        "ann_filtered_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe, label AS ql
+              FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     round_even(list_cosine_similarity(q.qe, e.embedding), 6) AS sim
+              FROM q JOIN embeddings e ON e.label = q.ql)
+            SELECT query_id, rank, vec_id FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM sims)
+            WHERE rank <= {_ANN_K}
+        """,
         "events_rollup_1m": """
             SELECT event_type,
                    (epoch_us(ts) // 1000000 // 60) * 60 AS bucket_ts,
@@ -4432,6 +4478,30 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_active
             FROM act a JOIN first f USING (user_id)
             GROUP BY 1, 2
+        """,
+        "completeness_report": f"""
+            WITH obs AS (
+              SELECT source, bucket_ts FROM ({rollup(60)})),
+            s AS (
+              SELECT source, MIN(bucket_ts) // 60 AS mn,
+                     MAX(bucket_ts) // 60 AS mx
+              FROM obs GROUP BY 1),
+            h AS (
+              SELECT source, mn, mx,
+                     UNNEST(generate_series(mn // 60, mx // 60)) AS hr
+              FROM s),
+            o AS (
+              SELECT source, bucket_ts // 3600 AS hr, COUNT(*) AS obs_m
+              FROM obs GROUP BY 1, 2)
+            SELECT h.source, h.hr * 3600 AS bucket_ts,
+                   COALESCE(o.obs_m, 0) AS observed_minutes,
+                   (LEAST(h.hr * 60 + 60, h.mx + 1)
+                    - GREATEST(h.hr * 60, h.mn)) AS expected_minutes,
+                   FLOOR(COALESCE(o.obs_m, 0)::DOUBLE
+                         / (LEAST(h.hr * 60 + 60, h.mx + 1)
+                            - GREATEST(h.hr * 60, h.mn))
+                         * 1000000 + 0.5) / 1000000.0 AS completeness
+            FROM h LEFT JOIN o ON h.source = o.source AND h.hr = o.hr
         """,
         "gap_stats": f"""
             WITH obs AS (

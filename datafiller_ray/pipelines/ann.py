@@ -87,6 +87,91 @@ def brute_force_topk(
     )
 
 
+class FilteredTopK:
+    """Metadata-filtered exact top-k: each query scores ONLY the corpus
+    vectors sharing its ``label`` — the filtered-vector-search shape
+    (category-restricted retrieval). The per-batch matmul runs on the
+    label-pruned sub-matrices, so the filter cuts compute, not just
+    output rows; queries/labels are broadcast once via ``ray.put``."""
+
+    def __init__(self, queries_ref, k: int) -> None:
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids = q["ids"]  # (nq,)
+        self.query_labels = np.asarray(q["labels"], np.int64)
+        Q = q["matrix"].astype(np.float64)
+        self.Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, M = _batch_matrix(batch)
+        labels = batch["label"].to_numpy(np.int64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        out = []
+        for lab in np.unique(self.query_labels):
+            bsel = np.flatnonzero(labels == lab)
+            if bsel.size == 0:
+                continue
+            qsel = np.flatnonzero(self.query_labels == lab)
+            sims = self.Qn[qsel] @ Mn[bsel].T
+            k = min(self.k, bsel.size)
+            sub_ids = ids[bsel]
+            for row, qi in enumerate(qsel):
+                s = sims[row]
+                # deterministic partial top-k: similarity desc, vec_id asc
+                order = np.lexsort((sub_ids, -s))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": self.query_ids[qi],
+                            "vec_id": sub_ids[order],
+                            "sim": np.round(s[order], 6),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def filtered_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    query_labels: np.ndarray,
+    *,
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Exact cosine top-k per query restricted to corpus vectors with the
+    query's ``label`` (filtered vector search). Same deterministic
+    contract as :func:`brute_force_topk` (sim desc, vec_id asc, sims
+    rounded to 1e-6 so the SQL oracle ranks identically); a query whose
+    label has no corpus vectors emits no rows, matching the oracle's
+    inner join."""
+    ref = ray.put(
+        {
+            "ids": np.asarray(query_ids),
+            "matrix": np.asarray(query_matrix),
+            "labels": np.asarray(query_labels),
+        }
+    )
+    partial = embeddings.map_batches(
+        FilteredTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
 class LshBucketer:
     """Random-hyperplane sign buckets (the IVF/LSH scale path): vectors that
     share a bucket are candidate neighbors; query-time scans only matching

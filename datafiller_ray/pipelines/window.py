@@ -708,6 +708,55 @@ def gap_stats(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
     )
 
 
+def _completeness_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    minutes = obs["bucket_ts"].to_numpy(np.int64) // 60
+    mn, mx = int(minutes[0]), int(minutes[-1])
+    hr0, hr1 = mn // 60, mx // 60
+    hours = np.arange(hr0, hr1 + 1, dtype=np.int64)
+    observed = np.bincount(minutes // 60 - hr0, minlength=hours.size).astype(
+        np.int64
+    )
+    # minutes of [hr*60, hr*60+60) inside the source's observed span
+    # [mn, mx]: interval overlap, integer-exact (>= 1 on every grid hour)
+    expected = np.minimum(hours * 60 + 60, mx + 1) - np.maximum(hours * 60, mn)
+    completeness = _round6_half_up(
+        observed.astype(np.float64) / expected.astype(np.float64)
+    )
+    return pd.DataFrame(
+        {
+            "source": source,
+            "bucket_ts": hours * 3600,
+            "observed_minutes": observed,
+            "expected_minutes": expected,
+            "completeness": completeness,
+        }
+    )
+
+
+def completeness_report(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source x 1h data-completeness SLO report over the 1m grid: for
+    every hour of each source's observed span (DENSE — hours with zero
+    observed minutes appear with ``observed_minutes = 0``), the number of
+    distinct observed minute buckets, the number of expected minutes (60,
+    clipped to the span overlap on the first/last hour so partial edge
+    hours are not penalized), and the ratio.
+
+    The feed-monitoring counterpart of :func:`gap_stats`: gap_stats
+    profiles the missing RUNS, this reports wall-clock completeness per
+    calendar hour — the quantity an ingestion SLO alarms on. Integer
+    counts throughout; the one division rounds through the engine-wide
+    6-decimal floor-half-up absorber. Same single-exchange per-source
+    shape as the rest of the window family (partial minute aggregates
+    are what shuffles, never rows).
+    """
+    return _run_per_source(
+        input_path,
+        _completeness_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
 # ---------------------------------------------------------------------------
 # distribution drift (PSI) between each source's early and late halves
 

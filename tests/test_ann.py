@@ -320,3 +320,36 @@ def test_label_centroid_similarity_contract(ray_session):
         out.sort_values(["label_a", "label_b"]).reset_index(drop=True),
         out2.sort_values(["label_a", "label_b"]).reset_index(drop=True),
     )
+
+
+def test_filtered_topk_matches_label_restricted_brute(embeddings):
+    from datafiller_ray.pipelines.ann import filtered_topk
+
+    ds, M = embeddings
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 4, len(M)).astype(np.int64)
+
+    df = ds.to_pandas()
+    df["label"] = labels
+    lds = ray.data.from_pandas(df)
+
+    qids = np.array([0, 5, 17, 40])
+    got = filtered_topk(lds, qids, M[qids], labels[qids], k=7).to_pandas()
+
+    Mn = M.astype(np.float64)
+    Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+    for q in qids:
+        sel = np.flatnonzero(labels == labels[q])
+        s = np.round(Mn[sel] @ Mn[q], 6)
+        order = np.lexsort((sel, -s))[:7]
+        want = sel[order].tolist()
+        g = got[got.query_id == q].sort_values("rank")
+        assert g["vec_id"].tolist() == want, q
+        # the query itself carries its own label: rank 1 is always self
+        assert g["vec_id"].iloc[0] == q
+
+    # a query label absent from the corpus emits no rows (inner-join shape)
+    only = filtered_topk(
+        lds, np.array([0]), M[[0]], np.array([99], dtype=np.int64), k=5
+    ).to_pandas()
+    assert len(only) == 0

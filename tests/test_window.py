@@ -953,3 +953,44 @@ def test_mase_skips_short_and_constant():
     assert len(_mase_one_source(short, "s", season=10)) == 0
     with pytest.raises(EngineValueError):
         seasonal_naive_mase("/nonexistent", season=0)
+
+
+def test_completeness_one_source_edges_and_dense_zero_hours():
+    from datafiller_ray.pipelines.window import _completeness_one_source
+
+    # span: minute 90 .. minute 245  ->  hours 1, 2, 3, 4
+    #  hour 1 expected = minutes 90..119 (30), observed 2
+    #  hour 2 expected = 60, observed 60 (full)
+    #  hour 3 expected = 60, observed 0  (dense zero row)
+    #  hour 4 expected = minutes 240..245 (6), observed 1
+    minutes = np.concatenate(
+        [[90, 100], np.arange(120, 180), [245]]
+    ).astype(np.int64)
+    obs = pd.DataFrame({"bucket_ts": minutes * 60})
+    out = _completeness_one_source(obs, "s").reset_index(drop=True)
+    assert out["bucket_ts"].tolist() == [3600, 7200, 10800, 14400]
+    assert out["observed_minutes"].tolist() == [2, 60, 0, 1]
+    assert out["expected_minutes"].tolist() == [30, 60, 60, 6]
+    exp = np.floor(np.array([2 / 30, 1.0, 0.0, 1 / 6]) * 1e6 + 0.5) / 1e6
+    np.testing.assert_array_equal(out["completeness"].to_numpy(), exp)
+
+
+def test_completeness_report_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import completeness_report
+
+    out = completeness_report(small_fixture).to_pandas()
+    assert (out["observed_minutes"] <= out["expected_minutes"]).all()
+    assert (out["expected_minutes"] >= 1).all()
+    assert (out["expected_minutes"] <= 60).all()
+    # every source's hour grid is dense and contiguous
+    for _, g in out.groupby("source"):
+        ts = np.sort(g["bucket_ts"].to_numpy(np.int64))
+        assert (np.diff(ts) == 3600).all()
+    # the bucketed production exchange returns the identical report
+    b = completeness_report(small_fixture, shuffle="bucketed").to_pandas()
+    key = ["source", "bucket_ts"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
