@@ -1896,6 +1896,26 @@ def _seasonal_naive_mase(sf_dir: str):
     return seasonal_naive_mase(_fixture(sf_dir), season=60)
 
 
+def _ohlc_1h(sf_dir: str):
+    """Hourly OHLC candles of the per-minute token-sum series: first/last
+    observed minute's sum (+ their timestamps), min/max, observed-minute
+    count — pipelines/window.ohlc_candles (arg-extreme order statistics
+    the tumbling cascade can't express; all-int64, one exchange)."""
+    from datafiller_ray.pipelines.window import ohlc_candles
+
+    return ohlc_candles(_fixture(sf_dir), step=3600)
+
+
+def _coverage_islands(sf_dir: str):
+    """Gaps-and-islands interval merge: maximal contiguous runs of observed
+    1m buckets per source with length + exact token sum —
+    pipelines/window.coverage_islands (vectorized boundary diff +
+    cumsum-segment sums)."""
+    from datafiller_ray.pipelines.window import coverage_islands
+
+    return coverage_islands(_fixture(sf_dir))
+
+
 def _mad_outliers(sf_dir: str):
     """Robust per-source outliers: |sum_tok - median| > 3 * MAD over the
     observed 1m buckets (quantile_cont medians — IEEE-exact on integer
@@ -2260,6 +2280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_1m": _acf,
         "mad_outliers": _mad_outliers,
         "seasonal_naive_mase": _seasonal_naive_mase,
+        "ohlc_1h": _ohlc_1h,
+        "coverage_islands": _coverage_islands,
         "rolling_median_1m": _rolling_median,
         "source_trend": _source_trend,
         "customers_with_orders": _customers_with_orders,
@@ -4720,6 +4742,46 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(CAST(num * cnt_den AS DOUBLE) / (den * cnt_num)
                          * 1000000 + 0.5) / 1000000.0 AS mase
             FROM agg WHERE cnt_num > 0 AND den > 0
+        """,
+        # open/close are FIRST/LAST_VALUE over the full-bucket frame —
+        # constants per (source, hour), so grouping by them is exact; all
+        # columns integer (no rounding surface)
+        "ohlc_1h": f"""
+            WITH r AS ({rollup(60)}),
+            w AS (
+              SELECT source, bucket_ts - bucket_ts % 3600 AS hb, sum_tok,
+                     FIRST_VALUE(bucket_ts) OVER win AS open_ts,
+                     FIRST_VALUE(sum_tok) OVER win AS open_tok,
+                     LAST_VALUE(bucket_ts) OVER win AS close_ts,
+                     LAST_VALUE(sum_tok) OVER win AS close_tok
+              FROM r
+              WINDOW win AS (
+                PARTITION BY source, bucket_ts - bucket_ts % 3600
+                ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+            SELECT source, hb AS bucket_ts, COUNT(*)::BIGINT AS n_minutes,
+                   open_ts, open_tok,
+                   CAST(MAX(sum_tok) AS BIGINT) AS high_tok,
+                   CAST(MIN(sum_tok) AS BIGINT) AS low_tok,
+                   close_ts, close_tok
+            FROM w
+            GROUP BY source, hb, open_ts, open_tok, close_ts, close_tok
+        """,
+        # classic gaps-and-islands: minute index minus row_number is
+        # constant within each contiguous run
+        "coverage_islands": f"""
+            WITH r AS ({rollup(60)}),
+            g AS (
+              SELECT source, bucket_ts, sum_tok,
+                     bucket_ts // 60
+                     - ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY bucket_ts) AS grp
+              FROM r)
+            SELECT source, MIN(bucket_ts) AS island_start,
+                   MAX(bucket_ts) AS island_end,
+                   COUNT(*)::BIGINT AS n_buckets,
+                   CAST(SUM(sum_tok) AS BIGINT) AS sum_tok
+            FROM g GROUP BY source, grp
         """,
         "mad_outliers": f"""
             WITH r AS ({rollup(60)}),

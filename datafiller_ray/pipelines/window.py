@@ -1657,6 +1657,96 @@ def _mase_one_source(obs: pd.DataFrame, source: str, season: int) -> pd.DataFram
     )
 
 
+def _ohlc_one_source(obs: pd.DataFrame, source: str, step: int) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    bucket = ts - ts % step
+    # obs arrives sorted by bucket_ts (combine_partials), so buckets are
+    # non-decreasing: candle boundaries are one vectorized diff + reduceat
+    starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+    ends = np.r_[starts[1:], bucket.size]
+    return pd.DataFrame(
+        {
+            "source": np.full(starts.size, source, dtype=object),
+            "bucket_ts": bucket[starts],
+            "n_minutes": (ends - starts).astype(np.int64),
+            "open_ts": ts[starts],
+            "open_tok": s[starts],
+            "high_tok": np.maximum.reduceat(s, starts),
+            "low_tok": np.minimum.reduceat(s, starts),
+            "close_ts": ts[ends - 1],
+            "close_tok": s[ends - 1],
+        }
+    )
+
+
+def ohlc_candles(
+    input_path,
+    *,
+    step: int = 3600,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """OHLC candle downsample of the per-minute token-sum series: per
+    (source, ``step``-second bucket) the FIRST and LAST observed minute's
+    sum (open/close, with their timestamps) plus the min/max over the
+    bucket and the observed-minute count. First/last are order statistics
+    the tumbling count/sum/min/max cascade cannot express — they need the
+    arg-extreme (earliest/latest bucket) carried through the combine, which
+    ``_ohlc_one_source`` gets for free from the sorted per-source frame.
+    All-int64 output (no float rounding surface); one exchange, same
+    physical plan as the rest of the window family."""
+    from datafiller_ray.config import EngineValueError
+
+    if step < 60 or step % 60:
+        raise EngineValueError(f"step must be a positive multiple of 60, got {step}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _ohlc_one_source(obs, src, step),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def _islands_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1] + 60])
+    ends = np.r_[starts[1:], ts.size]
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+    return pd.DataFrame(
+        {
+            "source": np.full(starts.size, source, dtype=object),
+            "island_start": ts[starts],
+            "island_end": ts[ends - 1],
+            "n_buckets": (ends - starts).astype(np.int64),
+            "sum_tok": cs[ends] - cs[starts],
+        }
+    )
+
+
+def coverage_islands(
+    input_path,
+    *,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Gaps-and-islands interval merge: collapse each source's observed 1m
+    buckets into maximal CONTIGUOUS runs (consecutive minutes), one row per
+    island with its start/end bucket, length, and exact token sum. This is
+    the interval-set view of coverage (``completeness_report`` gives the
+    ratio view; ``gap_stats`` the complement) — the shape retention
+    planners consume to decide which spans are compactable. Per-source
+    O(n) vectorized boundary diff + cumsum-segment sums; int64 throughout;
+    single exchange."""
+    return _run_per_source(
+        input_path,
+        _islands_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
 def seasonal_naive_mase(
     input_path,
     *,

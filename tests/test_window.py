@@ -994,3 +994,96 @@ def test_completeness_report_end_to_end(ray_session, small_fixture):
         b.sort_values(key).reset_index(drop=True),
         check_like=True,
     )
+
+
+def test_ohlc_one_source_literal():
+    from datafiller_ray.pipelines.window import _ohlc_one_source
+
+    # two hourly buckets: [0, 3540] and [3600]
+    obs = pd.DataFrame(
+        {"bucket_ts": np.array([0, 120, 3540, 3600], dtype=np.int64),
+         "sum": np.array([7, 3, 9, 4], dtype=np.int64)}
+    )
+    out = _ohlc_one_source(obs, "s", 3600)
+    assert out["bucket_ts"].tolist() == [0, 3600]
+    assert out["n_minutes"].tolist() == [3, 1]
+    assert out["open_ts"].tolist() == [0, 3600]
+    assert out["open_tok"].tolist() == [7, 4]
+    assert out["high_tok"].tolist() == [9, 4]
+    assert out["low_tok"].tolist() == [3, 4]
+    assert out["close_ts"].tolist() == [3540, 3600]
+    assert out["close_tok"].tolist() == [9, 4]
+
+
+def test_ohlc_matches_brute_force():
+    from datafiller_ray.pipelines.window import _ohlc_one_source
+
+    rng = np.random.default_rng(11)
+    minutes = np.sort(rng.choice(600, size=200, replace=False)).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": minutes * 60,
+         "sum": rng.integers(1, 1000, size=minutes.size).astype(np.int64)}
+    )
+    out = _ohlc_one_source(obs, "s", 3600)
+    df = obs.assign(hb=(obs["bucket_ts"] // 3600) * 3600)
+    for _, row in out.iterrows():
+        g = df[df["hb"] == row["bucket_ts"]]
+        assert row["n_minutes"] == len(g)
+        assert row["open_tok"] == g["sum"].iloc[0]
+        assert row["close_tok"] == g["sum"].iloc[-1]
+        assert row["high_tok"] == g["sum"].max()
+        assert row["low_tok"] == g["sum"].min()
+
+
+def test_islands_one_source_literal():
+    from datafiller_ray.pipelines.window import _islands_one_source
+
+    # runs: {0,60,120}, {300}, {420,480}
+    obs = pd.DataFrame(
+        {"bucket_ts": np.array([0, 60, 120, 300, 420, 480], dtype=np.int64),
+         "sum": np.array([1, 2, 3, 10, 4, 5], dtype=np.int64)}
+    )
+    out = _islands_one_source(obs, "s")
+    assert out["island_start"].tolist() == [0, 300, 420]
+    assert out["island_end"].tolist() == [120, 300, 480]
+    assert out["n_buckets"].tolist() == [3, 1, 2]
+    assert out["sum_tok"].tolist() == [6, 10, 9]
+
+
+def test_ohlc_islands_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import coverage_islands, ohlc_candles
+
+    ohlc = ohlc_candles(small_fixture, step=3600).to_pandas()
+    assert (ohlc["low_tok"] <= ohlc["high_tok"]).all()
+    assert (ohlc["low_tok"] <= ohlc["open_tok"]).all()
+    assert (ohlc["open_tok"] <= ohlc["high_tok"]).all()
+    assert (ohlc["open_ts"] <= ohlc["close_ts"]).all()
+    assert (ohlc["bucket_ts"] % 3600 == 0).all()
+    assert (ohlc["n_minutes"].between(1, 60)).all()
+
+    isl = coverage_islands(small_fixture).to_pandas()
+    # islands of one source never overlap and are separated by >= 1 gap
+    for _, g in isl.groupby("source"):
+        g = g.sort_values("island_start")
+        assert (g["island_end"] >= g["island_start"]).all()
+        assert (
+            g["island_start"].to_numpy()[1:]
+            > g["island_end"].to_numpy()[:-1] + 60
+        ).all()
+    # island bucket counts reconcile with the rollup row count per source
+    from datafiller_ray.pipelines.rollup import rollup_tiers
+    from datafiller_ray.config import FillConfig
+
+    r = rollup_tiers(small_fixture, fill=FillConfig(strategy=None),
+                     tiers=("1m",), check_tokens=False).to_pandas()
+    r = r[r["count"] > 0]
+    per_src = r.groupby("source").size()
+    got = isl.groupby("source")["n_buckets"].sum()
+    pd.testing.assert_series_equal(
+        per_src.sort_index(), got.sort_index(),
+        check_names=False, check_dtype=False,
+    )
+
+    with pytest.raises(EngineValueError):
+        ohlc_candles(small_fixture, step=90)
