@@ -1916,6 +1916,47 @@ def _coverage_islands(sf_dir: str):
     return coverage_islands(_fixture(sf_dir))
 
 
+def _snapshot_diff(sf_dir: str):
+    """Keyed delta between two deterministic snapshot views of the contract
+    table (old = minute%10 != 2; new = minute%10 != 0 with n_tok+1 where
+    minute%10 == 1): one row per added/removed/changed doc —
+    pipelines/diff.snapshot_diff (slim projection + side tag + ONE bounded
+    coarse-key exchange + per-group vectorized outer merge; unchanged rows
+    dropped inside the group task)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from datafiller_ray.pipelines.diff import snapshot_diff
+    from datafiller_ray.stages.validate import extract_epoch_minute
+
+    path = _fixture(sf_dir)
+
+    def make_snap(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            m = np.asarray(extract_epoch_minute(t["doc_id"])) % 10
+            n = np.asarray(pc.cast(t["n_tok"], pa.int64()))
+            keep = (m != 2) if side == 0 else (m != 0)
+            n_out = n[keep] if side == 0 else n[keep] + (m[keep] == 1)
+            tt = t.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "doc_id": tt["doc_id"],
+                    "source": tt["source"],
+                    "n_tok": pa.array(n_out, pa.int64()),
+                }
+            )
+
+        return fn
+
+    def snap(side: int):
+        return ray.data.read_parquet(
+            path, columns=["doc_id", "source", "n_tok"]
+        ).map_batches(make_snap(side), batch_format="pyarrow")
+
+    return snapshot_diff(snap(0), snap(1), key="doc_id", value="n_tok")
+
+
 def _mad_outliers(sf_dir: str):
     """Robust per-source outliers: |sum_tok - median| > 3 * MAD over the
     observed 1m buckets (quantile_cont medians — IEEE-exact on integer
@@ -2282,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_naive_mase": _seasonal_naive_mase,
         "ohlc_1h": _ohlc_1h,
         "coverage_islands": _coverage_islands,
+        "snapshot_diff": _snapshot_diff,
         "rolling_median_1m": _rolling_median,
         "source_trend": _source_trend,
         "customers_with_orders": _customers_with_orders,
@@ -4766,6 +4808,30 @@ def oracle_sql() -> dict[str, str]:
                    close_ts, close_tok
             FROM w
             GROUP BY source, hb, open_ts, open_tok, close_ts, close_tok
+        """,
+        # full outer join on doc_id between the two deterministic snapshot
+        # views; -1 sentinel keeps the value columns BIGINT (no null-hash
+        # surface); unchanged rows filtered out like the engine
+        "snapshot_diff": f"""
+            WITH base AS (
+              SELECT doc_id, source, n_tok,
+                     CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)
+                     % 10 AS m
+              FROM read_parquet('{p}/*.parquet')),
+            a AS (SELECT doc_id, source, n_tok FROM base WHERE m != 2),
+            b AS (SELECT doc_id, source,
+                         CASE WHEN m = 1 THEN n_tok + 1 ELSE n_tok END AS n_tok
+                  FROM base WHERE m != 0)
+            SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+                   COALESCE(b.source, a.source) AS source,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   CAST(COALESCE(a.n_tok, -1) AS BIGINT) AS old_n_tok,
+                   CAST(COALESCE(b.n_tok, -1) AS BIGINT) AS new_n_tok
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+               OR a.n_tok != b.n_tok
         """,
         # classic gaps-and-islands: minute index minus row_number is
         # constant within each contiguous run
