@@ -1916,6 +1916,90 @@ def _coverage_islands(sf_dir: str):
     return coverage_islands(_fixture(sf_dir))
 
 
+def _source_top_docs(sf_dir: str):
+    """Per-source top-3 docs by (n_tok DESC, doc_id ASC) with payload —
+    stages/exchange.grouped_topk (per-BLOCK k-prune before the bounded
+    coarse-key exchange, identical prune per group; the shuffle carries
+    O(groups_per_block * k) rows, never the corpus)."""
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_topk
+
+    ds = ray.data.read_parquet(
+        _fixture(sf_dir), columns=["source", "doc_id", "n_tok"]
+    )
+    return grouped_topk(ds, "source", "n_tok", ["doc_id"], 3)
+
+
+def _rank_shift(sf_dir: str):
+    """Two-period source league table (early-half vs late-half total
+    tokens, midpoint of the global bucket range) with rank shift —
+    pipelines/window.source_rank_shift (doc_id-only bounds pass, one
+    grouped_sum exchange, bounded pivot/rank)."""
+    from datafiller_ray.pipelines.window import source_rank_shift
+
+    return source_rank_shift(_fixture(sf_dir))
+
+
+def _cross_section_1h(sf_dir: str):
+    """Per-hour p10/p50/p90 of per-source hourly token sums across all
+    active sources — pipelines/window.cross_section_quantiles (per-source
+    exchange then a TIME-keyed coarse exchange; quantile_cont
+    interpolation, round6-pinned)."""
+    from datafiller_ray.pipelines.window import cross_section_quantiles
+
+    return cross_section_quantiles(_fixture(sf_dir), step=3600)
+
+
+def _dow_hour_profile(sf_dir: str):
+    """Weekly seasonality matrix per (source, day-of-week, hour-of-day):
+    observed minutes, exact sum, round6 mean — pipelines/window.
+    dow_hour_profile (pure epoch arithmetic, one exchange)."""
+    from datafiller_ray.pipelines.window import dow_hour_profile
+
+    return dow_hour_profile(_fixture(sf_dir))
+
+
+def _events_dedupe_window(sf_dir: str):
+    """Windowed stream dedup: keep the FIRST event per (user_id,
+    event_type, minute) by (ts, event_id) — stages/exchange.grouped_topk
+    with k=1 ascending over the composite window key (per-block prune
+    before the exchange, the at-least-once-ingestion dedup shape)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.stages.exchange import grouped_topk
+
+    def fn(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        minute_ts = pc.multiply(
+            pc.divide(ts_us, pa.scalar(60_000_000, pa.int64())),
+            pa.scalar(60, pa.int64()),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "minute_ts": minute_ts,
+                "ts_us": ts_us,
+                "event_id": t["event_id"],
+            }
+        )
+
+    ds = _read(sf_dir, "events").map_batches(fn, batch_format="pyarrow")
+    out = grouped_topk(
+        ds,
+        ["user_id", "event_type", "minute_ts"],
+        "ts_us",
+        ["event_id"],
+        1,
+        descending=False,
+    )
+    return out.select_columns(
+        ["user_id", "event_type", "minute_ts", "ts_us", "event_id"]
+    )
+
+
 def _snapshot_diff(sf_dir: str):
     """Keyed delta between two deterministic snapshot views of the contract
     table (old = minute%10 != 2; new = minute%10 != 0 with n_tok+1 where
@@ -2324,6 +2408,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_1h": _ohlc_1h,
         "coverage_islands": _coverage_islands,
         "snapshot_diff": _snapshot_diff,
+        "source_top_docs": _source_top_docs,
+        "rank_shift": _rank_shift,
+        "cross_section_1h": _cross_section_1h,
+        "dow_hour_profile": _dow_hour_profile,
+        "events_dedupe_window": _events_dedupe_window,
         "rolling_median_1m": _rolling_median,
         "source_trend": _source_trend,
         "customers_with_orders": _customers_with_orders,
@@ -4808,6 +4897,81 @@ def oracle_sql() -> dict[str, str]:
                    close_ts, close_tok
             FROM w
             GROUP BY source, hb, open_ts, open_tok, close_ts, close_tok
+        """,
+        "source_top_docs": f"""
+            SELECT source, doc_id, n_tok, rnk FROM (
+              SELECT source, doc_id, n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_tok DESC, doc_id) AS rnk
+              FROM read_parquet('{p}/*.parquet'))
+            WHERE rnk <= 3
+        """,
+        # midpoint of the global [min, max] bucket range splits the halves;
+        # ROW_NUMBER ties broken by source name on both sides
+        "rank_shift": f"""
+            WITH r AS ({rollup(60)}),
+            g AS (SELECT (MIN(bucket_ts) + MAX(bucket_ts)) // 2 AS mid FROM r),
+            t AS (
+              SELECT source,
+                     SUM(CASE WHEN bucket_ts <= g.mid THEN sum_tok
+                              ELSE 0 END) AS tok_early,
+                     SUM(CASE WHEN bucket_ts > g.mid THEN sum_tok
+                              ELSE 0 END) AS tok_late
+              FROM r, g GROUP BY 1),
+            ranked AS (
+              SELECT source,
+                     CAST(tok_early AS BIGINT) AS tok_early,
+                     CAST(tok_late AS BIGINT) AS tok_late,
+                     ROW_NUMBER() OVER (ORDER BY tok_early DESC, source)
+                       AS rank_early,
+                     ROW_NUMBER() OVER (ORDER BY tok_late DESC, source)
+                       AS rank_late
+              FROM t)
+            SELECT source, tok_early, tok_late, rank_early, rank_late,
+                   rank_early - rank_late AS rank_shift
+            FROM ranked
+        """,
+        # cross-sectional dispersion: quantile_cont over per-source hourly
+        # sums, grouped by the hour bucket (the time axis, not the source
+        # axis); integer sums keep the interpolation IEEE-exact before the
+        # shared round6 absorber
+        "cross_section_1h": f"""
+            WITH h AS (
+              SELECT source, (bucket_ts // 3600) * 3600 AS bucket_ts,
+                     SUM(sum_tok) AS tok
+              FROM ({rollup(60)}) GROUP BY 1, 2)
+            SELECT bucket_ts, COUNT(*)::BIGINT AS n_sources,
+                   FLOOR(quantile_cont(CAST(tok AS DOUBLE), 0.1)
+                         * 1000000 + 0.5) / 1000000.0 AS p10_tok,
+                   FLOOR(quantile_cont(CAST(tok AS DOUBLE), 0.5)
+                         * 1000000 + 0.5) / 1000000.0 AS p50_tok,
+                   FLOOR(quantile_cont(CAST(tok AS DOUBLE), 0.9)
+                         * 1000000 + 0.5) / 1000000.0 AS p90_tok
+            FROM h GROUP BY 1
+        """,
+        # epoch arithmetic dow (1970-01-01 = Thursday -> +4), no tz casts
+        "dow_hour_profile": f"""
+            WITH r AS ({rollup(60)})
+            SELECT source,
+                   (bucket_ts // 86400 + 4) % 7 AS dow,
+                   (bucket_ts % 86400) // 3600 AS hour,
+                   COUNT(*)::BIGINT AS n_minutes,
+                   CAST(SUM(sum_tok) AS BIGINT) AS sum_tok,
+                   FLOOR(CAST(SUM(sum_tok) AS DOUBLE) / COUNT(*)
+                         * 1000000 + 0.5) / 1000000.0 AS mean_tok
+            FROM r GROUP BY 1, 2, 3
+        """,
+        "events_dedupe_window": """
+            SELECT user_id, event_type, minute_ts, ts_us, event_id FROM (
+              SELECT user_id, event_type,
+                     (epoch_us(ts) // 60000000) * 60 AS minute_ts,
+                     epoch_us(ts) AS ts_us, event_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY user_id, event_type,
+                                      epoch_us(ts) // 60000000
+                         ORDER BY ts, event_id) AS rn
+              FROM events)
+            WHERE rn = 1
         """,
         # full outer join on doc_id between the two deterministic snapshot
         # views; -1 sentinel keeps the value columns BIGINT (no null-hash

@@ -1747,6 +1747,200 @@ def coverage_islands(
     )
 
 
+def _dow_hour_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    # pure epoch arithmetic (1970-01-01 was a Thursday -> +4), no tz lookups
+    key = ((ts // 86400 + 4) % 7) * 24 + (ts % 86400) // 3600
+    g = (
+        pd.DataFrame({"k": key, "s": s})
+        .groupby("k", sort=True)
+        .agg(n=("s", "size"), tot=("s", "sum"))
+        .reset_index()
+    )
+    n = g["n"].to_numpy(np.int64)
+    tot = g["tot"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "source": np.full(len(g), source, dtype=object),
+            "dow": (g["k"] // 24).to_numpy(np.int64),
+            "hour": (g["k"] % 24).to_numpy(np.int64),
+            "n_minutes": n,
+            "sum_tok": tot,
+            "mean_tok": _round6_half_up(tot.astype(np.float64) / n),
+        }
+    )
+
+
+def dow_hour_profile(
+    input_path,
+    *,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Weekly seasonality matrix: per (source, day-of-week, hour-of-day)
+    observed-minute count, exact token sum, and round6 mean — the calendar
+    heatmap capacity planners read (``hourly_profile`` collapses days;
+    this keeps the weekday axis). Epoch arithmetic only; one exchange."""
+    return _run_per_source(
+        input_path,
+        _dow_hour_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def source_rank_shift(input_path, *, check_tokens: bool = False) -> pd.DataFrame:
+    """Two-period league table: rank every source by total tokens in the
+    early half vs the late half of the global time range (midpoint of
+    [min, max] bucket) and report the rank shift — the churn view of
+    corpus composition drift (``psi_drift`` gives the distributional view).
+
+    Physical plan: pass 1 reads ONLY the ``doc_id`` column for global
+    minute bounds (tiny per-block min/max partials); pass 2 is the
+    standard partial-aggregate prologue + a half tag + one bounded
+    grouped_sum exchange. The final pivot/rank runs on one row per
+    (source, half) — bounded by source cardinality, the same
+    driver-side budget as the other per-source reports."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from datafiller_ray.pipelines.rollup import partial_aggregates
+    from datafiller_ray.stages.exchange import grouped_sum
+    from datafiller_ray.stages.validate import extract_epoch_minute
+
+    ids = ray.data.read_parquet(input_path, columns=["doc_id"])
+
+    def bounds(t: pa.Table) -> pa.Table:
+        m = extract_epoch_minute(t["doc_id"])
+        return pa.table(
+            {"mn": [pc.min(m).as_py()], "mx": [pc.max(m).as_py()]}
+        )
+
+    b = ids.map_batches(bounds, batch_format="pyarrow").to_pandas()
+    mid = (int(b["mn"].min()) * 60 + int(b["mx"].max()) * 60) // 2
+
+    partials = partial_aggregates(input_path, check_tokens=check_tokens)
+
+    def tag(t: pa.Table) -> pa.Table:
+        half = pc.if_else(
+            pc.less_equal(t["bucket_ts"], pa.scalar(mid, pa.int64())),
+            pa.scalar(0, pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        return pa.table({"source": t["source"], "half": half, "sum": t["sum"]})
+
+    sums = grouped_sum(
+        partials.map_batches(tag, batch_format="pyarrow"), ["source", "half"], "sum"
+    ).to_pandas()  # bounded: <= 2 rows per source
+
+    pv = (
+        sums.pivot_table(
+            index="source", columns="half", values="sum", aggfunc="sum", fill_value=0
+        )
+        .reindex(columns=[0, 1], fill_value=0)
+        .reset_index()
+    )
+    src = pv["source"].to_numpy(dtype=object)
+    te = pv[0].to_numpy(np.int64)
+    tl = pv[1].to_numpy(np.int64)
+
+    def row_number(tok: np.ndarray) -> np.ndarray:
+        order = np.lexsort((src, -tok))  # tok DESC, source ASC
+        rnk = np.empty(tok.size, np.int64)
+        rnk[order] = np.arange(1, tok.size + 1)
+        return rnk
+
+    re_, rl = row_number(te), row_number(tl)
+    return pd.DataFrame(
+        {
+            "source": src,
+            "tok_early": te,
+            "tok_late": tl,
+            "rank_early": re_,
+            "rank_late": rl,
+            "rank_shift": re_ - rl,
+        }
+    )
+
+
+def cross_section_quantiles(
+    input_path,
+    *,
+    step: int = 3600,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+    n_buckets: int = 64,
+):
+    """Cross-SECTIONAL quantiles: per ``step``-second bucket, the p10/p50/p90
+    of the per-source token sums across all sources active that bucket —
+    the fleet-wide dispersion band per time slice, the transpose of every
+    other window op's per-source axis. Two bounded exchanges: the standard
+    per-source shuffle (exact per-source step-sums, tiny output), then a
+    TIME-keyed coarse exchange (``hash(bucket_ts) % n_buckets``) so each
+    bucket's cross-section lands in one task. quantile_cont interpolation
+    (shared ``_interp_quantile``), round6-pinned outputs."""
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import _hash_column
+
+    if step < 60 or step % 60:
+        raise EngineValueError(f"step must be a positive multiple of 60, got {step}")
+
+    def step_sums(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+        ts = obs["bucket_ts"].to_numpy(np.int64)
+        s = obs["sum"].to_numpy(np.int64)
+        b = ts - ts % step
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], b.size]
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+        return pd.DataFrame({"bucket_ts": b[starts], "tok": cs[ends] - cs[starts]})
+
+    tier = _run_per_source(
+        input_path, step_sums, check_tokens=check_tokens, shuffle=shuffle
+    )
+
+    def add_gk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_gk"] = (
+            _hash_column(df["bucket_ts"]) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return df
+
+    def q_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket_ts", "tok"], kind="mergesort")
+        b = g["bucket_ts"].to_numpy(np.int64)
+        v = g["tok"].to_numpy(np.int64).astype(np.float64)
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], b.size]
+        rows = []
+        for s0, e0 in zip(starts, ends):  # bounded: buckets per coarse group
+            xs = v[s0:e0]
+            rows.append(
+                (
+                    b[s0],
+                    e0 - s0,
+                    _interp_quantile(xs, 0.1),
+                    _interp_quantile(xs, 0.5),
+                    _interp_quantile(xs, 0.9),
+                )
+            )
+        out = pd.DataFrame(
+            rows, columns=["bucket_ts", "n_sources", "p10_tok", "p50_tok", "p90_tok"]
+        )
+        out["bucket_ts"] = out["bucket_ts"].astype(np.int64)
+        out["n_sources"] = out["n_sources"].astype(np.int64)
+        for c in ("p10_tok", "p50_tok", "p90_tok"):
+            out[c] = _round6_half_up(out[c].to_numpy(np.float64))
+        return out
+
+    return (
+        tier.map_batches(add_gk, batch_format="pandas")
+        .groupby("_gk")
+        .map_groups(q_group, batch_format="pandas")
+    )
+
+
 def seasonal_naive_mase(
     input_path,
     *,

@@ -107,3 +107,59 @@ def topk_block_fn(k: int, rank_col: str, tie_cols: "list[str]"):
         return t.take(pa.array(np.sort(order), type=pa.int64()))
 
     return fn
+
+
+def grouped_topk(
+    ds,
+    group: "str | list[str]",
+    rank_col: str,
+    tie_cols: "list[str]",
+    k: int,
+    *,
+    rank_name: str = "rnk",
+    descending: bool = True,
+    n_buckets: int = 64,
+):
+    """Per-group top-k ROWS (payload preserved) by (``rank_col`` DESC —
+    or ASC with ``descending=False`` — then ``tie_cols`` ASC), with a
+    dense 1..k rank column appended — the row-level sibling of
+    :func:`topk_block_fn`'s global prune.
+
+    Physical plan: per-BLOCK prune first (each block keeps at most k rows
+    per group it sees, so the exchange carries O(groups_per_block * k)
+    rows, never the corpus), then the grouped_sum coarse-key exchange and
+    the identical prune per group. Deterministic: ``tie_cols`` must
+    totally order equal-rank rows.
+    """
+    group = [group] if isinstance(group, str) else list(group)
+    if k < 1:
+        raise EngineValueError(f"k must be >= 1, got {k}")
+    if _GK in (*group, rank_col, *tie_cols, rank_name):
+        raise EngineValueError(f"column name {_GK!r} is reserved")
+
+    def prune(df: pd.DataFrame, *, final: bool) -> pd.DataFrame:
+        by = [*group, rank_col, *tie_cols]
+        asc = [True] * len(group) + [not descending] + [True] * len(tie_cols)
+        out = df.sort_values(by, ascending=asc, kind="mergesort")
+        out = out.groupby(group, sort=False, dropna=False).head(k)
+        if final:
+            out = out.reset_index(drop=True)
+            out[rank_name] = out.groupby(group, sort=False, dropna=False).cumcount() + 1
+        return out
+
+    def block_prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = prune(df, final=False).copy()
+        h = _hash_column(df[group[0]])
+        for g in group[1:]:
+            h = splitmix64(h) + _hash_column(df[g])
+        df[_GK] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final_prune(g: pd.DataFrame) -> pd.DataFrame:
+        return prune(g.drop(columns=[_GK]), final=True)
+
+    return (
+        ds.map_batches(block_prune, batch_format="pandas")
+        .groupby(_GK)
+        .map_groups(final_prune, batch_format="pandas")
+    )

@@ -1,5 +1,6 @@
 """Bucketed (explicit hash-shuffle) path must equal the pure-Ray-Data path."""
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
@@ -52,3 +53,54 @@ def test_bucketed_blob_emit(ray_session, small_input, tmp_path):
     ).to_pandas()
     rows = rollup_tiers(small_input, fill=cfg, check_tokens=False).to_pandas()
     assert len(blobs) == rows.groupby(["source", "tier"]).ngroups
+
+
+def test_grouped_topk_matches_brute_force(ray_session):
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_topk
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], 400),
+            "h": rng.integers(0, 3, 400),
+            "v": rng.integers(0, 40, 400),
+            "id": [f"r{i:04d}" for i in range(400)],
+        }
+    )
+    for nparts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = (
+            grouped_topk(ds, ["g", "h"], "v", ["id"], 2, n_buckets=8)
+            .to_pandas()
+            .sort_values(["g", "h", "rnk"])
+            .reset_index(drop=True)
+        )
+        bf = (
+            df.sort_values(["g", "h", "v", "id"], ascending=[True, True, False, True])
+            .groupby(["g", "h"])
+            .head(2)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out[["g", "h", "v", "id"]], bf)
+
+    # ascending variant: first row per group by (v ASC, id ASC)
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = grouped_topk(
+        ds, "g", "v", ["id"], 1, descending=False
+    ).to_pandas()
+    bf = (
+        df.sort_values(["g", "v", "id"]).groupby("g").head(1).sort_values("g")
+    )
+    assert out.sort_values("g")["id"].tolist() == bf["id"].tolist()
+
+
+def test_grouped_topk_guards():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import grouped_topk
+
+    with pytest.raises(EngineValueError):
+        grouped_topk(None, "g", "v", [], 0)
+    with pytest.raises(EngineValueError):
+        grouped_topk(None, "_gk", "v", [], 1)

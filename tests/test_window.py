@@ -1087,3 +1087,74 @@ def test_ohlc_islands_end_to_end(ray_session, small_fixture):
 
     with pytest.raises(EngineValueError):
         ohlc_candles(small_fixture, step=90)
+
+
+def test_dow_hour_one_source_literal():
+    from datafiller_ray.pipelines.window import _dow_hour_one_source
+
+    # 1970-01-01 (Thursday=4) 00:xx and 01:xx, plus 1970-01-02 (Friday=5)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.array([0, 60, 3600, 86400], dtype=np.int64),
+         "sum": np.array([10, 20, 30, 40], dtype=np.int64)}
+    )
+    out = _dow_hour_one_source(obs, "s")
+    assert out["dow"].tolist() == [4, 4, 5]
+    assert out["hour"].tolist() == [0, 1, 0]
+    assert out["n_minutes"].tolist() == [2, 1, 1]
+    assert out["sum_tok"].tolist() == [30, 30, 40]
+    assert out["mean_tok"].tolist() == [15.0, 30.0, 40.0]
+
+
+def test_rank_shift_literal(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.window import source_rank_shift
+
+    # minutes 0..3, mid = (0*60 + 3*60)//2 = 90 -> early = {0, 60}
+    rows = []
+    for src, per_minute in [("a", [10, 10, 1, 1]), ("b", [1, 1, 10, 10]),
+                            ("c", [5, 5, 5, 5])]:
+        for m, v in enumerate(per_minute):
+            rows.append({"doc_id": f"{src}:{m:010d}", "source": src, "n_tok": v})
+    path = tmp_path / "in.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), path)
+    out = source_rank_shift(str(path)).sort_values("source").reset_index(drop=True)
+    assert out["tok_early"].tolist() == [20, 2, 10]
+    assert out["tok_late"].tolist() == [2, 20, 10]
+    assert out["rank_early"].tolist() == [1, 3, 2]
+    assert out["rank_late"].tolist() == [3, 1, 2]
+    assert out["rank_shift"].tolist() == [-2, 2, 0]
+
+
+def test_cross_section_quantiles_literal(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.window import cross_section_quantiles
+
+    # one hour, three sources with hourly sums 10, 20, 30
+    rows = []
+    for i, src in enumerate(["a", "b", "c"]):
+        rows.append(
+            {"doc_id": f"{src}:{0:010d}", "source": src, "n_tok": (i + 1) * 10}
+        )
+    path = tmp_path / "in.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), path)
+    out = cross_section_quantiles(str(path), step=3600).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_sources"] == 3
+    assert r["p50_tok"] == 20.0
+    assert r["p10_tok"] == pytest.approx(12.0)  # 10 + 0.2*(20-10)
+    assert r["p90_tok"] == pytest.approx(28.0)
+
+
+def test_cross_section_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import cross_section_quantiles
+
+    out = cross_section_quantiles(small_fixture, step=3600).to_pandas()
+    assert (out["p10_tok"] <= out["p50_tok"]).all()
+    assert (out["p50_tok"] <= out["p90_tok"]).all()
+    assert out["bucket_ts"].is_unique
+    assert (out["n_sources"] >= 1).all()
