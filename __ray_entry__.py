@@ -1916,6 +1916,84 @@ def _coverage_islands(sf_dir: str):
     return coverage_islands(_fixture(sf_dir))
 
 
+def _upsert_maintain_1m(sf_dir: str):
+    """Operational upsert proof: checkpoint snapshot A (minute%10 != 2),
+    then ONE replace+tombstone update (changed minute%10==1 docs at n_tok+1,
+    added minute%10==2 docs, removed minute%10==0 keys) must leave the
+    committed 1m tier equal to a fresh rollup of snapshot B —
+    pipelines/checkpoint.run_incremental(mode="replace", deletes=...)
+    (manifest-ordered reset semantics; only touched buckets refreshed)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from datafiller_ray.config import FillConfig
+    from datafiller_ray.pipelines.checkpoint import (
+        read_tier_output,
+        run_checkpointed,
+        run_incremental,
+    )
+    from datafiller_ray.stages.validate import extract_epoch_minute
+
+    path = _fixture(sf_dir)
+
+    def project(t: pa.Table, which: str) -> pa.Table:
+        m = np.asarray(extract_epoch_minute(t["doc_id"])) % 10
+        n = np.asarray(pc.cast(t["n_tok"], pa.int64()))
+        if which == "a":
+            keep = m != 2
+            n_out = n[keep]
+        elif which == "upd":  # full new state of changed + added minutes
+            keep = (m == 1) | (m == 2)
+            n_out = n[keep] + (m[keep] == 1)
+        else:  # removed keys
+            keep = m == 0
+            n_out = None
+        tt = t.filter(pa.array(keep))
+        cols = {"doc_id": tt["doc_id"], "source": tt["source"]}
+        if n_out is not None:
+            cols["n_tok"] = pa.array(n_out, pa.int64())
+        return pa.table(cols)
+
+    work = tempfile.mkdtemp(prefix="dfr_upsert_q_")
+    try:
+        for which in ("a", "upd", "dels"):
+            ray.data.read_parquet(
+                path, columns=["doc_id", "source", "n_tok"]
+            ).map_batches(
+                lambda t, w=which: project(t, w), batch_format="pyarrow"
+            ).write_parquet(f"{work}/{which}")
+        out = f"{work}/out"
+        run_checkpointed(
+            f"{work}/a",
+            out,
+            fill=FillConfig(strategy=None),
+            tiers=("1m",),
+            check_tokens=False,
+            n_buckets=4,
+        )
+        run_incremental(
+            out, f"{work}/upd", mode="replace", deletes=f"{work}/dels"
+        )
+        rows = read_tier_output(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    rows = rows.filter(pc.greater(rows["count"], 0))
+    return pa.table(
+        {
+            "source": rows["source"],
+            "bucket_ts": rows["bucket_ts"],
+            "n_obs": rows["count"],
+            "sum_tok": pc.cast(rows["sum"], pa.int64()),
+            "min_tok": pc.cast(rows["min"], pa.int64()),
+            "max_tok": pc.cast(rows["max"], pa.int64()),
+        }
+    )
+
+
 def _source_top_docs(sf_dir: str):
     """Per-source top-3 docs by (n_tok DESC, doc_id ASC) with payload —
     stages/exchange.grouped_topk (per-BLOCK k-prune before the bounded
@@ -2409,6 +2487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_islands": _coverage_islands,
         "snapshot_diff": _snapshot_diff,
         "source_top_docs": _source_top_docs,
+        "upsert_maintain_1m": _upsert_maintain_1m,
         "rank_shift": _rank_shift,
         "cross_section_1h": _cross_section_1h,
         "dow_hour_profile": _dow_hour_profile,
@@ -4897,6 +4976,25 @@ def oracle_sql() -> dict[str, str]:
                    close_ts, close_tok
             FROM w
             GROUP BY source, hb, open_ts, open_tok, close_ts, close_tok
+        """,
+        # the oracle never sees the checkpoint machinery: it just rolls up
+        # snapshot B directly — equality proves the upsert engine
+        "upsert_maintain_1m": f"""
+            WITH base AS (
+              SELECT doc_id, source, n_tok,
+                     CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)
+                     AS minute
+              FROM read_parquet('{p}/*.parquet')),
+            b AS (
+              SELECT source, minute * 60 AS bucket_ts,
+                     CASE WHEN minute % 10 = 1 THEN n_tok + 1
+                          ELSE n_tok END AS n_tok
+              FROM base WHERE minute % 10 != 0)
+            SELECT source, bucket_ts, COUNT(*) AS n_obs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+                   CAST(MAX(n_tok) AS BIGINT) AS max_tok
+            FROM b GROUP BY 1, 2
         """,
         "source_top_docs": f"""
             SELECT source, doc_id, n_tok, rnk FROM (

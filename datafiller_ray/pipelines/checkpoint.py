@@ -323,19 +323,37 @@ def run_checkpointed(
 
 def run_incremental(
     out_dir: str,
-    new_input: str,
+    new_input: "str | None",
     *,
     fill: FillConfig | None = None,
+    mode: str = "add",
+    deletes=None,
 ) -> dict:
     """Continuous-aggregate update: fold NEW input into a completed
     checkpointed output, recomputing only the buckets the new data touches.
 
-    The staged new partials are additive (count/sum/min/max combine), so a
-    bucket's tiers are rebuilt from base partials + every committed update —
-    making the operation idempotent: the update id is the order-independent
-    checksum of the staged rows, a re-submitted identical update is a no-op,
-    and a crash between staging and finalize is repaired by re-running (the
-    stage is committed before any tier is touched).
+    Three update shapes, all manifest-committed and idempotent by the
+    order-independent checksum of the staged rows (a re-submitted identical
+    update is a no-op; a crash between staging and finalize is repaired by
+    re-running — the stage is committed before any tier is touched):
+
+    - ``mode="add"`` (default): append-style ingest. Staged partials are
+      ADDITIVE (count/sum/min/max combine), so recompute order between
+      updates is irrelevant.
+    - ``mode="replace"``: upsert. For every (source, minute) key present in
+      ``new_input``, the staged partials REPLACE all earlier partials for
+      that key (base and prior updates alike). Replace granularity is the
+      partial key — the update input must carry the FULL new content of
+      every minute it touches. Later additive updates still add on top.
+    - ``deletes=<path | Dataset>`` (composable with either mode, or alone
+      with ``new_input=None``): a table with ``doc_id``/``source`` columns
+      whose (source, minute) keys are TOMBSTONED — all earlier partials for
+      those keys are suppressed; the minutes become gaps.
+
+    Replace/tombstone updates are ORDERED by manifest commit sequence (the
+    reset applies to strictly earlier rows); additive updates commute, so
+    existing add-only outputs are unaffected — their update ids and
+    recompute results are bit-identical to the pre-upsert engine.
 
     Incremental cost is O(new data) for the heavy pass plus O(touched
     buckets) for finalize — untouched buckets are never read.
@@ -343,6 +361,15 @@ def run_incremental(
     import glob
 
     import pandas as pd
+    import pyarrow.compute as pc
+
+    from datafiller_ray.functions.hashing import string_hash64
+    from datafiller_ray.stages.validate import extract_epoch_minute
+
+    if mode not in ("add", "replace"):
+        raise ValueError(f"mode must be 'add' or 'replace', got {mode!r}")
+    if new_input is None and deletes is None:
+        raise ValueError("need new_input, deletes, or both")
 
     records = lineage.read_manifest(out_dir)
     base = [r for r in records if r.kind == "partials"]
@@ -375,17 +402,60 @@ def run_incremental(
         if check_tokens
         else ["doc_id", "n_tok", "source"]
     )
-    ds = ray.data.read_parquet(new_input, columns=cols)
-    partials = ds.map_batches(
-        make_partial_agg_fn(check_tokens=check_tokens),
-        batch_format="pyarrow",
-        batch_size=None,
-        zero_copy_batch=True,
-    ).map_batches(_add_bucket(n_buckets), batch_format="pyarrow")
+    op_val = 0 if mode == "add" else 1
+
+    def add_op(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "op", pa.array(np.full(t.num_rows, op_val, np.int8), pa.int8())
+        )
+
+    def tombstones(t: pa.Table) -> pa.Table:
+        minute = extract_epoch_minute(t["doc_id"])
+        bucket_ts = pc.multiply(minute, pa.scalar(60, pa.int64()))
+        src = np.asarray(t["source"].to_pandas(), dtype="U")
+        skey = string_hash64(src).view(np.int64)
+        zeros = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table(
+            {
+                "source": t["source"],
+                "skey": pa.array(skey, pa.int64()),
+                "bucket_ts": bucket_ts,
+                "count": zeros,
+                "sum": zeros,
+                "min": zeros,
+                "max": zeros,
+                "op": pa.array(np.full(t.num_rows, 2, np.int8), pa.int8()),
+            }
+        )
+
+    staged = []
+    if new_input is not None:
+        ds = ray.data.read_parquet(new_input, columns=cols)
+        staged.append(
+            ds.map_batches(
+                make_partial_agg_fn(check_tokens=check_tokens),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            ).map_batches(add_op, batch_format="pyarrow")
+        )
+    if deletes is not None:
+        dds = (
+            deletes
+            if isinstance(deletes, ray.data.Dataset)
+            else ray.data.read_parquet(deletes, columns=["doc_id", "source"])
+        )
+        staged.append(dds.map_batches(tombstones, batch_format="pyarrow"))
+    partials = staged[0] if len(staged) == 1 else staged[0].union(*staged[1:])
+    partials = partials.map_batches(_add_bucket(n_buckets), batch_format="pyarrow")
     partials.write_parquet(tmp, partition_cols=["bucket"])
     audit = pds.dataset(tmp, partitioning="hive").to_table(
-        columns=["source", "bucket_ts", "count", "sum"]
+        columns=["source", "bucket_ts", "count", "sum", "op"]
     )
+    if pc.max(audit["op"]).as_py() == 0:
+        # pure-add updates hash exactly as the pre-upsert engine did, so
+        # previously committed update ids stay recognized (idempotency)
+        audit = audit.drop_columns(["op"])
     update_id = lineage.rows_checksum(
         {c: audit[c].to_numpy(zero_copy_only=False) for c in audit.column_names}
     )
@@ -406,8 +476,12 @@ def run_incremental(
                 row_count=audit.num_rows,
                 checksum=update_id,
                 output_path=update_dir,
-                input_fragments=[str(new_input)],
-                extra={"update_id": update_id},
+                input_fragments=[
+                    str(x)
+                    for x in (new_input, deletes)
+                    if x is not None and isinstance(x, str)
+                ],
+                extra={"update_id": update_id, "mode": mode},
             ),
         )
         records = lineage.read_manifest(out_dir)
@@ -448,6 +522,18 @@ def run_incremental(
     all_update_dirs = sorted(
         p for p in glob.glob(os.path.join(updates_root, "*")) if not p.endswith(".tmp")
     )
+    # replace/tombstone resets apply to strictly-earlier rows, so updates
+    # need a total order: manifest commit sequence, then (for staged-but-
+    # uncommitted dirs a crashed run left behind) name order after it —
+    # deterministic, and identical to what re-submitting them would yield.
+    seq_of: dict = {}
+    for r in records:
+        if r.kind == "update-partials" and r.extra.get("update_id") not in seq_of:
+            seq_of[r.extra.get("update_id")] = len(seq_of) + 1
+    for uid in sorted(
+        {os.path.basename(p) for p in all_update_dirs} - set(seq_of)
+    ):
+        seq_of[uid] = len(seq_of) + 1
     fill_fn = make_fill_group_fn(cfg, tiers=tiers)
 
     def refresh_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
@@ -458,9 +544,15 @@ def run_incremental(
             b = int(b)
             t0 = time.perf_counter()
             inputs = [
-                d
-                for d in [os.path.join(partials_dir, f"bucket={b}")]
-                + [os.path.join(u, f"bucket={b}") for u in all_update_dirs]
+                (d, seq)
+                for d, seq in [(os.path.join(partials_dir, f"bucket={b}"), 0)]
+                + [
+                    (
+                        os.path.join(u, f"bucket={b}"),
+                        seq_of[os.path.basename(u)],
+                    )
+                    for u in all_update_dirs
+                ]
                 if os.path.isdir(d)
             ]
             # sources touched by ANY committed update are recomputed (and,
@@ -478,8 +570,36 @@ def run_incremental(
                         pds.dataset(ub).to_table(columns=["source"])["source"]
                         .to_pylist()
                     )
-            tables = [pds.dataset(d).to_table() for d in inputs]
+            tables = []
+            for d, seq in inputs:
+                t = pds.dataset(d).to_table()
+                if "op" not in t.column_names:  # base + pre-upsert updates
+                    t = t.append_column(
+                        "op", pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
+                    )
+                tables.append(
+                    t.append_column(
+                        "seq",
+                        pa.array(np.full(t.num_rows, seq, np.int64), pa.int64()),
+                    )
+                )
             df = pa.concat_tables(tables).to_pandas()
+            if (df["op"] != 0).any():
+                # upsert/tombstone reset: for each (source, minute) key the
+                # LATEST op>=1 row's seq wins — strictly earlier rows (base,
+                # prior adds, prior replaces) are dropped; tombstone rows
+                # carry no data themselves, leaving the minute a gap
+                resets = (
+                    df.loc[df["op"] >= 1]
+                    .groupby(["source", "bucket_ts"], sort=False)["seq"]
+                    .max()
+                    .rename("_reset_seq")
+                    .reset_index()
+                )
+                df = df.merge(resets, on=["source", "bucket_ts"], how="left")
+                keep = df["_reset_seq"].isna() | (df["seq"] >= df["_reset_seq"])
+                df = df.loc[keep & (df["op"] != 2)].drop(columns=["_reset_seq"])
+            df = df.drop(columns=["op", "seq"])
             out_bucket = os.path.join(tiers_dir, f"bucket={b}")
             keep = None
             if os.path.isdir(out_bucket):
@@ -494,7 +614,15 @@ def run_incremental(
             # rename below on a previous run) falls back to recomputing
             # every source from base + updates — never a partial publish
             parts = [fill_fn(sub) for _, sub in df.groupby("skey", sort=True)]
-            tier_rows = pd.concat(parts, ignore_index=True)
+            if parts:
+                tier_rows = pd.concat(parts, ignore_index=True)
+            elif keep is not None:  # every touched source fully tombstoned
+                tier_rows = keep.iloc[0:0].copy()
+            else:
+                raise ValueError(
+                    f"bucket {b}: no partial rows survive the update and no "
+                    "published rows exist to splice — nothing to publish"
+                )
             tmp_b = f"{out_bucket}.tmp-{os.getpid()}"
             shutil.rmtree(tmp_b, ignore_errors=True)
             os.makedirs(tmp_b, exist_ok=True)

@@ -304,3 +304,125 @@ def test_compaction_then_incremental_update(ray_session, split_inputs, tmp_path)
         _norm(read_tier_output(a).to_pandas()),
         _norm(read_tier_output(b).to_pandas()),
     )
+
+
+@pytest.fixture(scope="module")
+def upsert_inputs(tmp_path_factory):
+    """A -> B via changed (n_tok+5 at minute%7==3), removed (minute%7==5)
+    and the matching replace/tombstone update tables."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("upsert")
+    full = generate_input_table(4000, 5, seed=31, with_tokens=False)
+    df = full.to_pandas()
+    minute = df["doc_id"].str[-10:].astype(np.int64)
+    changed = (minute % 7 == 3).to_numpy()
+    removed = (minute % 7 == 5).to_numpy()
+    assert changed.any() and removed.any()
+
+    b = df.copy()
+    b.loc[changed, "n_tok"] = b.loc[changed, "n_tok"] + 5
+    b = b[~removed]
+
+    changed_rows = df[changed].copy()
+    changed_rows["n_tok"] = changed_rows["n_tok"] + 5
+    removed_keys = df.loc[removed, ["doc_id", "source"]]
+
+    paths = {}
+    for name, frame in [
+        ("a", df), ("b", b), ("changed", changed_rows), ("removed", removed_keys)
+    ]:
+        p = d / f"{name}.parquet"
+        pq.write_table(pa.Table.from_pandas(frame, preserve_index=False), p)
+        paths[name] = str(p)
+    return paths
+
+
+def test_upsert_and_delete_equals_fresh_run(ray_session, upsert_inputs, tmp_path):
+    p = upsert_inputs
+    out = str(tmp_path / "out")
+    run_checkpointed(p["a"], out, fill=CFG, n_buckets=5, check_tokens=False)
+    summary = run_incremental(
+        out, p["changed"], mode="replace", deletes=p["removed"]
+    )
+    assert summary["refreshed_buckets"] > 0
+
+    got = _norm(read_tier_output(out).to_pandas())
+    want = _norm(rollup_tiers(p["b"], fill=CFG, check_tokens=False).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
+
+    # idempotent: the same replace update re-submitted is a no-op
+    summary2 = run_incremental(
+        out, p["changed"], mode="replace", deletes=p["removed"]
+    )
+    assert summary2["update_id"] == summary["update_id"]
+    assert summary2["refreshed_buckets"] == 0
+    pd.testing.assert_frame_equal(_norm(read_tier_output(out).to_pandas()), want)
+
+
+def test_delete_only_update(ray_session, upsert_inputs, tmp_path):
+    p = upsert_inputs
+    out = str(tmp_path / "out")
+    run_checkpointed(p["a"], out, fill=CFG, n_buckets=5, check_tokens=False)
+    run_incremental(out, None, deletes=p["removed"])
+
+    got = _norm(read_tier_output(out).to_pandas())
+    a = pq.read_table(p["a"]).to_pandas()
+    minute = a["doc_id"].str[-10:].astype(np.int64)
+    a_minus = a[~(minute % 7 == 5).to_numpy()]
+    import pyarrow as pa
+
+    want = _norm(
+        rollup_tiers(
+            pa.Table.from_pandas(a_minus, preserve_index=False),
+            fill=CFG,
+            check_tokens=False,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_add_after_replace_adds_on_top(ray_session, tmp_path):
+    """Ordering: replace resets a minute, a LATER additive update stacks on
+    the replaced value (never on the pre-replace one)."""
+    import pyarrow as pa
+
+    def table(rows):
+        return pa.Table.from_pylist(rows)
+
+    def write(path, rows):
+        pq.write_table(table(rows), path)
+        return str(path)
+
+    base = write(
+        tmp_path / "base.parquet",
+        [{"doc_id": f"s:{m:010d}", "source": "s", "n_tok": 100} for m in range(4)],
+    )
+    repl = write(
+        tmp_path / "repl.parquet",
+        [{"doc_id": "s:0000000001", "source": "s", "n_tok": 7}],
+    )
+    add = write(
+        tmp_path / "add.parquet",
+        [{"doc_id": "s:0000000001", "source": "s", "n_tok": 3}],
+    )
+    out = str(tmp_path / "out")
+    cfg = FillConfig(strategy=None)
+    run_checkpointed(base, out, fill=cfg, n_buckets=2, check_tokens=False)
+    run_incremental(out, repl, mode="replace")
+    run_incremental(out, add)  # additive on top of the replaced minute
+
+    rows = read_tier_output(out).to_pandas()
+    m1 = rows[(rows["tier"] == "1m") & (rows["bucket_ts"] == 60)]
+    assert m1["sum"].tolist() == [10]  # 7 (replace wins over 100) + 3 (add)
+    assert m1["count"].tolist() == [2]
+
+
+def test_run_incremental_arg_guards(ray_session, upsert_inputs, tmp_path):
+    p = upsert_inputs
+    out = str(tmp_path / "out")
+    run_checkpointed(p["a"], out, fill=CFG, n_buckets=3, check_tokens=False)
+    with pytest.raises(ValueError):
+        run_incremental(out, None)
+    with pytest.raises(ValueError):
+        run_incremental(out, p["changed"], mode="bogus")
