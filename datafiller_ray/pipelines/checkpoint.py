@@ -321,6 +321,57 @@ def run_checkpointed(
     }
 
 
+def _fold_partial_inputs(inputs) -> "pd.DataFrame":
+    """Load per-bucket partial rows from ``[(dir, seq), ...]`` and apply the
+    upsert/tombstone reset: for each (source, minute) key the LATEST op>=1
+    row's seq wins — strictly earlier rows (base, prior adds, prior
+    replaces) are dropped; tombstone rows carry no data themselves, leaving
+    the minute a gap. Shared by the incremental refresh and the update-log
+    compaction so both fold identically."""
+    import pandas as pd
+
+    tables = []
+    for d, seq in inputs:
+        t = pds.dataset(d).to_table()
+        if "op" not in t.column_names:  # base + pre-upsert updates
+            t = t.append_column(
+                "op", pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
+            )
+        tables.append(
+            t.append_column(
+                "seq", pa.array(np.full(t.num_rows, seq, np.int64), pa.int64())
+            )
+        )
+    df = pa.concat_tables(tables).to_pandas()
+    if (df["op"] != 0).any():
+        resets = (
+            df.loc[df["op"] >= 1]
+            .groupby(["source", "bucket_ts"], sort=False)["seq"]
+            .max()
+            .rename("_reset_seq")
+            .reset_index()
+        )
+        df = df.merge(resets, on=["source", "bucket_ts"], how="left")
+        keep = df["_reset_seq"].isna() | (df["seq"] >= df["_reset_seq"])
+        df = df.loc[keep & (df["op"] != 2)].drop(columns=["_reset_seq"])
+    return df.drop(columns=["op", "seq"])
+
+
+def _resolve_partials(out_dir: str, records) -> "tuple[str, set]":
+    """Current base-partials dir + the update ids already folded into it.
+
+    ``partials-compact`` records move the base forward epoch by epoch; the
+    manifest is the source of truth, so a compaction crash before its
+    record append leaves an orphaned epoch dir that is simply ignored."""
+    base = os.path.join(out_dir, "partials")
+    folded: set = set()
+    for r in records:
+        if r.kind == "partials-compact":
+            base = r.output_path
+            folded.update(r.extra.get("folded", []))
+    return base, folded
+
+
 def run_incremental(
     out_dir: str,
     new_input: "str | None",
@@ -389,7 +440,7 @@ def run_incremental(
             f"({meta.get('fill')})"
         )
 
-    partials_dir = os.path.join(out_dir, "partials")
+    partials_dir, folded_ids = _resolve_partials(out_dir, records)
     updates_root = os.path.join(out_dir, "partials_updates")
     tiers_dir = os.path.join(out_dir, "tiers")
     os.makedirs(updates_root, exist_ok=True)
@@ -511,6 +562,8 @@ def run_incremental(
         if r.kind != "update-partials":
             continue
         uid = r.extra.get("update_id")
+        if uid in folded_ids:  # already folded into the compacted base
+            continue
         u_touched = {
             int(os.path.basename(p).split("=", 1)[1])
             for p in glob.glob(os.path.join(r.output_path, "bucket=*"))
@@ -520,7 +573,9 @@ def run_incremental(
     todo = sorted(stale_updates)
 
     all_update_dirs = sorted(
-        p for p in glob.glob(os.path.join(updates_root, "*")) if not p.endswith(".tmp")
+        p
+        for p in glob.glob(os.path.join(updates_root, "*"))
+        if not p.endswith(".tmp") and os.path.basename(p) not in folded_ids
     )
     # replace/tombstone resets apply to strictly-earlier rows, so updates
     # need a total order: manifest commit sequence, then (for staged-but-
@@ -570,36 +625,7 @@ def run_incremental(
                         pds.dataset(ub).to_table(columns=["source"])["source"]
                         .to_pylist()
                     )
-            tables = []
-            for d, seq in inputs:
-                t = pds.dataset(d).to_table()
-                if "op" not in t.column_names:  # base + pre-upsert updates
-                    t = t.append_column(
-                        "op", pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
-                    )
-                tables.append(
-                    t.append_column(
-                        "seq",
-                        pa.array(np.full(t.num_rows, seq, np.int64), pa.int64()),
-                    )
-                )
-            df = pa.concat_tables(tables).to_pandas()
-            if (df["op"] != 0).any():
-                # upsert/tombstone reset: for each (source, minute) key the
-                # LATEST op>=1 row's seq wins — strictly earlier rows (base,
-                # prior adds, prior replaces) are dropped; tombstone rows
-                # carry no data themselves, leaving the minute a gap
-                resets = (
-                    df.loc[df["op"] >= 1]
-                    .groupby(["source", "bucket_ts"], sort=False)["seq"]
-                    .max()
-                    .rename("_reset_seq")
-                    .reset_index()
-                )
-                df = df.merge(resets, on=["source", "bucket_ts"], how="left")
-                keep = df["_reset_seq"].isna() | (df["seq"] >= df["_reset_seq"])
-                df = df.loc[keep & (df["op"] != 2)].drop(columns=["_reset_seq"])
-            df = df.drop(columns=["op", "seq"])
+            df = _fold_partial_inputs(inputs)
             out_bucket = os.path.join(tiers_dir, f"bucket={b}")
             keep = None
             if os.path.isdir(out_bucket):
@@ -666,6 +692,136 @@ def run_incremental(
         "touched_buckets": touched,
         "refreshed_buckets": refreshed,
         "skipped_buckets": sorted(done),
+    }
+
+
+def compact_updates(out_dir: str) -> dict:
+    """Fold every COMMITTED update (add / replace / tombstone) into a new
+    base-partials epoch, so the update log stays bounded no matter how many
+    increments a long-lived output accumulates (each refresh reads base +
+    all live updates; compaction resets that to one dir).
+
+    Protocol (manifest = source of truth, crash-safe at every step):
+
+    1. fold each bucket's base + committed-update partials with the exact
+       refresh semantics (:func:`_fold_partial_inputs`) and aggregate to
+       one row per (source, minute) — written to ``partials_epoch_N.tmp``;
+    2. atomic ``os.replace`` to ``partials_epoch_N``;
+    3. append a ``partials-compact`` lineage record naming the folded
+       update ids (the commit point — a crash before this leaves an
+       orphaned epoch dir that every reader ignores);
+    4. GC the folded update dirs (safe any time after step 3; a crash
+       between 3 and 4 just leaves dirs that are no longer read).
+
+    Published tiers are untouched: compaction changes the partials
+    REPRESENTATION only, pinned by the equality tests. Uncommitted staged
+    dirs (a crashed ``run_incremental``) are left alone. Re-submitting a
+    folded update remains a no-op (its id stays in the manifest)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    records = lineage.read_manifest(out_dir)
+    if not any(r.kind == "partials" for r in records):
+        raise ValueError(f"{out_dir} has no completed checkpointed run")
+    base_dir, folded = _resolve_partials(out_dir, records)
+    updates_root = os.path.join(out_dir, "partials_updates")
+
+    live: list[str] = []  # committed, not yet folded, in commit order
+    seen = set()
+    for r in records:
+        if r.kind != "update-partials":
+            continue
+        uid = r.extra.get("update_id")
+        if uid in folded or uid in seen:
+            continue
+        seen.add(uid)
+        if os.path.isdir(os.path.join(updates_root, uid)):
+            live.append(uid)
+    if not live:
+        return {"folded_updates": 0, "epoch_dir": base_dir}
+
+    n_epochs = sum(1 for r in records if r.kind == "partials-compact")
+    epoch_dir = os.path.join(out_dir, f"partials_epoch_{n_epochs + 1}")
+    tmp_root = epoch_dir + ".tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    os.makedirs(tmp_root, exist_ok=True)
+
+    buckets = sorted(
+        {
+            int(os.path.basename(p).split("=", 1)[1])
+            for root in [base_dir] + [os.path.join(updates_root, u) for u in live]
+            for p in glob.glob(os.path.join(root, "bucket=*"))
+        }
+    )
+
+    def fold_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for b in batch["item"]:
+            b = int(b)
+            inputs = [
+                (d, seq)
+                for d, seq in [(os.path.join(base_dir, f"bucket={b}"), 0)]
+                + [
+                    (os.path.join(updates_root, u, f"bucket={b}"), i + 1)
+                    for i, u in enumerate(live)
+                ]
+                if os.path.isdir(d)
+            ]
+            df = _fold_partial_inputs(inputs)
+            agg = (
+                df.groupby(["source", "skey", "bucket_ts"], sort=True, as_index=False)
+                .agg(
+                    count=("count", "sum"),
+                    sum=("sum", "sum"),
+                    min=("min", "min"),
+                    max=("max", "max"),
+                )
+            )
+            agg = agg[agg["count"] > 0]
+            bdir = os.path.join(tmp_root, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            table = pa.Table.from_pandas(agg, preserve_index=False).cast(
+                pa.schema(
+                    [
+                        ("source", pa.string()),
+                        ("skey", pa.int64()),
+                        ("bucket_ts", pa.int64()),
+                        ("count", pa.int64()),
+                        ("sum", pa.int64()),
+                        ("min", pa.int64()),
+                        ("max", pa.int64()),
+                    ]
+                )
+            )
+            pq.write_table(table, os.path.join(bdir, "part-0.parquet"))
+            rows.append((b, len(agg)))
+        return pd.DataFrame(rows, columns=["bucket", "row_count"])
+
+    results = (
+        ray.data.from_items(buckets)
+        .map_batches(fold_bucket, batch_size=1, batch_format="pandas")
+        .to_pandas()
+    )
+    os.replace(tmp_root, epoch_dir)
+    lineage.append_record(
+        out_dir,
+        lineage.LineageRecord(
+            kind="partials-compact",
+            partition_id=-1,
+            row_count=int(results["row_count"].sum()),
+            checksum="",
+            output_path=epoch_dir,
+            extra={"epoch": n_epochs + 1, "folded": sorted(folded | set(live))},
+        ),
+    )
+    for u in live:  # GC after the commit point
+        shutil.rmtree(os.path.join(updates_root, u), ignore_errors=True)
+    return {
+        "folded_updates": len(live),
+        "epoch_dir": epoch_dir,
+        "buckets": len(buckets),
     }
 
 

@@ -426,3 +426,64 @@ def test_run_incremental_arg_guards(ray_session, upsert_inputs, tmp_path):
         run_incremental(out, None)
     with pytest.raises(ValueError):
         run_incremental(out, p["changed"], mode="bogus")
+
+
+def test_compact_updates_then_incremental(ray_session, upsert_inputs, tmp_path):
+    """Update-log compaction: folding committed updates into a new base
+    epoch leaves tiers untouched, later increments read the compacted base,
+    and a re-submitted folded update stays a no-op."""
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.checkpoint import compact_updates
+
+    p = upsert_inputs
+    out = str(tmp_path / "out")
+    run_checkpointed(p["a"], out, fill=CFG, n_buckets=5, check_tokens=False)
+    s1 = run_incremental(out, p["changed"], mode="replace", deletes=p["removed"])
+    before = _norm(read_tier_output(out).to_pandas())
+
+    summary = compact_updates(out)
+    assert summary["folded_updates"] == 1
+    pd.testing.assert_frame_equal(_norm(read_tier_output(out).to_pandas()), before)
+    # folded dir GC'd, compacted epoch present
+    import glob
+    import os
+
+    assert not glob.glob(os.path.join(out, "partials_updates", s1["update_id"]))
+    assert os.path.isdir(summary["epoch_dir"])
+
+    # idempotent: nothing live to fold
+    assert compact_updates(out)["folded_updates"] == 0
+    # re-submitting the folded update is still a no-op
+    s1b = run_incremental(out, p["changed"], mode="replace", deletes=p["removed"])
+    assert s1b["update_id"] == s1["update_id"]
+    assert s1b["refreshed_buckets"] == 0
+    pd.testing.assert_frame_equal(_norm(read_tier_output(out).to_pandas()), before)
+
+    # a LATER additive update reads the compacted base: result must equal a
+    # fresh rollup of (B + late docs)
+    b = pq.read_table(p["b"]).to_pandas()
+    minute = b["doc_id"].str[-10:].astype(np.int64)
+    src = b["source"].iloc[0]
+    mmax = int(minute[b["source"] == src].max())
+    late = pd.DataFrame(
+        {
+            "doc_id": [f"{src}:{mmax + 1 + i:010d}" for i in range(20)],
+            "source": src,
+            "n_tok": np.arange(20, dtype=np.int64) + 3,
+        }
+    )
+    late_path = str(tmp_path / "late.parquet")
+    pq.write_table(pa.Table.from_pandas(late, preserve_index=False), late_path)
+    run_incremental(out, late_path)
+
+    got = _norm(read_tier_output(out).to_pandas())
+    full_b = pd.concat([b[["doc_id", "source", "n_tok"]], late], ignore_index=True)
+    want = _norm(
+        rollup_tiers(
+            pa.Table.from_pandas(full_b, preserve_index=False),
+            fill=CFG,
+            check_tokens=False,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
