@@ -38,6 +38,15 @@ def main() -> int:
     ap.add_argument("--update", metavar="NEW_INPUT", default=None,
                     help="fold NEW parquet into a completed --out "
                          "(incremental: only touched buckets recompute)")
+    ap.add_argument("--update-mode", choices=["add", "replace"], default="add",
+                    help="add: additive ingest (default); replace: upsert — "
+                         "the update replaces every (source, minute) it touches")
+    ap.add_argument("--deletes", metavar="KEYS_PARQUET", default=None,
+                    help="parquet of doc_id/source keys to tombstone "
+                         "(composable with --update, or alone)")
+    ap.add_argument("--compact-updates", action="store_true",
+                    help="after the run, fold committed updates into a new "
+                         "base-partials epoch (checkpoint.compact_updates)")
     ap.add_argument("--retain-after", type=int, default=None,
                     help="keep buckets with ts >= this epoch second (all tiers)")
     ap.add_argument("--compact-target", type=int, default=None, metavar="BYTES",
@@ -47,8 +56,10 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
-    if args.input is None and args.update is None:
-        ap.error("--input is required unless --update is given")
+    if args.input is None and args.update is None and args.deletes is None \
+            and not args.compact_updates:
+        ap.error("--input is required unless --update/--deletes/"
+                 "--compact-updates is given")
 
     import ray
 
@@ -79,10 +90,18 @@ def main() -> int:
         else None
     )
     t0 = time.perf_counter()
-    if args.update is not None:
+    if args.update is not None or args.deletes is not None:
         from datafiller_ray.pipelines.checkpoint import run_incremental
 
-        summary = run_incremental(args.out, args.update, fill=cfg)
+        summary = run_incremental(
+            args.out,
+            args.update,
+            fill=cfg,
+            mode=args.update_mode,
+            deletes=args.deletes,
+        )
+    elif args.compact_updates and args.input is None:
+        summary = {}
     else:
         summary = run_checkpointed(
             args.input,
@@ -95,6 +114,10 @@ def main() -> int:
             n_subbuckets=args.subbuckets,
             emit=args.emit,
         )
+    if args.compact_updates:
+        from datafiller_ray.pipelines.checkpoint import compact_updates
+
+        summary["update_compaction"] = compact_updates(args.out)
     if args.compact_target is not None:
         from datafiller_ray.pipelines.retention import compact_small_files
 
