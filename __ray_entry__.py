@@ -1916,6 +1916,16 @@ def _coverage_islands(sf_dir: str):
     return coverage_islands(_fixture(sf_dir))
 
 
+def _vocab_growth(sf_dir: str):
+    """Per-source vocabulary growth curve: first-occurrence token counts
+    per hour + running vocab size — pipelines/corpus.vocab_growth (batch
+    first-seen partials, min-combine exchange, tiny count/cumsum stages;
+    the token payload never shuffles)."""
+    from datafiller_ray.pipelines.corpus import vocab_growth
+
+    return vocab_growth(_fixture(sf_dir), step=3600)
+
+
 def _upsert_maintain_1m(sf_dir: str):
     """Operational upsert proof: checkpoint snapshot A (minute%10 != 2),
     then ONE replace+tombstone update (changed minute%10==1 docs at n_tok+1,
@@ -2488,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _snapshot_diff,
         "source_top_docs": _source_top_docs,
         "upsert_maintain_1m": _upsert_maintain_1m,
+        "vocab_growth": _vocab_growth,
         "rank_shift": _rank_shift,
         "cross_section_1h": _cross_section_1h,
         "dow_hour_profile": _dow_hour_profile,
@@ -4976,6 +4987,29 @@ def oracle_sql() -> dict[str, str]:
                    close_ts, close_tok
             FROM w
             GROUP BY source, hb, open_ts, open_tok, close_ts, close_tok
+        """,
+        # first-occurrence per (source, token id), bucketed to the hour;
+        # cumulative vocab via a window sum (the UNNEST sees the same int32
+        # token ids the engine flattens zero-copy)
+        "vocab_growth": f"""
+            WITH tok AS (
+              SELECT source,
+                     CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)
+                     * 60 AS ts,
+                     UNNEST(tokens) AS token
+              FROM read_parquet('{p}/*.parquet')),
+            first AS (
+              SELECT source, token, MIN(ts) AS first_ts
+              FROM tok GROUP BY 1, 2),
+            hb AS (
+              SELECT source, first_ts - first_ts % 3600 AS bucket_ts,
+                     COUNT(*)::BIGINT AS new_tokens
+              FROM first GROUP BY 1, 2)
+            SELECT source, bucket_ts, new_tokens,
+                   CAST(SUM(new_tokens) OVER (
+                       PARTITION BY source ORDER BY bucket_ts) AS BIGINT)
+                   AS vocab_size
+            FROM hb
         """,
         # the oracle never sees the checkpoint machinery: it just rolls up
         # snapshot B directly — equality proves the upsert engine

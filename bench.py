@@ -378,6 +378,46 @@ def run_bench() -> dict:
 
     timed("bm25_pca", search_cartography)
 
+    def diff_candles():
+        # seventh-session family: keyed snapshot diff (full-outer delta
+        # through one coarse exchange) + OHLC candles + the cross-sectional
+        # (time-keyed) quantile band over the same fixture
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from datafiller_ray.pipelines.diff import snapshot_diff
+        from datafiller_ray.pipelines.window import (
+            cross_section_quantiles,
+            ohlc_candles,
+        )
+        from datafiller_ray.stages.validate import extract_epoch_minute
+
+        def snap(side):
+            def fn(t: pa.Table) -> pa.Table:
+                m = np.asarray(extract_epoch_minute(t["doc_id"])) % 10
+                n = np.asarray(pc.cast(t["n_tok"], pa.int64()))
+                keep = (m != 2) if side == 0 else (m != 0)
+                n_out = n[keep] if side == 0 else n[keep] + (m[keep] == 1)
+                tt = t.filter(pa.array(keep))
+                return pa.table(
+                    {
+                        "doc_id": tt["doc_id"],
+                        "source": tt["source"],
+                        "n_tok": pa.array(n_out, pa.int64()),
+                    }
+                )
+
+            return ray.data.read_parquet(
+                fixture, columns=["doc_id", "source", "n_tok"]
+            ).map_batches(fn, batch_format="pyarrow")
+
+        snapshot_diff(snap(0), snap(1)).count()
+        ohlc_candles(fixture, step=3600, shuffle="bucketed").count()
+        cross_section_quantiles(fixture, step=3600).count()
+
+    timed("diff_ohlc_crosssection", diff_candles)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",

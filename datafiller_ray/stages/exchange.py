@@ -45,10 +45,12 @@ def grouped_sum(
     values: "list[str] | str",
     *,
     n_buckets: int = 64,
+    how: str = "sum",
 ):
-    """Exact per-key sums of ``values`` grouped by ``keys``, returned as a
-    Dataset with the key columns plus the value columns UNDER THEIR OWN
-    NAMES (no ``sum(x)`` renaming dance).
+    """Exact per-key sums (or, via ``how``, min/max — any associative pandas
+    reduction with the same partial+final algebra) of ``values`` grouped by
+    ``keys``, returned as a Dataset with the key columns plus the value
+    columns UNDER THEIR OWN NAMES (no ``sum(x)`` renaming dance).
 
     Semantics match ``ds.groupby(keys).sum(values)`` exactly; the physical
     plan is one bounded coarse-key sort exchange + a vectorized pandas sum
@@ -63,6 +65,8 @@ def grouped_sum(
         raise EngineValueError(f"column name {_GK!r} is reserved")
     if n_buckets < 1:
         raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if how not in ("sum", "min", "max"):
+        raise EngineValueError(f"how must be sum/min/max, got {how!r}")
 
     def add_gk(batch: pd.DataFrame) -> pd.DataFrame:
         h = _hash_column(batch[keys[0]])
@@ -78,7 +82,9 @@ def grouped_sum(
     def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: null keys form a group like Ray's aggregate (the
         # pandas default silently DROPS their rows)
-        out = g.groupby(keys, sort=True, as_index=False, dropna=False)[values].sum()
+        out = g.groupby(keys, sort=True, as_index=False, dropna=False)[values].agg(
+            how
+        )
         return out
 
     return (

@@ -1167,3 +1167,65 @@ def test_equidepth_histogram_covers_all_rows(ray_session):
     pd.testing.assert_frame_equal(
         got, per_tile.astype({"n_rows": "int64"}), check_names=False
     )
+
+
+def test_vocab_growth_literal(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import vocab_growth
+
+    # source s: hour 0 sees tokens {1,2,3}; hour 1 adds {4} (2,3 repeat)
+    rows = [
+        {"doc_id": "s:0000000000", "source": "s", "tokens": [1, 2, 2]},
+        {"doc_id": "s:0000000005", "source": "s", "tokens": [3]},
+        {"doc_id": "s:0000000060", "source": "s", "tokens": [2, 3, 4]},
+        {"doc_id": "t:0000000060", "source": "t", "tokens": [1]},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("tokens", pa.list_(pa.int32()))]
+        )
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = (
+        vocab_growth(str(path), step=3600)
+        .to_pandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert out["source"].tolist() == ["s", "s", "t"]
+    assert out["bucket_ts"].tolist() == [0, 3600, 3600]
+    assert out["new_tokens"].tolist() == [3, 1, 1]
+    assert out["vocab_size"].tolist() == [3, 4, 1]
+
+
+def test_vocab_growth_total_equals_distinct(ray_session, small_docs_fixture=None):
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.fixtures import generate_input_table
+    from datafiller_ray.pipelines.corpus import vocab_growth
+
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="vg_")
+    path = os.path.join(d, "in.parquet")
+    pq.write_table(generate_input_table(2000, 5, seed=13), path)
+    out = vocab_growth(str(path), step=3600).to_pandas()
+
+    import duckdb
+
+    want = duckdb.sql(
+        f"""SELECT source, COUNT(DISTINCT token) AS v FROM (
+              SELECT source, UNNEST(tokens) AS token
+              FROM read_parquet('{path}')) GROUP BY 1 ORDER BY 1"""
+    ).df()
+    got = (
+        out.groupby("source", as_index=False)["new_tokens"].sum()
+        .sort_values("source").reset_index(drop=True)
+    )
+    assert got["new_tokens"].astype("int64").tolist() == want["v"].astype("int64").tolist()
+    # vocab_size is the running sum of new_tokens within each source
+    for _, g in out.sort_values(["source", "bucket_ts"]).groupby("source"):
+        assert (g["vocab_size"].to_numpy() == g["new_tokens"].cumsum().to_numpy()).all()
