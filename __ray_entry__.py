@@ -1916,6 +1916,25 @@ def _coverage_islands(sf_dir: str):
     return coverage_islands(_fixture(sf_dir))
 
 
+def _value_runs(sf_dir: str):
+    """RLE compressibility census: maximal contiguous runs of equal
+    quantized level (sum_tok // 64) per source —
+    pipelines/window.value_runs (runs break on level change OR grid gap;
+    O(n) boundary diff)."""
+    from datafiller_ray.pipelines.window import value_runs
+
+    return value_runs(_fixture(sf_dir), level_width=64)
+
+
+def _topk_movers_1h(sf_dir: str):
+    """Global top-20 (source, hour) movers by |hour-over-hour change| of
+    the hourly token sum — pipelines/window.topk_movers (per-source
+    cascade deltas + the shared per-block k-prune ranked reduction)."""
+    from datafiller_ray.pipelines.window import topk_movers
+
+    return topk_movers(_fixture(sf_dir), step=3600, k=20)
+
+
 def _vocab_growth(sf_dir: str):
     """Per-source vocabulary growth curve: first-occurrence token counts
     per hour + running vocab size — pipelines/corpus.vocab_growth (batch
@@ -2499,6 +2518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_top_docs": _source_top_docs,
         "upsert_maintain_1m": _upsert_maintain_1m,
         "vocab_growth": _vocab_growth,
+        "value_runs": _value_runs,
+        "topk_movers_1h": _topk_movers_1h,
         "rank_shift": _rank_shift,
         "cross_section_1h": _cross_section_1h,
         "dow_hour_profile": _dow_hour_profile,
@@ -4987,6 +5008,53 @@ def oracle_sql() -> dict[str, str]:
                    close_ts, close_tok
             FROM w
             GROUP BY source, hb, open_ts, open_tok, close_ts, close_tok
+        """,
+        # runs break on level change OR a minute-grid gap; level is
+        # constant within a run so it joins the GROUP BY
+        "value_runs": f"""
+            WITH r AS ({rollup(60)}),
+            d AS (
+              SELECT source, bucket_ts, sum_tok // 64 AS level,
+                     CASE WHEN LAG(bucket_ts) OVER w = bucket_ts - 60
+                           AND LAG(sum_tok // 64) OVER w = sum_tok // 64
+                          THEN 0 ELSE 1 END AS brk
+              FROM r WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)),
+            g AS (
+              SELECT source, bucket_ts, level,
+                     SUM(brk) OVER (PARTITION BY source
+                                    ORDER BY bucket_ts) AS grp
+              FROM d)
+            SELECT source, MIN(bucket_ts) AS run_start,
+                   MAX(bucket_ts) AS run_end,
+                   CAST(level AS BIGINT) AS level,
+                   COUNT(*)::BIGINT AS run_len
+            FROM g GROUP BY source, grp, level
+        """,
+        # deltas only between CONSECUTIVE hour buckets (prev_ts check);
+        # all-integer, ROW_NUMBER ties broken by (source, bucket_ts)
+        "topk_movers_1h": f"""
+            WITH r AS ({rollup(60)}),
+            h AS (
+              SELECT source, (bucket_ts // 3600) * 3600 AS bucket_ts,
+                     SUM(sum_tok) AS tok
+              FROM r GROUP BY 1, 2),
+            d AS (
+              SELECT source, bucket_ts, tok,
+                     LAG(tok) OVER w AS prev_tok,
+                     LAG(bucket_ts) OVER w AS prev_ts
+              FROM h WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)),
+            m AS (
+              SELECT source, bucket_ts, CAST(tok AS BIGINT) AS tok,
+                     CAST(prev_tok AS BIGINT) AS prev_tok,
+                     CAST(tok - prev_tok AS BIGINT) AS delta,
+                     CAST(ABS(tok - prev_tok) AS BIGINT) AS delta_abs
+              FROM d WHERE prev_ts = bucket_ts - 3600)
+            SELECT * FROM (
+              SELECT source, bucket_ts, tok, prev_tok, delta, delta_abs,
+                     ROW_NUMBER() OVER (ORDER BY delta_abs DESC, source,
+                                        bucket_ts) AS rnk
+              FROM m)
+            WHERE rnk <= 20
         """,
         # first-occurrence per (source, token id), bucketed to the hour;
         # cumulative vocab via a window sum (the UNNEST sees the same int32

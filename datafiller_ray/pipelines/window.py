@@ -1941,6 +1941,123 @@ def cross_section_quantiles(
     )
 
 
+def _value_runs_one_source(
+    obs: pd.DataFrame, source: str, level_width: int
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    lvl = s // level_width
+    # a run breaks on a level change OR a gap in the minute grid
+    brk = np.r_[True, (lvl[1:] != lvl[:-1]) | (ts[1:] != ts[:-1] + 60)]
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], ts.size]
+    return pd.DataFrame(
+        {
+            "source": np.full(starts.size, source, dtype=object),
+            "run_start": ts[starts],
+            "run_end": ts[ends - 1],
+            "level": lvl[starts],
+            "run_len": (ends - starts).astype(np.int64),
+        }
+    )
+
+
+def value_runs(
+    input_path,
+    *,
+    level_width: int = 64,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Run-length view of each source's per-minute token-sum series:
+    maximal CONTIGUOUS runs of equal quantized level (``sum_tok //
+    level_width``), one row per run with its span and length — the
+    compressibility census an RLE/Gorilla-style codec planner reads (long
+    runs => delta-of-delta and XOR prefixes collapse; the blob sink's
+    ratios correlate directly with this table). Runs also break on grid
+    gaps, so a run never spans missing minutes. O(n) boundary diff per
+    source; int64 throughout; one exchange."""
+    from datafiller_ray.config import EngineValueError
+
+    if level_width < 1:
+        raise EngineValueError(f"level_width must be >= 1, got {level_width}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _value_runs_one_source(obs, src, level_width),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def topk_movers(
+    input_path,
+    *,
+    step: int = 86400,
+    k: int = 20,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Global top-k (source, bucket) movers by absolute bucket-over-bucket
+    change of the ``step``-grain token sum — the "what shifted most
+    day-over-day" alerting view. Composes the per-source cascade (exact
+    step sums + consecutive-bucket deltas inside the group task, tiny
+    output) with the global ranked reduction
+    (stages/exchange.topk_block_fn: per-block k-prune, single final
+    combine over <= k * blocks rows). Ties break (delta_abs DESC, source
+    ASC, bucket_ts ASC); deltas only between CONSECUTIVE step buckets."""
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import topk_block_fn
+
+    if step < 60 or step % 60:
+        raise EngineValueError(f"step must be a positive multiple of 60, got {step}")
+    if k < 1:
+        raise EngineValueError(f"k must be >= 1, got {k}")
+
+    def deltas(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+        ts = obs["bucket_ts"].to_numpy(np.int64)
+        s = obs["sum"].to_numpy(np.int64)
+        b = ts - ts % step
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], b.size]
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+        bt = b[starts]
+        tok = cs[ends] - cs[starts]
+        consec = bt[1:] == bt[:-1] + step
+        d = tok[1:] - tok[:-1]
+        out = pd.DataFrame(
+            {
+                "source": np.full(int(consec.sum()), source, dtype=object),
+                "bucket_ts": bt[1:][consec],
+                "tok": tok[1:][consec],
+                "prev_tok": tok[:-1][consec],
+                "delta": d[consec],
+                "delta_abs": np.abs(d[consec]),
+            }
+        )
+        return _string_typed_if_empty(out)
+
+    per_src = _run_per_source(
+        input_path, deltas, check_tokens=check_tokens, shuffle=shuffle
+    )
+    prune = topk_block_fn(k, "delta_abs", ["source", "bucket_ts"])
+    pruned = per_src.map_batches(prune, batch_format="pyarrow")
+    final = pruned.repartition(1).map_batches(prune, batch_format="pyarrow")
+
+    def rank(t):
+        import pyarrow as pa
+
+        d = np.asarray(t["delta_abs"], dtype=np.int64)
+        src = np.asarray(t["source"].to_pandas(), dtype="U")
+        bts = np.asarray(t["bucket_ts"], dtype=np.int64)
+        order = np.lexsort((bts, src, -d))
+        t = t.take(pa.array(order, type=pa.int64()))
+        return t.append_column(
+            "rnk", pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+        )
+
+    return final.map_batches(rank, batch_format="pyarrow")
+
+
 def seasonal_naive_mase(
     input_path,
     *,

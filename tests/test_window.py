@@ -1158,3 +1158,31 @@ def test_cross_section_end_to_end(ray_session, small_fixture):
     assert (out["p50_tok"] <= out["p90_tok"]).all()
     assert out["bucket_ts"].is_unique
     assert (out["n_sources"] >= 1).all()
+
+
+def test_value_runs_one_source_literal():
+    from datafiller_ray.pipelines.window import _value_runs_one_source
+
+    # levels (width 10): 1,1 | 2 | (gap) 2 | 0
+    obs = pd.DataFrame(
+        {"bucket_ts": np.array([0, 60, 120, 300, 360], dtype=np.int64),
+         "sum": np.array([15, 19, 25, 27, 5], dtype=np.int64)}
+    )
+    out = _value_runs_one_source(obs, "s", 10)
+    assert out["run_start"].tolist() == [0, 120, 300, 360]
+    assert out["run_end"].tolist() == [60, 120, 300, 360]
+    assert out["level"].tolist() == [1, 2, 2, 0]
+    assert out["run_len"].tolist() == [2, 1, 1, 1]
+
+
+def test_topk_movers_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import topk_movers
+
+    out = topk_movers(small_fixture, step=3600, k=5).to_pandas()
+    assert len(out) <= 5
+    assert out["rnk"].tolist() == list(range(1, len(out) + 1))
+    # ranked by |delta| descending
+    d = out["delta_abs"].to_numpy()
+    assert (d[1:] <= d[:-1]).all()
+    assert (out["delta"].abs() == out["delta_abs"]).all()
+    assert ((out["tok"] - out["prev_tok"]) == out["delta"]).all()
