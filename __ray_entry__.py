@@ -1916,6 +1916,15 @@ def _coverage_islands(sf_dir: str):
     return coverage_islands(_fixture(sf_dir))
 
 
+def _session_stats(sf_dir: str):
+    """Session-duration distribution by capped session size —
+    pipelines/events.session_stats (events_sessions windows, then a tiny
+    size-bucket exchange; exact integer sums, pinned mean/median)."""
+    from datafiller_ray.pipelines.events import session_stats
+
+    return session_stats(_read(sf_dir, "events"), gap_seconds=1800, cap=10)
+
+
 def _value_runs(sf_dir: str):
     """RLE compressibility census: maximal contiguous runs of equal
     quantized level (sum_tok // 64) per source —
@@ -2520,6 +2529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _vocab_growth,
         "value_runs": _value_runs,
         "topk_movers_1h": _topk_movers_1h,
+        "session_stats": _session_stats,
         "rank_shift": _rank_shift,
         "cross_section_1h": _cross_section_1h,
         "dow_hour_profile": _dow_hour_profile,
@@ -5008,6 +5018,36 @@ def oracle_sql() -> dict[str, str]:
                    close_ts, close_tok
             FROM w
             GROUP BY source, hb, open_ts, open_tok, close_ts, close_tok
+        """,
+        # sessionization in SQL: LAG-gap break flags, running-sum session
+        # ids (ROWS frame so ts ties stay per-row), then group; duration
+        # medians of integer seconds are IEEE-exact (no absorber needed)
+        "session_stats": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+            d AS (
+              SELECT user_id, ts_s,
+                     CASE WHEN LAG(ts_s) OVER w IS NULL
+                           OR ts_s - LAG(ts_s) OVER w > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+            s AS (
+              SELECT user_id, ts_s,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+              FROM d),
+            sess AS (
+              SELECT user_id, sid, COUNT(*) AS n,
+                     MAX(ts_s) - MIN(ts_s) AS dur
+              FROM s GROUP BY 1, 2)
+            SELECT CAST(LEAST(n, 10) AS BIGINT) AS n_bucket,
+                   COUNT(*)::BIGINT AS n_sessions,
+                   CAST(SUM(dur) AS BIGINT) AS total_dur,
+                   FLOOR(CAST(SUM(dur) AS DOUBLE) / COUNT(*)
+                         * 1000000 + 0.5) / 1000000.0 AS mean_dur,
+                   quantile_cont(CAST(dur AS DOUBLE), 0.5) AS p50_dur
+            FROM sess GROUP BY 1
         """,
         # runs break on level change OR a minute-grid gap; level is
         # constant within a run so it joins the GROUP BY

@@ -1387,3 +1387,73 @@ def rolling_active_users(
         )
 
     return fanned.groupby("gkey").map_groups(combine, batch_format="pandas")
+
+
+def session_stats(
+    events: "ray.data.Dataset",
+    *,
+    gap_seconds: int = 1800,
+    cap: int = 10,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Session-duration distribution by session SIZE: sessions (the
+    :func:`events_sessions` windows) grouped by their event count capped at
+    ``cap`` — one row per size bucket with the session count, exact total
+    duration, round6 mean, and exact-interpolated median duration. The
+    "how long do k-event sessions run" table engagement dashboards read.
+
+    Physical plan: the per-user session pass (one user-keyed exchange,
+    identical to events_sessions), then a tiny size-bucket-keyed coarse
+    exchange over one row per session; the median sorts only within a size
+    bucket. All inputs integer seconds; mean/median are the only float
+    expressions, both pinned (floor-half-up / quantile_cont rule)."""
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import splitmix64
+    from datafiller_ray.pipelines.window import _interp_median, _round6_half_up
+
+    if cap < 1:
+        raise EngineValueError(f"cap must be >= 1, got {cap}")
+    sessions = events_sessions(events, gap_seconds=gap_seconds)
+
+    def to_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_events"].to_numpy(np.int64)
+        nb = np.minimum(n, cap)
+        out = pd.DataFrame(
+            {
+                "n_bucket": nb,
+                "dur": df["duration_sec"].to_numpy(np.int64),
+            }
+        )
+        out["_gk"] = (
+            splitmix64(nb.view(np.uint64)) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def stats_group(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nb, sub in g.groupby("n_bucket", sort=True):
+            d = np.sort(sub["dur"].to_numpy(np.int64))
+            tot = int(d.sum())
+            rows.append(
+                (
+                    int(nb),
+                    d.size,
+                    tot,
+                    _round6_half_up(np.array([tot / d.size]))[0],
+                    _interp_median(d.astype(np.float64)),
+                )
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=["n_bucket", "n_sessions", "total_dur", "mean_dur", "p50_dur"],
+        )
+        out["n_bucket"] = out["n_bucket"].astype(np.int64)
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["total_dur"] = out["total_dur"].astype(np.int64)
+        return out
+
+    return (
+        sessions.map_batches(to_bucket, batch_format="pandas")
+        .groupby("_gk")
+        .map_groups(stats_group, batch_format="pandas")
+    )

@@ -595,3 +595,52 @@ def test_calendar_rollup_validates_unit(ray_session):
     )
     with pytest.raises(EngineValueError):
         events_rollup_calendar(ray.data.from_pandas(df), unit="hour")
+
+
+def test_session_stats_literal(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from datafiller_ray.pipelines.events import session_stats
+
+    us = 1_000_000
+    rows = [
+        # user 1: one 3-event session (0s, 10s, 100s) then a lone event
+        {"user_id": 1, "ts": 0},
+        {"user_id": 1, "ts": 10 * us},
+        {"user_id": 1, "ts": 100 * us},
+        {"user_id": 1, "ts": 10_000 * us},
+        # user 2: one 2-event session, duration 50
+        {"user_id": 2, "ts": 0},
+        {"user_id": 2, "ts": 50 * us},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
+    )
+    out = (
+        session_stats(ray.data.from_arrow(t), gap_seconds=1800, cap=10)
+        .to_pandas()
+        .sort_values("n_bucket")
+        .reset_index(drop=True)
+    )
+    assert out["n_bucket"].tolist() == [1, 2, 3]
+    assert out["n_sessions"].tolist() == [1, 1, 1]
+    assert out["total_dur"].tolist() == [0, 50, 100]
+    assert out["mean_dur"].tolist() == [0.0, 50.0, 100.0]
+    assert out["p50_dur"].tolist() == [0.0, 50.0, 100.0]
+
+
+def test_session_stats_cap_bucket(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from datafiller_ray.pipelines.events import session_stats
+
+    us = 1_000_000
+    rows = [{"user_id": 7, "ts": i * us} for i in range(15)]  # one 15-event session
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
+    )
+    out = session_stats(ray.data.from_arrow(t), cap=10).to_pandas()
+    assert out["n_bucket"].tolist() == [10]
+    assert out["total_dur"].tolist() == [14]
