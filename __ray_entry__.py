@@ -960,6 +960,51 @@ def _bm25_topk(sf_dir: str):
     return bm25_topk(_read(sf_dir, "documents"), "fast hash join", k=20)
 
 
+def _text_index_dir(sf_dir: str) -> str:
+    """Build (once per fixture state) the inverted text index under /tmp —
+    the mtime/size-keyed atomic-rename caching used by the LSH/IVF index
+    queries."""
+    import hashlib
+    import shutil
+
+    from datafiller_ray.pipelines.text_index import build_text_index
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    st = os.stat(doc_path)
+    tag = hashlib.sha1(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/datafiller_ray_textidx/{tag}"
+    if not os.path.exists(
+        os.path.join(index_dir, "_text_index_manifest.json")
+    ):
+        tmp_dir = index_dir + ".building"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        build_text_index(_read(sf_dir, "documents"), tmp_dir, n_partitions=64)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.replace(tmp_dir, index_dir)
+    return index_dir
+
+
+def _text_index_and(sf_dir: str):
+    """Conjunctive boolean search served from the persisted inverted index
+    (pipelines/text_index.build_text_index + text_index_search): docs
+    containing ALL of 'fast hash join', with summed tf. Reads only the
+    query terms' hash partitions (pruning asserted in tests)."""
+    from datafiller_ray.pipelines.text_index import text_index_search
+
+    return text_index_search(_text_index_dir(sf_dir), "fast hash join")
+
+
+def _text_index_topk(sf_dir: str):
+    """Disjunctive (OR) top-20 by total term frequency over the same index
+    — integer scores, exact under any merge order
+    (pipelines/text_index.text_index_topk)."""
+    from datafiller_ray.pipelines.text_index import text_index_topk
+
+    return text_index_topk(_text_index_dir(sf_dir), "fast hash join", k=20)
+
+
 def _vocab_topk(sf_dir: str):
     """Global top-100 vocabulary (count desc, token asc ties) —
     pipelines/corpus.vocab_topk; heavy text collapses to (token, count)
@@ -2446,6 +2491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _temperature_sample,
         "vocab_topk": _vocab_topk,
         "bm25_topk": _bm25_topk,
+        "text_index_and": _text_index_and,
+        "text_index_topk": _text_index_topk,
         "length_ntile": _length_ntile,
         "source_ks": _source_ks,
         "equidepth_histogram": _equidepth_histogram,
@@ -4058,6 +4105,29 @@ def oracle_sql() -> dict[str, str]:
         # from the shared \w+|[^\w\s] tokenizer; the float score is the
         # same expression tree as the engine's, rounded 6-dp floor-half-up
         # (SUM over <= 3 terms: op-order drift « 1e-6)
+        "text_index_and": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
+                   WHERE tok IN ('fast','hash','join') GROUP BY doc_id, tok)
+            SELECT doc_id, SUM(tf)::BIGINT AS total_tf
+            FROM tf GROUP BY doc_id HAVING count(*) = 3
+            ORDER BY doc_id
+        """,
+        "text_index_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
+                   WHERE tok IN ('fast','hash','join') GROUP BY doc_id, tok),
+            sums AS (SELECT doc_id, SUM(tf)::BIGINT AS total_tf
+                     FROM tf GROUP BY doc_id)
+            SELECT doc_id, total_tf,
+                   ROW_NUMBER() OVER (ORDER BY total_tf DESC, doc_id)::BIGINT
+                     AS rank
+            FROM sums ORDER BY total_tf DESC, doc_id LIMIT 20
+        """,
         "bm25_topk": r"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS tok
