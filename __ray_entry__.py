@@ -2429,6 +2429,62 @@ def _chunk_sequences(sf_dir: str):
     )
 
 
+def _running_records(sf_dir: str):
+    """Record-high census: per source, the 1m buckets whose token sum
+    strictly exceeds every preceding bucket's (shifted-cummax record
+    trail, numbered in time order) — pipelines/window.running_records."""
+    from datafiller_ray.pipelines.window import running_records
+
+    return running_records(_fixture(sf_dir))
+
+
+def _burstiness(sf_dir: str):
+    """Per-source burstiness summary (mean/variance/Fano factor/CV of the
+    per-minute token-sum series, exact integer power sums) —
+    pipelines/window.burstiness."""
+    from datafiller_ray.pipelines.window import burstiness
+
+    return burstiness(_fixture(sf_dir))
+
+
+def _user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution (the
+    behavioral-diversity score; doc_entropy's pinned ln(n) - S/n form over
+    per-type counts through one coarse user exchange) —
+    pipelines/events.user_entropy."""
+    from datafiller_ray.pipelines.events import user_entropy
+
+    return user_entropy(_read(sf_dir, "events"))
+
+
+def _weighted_quantiles(sf_dir: str):
+    """Token-mass weighted length quantiles of the contract table (lower
+    weighted quantile on the integer 1e6 grid — no floats anywhere) —
+    pipelines/corpus.weighted_quantiles."""
+    from datafiller_ray.pipelines.corpus import weighted_quantiles
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return weighted_quantiles(read_input(_fixture(sf_dir), with_tokens=False))
+
+
+def _length_percentile(sf_dir: str):
+    """Per-document PERCENT_RANK of n_chars within its source (broadcast
+    rank LUT, zero per-row shuffles) — pipelines/corpus.length_percentile."""
+    from datafiller_ray.pipelines.corpus import length_percentile
+
+    return length_percentile(_read(sf_dir, "documents"))
+
+
+def _vocab_overlap(sf_dir: str):
+    """Pairwise Jaccard overlap of per-source distinct token-id
+    vocabularies (token-keyed distinct exchange + bounded pair combine) —
+    pipelines/corpus.vocab_overlap."""
+    from datafiller_ray.pipelines.corpus import vocab_overlap
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return vocab_overlap(read_input(_fixture(sf_dir), with_tokens=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # eagerly materialise the oracle-scale fixture so oracle_sql()'s
     # read_parquet path exists no matter which side the driver runs first
@@ -2593,6 +2649,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_volume_1m": _ntile_volume,
         "split_assign": _split_assign,
         "chunk_sequences": _chunk_sequences,
+        "running_records": _running_records,
+        "burstiness": _burstiness,
+        "user_entropy": _user_entropy,
+        "weighted_quantiles": _weighted_quantiles,
+        "length_percentile": _length_percentile,
+        "vocab_overlap": _vocab_overlap,
     }
 
 
@@ -5467,5 +5529,110 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, source, n_chars FROM norm
             WHERE doc_id IN (SELECT MIN(doc_id) FROM norm GROUP BY nt)
+        """,
+        # strict record highs: MAX over all PRECEDING rows (NULL on the
+        # first row keeps it), numbered in time order
+        "running_records": f"""
+            WITH r AS ({rollup(60)})
+            SELECT source, bucket_ts, sum_tok,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY bucket_ts
+                   ) AS BIGINT) AS record_no
+            FROM (
+              SELECT source, bucket_ts, sum_tok,
+                     MAX(sum_tok) OVER (
+                         PARTITION BY source ORDER BY bucket_ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS pm
+              FROM r)
+            WHERE pm IS NULL OR sum_tok > pm
+        """,
+        # population variance via the integer cross-multiplied form
+        # (HUGEINT sums are exact like the engine's Python ints); each
+        # float output is one pinned expression + floor-half-up
+        "burstiness": f"""
+            WITH r AS ({rollup(60)})
+            SELECT source, COUNT(*)::BIGINT AS n_buckets,
+                   CAST(SUM(sum_tok) AS BIGINT) AS sum_tok,
+                   FLOOR(CAST(SUM(sum_tok) AS DOUBLE) / COUNT(*)
+                         * 1000000 + 0.5) / 1000000.0 AS mean_tok,
+                   FLOOR(CAST(COUNT(*) * SUM(sum_tok * sum_tok)
+                              - SUM(sum_tok) * SUM(sum_tok) AS DOUBLE)
+                         / (COUNT(*) * COUNT(*))
+                         * 1000000 + 0.5) / 1000000.0 AS var_tok,
+                   FLOOR((CAST(COUNT(*) * SUM(sum_tok * sum_tok)
+                               - SUM(sum_tok) * SUM(sum_tok) AS DOUBLE)
+                          / (COUNT(*) * COUNT(*)))
+                         / (CAST(SUM(sum_tok) AS DOUBLE) / COUNT(*))
+                         * 1000000 + 0.5) / 1000000.0 AS fano,
+                   FLOOR(SQRT(CAST(COUNT(*) * SUM(sum_tok * sum_tok)
+                                   - SUM(sum_tok) * SUM(sum_tok) AS DOUBLE)
+                              / (COUNT(*) * COUNT(*)))
+                         / (CAST(SUM(sum_tok) AS DOUBLE) / COUNT(*))
+                         * 1000000 + 0.5) / 1000000.0 AS cv
+            FROM r GROUP BY source HAVING SUM(sum_tok) > 0
+        """,
+        # per-user event-type entropy: integer counts are exact; the
+        # SUM(c*ln(c)) float order difference (~1e-13 rel) is absorbed by
+        # the shared 6-decimal floor-half-up (doc_entropy discipline)
+        "user_entropy": """
+            WITH c AS (
+              SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                   COUNT(*)::BIGINT AS n_types,
+                   FLOOR((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c))
+                         * 1000000 + 0.5) / 1000000.0 AS entropy
+            FROM c GROUP BY user_id
+        """,
+        # lower weighted quantile on the exact integer grid:
+        # smallest value with 1e6 * cumweight >= q6 * totalweight
+        "weighted_quantiles": f"""
+            WITH c AS (
+              SELECT n_tok AS value, CAST(SUM(n_tok) AS BIGINT) AS w
+              FROM read_parquet('{p}/*.parquet') GROUP BY 1),
+            cum AS (
+              SELECT value, SUM(w) OVER (ORDER BY value) AS cw,
+                     SUM(w) OVER () AS tw
+              FROM c)
+            SELECT
+              CAST((SELECT MIN(value) FROM cum
+                    WHERE 1000000*cw >= 250000*tw) AS BIGINT) AS wq0_25,
+              CAST((SELECT MIN(value) FROM cum
+                    WHERE 1000000*cw >= 500000*tw) AS BIGINT) AS wq0_5,
+              CAST((SELECT MIN(value) FROM cum
+                    WHERE 1000000*cw >= 750000*tw) AS BIGINT) AS wq0_75,
+              CAST((SELECT MIN(value) FROM cum
+                    WHERE 1000000*cw >= 900000*tw) AS BIGINT) AS wq0_9,
+              CAST((SELECT MIN(value) FROM cum
+                    WHERE 1000000*cw >= 990000*tw) AS BIGINT) AS wq0_99
+        """,
+        # PERCENT_RANK = (rank-1)/(n-1), RANK tie semantics; single-row
+        # groups emit exact 0.0 (the SQL rule)
+        "length_percentile": """
+            SELECT doc_id, source, n_chars,
+                   FLOOR(PERCENT_RANK() OVER (
+                       PARTITION BY source ORDER BY n_chars
+                   ) * 1000000 + 0.5) / 1000000.0 AS pct_rank
+            FROM documents
+        """,
+        # distinct vocab per source; pair overlap by token self-join;
+        # one pinned Jaccard division + floor-half-up
+        "vocab_overlap": f"""
+            WITH st AS (
+              SELECT DISTINCT * FROM (
+                SELECT source, UNNEST(tokens) AS token
+                FROM read_parquet('{p}/*.parquet'))),
+            cnt AS (SELECT source, COUNT(*)::BIGINT AS n FROM st GROUP BY 1),
+            com AS (
+              SELECT a.source AS sa, b.source AS sb, COUNT(*)::BIGINT AS c
+              FROM st a JOIN st b USING (token)
+              WHERE a.source < b.source GROUP BY 1, 2)
+            SELECT sa AS source_a, sb AS source_b, ca.n AS n_a, cb.n AS n_b,
+                   c AS n_common,
+                   FLOOR(CAST(c AS DOUBLE) / (ca.n + cb.n - c)
+                         * 1000000 + 0.5) / 1000000.0 AS jaccard
+            FROM com JOIN cnt ca ON ca.source = sa
+                     JOIN cnt cb ON cb.source = sb
         """,
     }

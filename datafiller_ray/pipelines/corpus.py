@@ -2255,3 +2255,317 @@ def vocab_growth(input_path, *, step: int = 3600, n_buckets: int = 64):
         .groupby("_gk")
         .map_groups(cumulate, batch_format="pandas")
     )
+
+
+def weighted_quantiles(
+    ds,
+    *,
+    value_col: str = "n_tok",
+    weight_col: str = "n_tok",
+    qs: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9, 0.99),
+):
+    """EXACT weighted quantiles of a bounded-cardinality integer column —
+    the token-mass view of the length distribution ("50% of all TOKENS
+    live in docs shorter than X", vs ``global_quantiles``'s doc-count
+    view). Definition pinned to the lower weighted quantile: the smallest
+    value ``v`` with ``cumweight(v) >= q * W`` — evaluated as the INTEGER
+    comparison ``1e6 * cumweight >= q6 * W`` with ``q6 = round(q * 1e6)``
+    (exact for 6-decimal q), so there is NO float anywhere and the result
+    is an int64 value from the data.
+
+    Scale shape (the global_quantiles plan): per-batch np.unique collapses
+    each block to (value, weight-sum) partials, ONE bounded value-keyed
+    exchange merges them, a single tiny reduce walks the cumulative
+    weights. Output: ONE row of ``wq_<q>`` BIGINT columns.
+    """
+    if not qs:
+        raise EngineValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise EngineValueError(f"quantiles must be in (0, 1], got {q}")
+    names = [f"wq{str(q).replace('.', '_')}" for q in qs]
+    q6s = [int(round(q * 1e6)) for q in qs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        ws = np.zeros(uniq.size, np.int64)
+        np.add.at(ws, inv, w)
+        return pa.table({"value": pa.array(uniq), "w": pa.array(ws)})
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    cols = [value_col] if value_col == weight_col else [value_col, weight_col]
+    slim = ds.map_batches(
+        lambda t: t.select(cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = grouped_sum(
+        slim.map_batches(partial, batch_format="pyarrow"), "value", "w"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({n: pa.array([], type=pa.int64()) for n in names})
+        vals = t["value"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        w = t["w"].to_numpy(zero_copy_only=False)[order]
+        # Python-int cumulative weights: W * q6 can exceed int64 at scale
+        cum = [0]
+        for x in w:
+            cum.append(cum[-1] + int(x))
+        W = cum[-1]
+        row = {}
+        for q6, name in zip(q6s, names):
+            target = q6 * W  # exact integer threshold: 1e6*cw >= q6*W
+            lo, hi = 1, len(cum) - 1
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if 1_000_000 * cum[mid] >= target:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            row[name] = [int(vals[lo - 1])]
+        return pa.table({n: pa.array(v, type=pa.int64()) for n, v in row.items()})
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def length_percentile(
+    docs,
+    *,
+    value_col: str = "n_chars",
+    key_col: str = "source",
+):
+    """Per-document PERCENT_RANK of ``value_col`` within its ``key_col``
+    group — the within-source curriculum position ((rank - 1) / (n - 1)
+    with SQL RANK tie semantics: ties share the rank of their first row).
+    Emits (doc_id, key, value, pct_rank).
+
+    Scale shape: NO per-row shuffle at all. Pass 1 collapses each block to
+    (key, value, count) partials through one bounded exchange (distinct
+    (key, value) pairs only — lengths, not docs); the driver turns them
+    into per-key cumulative start ranks and group sizes, broadcast ONCE
+    via ``ray.put``. Pass 2 is a pure vectorized probe per batch
+    (searchsorted on the packed key+value grid). The only float is the
+    single pinned division ``rank0 / (n - 1)`` under the shared 6-decimal
+    floor-half-up absorber (groups of size 1 emit exact 0.0, the SQL
+    PERCENT_RANK rule)."""
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame({"key": key, "v": v})
+        agg = df.groupby(["key", "v"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "key": pa.array(agg["key"].to_numpy()),
+                "v": pa.array(agg["v"].to_numpy(np.int64)),
+                "cnt": pa.array(agg["size"].to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        grouped_sum(
+            docs.map_batches(count_partial, batch_format="pyarrow"),
+            ["key", "v"],
+            "cnt",
+        ).to_pandas()  # |distinct (key, value)| rows only
+    ).sort_values(["key", "v"], kind="stable")
+    if len(counts) == 0:
+        import pandas as pd
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    key_col: pd.Series([], dtype=object),
+                    value_col: pd.Series([], dtype=np.int64),
+                    "pct_rank": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    keys = counts["key"].to_numpy()
+    vs = counts["v"].to_numpy(np.int64)
+    cnts = counts["cnt"].to_numpy(np.int64)
+    new_key = np.r_[True, keys[1:] != keys[:-1]]
+    # start rank (0-based) of each (key, value) within its key group
+    cs = np.cumsum(cnts)
+    grp_base = np.maximum.accumulate(np.where(new_key, np.r_[0, cs[:-1]], -1))
+    start0 = np.r_[0, cs[:-1]] - grp_base
+    # group size per (key, value) row: total of its key group
+    grp_id = np.cumsum(new_key) - 1
+    grp_tot = np.zeros(grp_id[-1] + 1, np.int64)
+    np.add.at(grp_tot, grp_id, cnts)
+    n_of_row = grp_tot[grp_id]
+    # broadcast LUT: one frame keyed (key, value) — probed by a vectorized
+    # pandas hash merge per batch (no per-row Python, no hash-collision
+    # exposure: the join is on the actual key strings)
+    import pandas as pd
+
+    lut = pd.DataFrame(
+        {"key": keys, "v": vs, "rank0": start0, "n": n_of_row}
+    )
+    ref = ray.put(lut)
+
+    def probe(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lut_b = ray.get(ref)
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pd.DataFrame({"key": key, "v": v}).merge(
+            lut_b, on=["key", "v"], how="left", sort=False
+        )
+        rank0 = m["rank0"].to_numpy(np.int64)
+        n = m["n"].to_numpy(np.int64)
+        pct = np.zeros(v.size, np.float64)
+        multi = n > 1
+        pct[multi] = rank0[multi].astype(np.float64) / (
+            n[multi].astype(np.float64) - 1.0
+        )
+        pct = np.floor(pct * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                key_col: t[key_col],
+                value_col: pa.array(v),
+                "pct_rank": pa.array(pct),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def vocab_overlap(ds, *, n_buckets: int = 64):
+    """Pairwise Jaccard overlap of the sources' distinct token-id
+    vocabularies — the lexical-overlap complement of
+    ``source_similarity`` (cosine of FREQUENCY histograms): which feeds
+    share a vocabulary vs merely a frequency shape. Emits one row per
+    source pair with shared tokens: (source_a < source_b, n_a, n_b,
+    n_common, jaccard = common / (n_a + n_b - common)).
+
+    Scale shape: per-batch distinct (source, token) pairs (one vectorized
+    drop_duplicates over the zero-copy flattened stream — the heavy token
+    lists never move), ONE bounded token-keyed coarse exchange that
+    dedupes globally and fans each token's source set into (a < b)
+    co-occurrence partials plus side-tagged (a == b) distinct-count
+    partials, then ONE tiny (a, b)-keyed grouped_sum over at most
+    |sources|^2 rows. Counts are integer-exact; the only float is the
+    single pinned Jaccard division under the shared 6-decimal
+    floor-half-up absorber."""
+    import pandas as pd
+
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        arr = t["tokens"].combine_chunks()
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        flat = np.asarray(pc.list_flatten(arr)).astype(np.int64)
+        if flat.size and int(flat.min()) < 0:
+            raise EngineValueError(
+                "vocab_overlap requires non-negative token ids "
+                "(packed-key dedup breaks on negatives)"
+            )
+        src = t["source"].to_numpy(zero_copy_only=False)
+        usrc, src_idx = np.unique(src, return_inverse=True)
+        # packed-int dedup (the doc_entropy kernel): (src_idx, token) pairs
+        # collapse via one integer unique, no object-dtype drop_duplicates
+        key = np.repeat(src_idx.astype(np.int64), lens) * (
+            np.int64(1) << np.int64(32)
+        ) + flat
+        key = np.unique(key)
+        tok = key & ((np.int64(1) << np.int64(32)) - 1)
+        si = (key >> np.int64(32)).astype(np.int64)
+        gk = splitmix64(tok.view(np.uint64)) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "source": pa.array(usrc[si]),
+                "token": pa.array(tok),
+                "gkey": pa.array(gk.astype(np.int64)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct (source, token) membership matrix T (tokens x sources);
+        # ALL pair counts at once via the integer Gram T^T T — the diagonal
+        # is each source's distinct count in this bucket, off-diagonal the
+        # co-occurrence (no vocab x sources^2 row blow-up)
+        usrc, si = np.unique(g["source"].to_numpy(), return_inverse=True)
+        utok, ti = np.unique(g["token"].to_numpy(np.int64), return_inverse=True)
+        key = ti.astype(np.int64) * usrc.size + si
+        key = np.unique(key)
+        T = np.zeros((utok.size, usrc.size), dtype=np.int64)
+        T[key // usrc.size, key % usrc.size] = 1
+        G = T.T @ T
+        ia, ib = np.triu_indices(usrc.size)
+        cnt = G[ia, ib]
+        keep = cnt > 0
+        return pd.DataFrame(
+            {
+                "a": usrc[ia[keep]],
+                "b": usrc[ib[keep]],
+                "cnt": cnt[keep],
+            }
+        )
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    partials = ds.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = partials.groupby("gkey").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    summed = grouped_sum(pairs, ["a", "b"], "cnt")
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        empty = pa.table(
+            {
+                "source_a": pa.array([], type=pa.string()),
+                "source_b": pa.array([], type=pa.string()),
+                "n_a": pa.array([], type=pa.int64()),
+                "n_b": pa.array([], type=pa.int64()),
+                "n_common": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        sizes = df[df["a"] == df["b"]].set_index("a")["cnt"]
+        off = df[df["a"] != df["b"]]
+        if len(off) == 0:
+            return empty
+        na = sizes.loc[off["a"]].to_numpy(np.int64)
+        nb = sizes.loc[off["b"]].to_numpy(np.int64)
+        c = off["cnt"].to_numpy(np.int64)
+        jac = c.astype(np.float64) / (na + nb - c).astype(np.float64)
+        jac = np.floor(jac * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "source_a": pa.array(off["a"].to_numpy()),
+                "source_b": pa.array(off["b"].to_numpy()),
+                "n_a": pa.array(na),
+                "n_b": pa.array(nb),
+                "n_common": pa.array(c),
+                "jaccard": pa.array(jac),
+            }
+        )
+
+    return summed.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -1457,3 +1457,80 @@ def session_stats(
         .groupby("_gk")
         .map_groups(stats_group, batch_format="pandas")
     )
+
+
+def user_entropy(
+    events: "ray.data.Dataset", *, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Per-user Shannon entropy (nats) of the event-type distribution —
+    the behavioral-diversity score (0 = single-action bots, high = varied
+    usage): ``H = ln(n) - sum(c * ln(c)) / n`` over the user's per-type
+    event counts. Emits (user_id, n_events, n_types, entropy).
+
+    Scale shape (the user_top_event plan): each input block collapses to
+    (user_id, event_type, cnt) integer partials through a pruned zero-copy
+    projection, then ONE bounded coarse exchange on
+    ``splitmix64(user_id) % n_buckets``; per-bucket work is a vectorized
+    pandas sum + per-user np.add.at reduction of the ``c*ln(c)`` terms in
+    (user, type-ascending) order. Counts are integer-exact and
+    order-independent; the only float is the pinned ``ln(n) - S/n``
+    expression under the shared 6-decimal floor-half-up absorber (the
+    doc_entropy discipline — the SQL oracle's SUM(c*ln(c)) differs only
+    in float summation order, ~1e-13 relative, absorbed). Null event
+    types count as ONE distinct type exactly like SQL GROUP BY."""
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import splitmix64
+
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        slim = pa.table({"user_id": t["user_id"], "event_type": t["event_type"]})
+        agg = slim.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        uid = agg["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gk = splitmix64(uid.view(np.uint64)) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "user_id": agg["user_id"],
+                "event_type": agg["event_type"],
+                "cnt": agg["count_all"],
+                "gkey": pa.array(gk.astype(np.int64)),
+            }
+        )
+
+    def entropy_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a null event_type is one distinct type (SQL GROUP BY)
+        summed = g.groupby(
+            ["user_id", "event_type"], sort=False, as_index=False, dropna=False
+        )["cnt"].sum()
+        summed = summed.sort_values(
+            ["user_id", "event_type"], kind="stable", na_position="last"
+        )
+        uid = summed["user_id"].to_numpy(np.int64)
+        cnt = summed["cnt"].to_numpy(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        n = np.zeros(uu.size, np.int64)
+        np.add.at(n, inv, cnt)
+        ntypes = np.bincount(inv, minlength=uu.size).astype(np.int64)
+        cf = cnt.astype(np.float64)
+        terms = cf * np.log(cf)
+        s = np.zeros(uu.size, np.float64)
+        np.add.at(s, inv, terms)
+        nf = n.astype(np.float64)
+        ent = np.log(nf) - s / nf
+        ent = np.floor(ent * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "user_id": uu,
+                "n_events": n,
+                "n_types": ntypes,
+                "entropy": ent,
+            }
+        )
+
+    partials = events.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return partials.groupby("gkey").map_groups(
+        entropy_per_user, batch_format="pandas"
+    )

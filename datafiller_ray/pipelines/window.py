@@ -2090,3 +2090,100 @@ def seasonal_naive_mase(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _records_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    # strict new running max: v > max(all preceding); first row is record 1
+    prev_max = np.r_[np.int64(np.iinfo(np.int64).min), np.maximum.accumulate(s)[:-1]]
+    rec = s > prev_max
+    idx = np.flatnonzero(rec)
+    out = pd.DataFrame(
+        {
+            "source": np.full(idx.size, source, dtype=object),
+            "bucket_ts": ts[idx],
+            "sum_tok": s[idx],
+            "record_no": np.arange(1, idx.size + 1, dtype=np.int64),
+        }
+    )
+    return _string_typed_if_empty(out)
+
+
+def running_records(
+    input_path, *, check_tokens: bool = False, shuffle: str = "sort"
+):
+    """Record-high census: per source, the observed 1m buckets whose token
+    sum STRICTLY exceeds every preceding bucket's sum (the running-max
+    record events), numbered 1..n in time order — the "when did this feed
+    last peak" trail. Vectorized shifted cummax per source (no Python
+    loop); all-int64; ONE per-source exchange like the rest of the window
+    family. The SQL oracle is MAX OVER (ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING) with the NULL-first-row rule."""
+    return _run_per_source(
+        input_path,
+        _records_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def _burstiness_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    s = obs["sum"].to_numpy(np.int64)
+    n = int(s.size)
+    # exact integer power sums; population variance via the pinned
+    # cross-multiplied form (n*sumsq - sum^2) / n^2 in Python ints
+    tot = int(s.sum())
+    sumsq = int((s.astype(object) * s.astype(object)).sum()) if n else 0
+    if n == 0 or tot == 0:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_buckets": pd.Series([], dtype=np.int64),
+                    "sum_tok": pd.Series([], dtype=np.int64),
+                    "mean_tok": pd.Series([], dtype=np.float64),
+                    "var_tok": pd.Series([], dtype=np.float64),
+                    "fano": pd.Series([], dtype=np.float64),
+                    "cv": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    import math
+
+    mean = float(tot) / float(n)
+    var = float(n * sumsq - tot * tot) / float(n * n)
+    fano = var / mean  # index of dispersion (Fano factor)
+    cv = math.sqrt(var) / mean  # coefficient of variation
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([n], dtype=np.int64),
+            "sum_tok": np.array([tot], dtype=np.int64),
+            "mean_tok": _round6_half_up(np.array([mean])),
+            "var_tok": _round6_half_up(np.array([var])),
+            "fano": _round6_half_up(np.array([fano])),
+            "cv": _round6_half_up(np.array([cv])),
+        }
+    )
+
+
+def burstiness(
+    input_path, *, check_tokens: bool = False, shuffle: str = "sort"
+):
+    """Per-source burstiness summary of the per-minute token-sum series:
+    population mean/variance plus the Fano factor (variance/mean, the
+    index of dispersion — 1 for a Poisson stream, >1 bursty, <1 regular)
+    and the coefficient of variation — the traffic-shape diagnostic read
+    when sizing batch/shuffle budgets for a feed. Exact integer power
+    sums cross-multiplied in Python ints (no float accumulation order
+    anywhere); each float output is ONE pinned expression + the shared
+    6-decimal floor-half-up, so the SQL oracle's SUM/COUNT expression
+    tree reproduces it bit-for-bit. Sources with zero total are omitted
+    (mean 0 makes both ratios undefined)."""
+    return _run_per_source(
+        input_path,
+        _burstiness_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -1229,3 +1229,88 @@ def test_vocab_growth_total_equals_distinct(ray_session, small_docs_fixture=None
     # vocab_size is the running sum of new_tokens within each source
     for _, g in out.sort_values(["source", "bucket_ts"]).groupby("source"):
         assert (g["vocab_size"].to_numpy() == g["new_tokens"].cumsum().to_numpy()).all()
+
+
+def test_weighted_quantiles_literal(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import weighted_quantiles
+
+    # values 1(w1), 2(w2), 3(w3): W=6, cum = 1,3,6
+    t = pa.table({"n_tok": pa.array([1, 2, 3, 2], type=pa.int32()),
+                  "w": pa.array([1, 1, 3, 1], type=pa.int32())})
+    out = weighted_quantiles(
+        ray.data.from_arrow(t), value_col="n_tok", weight_col="w",
+        qs=(0.25, 0.5, 1.0),
+    ).to_pandas()
+    # q=0.25: smallest v with cw >= 1.5 -> 2; q=0.5: cw >= 3 -> 2 (exact
+    # boundary included); q=1.0: 3
+    assert out.iloc[0].tolist() == [2, 2, 3]
+
+
+def test_weighted_quantiles_weight_equals_value(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import weighted_quantiles
+
+    t = pa.table({"n_tok": pa.array([10, 20, 30], type=pa.int32())})
+    out = weighted_quantiles(ray.data.from_arrow(t), qs=(0.5,)).to_pandas()
+    # W=60, cum 10,30,60: q=.5 -> smallest v with cw>=30 -> 20
+    assert out["wq0_5"].tolist() == [20]
+
+
+def test_length_percentile_literal(ray_session):
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import length_percentile
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["a", "a", "a", "a", "b", "c"],
+            "n_chars": np.array([5, 5, 7, 9, 3, 4], dtype=np.int64),
+        }
+    )
+    out = (
+        length_percentile(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # source a (n=4): ranks 1,1,3,4 -> pct (r-1)/3 = 0, 0, 2/3, 1
+    # source b, c single rows -> 0.0
+    exp = [0.0, 0.0, np.floor(2 / 3 * 1e6 + 0.5) / 1e6, 1.0, 0.0, 0.0]
+    assert out["pct_rank"].tolist() == exp
+
+
+def test_vocab_overlap_literal(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import vocab_overlap
+
+    t = pa.table(
+        {
+            "source": ["a", "a", "b", "c"],
+            "tokens": pa.array(
+                [[1, 2, 3, 1], [2], [2, 3, 4], [9]],
+                type=pa.list_(pa.int32()),
+            ),
+        }
+    )
+    out = (
+        vocab_overlap(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    # vocab a={1,2,3}, b={2,3,4}, c={9}: only (a,b) share, common 2,
+    # jaccard 2/(3+3-2) = 0.5; c pairs with nothing
+    assert out["source_a"].tolist() == ["a"]
+    assert out["source_b"].tolist() == ["b"]
+    assert out["n_a"].tolist() == [3]
+    assert out["n_b"].tolist() == [3]
+    assert out["n_common"].tolist() == [2]
+    assert out["jaccard"].tolist() == [0.5]

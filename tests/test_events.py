@@ -644,3 +644,64 @@ def test_session_stats_cap_bucket(ray_session):
     out = session_stats(ray.data.from_arrow(t), cap=10).to_pandas()
     assert out["n_bucket"].tolist() == [10]
     assert out["total_dur"].tolist() == [14]
+
+
+def test_user_entropy_literal(ray_session):
+    import math
+
+    import ray.data
+
+    from datafiller_ray.pipelines.events import user_entropy
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00"] * 6, utc=False
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": ts,
+            "user_id": np.array([1, 1, 1, 1, 2, 2], dtype=np.int64),
+            "event_type": ["a", "a", "b", "c", "x", "x"],
+            "value": np.zeros(6),
+            "props": [""] * 6,
+        }
+    )
+    out = (
+        user_entropy(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [4, 2]
+    assert out["n_types"].tolist() == [3, 1]
+    # user 1: ln(4) - (2 ln 2 + 1 ln 1 + 1 ln 1)/4; user 2: exactly 0
+    h1 = math.log(4) - (2 * math.log(2)) / 4
+    assert out["entropy"].tolist() == [
+        np.floor(h1 * 1e6 + 0.5) / 1e6,
+        0.0,
+    ]
+
+
+def test_user_entropy_null_type_is_one_group(ray_session):
+    import ray.data
+
+    from datafiller_ray.pipelines.events import user_entropy
+
+    ts = pd.to_datetime(["2024-01-01"] * 4)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": ts,
+            "user_id": np.array([5, 5, 5, 5], dtype=np.int64),
+            "event_type": pd.array(["a", None, None, "a"], dtype="string"),
+            "value": np.zeros(4),
+            "props": [""] * 4,
+        }
+    )
+    out = user_entropy(ray.data.from_pandas(df)).to_pandas()
+    assert out["n_types"].tolist() == [2]
+    import math
+
+    h = math.log(4) - (2 * 2 * math.log(2)) / 4
+    assert out["entropy"].tolist() == [np.floor(h * 1e6 + 0.5) / 1e6]

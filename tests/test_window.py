@@ -1186,3 +1186,72 @@ def test_topk_movers_end_to_end(ray_session, small_fixture):
     assert (d[1:] <= d[:-1]).all()
     assert (out["delta"].abs() == out["delta_abs"]).all()
     assert ((out["tok"] - out["prev_tok"]) == out["delta"]).all()
+
+
+def test_running_records_one_source_literal():
+    from datafiller_ray.pipelines.window import _records_one_source
+
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.array([0, 60, 120, 180, 240], dtype=np.int64),
+            "sum": np.array([5, 3, 7, 7, 9], dtype=np.int64),
+        }
+    )
+    out = _records_one_source(obs, "s")
+    # strict records only: ties with the running max are NOT records
+    assert out["bucket_ts"].tolist() == [0, 120, 240]
+    assert out["sum_tok"].tolist() == [5, 7, 9]
+    assert out["record_no"].tolist() == [1, 2, 3]
+
+
+def test_running_records_brute_force():
+    from datafiller_ray.pipelines.window import _records_one_source
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 17, 101):
+        s = rng.integers(0, 20, size=n).astype(np.int64)
+        obs = pd.DataFrame(
+            {"bucket_ts": np.arange(n, dtype=np.int64) * 60, "sum": s}
+        )
+        out = _records_one_source(obs, "s")
+        expect = [i for i in range(n) if (s[:i] < s[i]).all()]
+        assert out["bucket_ts"].tolist() == [i * 60 for i in expect]
+
+
+def test_burstiness_literal():
+    from datafiller_ray.pipelines.window import _burstiness_one_source
+
+    # values 2, 4, 6: mean 4, pop var 8/3, fano = var/mean, cv = sd/mean
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.array([0, 60, 120], dtype=np.int64),
+            "sum": np.array([2, 4, 6], dtype=np.int64),
+        }
+    )
+    out = _burstiness_one_source(obs, "s")
+    assert out["n_buckets"].tolist() == [3]
+    assert out["sum_tok"].tolist() == [12]
+    assert out["mean_tok"].tolist() == [4.0]
+    var = (3 * (4 + 16 + 36) - 144) / 9.0
+    assert out["var_tok"].tolist() == [np.floor(var * 1e6 + 0.5) / 1e6]
+    assert out["fano"].tolist() == [np.floor(var / 4.0 * 1e6 + 0.5) / 1e6]
+    import math
+
+    assert out["cv"].tolist() == [
+        np.floor(math.sqrt(var) / 4.0 * 1e6 + 0.5) / 1e6
+    ]
+
+
+def test_burstiness_zero_total_source_omitted():
+    from datafiller_ray.pipelines.window import _burstiness_one_source
+
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.array([0, 60], dtype=np.int64),
+            "sum": np.array([0, 0], dtype=np.int64),
+        }
+    )
+    out = _burstiness_one_source(obs, "s")
+    assert len(out) == 0
+    # _string_typed_if_empty pins the empty source column to string dtype
+    assert str(out["source"].dtype) == "string"
