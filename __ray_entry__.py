@@ -2485,6 +2485,33 @@ def _vocab_overlap(sf_dir: str):
     return vocab_overlap(read_input(_fixture(sf_dir), with_tokens=True))
 
 
+def _streaks(sf_dir: str):
+    """Per-source longest strictly-increasing / strictly-decreasing streak
+    of consecutive 1m buckets (breaks on grid gaps like value_runs) —
+    pipelines/window.streaks."""
+    from datafiller_ray.pipelines.window import streaks
+
+    return streaks(_fixture(sf_dir))
+
+
+def _theilsen_trend_1h(sf_dir: str):
+    """Per-source Theil–Sen robust trend over hourly token sums (median of
+    all pairwise slopes, quantile_cont interpolation) —
+    pipelines/window.theilsen_trend."""
+    from datafiller_ray.pipelines.window import theilsen_trend
+
+    return theilsen_trend(_fixture(sf_dir), step=3600)
+
+
+def _first_digit_profile(sf_dir: str):
+    """Benford first-digit census of n_tok per source (exact integer digit
+    extraction, one bounded exchange) — pipelines/corpus.first_digit_profile."""
+    from datafiller_ray.pipelines.corpus import first_digit_profile
+    from datafiller_ray.pipelines.rollup import read_input
+
+    return first_digit_profile(read_input(_fixture(sf_dir), with_tokens=False))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # eagerly materialise the oracle-scale fixture so oracle_sql()'s
     # read_parquet path exists no matter which side the driver runs first
@@ -2655,6 +2682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_quantiles": _weighted_quantiles,
         "length_percentile": _length_percentile,
         "vocab_overlap": _vocab_overlap,
+        "streaks": _streaks,
+        "theilsen_trend_1h": _theilsen_trend_1h,
+        "first_digit_profile": _first_digit_profile,
     }
 
 
@@ -5634,5 +5664,75 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000.0 AS jaccard
             FROM com JOIN cnt ca ON ca.source = sa
                      JOIN cnt cb ON cb.source = sb
+        """,
+        # gaps-and-islands double cumsum: a streak breaks on a grid gap OR
+        # a non-monotone step; single buckets count as streak length 1
+        "streaks": f"""
+            WITH r AS ({rollup(60)}),
+            d AS (
+              SELECT source, bucket_ts, sum_tok,
+                     CASE WHEN LAG(bucket_ts) OVER w = bucket_ts - 60
+                           AND sum_tok > LAG(sum_tok) OVER w
+                          THEN 0 ELSE 1 END AS bu,
+                     CASE WHEN LAG(bucket_ts) OVER w = bucket_ts - 60
+                           AND sum_tok < LAG(sum_tok) OVER w
+                          THEN 0 ELSE 1 END AS bd
+              FROM r WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)),
+            g AS (
+              SELECT source,
+                     SUM(bu) OVER (PARTITION BY source
+                                   ORDER BY bucket_ts) AS gu,
+                     SUM(bd) OVER (PARTITION BY source
+                                   ORDER BY bucket_ts) AS gd
+              FROM d),
+            u AS (SELECT source, CAST(MAX(c) AS BIGINT) AS m FROM (
+                    SELECT source, gu, COUNT(*) AS c FROM g GROUP BY 1, 2)
+                  GROUP BY 1),
+            dn AS (SELECT source, CAST(MAX(c) AS BIGINT) AS m FROM (
+                    SELECT source, gd, COUNT(*) AS c FROM g GROUP BY 1, 2)
+                  GROUP BY 1),
+            n AS (SELECT source, COUNT(*)::BIGINT AS n_buckets
+                  FROM r GROUP BY 1)
+            SELECT n.source, n.n_buckets, u.m AS longest_up,
+                   dn.m AS longest_down
+            FROM n JOIN u USING (source) JOIN dn USING (source)
+        """,
+        # pairwise slopes are single IEEE divisions on exact integer hourly
+        # sums; the median is the shared quantile_cont interpolation rule
+        "theilsen_trend_1h": f"""
+            WITH r AS ({rollup(60)}),
+            h AS (
+              SELECT source, (bucket_ts // 3600) * 3600 AS bt,
+                     CAST(SUM(sum_tok) AS BIGINT) AS y
+              FROM r GROUP BY 1, 2),
+            pr AS (
+              SELECT a.source AS source,
+                     CAST(b.y - a.y AS DOUBLE) / (b.bt - a.bt) AS slope
+              FROM h a JOIN h b ON a.source = b.source AND b.bt > a.bt),
+            n AS (SELECT source, COUNT(*)::BIGINT AS n_steps
+                  FROM h GROUP BY 1)
+            SELECT n.source, n.n_steps, q.n_pairs, q.slope
+            FROM n JOIN (
+              SELECT source, COUNT(*)::BIGINT AS n_pairs,
+                     FLOOR(quantile_cont(slope, 0.5) * 1000000 + 0.5)
+                         / 1000000.0 AS slope
+              FROM pr GROUP BY 1) q USING (source)
+            WHERE n.n_steps >= 2
+        """,
+        # exact first digit via VARCHAR head (the engine extracts it with
+        # integer halving-by-ten — float log10 misrounds near powers of 10)
+        "first_digit_profile": f"""
+            WITH v AS (
+              SELECT source,
+                     CAST(substr(CAST(n_tok AS VARCHAR), 1, 1) AS BIGINT)
+                         AS digit
+              FROM read_parquet('{p}/*.parquet') WHERE n_tok > 0),
+            c AS (SELECT source, digit, COUNT(*)::BIGINT AS cnt
+                  FROM v GROUP BY 1, 2),
+            t AS (SELECT source, SUM(cnt) AS tot FROM c GROUP BY 1)
+            SELECT c.source, c.digit, c.cnt,
+                   FLOOR(CAST(c.cnt AS DOUBLE) / t.tot * 1000000 + 0.5)
+                       / 1000000.0 AS frac
+            FROM c JOIN t USING (source)
         """,
     }

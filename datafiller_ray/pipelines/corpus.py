@@ -2569,3 +2569,65 @@ def vocab_overlap(ds, *, n_buckets: int = 64):
     return summed.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def first_digit_profile(ds, *, value_col: str = "n_tok"):
+    """Per-source first-significant-digit census of a positive integer
+    column (the Benford's-law fraud/synthetic-data screen: organic count
+    distributions lean log-uniform, fabricated ones don't). Emits
+    (source, digit 1..9, cnt, frac) with ``frac`` the single pinned
+    division cnt / total under the shared 6-decimal floor-half-up.
+
+    The first digit is extracted with EXACT integer arithmetic (ten
+    vectorized halving-by-ten passes — float log10 misrounds near powers
+    of ten); rows with value <= 0 are excluded from the census on both
+    sides. Scale shape: each block collapses to <= |sources| * 9 partial
+    rows, ONE bounded grouped_sum exchange."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        pos = v > 0
+        v = v[pos].copy()
+        src = src[pos]
+        for _ in range(18):  # int64 has at most 19 digits
+            big = v >= 10
+            if not big.any():
+                break
+            v[big] //= 10
+        df = pd.DataFrame({"source": src, "digit": v})
+        agg = df.groupby(["source", "digit"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(agg["source"].to_numpy()),
+                "digit": pa.array(agg["digit"].to_numpy(np.int64)),
+                "cnt": pa.array(agg["size"].to_numpy(np.int64)),
+            }
+        )
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    summed = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "digit"],
+        "cnt",
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("source")["cnt"].transform("sum").to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        frac = cnt.astype(np.float64) / tot.astype(np.float64)
+        frac = np.floor(frac * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "digit": g["digit"].to_numpy(np.int64),
+                "cnt": cnt,
+                "frac": frac,
+            }
+        )
+
+    # per-source totals need all of a source's digit rows together: group
+    # by source (bounded: <= 9 rows per source after the sum)
+    return summed.groupby("source").map_groups(finish, batch_format="pandas")

@@ -2187,3 +2187,115 @@ def burstiness(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _streaks_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    consec = ts[1:] == ts[:-1] + 60
+    up_step = consec & (s[1:] > s[:-1])
+    dn_step = consec & (s[1:] < s[:-1])
+
+    def longest(step: np.ndarray) -> int:
+        # longest run of True steps -> streak length = run + 1 buckets
+        if step.size == 0:
+            return 1
+        brk = np.flatnonzero(np.r_[True, ~step, True])
+        return int(np.diff(brk).max())
+
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([ts.size], dtype=np.int64),
+            "longest_up": np.array([longest(up_step)], dtype=np.int64),
+            "longest_down": np.array([longest(dn_step)], dtype=np.int64),
+        }
+    )
+
+
+def streaks(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source longest monotone streak census: the maximum number of
+    CONSECUTIVE 1m buckets with strictly increasing (and, separately,
+    strictly decreasing) token sums — the ramp-detection summary (is this
+    feed monotonically warming up / draining, or noise). A streak breaks
+    on a grid gap exactly like ``value_runs`` (a run never spans missing
+    minutes); a single bucket counts as streak length 1. O(n) boolean
+    diffs per source, all-int64, one per-source exchange. The SQL oracle
+    is the gaps-and-islands double cumsum over LAG comparisons."""
+    return _run_per_source(
+        input_path,
+        _streaks_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def _theilsen_one_source(
+    obs: pd.DataFrame, source: str, step: int
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    b = ts - ts % step
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], b.size]
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+    bt = b[starts]
+    y = cs[ends] - cs[starts]
+    n = bt.size
+    if n < 2:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_steps": pd.Series([], dtype=np.int64),
+                    "n_pairs": pd.Series([], dtype=np.int64),
+                    "slope": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    # all i<j pairwise slopes, one broadcastized divide (n = step buckets,
+    # so n^2 stays small: hours of history, not minutes)
+    ii, jj = np.triu_indices(n, k=1)
+    slopes = (y[jj] - y[ii]).astype(np.float64) / (
+        (bt[jj] - bt[ii]).astype(np.float64)
+    )
+    slopes.sort(kind="stable")
+    med = _interp_quantile(slopes, 0.5)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_steps": np.array([n], dtype=np.int64),
+            "n_pairs": np.array([slopes.size], dtype=np.int64),
+            "slope": _round6_half_up(np.array([med])),
+        }
+    )
+
+
+def theilsen_trend(
+    input_path,
+    *,
+    step: int = 3600,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source Theil–Sen robust trend: the median of all pairwise
+    slopes ``(y_j - y_i) / (t_j - t_i)`` over the ``step``-grain token
+    sums — the outlier-resistant complement of ``source_trend``'s OLS
+    (one corrupted burst moves OLS, not the pairwise median). Slopes are
+    single pinned IEEE divisions on exact integer sums; the median is the
+    ``quantile_cont`` interpolation rule shared with the quantile family,
+    under the 6-decimal floor-half-up absorber. O(n^2) pairs per source
+    at the COARSE grain (hours, not minutes) so n stays bounded by the
+    retention span; sources with fewer than 2 step buckets are omitted."""
+    from datafiller_ray.config import EngineValueError
+
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _theilsen_one_source(obs, src, step),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -1314,3 +1314,44 @@ def test_vocab_overlap_literal(ray_session):
     assert out["n_b"].tolist() == [3]
     assert out["n_common"].tolist() == [2]
     assert out["jaccard"].tolist() == [0.5]
+
+
+def test_first_digit_profile_literal(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import first_digit_profile
+
+    t = pa.table(
+        {
+            "source": ["a", "a", "a", "a", "b"],
+            "n_tok": pa.array([1, 19, 190, 900, 0], type=pa.int32()),
+        }
+    )
+    out = (
+        first_digit_profile(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["source", "digit"])
+        .reset_index(drop=True)
+    )
+    # source a: digits 1,1,1,9 -> (1: 3, 9: 1); b's only row has n_tok=0
+    # and is excluded entirely
+    assert out["source"].tolist() == ["a", "a"]
+    assert out["digit"].tolist() == [1, 9]
+    assert out["cnt"].tolist() == [3, 1]
+    assert out["frac"].tolist() == [0.75, 0.25]
+
+
+def test_first_digit_exact_near_powers_of_ten(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from datafiller_ray.pipelines.corpus import first_digit_profile
+
+    # values where float log10 extraction misrounds: 10^k and 10^k - 1
+    vals = [10, 9, 100, 99, 1000, 999, 1000000, 999999]
+    t = pa.table({"source": ["s"] * len(vals),
+                  "n_tok": pa.array(vals, type=pa.int64())})
+    out = first_digit_profile(ray.data.from_arrow(t)).to_pandas()
+    got = dict(zip(out["digit"], out["cnt"]))
+    assert got == {1: 4, 9: 4}

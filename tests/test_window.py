@@ -1255,3 +1255,66 @@ def test_burstiness_zero_total_source_omitted():
     assert len(out) == 0
     # _string_typed_if_empty pins the empty source column to string dtype
     assert str(out["source"].dtype) == "string"
+
+
+def test_streaks_one_source_literal():
+    from datafiller_ray.pipelines.window import _streaks_one_source
+
+    # values 1,2,3 | gap | 4,2,1 — up streak 3 (gap breaks the 3->4 step),
+    # down streak 3 (4,2,1)
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.array([0, 60, 120, 300, 360, 420], dtype=np.int64),
+            "sum": np.array([1, 2, 3, 4, 2, 1], dtype=np.int64),
+        }
+    )
+    out = _streaks_one_source(obs, "s")
+    assert out["longest_up"].tolist() == [3]
+    assert out["longest_down"].tolist() == [3]
+    assert out["n_buckets"].tolist() == [6]
+
+
+def test_streaks_single_bucket_is_length_one():
+    from datafiller_ray.pipelines.window import _streaks_one_source
+
+    obs = pd.DataFrame(
+        {"bucket_ts": np.array([0], dtype=np.int64),
+         "sum": np.array([9], dtype=np.int64)}
+    )
+    out = _streaks_one_source(obs, "s")
+    assert out["longest_up"].tolist() == [1]
+    assert out["longest_down"].tolist() == [1]
+
+
+def test_theilsen_one_source_literal():
+    from datafiller_ray.pipelines.window import _theilsen_one_source
+
+    # hourly sums y = [0, 10, 14] at t = [0, 3600, 7200]: pairwise slopes
+    # 10/3600, 14/7200, 4/3600 -> sorted medians to the middle one
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.array([0, 3600, 7200], dtype=np.int64),
+            "sum": np.array([0, 10, 14], dtype=np.int64),
+        }
+    )
+    out = _theilsen_one_source(obs, "s", 3600)
+    assert out["n_steps"].tolist() == [3]
+    assert out["n_pairs"].tolist() == [3]
+    slopes = sorted([10 / 3600, 14 / 7200, 4 / 3600])
+    assert out["slope"].tolist() == [np.floor(slopes[1] * 1e6 + 0.5) / 1e6]
+
+
+def test_theilsen_resists_outlier():
+    from datafiller_ray.pipelines.window import _theilsen_one_source
+
+    # linear slope 1/3600 with one corrupted point: median slope stays
+    # within a factor-2 band while OLS would be dragged far off
+    n = 24
+    y = np.arange(n, dtype=np.int64)
+    y[12] = 10_000
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(n, dtype=np.int64) * 3600, "sum": y}
+    )
+    out = _theilsen_one_source(obs, "s", 3600)
+    true = 1 / 3600
+    assert abs(out["slope"].iloc[0]) < 2 * true + 1e-9
