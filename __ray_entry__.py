@@ -2512,6 +2512,15 @@ def _first_digit_profile(sf_dir: str):
     return first_digit_profile(read_input(_fixture(sf_dir), with_tokens=False))
 
 
+def _mann_kendall_1h(sf_dir: str):
+    """Per-source Mann–Kendall S statistic + Kendall tau over hourly token
+    sums (integer-exact pairwise sign sum; theilsen_trend's significance
+    companion) — pipelines/window.mann_kendall."""
+    from datafiller_ray.pipelines.window import mann_kendall
+
+    return mann_kendall(_fixture(sf_dir), step=3600)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # eagerly materialise the oracle-scale fixture so oracle_sql()'s
     # read_parquet path exists no matter which side the driver runs first
@@ -2685,6 +2694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaks": _streaks,
         "theilsen_trend_1h": _theilsen_trend_1h,
         "first_digit_profile": _first_digit_profile,
+        "mann_kendall_1h": _mann_kendall_1h,
     }
 
 
@@ -5734,5 +5744,28 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(CAST(c.cnt AS DOUBLE) / t.tot * 1000000 + 0.5)
                        / 1000000.0 AS frac
             FROM c JOIN t USING (source)
+        """,
+        # S is an integer pairwise sign sum (exact); tau one pinned
+        # division — the theilsen_trend_1h pair CTE with SIGN instead of
+        # the slope division
+        "mann_kendall_1h": f"""
+            WITH r AS ({rollup(60)}),
+            h AS (
+              SELECT source, (bucket_ts // 3600) * 3600 AS bt,
+                     CAST(SUM(sum_tok) AS BIGINT) AS y
+              FROM r GROUP BY 1, 2),
+            pr AS (
+              SELECT a.source AS source, SIGN(b.y - a.y) AS sg
+              FROM h a JOIN h b ON a.source = b.source AND b.bt > a.bt),
+            n AS (SELECT source, COUNT(*)::BIGINT AS n_steps
+                  FROM h GROUP BY 1)
+            SELECT n.source, n.n_steps, q.s_stat,
+                   FLOOR(CAST(q.s_stat AS DOUBLE)
+                         / (n.n_steps * (n.n_steps - 1) / 2)
+                         * 1000000 + 0.5) / 1000000.0 AS tau
+            FROM n JOIN (
+              SELECT source, CAST(SUM(sg) AS BIGINT) AS s_stat
+              FROM pr GROUP BY 1) q USING (source)
+            WHERE n.n_steps >= 2
         """,
     }

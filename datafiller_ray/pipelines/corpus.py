@@ -2525,7 +2525,10 @@ def vocab_overlap(ds, *, n_buckets: int = 64):
     from datafiller_ray.stages.exchange import grouped_sum
 
     partials = ds.map_batches(
-        pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        # batch_size=None: dedup whole blocks — per-1024-row micro-batches
+        # collapse far fewer duplicate (source, token) pairs pre-exchange
+        pair_partial, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
     pairs = partials.groupby("gkey").map_groups(
         bucket_pairs, batch_format="pandas"

@@ -2299,3 +2299,68 @@ def theilsen_trend(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _mann_kendall_one_source(
+    obs: pd.DataFrame, source: str, step: int
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    b = ts - ts % step
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], b.size]
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+    y = cs[ends] - cs[starts]
+    n = y.size
+    if n < 2:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_steps": pd.Series([], dtype=np.int64),
+                    "s_stat": pd.Series([], dtype=np.int64),
+                    "tau": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    ii, jj = np.triu_indices(n, k=1)
+    d = y[jj] - y[ii]
+    s_stat = int(np.sign(d).sum())
+    n_pairs = n * (n - 1) // 2
+    tau = float(s_stat) / float(n_pairs)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_steps": np.array([n], dtype=np.int64),
+            "s_stat": np.array([s_stat], dtype=np.int64),
+            "tau": _round6_half_up(np.array([tau])),
+        }
+    )
+
+
+def mann_kendall(
+    input_path,
+    *,
+    step: int = 3600,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source Mann–Kendall trend test over the ``step``-grain token
+    sums: ``S = sum over i<j of sign(y_j - y_i)`` and Kendall's
+    ``tau = S / (n(n-1)/2)`` — the nonparametric is-there-a-trend score
+    that pairs with :func:`theilsen_trend`'s slope estimate (same pairwise
+    machinery; S is INTEGER-exact, tau one pinned division under the
+    round6 absorber). O(n^2) only at the coarse grain; sources with fewer
+    than 2 step buckets are omitted."""
+    from datafiller_ray.config import EngineValueError
+
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _mann_kendall_one_source(obs, src, step),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -1318,3 +1318,40 @@ def test_theilsen_resists_outlier():
     out = _theilsen_one_source(obs, "s", 3600)
     true = 1 / 3600
     assert abs(out["slope"].iloc[0]) < 2 * true + 1e-9
+
+
+def test_mann_kendall_one_source_literal():
+    from datafiller_ray.pipelines.window import _mann_kendall_one_source
+
+    # hourly y = [1, 3, 2]: pairs (1,3)+1, (1,2)+1, (3,2)-1 -> S=1,
+    # tau = 1/3
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.array([0, 3600, 7200], dtype=np.int64),
+            "sum": np.array([1, 3, 2], dtype=np.int64),
+        }
+    )
+    out = _mann_kendall_one_source(obs, "s", 3600)
+    assert out["n_steps"].tolist() == [3]
+    assert out["s_stat"].tolist() == [1]
+    assert out["tau"].tolist() == [np.floor(1 / 3 * 1e6 + 0.5) / 1e6]
+
+
+def test_mann_kendall_monotone_and_ties():
+    from datafiller_ray.pipelines.window import _mann_kendall_one_source
+
+    n = 10
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(n, dtype=np.int64) * 3600,
+            "sum": np.arange(n, dtype=np.int64) + 5,
+        }
+    )
+    out = _mann_kendall_one_source(obs, "s", 3600)
+    assert out["s_stat"].tolist() == [n * (n - 1) // 2]
+    assert out["tau"].tolist() == [1.0]
+    # all-constant: every sign is 0
+    obs["sum"] = 7
+    out = _mann_kendall_one_source(obs, "s", 3600)
+    assert out["s_stat"].tolist() == [0]
+    assert out["tau"].tolist() == [0.0]
