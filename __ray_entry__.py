@@ -2512,6 +2512,90 @@ def _first_digit_profile(sf_dir: str):
     return first_digit_profile(read_input(_fixture(sf_dir), with_tokens=False))
 
 
+def _revenue_by_region(sf_dir: str):
+    """TPC-H Q5-style 5-table chain: lineitem ⋈ orders (big-big through
+    the ONE equi_join exchange) then customer → nation → region broadcast
+    dimension hops (map-side, zero extra shuffles), revenue grouped by
+    region. Revenue is INTEGER-exact in 10^-4-dollar units:
+    ``cents * (100 - disc_pct)`` with both factors rounded from the
+    two-decimal doubles — pipelines/joins.equi_join + broadcast_join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from datafiller_ray.pipelines.joins import broadcast_join, equi_join
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.rint(price * 100).astype(np.int64)
+        pct = np.rint(disc * 100).astype(np.int64)
+        return pa.table(
+            {"okey": t["l_orderkey"], "rev": pa.array(cents * (100 - pct))}
+        )
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"okey": t["o_orderkey"], "ckey": pc.cast(t["o_custkey"], pa.int64())}
+        )
+
+    def cust_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ckey": b["c_custkey"].to_numpy(np.int64),
+                "nkey": b["c_nationkey"].to_numpy(np.int64),
+            }
+        )
+
+    def nat_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nkey": b["n_nationkey"].to_numpy(np.int64),
+                "rkey": b["n_regionkey"].to_numpy(np.int64),
+            }
+        )
+
+    def reg_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"rkey": b["r_regionkey"].to_numpy(np.int64), "r_name": b["r_name"]}
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        ord_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = equi_join(
+        li, orders, key="okey",
+        left_payload={"rev": "rev"}, right_payload={"ckey": "ckey"},
+    )
+    j = broadcast_join(
+        j,
+        _read(sf_dir, "customer").map_batches(cust_proj, batch_format="pandas"),
+        key="ckey", small_payload={"nkey": "nkey"},
+    )
+    j = broadcast_join(
+        j,
+        _read(sf_dir, "nation").map_batches(nat_proj, batch_format="pandas"),
+        key="nkey", small_payload={"rkey": "rkey"},
+    )
+    j = broadcast_join(
+        j,
+        _read(sf_dir, "region").map_batches(reg_proj, batch_format="pandas"),
+        key="rkey", small_payload={"r_name": "r_name"},
+    )
+    agg = j.groupby("r_name").aggregate(Count(), Sum("rev"))
+    return agg.map_batches(
+        lambda b: b.rename(
+            columns={"count()": "n_items", "sum(rev)": "revenue_e4"}
+        )[["r_name", "n_items", "revenue_e4"]],
+        batch_format="pandas",
+    )
+
+
 def _mann_kendall_1h(sf_dir: str):
     """Per-source Mann–Kendall S statistic + Kendall tau over hourly token
     sums (integer-exact pairwise sign sum; theilsen_trend's significance
@@ -2695,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen_trend_1h": _theilsen_trend_1h,
         "first_digit_profile": _first_digit_profile,
         "mann_kendall_1h": _mann_kendall_1h,
+        "revenue_by_region": _revenue_by_region,
     }
 
 
@@ -5767,5 +5852,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, CAST(SUM(sg) AS BIGINT) AS s_stat
               FROM pr GROUP BY 1) q USING (source)
             WHERE n.n_steps >= 2
+        """,
+        # revenue in exact 1e-4-dollar units: cents * (100 - disc_pct),
+        # both factors rounded from the two-decimal doubles
+        "revenue_by_region": """
+            SELECT r.r_name, COUNT(*)::BIGINT AS n_items,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
         """,
     }
