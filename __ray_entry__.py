@@ -2596,6 +2596,19 @@ def _revenue_by_region(sf_dir: str):
     )
 
 
+def _lead_lag_xcorr(sf_dir: str):
+    """Best lag in ±6 hours maximizing Pearson correlation of each source
+    against the broadcast reference sources (exact integer five-moment
+    sums per lag; winner picked on the rounded corr, corr desc / lag asc)
+    — pipelines/correlate.lead_lag_xcorr."""
+    from datafiller_ray.pipelines.correlate import lead_lag_xcorr
+
+    return lead_lag_xcorr(
+        _fixture(sf_dir), ref_sources=_CORR_REFS, max_lag=6, step=3600,
+        min_common=3, check_tokens=False,
+    )
+
+
 def _mann_kendall_1h(sf_dir: str):
     """Per-source Mann–Kendall S statistic + Kendall tau over hourly token
     sums (integer-exact pairwise sign sum; theilsen_trend's significance
@@ -2780,6 +2793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_digit_profile": _first_digit_profile,
         "mann_kendall_1h": _mann_kendall_1h,
         "revenue_by_region": _revenue_by_region,
+        "lead_lag_xcorr": _lead_lag_xcorr,
     }
 
 
@@ -5867,5 +5881,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        # per-lag exact HUGEINT five-moment sums feed the pinned corr
+        # expression; the winner per pair is picked on the ROUNDED corr
+        # (corr desc, lag asc) exactly like the engine
+        "lead_lag_xcorr": f"""
+            WITH obs AS (
+              SELECT source,
+                     (CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)
+                      * 60 // 3600) * 3600 AS bt,
+                     CAST(SUM(n_tok) AS BIGINT) AS s
+              FROM read_parquet('{p}/*.parquet') GROUP BY 1, 2),
+            refs AS (
+              SELECT source AS ref_source, bt, s AS rs FROM obs
+              WHERE source IN {_CORR_REFS!r}),
+            lags AS (
+              SELECT UNNEST(generate_series(-6, 6)) AS lag),
+            j AS (
+              SELECT o.source, r.ref_source, l.lag, o.s AS x, r.rs AS y
+              FROM obs o CROSS JOIN lags l
+              JOIN refs r ON r.bt = o.bt + l.lag * 3600
+                         AND o.source <> r.ref_source),
+            m AS (
+              SELECT source, ref_source, lag,
+                     COUNT(*)::HUGEINT AS n,
+                     SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+                     SUM(x * y)::HUGEINT AS sxy,
+                     SUM(x * x)::HUGEINT AS sxx,
+                     SUM(y * y)::HUGEINT AS syy
+              FROM j GROUP BY 1, 2, 3),
+            c AS (
+              SELECT source, ref_source, CAST(lag AS BIGINT) AS lag,
+                     CAST(n AS BIGINT) AS n_common,
+                     (n * sxy - sx * sy) AS num,
+                     (n * sxx - sx * sx) AS d1,
+                     (n * syy - sy * sy) AS d2
+              FROM m),
+            ranked AS (
+              SELECT source, ref_source, lag, n_common,
+                     FLOOR((CAST(num AS DOUBLE)
+                            / SQRT(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))
+                           * 1000000 + 0.5) / 1000000.0 AS corr
+              FROM c WHERE n_common >= 3 AND d1 > 0 AND d2 > 0)
+            SELECT source, ref_source, lag AS best_lag, n_common, corr
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY source, ref_source
+                  ORDER BY corr DESC, lag ASC) AS rn
+              FROM ranked)
+            WHERE rn = 1
         """,
     }

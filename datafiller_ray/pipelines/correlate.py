@@ -186,3 +186,134 @@ def source_correlation(
     return _run_per_source(
         input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
     )
+
+
+def _hourly(ts: np.ndarray, s: np.ndarray, step: int) -> "tuple[np.ndarray, np.ndarray]":
+    b = ts - ts % step
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], b.size]
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+    return b[starts], cs[ends] - cs[starts]
+
+
+def _xcorr_one_source(
+    obs: pd.DataFrame,
+    source: str,
+    refs: "dict[str, tuple[np.ndarray, np.ndarray]]",
+    lags: "np.ndarray",
+    step: int,
+    min_common: int,
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    x_ts, x_sum = _hourly(ts, obs["sum"].to_numpy(np.int64), step)
+    names, best_lags, ns, corrs = [], [], [], []
+    for ref_name in sorted(refs):
+        if ref_name == source:
+            continue
+        rts, rsum = refs[ref_name]
+        cand: "list[tuple[float, int, int]]" = []
+        for lag in lags:
+            shifted = x_ts + lag * step  # correlate x(t) with ref(t + lag)
+            pos = np.searchsorted(rts, shifted)
+            pos_c = np.minimum(pos, max(rts.size - 1, 0))
+            hit = (rts.size > 0) & (rts[pos_c] == shifted)
+            n = int(hit.sum())
+            if n < min_common:
+                continue
+            x = x_sum[hit]
+            y = rsum[pos_c[hit]]
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int(np.dot(x, y))
+            sxx, syy = int(np.dot(x, x)), int(np.dot(y, y))
+            num = n * sxy - sx * sy
+            d1 = n * sxx - sx * sx
+            d2 = n * syy - sy * sy
+            if d1 <= 0 or d2 <= 0:
+                continue
+            corr = float(num) / math.sqrt(float(d1) * float(d2))
+            # rank on the ROUNDED value so engine and SQL tie-break alike
+            cand.append((float(_round6_half_up(np.array([corr]))[0]), int(lag), n))
+        if not cand:
+            continue
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        c6, lag, n = cand[0]
+        names.append(ref_name)
+        best_lags.append(lag)
+        ns.append(n)
+        corrs.append(c6)
+    out = pd.DataFrame(
+        {
+            "source": np.full(len(names), source, dtype=object),
+            "ref_source": np.asarray(names, dtype=object),
+            "best_lag": np.asarray(best_lags, dtype=np.int64),
+            "n_common": np.asarray(ns, dtype=np.int64),
+            "corr": np.asarray(corrs, dtype=np.float64),
+        }
+    )
+    if not len(out):
+        out["source"] = out["source"].astype("string")
+        out["ref_source"] = out["ref_source"].astype("string")
+    return out
+
+
+def lead_lag_xcorr(
+    input_path,
+    *,
+    ref_sources: "tuple[str, ...] | list[str]",
+    max_lag: int = 6,
+    step: int = 3600,
+    min_common: int = 3,
+    max_refs: int = _MAX_REFS_DEFAULT,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """Lead-lag discovery: for every (source, reference) pair, the lag in
+    ``-max_lag..max_lag`` step buckets that maximizes the Pearson
+    correlation of ``x(t)`` against ``ref(t + lag)`` on their common
+    observed buckets — "does this feed lead or trail that one, and by how
+    many hours". Emits (source, ref_source, best_lag, n_common, corr);
+    positive ``best_lag`` means the reference trails the source.
+
+    Same scale shape and numerics as :func:`source_correlation` (broadcast
+    reference series, one per-source exchange, exact integer five-moment
+    sums, ONE pinned float expression per (lag, pair)); the winning lag is
+    picked on the ROUNDED correlation (corr desc, lag asc) so the SQL
+    ROW_NUMBER oracle tie-breaks identically. The lag scan happens at the
+    COARSE ``step`` grain, so per pair it costs |lags| vectorized
+    alignments over hours, not minutes."""
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _run_per_source
+
+    if not ref_sources:
+        raise EngineValueError("ref_sources must be non-empty")
+    if len(ref_sources) > max_refs:
+        raise EngineValueError(
+            f"{len(ref_sources)} reference sources exceed max_refs="
+            f"{max_refs}; the reference set is the broadcast small side"
+        )
+    if max_lag < 0:
+        raise EngineValueError(f"max_lag must be >= 0, got {max_lag}")
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    series_1m = _reference_series(
+        input_path, tuple(ref_sources), check_tokens=check_tokens
+    )
+    refs = {
+        name: _hourly(ts, s, step) for name, (ts, s) in series_1m.items()
+    }
+    lags = np.arange(-max_lag, max_lag + 1, dtype=np.int64)
+    refs_ref = ray.put(refs)
+
+    def one_source(obs: pd.DataFrame, src: str) -> pd.DataFrame:
+        import ray as _ray
+
+        r = _ray.get(refs_ref) if not isinstance(refs_ref, dict) else refs_ref
+        return _xcorr_one_source(obs, src, r, lags, step, min_common)
+
+    return _run_per_source(
+        input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
+    )

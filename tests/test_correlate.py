@@ -102,3 +102,54 @@ def test_source_correlation_guards(ray_session, small_fixture):
         source_correlation(small_fixture, ref_sources=("src_0000",), min_common=1)
     with pytest.raises(EngineValueError):
         source_correlation(small_fixture, ref_sources=("no_such_source",))
+
+
+def test_xcorr_one_source_finds_planted_lag():
+    from datafiller_ray.pipelines.correlate import _hourly, _xcorr_one_source
+
+    rng = np.random.default_rng(11)
+    n = 48
+    base = rng.integers(10, 1000, size=n).astype(np.int64)
+    # ref(t) = x(t - 2h): x at hour i matches ref at hour i+2, so the best
+    # alignment of x(t) with ref(t + lag) is lag = +2
+    hours = np.arange(n, dtype=np.int64) * 3600
+    refs = {"ref": (hours + 2 * 3600, base.copy())}
+    obs = pd.DataFrame({"bucket_ts": hours, "sum": base})
+    out = _xcorr_one_source(
+        obs, "s", refs, np.arange(-6, 7, dtype=np.int64), 3600, 3
+    )
+    assert out["best_lag"].tolist() == [2]
+    assert out["corr"].tolist() == [1.0]
+    assert out["n_common"].tolist() == [n]
+
+
+def test_xcorr_rounded_tie_breaks_to_smaller_lag():
+    from datafiller_ray.pipelines.correlate import _xcorr_one_source
+
+    # constant-slope series correlate 1.0 at EVERY overlapping lag: the
+    # tie must break to the smallest lag
+    n = 30
+    hours = np.arange(n, dtype=np.int64) * 3600
+    y = np.arange(n, dtype=np.int64) * 7 + 3
+    refs = {"ref": (hours, y.copy())}
+    obs = pd.DataFrame({"bucket_ts": hours, "sum": y})
+    out = _xcorr_one_source(
+        obs, "s", refs, np.arange(-3, 4, dtype=np.int64), 3600, 3
+    )
+    assert out["best_lag"].tolist() == [-3]
+    assert out["corr"].tolist() == [1.0]
+
+
+def test_xcorr_skips_self_and_low_overlap():
+    from datafiller_ray.pipelines.correlate import _xcorr_one_source
+
+    hours = np.arange(4, dtype=np.int64) * 3600
+    y = np.array([1, 5, 2, 9], dtype=np.int64)
+    refs = {"s": (hours, y.copy()), "far": (hours + 10**9, y.copy())}
+    obs = pd.DataFrame({"bucket_ts": hours, "sum": y})
+    out = _xcorr_one_source(
+        obs, "s", refs, np.arange(-1, 2, dtype=np.int64), 3600, 3
+    )
+    # self excluded; "far" never overlaps within +-1h
+    assert len(out) == 0
+    assert str(out["source"].dtype) == "string"
