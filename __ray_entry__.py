@@ -2596,6 +2596,18 @@ def _revenue_by_region(sf_dir: str):
     )
 
 
+def _holt_winters_1m(sf_dir: str):
+    """Additive Holt–Winters (level/trend/seasonal, period 60 observed
+    minutes) per source — the seasonal extension of holt_smooth_1m;
+    vendored scalar triple-recursion oracle —
+    pipelines/window.holt_winters."""
+    from datafiller_ray.pipelines.window import holt_winters
+
+    return holt_winters(
+        _fixture(sf_dir), step=60, season=60, alpha=0.2, beta=0.1, gamma=0.3
+    )
+
+
 def _lead_lag_xcorr(sf_dir: str):
     """Best lag in ±6 hours maximizing Pearson correlation of each source
     against the broadcast reference sources (exact integer five-moment
@@ -2794,6 +2806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_1h": _mann_kendall_1h,
         "revenue_by_region": _revenue_by_region,
         "lead_lag_xcorr": _lead_lag_xcorr,
+        "holt_winters_1m": _holt_winters_1m,
     }
 
 
@@ -3735,6 +3748,33 @@ def _build_holt_oracle() -> "pd.DataFrame":
     return pd.concat(frames, ignore_index=True)
 
 
+def _build_holt_winters_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    frames = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep]
+        res = o.holt_winters_recursion(y, 60, 0.2, 0.1, 0.3)
+        if res is None:
+            continue
+        fc, lv, tr = res
+        m = 60
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": src,
+                    "bucket_ts": ts[m:],
+                    "sum_tok": y[m:].astype(np.int64),
+                    "forecast_tok": o.round_half_up(fc),
+                    "level_tok": o.round_half_up(lv),
+                    "trend_tok": o.round_half_up(tr),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def _build_cusum_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     frames = []
@@ -3810,6 +3850,7 @@ _FILL_ORACLE_BUILDERS = {
     "lang_fill": _build_lang_oracle,
     "ewma_smooth_1m": _build_ewma_oracle,
     "holt_smooth_1m": _build_holt_oracle,
+    "holt_winters_1m": _build_holt_winters_oracle,
     "lttb_downsample": _build_lttb_oracle,
     "cusum_changepoints": _build_cusum_oracle,
     "approx_distinct_docs": _build_hll_oracle,
@@ -4579,6 +4620,10 @@ def oracle_sql() -> dict[str, str]:
         # independent NumPy oracles, same read_parquet route
         "ewma_smooth_1m": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('ewma_smooth_1m')}')"
+        ),
+        "holt_winters_1m": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('holt_winters_1m')}')"
         ),
         "holt_smooth_1m": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('holt_smooth_1m')}')"

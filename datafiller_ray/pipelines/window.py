@@ -2364,3 +2364,116 @@ def mann_kendall(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _holt_winters_one_source(
+    obs: pd.DataFrame,
+    source: str,
+    step: int,
+    season: int,
+    alpha: float,
+    beta: float,
+    gamma: float,
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s_int = obs["sum"].to_numpy(np.int64)
+    b = ts - ts % step
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], b.size]
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s_int)])
+    bt = b[starts]
+    yi = cs[ends] - cs[starts]
+    n = bt.size
+    m = season
+    if n < 2 * m:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "bucket_ts": pd.Series([], dtype=np.int64),
+                    "sum_tok": pd.Series([], dtype=np.int64),
+                    "forecast_tok": pd.Series([], dtype=np.float64),
+                    "level_tok": pd.Series([], dtype=np.float64),
+                    "trend_tok": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    y = yi.astype(np.float64)
+    # pinned init from exact integer sums: level = mean of season 1,
+    # trend = (mean of season 2 - mean of season 1) / m evaluated as ONE
+    # integer difference over m*m, seasonal = first-season residuals
+    s0 = int(yi[:m].sum())
+    s1 = int(yi[m : 2 * m].sum())
+    level = s0 / m
+    trend = (s1 - s0) / (m * m)
+    seas = y[:m] - level
+    fc = np.empty(n - m, np.float64)
+    lv = np.empty(n - m, np.float64)
+    tr = np.empty(n - m, np.float64)
+    for t in range(m, n):
+        j = t % m
+        prev = level + trend
+        fc[t - m] = prev + seas[j]  # one-step-ahead, before seeing y_t
+        level_new = alpha * (y[t] - seas[j]) + (1.0 - alpha) * prev
+        trend = beta * (level_new - level) + (1.0 - beta) * trend
+        seas[j] = gamma * (y[t] - level_new) + (1.0 - gamma) * seas[j]
+        level = level_new
+        lv[t - m] = level
+        tr[t - m] = trend
+    return pd.DataFrame(
+        {
+            "source": np.full(n - m, source, dtype=object),
+            "bucket_ts": bt[m:],
+            "sum_tok": yi[m:],
+            "forecast_tok": _round6_half_up(fc),
+            "level_tok": _round6_half_up(lv),
+            "trend_tok": _round6_half_up(tr),
+        }
+    )
+
+
+def holt_winters(
+    input_path,
+    *,
+    step: int = 60,
+    season: int = 60,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Holt–Winters ADDITIVE triple exponential smoothing per source over
+    the observed ``step``-grain token sums (ROW seasonal indexing, period
+    ``season`` observed buckets) — the seasonal extension of
+    :func:`holt_smooth`: one-step-ahead forecast, level, and trend per
+    bucket from the classic three-recursion update. Initialization is the
+    standard pinned form (first-season mean level, season-over-season mean
+    trend, first-season residual seasonals) computed from EXACT integer
+    sums; every float op runs in a fixed documented order mirrored by the
+    vendored scalar oracle (tests/oracle/fills.py), with the shared
+    6-decimal floor-half-up on outputs. Sources with fewer than
+    ``2 * season`` observed buckets are omitted; output starts at bucket
+    ``season`` (the spin-up season is consumed by the init). The recursion
+    is inherently sequential — it runs as a per-source scalar pass inside
+    the one exchange (the cusum precedent), so keep it at a coarse grain
+    at corpus scale."""
+    from datafiller_ray.config import EngineValueError
+
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    if season < 2:
+        raise EngineValueError(f"season must be >= 2, got {season}")
+    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not (0.0 < v < 1.0):
+            raise EngineValueError(f"{name} must be in (0, 1), got {v}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _holt_winters_one_source(
+            obs, src, step, season, alpha, beta, gamma
+        ),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -899,3 +899,42 @@ def embedding_pca_frame(ids, M, n_components=2, scale_bits=16):
     for c in range(n_components):
         out[f"pc{c + 1}"] = np.floor(P[:, c] * 1e6 + 0.5) / 1e6
     return pd.DataFrame(out)
+
+
+def holt_winters_recursion(
+    y: np.ndarray, m: int, alpha: float, beta: float, gamma: float
+):
+    """Additive Holt–Winters, scalar re-derivation of the operator's
+    pinned definition: first-season-mean level (exact integer sum over m),
+    season-over-season mean trend evaluated as one integer difference over
+    m*m, first-season residual seasonals, then the classic three-recursion
+    update with the one-step forecast emitted BEFORE the update sees y_t.
+    Returns (forecast, level, trend) float64 arrays aligned to positions
+    m..n-1, or None when n < 2*m."""
+    n = int(y.size)
+    if n < 2 * m:
+        return None
+    s0 = 0
+    s1 = 0
+    for i in range(m):
+        s0 += int(y[i])
+    for i in range(m, 2 * m):
+        s1 += int(y[i])
+    level = s0 / m
+    trend = (s1 - s0) / (m * m)
+    seasonal = [float(y[i]) - level for i in range(m)]
+    fc = np.empty(n - m, dtype=np.float64)
+    lv = np.empty(n - m, dtype=np.float64)
+    tr = np.empty(n - m, dtype=np.float64)
+    for t in range(m, n):
+        j = t - (t // m) * m
+        prior = level + trend
+        fc[t - m] = prior + seasonal[j]
+        yt = float(y[t])
+        new_level = alpha * (yt - seasonal[j]) + (1.0 - alpha) * prior
+        trend = beta * (new_level - level) + (1.0 - beta) * trend
+        seasonal[j] = gamma * (yt - new_level) + (1.0 - gamma) * seasonal[j]
+        level = new_level
+        lv[t - m] = level
+        tr[t - m] = trend
+    return fc, lv, tr

@@ -1355,3 +1355,58 @@ def test_mann_kendall_monotone_and_ties():
     out = _mann_kendall_one_source(obs, "s", 3600)
     assert out["s_stat"].tolist() == [0]
     assert out["tau"].tolist() == [0.0]
+
+
+def test_holt_winters_engine_matches_recursion_oracle():
+    from datafiller_ray.pipelines.window import _holt_winters_one_source
+
+    o = _oracle_fills()
+    rng = np.random.default_rng(13)
+    for n, m in ((25, 4), (123, 7), (400, 24)):
+        s = rng.integers(0, 10000, size=n)
+        obs = pd.DataFrame(
+            {"bucket_ts": np.arange(n, dtype=np.int64) * 60, "sum": s}
+        )
+        eng = _holt_winters_one_source(obs, "s", 60, m, 0.2, 0.1, 0.3)
+        fc, lv, tr = o.holt_winters_recursion(
+            s.astype(np.float64), m, 0.2, 0.1, 0.3
+        )
+        np.testing.assert_array_equal(
+            eng["forecast_tok"].to_numpy(), o.round_half_up(fc)
+        )
+        np.testing.assert_array_equal(
+            eng["level_tok"].to_numpy(), o.round_half_up(lv)
+        )
+        np.testing.assert_array_equal(
+            eng["trend_tok"].to_numpy(), o.round_half_up(tr)
+        )
+
+
+def test_holt_winters_perfect_seasonal_forecast():
+    from datafiller_ray.pipelines.window import _holt_winters_one_source
+
+    # an exactly periodic series with zero trend: after init, the one-step
+    # forecast reproduces the pattern exactly (all recursion corrections
+    # are zero, level/trend/seasonal are fixed points)
+    m = 6
+    pat = np.array([10, 30, 20, 50, 40, 60], dtype=np.int64)
+    s = np.tile(pat, 5)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(s.size, dtype=np.int64) * 60, "sum": s}
+    )
+    out = _holt_winters_one_source(obs, "s", 60, m, 0.2, 0.1, 0.3)
+    np.testing.assert_allclose(
+        out["forecast_tok"].to_numpy(), s[m:].astype(np.float64), atol=1e-6
+    )
+    assert np.allclose(out["trend_tok"].to_numpy(), 0.0, atol=1e-6)
+
+
+def test_holt_winters_short_source_omitted():
+    from datafiller_ray.pipelines.window import _holt_winters_one_source
+
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(7, dtype=np.int64) * 60,
+         "sum": np.arange(7, dtype=np.int64)}
+    )
+    out = _holt_winters_one_source(obs, "s", 60, 4, 0.2, 0.1, 0.3)
+    assert len(out) == 0 and str(out["source"].dtype) == "string"
