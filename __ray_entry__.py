@@ -2596,6 +2596,23 @@ def _revenue_by_region(sf_dir: str):
     )
 
 
+def _trimmed_mean(sf_dir: str):
+    """Per-source interquartile mean of observed 1m sums (drop outside
+    [p25, p75], exact kept sum / count; the winsorize band contract) —
+    pipelines/window.trimmed_mean."""
+    from datafiller_ray.pipelines.window import trimmed_mean
+
+    return trimmed_mean(_fixture(sf_dir), q_lo=0.25, q_hi=0.75)
+
+
+def _source_share_1d(sf_dir: str):
+    """Per-(source, day) token share of the day's fleet-wide total (mix
+    drift monitor; two bounded exchanges) — pipelines/window.source_share."""
+    from datafiller_ray.pipelines.window import source_share
+
+    return source_share(_fixture(sf_dir), step=86400)
+
+
 def _holt_winters_1m(sf_dir: str):
     """Additive Holt–Winters (level/trend/seasonal, period 60 observed
     minutes) per source — the seasonal extension of holt_smooth_1m;
@@ -2807,6 +2824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": _revenue_by_region,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
+        "trimmed_mean_1m": _trimmed_mean,
+        "source_share_1d": _source_share_1d,
     }
 
 
@@ -5975,5 +5994,49 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY corr DESC, lag ASC) AS rn
               FROM ranked)
             WHERE rn = 1
+        """,
+        # binary-fraction band edges (quantile_cont at 0.25/0.75) are
+        # IEEE-exact on integer data, so in-band comparisons agree
+        # bit-for-bit; kept sum/count are integers, mean one pinned
+        # division (the winsorize contract)
+        "trimmed_mean_1m": f"""
+            WITH r AS ({rollup(60)}),
+            band AS (
+              SELECT source,
+                     quantile_cont(CAST(sum_tok AS DOUBLE), 0.25) AS lo,
+                     quantile_cont(CAST(sum_tok AS DOUBLE), 0.75) AS hi
+              FROM r GROUP BY 1),
+            sel AS (
+              SELECT r.source, r.sum_tok, b.lo, b.hi,
+                     (CAST(r.sum_tok AS DOUBLE) >= b.lo
+                      AND CAST(r.sum_tok AS DOUBLE) <= b.hi) AS inband
+              FROM r JOIN band b USING (source))
+            SELECT source, COUNT(*)::BIGINT AS n_buckets,
+                   CAST(SUM(CASE WHEN inband THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   ANY_VALUE(lo) AS lo_tok, ANY_VALUE(hi) AS hi_tok,
+                   FLOOR(CAST(SUM(CASE WHEN inband THEN sum_tok ELSE 0 END)
+                              AS DOUBLE)
+                         / SUM(CASE WHEN inband THEN 1 ELSE 0 END)
+                         * 1000000 + 0.5) / 1000000.0 AS trimmed_mean_tok
+            FROM sel GROUP BY source
+        """,
+        # integer day sums; share is the single pinned division (zero-total
+        # buckets dropped on both sides)
+        "source_share_1d": f"""
+            WITH r AS ({rollup(60)}),
+            d AS (
+              SELECT source, (bucket_ts // 86400) * 86400 AS bucket_ts,
+                     CAST(SUM(sum_tok) AS BIGINT) AS tok
+              FROM r GROUP BY 1, 2),
+            t AS (
+              SELECT source, bucket_ts, tok,
+                     CAST(SUM(tok) OVER (PARTITION BY bucket_ts) AS BIGINT)
+                         AS bucket_tok
+              FROM d)
+            SELECT source, bucket_ts, tok, bucket_tok,
+                   FLOOR(CAST(tok AS DOUBLE) / bucket_tok * 1000000 + 0.5)
+                       / 1000000.0 AS share
+            FROM t WHERE bucket_tok > 0
         """,
     }

@@ -2477,3 +2477,153 @@ def holt_winters(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _trimmed_mean_one_source(
+    obs: pd.DataFrame, source: str, q_lo: float, q_hi: float
+) -> pd.DataFrame:
+    v_int = obs["sum"].to_numpy(np.int64)
+    xs = np.sort(v_int.astype(np.float64))
+    lo = _interp_quantile(xs, q_lo)
+    hi = _interp_quantile(xs, q_hi)
+    keep = (v_int >= lo) & (v_int <= hi)  # IEEE-exact (binary-fraction qs)
+    n_in = int(keep.sum())
+    if n_in == 0:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_buckets": pd.Series([], dtype=np.int64),
+                    "n_kept": pd.Series([], dtype=np.int64),
+                    "lo_tok": pd.Series([], dtype=np.float64),
+                    "hi_tok": pd.Series([], dtype=np.float64),
+                    "trimmed_mean_tok": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    s_in = int(v_int[keep].sum())
+    mean = float(s_in) / float(n_in)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([v_int.size], dtype=np.int64),
+            "n_kept": np.array([n_in], dtype=np.int64),
+            "lo_tok": np.array([lo]),
+            "hi_tok": np.array([hi]),
+            "trimmed_mean_tok": _round6_half_up(np.array([mean])),
+        }
+    )
+
+
+def trimmed_mean(
+    input_path,
+    *,
+    q_lo: float = 0.25,
+    q_hi: float = 0.75,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source interquartile (trimmed) mean of the observed 1m token
+    sums: the mean over ONLY the buckets inside the ``[quantile(q_lo),
+    quantile(q_hi)]`` band — the robust-location summary (winsorize's
+    drop-don't-clip sibling; one burst can move the plain mean, not
+    this). Same exactness contract as :func:`winsorize`: binary-fraction
+    quantiles (k/4096) make the band edges and every in-band comparison
+    IEEE-exact in any op order on integer data; the kept sum/count are
+    exact integers and the mean ONE pinned division under round6."""
+    from datafiller_ray.config import EngineValueError
+
+    for q in (q_lo, q_hi):
+        if not (0.0 <= q <= 1.0) or (q * 4096.0) != float(int(q * 4096.0)):
+            raise EngineValueError(
+                f"quantile {q} must be a binary fraction k/4096 in [0, 1] "
+                "(exactness contract; see winsorize docstring)"
+            )
+    if q_lo > q_hi:
+        raise EngineValueError(f"q_lo {q_lo} > q_hi {q_hi}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _trimmed_mean_one_source(obs, src, q_lo, q_hi),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def source_share(
+    input_path,
+    *,
+    step: int = 86400,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+    n_buckets: int = 64,
+):
+    """Share-of-total per (source, ``step`` bucket): each source's token
+    sum as a fraction of ALL sources' tokens that bucket — the mix-drift
+    monitor (is one feed quietly taking over the training mix?). The
+    cross-sectional sibling of :func:`cross_section_quantiles` and the
+    same two-exchange plan: exact per-source step sums (tiny rows), then
+    a TIME-keyed coarse exchange where each bucket's total and shares are
+    computed together. Sums are exact integers; ``share`` is the single
+    pinned division under round6 (the SQL window-SUM oracle computes the
+    identical expression)."""
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import _hash_column
+
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+
+    def step_sums(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+        ts = obs["bucket_ts"].to_numpy(np.int64)
+        s = obs["sum"].to_numpy(np.int64)
+        b = ts - ts % step
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], b.size]
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+        out = pd.DataFrame(
+            {
+                "source": np.full(starts.size, source, dtype=object),
+                "bucket_ts": b[starts],
+                "tok": cs[ends] - cs[starts],
+            }
+        )
+        return _string_typed_if_empty(out)
+
+    tier = _run_per_source(
+        input_path, step_sums, check_tokens=check_tokens, shuffle=shuffle
+    )
+
+    def add_gk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_gk"] = (
+            _hash_column(df["bucket_ts"]) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return df
+
+    def share_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket_ts", "source"], kind="mergesort")
+        tot = g.groupby("bucket_ts")["tok"].transform("sum").to_numpy(np.int64)
+        # zero-total buckets (possible with empty token arrays) have no
+        # defined share; dropped on both sides (oracle: WHERE total > 0)
+        keep = tot > 0
+        g, tot = g[keep], tot[keep]
+        tok = g["tok"].to_numpy(np.int64)
+        share = _round6_half_up(tok.astype(np.float64) / tot.astype(np.float64))
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": g["source"].to_numpy(),
+                    "bucket_ts": g["bucket_ts"].to_numpy(np.int64),
+                    "tok": tok,
+                    "bucket_tok": tot,
+                    "share": share,
+                }
+            )
+        )
+
+    return (
+        tier.map_batches(add_gk, batch_format="pandas")
+        .groupby("_gk")
+        .map_groups(share_group, batch_format="pandas")
+    )

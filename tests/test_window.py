@@ -1410,3 +1410,45 @@ def test_holt_winters_short_source_omitted():
     )
     out = _holt_winters_one_source(obs, "s", 60, 4, 0.2, 0.1, 0.3)
     assert len(out) == 0 and str(out["source"].dtype) == "string"
+
+
+def test_trimmed_mean_one_source_literal():
+    from datafiller_ray.pipelines.window import _trimmed_mean_one_source
+
+    # values 0, 10, 20, 30, 1000: p25 = 10, p75 = 30 -> keep 10, 20, 30
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(5, dtype=np.int64) * 60,
+            "sum": np.array([0, 10, 20, 30, 1000], dtype=np.int64),
+        }
+    )
+    out = _trimmed_mean_one_source(obs, "s", 0.25, 0.75)
+    assert out["n_buckets"].tolist() == [5]
+    assert out["n_kept"].tolist() == [3]
+    assert out["lo_tok"].tolist() == [10.0]
+    assert out["hi_tok"].tolist() == [30.0]
+    assert out["trimmed_mean_tok"].tolist() == [20.0]
+
+
+def test_trimmed_mean_resists_outlier():
+    from datafiller_ray.pipelines.window import _trimmed_mean_one_source
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(100, 110, size=101).astype(np.int64)
+    base[50] = 10**9  # one huge burst
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(101, dtype=np.int64) * 60, "sum": base}
+    )
+    out = _trimmed_mean_one_source(obs, "s", 0.25, 0.75)
+    assert 100 <= out["trimmed_mean_tok"].iloc[0] <= 110
+
+
+def test_source_share_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import source_share
+
+    out = source_share(small_fixture, step=86400).to_pandas()
+    # shares per bucket sum to ~1 and the bucket totals agree
+    for bt, g in out.groupby("bucket_ts"):
+        assert g["tok"].sum() == g["bucket_tok"].iloc[0]
+        assert abs(g["share"].sum() - 1.0) < 1e-4
+    assert (out["share"] > 0).all() and (out["share"] <= 1.0).all()
