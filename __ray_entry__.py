@@ -2596,6 +2596,83 @@ def _revenue_by_region(sf_dir: str):
     )
 
 
+_Q3_CUTOFF_US = 896659200000000  # 1998-06-01 00:00:00 UTC in epoch micros
+
+
+def _top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3-style: top-10 orders by open revenue — orders placed
+    before the cutoff whose lineitems ship after it; both sides filtered
+    AT THE PROJECTION (only qualifying rows enter the one equi_join
+    exchange), revenue integer-exact in 1e-4-dollar units, global top-k
+    via the shared per-block pruner — pipelines/joins.equi_join +
+    stages/exchange.topk_block_fn."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from datafiller_ray.pipelines.joins import equi_join
+    from datafiller_ray.stages.exchange import topk_block_fn
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64())
+        keep = pc.greater(ship, pa.scalar(_Q3_CUTOFF_US, pa.int64()))
+        t = t.filter(keep)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.rint(price * 100).astype(np.int64)
+        pct = np.rint(disc * 100).astype(np.int64)
+        return pa.table(
+            {"okey": t["l_orderkey"], "rev": pa.array(cents * (100 - pct))}
+        )
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+        keep = pc.less(od, pa.scalar(_Q3_CUTOFF_US, pa.int64()))
+        t = t.filter(keep)
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+        return pa.table({"okey": t["o_orderkey"], "odate_us": od})
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        ord_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    j = equi_join(
+        li, orders, key="okey",
+        left_payload={"rev": "rev"},
+        # the key rides as an explicit payload: equi_join outputs only the
+        # requested payload columns
+        right_payload={"order_key": "okey", "odate_us": "odate_us"},
+    )
+    # grouped_sum, not Ray's groupby().aggregate: the join's empty blocks
+    # carry no schema, which breaks the native sort-sample (and the
+    # aggregate operator's fixed 200-partition plan costs ~25s regardless
+    # of size — the standing exchange lesson)
+    per_order = grouped_sum(j, ["order_key", "odate_us"], "rev").map_batches(
+        lambda b: b.rename(columns={"rev": "revenue_e4"}),
+        batch_format="pandas",
+    )
+    prune = topk_block_fn(10, "revenue_e4", ["order_key"])
+    pruned = per_order.map_batches(prune, batch_format="pyarrow")
+    final = pruned.repartition(1).map_batches(prune, batch_format="pyarrow")
+
+    def rank(t: pa.Table) -> pa.Table:
+        rev = np.asarray(t["revenue_e4"], dtype=np.int64)
+        okey = np.asarray(t["order_key"], dtype=np.int64)
+        order = np.lexsort((okey, -rev))
+        t = t.take(pa.array(order, type=pa.int64()))
+        return t.append_column(
+            "rnk", pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+        )
+
+    return final.map_batches(rank, batch_format="pyarrow")
+
+
 def _trimmed_mean(sf_dir: str):
     """Per-source interquartile mean of observed 1m sums (drop outside
     [p25, p75], exact kept sum / count; the winsorize band contract) —
@@ -2826,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_winters_1m": _holt_winters_1m,
         "trimmed_mean_1m": _trimmed_mean,
         "source_share_1d": _source_share_1d,
+        "top_unshipped_orders": _top_unshipped_orders,
     }
 
 
@@ -6038,5 +6116,25 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(CAST(tok AS DOUBLE) / bucket_tok * 1000000 + 0.5)
                        / 1000000.0 AS share
             FROM t WHERE bucket_tok > 0
+        """,
+        # TPC-H Q3 shape: open revenue per order across the cutoff,
+        # integer 1e-4-dollar units, top-10 (revenue desc, okey asc)
+        "top_unshipped_orders": """
+            SELECT order_key, odate_us, revenue_e4,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY revenue_e4 DESC, order_key ASC) AS BIGINT)
+                       AS rnk
+            FROM (
+              SELECT o.o_orderkey AS order_key,
+                     epoch_us(o.o_orderdate) AS odate_us,
+                     CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(ROUND(l.l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                         AS revenue_e4
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE epoch_us(o.o_orderdate) < 896659200000000
+                AND epoch_us(l.l_shipdate) > 896659200000000
+              GROUP BY 1, 2)
+            ORDER BY rnk LIMIT 10
         """,
     }
