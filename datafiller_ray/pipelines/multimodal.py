@@ -541,3 +541,167 @@ def media_metadata(media: "object", *, batch_size: int = 64) -> "object":
         concurrency=(1, 8),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (pHash) + near-duplicate detection over FIMG payloads
+
+
+PHASH_GRID = 32  # DCT input resolution
+PHASH_KEEP = 8  # top-left DCT block -> 64-bit hash
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n), built once per actor."""
+    k = np.arange(n, dtype=np.float64)
+    M = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    M[0] *= np.sqrt(1.0 / n)
+    M[1:] *= np.sqrt(2.0 / n)
+    return M
+
+
+def phash_pixels(gray: np.ndarray, dct: np.ndarray) -> int:
+    """64-bit perceptual hash of a 2-D uint8 image: nearest-neighbor
+    downsample to PHASH_GRID², 2-D DCT-II, keep the top-left PHASH_KEEP²
+    coefficients minus DC, threshold each against their median (strictly
+    greater -> 1). Deterministic: fixed index-sampling resize (no codec
+    interpolation), fixed float op order, median of an even count is the
+    quantile_cont midpoint."""
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ry = (np.arange(PHASH_GRID, dtype=np.int64) * h) // PHASH_GRID
+    rx = (np.arange(PHASH_GRID, dtype=np.int64) * w) // PHASH_GRID
+    small = gray[np.ix_(ry, rx)].astype(np.float64)
+    coef = dct @ small @ dct.T
+    block = coef[:PHASH_KEEP, :PHASH_KEEP].ravel()[1:]  # drop DC
+    med = float(np.median(block))
+    bits = block > med
+    out = 0
+    for i, b in enumerate(bits):  # 63 bits
+        if b:
+            out |= 1 << i
+    return out
+
+
+class MediaPHash:
+    """Actor-pool stage: FIMG payload -> 64-bit perceptual hash. The DCT
+    basis is built ONCE per actor (__init__), each payload costs two
+    32x32 matmuls; multi-channel images hash the integer-mean channel.
+    Unparseable payloads emit parse_ok=False with hash 0."""
+
+    def __init__(self) -> None:
+        self.dct = _dct_matrix(PHASH_GRID)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, oks, hashes = [], [], []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            ids.append(int(mid))
+            try:
+                raw = bytes(payload)
+                m = parse_fimg(raw)
+                w, h, c = m["width"], m["height"], m["channels"]
+                px = np.frombuffer(
+                    raw, np.uint8, count=w * h * c, offset=m["pixel_offset"]
+                )
+                img = px.reshape(h, w, c).astype(np.int64).sum(axis=2) // c
+                hashes.append(phash_pixels(img.astype(np.uint8), self.dct))
+                oks.append(True)
+            except (ValueError, IndexError, UnicodeDecodeError):
+                hashes.append(0)
+                oks.append(False)
+        return pd.DataFrame(
+            {
+                "media_id": np.asarray(ids, dtype=np.int64),
+                "parse_ok": np.asarray(oks, dtype=bool),
+                "phash": np.asarray(hashes, dtype=np.uint64).view(np.int64),
+            }
+        )
+
+
+def media_phash(media: "object", *, batch_size: int = 64) -> "object":
+    """Perceptual-hash pipeline over FIMG payloads (media_id, parse_ok,
+    phash int64). Actor pool with small batches — the big-blob contract."""
+    return media.map_batches(
+        MediaPHash,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def media_phash_near_dup(
+    media: "object", *, max_hamming: int = 10, batch_size: int = 64
+) -> "object":
+    """Perceptual near-duplicate image pairs: pHash every payload, then
+    the simhash banding trick — the 64-bit hash splits into 8 byte-bands;
+    two images within Hamming distance 7 MUST share at least one band
+    (pigeonhole), and sharing drops off fast for unrelated hashes, so
+    candidate generation is a band-keyed groupby, never all-pairs. Each
+    candidate pair is verified with the exact popcount distance; emits
+    (media_a < media_b, hamming <= max_hamming). Recall is exact for
+    distance <= 7; documented approximation above that (more bands =
+    wider exact window, the multi-table LSH pattern)."""
+    import ray
+
+    hashed = media_phash(media, batch_size=batch_size)
+
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["parse_ok"]]
+        hv = b["phash"].to_numpy(np.int64).view(np.uint64)
+        ids = b["media_id"].to_numpy(np.int64)
+        frames = []
+        for band in range(8):
+            bits = ((hv >> np.uint64(band * 8)) & np.uint64(0xFF)).astype(
+                np.int64
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "phash": b["phash"].to_numpy(np.int64),
+                        "band_key": band * 256 + bits,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("media_id")
+        m = g.merge(g, on="band_key")
+        m = m[m["media_id_x"] < m["media_id_y"]]
+        if not len(m):
+            out = pd.DataFrame(
+                {
+                    "media_a": pd.Series([], dtype=np.int64),
+                    "media_b": pd.Series([], dtype=np.int64),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
+            return out
+        x = m["phash_x"].to_numpy(np.int64).view(np.uint64)
+        y = m["phash_y"].to_numpy(np.int64).view(np.uint64)
+        ham = np.zeros(len(m), dtype=np.int64)
+        diff = x ^ y
+        for _ in range(64):
+            ham += (diff & np.uint64(1)).astype(np.int64)
+            diff = diff >> np.uint64(1)
+        out = pd.DataFrame(
+            {
+                "media_a": m["media_id_x"].to_numpy(np.int64),
+                "media_b": m["media_id_y"].to_numpy(np.int64),
+                "hamming": ham,
+            }
+        )
+        return out[out["hamming"] <= max_hamming]
+
+    pairs = (
+        hashed.map_batches(band_rows, batch_format="pandas")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # cross-band dedup through a small keyed exchange (edges, not corpus)
+    return pairs.groupby("media_a").map_groups(
+        lambda g: g.drop_duplicates(), batch_format="pandas"
+    )

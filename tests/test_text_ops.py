@@ -433,3 +433,64 @@ def test_corpus_prepare_reasons_and_staged_equivalence(ray_session):
             else "duplicate"
         )
         assert out[doc] == expect, doc
+
+
+def test_phash_deterministic_and_sensitive():
+    from datafiller_ray.pipelines import multimodal as mm
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    dct = mm._dct_matrix(mm.PHASH_GRID)
+    h1 = mm.phash_pixels(img, dct)
+    h2 = mm.phash_pixels(img.copy(), dct)
+    assert h1 == h2 and 0 <= h1 < (1 << 63)
+    # a small local perturbation moves few bits; an unrelated image many
+    pert = img.copy()
+    pert[3:6, 4:7] = 255 - pert[3:6, 4:7]
+    other = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(h1, mm.phash_pixels(pert, dct)) <= 12
+    assert ham(h1, mm.phash_pixels(other, dct)) >= 16
+
+
+def test_media_phash_pipeline_and_near_dup(ray_session):
+    import ray.data
+
+    from datafiller_ray.pipelines import multimodal as mm
+
+    table = mm.synthesize_fimg_table(24)
+    # plant a near-duplicate of media 0 as media 100: same pixels with a
+    # tiny patch flipped; and one corrupted payload as media 101
+    raw0 = bytes(table["payload"][0].as_py())
+    m = mm.parse_fimg(raw0)
+    w, h = m["width"], m["height"]
+    px = np.frombuffer(raw0, np.uint8, count=w * h, offset=m["pixel_offset"]).copy()
+    px[: max(1, (w * h) // 200)] ^= 0x01
+    dup = mm.encode_fimg(w, h, 1, m["tags"], px.tobytes())
+    import pyarrow as pa
+
+    extra = pa.table(
+        {
+            "media_id": pa.array([100, 101], pa.int64()),
+            "media_type": pa.array(["image", "image"], pa.string()),
+            "payload": pa.array([dup, b"not an image"], pa.large_binary()),
+        }
+    )
+    full = pa.concat_tables([table, extra])
+    ds = ray.data.from_arrow(full)
+    hashed = mm.media_phash(ds).to_pandas()
+    assert len(hashed) == 26
+    assert not hashed.loc[hashed["media_id"] == 101, "parse_ok"].iloc[0]
+    assert hashed.loc[hashed["media_id"] == 100, "parse_ok"].iloc[0]
+
+    pairs = mm.media_phash_near_dup(
+        ray.data.from_arrow(full), max_hamming=10
+    ).to_pandas()
+    hit = pairs[(pairs["media_a"] == 0) & (pairs["media_b"] == 100)]
+    assert len(hit) == 1  # the planted near-dup is found, once (deduped)
+    assert int(hit["hamming"].iloc[0]) <= 10
+    # corrupted payloads never pair
+    assert not ((pairs["media_a"] == 101) | (pairs["media_b"] == 101)).any()
