@@ -2690,6 +2690,15 @@ def _source_share_1d(sf_dir: str):
     return source_share(_fixture(sf_dir), step=86400)
 
 
+def _seasonality_strength(sf_dir: str):
+    """Per-source eta-squared of the hour-of-day grouping over 1m token
+    sums (1 - SS_within_hod / SS_total; exact integer moments, one pinned
+    float chain) — pipelines/window.seasonality_strength."""
+    from datafiller_ray.pipelines.window import seasonality_strength
+
+    return seasonality_strength(_fixture(sf_dir))
+
+
 def _holt_winters_1m(sf_dir: str):
     """Additive Holt–Winters (level/trend/seasonal, period 60 observed
     minutes) per source — the seasonal extension of holt_smooth_1m;
@@ -2904,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_1m": _trimmed_mean,
         "source_share_1d": _source_share_1d,
         "top_unshipped_orders": _top_unshipped_orders,
+        "seasonality_strength": _seasonality_strength,
     }
 
 
@@ -6116,6 +6126,35 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(CAST(tok AS DOUBLE) / bucket_tok * 1000000 + 0.5)
                        / 1000000.0 AS share
             FROM t WHERE bucket_tok > 0
+        """,
+        # eta-squared of the hour-of-day grouping: exact HUGEINT moments;
+        # the only floats are one Qh - Sh^2/nh term per hod and the final
+        # pinned ratio (SUM over <= 24 doubles; ~1e-15 order diff absorbed
+        # by round6)
+        "seasonality_strength": f"""
+            WITH r AS ({rollup(60)}),
+            h AS (
+              SELECT source, (bucket_ts % 86400) // 3600 AS hod,
+                     CAST(COUNT(*) AS BIGINT) AS nh,
+                     CAST(SUM(sum_tok) AS BIGINT) AS sh,
+                     CAST(SUM(CAST(sum_tok AS HUGEINT) * sum_tok)
+                          AS HUGEINT) AS qh
+              FROM r GROUP BY 1, 2),
+            agg AS (
+              SELECT source,
+                     CAST(SUM(nh) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS n_hods,
+                     CAST(SUM(CAST(sh AS HUGEINT)) AS HUGEINT) AS s,
+                     CAST(SUM(qh) AS HUGEINT) AS q,
+                     SUM(CAST(qh AS DOUBLE)
+                         - CAST(CAST(sh AS HUGEINT) * sh AS DOUBLE) / nh)
+                         AS ssw
+              FROM h GROUP BY source)
+            SELECT source, n AS n_buckets, n_hods,
+                   FLOOR((1.0 - ssw
+                          / (CAST(n * q - s * s AS DOUBLE) / n))
+                         * 1000000 + 0.5) / 1000000.0 AS strength
+            FROM agg WHERE n >= 2 AND n * q - s * s > 0
         """,
         # TPC-H Q3 shape: open revenue per order across the cutoff,
         # integer 1e-4-dollar units, top-10 (revenue desc, okey asc)

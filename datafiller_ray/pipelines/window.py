@@ -2627,3 +2627,71 @@ def source_share(
         .groupby("_gk")
         .map_groups(share_group, batch_format="pandas")
     )
+
+
+def _seasonality_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    y = obs["sum"].to_numpy(np.int64)
+    n = y.size
+    hod = (ts % 86400) // 3600
+    S = int(y.sum())
+    Q = int(np.dot(y, y))
+    # total sum of squares about the global mean, exact via cross-multiply
+    sst_num = n * Q - S * S  # = n^2 * SST, exact int
+    if n < 2 or sst_num <= 0:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_buckets": pd.Series([], dtype=np.int64),
+                    "n_hods": pd.Series([], dtype=np.int64),
+                    "strength": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    # within-hod sum of squares: SSW = sum_h (Q_h - S_h^2 / n_h), summed
+    # in hod-ascending order (float term order pinned; the SQL SUM over
+    # <= 24 per-hod terms differs ~1e-15 relative, absorbed by round6)
+    order = np.argsort(hod, kind="stable")
+    hs = hod[order]
+    ys = y[order]
+    starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+    ends = np.r_[starts[1:], hs.size]
+    ssw = 0.0
+    for s0, e0 in zip(starts, ends):  # <= 24 iterations
+        seg = ys[s0:e0]
+        nh = int(e0 - s0)
+        Sh = int(seg.sum())
+        Qh = int(np.dot(seg, seg))
+        ssw += float(Qh) - float(Sh * Sh) / nh
+    # strength = 1 - SSW / SST with SST = sst_num / n (one pinned chain)
+    strength = 1.0 - ssw / (float(sst_num) / n)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([n], dtype=np.int64),
+            "n_hods": np.array([starts.size], dtype=np.int64),
+            "strength": _round6_half_up(np.array([strength])),
+        }
+    )
+
+
+def seasonality_strength(
+    input_path, *, check_tokens: bool = False, shuffle: str = "sort"
+):
+    """Per-source daily-seasonality strength: the fraction of the 1m
+    token-sum variance explained by the hour-of-day profile
+    (``1 - SS_within_hod / SS_total``, the eta-squared of the hod
+    grouping) — the "is the hourly profile real signal or noise" score
+    read before trusting `hourly_profile` / `seasonal_anomaly` downstream.
+    Per-hod and total moments are exact integers; the only floats are one
+    ``Q_h - S_h^2/n_h`` term per hod (summed in hod order) and the final
+    pinned ratio, under the shared round6 absorber (the SQL oracle's SUM
+    over the same <= 24 terms differs ~1e-15 relative, absorbed).
+    Constant or single-bucket sources are omitted (SST = 0)."""
+    return _run_per_source(
+        input_path,
+        _seasonality_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

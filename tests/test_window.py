@@ -1452,3 +1452,49 @@ def test_source_share_end_to_end(ray_session, small_fixture):
         assert g["tok"].sum() == g["bucket_tok"].iloc[0]
         assert abs(g["share"].sum() - 1.0) < 1e-4
     assert (out["share"] > 0).all() and (out["share"] <= 1.0).all()
+
+
+def test_seasonality_strength_literal():
+    from datafiller_ray.pipelines.window import _seasonality_one_source
+
+    # two full days, hour-of-day profile is EXACTLY the value -> all the
+    # variance is between hods, none within: strength == 1
+    ts = np.arange(48, dtype=np.int64) * 3600
+    y = (ts % 86400) // 3600 + 1
+    obs = pd.DataFrame({"bucket_ts": ts, "sum": y.astype(np.int64)})
+    out = _seasonality_one_source(obs, "s")
+    assert out["n_buckets"].tolist() == [48]
+    assert out["n_hods"].tolist() == [24]
+    assert out["strength"].tolist() == [1.0]
+
+    # constant series: SST = 0 -> omitted
+    obs_c = pd.DataFrame(
+        {"bucket_ts": ts, "sum": np.full(48, 7, dtype=np.int64)}
+    )
+    assert len(_seasonality_one_source(obs_c, "s")) == 0
+
+
+def test_seasonality_strength_noise_is_weak():
+    from datafiller_ray.pipelines.window import _seasonality_one_source
+
+    rng = np.random.default_rng(5)
+    ts = np.arange(24 * 14, dtype=np.int64) * 3600
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": ts,
+            "sum": rng.integers(100, 200, size=ts.size).astype(np.int64),
+        }
+    )
+    out = _seasonality_one_source(obs, "s")
+    # pure noise: eta-squared stays near the expected (k-1)/(n-1) ~ 0.07
+    assert 0.0 <= out["strength"].iloc[0] < 0.35
+
+
+def test_seasonality_strength_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import seasonality_strength
+
+    out = seasonality_strength(small_fixture).to_pandas()
+    assert len(out) > 0
+    assert (out["strength"] <= 1.0).all()
+    assert (out["n_hods"] <= 24).all()
+    assert (out["n_buckets"] >= 2).all()
