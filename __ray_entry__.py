@@ -2699,6 +2699,33 @@ def _seasonality_strength(sf_dir: str):
     return seasonality_strength(_fixture(sf_dir))
 
 
+def _max_drawdown(sf_dir: str):
+    """Per-source maximum running-peak-to-current decline of 1m token
+    sums (all-integer: cummax, diff, first argmax) —
+    pipelines/window.max_drawdown."""
+    from datafiller_ray.pipelines.window import max_drawdown
+
+    return max_drawdown(_fixture(sf_dir))
+
+
+def _ar2_fit(sf_dir: str):
+    """Per-source AR(2) OLS over contiguous 1m triples; exact bigint
+    Cramer determinants, the three D_k/D divisions are the only floats —
+    pipelines/window.ar2_fit."""
+    from datafiller_ray.pipelines.window import ar2_fit
+
+    return ar2_fit(_fixture(sf_dir))
+
+
+def _permutation_entropy(sf_dir: str):
+    """Per-source order-3 Bandt–Pompe permutation entropy over contiguous
+    1m triples (integer ordinal-pattern census, <=6 -p*ln p terms) —
+    pipelines/window.permutation_entropy."""
+    from datafiller_ray.pipelines.window import permutation_entropy
+
+    return permutation_entropy(_fixture(sf_dir))
+
+
 def _holt_winters_1m(sf_dir: str):
     """Additive Holt–Winters (level/trend/seasonal, period 60 observed
     minutes) per source — the seasonal extension of holt_smooth_1m;
@@ -2914,6 +2941,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_share_1d": _source_share_1d,
         "top_unshipped_orders": _top_unshipped_orders,
         "seasonality_strength": _seasonality_strength,
+        "max_drawdown": _max_drawdown,
+        "ar2_fit": _ar2_fit,
+        "permutation_entropy": _permutation_entropy,
     }
 
 
@@ -6155,6 +6185,112 @@ def oracle_sql() -> dict[str, str]:
                           / (CAST(n * q - s * s AS DOUBLE) / n))
                          * 1000000 + 0.5) / 1000000.0 AS strength
             FROM agg WHERE n >= 2 AND n * q - s * s > 0
+        """,
+        # all-integer: running peak via MAX OVER, first argmax by
+        # (dd DESC, ts ASC) row_number — no rounding absorber needed
+        "max_drawdown": f"""
+            WITH r AS ({rollup(60)}),
+            w AS (
+              SELECT source, bucket_ts, sum_tok,
+                     CAST(MAX(sum_tok) OVER (
+                         PARTITION BY source ORDER BY bucket_ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS peak,
+                     CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                         AS n_buckets
+              FROM r),
+            d AS (
+              SELECT *, peak - sum_tok AS dd,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY peak - sum_tok DESC, bucket_ts ASC) AS rn
+              FROM w)
+            SELECT source, n_buckets, peak AS peak_tok,
+                   sum_tok AS trough_tok, CAST(dd AS BIGINT) AS drawdown_tok,
+                   bucket_ts AS trough_ts
+            FROM d WHERE rn = 1
+        """,
+        # AR(2) via exact HUGEINT Cramer determinants over contiguous
+        # lag-triples (both gaps exactly 60); the only floats are the
+        # three final D_k/D divisions, mirroring the engine bit-for-bit
+        "ar2_fit": f"""
+            WITH r AS ({rollup(60)}),
+            lagged AS (
+              SELECT source, sum_tok AS y0,
+                     LAG(sum_tok, 1) OVER w AS y1,
+                     LAG(sum_tok, 2) OVER w AS y2,
+                     bucket_ts - LAG(bucket_ts, 1) OVER w AS g1,
+                     LAG(bucket_ts, 1) OVER w
+                         - LAG(bucket_ts, 2) OVER w AS g2
+              FROM r WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)),
+            t AS (
+              SELECT source, CAST(y0 AS HUGEINT) AS y0,
+                     CAST(y1 AS HUGEINT) AS y1, CAST(y2 AS HUGEINT) AS y2
+              FROM lagged WHERE g1 = 60 AND g2 = 60),
+            m AS (
+              SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(y1) AS s1, SUM(y2) AS s2, SUM(y0) AS s0,
+                     SUM(y1*y1) AS s11, SUM(y2*y2) AS s22,
+                     SUM(y1*y2) AS s12, SUM(y0*y1) AS s01,
+                     SUM(y0*y2) AS s02
+              FROM t GROUP BY source HAVING COUNT(*) >= 3),
+            det AS (
+              SELECT source, n AS n_triples,
+                     n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                         + s2*(s1*s12 - s11*s2) AS d,
+                     s0*(s11*s22 - s12*s12) - s1*(s01*s22 - s12*s02)
+                         + s2*(s01*s12 - s11*s02) AS d0,
+                     n*(s01*s22 - s12*s02) - s0*(s1*s22 - s12*s2)
+                         + s2*(s1*s02 - s01*s2) AS d1,
+                     n*(s11*s02 - s01*s12) - s1*(s1*s02 - s01*s2)
+                         + s0*(s1*s12 - s11*s2) AS d2
+              FROM m)
+            SELECT source, CAST(n_triples AS BIGINT) AS n_triples,
+                   FLOOR(CAST(d0 AS DOUBLE) / CAST(d AS DOUBLE)
+                         * 1000000 + 0.5) / 1000000.0 AS c0,
+                   FLOOR(CAST(d1 AS DOUBLE) / CAST(d AS DOUBLE)
+                         * 1000000 + 0.5) / 1000000.0 AS a1,
+                   FLOOR(CAST(d2 AS DOUBLE) / CAST(d AS DOUBLE)
+                         * 1000000 + 0.5) / 1000000.0 AS a2
+            FROM det WHERE d <> 0
+        """,
+        # order-3 ordinal-pattern census (position tie-break ranks via
+        # CASE), entropy over <= 6 -p*ln p terms (order diff absorbed by
+        # round6, the seasonality_strength precedent)
+        "permutation_entropy": f"""
+            WITH r AS ({rollup(60)}),
+            lagged AS (
+              SELECT source, sum_tok AS y0,
+                     LAG(sum_tok, 1) OVER w AS y1,
+                     LAG(sum_tok, 2) OVER w AS y2,
+                     bucket_ts - LAG(bucket_ts, 1) OVER w AS g1,
+                     LAG(bucket_ts, 1) OVER w
+                         - LAG(bucket_ts, 2) OVER w AS g2
+              FROM r WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)),
+            t AS (
+              SELECT source,
+                     9*((CASE WHEN y1 < y2 THEN 1 ELSE 0 END)
+                        + (CASE WHEN y0 < y2 THEN 1 ELSE 0 END))
+                     + 3*((CASE WHEN y2 < y1 THEN 1 ELSE 0 END)
+                          + (CASE WHEN y0 < y1 THEN 1 ELSE 0 END)
+                          + (CASE WHEN y2 = y1 THEN 1 ELSE 0 END))
+                     + (CASE WHEN y2 < y0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN y1 < y0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN y2 = y0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN y1 = y0 THEN 1 ELSE 0 END) AS pat
+              FROM lagged WHERE g1 = 60 AND g2 = 60),
+            c AS (SELECT source, pat, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM t GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS n_patterns
+                    FROM c GROUP BY source)
+            SELECT c.source, tot.n AS n_triples, tot.n_patterns,
+                   FLOOR(SUM(-(CAST(cnt AS DOUBLE) / tot.n)
+                             * ln(CAST(cnt AS DOUBLE) / tot.n))
+                         / ln(6.0) * 1000000 + 0.5) / 1000000.0
+                       AS perm_entropy
+            FROM c JOIN tot ON c.source = tot.source
+            GROUP BY c.source, tot.n, tot.n_patterns
         """,
         # TPC-H Q3 shape: open revenue per order across the cutoff,
         # integer 1e-4-dollar units, top-10 (revenue desc, okey asc)

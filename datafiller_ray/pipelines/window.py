@@ -2695,3 +2695,204 @@ def seasonality_strength(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _drawdown_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    if ts.size == 0:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_buckets": pd.Series([], dtype=np.int64),
+                    "peak_tok": pd.Series([], dtype=np.int64),
+                    "trough_tok": pd.Series([], dtype=np.int64),
+                    "drawdown_tok": pd.Series([], dtype=np.int64),
+                    "trough_ts": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+    peak = np.maximum.accumulate(s)
+    dd = peak - s
+    i = int(np.argmax(dd))  # first index attaining the max (deterministic)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([ts.size], dtype=np.int64),
+            "peak_tok": np.array([peak[i]], dtype=np.int64),
+            "trough_tok": np.array([s[i]], dtype=np.int64),
+            "drawdown_tok": np.array([dd[i]], dtype=np.int64),
+            "trough_ts": np.array([ts[i]], dtype=np.int64),
+        }
+    )
+
+
+def max_drawdown(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source maximum drawdown of the 1m token-sum series: the largest
+    running-peak-to-current decline over observed buckets in time order
+    (the "how far below its historical best did this feed fall" health
+    metric). All integer arithmetic — running max, difference, first
+    argmax — so the result is hash-exact against the SQL window oracle
+    with no rounding absorber at all."""
+    return _run_per_source(
+        input_path,
+        _drawdown_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def _contiguous_triples(ts: np.ndarray, s: np.ndarray, step: int = 60):
+    """(y0, y1, y2) columns for every run of three consecutive observed
+    buckets exactly ``step`` apart — the lag-matrix contract used by the
+    AR / ordinal-pattern operators (gaps break triples, never bridge)."""
+    if ts.size < 3:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    ok = (ts[1:-1] - ts[:-2] == step) & (ts[2:] - ts[1:-1] == step)
+    idx = np.flatnonzero(ok)
+    return s[idx], s[idx + 1], s[idx + 2]
+
+
+def _ar2_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    y2_, y1_, y0_ = _contiguous_triples(ts, s)  # y0_ is the target y_t
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_triples": pd.Series([], dtype=np.int64),
+                "c0": pd.Series([], dtype=np.float64),
+                "a1": pd.Series([], dtype=np.float64),
+                "a2": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    n = int(y0_.size)
+    if n < 3:
+        return empty
+    # exact integer normal-equation moments (object dtype: no int64
+    # overflow at any scale; n per source is bounded by the series length)
+    y0 = y0_.astype(object)
+    y1 = y1_.astype(object)
+    y2 = y2_.astype(object)
+    S1 = int(y1.sum())
+    S2 = int(y2.sum())
+    S0 = int(y0.sum())
+    S11 = int((y1 * y1).sum())
+    S22 = int((y2 * y2).sum())
+    S12 = int((y1 * y2).sum())
+    S01 = int((y0 * y1).sum())
+    S02 = int((y0 * y2).sum())
+    # OLS y_t ~ c0 + a1*y_{t-1} + a2*y_{t-2}; X'X is integer, so all four
+    # Cramer determinants are EXACT integers (Python bigint) — the only
+    # floats are the three final divisions (one pinned op each).
+    #   | n   S1   S2  | |c0|   |S0 |
+    #   | S1  S11  S12 | |a1| = |S01|
+    #   | S2  S12  S22 | |a2|   |S02|
+    def det3(a, b, c, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+    D = det3(n, S1, S2, S1, S11, S12, S2, S12, S22)
+    if D == 0:
+        return empty  # degenerate (constant / collinear lags)
+    D0 = det3(S0, S1, S2, S01, S11, S12, S02, S12, S22)
+    D1 = det3(n, S0, S2, S1, S01, S12, S2, S02, S22)
+    D2 = det3(n, S1, S0, S1, S11, S01, S2, S12, S02)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_triples": np.array([n], dtype=np.int64),
+            "c0": _round6_half_up(np.array([float(D0) / float(D)])),
+            "a1": _round6_half_up(np.array([float(D1) / float(D)])),
+            "a2": _round6_half_up(np.array([float(D2) / float(D)])),
+        }
+    )
+
+
+def ar2_fit(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source AR(2) fit of the 1m token sums by OLS over contiguous
+    observed triples (both gaps exactly 60 s; gaps break triples rather
+    than bridging them): y_t = c0 + a1*y_{t-1} + a2*y_{t-2}. The integer
+    Gram matrix makes every Cramer determinant an exact Python bigint;
+    the only floating-point operations in the whole operator are the
+    three final D_k/D divisions (then the engine-wide round6), so the
+    DuckDB oracle — the same HUGEINT determinants, same single division
+    — matches bit-for-bit. Degenerate systems (constant series,
+    collinear lags, n_triples < 3) are omitted."""
+    return _run_per_source(
+        input_path,
+        _ar2_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def _perm_entropy_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    y0, y1, y2 = _contiguous_triples(ts, s)
+    n = int(y0.size)
+    if n == 0:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_triples": pd.Series([], dtype=np.int64),
+                    "n_patterns": pd.Series([], dtype=np.int64),
+                    "perm_entropy": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    # ordinal pattern of (y0, y1, y2) with ties broken by position (the
+    # stable-argsort convention): rank_i = #{j: y_j < y_i} + #{j<i: y_j == y_i}
+    r0 = (y1 < y0).astype(np.int64) + (y2 < y0).astype(np.int64)
+    r1 = (
+        (y0 < y1).astype(np.int64)
+        + (y2 < y1).astype(np.int64)
+        + (y0 == y1).astype(np.int64)
+    )
+    r2 = (
+        (y0 < y2).astype(np.int64)
+        + (y1 < y2).astype(np.int64)
+        + (y0 == y2).astype(np.int64)
+        + (y1 == y2).astype(np.int64)
+    )
+    pat = 9 * r0 + 3 * r1 + r2
+    counts = np.bincount(pat, minlength=27).astype(np.int64)
+    nz = np.flatnonzero(counts)  # ascending pattern id: pinned term order
+    # H = -sum p*ln(p), normalized by ln(6) (the 3-element pattern count)
+    h = 0.0
+    for k in nz:  # <= 6 live patterns (ranks are a permutation of 0..2)
+        p = float(int(counts[k])) / float(n)
+        h -= p * math.log(p)
+    pe = h / math.log(6.0)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_triples": np.array([n], dtype=np.int64),
+            "n_patterns": np.array([nz.size], dtype=np.int64),
+            "perm_entropy": _round6_half_up(np.array([pe])),
+        }
+    )
+
+
+def permutation_entropy(
+    input_path, *, check_tokens: bool = False, shuffle: str = "sort"
+):
+    """Per-source normalized permutation entropy (Bandt–Pompe, order 3)
+    of the 1m token sums: the Shannon entropy of the ordinal-pattern
+    census over contiguous observed triples, normalized by ln(3!) —
+    near 1 for noise, near 0 for strongly ordered dynamics. Ties break
+    by position (stable ranking), the census is exact integers, and the
+    entropy sums its <= 6 ``-p ln p`` terms in ascending pattern id so
+    the SQL oracle (same CASE ranking, same term order via a pattern-id
+    GROUP BY) pins under round6."""
+    return _run_per_source(
+        input_path,
+        _perm_entropy_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -1498,3 +1498,101 @@ def test_seasonality_strength_end_to_end(ray_session, small_fixture):
     assert (out["strength"] <= 1.0).all()
     assert (out["n_hods"] <= 24).all()
     assert (out["n_buckets"] >= 2).all()
+
+
+def test_max_drawdown_literal():
+    from datafiller_ray.pipelines.window import _drawdown_one_source
+
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(6, dtype=np.int64) * 60,
+            "sum": np.array([5, 9, 4, 9, 2, 8], dtype=np.int64),
+        }
+    )
+    out = _drawdown_one_source(obs, "s")
+    # peak 9 (ts=60), trough 2 (ts=240): drawdown 7, first argmax
+    assert out["drawdown_tok"].tolist() == [7]
+    assert out["trough_ts"].tolist() == [240]
+    assert out["peak_tok"].tolist() == [9]
+
+    # monotone series: drawdown 0 at the first bucket
+    obs_m = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(4, dtype=np.int64) * 60,
+            "sum": np.array([1, 2, 3, 4], dtype=np.int64),
+        }
+    )
+    out_m = _drawdown_one_source(obs_m, "s")
+    assert out_m["drawdown_tok"].tolist() == [0]
+    assert out_m["trough_ts"].tolist() == [0]
+
+
+def test_ar2_fit_matches_lstsq():
+    from datafiller_ray.pipelines.window import _ar2_one_source
+
+    rng = np.random.default_rng(11)
+    n = 200
+    y = np.zeros(n)
+    for t in range(2, n):
+        y[t] = 3.0 + 0.5 * y[t - 1] - 0.3 * y[t - 2] + rng.normal(0, 1)
+    s = np.round(y * 100 + 1000).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(n, dtype=np.int64) * 60, "sum": s}
+    )
+    out = _ar2_one_source(obs, "s")
+    y0 = s[2:].astype(float)
+    X = np.column_stack([np.ones(n - 2), s[1:-1], s[:-2]]).astype(float)
+    ref = np.linalg.lstsq(X, y0, rcond=None)[0]
+    assert out["n_triples"].tolist() == [n - 2]
+    assert abs(out["c0"].iloc[0] - ref[0]) < 1e-4
+    assert abs(out["a1"].iloc[0] - ref[1]) < 1e-6
+    assert abs(out["a2"].iloc[0] - ref[2]) < 1e-6
+
+
+def test_ar2_gaps_break_triples():
+    from datafiller_ray.pipelines.window import _contiguous_triples
+
+    ts = np.array([0, 60, 120, 300, 360, 420], dtype=np.int64)
+    s = np.arange(6, dtype=np.int64)
+    y2, y1, y0 = _contiguous_triples(ts, s)
+    # only two runs of three contiguous buckets: (0,60,120) and (300,360,420)
+    assert y2.tolist() == [0, 3]
+    assert y0.tolist() == [2, 5]
+
+
+def test_ar2_constant_series_omitted():
+    from datafiller_ray.pipelines.window import _ar2_one_source
+
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(10, dtype=np.int64) * 60,
+            "sum": np.full(10, 7, dtype=np.int64),
+        }
+    )
+    assert len(_ar2_one_source(obs, "s")) == 0
+
+
+def test_permutation_entropy_extremes():
+    from datafiller_ray.pipelines.window import _perm_entropy_one_source
+
+    # strictly increasing: one pattern, entropy 0
+    obs_up = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(50, dtype=np.int64) * 60,
+            "sum": np.arange(50, dtype=np.int64),
+        }
+    )
+    out = _perm_entropy_one_source(obs_up, "s")
+    assert out["n_patterns"].tolist() == [1]
+    assert out["perm_entropy"].tolist() == [0.0]
+
+    # iid noise: entropy close to 1
+    rng = np.random.default_rng(3)
+    obs_n = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(3000, dtype=np.int64) * 60,
+            "sum": rng.integers(0, 10**6, size=3000).astype(np.int64),
+        }
+    )
+    out_n = _perm_entropy_one_source(obs_n, "s")
+    assert out_n["perm_entropy"].iloc[0] > 0.95
