@@ -2596,6 +2596,104 @@ def _revenue_by_region(sf_dir: str):
     )
 
 
+def _variance_ratio(sf_dir: str):
+    """Per-source Lo–MacKinlay VR(4) of 1m token-sum increments over
+    contiguous windows (exact integer power sums, two pinned variance
+    chains + one ratio) — pipelines/window.variance_ratio."""
+    from datafiller_ray.pipelines.window import variance_ratio
+
+    return variance_ratio(_fixture(sf_dir), q=4)
+
+
+def _top_customer_by_nation(sf_dir: str):
+    """Per-nation top-spending customer (argmax join): orders partial-
+    aggregated per batch BEFORE the one ckey exchange (integer cents),
+    customer/nation dimension hops broadcast map-side, then a 25-group
+    argmax with (spend DESC, custkey ASC) tie-break —
+    pipelines/joins.broadcast_join + groupby().map_groups."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from datafiller_ray.pipelines.joins import broadcast_join
+
+    def ord_part(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        tt = pa.table(
+            {
+                "ckey": pa.array(
+                    t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "cents": pa.array(cents),
+            }
+        )
+        g = tt.group_by("ckey").aggregate([("cents", "sum"), ("ckey", "count")])
+        return g.rename_columns(["ckey", "spend_e2", "n_orders"])
+
+    spend = (
+        _read(sf_dir, "orders")
+        .map_batches(ord_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ckey")
+        .aggregate(Sum("spend_e2"), Sum("n_orders"))
+        .map_batches(
+            lambda b: b.rename(
+                columns={
+                    "sum(spend_e2)": "spend_e2",
+                    "sum(n_orders)": "n_orders",
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    def cust_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ckey": b["c_custkey"].to_numpy(np.int64),
+                "nkey": b["c_nationkey"].to_numpy(np.int64),
+            }
+        )
+
+    j = broadcast_join(
+        spend,
+        _read(sf_dir, "customer").map_batches(cust_proj, batch_format="pandas"),
+        key="ckey",
+        small_payload={"nkey": "nkey"},
+    )
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        spend_v = g["spend_e2"].to_numpy(np.int64)
+        ck = g["ckey"].to_numpy(np.int64)
+        i = np.lexsort((ck, -spend_v))[0]
+        return g.iloc[[i]][["nkey", "ckey", "n_orders", "spend_e2"]].rename(
+            columns={"ckey": "cust_key"}
+        )
+
+    top = j.groupby("nkey").map_groups(top1, batch_format="pandas")
+
+    def nat_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nkey": b["n_nationkey"].to_numpy(np.int64),
+                "n_name": b["n_name"],
+            }
+        )
+
+    out = broadcast_join(
+        top,
+        _read(sf_dir, "nation").map_batches(nat_proj, batch_format="pandas"),
+        key="nkey",
+        small_payload={"n_name": "n_name"},
+    )
+    return out.map_batches(
+        lambda b: b[["n_name", "cust_key", "n_orders", "spend_e2"]],
+        batch_format="pandas",
+    )
+
+
 _Q3_CUTOFF_US = 896659200000000  # 1998-06-01 00:00:00 UTC in epoch micros
 
 
@@ -2944,6 +3042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_drawdown": _max_drawdown,
         "ar2_fit": _ar2_fit,
         "permutation_entropy": _permutation_entropy,
+        "variance_ratio": _variance_ratio,
+        "top_customer_by_nation": _top_customer_by_nation,
     }
 
 
@@ -6291,6 +6391,65 @@ def oracle_sql() -> dict[str, str]:
                        AS perm_entropy
             FROM c JOIN tot ON c.source = tot.source
             GROUP BY c.source, tot.n, tot.n_patterns
+        """,
+        # VR(4): exact HUGEINT power sums of 1-step and 4-step contiguous
+        # increments; the two pinned variance chains + one ratio mirror
+        # the engine bit-for-bit
+        "variance_ratio": f"""
+            WITH r AS ({rollup(60)}),
+            lagged AS (
+              SELECT source,
+                     sum_tok - LAG(sum_tok, 1) OVER w AS d1,
+                     bucket_ts - LAG(bucket_ts, 1) OVER w AS g1,
+                     sum_tok - LAG(sum_tok, 4) OVER w AS d4,
+                     bucket_ts - LAG(bucket_ts, 4) OVER w AS g4
+              FROM r WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)),
+            m1 AS (
+              SELECT source, CAST(COUNT(*) AS HUGEINT) AS n1,
+                     CAST(SUM(CAST(d1 AS HUGEINT)) AS HUGEINT) AS s1,
+                     CAST(SUM(CAST(d1 AS HUGEINT) * d1) AS HUGEINT) AS q1
+              FROM lagged WHERE g1 = 60 GROUP BY source
+              HAVING COUNT(*) >= 2),
+            m4 AS (
+              SELECT source, CAST(COUNT(*) AS HUGEINT) AS n4,
+                     CAST(SUM(CAST(d4 AS HUGEINT)) AS HUGEINT) AS s4,
+                     CAST(SUM(CAST(d4 AS HUGEINT) * d4) AS HUGEINT) AS q4
+              FROM lagged WHERE g4 = 240 GROUP BY source
+              HAVING COUNT(*) >= 2),
+            v AS (
+              SELECT m1.source,
+                     CAST(n1 AS BIGINT) AS n_diffs,
+                     CAST(n4 AS BIGINT) AS n_qdiffs,
+                     CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                         / CAST(n1 * n1 AS DOUBLE) AS var1,
+                     CAST(n4 * q4 - s4 * s4 AS DOUBLE)
+                         / CAST(n4 * n4 AS DOUBLE) AS var4
+              FROM m1 JOIN m4 ON m1.source = m4.source)
+            SELECT source, n_diffs, n_qdiffs,
+                   FLOOR(var4 / (4.0 * var1) * 1000000 + 0.5) / 1000000.0
+                       AS vr
+            FROM v WHERE var1 <> 0.0
+        """,
+        # argmax join: per-nation top spender (spend DESC, custkey ASC),
+        # integer cents
+        "top_customer_by_nation": """
+            WITH s AS (
+              SELECT o_custkey AS ckey,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS spend_e2
+              FROM orders GROUP BY 1),
+            j AS (
+              SELECT n.n_name, c.c_custkey AS cust_key, s.n_orders,
+                     s.spend_e2,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY n.n_nationkey
+                         ORDER BY s.spend_e2 DESC, c.c_custkey ASC) AS rn
+              FROM s
+              JOIN customer c ON s.ckey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey)
+            SELECT n_name, cust_key, n_orders, spend_e2
+            FROM j WHERE rn = 1
         """,
         # TPC-H Q3 shape: open revenue per order across the cutoff,
         # integer 1e-4-dollar units, top-10 (revenue desc, okey asc)

@@ -2896,3 +2896,70 @@ def permutation_entropy(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _variance_ratio_one_source(
+    obs: pd.DataFrame, source: str, q: int
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_diffs": pd.Series([], dtype=np.int64),
+                "n_qdiffs": pd.Series([], dtype=np.int64),
+                "vr": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    if ts.size < q + 1:
+        return empty
+    # 1-step diffs on contiguous pairs; q-step diffs on contiguous
+    # (q+1)-windows. Buckets are strictly increasing multiples of 60, so
+    # ts[i+q] - ts[i] == q*60 iff ALL q interior gaps are exactly 60.
+    d1 = (s[1:] - s[:-1])[ts[1:] - ts[:-1] == 60].astype(object)
+    dq = (s[q:] - s[:-q])[ts[q:] - ts[:-q] == q * 60].astype(object)
+    n1, nq = int(d1.size), int(dq.size)
+    if n1 < 2 or nq < 2:
+        return empty
+    S1, Q1 = int(d1.sum()), int((d1 * d1).sum())
+    Sq, Qq = int(dq.sum()), int((dq * dq).sum())
+    var1 = float(n1 * Q1 - S1 * S1) / float(n1 * n1)
+    if var1 == 0.0:
+        return empty
+    varq = float(nq * Qq - Sq * Sq) / float(nq * nq)
+    vr = varq / (float(q) * var1)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_diffs": np.array([n1], dtype=np.int64),
+            "n_qdiffs": np.array([nq], dtype=np.int64),
+            "vr": _round6_half_up(np.array([vr])),
+        }
+    )
+
+
+def variance_ratio(
+    input_path, *, q: int = 4, check_tokens: bool = False, shuffle: str = "sort"
+):
+    """Per-source Lo–MacKinlay variance ratio VR(q) of the 1m token-sum
+    increments: population variance of q-step changes over q times the
+    variance of 1-step changes, both restricted to contiguous observed
+    windows (a gap breaks the window, never bridges). VR ~ 1 for a random
+    walk, > 1 under momentum/trend, < 1 under mean reversion. Both
+    variances come from exact integer power sums via the pinned
+    cross-multiplied form (the burstiness chain); the only floats are the
+    two variance chains and the final ratio, shared with the SQL oracle
+    under round6. Sources with fewer than two diffs at either horizon or
+    zero 1-step variance are omitted."""
+    from datafiller_ray.config import EngineValueError
+
+    if q < 2:
+        raise EngineValueError(f"q must be >= 2, got {q}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _variance_ratio_one_source(obs, src, q),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -1596,3 +1596,48 @@ def test_permutation_entropy_extremes():
     )
     out_n = _perm_entropy_one_source(obs_n, "s")
     assert out_n["perm_entropy"].iloc[0] > 0.95
+
+
+def test_variance_ratio_iid_vs_walk():
+    from datafiller_ray.pipelines.window import _variance_ratio_one_source
+
+    rng = np.random.default_rng(0)
+    ts = np.arange(5000, dtype=np.int64) * 60
+    walk = np.cumsum(rng.integers(-5, 6, size=5000)).astype(np.int64)
+    vr_walk = _variance_ratio_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": walk}), "s", 4
+    )["vr"].iloc[0]
+    noise = rng.integers(0, 100, size=5000).astype(np.int64)
+    vr_noise = _variance_ratio_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": noise}), "s", 4
+    )["vr"].iloc[0]
+    # random walk ~ 1; iid levels: q-diff var 2s^2 over q*1-diff var 2s^2 -> 1/q
+    assert 0.85 < vr_walk < 1.15
+    assert 0.15 < vr_noise < 0.35
+
+
+def test_variance_ratio_gap_breaks_windows():
+    from datafiller_ray.pipelines.window import _variance_ratio_one_source
+
+    # 6 buckets with one gap: 1-step diffs skip the gap pair, 4-step
+    # windows must not bridge it
+    ts = np.array([0, 60, 120, 180, 600, 660], dtype=np.int64)
+    s = np.array([1, 3, 2, 5, 4, 9], dtype=np.int64)
+    out = _variance_ratio_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": s}), "s", 4
+    )
+    # n_diffs = 4 contiguous pairs; zero contiguous 5-windows -> omitted
+    assert len(out) == 0
+
+    # constant series: var1 == 0 -> omitted
+    out_c = _variance_ratio_one_source(
+        pd.DataFrame(
+            {
+                "bucket_ts": np.arange(10, dtype=np.int64) * 60,
+                "sum": np.full(10, 5, dtype=np.int64),
+            }
+        ),
+        "s",
+        4,
+    )
+    assert len(out_c) == 0
