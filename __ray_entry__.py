@@ -2694,6 +2694,24 @@ def _top_customer_by_nation(sf_dir: str):
     )
 
 
+def _busiest_burst(sf_dir: str):
+    """Per-source max-sum contiguous burst of mean-centered 1m activity
+    (all-integer Kadane via prefix-min; earliest end/start tie-break) —
+    pipelines/window.busiest_burst."""
+    from datafiller_ray.pipelines.window import busiest_burst
+
+    return busiest_burst(_fixture(sf_dir))
+
+
+def _readability(sf_dir: str):
+    """Per-document Flesch–Kincaid grade from regex-countable word /
+    sentence / vowel-group counts (exact integers; one pinned float
+    chain) — pipelines/text.readability."""
+    from datafiller_ray.pipelines.text import readability
+
+    return readability(_read(sf_dir, "documents"))
+
+
 _Q3_CUTOFF_US = 896659200000000  # 1998-06-01 00:00:00 UTC in epoch micros
 
 
@@ -3044,6 +3062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "permutation_entropy": _permutation_entropy,
         "variance_ratio": _variance_ratio,
         "top_customer_by_nation": _top_customer_by_nation,
+        "busiest_burst": _busiest_burst,
+        "readability": _readability,
     }
 
 
@@ -6450,6 +6470,79 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation n ON c.c_nationkey = n.n_nationkey)
             SELECT n_name, cust_key, n_orders, spend_e2
             FROM j WHERE rn = 1
+        """,
+        # all-integer Kadane via prefix-min window: deviations scaled by
+        # n (n*y - tot) keep every prefix exact; earliest-end then
+        # earliest-start tie-break; one float division (mean_excess)
+        "busiest_burst": f"""
+            WITH r AS ({rollup(60)}),
+            s AS (
+              SELECT source, bucket_ts, sum_tok,
+                     CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+                     CAST(SUM(sum_tok) OVER (PARTITION BY source) AS BIGINT)
+                         AS tot
+              FROM r),
+            p AS (
+              SELECT source, bucket_ts, n,
+                     SUM(CAST(n AS HUGEINT) * sum_tok - tot) OVER (
+                         PARTITION BY source ORDER BY bucket_ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS pref
+              FROM s),
+            b AS (
+              SELECT source, bucket_ts, n, pref,
+                     pref - LEAST(COALESCE(MIN(pref) OVER (
+                         PARTITION BY source ORDER BY bucket_ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0), 0) AS best,
+                     COALESCE(LAG(pref) OVER (
+                         PARTITION BY source ORDER BY bucket_ts), 0)
+                         AS lagpref
+              FROM p),
+            win AS (
+              SELECT source, bucket_ts AS end_ts, n, best
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY source
+                        ORDER BY best DESC, bucket_ts ASC) AS rn
+                    FROM b)
+              WHERE rn = 1),
+            st AS (
+              SELECT w.source, w.end_ts, w.n, w.best,
+                     c.bucket_ts AS start_ts,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY w.source
+                         ORDER BY c.lagpref ASC, c.bucket_ts ASC) AS rs
+              FROM win w
+              JOIN b c ON c.source = w.source AND c.bucket_ts <= w.end_ts),
+            pick AS (SELECT * FROM st WHERE rs = 1)
+            SELECT p.source, p.n AS n_buckets, p.start_ts, p.end_ts,
+                   CAST(COUNT(*) AS BIGINT) AS burst_n,
+                   CAST(p.best AS BIGINT) AS burst_dev,
+                   FLOOR(CAST(p.best AS DOUBLE)
+                         / CAST(p.n * COUNT(*) AS DOUBLE)
+                         * 1000000 + 0.5) / 1000000.0 AS mean_excess
+            FROM pick p
+            JOIN r ON r.source = p.source
+                  AND r.bucket_ts BETWEEN p.start_ts AND p.end_ts
+            GROUP BY p.source, p.n, p.start_ts, p.end_ts, p.best
+        """,
+        # FK grade from regexp_extract_all counts (no-terminator docs
+        # count as ONE sentence); the grade expression mirrors the
+        # engine's pinned float chain
+        "readability": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS n_words,
+                     GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                         AS n_sents,
+                     len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                         AS n_syll
+              FROM documents)
+            SELECT doc_id, n_words, n_sents, n_syll,
+                   FLOOR((0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+                          + 11.8 * (CAST(n_syll AS DOUBLE) / n_words)
+                          - 15.59) * 1000000 + 0.5) / 1000000.0 AS fk_grade
+            FROM c WHERE n_words > 0
         """,
         # TPC-H Q3 shape: open revenue per order across the cutoff,
         # integer 1e-4-dollar units, top-10 (revenue desc, okey asc)

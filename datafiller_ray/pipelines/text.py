@@ -1019,3 +1019,52 @@ def near_dup_keep_best(
     return docs.map_batches(
         keep_survivors, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+class Readability:
+    """Flesch–Kincaid-style grade from regex-countable proxies — words are
+    ``\\S+`` runs, sentences are ``[.!?]+`` runs, syllables are vowel-group
+    runs ``[aeiouyAEIOUY]+`` (the standard no-dictionary approximation).
+    Every count is an exact integer shared with the DuckDB oracle's
+    ``regexp_extract_all``; the grade is the single pinned float chain
+    ``0.39*(W/S) + 11.8*(Y/W) - 15.59`` under round6. A document with no
+    terminator runs counts as ONE sentence (the standard fragment
+    fallback); documents with zero words are filtered out."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.word = re.compile(r"\S+")
+        self.sent = re.compile(r"[.!?]+")
+        self.syll = re.compile(r"[aeiouyAEIOUY]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        w = text.str.count(self.word).to_numpy(np.int64)
+        s = np.maximum(text.str.count(self.sent).to_numpy(np.int64), 1)
+        y = text.str.count(self.syll).to_numpy(np.int64)
+        keep = w > 0
+        wf = w[keep].astype(np.float64)
+        sf = s[keep].astype(np.float64)
+        yf = y[keep].astype(np.float64)
+        grade = 0.39 * (wf / sf) + 11.8 * (yf / wf) - 15.59
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],
+                "n_words": w[keep],
+                "n_sents": s[keep],
+                "n_syll": y[keep],
+                "fk_grade": np.floor(grade * 1e6 + 0.5) / 1e6,
+            }
+        )
+        return out
+
+
+def readability(documents: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document Flesch–Kincaid grade level over the corpus (quality
+    signal for training-data curation: filter or stratify by reading
+    difficulty). Stateless vectorized pandas-str kernel; compiled patterns
+    built once per actor in ``__init__``."""
+    return documents.map_batches(
+        Readability, batch_format="pandas", concurrency=(1, 4), batch_size=4096
+    )

@@ -2963,3 +2963,65 @@ def variance_ratio(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _burst_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    n = int(ts.size)
+    if n == 0:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_buckets": pd.Series([], dtype=np.int64),
+                    "start_ts": pd.Series([], dtype=np.int64),
+                    "end_ts": pd.Series([], dtype=np.int64),
+                    "burst_n": pd.Series([], dtype=np.int64),
+                    "burst_dev": pd.Series([], dtype=np.int64),
+                    "mean_excess": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    tot = int(s.sum())
+    # deviations scaled by n so they stay integers: d_k = n*y_k - tot
+    # (sum(d) == 0 by construction). int64 headroom: |prefix| <= n^2*max(y),
+    # safe through ~1e5 buckets x 1e8 tokens/bucket.
+    d = n * s - tot
+    P = np.concatenate([np.zeros(1, np.int64), np.cumsum(d)])
+    runmin = np.minimum.accumulate(P[:-1])  # min P[0..m]
+    best = P[1:] - runmin  # best burst ending at row m (0-based)
+    m = int(np.argmax(best))  # first argmax: earliest end
+    a = int(np.argmin(P[: m + 1]))  # first argmin: earliest start
+    burst_n = m + 1 - a
+    burst_dev = int(P[m + 1] - P[a])
+    mean_excess = float(burst_dev) / float(n * burst_n)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([n], dtype=np.int64),
+            "start_ts": np.array([ts[a]], dtype=np.int64),
+            "end_ts": np.array([ts[m]], dtype=np.int64),
+            "burst_n": np.array([burst_n], dtype=np.int64),
+            "burst_dev": np.array([burst_dev], dtype=np.int64),
+            "mean_excess": _round6_half_up(np.array([mean_excess])),
+        }
+    )
+
+
+def busiest_burst(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source busiest burst: the contiguous run of observed 1m buckets
+    maximizing total token activity ABOVE the source's own mean — the
+    max-sum subarray (Kadane) of the mean-centered series, computed on
+    deviations scaled by n (``n*y_k - total``) so every prefix stays an
+    exact integer. Tie-break: earliest end, then earliest start (first
+    argmax / first argmin), mirroring the SQL oracle's prefix-min window
+    formulation. ``burst_dev`` is in n-scaled token units; ``mean_excess``
+    (= burst_dev / (n * burst_n), the average tokens-per-bucket above the
+    source mean) is the single float division, under round6."""
+    return _run_per_source(
+        input_path,
+        _burst_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

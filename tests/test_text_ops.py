@@ -494,3 +494,29 @@ def test_media_phash_pipeline_and_near_dup(ray_session):
     assert int(hit["hamming"].iloc[0]) <= 10
     # corrupted payloads never pair
     assert not ((pairs["media_a"] == 101) | (pairs["media_b"] == 101)).any()
+
+
+def test_readability_literal():
+    import numpy as np
+    import pandas as pd
+
+    from datafiller_ray.pipelines.text import Readability
+
+    b = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [
+                "The cat sat. It was happy!",
+                "fragment with no terminator",
+                "",
+            ],
+        }
+    )
+    out = Readability()(b)
+    # doc 3 has zero words -> filtered; doc 2 clamps to one sentence
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_sents"].tolist() == [2, 1]
+    r0 = out.iloc[0]
+    assert r0["n_words"] == 6 and r0["n_syll"] == 7
+    expect = 0.39 * (6 / 2) + 11.8 * (7 / 6) - 15.59
+    assert abs(r0["fk_grade"] - expect) < 1e-6

@@ -1641,3 +1641,52 @@ def test_variance_ratio_gap_breaks_windows():
         4,
     )
     assert len(out_c) == 0
+
+
+def test_busiest_burst_literal_and_brute():
+    from datafiller_ray.pipelines.window import _burst_one_source
+
+    s = np.array([1, 1, 9, 9, 9, 1, 1, 1], dtype=np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(8, dtype=np.int64) * 60, "sum": s}
+    )
+    out = _burst_one_source(obs, "s")
+    assert out["start_ts"].tolist() == [120]
+    assert out["end_ts"].tolist() == [240]
+    assert out["burst_n"].tolist() == [3]
+    # each 9 is 5 above the mean 4 -> dev 3*5*n = 120 in n-scaled units
+    assert out["burst_dev"].tolist() == [120]
+    assert out["mean_excess"].tolist() == [5.0]
+
+    # brute force on random series
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(1, 30))
+        sv = rng.integers(0, 50, size=n).astype(np.int64)
+        d = n * sv - sv.sum()
+        brute = max(
+            int(d[i : j + 1].sum()) for i in range(n) for j in range(i, n)
+        )
+        got = _burst_one_source(
+            pd.DataFrame(
+                {"bucket_ts": np.arange(n, dtype=np.int64) * 60, "sum": sv}
+            ),
+            "s",
+        )
+        assert got["burst_dev"].iloc[0] == brute
+
+
+def test_busiest_burst_constant_series():
+    from datafiller_ray.pipelines.window import _burst_one_source
+
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(5, dtype=np.int64) * 60,
+            "sum": np.full(5, 3, dtype=np.int64),
+        }
+    )
+    out = _burst_one_source(obs, "s")
+    # all deviations zero: first bucket alone, dev 0
+    assert out["burst_dev"].tolist() == [0]
+    assert out["start_ts"].tolist() == [0]
+    assert out["end_ts"].tolist() == [0]
