@@ -2694,6 +2694,25 @@ def _top_customer_by_nation(sf_dir: str):
     )
 
 
+def _harmonic_24h(sf_dir: str):
+    """Per-source OLS fit of the 24h harmonic (amplitude / peak hour /
+    variance explained); fsum-pinned sums make the distributed result
+    bit-equal to the vendored scalar oracle —
+    pipelines/window.harmonic_24h."""
+    from datafiller_ray.pipelines.window import harmonic_24h
+
+    return harmonic_24h(_fixture(sf_dir))
+
+
+def _sax_motifs(sf_dir: str):
+    """Per-source SAX motif census (quartile NTILE symbolization +
+    contiguous-triple motif ids, all-integer) —
+    pipelines/window.sax_motifs."""
+    from datafiller_ray.pipelines.window import sax_motifs
+
+    return sax_motifs(_fixture(sf_dir))
+
+
 def _busiest_burst(sf_dir: str):
     """Per-source max-sum contiguous burst of mean-centered 1m activity
     (all-integer Kadane via prefix-min; earliest end/start tie-break) —
@@ -3064,6 +3083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_by_nation": _top_customer_by_nation,
         "busiest_burst": _busiest_burst,
         "readability": _readability,
+        "harmonic_24h": _harmonic_24h,
+        "sax_motifs": _sax_motifs,
     }
 
 
@@ -4100,6 +4121,35 @@ def _build_pca_oracle() -> "pd.DataFrame":
     return o.embedding_pca_frame(ids, M, n_components=2, scale_bits=16)
 
 
+def _build_harmonic_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = {
+        "source": [],
+        "n_buckets": [],
+        "amp_tok": [],
+        "peak_hour": [],
+        "r2": [],
+    }
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep]
+        res = o.harmonic_fit(ts, y)
+        if res is None:
+            continue
+        amp, peak_hour, r2 = res
+        rows["source"].append(src)
+        rows["n_buckets"].append(int(ts.size))
+        rows["amp_tok"].append(float(o.round_half_up(np.array([amp]))[0]))
+        rows["peak_hour"].append(
+            float(o.round_half_up(np.array([peak_hour]))[0])
+        )
+        rows["r2"].append(float(o.round_half_up(np.array([r2]))[0]))
+    out = pd.DataFrame(rows)
+    out["n_buckets"] = out["n_buckets"].astype(np.int64)
+    return out
+
+
 _FILL_ORACLE_BUILDERS = {
     "gapfill_model_1m": _build_model_oracle,
     "gapfill_spline_1m": _build_spline_oracle,
@@ -4108,6 +4158,7 @@ _FILL_ORACLE_BUILDERS = {
     "ewma_smooth_1m": _build_ewma_oracle,
     "holt_smooth_1m": _build_holt_oracle,
     "holt_winters_1m": _build_holt_winters_oracle,
+    "harmonic_24h": _build_harmonic_oracle,
     "lttb_downsample": _build_lttb_oracle,
     "cusum_changepoints": _build_cusum_oracle,
     "approx_distinct_docs": _build_hll_oracle,
@@ -4881,6 +4932,10 @@ def oracle_sql() -> dict[str, str]:
         "holt_winters_1m": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('holt_winters_1m')}')"
+        ),
+        "harmonic_24h": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('harmonic_24h')}')"
         ),
         "holt_smooth_1m": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('holt_smooth_1m')}')"
@@ -6470,6 +6525,27 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation n ON c.c_nationkey = n.n_nationkey)
             SELECT n_name, cust_key, n_orders, spend_e2
             FROM j WHERE rn = 1
+        """,
+        # all-integer SAX census: NTILE(4) quartile symbols (ties by ts),
+        # contiguous-triple motif ids
+        "sax_motifs": f"""
+            WITH r AS ({rollup(60)}),
+            sym AS (
+              SELECT source, bucket_ts,
+                     NTILE(4) OVER (PARTITION BY source
+                                    ORDER BY sum_tok, bucket_ts) - 1 AS sym
+              FROM r),
+            lagged AS (
+              SELECT source, sym AS s2,
+                     LAG(sym, 1) OVER w AS s1, LAG(sym, 2) OVER w AS s0,
+                     bucket_ts - LAG(bucket_ts, 1) OVER w AS g1,
+                     LAG(bucket_ts, 1) OVER w
+                         - LAG(bucket_ts, 2) OVER w AS g2
+              FROM sym WINDOW w AS (PARTITION BY source ORDER BY bucket_ts))
+            SELECT source, CAST(16*s0 + 4*s1 + s2 AS BIGINT) AS motif,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lagged WHERE g1 = 60 AND g2 = 60
+            GROUP BY 1, 2
         """,
         # all-integer Kadane via prefix-min window: deviations scaled by
         # n (n*y - tot) keep every prefix exact; earliest-end then

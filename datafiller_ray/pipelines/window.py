@@ -3025,3 +3025,152 @@ def busiest_burst(input_path, *, check_tokens: bool = False, shuffle: str = "sor
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _harmonic_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    y = obs["sum"].to_numpy(np.int64).astype(np.float64)
+    n = int(ts.size)
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_buckets": pd.Series([], dtype=np.int64),
+                "amp_tok": pd.Series([], dtype=np.float64),
+                "peak_hour": pd.Series([], dtype=np.float64),
+                "r2": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    if n < 3:
+        return empty
+    # PINNED CHAIN (mirrored verbatim by the vendored oracle,
+    # tests/oracle/fills.py harmonic_fit): every sum is math.fsum —
+    # exactly rounded, ORDER-INDEPENDENT — so the distributed engine and
+    # the scalar oracle agree bit-for-bit without absorbers on the sums.
+    theta = (2.0 * np.pi) * ((ts % 86400).astype(np.float64) / 86400.0)
+    c = np.cos(theta)
+    s = np.sin(theta)
+    fs = math.fsum
+    Sc, Ss = fs(c), fs(s)
+    Scc, Sss, Scs = fs(c * c), fs(s * s), fs(c * s)
+    Sy, Syc, Sys = fs(y), fs(y * c), fs(y * s)
+
+    def det3(a, b, cc, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) + cc * (d * h - e * g)
+
+    D = det3(float(n), Sc, Ss, Sc, Scc, Scs, Ss, Scs, Sss)
+    if D == 0.0:
+        return empty
+    a0 = det3(Sy, Sc, Ss, Syc, Scc, Scs, Sys, Scs, Sss) / D
+    b1 = det3(float(n), Sy, Ss, Sc, Syc, Scs, Ss, Sys, Sss) / D
+    c1 = det3(float(n), Sc, Sy, Sc, Scc, Syc, Ss, Scs, Sys) / D
+    amp = math.hypot(b1, c1)
+    ph = math.atan2(c1, b1)
+    if ph < 0.0:
+        ph += 2.0 * math.pi
+    peak_hour = ph * (12.0 / math.pi)
+    resid = y - (a0 + b1 * c + c1 * s)
+    sse = fs(resid * resid)
+    ybar = Sy / float(n)
+    dev = y - ybar
+    sst = fs(dev * dev)
+    if sst == 0.0:
+        return empty
+    r2 = 1.0 - sse / sst
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([n], dtype=np.int64),
+            "amp_tok": _round6_half_up(np.array([amp])),
+            "peak_hour": _round6_half_up(np.array([peak_hour])),
+            "r2": _round6_half_up(np.array([r2])),
+        }
+    )
+
+
+def harmonic_24h(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source least-squares fit of the single 24-hour harmonic
+    ``y ~ a + b*cos(theta) + c*sin(theta)`` with ``theta = 2*pi *
+    (ts mod 86400)/86400`` over observed 1m buckets: reports the
+    amplitude, the peak time-of-day in hours, and the fraction of
+    variance the daily sinusoid explains — the parametric complement of
+    the non-parametric hour-of-day eta-squared (`seasonality_strength`).
+    Full OLS (not a plain Fourier projection) because observed buckets
+    are non-uniform, so cos/sin are not orthogonal over the sample.
+    Every sum uses math.fsum (exactly rounded, order-independent),
+    making the result reproducible across any block partitioning and
+    bit-equal to the vendored scalar oracle. Degenerate fits (n < 3,
+    singular normal matrix, zero variance) are omitted."""
+    return _run_per_source(
+        input_path,
+        _harmonic_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def _ntile_symbols(y: np.ndarray, ts: np.ndarray, k: int = 4) -> np.ndarray:
+    """SQL NTILE(k) replica over ORDER BY (y, ts): the first ``n % k``
+    tiles take ``n//k + 1`` rows, the rest ``n//k`` — exact integer
+    bucketing, no quantile floats (ties deterministic via the ts
+    tie-break)."""
+    n = y.size
+    order = np.lexsort((ts, y))
+    q, r = divmod(n, k)
+    sizes = np.full(k, q, dtype=np.int64)
+    sizes[:r] += 1
+    tiles = np.repeat(np.arange(k, dtype=np.int64), sizes)
+    sym = np.empty(n, dtype=np.int64)
+    sym[order] = tiles[:n]
+    return sym
+
+
+def _sax_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    if ts.size < 3:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="string"),
+                "motif": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64),
+            }
+        )
+    sym = _ntile_symbols(s, ts, 4)
+    s0, s1, s2 = _contiguous_triples(ts, sym)
+    if s0.size == 0:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="string"),
+                "motif": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64),
+            }
+        )
+    motif = 16 * s0 + 4 * s1 + s2
+    counts = np.bincount(motif, minlength=64).astype(np.int64)
+    nz = np.flatnonzero(counts)
+    return pd.DataFrame(
+        {
+            "source": np.full(nz.size, source, dtype=object),
+            "motif": nz.astype(np.int64),
+            "cnt": counts[nz],
+        }
+    )
+
+
+def sax_motifs(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source SAX-style motif census: each observed 1m bucket is
+    symbolized into its within-source activity quartile (rank-based
+    NTILE(4) bucketing — exact integers, no breakpoint floats, ties
+    broken by bucket_ts), then every contiguous triple of buckets (both
+    gaps exactly 60 s) becomes a 3-symbol motif id ``16*s0 + 4*s1 + s2``
+    in [0, 64). The output is the (source, motif, cnt) census — the
+    shape-vocabulary a motif-discovery / series-clustering layer consumes.
+    Entirely integer arithmetic, hash-exact against the SQL NTILE oracle."""
+    return _run_per_source(
+        input_path,
+        _sax_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -938,3 +938,49 @@ def holt_winters_recursion(
         lv[t - m] = level
         tr[t - m] = trend
     return fc, lv, tr
+
+
+def harmonic_fit(ts, y):
+    """Single 24h-harmonic OLS oracle: y ~ a + b*cos + c*sin with
+    theta = 2*pi*(ts mod 86400)/86400, solved by Cramer on the 3x3
+    normal equations. Every sum is math.fsum (exactly rounded and
+    order-independent), so any correct implementation of the same
+    documented semantics — whatever its partitioning or summation
+    order — must produce bit-identical results. Returns
+    (amplitude, peak_hour, r2) or None when degenerate."""
+    import math
+
+    n = int(ts.size)
+    if n < 3:
+        return None
+    theta = (2.0 * np.pi) * ((ts % 86400).astype(np.float64) / 86400.0)
+    c = np.cos(theta)
+    s = np.sin(theta)
+    yf = y.astype(np.float64)
+    fs = math.fsum
+    Sc, Ss = fs(c), fs(s)
+    Scc, Sss, Scs = fs(c * c), fs(s * s), fs(c * s)
+    Sy, Syc, Sys = fs(yf), fs(yf * c), fs(yf * s)
+
+    def det3(a, b, cc, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) + cc * (d * h - e * g)
+
+    D = det3(float(n), Sc, Ss, Sc, Scc, Scs, Ss, Scs, Sss)
+    if D == 0.0:
+        return None
+    a0 = det3(Sy, Sc, Ss, Syc, Scc, Scs, Sys, Scs, Sss) / D
+    b1 = det3(float(n), Sy, Ss, Sc, Syc, Scs, Ss, Sys, Sss) / D
+    c1 = det3(float(n), Sc, Sy, Sc, Scc, Syc, Ss, Scs, Sys) / D
+    amp = math.hypot(b1, c1)
+    ph = math.atan2(c1, b1)
+    if ph < 0.0:
+        ph += 2.0 * math.pi
+    peak_hour = ph * (12.0 / math.pi)
+    resid = yf - (a0 + b1 * c + c1 * s)
+    sse = fs(resid * resid)
+    ybar = Sy / float(n)
+    dev = yf - ybar
+    sst = fs(dev * dev)
+    if sst == 0.0:
+        return None
+    return amp, peak_hour, 1.0 - sse / sst

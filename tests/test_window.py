@@ -1690,3 +1690,100 @@ def test_busiest_burst_constant_series():
     assert out["burst_dev"].tolist() == [0]
     assert out["start_ts"].tolist() == [0]
     assert out["end_ts"].tolist() == [0]
+
+
+def test_harmonic_recovers_planted_sinusoid():
+    from datafiller_ray.pipelines.window import _harmonic_one_source
+
+    rng = np.random.default_rng(2)
+    nb = 3000
+    ts = (np.sort(rng.choice(20 * 1440, size=nb, replace=False)) * 60).astype(
+        np.int64
+    )
+    th = 2 * np.pi * ((ts % 86400) / 86400.0)
+    y = np.rint(100 + 40 * np.cos(th - 2.0) + rng.normal(0, 5, nb)).astype(
+        np.int64
+    )
+    out = _harmonic_one_source(pd.DataFrame({"bucket_ts": ts, "sum": y}), "s")
+    assert abs(out["amp_tok"].iloc[0] - 40.0) < 1.0
+    assert abs(out["peak_hour"].iloc[0] - 2.0 * 12 / np.pi) < 0.05
+    assert out["r2"].iloc[0] > 0.9
+
+
+def test_harmonic_degenerate_cases():
+    from datafiller_ray.pipelines.window import _harmonic_one_source
+
+    # constant series: SST == 0 -> omitted
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(100, dtype=np.int64) * 60,
+            "sum": np.full(100, 7, dtype=np.int64),
+        }
+    )
+    assert len(_harmonic_one_source(obs, "s")) == 0
+    # all buckets at the SAME time-of-day: cos/sin constant -> singular
+    obs_s = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(10, dtype=np.int64) * 86400,
+            "sum": np.arange(10, dtype=np.int64),
+        }
+    )
+    assert len(_harmonic_one_source(obs_s, "s")) == 0
+
+
+def test_harmonic_partition_invariance():
+    """fsum makes the fit independent of block/summation order: feeding
+    the rows in any order must give the identical frame."""
+    from datafiller_ray.pipelines.window import _harmonic_one_source
+
+    rng = np.random.default_rng(9)
+    ts = (np.sort(rng.choice(5000, size=800, replace=False)) * 60).astype(
+        np.int64
+    )
+    y = rng.integers(0, 1000, size=800).astype(np.int64)
+    a = _harmonic_one_source(pd.DataFrame({"bucket_ts": ts, "sum": y}), "s")
+    # reversed order input (the group fn sorts, but the kernel must not care
+    # beyond ts order — emulate a different combine order by re-sorting)
+    perm = rng.permutation(800)
+    df = (
+        pd.DataFrame({"bucket_ts": ts[perm], "sum": y[perm]})
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    b = _harmonic_one_source(df, "s")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ntile_symbols_matches_duckdb():
+    import duckdb
+
+    from datafiller_ray.pipelines.window import _ntile_symbols
+
+    rng = np.random.default_rng(13)
+    for n in (1, 2, 5, 6, 7, 100):
+        ts = np.arange(n, dtype=np.int64) * 60
+        y = rng.integers(0, 8, size=n).astype(np.int64)  # heavy ties
+        got = _ntile_symbols(y, ts, 4)
+        df = pd.DataFrame({"bucket_ts": ts, "y": y})
+        want = (
+            duckdb.sql(
+                "SELECT bucket_ts, NTILE(4) OVER (ORDER BY y, bucket_ts) - 1"
+                " AS s FROM df"
+            )
+            .df()
+            .sort_values("bucket_ts")["s"]
+            .to_numpy(np.int64)
+        )
+        assert got.tolist() == want.tolist(), n
+
+
+def test_sax_motifs_census_sums():
+    from datafiller_ray.pipelines.window import _sax_one_source
+
+    rng = np.random.default_rng(21)
+    n = 400
+    ts = np.arange(n, dtype=np.int64) * 60  # fully contiguous
+    y = rng.integers(0, 1000, size=n).astype(np.int64)
+    out = _sax_one_source(pd.DataFrame({"bucket_ts": ts, "sum": y}), "s")
+    assert out["cnt"].sum() == n - 2  # every interior triple counted once
+    assert (out["motif"] >= 0).all() and (out["motif"] < 64).all()
