@@ -2704,6 +2704,16 @@ def _harmonic_24h(sf_dir: str):
     return harmonic_24h(_fixture(sf_dir))
 
 
+def _source_profile(sf_dir: str):
+    """Fused per-source profile: eight statistics families in ONE
+    exchange (dispersion, drawdown, seasonality, permutation entropy,
+    AR(2), VR(4), 24h harmonic, busiest burst) —
+    pipelines/window.source_profile."""
+    from datafiller_ray.pipelines.window import source_profile
+
+    return source_profile(_fixture(sf_dir))
+
+
 def _sax_motifs(sf_dir: str):
     """Per-source SAX motif census (quartile NTILE symbolization +
     contiguous-triple motif ids, all-integer) —
@@ -3085,6 +3095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": _readability,
         "harmonic_24h": _harmonic_24h,
         "sax_motifs": _sax_motifs,
+        "source_profile": _source_profile,
     }
 
 
@@ -4321,7 +4332,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE fill_value IS NOT NULL
     """
 
-    return {
+    out = {
         "rollup_1m": rollup(60),
         "rollup_1h": rollup(3600),
         "rollup_1d": rollup(86400),
@@ -6641,3 +6652,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rnk LIMIT 10
         """,
     }
+    # fused per-source profile: inner-join of the component oracles (a
+    # source degenerate for ANY stat is omitted on both sides); column
+    # names match the engine's source_profile exactly
+    out["source_profile"] = f"""
+        SELECT b.source, b.n_buckets, b.mean_tok, b.var_tok, b.fano, b.cv,
+               d.drawdown_tok, d.trough_ts, ss.strength,
+               pe.n_triples, pe.perm_entropy,
+               ar.c0, ar.a1, ar.a2, v.vr,
+               h.amp_tok, h.peak_hour, h.r2,
+               bu.burst_dev, bu.mean_excess
+        FROM ({out["burstiness"]}) b
+        JOIN ({out["max_drawdown"]}) d USING (source)
+        JOIN ({out["seasonality_strength"]}) ss USING (source)
+        JOIN ({out["permutation_entropy"]}) pe USING (source)
+        JOIN ({out["ar2_fit"]}) ar USING (source)
+        JOIN ({out["variance_ratio"]}) v USING (source)
+        JOIN ({out["harmonic_24h"]}) h USING (source)
+        JOIN ({out["busiest_burst"]}) bu USING (source)
+    """
+    return out

@@ -3174,3 +3174,69 @@ def sax_motifs(input_path, *, check_tokens: bool = False, shuffle: str = "sort")
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+_PROFILE_PARTS = (
+    # (kernel, columns lifted into the profile row)
+    (_burstiness_one_source, ("mean_tok", "var_tok", "fano", "cv")),
+    (_drawdown_one_source, ("drawdown_tok", "trough_ts")),
+    (_seasonality_one_source, ("strength",)),
+    (_perm_entropy_one_source, ("n_triples", "perm_entropy")),
+    (_ar2_one_source, ("c0", "a1", "a2")),
+    (lambda obs, src: _variance_ratio_one_source(obs, src, 4), ("vr",)),
+    (_harmonic_one_source, ("amp_tok", "peak_hour", "r2")),
+    (_burst_one_source, ("burst_dev", "mean_excess")),
+)
+
+
+def _fused_profile_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    row: dict = {
+        "source": np.array([source], dtype=object),
+        "n_buckets": np.array([len(obs)], dtype=np.int64),
+    }
+    for kernel, cols in _PROFILE_PARTS:
+        part = kernel(obs, source)
+        if len(part) != 1:
+            # inner-join semantics: a source degenerate for ANY stat
+            # (constant series, too few triples, singular fit) is omitted
+            # from the profile — mirrors the SQL oracle's inner joins
+            return _string_typed_if_empty(
+                pd.DataFrame(
+                    {
+                        "source": pd.Series([], dtype=object),
+                        "n_buckets": pd.Series([], dtype=np.int64),
+                        **{
+                            c: pd.Series(
+                                [], dtype=np.int64 if c in _PROFILE_INT else np.float64
+                            )
+                            for _, cs in _PROFILE_PARTS
+                            for c in cs
+                        },
+                    }
+                )
+            )
+        for c in cols:
+            row[c] = part[c].to_numpy()
+    return pd.DataFrame(row)
+
+
+_PROFILE_INT = {"drawdown_tok", "trough_ts", "n_triples", "burst_dev"}
+
+
+def source_profile(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Fused per-source statistical profile: dispersion (mean/var/Fano/CV),
+    max drawdown, hour-of-day seasonality strength, permutation entropy,
+    AR(2) coefficients, variance ratio VR(4), the 24h-harmonic fit, and
+    the busiest-burst summary — ALL computed in ONE exchange. At 100 TB
+    this is the difference between eight shuffles of the same partial
+    rows and one: the per-source kernels run back-to-back on the combined
+    group already in memory, so adding a statistic costs compute only,
+    never another all-to-all. Sources degenerate for any component
+    (constant series, too few contiguous triples, singular fits) are
+    omitted — inner-join semantics, mirroring the SQL oracle."""
+    return _run_per_source(
+        input_path,
+        _fused_profile_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

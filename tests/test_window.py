@@ -1787,3 +1787,36 @@ def test_sax_motifs_census_sums():
     out = _sax_one_source(pd.DataFrame({"bucket_ts": ts, "sum": y}), "s")
     assert out["cnt"].sum() == n - 2  # every interior triple counted once
     assert (out["motif"] >= 0).all() and (out["motif"] < 64).all()
+
+
+def test_source_profile_matches_components():
+    from datafiller_ray.pipelines.window import (
+        _burstiness_one_source,
+        _harmonic_one_source,
+        _fused_profile_one_source,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 500
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(n, dtype=np.int64) * 60,
+            "sum": rng.integers(50, 150, size=n).astype(np.int64),
+        }
+    )
+    prof = _fused_profile_one_source(obs, "s")
+    assert len(prof) == 1
+    # fused values identical to the standalone kernels
+    assert prof["fano"].iloc[0] == _burstiness_one_source(obs, "s")["fano"].iloc[0]
+    assert (
+        prof["amp_tok"].iloc[0]
+        == _harmonic_one_source(obs, "s")["amp_tok"].iloc[0]
+    )
+    # degenerate for any component -> omitted entirely
+    const = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(10, dtype=np.int64) * 60,
+            "sum": np.full(10, 3, dtype=np.int64),
+        }
+    )
+    assert len(_fused_profile_one_source(const, "s")) == 0
