@@ -2896,6 +2896,18 @@ def _lead_lag_xcorr(sf_dir: str):
     )
 
 
+def _rolling_corr_1m(sf_dir: str):
+    """Rolling Pearson correlation (trailing 60 common observed buckets)
+    of each source vs the broadcast reference sources; exact int64
+    rolling five-moment sums, one pinned float per row —
+    pipelines/correlate.rolling_corr."""
+    from datafiller_ray.pipelines.correlate import rolling_corr
+
+    return rolling_corr(
+        _fixture(sf_dir), ref_sources=_CORR_REFS, window=60, check_tokens=False
+    )
+
+
 def _mann_kendall_1h(sf_dir: str):
     """Per-source Mann–Kendall S statistic + Kendall tau over hourly token
     sums (integer-exact pairwise sign sum; theilsen_trend's significance
@@ -3096,6 +3108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_24h": _harmonic_24h,
         "sax_motifs": _sax_motifs,
         "source_profile": _source_profile,
+        "rolling_corr_1m": _rolling_corr_1m,
     }
 
 
@@ -6536,6 +6549,44 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation n ON c.c_nationkey = n.n_nationkey)
             SELECT n_name, cust_key, n_orders, spend_e2
             FROM j WHERE rn = 1
+        """,
+        # rolling corr over the inner-joined observed grids: exact
+        # HUGEINT rolling five-moment sums (ROWS window), one pinned
+        # num/sqrt(d1*d2) per row
+        "rolling_corr_1m": f"""
+            WITH r AS ({rollup(60)}),
+            refs AS (SELECT source, bucket_ts, sum_tok FROM r
+                     WHERE source IN ('src_0000','src_0001','src_0002')),
+            j AS (
+              SELECT x.source, y.source AS ref_source, x.bucket_ts,
+                     x.sum_tok AS xv, y.sum_tok AS yv
+              FROM r x JOIN refs y USING (bucket_ts)
+              WHERE x.source <> y.source),
+            w AS (
+              SELECT source, ref_source, bucket_ts,
+                     CAST(COUNT(*) OVER win AS BIGINT) AS n,
+                     CAST(SUM(CAST(xv AS HUGEINT)) OVER win AS HUGEINT)
+                         AS sx,
+                     CAST(SUM(CAST(yv AS HUGEINT)) OVER win AS HUGEINT)
+                         AS sy,
+                     CAST(SUM(CAST(xv AS HUGEINT) * yv) OVER win
+                          AS HUGEINT) AS sxy,
+                     CAST(SUM(CAST(xv AS HUGEINT) * xv) OVER win
+                          AS HUGEINT) AS sxx,
+                     CAST(SUM(CAST(yv AS HUGEINT) * yv) OVER win
+                          AS HUGEINT) AS syy
+              FROM j
+              WINDOW win AS (PARTITION BY source, ref_source
+                             ORDER BY bucket_ts
+                             ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
+            SELECT source, ref_source, bucket_ts, n AS n_win,
+                   FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE))
+                         * 1000000 + 0.5) / 1000000.0 AS corr
+            FROM w
+            WHERE n >= 2 AND n * sxx - sx * sx > 0
+              AND n * syy - sy * sy > 0
         """,
         # all-integer SAX census: NTILE(4) quartile symbols (ties by ts),
         # contiguous-triple motif ids

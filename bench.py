@@ -418,6 +418,16 @@ def run_bench() -> dict:
 
     timed("diff_ohlc_crosssection", diff_candles)
 
+    def fused_profile():
+        # ninth-session family: eight per-source statistics families
+        # (dispersion/drawdown/seasonality/perm-entropy/AR2/VR/harmonic/
+        # burst) fused into ONE exchange — the kernel-fusion benchmark row
+        from datafiller_ray.pipelines.window import source_profile
+
+        source_profile(fixture, shuffle="bucketed").count()
+
+    timed("source_profile", fused_profile)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",

@@ -317,3 +317,127 @@ def lead_lag_xcorr(
     return _run_per_source(
         input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
     )
+
+
+def _rolling_sums(v: np.ndarray, lo: np.ndarray, i: np.ndarray) -> np.ndarray:
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(v)])
+    return cs[i + 1] - cs[lo]
+
+
+def _rolling_corr_one_source(
+    obs: pd.DataFrame,
+    source: str,
+    refs: "dict[str, tuple[np.ndarray, np.ndarray]]",
+    window: int,
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    x_all = obs["sum"].to_numpy(np.int64)
+    frames = []
+    for ref_name in sorted(refs):
+        if ref_name == source:
+            continue
+        rts, rsum = refs[ref_name]
+        pos = np.searchsorted(rts, ts)
+        pos_c = np.minimum(pos, max(rts.size - 1, 0))
+        hit = (rts.size > 0) & (rts[pos_c] == ts)
+        m = int(hit.sum())
+        if m < 2:
+            continue
+        cts = ts[hit]
+        x = x_all[hit]
+        y = rsum[pos_c[hit]]
+        i = np.arange(m)
+        lo = np.maximum(0, i - (window - 1))
+        n = (i + 1 - lo).astype(np.int64)
+        sx = _rolling_sums(x, lo, i)
+        sy = _rolling_sums(y, lo, i)
+        sxy = _rolling_sums(x * y, lo, i)
+        sxx = _rolling_sums(x * x, lo, i)
+        syy = _rolling_sums(y * y, lo, i)
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        valid = (n >= 2) & (d1 > 0) & (d2 > 0)
+        if not valid.any():
+            continue
+        corr = num[valid].astype(np.float64) / np.sqrt(
+            d1[valid].astype(np.float64) * d2[valid].astype(np.float64)
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": np.full(int(valid.sum()), source, dtype=object),
+                    "ref_source": np.full(
+                        int(valid.sum()), ref_name, dtype=object
+                    ),
+                    "bucket_ts": cts[valid],
+                    "n_win": n[valid],
+                    "corr": _round6_half_up(corr),
+                }
+            )
+        )
+    if not frames:
+        out = pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="string"),
+                "ref_source": pd.Series([], dtype="string"),
+                "bucket_ts": pd.Series([], dtype=np.int64),
+                "n_win": pd.Series([], dtype=np.int64),
+                "corr": pd.Series([], dtype=np.float64),
+            }
+        )
+        return out
+    return pd.concat(frames, ignore_index=True)
+
+
+def rolling_corr(
+    input_path,
+    *,
+    ref_sources: "tuple[str, ...] | list[str]",
+    window: int = 60,
+    max_refs: int = _MAX_REFS_DEFAULT,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """Rolling Pearson correlation of every source against each reference
+    source over the trailing ``window`` COMMON observed 1m buckets (SQL
+    ROWS-window semantics over the inner-joined observed grids) — the
+    time-resolved extension of :func:`source_correlation`: where that
+    operator answers "do these streams move together overall", this one
+    shows WHEN the coupling holds and when it breaks.
+
+    Same scale shape (broadcast reference series, one per-source
+    exchange) and numerics (exact int64 rolling five-moment sums via
+    cumsum diffs — no O(n*window) restride — then the single pinned
+    ``num / sqrt(d1 * d2)`` float expression per row, round6). Head
+    windows shorter than ``window`` follow ROWS semantics; rows with
+    fewer than 2 common buckets or zero variance on either side are
+    omitted."""
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _run_per_source
+
+    refs_t = tuple(dict.fromkeys(ref_sources))
+    if not refs_t:
+        raise EngineValueError("ref_sources must be non-empty")
+    if len(refs_t) > max_refs:
+        raise EngineValueError(
+            f"{len(refs_t)} reference sources exceed max_refs={max_refs}; "
+            "the reference set is broadcast to every task and must stay small"
+        )
+    if window < 2:
+        raise EngineValueError(f"window must be >= 2, got {window}")
+    series = _reference_series(input_path, refs_t, check_tokens=check_tokens)
+    missing = [s for s in refs_t if s not in series]
+    if missing:
+        raise EngineValueError(f"reference sources not in input: {missing}")
+    handle = ray.put(series)
+
+    def one_source(obs: pd.DataFrame, src: str) -> pd.DataFrame:
+        refs = ray.get(handle)
+        return _rolling_corr_one_source(obs, src, refs, window)
+
+    return _run_per_source(
+        input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
+    )

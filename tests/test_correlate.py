@@ -153,3 +153,42 @@ def test_xcorr_skips_self_and_low_overlap():
     # self excluded; "far" never overlaps within +-1h
     assert len(out) == 0
     assert str(out["source"].dtype) == "string"
+
+
+def test_rolling_corr_tracks_coupling_change():
+    import numpy as np
+    import pandas as pd
+
+    from datafiller_ray.pipelines.correlate import _rolling_corr_one_source
+
+    rng = np.random.default_rng(6)
+    n = 400
+    ts = np.arange(n, dtype=np.int64) * 60
+    ref = rng.integers(0, 1000, size=n).astype(np.int64)
+    # first half tracks the ref, second half is independent noise
+    x = ref.copy()
+    x[n // 2 :] = rng.integers(0, 1000, size=n // 2)
+    obs = pd.DataFrame({"bucket_ts": ts, "sum": x})
+    out = _rolling_corr_one_source(obs, "s", {"ref": (ts, ref)}, 60)
+    early = out[(out["bucket_ts"] >= 100 * 60) & (out["bucket_ts"] < 200 * 60)]
+    late = out[out["bucket_ts"] >= 300 * 60]
+    assert early["corr"].min() > 0.99
+    assert late["corr"].abs().mean() < 0.4
+
+
+def test_rolling_corr_head_windows_and_self_skip():
+    import numpy as np
+    import pandas as pd
+
+    from datafiller_ray.pipelines.correlate import _rolling_corr_one_source
+
+    ts = np.arange(10, dtype=np.int64) * 60
+    y = np.arange(10, dtype=np.int64) ** 2
+    obs = pd.DataFrame({"bucket_ts": ts, "sum": y})
+    out = _rolling_corr_one_source(obs, "s", {"ref": (ts, y), "s": (ts, y)}, 5)
+    # the self-pair is skipped entirely
+    assert set(out["ref_source"]) == {"ref"}
+    # first row (n_win == 1) is dropped; head windows grow 2..5 then cap
+    assert out["n_win"].tolist() == [2, 3, 4, 5, 5, 5, 5, 5, 5]
+    # identical series: corr == 1 everywhere
+    assert (out["corr"] == 1.0).all()
