@@ -1932,6 +1932,23 @@ def _acf(sf_dir: str):
     return acf(_fixture(sf_dir), lags=(1, 2, 3), check_tokens=False)
 
 
+def _ljung_box(sf_dir: str):
+    """Per-source Ljung-Box Q over the rounded lag-1..3 row-lag ACF
+    (ascending-lag left-associated term sum, exact n(n+2) product) —
+    pipelines/window.ljung_box."""
+    from datafiller_ray.pipelines.window import ljung_box
+
+    return ljung_box(_fixture(sf_dir), lags=(1, 2, 3))
+
+
+def _pacf(sf_dir: str):
+    """Per-source PACF at lags 1..3 via the Durbin-Levinson recursion
+    unrolled over the rounded ACF values — pipelines/window.pacf."""
+    from datafiller_ray.pipelines.window import pacf
+
+    return pacf(_fixture(sf_dir))
+
+
 def _seasonal_naive_mase(sf_dir: str):
     """Per-source MASE of the seasonal-naive (lag-60-rows) forecast over
     observed 1m buckets — pipelines/window.seasonal_naive_mase (exact
@@ -3109,6 +3126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sax_motifs": _sax_motifs,
         "source_profile": _source_profile,
         "rolling_corr_1m": _rolling_corr_1m,
+        "ljung_box": _ljung_box,
+        "pacf_1m": _pacf,
     }
 
 
@@ -5626,6 +5645,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_quantiles": _approx_quantiles_sql(),
         "acf_1m": _acf_sql(rollup(60)),
+        # Ljung-Box over the ROUNDED acf_1m values: terms accumulate in
+        # ascending lag, left-associated ((t1+t2)+t3); n(n+2) is one exact
+        # integer product cast once — mirrors window._ljung_box_one_source
+        "ljung_box": f"""
+            WITH a AS ({_acf_sql(rollup(60))}),
+            nb AS (SELECT source, COUNT(*)::BIGINT AS n_buckets
+                   FROM ({rollup(60)}) GROUP BY source),
+            piv AS (
+              SELECT source,
+                     MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+                     MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+                     MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+              FROM a GROUP BY source HAVING COUNT(*) = 3)
+            SELECT source, n_buckets, CAST(3 AS BIGINT) AS df,
+                   FLOOR(CAST(n_buckets * (n_buckets + 2) AS DOUBLE)
+                         * (((r1*r1) / CAST(n_buckets - 1 AS DOUBLE)
+                             + (r2*r2) / CAST(n_buckets - 2 AS DOUBLE))
+                            + (r3*r3) / CAST(n_buckets - 3 AS DOUBLE))
+                         * 1000000 + 0.5) / 1000000.0 AS q_stat
+            FROM piv JOIN nb USING (source)
+        """,
+        # Durbin-Levinson unrolled to depth 3 over the ROUNDED acf values;
+        # every chain parenthesized exactly as window._pacf_one_source
+        "pacf_1m": f"""
+            WITH a AS ({_acf_sql(rollup(60))}),
+            nb AS (SELECT source, COUNT(*)::BIGINT AS n_buckets
+                   FROM ({rollup(60)}) GROUP BY source),
+            piv AS (
+              SELECT source,
+                     MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+                     MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+                     MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+              FROM a GROUP BY source HAVING COUNT(*) = 3),
+            s2 AS (
+              SELECT source, r1, r2, r3, 1.0 - r1*r1 AS d2
+              FROM piv WHERE 1.0 - r1*r1 <> 0),
+            s3 AS (
+              SELECT source, r1, r2, r3, (r2 - r1*r1) / d2 AS phi22
+              FROM s2),
+            s4 AS (
+              SELECT source, r1, r2, r3, phi22,
+                     r1 - phi22*r1 AS phi21
+              FROM s3),
+            s5 AS (
+              SELECT source, r1, r2, r3, phi22, phi21,
+                     (1.0 - phi21*r1) - phi22*r2 AS d3
+              FROM s4 WHERE (1.0 - phi21*r1) - phi22*r2 <> 0),
+            f AS (
+              SELECT source, r1 AS phi11, phi22,
+                     ((r3 - phi21*r2) - phi22*r1) / d3 AS phi33
+              FROM s5),
+            u AS (
+              SELECT source, 1 AS lag, phi11 AS v FROM f
+              UNION ALL SELECT source, 2, phi22 FROM f
+              UNION ALL SELECT source, 3, phi33 FROM f)
+            SELECT source, CAST(lag AS BIGINT) AS lag, n_buckets,
+                   FLOOR(v * 1000000 + 0.5) / 1000000.0 AS pacf
+            FROM u JOIN nb USING (source)
+        """,
         # medians via quantile_cont: on integer-valued sums every
         # intermediate (median, |x - med|, MAD, 3 * MAD) is IEEE-exact,
         # so the flag comparison is identical on both sides

@@ -883,6 +883,174 @@ def acf(
 
 
 # ---------------------------------------------------------------------------
+# ACF-derived diagnostics: Ljung-Box portmanteau, Durbin-Levinson PACF
+
+
+def _acf_rounded(s: np.ndarray, lags: "tuple[int, ...]", min_pairs: int):
+    """Rounded row-lag autocorrelations keyed by lag — THE same pinned
+    five-moment expression as :func:`_acf_one_source` (exact integer
+    moments, one ``num / sqrt(d1 * d2)`` float, round6), shared so the
+    derived statistics (Ljung-Box, PACF) consume exactly the values the
+    ``acf_1m`` oracle already hash-matches. Lags with too few pairs or a
+    zero-variance slice are absent from the result."""
+    out: "dict[int, float]" = {}
+    for lag in lags:
+        n = s.size - lag
+        if n < min_pairs:
+            continue
+        x = s[:-lag]
+        y = s[lag:]
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx, syy = int(np.dot(x, y)), int(np.dot(x, x)), int(np.dot(y, y))
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue
+        r = float(num) / math.sqrt(float(d1) * float(d2))
+        out[lag] = float(_round6_half_up(np.array([r]))[0])
+    return out
+
+
+def _ljung_box_one_source(
+    obs: pd.DataFrame, source: str, lags: "tuple[int, ...]", min_pairs: int
+) -> pd.DataFrame:
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_buckets": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64),
+                "q_stat": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    s = obs["sum"].to_numpy(np.int64)
+    n = int(s.size)
+    r = _acf_rounded(s, lags, min_pairs)
+    if len(r) != len(lags):  # every lag must be defined, else omit
+        return empty
+    # ascending-lag left-associated accumulation: ((t1 + t2) + t3) ...
+    acc = 0.0
+    for lag in sorted(lags):
+        acc = acc + (r[lag] * r[lag]) / float(n - lag)
+    q = float(n * (n + 2)) * acc
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([n], dtype=np.int64),
+            "df": np.array([len(lags)], dtype=np.int64),
+            "q_stat": _round6_half_up(np.array([q])),
+        }
+    )
+
+
+def ljung_box(
+    input_path,
+    *,
+    lags: "tuple[int, ...]" = (1, 2, 3),
+    min_pairs: int = 3,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source Ljung-Box portmanteau statistic over the observed 1m
+    token sums: Q = n(n+2) * sum_k r_k^2 / (n-k) with the same row-lag
+    ACF values (and the same pinned five-moment expression) as
+    ``acf_1m`` — large Q rejects "white noise" for the source. The r_k
+    enter ALREADY rounded (round6) so both oracle sides square identical
+    doubles; the k terms accumulate in ascending lag, left-associated;
+    n(n+2) is an exact integer product cast once. Sources missing any
+    requested lag (too short, or zero variance on a slice) are omitted —
+    the statistic is meaningless on a partial lag set."""
+    from datafiller_ray.config import EngineValueError
+
+    lags_t = tuple(dict.fromkeys(int(l) for l in lags))
+    if not lags_t or any(l < 1 for l in lags_t):
+        raise EngineValueError(f"lags must be unique positive ints, got {lags!r}")
+    if min_pairs < 2:
+        raise EngineValueError(f"min_pairs must be >= 2, got {min_pairs}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _ljung_box_one_source(obs, src, lags_t, min_pairs),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def _pacf_one_source(
+    obs: pd.DataFrame, source: str, min_pairs: int
+) -> pd.DataFrame:
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "lag": pd.Series([], dtype=np.int64),
+                "n_buckets": pd.Series([], dtype=np.int64),
+                "pacf": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    s = obs["sum"].to_numpy(np.int64)
+    n = int(s.size)
+    r = _acf_rounded(s, (1, 2, 3), min_pairs)
+    if len(r) != 3:
+        return empty
+    r1, r2, r3 = r[1], r[2], r[3]
+    # Durbin-Levinson unrolled to depth 3; every chain left-associated so
+    # the SQL oracle reproduces the identical IEEE sequence
+    d2 = 1.0 - r1 * r1
+    if d2 == 0.0:
+        return empty
+    phi11 = r1
+    phi22 = (r2 - r1 * r1) / d2
+    phi21 = r1 - phi22 * r1
+    d3 = (1.0 - phi21 * r1) - phi22 * r2
+    if d3 == 0.0:
+        return empty
+    phi33 = ((r3 - phi21 * r2) - phi22 * r1) / d3
+    return pd.DataFrame(
+        {
+            "source": np.full(3, source, dtype=object),
+            "lag": np.array([1, 2, 3], dtype=np.int64),
+            "n_buckets": np.full(3, n, dtype=np.int64),
+            "pacf": _round6_half_up(np.array([phi11, phi22, phi33])),
+        }
+    )
+
+
+def pacf(
+    input_path,
+    *,
+    min_pairs: int = 3,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source partial autocorrelation at lags 1..3 of the observed 1m
+    token sums, by the Durbin-Levinson recursion unrolled to closed form
+    over the SAME rounded row-lag ACF values as ``acf_1m``:
+
+        phi_11 = r1
+        phi_22 = (r2 - r1^2) / (1 - r1^2)
+        phi_33 = (r3 - phi_21 r2 - phi_22 r1) / (1 - phi_21 r1 - phi_22 r2)
+
+    with phi_21 = r1 - phi_22 r1. The inputs are the round6-rounded
+    correlations, every chain is left-associated, and the only new floats
+    are these closed-form fractions — the DuckDB oracle mirrors them
+    token-for-token. Sources missing any of r1..r3 (short series, zero
+    variance on a lag slice) or hitting a zero denominator are omitted."""
+    from datafiller_ray.config import EngineValueError
+
+    if min_pairs < 2:
+        raise EngineValueError(f"min_pairs must be >= 2, got {min_pairs}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _pacf_one_source(obs, src, min_pairs),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+# ---------------------------------------------------------------------------
 # robust (median/MAD) per-source outliers
 
 

@@ -1820,3 +1820,66 @@ def test_source_profile_matches_components():
         }
     )
     assert len(_fused_profile_one_source(const, "s")) == 0
+
+
+def test_ljung_box_matches_brute_force():
+    from datafiller_ray.pipelines.window import (
+        _acf_rounded,
+        _ljung_box_one_source,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    ts = np.arange(n, dtype=np.int64) * 60
+    s = np.cumsum(rng.integers(-3, 4, size=n)).astype(np.int64) + 100
+    obs = pd.DataFrame({"bucket_ts": ts, "sum": s})
+    out = _ljung_box_one_source(obs, "s", (1, 2, 3), 3)
+    assert len(out) == 1
+    r = _acf_rounded(s, (1, 2, 3), 3)
+    expect = n * (n + 2) * sum(r[k] ** 2 / (n - k) for k in (1, 2, 3))
+    assert abs(out["q_stat"].iloc[0] - expect) < 1e-5
+    # a strongly autocorrelated walk has a large Q
+    assert out["q_stat"].iloc[0] > 100.0
+    # too-short series: lag set incomplete -> omitted
+    short = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(4, dtype=np.int64) * 60,
+            "sum": np.array([1, 5, 2, 9], dtype=np.int64),
+        }
+    )
+    assert len(_ljung_box_one_source(short, "s", (1, 2, 3), 3)) == 0
+
+
+def test_pacf_matches_yule_walker():
+    from datafiller_ray.pipelines.window import _acf_rounded, _pacf_one_source
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    ts = np.arange(n, dtype=np.int64) * 60
+    s = np.cumsum(rng.integers(-4, 5, size=n)).astype(np.int64) + 500
+    obs = pd.DataFrame({"bucket_ts": ts, "sum": s})
+    out = _pacf_one_source(obs, "s", 3)
+    assert list(out["lag"]) == [1, 2, 3]
+    r = _acf_rounded(s, (1, 2, 3), 3)
+    # independent check: phi_kk as the last coefficient of the
+    # Yule-Walker solve on the Toeplitz correlation matrix
+    import numpy.linalg as la
+
+    rho = np.array([r[1], r[2], r[3]])
+    for k in (1, 2, 3):
+        R = np.eye(k)
+        for i in range(k):
+            for j in range(k):
+                if i != j:
+                    R[i, j] = rho[abs(i - j) - 1]
+        phi = la.solve(R, rho[:k])
+        got = out.loc[out["lag"] == k, "pacf"].iloc[0]
+        assert abs(got - phi[-1]) < 1e-5, (k, got, phi[-1])
+    # constant series: acf undefined -> omitted
+    const = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(50, dtype=np.int64) * 60,
+            "sum": np.full(50, 9, dtype=np.int64),
+        }
+    )
+    assert len(_pacf_one_source(const, "s", 3)) == 0
