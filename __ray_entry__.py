@@ -1949,6 +1949,15 @@ def _pacf(sf_dir: str):
     return pacf(_fixture(sf_dir))
 
 
+def _scaling_exponent(sf_dir: str):
+    """Per-source Hurst diffusion scaling exponent: log2-var of q-step
+    contiguous increments OLS-fit on the exact integer log2-q design —
+    pipelines/window.scaling_exponent."""
+    from datafiller_ray.pipelines.window import scaling_exponent
+
+    return scaling_exponent(_fixture(sf_dir))
+
+
 def _seasonal_naive_mase(sf_dir: str):
     """Per-source MASE of the seasonal-naive (lag-60-rows) forecast over
     observed 1m buckets — pipelines/window.seasonal_naive_mase (exact
@@ -3128,6 +3137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_corr_1m": _rolling_corr_1m,
         "ljung_box": _ljung_box,
         "pacf_1m": _pacf,
+        "scaling_exponent": _scaling_exponent,
     }
 
 
@@ -6606,6 +6616,80 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(var4 / (4.0 * var1) * 1000000 + 0.5) / 1000000.0
                        AS vr
             FROM v WHERE var1 <> 0.0
+        """,
+        # Hurst diffusion exponent: four variance_ratio-style chains at
+        # q=1,2,4,8, LOG2 each, then the exact-integer-design OLS slope
+        # ((4*Sxy - 6*Sy)/20, x = 0,1,2,3) halved — chains parenthesized
+        # exactly as window._scaling_one_source
+        "scaling_exponent": f"""
+            WITH r AS ({rollup(60)}),
+            lagged AS (
+              SELECT source,
+                     CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                         AS n_buckets,
+                     sum_tok - LAG(sum_tok, 1) OVER w AS d1,
+                     bucket_ts - LAG(bucket_ts, 1) OVER w AS g1,
+                     sum_tok - LAG(sum_tok, 2) OVER w AS d2,
+                     bucket_ts - LAG(bucket_ts, 2) OVER w AS g2,
+                     sum_tok - LAG(sum_tok, 4) OVER w AS d4,
+                     bucket_ts - LAG(bucket_ts, 4) OVER w AS g4,
+                     sum_tok - LAG(sum_tok, 8) OVER w AS d8,
+                     bucket_ts - LAG(bucket_ts, 8) OVER w AS g8
+              FROM r WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)),
+            m1 AS (
+              SELECT source, ANY_VALUE(n_buckets) AS n_buckets,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(CAST(d1 AS HUGEINT)) AS s,
+                     SUM(CAST(d1 AS HUGEINT) * d1) AS q
+              FROM lagged WHERE g1 = 60 GROUP BY source
+              HAVING COUNT(*) >= 2),
+            m2 AS (
+              SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(CAST(d2 AS HUGEINT)) AS s,
+                     SUM(CAST(d2 AS HUGEINT) * d2) AS q
+              FROM lagged WHERE g2 = 120 GROUP BY source
+              HAVING COUNT(*) >= 2),
+            m4 AS (
+              SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(CAST(d4 AS HUGEINT)) AS s,
+                     SUM(CAST(d4 AS HUGEINT) * d4) AS q
+              FROM lagged WHERE g4 = 240 GROUP BY source
+              HAVING COUNT(*) >= 2),
+            m8 AS (
+              SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(CAST(d8 AS HUGEINT)) AS s,
+                     SUM(CAST(d8 AS HUGEINT) * d8) AS q
+              FROM lagged WHERE g8 = 480 GROUP BY source
+              HAVING COUNT(*) >= 2),
+            v AS (
+              SELECT m1.source, m1.n_buckets,
+                     CAST(m1.n AS BIGINT) AS n_diffs,
+                     CAST(m1.n*m1.q - m1.s*m1.s AS DOUBLE)
+                         / CAST(m1.n*m1.n AS DOUBLE) AS v1,
+                     CAST(m2.n*m2.q - m2.s*m2.s AS DOUBLE)
+                         / CAST(m2.n*m2.n AS DOUBLE) AS v2,
+                     CAST(m4.n*m4.q - m4.s*m4.s AS DOUBLE)
+                         / CAST(m4.n*m4.n AS DOUBLE) AS v4,
+                     CAST(m8.n*m8.q - m8.s*m8.s AS DOUBLE)
+                         / CAST(m8.n*m8.n AS DOUBLE) AS v8
+              FROM m1
+              JOIN m2 ON m1.source = m2.source
+              JOIN m4 ON m1.source = m4.source
+              JOIN m8 ON m1.source = m8.source
+              WHERE m1.n*m1.q - m1.s*m1.s > 0
+                AND m2.n*m2.q - m2.s*m2.s > 0
+                AND m4.n*m4.q - m4.s*m4.s > 0
+                AND m8.n*m8.q - m8.s*m8.s > 0),
+            y AS (
+              SELECT source, n_buckets, n_diffs,
+                     LOG2(v1) AS y1, LOG2(v2) AS y2,
+                     LOG2(v4) AS y4, LOG2(v8) AS y8
+              FROM v)
+            SELECT source, n_buckets, n_diffs,
+                   FLOOR(((4.0 * ((y2 + 2.0*y4) + 3.0*y8)
+                           - 6.0 * (((y1 + y2) + y4) + y8)) / 20.0) / 2.0
+                         * 1000000 + 0.5) / 1000000.0 AS hurst
+            FROM y
         """,
         # argmax join: per-nation top spender (spend DESC, custkey ASC),
         # integer cents

@@ -3133,6 +3133,79 @@ def variance_ratio(
     )
 
 
+_SCALING_QS = (1, 2, 4, 8)
+
+
+def _scaling_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    """Diffusion scaling exponent (Hurst estimate) of the 1m token-sum
+    increments: population variance of q-step contiguous changes for
+    q in {1,2,4,8}, then the OLS slope of log2(var_q) on log2(q) over the
+    four points. The x design is EXACT integers (log2 q = 0,1,2,3 ->
+    Sx=6, Sxx=14, denom = 4*14-6*6 = 20), so the only floats are the four
+    pinned variance chains (the variance_ratio expression), four log2
+    calls, and one left-associated slope chain — all mirrored
+    token-for-token by the SQL oracle. H ~ 0.5 for a random walk, > 0.5
+    persistent, < 0.5 anti-persistent; ~0 for iid levels (variance of
+    q-diffs flat in q). Sources missing any q (short series, gaps) or
+    with a non-positive variance at any q are omitted."""
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_buckets": pd.Series([], dtype=np.int64),
+                "n_diffs": pd.Series([], dtype=np.int64),
+                "hurst": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    ys = []
+    n1 = 0
+    for q in _SCALING_QS:
+        if ts.size < q + 1:
+            return empty
+        d = (s[q:] - s[:-q])[ts[q:] - ts[:-q] == q * 60].astype(object)
+        nq = int(d.size)
+        if nq < 2:
+            return empty
+        Sq, Qq = int(d.sum()), int((d * d).sum())
+        var = float(nq * Qq - Sq * Sq) / float(nq * nq)
+        if var <= 0.0:
+            return empty
+        ys.append(math.log2(var))
+        if q == 1:
+            n1 = nq
+    y1, y2, y4, y8 = ys
+    sxy = (y2 + 2.0 * y4) + 3.0 * y8
+    sy = ((y1 + y2) + y4) + y8
+    slope2 = (4.0 * sxy - 6.0 * sy) / 20.0
+    hurst = slope2 / 2.0
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([int(ts.size)], dtype=np.int64),
+            "n_diffs": np.array([n1], dtype=np.int64),
+            "hurst": _round6_half_up(np.array([hurst])),
+        }
+    )
+
+
+def scaling_exponent(
+    input_path, *, check_tokens: bool = False, shuffle: str = "sort"
+):
+    """Per-source Hurst-style diffusion scaling exponent — see
+    :func:`_scaling_one_source`. The aggregated-variance complement of
+    ``variance_ratio``: VR(q) tests one horizon pair, this fits the whole
+    log-log scaling law var(q) ~ q^{2H} across q in {1,2,4,8}."""
+    return _run_per_source(
+        input_path,
+        _scaling_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
 def _burst_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
     ts = obs["bucket_ts"].to_numpy(np.int64)
     s = obs["sum"].to_numpy(np.int64)

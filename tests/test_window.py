@@ -1883,3 +1883,35 @@ def test_pacf_matches_yule_walker():
         }
     )
     assert len(_pacf_one_source(const, "s", 3)) == 0
+
+
+def test_scaling_exponent_walk_vs_noise():
+    from datafiller_ray.pipelines.window import _scaling_one_source
+
+    rng = np.random.default_rng(3)
+    n = 8000
+    ts = np.arange(n, dtype=np.int64) * 60
+    walk = np.cumsum(rng.integers(-5, 6, size=n)).astype(np.int64)
+    h_walk = _scaling_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": walk}), "s"
+    )["hurst"].iloc[0]
+    noise = rng.integers(0, 1000, size=n).astype(np.int64)
+    h_noise = _scaling_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": noise}), "s"
+    )["hurst"].iloc[0]
+    # random walk: var(q) ~ q -> H ~ 0.5; iid levels: var(q) flat -> H ~ 0
+    assert 0.4 < h_walk < 0.6
+    assert -0.1 < h_noise < 0.1
+
+
+def test_scaling_exponent_omissions():
+    from datafiller_ray.pipelines.window import _scaling_one_source
+
+    # gaps kill all 8-step windows -> omitted
+    ts = np.array([0, 60, 120, 180, 600, 660, 720, 780, 840], np.int64)
+    s = np.array([1, 3, 2, 5, 4, 9, 2, 7, 1], np.int64)
+    assert len(_scaling_one_source(pd.DataFrame({"bucket_ts": ts, "sum": s}), "s")) == 0
+    # constant series: zero variance -> omitted
+    tsc = np.arange(40, dtype=np.int64) * 60
+    sc = np.full(40, 7, np.int64)
+    assert len(_scaling_one_source(pd.DataFrame({"bucket_ts": tsc, "sum": sc}), "s")) == 0
