@@ -1949,6 +1949,15 @@ def _pacf(sf_dir: str):
     return pacf(_fixture(sf_dir))
 
 
+def _kalman_fill_1m(sf_dir: str):
+    """Per-source local-level Kalman filter + RTS smoother gap fill over
+    the dense 1m grid (lam = q/r = 0.5) — pipelines/window.kalman_fill;
+    vendored scalar-recursion oracle (tests/oracle/fills.kalman_rts)."""
+    from datafiller_ray.pipelines.window import kalman_fill
+
+    return kalman_fill(_fixture(sf_dir), lam=0.5)
+
+
 def _scaling_exponent(sf_dir: str):
     """Per-source Hurst diffusion scaling exponent: log2-var of q-step
     contiguous increments OLS-fit on the exact integer log2-q design —
@@ -3138,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ljung_box": _ljung_box,
         "pacf_1m": _pacf,
         "scaling_exponent": _scaling_exponent,
+        "kalman_fill_1m": _kalman_fill_1m,
     }
 
 
@@ -4203,6 +4213,37 @@ def _build_harmonic_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_kalman_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    frames = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        y = fr["y"].to_numpy()
+        mask = fr["n_obs"].to_numpy() > 0
+        if int(mask.sum()) < 2:
+            continue
+        xs = o.kalman_rts(y, 0.5)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": np.full(y.size, src, dtype=object),
+                    "bucket_ts": fr["bucket_ts"].to_numpy(np.int64),
+                    "observed": mask.astype(np.int64),
+                    "smooth_tok": o.round_half_up(xs),
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "bucket_ts": pd.Series([], dtype=np.int64),
+                "observed": pd.Series([], dtype=np.int64),
+                "smooth_tok": pd.Series([], dtype=np.float64),
+            }
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 _FILL_ORACLE_BUILDERS = {
     "gapfill_model_1m": _build_model_oracle,
     "gapfill_spline_1m": _build_spline_oracle,
@@ -4220,6 +4261,7 @@ _FILL_ORACLE_BUILDERS = {
     "pack_sequences": _build_pack_oracle,
     "pack_tokens": _build_pack_tokens_oracle,
     "embedding_pca": _build_pca_oracle,
+    "kalman_fill_1m": _build_kalman_oracle,
 }
 
 
@@ -4985,6 +5027,10 @@ def oracle_sql() -> dict[str, str]:
         "holt_winters_1m": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('holt_winters_1m')}')"
+        ),
+        "kalman_fill_1m": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('kalman_fill_1m')}')"
         ),
         "harmonic_24h": (
             "SELECT * FROM read_parquet("

@@ -3133,6 +3133,102 @@ def variance_ratio(
     )
 
 
+def _kalman_one_source(
+    obs: pd.DataFrame, source: str, lam: float
+) -> pd.DataFrame:
+    """Local-level Kalman filter + RTS smoother over the dense 1m grid of
+    one source. State x_t = x_{t-1} + w (var q), observation y_t = x_t + v
+    (var r), parameterized by the signal-to-noise ratio lam = q/r with
+    everything in r=1 units. Missing minutes take the predict step only
+    (no update) — the probabilistic gap fill: the smoother interpolates
+    through gaps with uncertainty-weighted blending of both neighbors,
+    unlike LOCF (past only) or linear (ignores noise). Init is x = y_0,
+    P = 1 at the first observed bucket (the grid starts there by
+    construction). The recursion is inherently sequential — it runs as a
+    per-source scalar pass inside the one exchange (the holt/cusum
+    precedent) and is mirrored bit-for-bit by the vendored oracle
+    (tests/oracle/fills.kalman_rts)."""
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    if ts.size < 2:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "bucket_ts": pd.Series([], dtype=np.int64),
+                    "observed": pd.Series([], dtype=np.int64),
+                    "smooth_tok": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    grid = np.arange(ts[0], ts[-1] + 60, 60, dtype=np.int64)
+    n = grid.size
+    y = np.full(n, np.nan, dtype=np.float64)
+    y[(ts - ts[0]) // 60] = s.astype(np.float64)
+    obs_mask = ~np.isnan(y)
+    xf = np.empty(n)
+    Pf = np.empty(n)
+    xp = np.empty(n)
+    Pp = np.empty(n)
+    x = float(y[0])
+    P = 1.0
+    xf[0] = x
+    Pf[0] = P
+    xp[0] = x
+    Pp[0] = P
+    for t in range(1, n):
+        px = x
+        pP = P + lam
+        xp[t] = px
+        Pp[t] = pP
+        if obs_mask[t]:
+            K = pP / (pP + 1.0)
+            x = px + K * (float(y[t]) - px)
+            P = (1.0 - K) * pP
+        else:
+            x = px
+            P = pP
+        xf[t] = x
+        Pf[t] = P
+    xs = np.empty(n)
+    xs[n - 1] = xf[n - 1]
+    for t in range(n - 2, -1, -1):
+        C = Pf[t] / Pp[t + 1]
+        xs[t] = xf[t] + C * (xs[t + 1] - xp[t + 1])
+    return pd.DataFrame(
+        {
+            "source": np.full(n, source, dtype=object),
+            "bucket_ts": grid,
+            "observed": obs_mask.astype(np.int64),
+            "smooth_tok": _round6_half_up(xs),
+        }
+    )
+
+
+def kalman_fill(
+    input_path,
+    *,
+    lam: float = 0.5,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source local-level Kalman filter + RTS smoother gap fill over
+    the dense 1m grid — see :func:`_kalman_one_source`. ``lam`` is the
+    process/measurement variance ratio q/r: small lam trusts the level
+    (heavy smoothing), large lam tracks the data. Sources with fewer than
+    2 observed buckets are omitted (no dynamics to estimate)."""
+    from datafiller_ray.config import EngineValueError
+
+    if not (lam > 0.0):
+        raise EngineValueError(f"lam must be > 0, got {lam!r}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _kalman_one_source(obs, src, lam),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
 _SCALING_QS = (1, 2, 4, 8)
 
 

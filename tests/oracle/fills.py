@@ -984,3 +984,44 @@ def harmonic_fit(ts, y):
     if sst == 0.0:
         return None
     return amp, peak_hour, 1.0 - sse / sst
+
+
+def kalman_rts(y: np.ndarray, lam: float) -> np.ndarray:
+    """Local-level Kalman filter + Rauch-Tung-Striebel smoother over a
+    dense series with NaN gaps, in measurement-noise units (r = 1,
+    process noise lam = q/r). Scalar re-derivation of the textbook
+    recursions (predict / gated update / backward smoothing pass); the
+    operator pins its arithmetic to this exact op order. Init x = y[0]
+    (callers guarantee the series starts observed), P = 1."""
+    n = int(y.size)
+    xf = np.empty(n)
+    Pf = np.empty(n)
+    xp = np.empty(n)
+    Pp = np.empty(n)
+    x = float(y[0])
+    P = 1.0
+    xf[0] = x
+    Pf[0] = P
+    xp[0] = x
+    Pp[0] = P
+    for t in range(1, n):
+        px = x
+        pP = P + lam
+        xp[t] = px
+        Pp[t] = pP
+        yt = y[t]
+        if yt == yt:  # observed
+            K = pP / (pP + 1.0)
+            x = px + K * (float(yt) - px)
+            P = (1.0 - K) * pP
+        else:
+            x = px
+            P = pP
+        xf[t] = x
+        Pf[t] = P
+    xs = np.empty(n)
+    xs[n - 1] = xf[n - 1]
+    for t in range(n - 2, -1, -1):
+        C = Pf[t] / Pp[t + 1]
+        xs[t] = xf[t] + C * (xs[t + 1] - xp[t + 1])
+    return xs

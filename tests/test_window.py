@@ -1915,3 +1915,52 @@ def test_scaling_exponent_omissions():
     tsc = np.arange(40, dtype=np.int64) * 60
     sc = np.full(40, 7, np.int64)
     assert len(_scaling_one_source(pd.DataFrame({"bucket_ts": tsc, "sum": sc}), "s")) == 0
+
+
+def test_kalman_fill_properties():
+    from datafiller_ray.pipelines.window import _kalman_one_source
+
+    # constant observed series -> smoother reproduces the constant exactly
+    ts = np.arange(30, dtype=np.int64) * 60
+    s = np.full(30, 100, np.int64)
+    out = _kalman_one_source(pd.DataFrame({"bucket_ts": ts, "sum": s}), "s", 0.5)
+    assert (out["observed"] == 1).all()
+    assert np.allclose(out["smooth_tok"], 100.0, atol=1e-9)
+
+    # a gap between two levels: filled minutes lie strictly between them
+    ts2 = np.array([0, 60, 120, 480, 540, 600], np.int64)
+    s2 = np.array([10, 10, 10, 50, 50, 50], np.int64)
+    out2 = _kalman_one_source(pd.DataFrame({"bucket_ts": ts2, "sum": s2}), "s", 0.5)
+    assert len(out2) == 11  # dense grid 0..600
+    gapvals = out2.loc[out2["observed"] == 0, "smooth_tok"].to_numpy()
+    assert len(gapvals) == 5
+    assert (gapvals > 10.0).all() and (gapvals < 50.0).all()
+    assert (np.diff(gapvals) > 0).all()  # monotone bridge between levels
+
+    # smoothing: noisy series -> smoothed variance strictly smaller
+    rng = np.random.default_rng(5)
+    n = 500
+    base = 1000.0 + 20.0 * np.sin(np.arange(n) / 40.0)
+    noisy = (base + rng.normal(0, 50, n)).round().astype(np.int64)
+    out3 = _kalman_one_source(
+        pd.DataFrame({"bucket_ts": np.arange(n, dtype=np.int64) * 60, "sum": noisy}),
+        "s",
+        0.1,
+    )
+    resid_raw = noisy - base
+    resid_smooth = out3["smooth_tok"].to_numpy() - base
+    assert resid_smooth.var() < 0.5 * resid_raw.var()
+
+    # fewer than 2 observed buckets -> omitted
+    one = pd.DataFrame({"bucket_ts": np.array([0], np.int64), "sum": np.array([5], np.int64)})
+    assert len(_kalman_one_source(one, "s", 0.5)) == 0
+
+
+def test_kalman_fill_validation(ray_session, small_fixture):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import kalman_fill
+
+    with pytest.raises(EngineValueError):
+        kalman_fill(small_fixture, lam=0.0)
+    with pytest.raises(EngineValueError):
+        kalman_fill(small_fixture, lam=-1.0)
