@@ -2853,6 +2853,331 @@ def _top_unshipped_orders(sf_dir: str):
     return final.map_batches(rank, batch_format="pyarrow")
 
 
+_Q4_LO_US = 852076800000000  # 1997-01-01 UTC micros
+_Q4_HI_US = 859852800000000  # 1997-04-01
+_LATE_US = 90 * 86400 * 1000000  # 90-day lateness threshold
+
+
+def _order_priority_census(sf_dir: str):
+    """TPC-H Q4-style: count Q1-1997 orders BY PRIORITY that have at
+    least one lineitem shipping > 90 days after the order date (the
+    fixture has no commit/receipt dates, so lateness is ship-vs-order
+    lag). EXISTS realized as: one equi_join exchange (both sides filtered
+    at the projection), the late predicate on the joined row, then a
+    distinct-(order, priority) pass and a tiny priority count — all
+    through the bounded grouped_sum exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import equi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64())
+        return pa.table({"okey": t["l_orderkey"], "ship_us": ship})
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(_Q4_LO_US, pa.int64())),
+            pc.less(od, pa.scalar(_Q4_HI_US, pa.int64())),
+        )
+        t = t.filter(keep)
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "odate_us": od,
+                "priority": t["o_orderpriority"],
+            }
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        ord_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = equi_join(
+        li, orders, key="okey",
+        left_payload={"ship_us": "ship_us"},
+        right_payload={
+            "order_key": "okey", "odate_us": "odate_us",
+            "priority": "priority",
+        },
+    )
+
+    def late(b):
+        b = b[b["ship_us"] - b["odate_us"] > _LATE_US]
+        return b[["order_key", "priority"]].assign(one=np.int64(1))
+
+    lt = j.map_batches(late, batch_format="pandas")
+    # distinct (order, priority): max of the dummy collapses duplicates
+    dedup = grouped_sum(lt, ["order_key", "priority"], "one", how="max")
+    out = grouped_sum(dedup, ["priority"], "one").map_batches(
+        lambda b: b.rename(columns={"priority": "o_orderpriority", "one": "n_orders"}),
+        batch_format="pandas",
+    )
+    return out
+
+
+_Q10_LO_US = 852076800000000  # 1997-01-01
+_Q10_HI_US = 867715200000000  # 1997-07-01
+
+
+def _returned_revenue_topk(sf_dir: str):
+    """TPC-H Q10-style: top-20 customers by revenue on RETURNED items
+    ('R' lineitems of 1997-H1 orders). One lineitem-x-orders equi_join
+    exchange with both sides pruned at the projection, revenue exact in
+    1e-4-dollar units, per-customer grouped_sum, then two broadcast
+    dimension hops (customer, nation) and the shared per-block top-k
+    pruner (revenue DESC, custkey ASC)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import broadcast_join, equi_join
+    from datafiller_ray.stages.exchange import grouped_sum, topk_block_fn
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.rint(price * 100).astype(np.int64)
+        pct = np.rint(disc * 100).astype(np.int64)
+        return pa.table(
+            {"okey": t["l_orderkey"], "rev": pa.array(cents * (100 - pct))}
+        )
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(_Q10_LO_US, pa.int64())),
+            pc.less(od, pa.scalar(_Q10_HI_US, pa.int64())),
+        )
+        t = t.filter(keep)
+        return pa.table({"okey": t["o_orderkey"], "ckey": t["o_custkey"]})
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        ord_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = equi_join(
+        li, orders, key="okey",
+        left_payload={"rev": "rev"}, right_payload={"ckey": "ckey"},
+    )
+    per_cust = grouped_sum(j, ["ckey"], "rev").map_batches(
+        lambda b: b.rename(columns={"rev": "revenue_e4"}),
+        batch_format="pandas",
+    )
+    cust_dim = _read(sf_dir, "customer").map_batches(
+        lambda b: b.rename(columns={"c_custkey": "ckey"}),
+        batch_format="pandas",
+    )
+    cust = broadcast_join(
+        per_cust, cust_dim, key="ckey",
+        small_payload={"c_name": "c_name", "nkey": "c_nationkey"},
+    ).map_batches(
+        lambda b: b.rename(columns={"ckey": "cust_key"}),
+        batch_format="pandas",
+    )
+    nation_dim = _read(sf_dir, "nation").map_batches(
+        lambda b: b.rename(columns={"n_nationkey": "nkey"}),
+        batch_format="pandas",
+    )
+    full = broadcast_join(
+        cust, nation_dim, key="nkey",
+        small_payload={"n_name": "n_name"},
+    )
+
+    def strip(b):
+        return b[["cust_key", "c_name", "n_name", "revenue_e4"]]
+
+    full = full.map_batches(strip, batch_format="pandas")
+    prune = topk_block_fn(20, "revenue_e4", ["cust_key"])
+    pruned = full.map_batches(prune, batch_format="pyarrow")
+    final = pruned.repartition(1).map_batches(prune, batch_format="pyarrow")
+
+    def rank(t: pa.Table) -> pa.Table:
+        rev = np.asarray(t["revenue_e4"], dtype=np.int64)
+        ckey = np.asarray(t["cust_key"], dtype=np.int64)
+        order = np.lexsort((ckey, -rev))
+        t = t.take(pa.array(order, type=pa.int64()))
+        return t.append_column(
+            "rnk", pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+        )
+
+    return final.map_batches(rank, batch_format="pyarrow")
+
+
+def _small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17-style: average yearly revenue lost if small-quantity
+    orders of Brand#23 small parts (p_size < 15) were not filled. The
+    per-part quantity threshold (qty < 0.2 * avg qty) is evaluated as the
+    EXACT integer cross-multiplication qty * 5 * cnt < sum_qty — no float
+    average anywhere. Shape: broadcast the qualifying partkeys into the
+    lineitem projection (no part-side shuffle), per-part integer
+    aggregates through one bounded grouped_sum, broadcast the tiny
+    aggregate table back over the same pruned stream, one final global
+    sum; the single float is the closing sum_cents / 700.0."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    part = _read(sf_dir, "part")
+    pk = part.map_batches(
+        lambda b: b.loc[
+            (b["p_brand"] == "Brand#23") & (b["p_size"] < 15), ["p_partkey"]
+        ],
+        batch_format="pandas",
+    ).to_pandas()
+    pk_ref = ray.put(frozenset(int(x) for x in pk["p_partkey"]))
+
+    def li_proj(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(pk_ref)
+        b = b[b["l_partkey"].isin(keys)]
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "pkey": b["l_partkey"].to_numpy(),
+                "qty": qty,
+                "cents": cents,
+                "one": np.ones(len(b), np.int64),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(li_proj, batch_format="pandas")
+    agg = grouped_sum(li, ["pkey"], ["qty", "one"]).map_batches(
+        lambda b: b.rename(columns={"qty": "sum_qty", "one": "cnt"}),
+        batch_format="pandas",
+    )
+    thresholds = ray.put(
+        agg.to_pandas().set_index("pkey")[["sum_qty", "cnt"]].to_dict("index")
+    )
+
+    def below(b: pd.DataFrame) -> pd.DataFrame:
+        th = ray.get(thresholds)
+        sq = b["pkey"].map(lambda k: th[k]["sum_qty"]).to_numpy(np.int64)
+        c = b["pkey"].map(lambda k: th[k]["cnt"]).to_numpy(np.int64)
+        keep = b["qty"].to_numpy(np.int64) * 5 * c < sq
+        kept = b.loc[keep]
+        return pd.DataFrame(
+            {
+                "g": np.zeros(len(kept), np.int64),
+                "cents": kept["cents"].to_numpy(np.int64),
+                "one": np.ones(len(kept), np.int64),
+            }
+        )
+
+    qual = li.map_batches(below, batch_format="pandas")
+    tot = grouped_sum(qual, ["g"], ["cents", "one"]).to_pandas()
+    if len(tot) == 0:
+        return pd.DataFrame(
+            {
+                "n_rows": pd.Series([], dtype=np.int64),
+                "avg_yearly": pd.Series([], dtype=np.float64),
+            }
+        )
+    cents = int(tot["cents"].iloc[0])
+    n = int(tot["one"].iloc[0])
+    avg_yearly = float(cents) / 700.0
+    return pd.DataFrame(
+        {
+            "n_rows": np.array([n], dtype=np.int64),
+            "avg_yearly": np.floor(
+                np.array([avg_yearly]) * 1000000 + 0.5
+            )
+            / 1000000.0,
+        }
+    )
+
+
+_Q18_MIN_QTY = 220
+
+
+def _large_orders(sf_dir: str):
+    """TPC-H Q18-style: top-20 largest orders by total lineitem quantity
+    (> 220), with the buying customer's name. Per-order integer quantity
+    sums through one bounded grouped_sum exchange, HAVING filter on the
+    aggregate, one equi_join back to orders (the heavy-key side is tiny
+    after the filter), a broadcast customer hop, and the shared top-k
+    pruner (qty DESC, okey ASC)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import broadcast_join, equi_join
+    from datafiller_ray.stages.exchange import grouped_sum, topk_block_fn
+
+    def li_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": b["l_orderkey"].to_numpy(np.int64),
+                "qty": np.rint(b["l_quantity"].to_numpy()).astype(np.int64),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(li_proj, batch_format="pandas")
+    per_order = grouped_sum(li, ["okey"], "qty").map_batches(
+        lambda b: b[b["qty"] > _Q18_MIN_QTY].rename(
+            columns={"qty": "total_qty"}
+        ),
+        batch_format="pandas",
+    )
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "ckey": t["o_custkey"],
+                "odate_us": od,
+            }
+        )
+
+    orders = _read(sf_dir, "orders").map_batches(
+        ord_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = equi_join(
+        per_order, orders, key="okey",
+        left_payload={"order_key": "okey", "total_qty": "total_qty"},
+        right_payload={"ckey": "ckey", "odate_us": "odate_us"},
+    )
+    cust_dim = _read(sf_dir, "customer").map_batches(
+        lambda b: b.rename(columns={"c_custkey": "ckey"}),
+        batch_format="pandas",
+    )
+    full = broadcast_join(
+        j, cust_dim, key="ckey",
+        small_payload={"c_name": "c_name"},
+    ).map_batches(
+        lambda b: b.rename(columns={"ckey": "cust_key"}),
+        batch_format="pandas",
+    )
+    prune = topk_block_fn(20, "total_qty", ["order_key"])
+    pruned = full.map_batches(prune, batch_format="pyarrow")
+    final = pruned.repartition(1).map_batches(prune, batch_format="pyarrow")
+
+    def rank(t: pa.Table) -> pa.Table:
+        qty = np.asarray(t["total_qty"], dtype=np.int64)
+        okey = np.asarray(t["order_key"], dtype=np.int64)
+        order = np.lexsort((okey, -qty))
+        t = t.take(pa.array(order, type=pa.int64()))
+        return t.append_column(
+            "rnk", pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+        )
+
+    return final.map_batches(rank, batch_format="pyarrow")
+
+
 def _trimmed_mean(sf_dir: str):
     """Per-source interquartile mean of observed 1m sums (drop outside
     [p25, p75], exact kept sum / count; the winsorize band contract) —
@@ -3148,6 +3473,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pacf_1m": _pacf,
         "scaling_exponent": _scaling_exponent,
         "kalman_fill_1m": _kalman_fill_1m,
+        "order_priority_census": _order_priority_census,
+        "returned_revenue_topk": _returned_revenue_topk,
+        "small_quantity_revenue": _small_quantity_revenue,
+        "large_orders": _large_orders,
     }
 
 
@@ -6736,6 +7065,90 @@ def oracle_sql() -> dict[str, str]:
                            - 6.0 * (((y1 + y2) + y4) + y8)) / 20.0) / 2.0
                          * 1000000 + 0.5) / 1000000.0 AS hurst
             FROM y
+        """,
+        # Q4 shape: EXISTS late lineitem (ship > orderdate + 90d), count
+        # by priority — all integer
+        "order_priority_census": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        # Q10 shape: returned-item revenue per customer over 1997-H1
+        # orders, integer 1e-4-dollar units, top-20 (rev DESC, ckey ASC)
+        "returned_revenue_topk": """
+            WITH rev AS (
+              SELECT o.o_custkey AS cust_key,
+                     SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                         AS revenue_e4
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+              GROUP BY 1),
+            r AS (
+              SELECT cust_key, CAST(revenue_e4 AS BIGINT) AS revenue_e4,
+                     c.c_name, n.n_name,
+                     ROW_NUMBER() OVER (
+                         ORDER BY revenue_e4 DESC, cust_key ASC) AS rnk
+              FROM rev
+              JOIN customer c ON rev.cust_key = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey)
+            SELECT cust_key, c_name, n_name, revenue_e4,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 20
+        """,
+        # Q17 shape: qty < 0.2*avg as the EXACT integer cross-multiply
+        # qty*5*cnt < sum_qty; single closing division by 700
+        "small_quantity_revenue": """
+            WITH pk AS (
+              SELECT p_partkey FROM part
+              WHERE p_brand = 'Brand#23' AND p_size < 15),
+            li AS (
+              SELECT l_partkey AS pkey,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+            ag AS (
+              SELECT pkey, SUM(qty) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM li GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   FLOOR(CAST(SUM(li.cents) AS DOUBLE) / 700.0
+                         * 1000000 + 0.5) / 1000000.0 AS avg_yearly
+            FROM li JOIN ag ON li.pkey = ag.pkey
+            WHERE li.qty * 5 * ag.cnt < ag.sum_qty
+            HAVING COUNT(*) > 0
+        """,
+        # Q18 shape: orders with total qty > 220, customer attached,
+        # top-20 (qty DESC, okey ASC) — all integer
+        "large_orders": """
+            WITH q AS (
+              SELECT l_orderkey AS order_key,
+                     CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                         AS total_qty
+              FROM lineitem GROUP BY 1
+              HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 220),
+            j AS (
+              SELECT q.order_key, q.total_qty,
+                     o.o_custkey AS cust_key, c.c_name,
+                     CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                          AS BIGINT) AS odate_us,
+                     ROW_NUMBER() OVER (
+                         ORDER BY q.total_qty DESC, q.order_key ASC) AS rnk
+              FROM q
+              JOIN orders o ON q.order_key = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT order_key, cust_key, c_name, odate_us, total_qty,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM j WHERE rnk <= 20
         """,
         # argmax join: per-nation top spender (spend DESC, custkey ASC),
         # integer cents
