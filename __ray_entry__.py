@@ -1949,6 +1949,15 @@ def _pacf(sf_dir: str):
     return pacf(_fixture(sf_dir))
 
 
+def _centroid_silhouette(sf_dir: str):
+    """Per-cell simplified (centroid-based) silhouette of the k-means
+    assignment (pinned quadratic distances, 1e-6 integer grid per vector,
+    one bounded exchange) — pipelines/ann.centroid_silhouette."""
+    from datafiller_ray.pipelines.ann import centroid_silhouette
+
+    return centroid_silhouette(_read(sf_dir, "embeddings"))
+
+
 def _kalman_fill_1m(sf_dir: str):
     """Per-source local-level Kalman filter + RTS smoother gap fill over
     the dense 1m grid (lam = q/r = 0.5) — pipelines/window.kalman_fill;
@@ -3473,6 +3482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pacf_1m": _pacf,
         "scaling_exponent": _scaling_exponent,
         "kalman_fill_1m": _kalman_fill_1m,
+        "centroid_silhouette": _centroid_silhouette,
         "order_priority_census": _order_priority_census,
         "returned_revenue_topk": _returned_revenue_topk,
         "small_quantity_revenue": _small_quantity_revenue,
@@ -4046,6 +4056,42 @@ def _kmeans_quality_sql() -> str:
               FROM a)
         SELECT cell, count(*)::BIGINT AS n_vecs,
                CAST(SUM(usq) AS DOUBLE) / 1000000.0 AS inertia
+        FROM s GROUP BY cell
+    """
+
+
+def _centroid_silhouette_sql() -> str:
+    """Per-cell simplified silhouette with the oracle's own k-means
+    centroids as SQL literals: per-cell pinned quadratic distances
+    ``sqrt(greatest(<x,x> - 2<x,c> + <c,c>, 0))``, the two smallest via
+    list_sort, s = (b - a)/b floored to 1e-6 micro-units per vector (the
+    kmeans_quality grid), exact integer per-cell sums, one closing
+    ``(sum/1e6)/n`` chain."""
+    _, _, C = _oracle_ivf_centroids()
+    n_cells = C.shape[0]
+    cnorm = (C * C).sum(axis=1)
+    case = _centroid_assign_case(C, trailing_space=True)
+    dexprs = ", ".join(
+        f"sqrt(greatest(list_inner_product(de, de)"
+        f" - 2.0 * list_inner_product(de, {_centroid_lit(C[c])})"
+        f" + {repr(float(cnorm[c]))}, 0.0))"
+        for c in range(n_cells)
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        a AS (SELECT vec_id, de, CAST({case} AS BIGINT) AS cell FROM e),
+        d AS (SELECT cell, list_sort([{dexprs}]) AS ds FROM a),
+        s AS (SELECT cell,
+                     CAST(floor((CASE WHEN ds[2] > 0.0
+                                      THEN (ds[2] - ds[1]) / ds[2]
+                                      ELSE 0.0 END) * 1000000 + 0.5)
+                          AS BIGINT) AS us
+              FROM d)
+        SELECT cell, count(*)::BIGINT AS n_vecs,
+               FLOOR((CAST(SUM(us) AS DOUBLE) / 1000000.0)
+                     / CAST(count(*) AS DOUBLE) * 1000000 + 0.5)
+                   / 1000000.0 AS mean_sil
         FROM s GROUP BY cell
     """
 
@@ -5455,6 +5501,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('embedding_pca')}')"
         ),
         "kmeans_quality": _kmeans_quality_sql(),
+        "centroid_silhouette": _centroid_silhouette_sql(),
         "label_centroid_similarity": """
             WITH x AS (
               SELECT label,

@@ -1179,6 +1179,93 @@ def kmeans_quality(
     return summed.map_batches(finish, batch_format="pandas")
 
 
+def centroid_silhouette(
+    embeddings: "ray.data.Dataset",
+    *,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 7,
+    n_train: int = 1024,
+) -> "ray.data.Dataset":
+    """Simplified (centroid-based) silhouette per cluster for the
+    :func:`embedding_clusters` assignment: for each vector, a = Euclidean
+    distance to the nearest centroid (its cell), b = distance to the
+    second-nearest, s = (b - a) / b — the O(n * k) silhouette variant
+    that needs no pairwise pass (the full silhouette is O(n^2) and dead at
+    corpus scale). Per cell: member count and mean s. s near 1 = tight,
+    well-separated cell; near 0 = boundary points / collapsed centroids.
+
+    Determinism: per-vector distances use the pinned quadratic form
+    ``sqrt(<x,x> - 2<x,c> + <c,c>)`` for EVERY cell (the kmeans_quality
+    expression), a/b are the two smallest by value (ties collapse: equal
+    mins give s = 0), each s floors onto the 1e-6 integer grid so
+    per-cell sums are int64-exact and order-independent; the only final
+    floats are ``(sum/1e6)/n`` per cell. Trained exactly like
+    ``embedding_clusters`` (bounded hash sample, deterministic Lloyd) so
+    all three quantizer queries describe the same cells.
+
+    Scale shape: centroids broadcast once; each batch collapses to
+    <= n_cells (cell, n, us) partial rows; one bounded grouped_sum.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if n_cells < 2:
+        raise EngineValueError(f"n_cells must be >= 2, got {n_cells}")
+    M = ivf_training_sample(embeddings, n_train=n_train)
+    C = train_ivf_centroids(M, n_cells=n_cells, n_iters=n_iters, seed=seed)
+    cref = ray.put(C)
+
+    class Partial:
+        def __init__(self) -> None:
+            self.C = ray.get(cref)
+            self.cnorm = (self.C * self.C).sum(axis=1)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, Mb = _batch_matrix(batch)
+            Mb = Mb.astype(np.float64)
+            cells = _assign_cells(Mb, self.C)
+            G = Mb @ self.C.T
+            xx = (Mb * Mb).sum(axis=1)
+            sq = (xx[:, None] - 2.0 * G) + self.cnorm[None, :]
+            d = np.sqrt(np.maximum(sq, 0.0))
+            two = np.sort(d, axis=1)[:, :2]
+            a, b = two[:, 0], two[:, 1]
+            s = np.where(b > 0.0, (b - a) / np.where(b > 0.0, b, 1.0), 0.0)
+            us = np.floor(s * 1e6 + 0.5).astype(np.int64)
+            n = np.bincount(cells, minlength=self.C.shape[0]).astype(np.int64)
+            usum = np.zeros(self.C.shape[0], dtype=np.int64)
+            np.add.at(usum, cells, us)
+            present = n > 0
+            return pd.DataFrame(
+                {
+                    "cell": np.flatnonzero(present).astype(np.int64),
+                    "n_vecs": n[present],
+                    "us": usum[present],
+                }
+            )
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    partials = embeddings.map_batches(
+        Partial, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+    summed = grouped_sum(partials, "cell", ["n_vecs", "us"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_vecs"].to_numpy(np.int64)
+        su = df["us"].to_numpy(np.float64)
+        mean_sil = (su / 1e6) / n.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "cell": df["cell"].to_numpy(np.int64),
+                "n_vecs": n,
+                "mean_sil": np.floor(mean_sil * 1000000 + 0.5) / 1000000.0,
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pandas")
+
+
 def label_centroid_similarity(
     embeddings: "ray.data.Dataset",
 ) -> "ray.data.Dataset":

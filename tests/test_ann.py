@@ -353,3 +353,47 @@ def test_filtered_topk_matches_label_restricted_brute(embeddings):
         lds, np.array([0]), M[[0]], np.array([99], dtype=np.int64), k=5
     ).to_pandas()
     assert len(only) == 0
+
+
+def test_centroid_silhouette_separated_blobs(ray_session):
+    import ray.data
+
+    from datafiller_ray.pipelines.ann import centroid_silhouette
+
+    rng = np.random.default_rng(0)
+    # two far-apart tight blobs -> with n_cells=2 silhouette ~ 1
+    a = rng.normal(0, 0.01, size=(200, 8)) + 10.0
+    b = rng.normal(0, 0.01, size=(200, 8)) - 10.0
+    M = np.vstack([a, b])
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(400, dtype=np.int64), "embedding": list(M)}
+        )
+    )
+    out = centroid_silhouette(ds, n_cells=2, n_train=400).to_pandas()
+    assert len(out) == 2
+    assert int(out["n_vecs"].sum()) == 400
+    assert (out["mean_sil"] > 0.99).all()
+
+    # one blob split into 2 cells -> boundary-heavy, silhouette well below
+    M2 = rng.normal(0, 1.0, size=(400, 8))
+    ds2 = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(400, dtype=np.int64), "embedding": list(M2)}
+        )
+    )
+    out2 = centroid_silhouette(ds2, n_cells=2, n_train=400).to_pandas()
+    assert (out2["mean_sil"] < 0.6).all()
+
+
+def test_centroid_silhouette_validation(ray_session):
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.ann import centroid_silhouette
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": [1], "embedding": [np.zeros(4)]})
+    )
+    with pytest.raises(EngineValueError):
+        centroid_silhouette(ds, n_cells=1)
