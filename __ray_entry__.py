@@ -1967,6 +1967,15 @@ def _kalman_fill_1m(sf_dir: str):
     return kalman_fill(_fixture(sf_dir), lam=0.5)
 
 
+def _isotonic_fit_1h(sf_dir: str):
+    """Per-source non-decreasing PAVA fit of hourly token sums (exact
+    integer merge decisions, one division per pool) —
+    pipelines/window.isotonic_fit; vendored oracle fills.pava_pools."""
+    from datafiller_ray.pipelines.window import isotonic_fit
+
+    return isotonic_fit(_fixture(sf_dir), step=3600)
+
+
 def _scaling_exponent(sf_dir: str):
     """Per-source Hurst diffusion scaling exponent: log2-var of q-step
     contiguous increments OLS-fit on the exact integer log2-q design —
@@ -3482,6 +3491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pacf_1m": _pacf,
         "scaling_exponent": _scaling_exponent,
         "kalman_fill_1m": _kalman_fill_1m,
+        "isotonic_fit_1h": _isotonic_fit_1h,
         "centroid_silhouette": _centroid_silhouette,
         "order_priority_census": _order_priority_census,
         "returned_revenue_topk": _returned_revenue_topk,
@@ -4588,6 +4598,39 @@ def _build_harmonic_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_isotonic_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = {
+        "source": [], "start_ts": [], "end_ts": [],
+        "n_steps": [], "pool_sum": [], "fitted": [],
+    }
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        yv = fr["y"].to_numpy()[keep].astype(np.int64)
+        hb = ts - ts % 3600
+        agg: "dict[int, int]" = {}
+        for h, v in zip(hb.tolist(), yv.tolist()):
+            agg[h] = agg.get(h, 0) + v
+        bt = np.array(sorted(agg), dtype=np.int64)
+        y = np.array([agg[h] for h in bt.tolist()], dtype=np.int64)
+        start, end, ns, psum, fit = o.pava_pools(bt, y)
+        k = len(start)
+        rows["source"].extend([src] * k)
+        rows["start_ts"].extend(start)
+        rows["end_ts"].extend(end)
+        rows["n_steps"].extend(ns)
+        rows["pool_sum"].extend(psum)
+        rows["fitted"].extend(
+            float(v) for v in o.round_half_up(np.asarray(fit, np.float64))
+        )
+    out = pd.DataFrame(rows)
+    for c in ("start_ts", "end_ts", "n_steps", "pool_sum"):
+        out[c] = out[c].astype(np.int64)
+    out["fitted"] = out["fitted"].astype(np.float64)
+    return out
+
+
 def _build_kalman_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     frames = []
@@ -4637,6 +4680,7 @@ _FILL_ORACLE_BUILDERS = {
     "pack_tokens": _build_pack_tokens_oracle,
     "embedding_pca": _build_pca_oracle,
     "kalman_fill_1m": _build_kalman_oracle,
+    "isotonic_fit_1h": _build_isotonic_oracle,
 }
 
 
@@ -5406,6 +5450,10 @@ def oracle_sql() -> dict[str, str]:
         "kalman_fill_1m": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('kalman_fill_1m')}')"
+        ),
+        "isotonic_fit_1h": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('isotonic_fit_1h')}')"
         ),
         "harmonic_24h": (
             "SELECT * FROM read_parquet("

@@ -3133,6 +3133,98 @@ def variance_ratio(
     )
 
 
+def _isotonic_one_source(
+    obs: pd.DataFrame, source: str, step: int
+) -> pd.DataFrame:
+    """Non-decreasing isotonic fit (pool-adjacent-violators) of the
+    ``step``-grain token sums of one source. Every merge decision is the
+    EXACT integer cross-multiplication ``sum_prev * n_cur > sum_cur *
+    n_prev`` (Python bigints — no float mean ever enters the algorithm),
+    so pool boundaries are bit-deterministic; the only float per pool is
+    the closing ``sum / n`` fitted level (round6). The vendored oracle
+    (tests/oracle/fills.pava_pools) replays the identical stack algorithm."""
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    b = ts - ts % step
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], b.size]
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+    bt = b[starts]
+    y = cs[ends] - cs[starts]
+    n = bt.size
+    if n == 0:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "start_ts": pd.Series([], dtype=np.int64),
+                    "end_ts": pd.Series([], dtype=np.int64),
+                    "n_steps": pd.Series([], dtype=np.int64),
+                    "pool_sum": pd.Series([], dtype=np.int64),
+                    "fitted": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    # PAVA stack: (pool_sum, pool_n, first_bucket_idx); merge while the
+    # previous pool's mean strictly exceeds the current's
+    pools: "list[list[int]]" = []
+    for i in range(n):
+        pools.append([int(y[i]), 1, i])
+        while (
+            len(pools) >= 2
+            and pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]
+        ):
+            sm, cnt, first = pools.pop()
+            pools[-1][0] += sm
+            pools[-1][1] += cnt
+    out_start, out_end, out_n, out_sum, out_fit = [], [], [], [], []
+    for k, (sm, cnt, first) in enumerate(pools):
+        out_start.append(int(bt[first]))
+        last = pools[k + 1][2] - 1 if k + 1 < len(pools) else n - 1
+        out_end.append(int(bt[last]))
+        out_n.append(cnt)
+        out_sum.append(sm)
+        out_fit.append(float(sm) / float(cnt))
+    return pd.DataFrame(
+        {
+            "source": np.full(len(pools), source, dtype=object),
+            "start_ts": np.asarray(out_start, dtype=np.int64),
+            "end_ts": np.asarray(out_end, dtype=np.int64),
+            "n_steps": np.asarray(out_n, dtype=np.int64),
+            "pool_sum": np.asarray(out_sum, dtype=np.int64),
+            "fitted": _round6_half_up(np.asarray(out_fit, dtype=np.float64)),
+        }
+    )
+
+
+def isotonic_fit(
+    input_path,
+    *,
+    step: int = 3600,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source non-decreasing isotonic regression of the hourly token
+    sums via pool-adjacent-violators — the monotone-trend fit that
+    ``source_trend`` (OLS line) and ``theilsen_trend_1h`` (robust line)
+    can't express: a step function of maximal-likelihood plateau levels.
+    One row per pool; a series already non-decreasing returns one pool
+    per bucket, a decreasing one collapses to a single global-mean pool.
+    See :func:`_isotonic_one_source` for the exactness contract."""
+    from datafiller_ray.config import EngineValueError
+
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _isotonic_one_source(obs, src, step),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
 def _kalman_one_source(
     obs: pd.DataFrame, source: str, lam: float
 ) -> pd.DataFrame:

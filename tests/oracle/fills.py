@@ -1025,3 +1025,31 @@ def kalman_rts(y: np.ndarray, lam: float) -> np.ndarray:
         C = Pf[t] / Pp[t + 1]
         xs[t] = xf[t] + C * (xs[t + 1] - xp[t + 1])
     return xs
+
+
+def pava_pools(bt: np.ndarray, y: np.ndarray):
+    """Non-decreasing pool-adjacent-violators over (bucket_ts, integer
+    sums): the textbook stack algorithm with EXACT integer
+    cross-multiplied merge decisions (sum_prev * n_cur > sum_cur *
+    n_prev) — no float mean anywhere. Returns (start_ts, end_ts, n_steps,
+    pool_sum, fitted) lists; fitted is the single closing division."""
+    n = int(y.size)
+    pools: list[list[int]] = []
+    for i in range(n):
+        pools.append([int(y[i]), 1, i])
+        while (
+            len(pools) >= 2
+            and pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]
+        ):
+            sm, cnt, _first = pools.pop()
+            pools[-1][0] += sm
+            pools[-1][1] += cnt
+    start, end, ns, psum, fit = [], [], [], [], []
+    for k, (sm, cnt, first) in enumerate(pools):
+        start.append(int(bt[first]))
+        last = pools[k + 1][2] - 1 if k + 1 < len(pools) else n - 1
+        end.append(int(bt[last]))
+        ns.append(cnt)
+        psum.append(sm)
+        fit.append(float(sm) / float(cnt))
+    return start, end, ns, psum, fit

@@ -1964,3 +1964,43 @@ def test_kalman_fill_validation(ray_session, small_fixture):
         kalman_fill(small_fixture, lam=0.0)
     with pytest.raises(EngineValueError):
         kalman_fill(small_fixture, lam=-1.0)
+
+
+def test_isotonic_pava_properties():
+    from datafiller_ray.pipelines.window import _isotonic_one_source
+
+    # already non-decreasing -> one pool per hour bucket
+    ts = np.arange(5, dtype=np.int64) * 3600
+    s = np.array([1, 2, 3, 4, 5], np.int64)
+    out = _isotonic_one_source(pd.DataFrame({"bucket_ts": ts, "sum": s}), "s", 3600)
+    assert len(out) == 5
+    assert (out["n_steps"] == 1).all()
+
+    # strictly decreasing -> one global pool with the overall mean
+    s2 = np.array([10, 8, 6, 4, 2], np.int64)
+    out2 = _isotonic_one_source(pd.DataFrame({"bucket_ts": ts, "sum": s2}), "s", 3600)
+    assert len(out2) == 1
+    assert out2["pool_sum"].iloc[0] == 30 and out2["n_steps"].iloc[0] == 5
+    assert out2["fitted"].iloc[0] == 6.0
+
+    # fitted levels are always non-decreasing, pools partition the span
+    rng = np.random.default_rng(2)
+    n = 300
+    tsr = np.arange(n, dtype=np.int64) * 3600
+    sr = rng.integers(0, 1000, size=n).astype(np.int64)
+    out3 = _isotonic_one_source(pd.DataFrame({"bucket_ts": tsr, "sum": sr}), "s", 3600)
+    fit = out3["fitted"].to_numpy()
+    assert (np.diff(fit) >= 0).all()
+    assert int(out3["n_steps"].sum()) == n
+    assert int(out3["pool_sum"].sum()) == int(sr.sum())
+    # PAVA minimizes SSE among monotone fits: check vs a simple
+    # two-level alternative on a V-shaped series
+    v = np.array([5, 1, 9], np.int64)
+    outv = _isotonic_one_source(
+        pd.DataFrame({"bucket_ts": np.arange(3, dtype=np.int64) * 3600, "sum": v}),
+        "s",
+        3600,
+    )
+    # optimal: pool [5,1] -> 3, then [9]
+    assert list(outv["n_steps"]) == [2, 1]
+    assert list(outv["fitted"]) == [3.0, 9.0]
