@@ -1967,6 +1967,16 @@ def _kalman_fill_1m(sf_dir: str):
     return kalman_fill(_fixture(sf_dir), lam=0.5)
 
 
+def _binseg_changepoints(sf_dir: str):
+    """Per-source top-3 level-shift changepoints by exact-arithmetic
+    binary segmentation over hourly sums (bigint/Fraction decisions, one
+    division per emitted gain) — pipelines/window.binseg_changepoints;
+    vendored oracle fills.binseg_points."""
+    from datafiller_ray.pipelines.window import binseg_changepoints
+
+    return binseg_changepoints(_fixture(sf_dir), step=3600, k=3, min_size=2)
+
+
 def _isotonic_fit_1h(sf_dir: str):
     """Per-source non-decreasing PAVA fit of hourly token sums (exact
     integer merge decisions, one division per pool) —
@@ -3492,6 +3502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaling_exponent": _scaling_exponent,
         "kalman_fill_1m": _kalman_fill_1m,
         "isotonic_fit_1h": _isotonic_fit_1h,
+        "binseg_changepoints": _binseg_changepoints,
         "centroid_silhouette": _centroid_silhouette,
         "order_priority_census": _order_priority_census,
         "returned_revenue_topk": _returned_revenue_topk,
@@ -4631,6 +4642,33 @@ def _build_isotonic_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_binseg_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = {"source": [], "rank": [], "cp_ts": [], "gain": []}
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        yv = fr["y"].to_numpy()[keep].astype(np.int64)
+        hb = ts - ts % 3600
+        agg: "dict[int, int]" = {}
+        for h, v in zip(hb.tolist(), yv.tolist()):
+            agg[h] = agg.get(h, 0) + v
+        bt = np.array(sorted(agg), dtype=np.int64)
+        y = np.array([agg[h] for h in bt.tolist()], dtype=np.int64)
+        ranks, idxs, gains = o.binseg_points(y, 3, 2)
+        rows["source"].extend([src] * len(ranks))
+        rows["rank"].extend(ranks)
+        rows["cp_ts"].extend(int(bt[t]) for t in idxs)
+        rows["gain"].extend(
+            float(v) for v in o.round_half_up(np.asarray(gains, np.float64))
+        )
+    out = pd.DataFrame(rows)
+    for c in ("rank", "cp_ts"):
+        out[c] = out[c].astype(np.int64)
+    out["gain"] = out["gain"].astype(np.float64)
+    return out
+
+
 def _build_kalman_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     frames = []
@@ -4681,6 +4719,7 @@ _FILL_ORACLE_BUILDERS = {
     "embedding_pca": _build_pca_oracle,
     "kalman_fill_1m": _build_kalman_oracle,
     "isotonic_fit_1h": _build_isotonic_oracle,
+    "binseg_changepoints": _build_binseg_oracle,
 }
 
 
@@ -5454,6 +5493,10 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_fit_1h": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('isotonic_fit_1h')}')"
+        ),
+        "binseg_changepoints": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('binseg_changepoints')}')"
         ),
         "harmonic_24h": (
             "SELECT * FROM read_parquet("

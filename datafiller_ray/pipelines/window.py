@@ -3225,6 +3225,142 @@ def isotonic_fit(
     )
 
 
+def _binseg_best_split(
+    S: "list[int]", lo: int, hi: int, min_size: int
+) -> "tuple[int, int, int] | None":
+    """Best split of segment [lo, hi) by SSE gain, decided EXACTLY on
+    integers. With prefix sums S, the split at t maximizes
+    val(t) = S_l^2/n_l + S_r^2/n_r; candidates compare by the
+    cross-multiplied bigint form (positive denominators), ties to the
+    earliest t. Returns (t, num, den) where num/den is val_best as an
+    exact fraction, or None when the segment is too short."""
+    n = hi - lo
+    if n < 2 * min_size:
+        return None
+    best = None  # (num, den, t)
+    s_all = S[hi] - S[lo]
+    for t in range(lo + min_size, hi - min_size + 1):
+        nl = t - lo
+        nr = hi - t
+        sl = S[t] - S[lo]
+        sr = s_all - sl
+        num = sl * sl * nr + sr * sr * nl
+        den = nl * nr
+        if best is None or num * best[1] > best[0] * den:
+            best = (num, den, t)
+    if best is None:
+        return None
+    return best[2], best[0], best[1]
+
+
+def _binseg_one_source(
+    obs: pd.DataFrame, source: str, step: int, k: int, min_size: int
+) -> pd.DataFrame:
+    """Top-k level-shift changepoints of one source's ``step``-grain sums
+    by binary segmentation: repeatedly split the segment whose best split
+    yields the largest SSE reduction. EVERY comparison — best split
+    within a segment, best segment across the queue, and the stop rule
+    gain > 0 — is exact bigint cross-multiplication on the fraction
+    gain = (S_l^2 n_r + S_r^2 n_l)/(n_l n_r) - S^2/n, so the emitted
+    changepoint set is bit-deterministic; the only floats are the k
+    reported gain values (one num/den division each, round6). The
+    vendored oracle (tests/oracle/fills.binseg_points) replays the
+    identical algorithm."""
+    from fractions import Fraction
+
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    b = ts - ts % step
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], b.size]
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+    bt = b[starts]
+    y = (cs[ends] - cs[starts]).tolist()
+    n = len(y)
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "rank": pd.Series([], dtype=np.int64),
+                "cp_ts": pd.Series([], dtype=np.int64),
+                "gain": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    if n < 2 * min_size:
+        return empty
+    S = [0]
+    for v in y:
+        S.append(S[-1] + int(v))
+    segs = [(0, n)]
+    out_rank, out_ts, out_gain = [], [], []
+    for rank in range(1, k + 1):
+        best = None  # (gain Fraction, t, seg_idx)
+        for si, (lo, hi) in enumerate(segs):
+            r = _binseg_best_split(S, lo, hi, min_size)
+            if r is None:
+                continue
+            t, num, den = r
+            s_all = S[hi] - S[lo]
+            gain = Fraction(num, den) - Fraction(s_all * s_all, hi - lo)
+            if best is None or gain > best[0] or (
+                gain == best[0] and t < best[1]
+            ):
+                best = (gain, t, si)
+        if best is None or best[0] <= 0:
+            break
+        gain, t, si = best
+        lo, hi = segs.pop(si)
+        segs.extend([(lo, t), (t, hi)])
+        out_rank.append(rank)
+        out_ts.append(int(bt[t]))
+        out_gain.append(
+            float(gain.numerator) / float(gain.denominator)
+        )
+    if not out_rank:
+        return empty
+    return pd.DataFrame(
+        {
+            "source": np.full(len(out_rank), source, dtype=object),
+            "rank": np.asarray(out_rank, dtype=np.int64),
+            "cp_ts": np.asarray(out_ts, dtype=np.int64),
+            "gain": _round6_half_up(np.asarray(out_gain, dtype=np.float64)),
+        }
+    )
+
+
+def binseg_changepoints(
+    input_path,
+    *,
+    step: int = 3600,
+    k: int = 3,
+    min_size: int = 2,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source top-k level-shift changepoints by exact-arithmetic
+    binary segmentation over the hourly token sums — the multi-shift
+    complement of ``cusum_changepoints`` (one drift statistic) and
+    ``anomaly_intervals`` (pointwise outliers): WHERE the mean level
+    moved, ranked by SSE reduction. See :func:`_binseg_one_source`."""
+    from datafiller_ray.config import EngineValueError
+
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    if k < 1:
+        raise EngineValueError(f"k must be >= 1, got {k}")
+    if min_size < 1:
+        raise EngineValueError(f"min_size must be >= 1, got {min_size}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _binseg_one_source(obs, src, step, k, min_size),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
 def _kalman_one_source(
     obs: pd.DataFrame, source: str, lam: float
 ) -> pd.DataFrame:

@@ -1053,3 +1053,59 @@ def pava_pools(bt: np.ndarray, y: np.ndarray):
         psum.append(sm)
         fit.append(float(sm) / float(cnt))
     return start, end, ns, psum, fit
+
+
+def binseg_points(y: np.ndarray, k: int, min_size: int):
+    """Exact-arithmetic binary segmentation over integer sums: best split
+    per segment by bigint cross-multiplication of
+    val(t) = S_l^2/n_l + S_r^2/n_r (ties earliest t), best segment by
+    exact Fraction gain, stop at k splits or gain <= 0. Returns
+    (rank, idx, gain_float) lists; the gain is the single closing
+    division per changepoint."""
+    from fractions import Fraction
+
+    n = int(y.size)
+    S = [0]
+    for v in y.tolist():
+        S.append(S[-1] + int(v))
+
+    def best_split(lo: int, hi: int):
+        if hi - lo < 2 * min_size:
+            return None
+        best = None
+        s_all = S[hi] - S[lo]
+        for t in range(lo + min_size, hi - min_size + 1):
+            nl = t - lo
+            nr = hi - t
+            sl = S[t] - S[lo]
+            sr = s_all - sl
+            num = sl * sl * nr + sr * sr * nl
+            den = nl * nr
+            if best is None or num * best[1] > best[0] * den:
+                best = (num, den, t)
+        return (best[2], best[0], best[1]) if best else None
+
+    segs = [(0, n)]
+    ranks, idxs, gains = [], [], []
+    for rank in range(1, k + 1):
+        best = None
+        for si, (lo, hi) in enumerate(segs):
+            r = best_split(lo, hi)
+            if r is None:
+                continue
+            t, num, den = r
+            s_all = S[hi] - S[lo]
+            gain = Fraction(num, den) - Fraction(s_all * s_all, hi - lo)
+            if best is None or gain > best[0] or (
+                gain == best[0] and t < best[1]
+            ):
+                best = (gain, t, si)
+        if best is None or best[0] <= 0:
+            break
+        gain, t, si = best
+        lo, hi = segs.pop(si)
+        segs.extend([(lo, t), (t, hi)])
+        ranks.append(rank)
+        idxs.append(t)
+        gains.append(float(gain.numerator) / float(gain.denominator))
+    return ranks, idxs, gains

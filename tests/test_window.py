@@ -2004,3 +2004,43 @@ def test_isotonic_pava_properties():
     # optimal: pool [5,1] -> 3, then [9]
     assert list(outv["n_steps"]) == [2, 1]
     assert list(outv["fitted"]) == [3.0, 9.0]
+
+
+def test_binseg_finds_planted_shifts():
+    from datafiller_ray.pipelines.window import _binseg_one_source
+
+    # three clean level shifts at hours 50, 120, 200
+    n = 300
+    ts = np.arange(n, dtype=np.int64) * 3600
+    y = np.concatenate(
+        [
+            np.full(50, 100, np.int64),
+            np.full(70, 500, np.int64),
+            np.full(80, 200, np.int64),
+            np.full(100, 900, np.int64),
+        ]
+    )
+    out = _binseg_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": y}), "s", 3600, 3, 2
+    )
+    assert len(out) == 3
+    assert set(out["cp_ts"]) == {50 * 3600, 120 * 3600, 200 * 3600}
+    assert (out["gain"] > 0).all()
+
+    # constant series: zero gain everywhere -> no changepoints
+    const = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(20, dtype=np.int64) * 3600,
+            "sum": np.full(20, 7, np.int64),
+        }
+    )
+    assert len(_binseg_one_source(const, "s", 3600, 3, 2)) == 0
+
+    # too short -> omitted
+    short = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(3, dtype=np.int64) * 3600,
+            "sum": np.array([1, 9, 1], np.int64),
+        }
+    )
+    assert len(_binseg_one_source(short, "s", 3600, 3, 2)) == 0
