@@ -3284,6 +3284,19 @@ def _lead_lag_xcorr(sf_dir: str):
     )
 
 
+def _dtw_distance(sf_dir: str):
+    """Band-limited DTW shape distance (Sakoe-Chiba w=12h, L1, pinned
+    z-norm, normalized by longer length) of each source's hourly series
+    vs the broadcast reference sources —
+    pipelines/correlate.dtw_distance; vendored oracle fills.dtw_band."""
+    from datafiller_ray.pipelines.correlate import dtw_distance
+
+    return dtw_distance(
+        _fixture(sf_dir), ref_sources=_CORR_REFS, step=3600, w=12,
+        min_len=8, check_tokens=False,
+    )
+
+
 def _rolling_corr_1m(sf_dir: str):
     """Rolling Pearson correlation (trailing 60 common observed buckets)
     of each source vs the broadcast reference sources; exact int64
@@ -3503,6 +3516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kalman_fill_1m": _kalman_fill_1m,
         "isotonic_fit_1h": _isotonic_fit_1h,
         "binseg_changepoints": _binseg_changepoints,
+        "dtw_distance": _dtw_distance,
         "centroid_silhouette": _centroid_silhouette,
         "order_priority_census": _order_priority_census,
         "returned_revenue_topk": _returned_revenue_topk,
@@ -4669,6 +4683,50 @@ def _build_binseg_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_dtw_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    series: "dict[str, np.ndarray]" = {}
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        yv = fr["y"].to_numpy()[keep].astype(np.int64)
+        hb = ts - ts % 3600
+        agg: "dict[int, int]" = {}
+        for h, v in zip(hb.tolist(), yv.tolist()):
+            agg[h] = agg.get(h, 0) + v
+        series[src] = np.array(
+            [agg[h] for h in sorted(agg)], dtype=np.int64
+        )
+    rows = {"source": [], "ref_source": [], "n_x": [], "n_y": [], "dtw": []}
+    for src in sorted(series):
+        y = series[src]
+        zx = o.znorm_moments(y) if y.size >= 8 else None
+        if zx is None:
+            continue
+        for ref in sorted(_CORR_REFS):
+            if ref == src or ref not in series:
+                continue
+            ry = series[ref]
+            if ry.size < 8:
+                continue
+            zy = o.znorm_moments(ry)
+            if zy is None:
+                continue
+            d = o.dtw_band(zx, zy, 12) / float(max(zx.size, zy.size))
+            rows["source"].append(src)
+            rows["ref_source"].append(ref)
+            rows["n_x"].append(int(zx.size))
+            rows["n_y"].append(int(zy.size))
+            rows["dtw"].append(
+                float(o.round_half_up(np.array([d]))[0])
+            )
+    out = pd.DataFrame(rows)
+    for c in ("n_x", "n_y"):
+        out[c] = out[c].astype(np.int64)
+    out["dtw"] = out["dtw"].astype(np.float64)
+    return out
+
+
 def _build_kalman_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     frames = []
@@ -4720,6 +4778,7 @@ _FILL_ORACLE_BUILDERS = {
     "kalman_fill_1m": _build_kalman_oracle,
     "isotonic_fit_1h": _build_isotonic_oracle,
     "binseg_changepoints": _build_binseg_oracle,
+    "dtw_distance": _build_dtw_oracle,
 }
 
 
@@ -5497,6 +5556,10 @@ def oracle_sql() -> dict[str, str]:
         "binseg_changepoints": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('binseg_changepoints')}')"
+        ),
+        "dtw_distance": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('dtw_distance')}')"
         ),
         "harmonic_24h": (
             "SELECT * FROM read_parquet("

@@ -441,3 +441,164 @@ def rolling_corr(
     return _run_per_source(
         input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
     )
+
+
+# ---------------------------------------------------------------------------
+# band-limited DTW distance against broadcast reference series
+
+
+def _znorm_pinned(v: np.ndarray) -> "np.ndarray | None":
+    """Z-normalization with the engine's pinned chains: mean = S/n,
+    population var = (n*Q - S*S)/(n*n) on exact integers, sd = sqrt(var),
+    z_i = (v_i - mean) / sd. Returns None on zero variance."""
+    n = int(v.size)
+    S, Q = int(v.sum()), int(np.dot(v, v))
+    d = n * Q - S * S
+    if d <= 0:
+        return None
+    mean = float(S) / float(n)
+    sd = math.sqrt(float(d) / float(n * n))
+    return (v.astype(np.float64) - mean) / sd
+
+
+def dtw_band_distance(zx: "list[float]", zy: "list[float]", w: int) -> float:
+    """Sakoe-Chiba band-limited dynamic time warping with L1 point cost
+    over two z-normalized sequences. The effective band is
+    ``max(w, |n - m|)`` so a path always exists. The DP accumulates plain
+    Python floats cell-by-cell in a FIXED order (row-major, ascending j),
+    which is what lets the vendored oracle reproduce the value
+    bit-for-bit. O(n * band) time, two rolling rows of memory."""
+    n, m = len(zx), len(zy)
+    band = max(w, abs(n - m))
+    INF = float("inf")
+    prev = [INF] * m
+    for i in range(n):
+        lo = i - band if i - band > 0 else 0
+        hi = i + band + 1 if i + band + 1 < m else m
+        cur = [INF] * m
+        xi = zx[i]
+        for j in range(lo, hi):
+            c = xi - zy[j]
+            if c < 0.0:
+                c = -c
+            if i == 0 and j == 0:
+                best = 0.0
+            else:
+                best = INF
+                if i > 0 and prev[j] < best:
+                    best = prev[j]
+                if j > 0 and cur[j - 1] < best:
+                    best = cur[j - 1]
+                if i > 0 and j > 0 and prev[j - 1] < best:
+                    best = prev[j - 1]
+            cur[j] = c + best
+        prev = cur
+    return prev[m - 1]
+
+
+def _dtw_one_source(
+    obs: pd.DataFrame,
+    source: str,
+    refs: "dict[str, tuple[np.ndarray, np.ndarray]]",
+    step: int,
+    w: int,
+    min_len: int,
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    x_ts, x_sum = _hourly(ts, obs["sum"].to_numpy(np.int64), step)
+    names, nxs, nys, dists = [], [], [], []
+    zx = _znorm_pinned(x_sum) if x_sum.size >= min_len else None
+    for ref_name in sorted(refs):
+        if ref_name == source or zx is None:
+            continue
+        _, rsum = refs[ref_name]
+        if rsum.size < min_len:
+            continue
+        zy = _znorm_pinned(rsum)
+        if zy is None:
+            continue
+        d = dtw_band_distance(zx.tolist(), zy.tolist(), w)
+        # per-step normalization: one pinned division by the path floor
+        names.append(ref_name)
+        nxs.append(int(zx.size))
+        nys.append(int(zy.size))
+        dists.append(d / float(max(zx.size, zy.size)))
+    out = pd.DataFrame(
+        {
+            "source": np.full(len(names), source, dtype=object),
+            "ref_source": np.asarray(names, dtype=object),
+            "n_x": np.asarray(nxs, dtype=np.int64),
+            "n_y": np.asarray(nys, dtype=np.int64),
+            "dtw": _round6_half_up(np.asarray(dists, dtype=np.float64)),
+        }
+    )
+    if not len(out):
+        out["source"] = out["source"].astype("string")
+        out["ref_source"] = out["ref_source"].astype("string")
+    return out
+
+
+def dtw_distance(
+    input_path,
+    *,
+    ref_sources: "tuple[str, ...] | list[str]",
+    step: int = 3600,
+    w: int = 12,
+    min_len: int = 8,
+    max_refs: int = _MAX_REFS_DEFAULT,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """Shape similarity under time warping: band-limited DTW distance
+    (Sakoe-Chiba radius ``w`` hours, L1 cost, z-normalized hourly series,
+    normalized by the longer length) of every source against each
+    broadcast reference source — the nonlinear-alignment complement of
+    ``lead_lag_xcorr`` (which only shifts rigidly). Small distance =
+    same intra-day shape even when one feed stretches or delays parts of
+    its day.
+
+    Scale shape: identical to ``source_correlation`` — reference hourly
+    series broadcast once via ``ray.put``, one per-source exchange, DP
+    cost O(hours * band) per pair at the COARSE grain. Numerics: the
+    z-normalization uses the engine's pinned integer moment chains; the
+    DP is plain-float but runs in a fixed scan order, so the vendored
+    oracle (tests/oracle/fills.dtw_band) reproduces it bit-for-bit.
+    Pairs where either side is shorter than ``min_len`` hours or has
+    zero variance are omitted."""
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _run_per_source
+
+    if not ref_sources:
+        raise EngineValueError("ref_sources must be non-empty")
+    if len(ref_sources) > max_refs:
+        raise EngineValueError(
+            f"{len(ref_sources)} reference sources exceed max_refs="
+            f"{max_refs}; the reference set is the broadcast small side"
+        )
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    if w < 0:
+        raise EngineValueError(f"w must be >= 0, got {w}")
+    if min_len < 2:
+        raise EngineValueError(f"min_len must be >= 2, got {min_len}")
+    series_1m = _reference_series(
+        input_path, tuple(ref_sources), check_tokens=check_tokens
+    )
+    refs = {
+        name: _hourly(ts, s, step) for name, (ts, s) in series_1m.items()
+    }
+    handle = ray.put(refs)
+
+    def one_source(obs: pd.DataFrame, src: str) -> pd.DataFrame:
+        import ray as _ray
+
+        r = _ray.get(handle)
+        return _dtw_one_source(obs, src, r, step, w, min_len)
+
+    return _run_per_source(
+        input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
+    )

@@ -1109,3 +1109,45 @@ def binseg_points(y: np.ndarray, k: int, min_size: int):
         idxs.append(t)
         gains.append(float(gain.numerator) / float(gain.denominator))
     return ranks, idxs, gains
+
+
+def dtw_band(zx: np.ndarray, zy: np.ndarray, w: int) -> float:
+    """Band-limited DTW oracle: full (n x m) cost matrix with +inf outside
+    the Sakoe-Chiba band of effective radius max(w, |n-m|), L1 point cost,
+    cell = cost + min(up, left, diag). Each cell is one float add on the
+    min of three floats — no reassociation — so any evaluation order gives
+    the same value; the engine's rolling-row scan matches bit-for-bit."""
+    n, m = int(zx.size), int(zy.size)
+    band = max(w, abs(n - m))
+    D = np.full((n, m), np.inf)
+    for i in range(n):
+        for j in range(max(0, i - band), min(m, i + band + 1)):
+            c = abs(float(zx[i]) - float(zy[j]))
+            if i == 0 and j == 0:
+                D[i, j] = c
+                continue
+            best = np.inf
+            if i > 0 and D[i - 1, j] < best:
+                best = D[i - 1, j]
+            if j > 0 and D[i, j - 1] < best:
+                best = D[i, j - 1]
+            if i > 0 and j > 0 and D[i - 1, j - 1] < best:
+                best = D[i - 1, j - 1]
+            D[i, j] = c + best
+    return float(D[n - 1, m - 1])
+
+
+def znorm_moments(v: np.ndarray):
+    """The engine's pinned z-normalization: mean = S/n, population var =
+    (n*Q - S*S)/(n*n) on exact integers, z = (v - mean)/sqrt(var).
+    None on zero variance."""
+    import math
+
+    n = int(v.size)
+    S, Q = int(v.sum()), int(np.dot(v.astype(np.int64), v.astype(np.int64)))
+    d = n * Q - S * S
+    if d <= 0:
+        return None
+    mean = float(S) / float(n)
+    sd = math.sqrt(float(d) / float(n * n))
+    return (v.astype(np.float64) - mean) / sd

@@ -192,3 +192,60 @@ def test_rolling_corr_head_windows_and_self_skip():
     assert out["n_win"].tolist() == [2, 3, 4, 5, 5, 5, 5, 5, 5]
     # identical series: corr == 1 everywhere
     assert (out["corr"] == 1.0).all()
+
+
+def test_dtw_band_identity_and_warp():
+    from datafiller_ray.pipelines.correlate import dtw_band_distance
+
+    # identical sequences -> zero distance
+    z = [0.0, 1.0, -1.0, 2.0, 0.5]
+    assert dtw_band_distance(z, z, 3) == 0.0
+
+    # a time-shifted copy is closer under DTW than under rigid L1
+    x = [0.0, 0.0, 5.0, 0.0, 0.0, 0.0]
+    y = [0.0, 0.0, 0.0, 5.0, 0.0, 0.0]
+    rigid = sum(abs(a - b) for a, b in zip(x, y))
+    assert dtw_band_distance(x, y, 3) < rigid
+
+    # band 0 on equal lengths = diagonal-only = rigid alignment cost
+    assert dtw_band_distance(x, y, 0) == rigid
+
+
+def test_dtw_matches_bruteforce_full_dp():
+    import itertools
+
+    from datafiller_ray.pipelines.correlate import dtw_band_distance
+
+    rng = np.random.default_rng(4)
+    for n, m in [(6, 6), (5, 8), (9, 4)]:
+        x = rng.normal(size=n).tolist()
+        y = rng.normal(size=m).tolist()
+        w = 20  # wide band == unconstrained DTW
+        got = dtw_band_distance(x, y, w)
+        # brute force over monotone step paths via full DP
+        D = np.full((n, m), np.inf)
+        for i in range(n):
+            for j in range(m):
+                c = abs(x[i] - y[j])
+                if i == 0 and j == 0:
+                    D[i, j] = c
+                else:
+                    opts = []
+                    if i > 0:
+                        opts.append(D[i - 1, j])
+                    if j > 0:
+                        opts.append(D[i, j - 1])
+                    if i > 0 and j > 0:
+                        opts.append(D[i - 1, j - 1])
+                    D[i, j] = c + min(opts)
+        assert abs(got - D[n - 1, m - 1]) < 1e-12
+
+
+def test_dtw_znorm_pinned():
+    from datafiller_ray.pipelines.correlate import _znorm_pinned
+
+    v = np.array([2, 4, 6, 8], dtype=np.int64)
+    z = _znorm_pinned(v)
+    assert abs(z.mean()) < 1e-12
+    assert abs((z * z).mean() - 1.0) < 1e-12
+    assert _znorm_pinned(np.array([5, 5, 5], dtype=np.int64)) is None
