@@ -3331,6 +3331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1d": lambda d: _tier_rollup(d, "1d"),
         "retention_1h": lambda d: _tier_rollup(d, "1h", min_bucket=_RETENTION_CUTOFF),
         "gapfill_locf_1m": lambda d: _tier_gapfill(d, "locf", rounding="halfup"),
+        "gapfill_seasonal_1m": lambda d: _tier_gapfill(
+            d, "seasonal", rounding="halfup"
+        ),
         "gapfill_linear_1m": lambda d: _tier_gapfill(d, "linear", rounding="halfup"),
         "gapfill_linear_bounded_1m": lambda d: _tier_gapfill(
             d, "linear", max_gap=30, rounding="halfup"
@@ -4870,6 +4873,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE fill_value IS NOT NULL
     """
 
+    # hour-of-day mean fill: exact integer slot sums, ONE sum/count
+    # division per (source, slot), gaps in never-observed slots dropped
+    # on both sides (engine leaves them NaN, the LEFT JOIN leaves NULL)
+    seasonal_sql = grid_cte + """
+        , hod AS (
+          SELECT source, (bucket_ts % 86400) // 3600 AS slot,
+                 CAST(SUM(sum_tok) AS DOUBLE)
+                     / CAST(COUNT(sum_tok) AS DOUBLE) AS slot_mean
+          FROM joined WHERE sum_tok IS NOT NULL GROUP BY 1, 2)
+        SELECT source, bucket_ts, n_obs,
+               FLOOR(fill_value * 1000000 + 0.5) / 1000000.0 AS fill_value
+        FROM (
+          SELECT j.source, j.bucket_ts, j.n_obs,
+                 CASE WHEN j.sum_tok IS NOT NULL
+                      THEN CAST(j.sum_tok AS DOUBLE)
+                      ELSE h.slot_mean END AS fill_value
+          FROM joined j LEFT JOIN hod h
+            ON h.source = j.source
+           AND h.slot = (j.bucket_ts % 86400) // 3600)
+        WHERE fill_value IS NOT NULL
+    """
+
     linear_sql = grid_cte + """
         , win AS (
           SELECT source, bucket_ts, n_obs, sum_tok,
@@ -4991,6 +5016,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_linear_salted_1m": bounded_linear_sql,
         "retention_1h": rollup(3600, f"WHERE bucket_ts >= {_RETENTION_CUTOFF}"),
         "gapfill_locf_1m": locf_sql,
+        "gapfill_seasonal_1m": seasonal_sql,
         "gapfill_linear_1m": linear_sql,
         "token_stats": f"""
             SELECT source, COUNT(*) AS n_docs,

@@ -63,6 +63,9 @@ class FillConfig:
       ``min_samples_train`` (default 20, ``multivariate/imputer.py:164``) +
       ``FastRidge`` float32 normal equations (``estimators/ridge.py:42-111``)
       on standardized columns (``multivariate/imputer.py:421-451``).
+    - ``strategy="seasonal"``: fill gaps (<= max_gap) with the series' own
+      hour-of-day mean over observed buckets — the seasonal imputation a
+      neighbor bridge can't express (engine addition; no reference analog).
     - ``strategy=None``: no gap fill (pure rollup; gap buckets stay null).
     - ``fallback="simple"``: remaining gaps take the per-series observed mean
       (``_apply_fallback``, ``multivariate/imputer.py:744-770``);
@@ -94,7 +97,9 @@ class FillConfig:
     #: per chunk and requires ``optimask=False`` (explicit, validated).
     optimask: bool = True
 
-    VALID_STRATEGIES = (None, "locf", "linear", "spline", "mean", "model")
+    VALID_STRATEGIES = (
+        None, "locf", "linear", "spline", "mean", "model", "seasonal",
+    )
 
     def __post_init__(self) -> None:
         if self.strategy not in self.VALID_STRATEGIES:

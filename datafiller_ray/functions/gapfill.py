@@ -34,6 +34,7 @@ METHOD_NAMES = {
     3: "spline",
     4: "mean",
     5: "model",
+    6: "seasonal",
 }
 METHOD_CODES = {v: k for k, v in METHOD_NAMES.items()}
 
@@ -145,6 +146,40 @@ def fill_mean(y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     mean = np.nanmean(y)
     out[isnan] = mean
     codes[isnan] = METHOD_CODES["mean"]
+    return out, codes
+
+
+def fill_seasonal(
+    y: np.ndarray,
+    bucket_ts: np.ndarray,
+    max_gap: int | None = None,
+    slot_seconds: int = 3600,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fill NaN runs (of length <= max_gap) with the series' own
+    hour-of-day mean: slot = (bucket_ts % 86400) // slot_seconds, fill =
+    mean of OBSERVED values in that slot — the seasonal imputation that
+    LOCF/linear can't express (a 3am gap gets the 3am level, not a bridge
+    from 11pm to 6am). Slot sums accumulate integer-valued float64
+    (exact while < 2^53, the engine-wide bound); the only float per slot
+    is the single sum/count division. Slots with no observed value leave
+    their gaps NaN (the terminal fallback handles them). On a tier
+    coarser than a day every bucket lands in slot 0 and the kernel
+    degrades to the observed mean."""
+    out = y.astype(np.float64, copy=True)
+    codes = np.zeros(y.size, dtype=np.int8)
+    eligible = _eligible_mask(y, max_gap)
+    obs = ~np.isnan(y)
+    if not eligible.any() or not obs.any():
+        return out, codes
+    slot = ((bucket_ts % 86400) // slot_seconds).astype(np.int64)
+    nslots = max(int(86400 // slot_seconds), 1)
+    ssum = np.zeros(nslots, dtype=np.float64)
+    scnt = np.zeros(nslots, dtype=np.int64)
+    np.add.at(ssum, slot[obs], y[obs])
+    np.add.at(scnt, slot[obs], 1)
+    can = eligible & (scnt[slot] > 0)
+    out[can] = ssum[slot[can]] / scnt[slot[can]]
+    codes[can] = METHOD_CODES["seasonal"]
     return out, codes
 
 

@@ -111,6 +111,8 @@ def apply_fill(
         )
     elif cfg.strategy == "mean":
         out, codes = gapfill.fill_mean(y)
+    elif cfg.strategy == "seasonal":
+        out, codes = gapfill.fill_seasonal(y, bucket_ts, cfg.max_gap)
     elif cfg.strategy == "model":
         out, codes = fill_model(
             y,

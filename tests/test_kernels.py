@@ -191,3 +191,40 @@ def test_model_fill_honors_min_samples_train():
     y[7] = np.nan
     out, codes = fill_model(y, t, min_samples_train=20)
     assert np.isnan(out[7]) and codes[7] == 0
+
+
+def test_fill_seasonal_hod_mean():
+    from datafiller_ray.functions.gapfill import METHOD_CODES, fill_seasonal
+
+    # two days of hourly-resolution minutes: hour h has value 100 + h,
+    # day 2 hour 3 is missing -> filled with the hour-3 mean (= 103)
+    ts = []
+    vals = []
+    for day in range(2):
+        for h in range(24):
+            if day == 1 and h == 3:
+                vals.append(np.nan)
+            else:
+                vals.append(100.0 + h)
+            ts.append(day * 86400 + h * 3600)
+    y = np.array(vals)
+    bucket_ts = np.array(ts, dtype=np.int64)
+    out, codes = fill_seasonal(y, bucket_ts)
+    i = 24 + 3
+    assert out[i] == 103.0
+    assert codes[i] == METHOD_CODES["seasonal"]
+    assert (codes[np.arange(48) != i] == 0).all()
+    # observed values pass through untouched
+    assert out[0] == 100.0
+
+    # max_gap bounds the run length like the other kernels
+    y2 = np.array([1.0, np.nan, np.nan, np.nan, 5.0])
+    ts2 = np.arange(5, dtype=np.int64) * 60
+    out2, codes2 = fill_seasonal(y2, ts2, max_gap=2)
+    assert np.isnan(out2[1:4]).all() and (codes2 == 0).all()
+
+    # slot never observed -> gap stays NaN
+    y3 = np.array([np.nan, 7.0])
+    ts3 = np.array([0, 3600], dtype=np.int64)  # slot 0 unobserved
+    out3, codes3 = fill_seasonal(y3, ts3)
+    assert np.isnan(out3[0]) and codes3[0] == 0
