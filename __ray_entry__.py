@@ -1977,6 +1977,18 @@ def _binseg_changepoints(sf_dir: str):
     return binseg_changepoints(_fixture(sf_dir), step=3600, k=3, min_size=2)
 
 
+def _forecast_interval_1m(sf_dir: str):
+    """Per-source split-conformal interval for the lag-60-rows seasonal
+    naive forecast (0.9 quantile of exact integer |residuals| via the
+    shared quantile_cont rule + in-sample coverage) —
+    pipelines/window.forecast_interval."""
+    from datafiller_ray.pipelines.window import forecast_interval
+
+    return forecast_interval(
+        _fixture(sf_dir), season=60, level=0.9, min_pairs=10
+    )
+
+
 def _isotonic_fit_1h(sf_dir: str):
     """Per-source non-decreasing PAVA fit of hourly token sums (exact
     integer merge decisions, one division per pool) —
@@ -3520,6 +3532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic_fit_1h": _isotonic_fit_1h,
         "binseg_changepoints": _binseg_changepoints,
         "dtw_distance": _dtw_distance,
+        "forecast_interval_1m": _forecast_interval_1m,
         "centroid_silhouette": _centroid_silhouette,
         "order_priority_census": _order_priority_census,
         "returned_revenue_topk": _returned_revenue_topk,
@@ -7218,6 +7231,30 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(var4 / (4.0 * var1) * 1000000 + 0.5) / 1000000.0
                        AS vr
             FROM v WHERE var1 <> 0.0
+        """,
+        # split-conformal band for the lag-60-rows naive forecast: exact
+        # integer |residuals|, the shared quantile_cont rule for qhat,
+        # coverage counted on the UNROUNDED qhat
+        "forecast_interval_1m": f"""
+            WITH r AS ({rollup(60)}),
+            d AS (
+              SELECT source,
+                     ABS(sum_tok - LAG(sum_tok, 60) OVER (
+                         PARTITION BY source ORDER BY bucket_ts)) AS res
+              FROM r),
+            v AS (SELECT source, res FROM d WHERE res IS NOT NULL),
+            q AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     quantile_cont(CAST(res AS DOUBLE), 0.9) AS qh
+              FROM v GROUP BY source HAVING COUNT(*) >= 10)
+            SELECT source, n_pairs,
+                   FLOOR(qh * 1000000 + 0.5) / 1000000.0 AS qhat,
+                   FLOOR((CAST(SUM(CASE WHEN CAST(res AS DOUBLE) <= qh
+                                        THEN 1 ELSE 0 END) AS DOUBLE)
+                          / CAST(n_pairs AS DOUBLE))
+                         * 1000000 + 0.5) / 1000000.0 AS coverage
+            FROM v JOIN q USING (source)
+            GROUP BY source, n_pairs, qh
         """,
         # Hurst diffusion exponent: four variance_ratio-style chains at
         # q=1,2,4,8, LOG2 each, then the exact-integer-design OLS slope

@@ -3133,6 +3133,77 @@ def variance_ratio(
     )
 
 
+def _conformal_one_source(
+    obs: pd.DataFrame, source: str, season: int, level: float, min_pairs: int
+) -> pd.DataFrame:
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "qhat": pd.Series([], dtype=np.float64),
+                "coverage": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    s = obs["sum"].to_numpy(np.int64)
+    if s.size <= season:
+        return empty
+    r = np.abs(s[season:] - s[:-season])
+    n = int(r.size)
+    if n < min_pairs:
+        return empty
+    qhat = _interp_quantile(np.sort(r).astype(np.float64), level)
+    cov = int((r.astype(np.float64) <= qhat).sum())
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_pairs": np.array([n], dtype=np.int64),
+            "qhat": _round6_half_up(np.array([qhat])),
+            "coverage": _round6_half_up(
+                np.array([float(cov) / float(n)])
+            ),
+        }
+    )
+
+
+def forecast_interval(
+    input_path,
+    *,
+    season: int = 60,
+    level: float = 0.9,
+    min_pairs: int = 10,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source split-conformal interval width for the seasonal-naive
+    forecast: the absolute residuals |y_t - y_{t-season rows}| of the
+    lag-``season`` predictor (the ``seasonal_naive_mase`` forecaster),
+    summarized by qhat = the ``level`` empirical quantile (the shared
+    quantile_cont interpolation rule) — "the ±qhat band catches ``level``
+    of this feed's hour-over-hour moves" — plus the in-sample coverage
+    (fraction of residuals <= qhat, compared on the UNROUNDED qhat so
+    both oracle sides count identically). Residuals are exact integers;
+    the only floats are the one quantile interpolation and the one
+    coverage division."""
+    from datafiller_ray.config import EngineValueError
+
+    if season < 1:
+        raise EngineValueError(f"season must be >= 1, got {season}")
+    if not (0.0 < level < 1.0):
+        raise EngineValueError(f"level must be in (0, 1), got {level}")
+    if min_pairs < 2:
+        raise EngineValueError(f"min_pairs must be >= 2, got {min_pairs}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _conformal_one_source(
+            obs, src, season, level, min_pairs
+        ),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
 def _isotonic_one_source(
     obs: pd.DataFrame, source: str, step: int
 ) -> pd.DataFrame:

@@ -2044,3 +2044,34 @@ def test_binseg_finds_planted_shifts():
         }
     )
     assert len(_binseg_one_source(short, "s", 3600, 3, 2)) == 0
+
+
+def test_forecast_interval_conformal_guarantee():
+    from datafiller_ray.pipelines.window import _conformal_one_source
+
+    rng = np.random.default_rng(9)
+    n = 1000
+    ts = np.arange(n, dtype=np.int64) * 60
+    s = (1000 + rng.integers(-50, 51, size=n)).astype(np.int64)
+    out = _conformal_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": s}), "s", 60, 0.9, 10
+    )
+    assert len(out) == 1
+    # in-sample coverage of the 0.9-quantile band is >= 0.9 by construction
+    assert out["coverage"].iloc[0] >= 0.9
+    assert out["n_pairs"].iloc[0] == n - 60
+    assert out["qhat"].iloc[0] > 0
+
+    # constant series: all residuals zero -> qhat 0, full coverage
+    sc = np.full(200, 5, np.int64)
+    outc = _conformal_one_source(
+        pd.DataFrame({"bucket_ts": ts[:200], "sum": sc}), "s", 60, 0.9, 10
+    )
+    assert outc["qhat"].iloc[0] == 0.0
+    assert outc["coverage"].iloc[0] == 1.0
+
+    # too short -> omitted
+    short = pd.DataFrame(
+        {"bucket_ts": ts[:50], "sum": s[:50]}
+    )
+    assert len(_conformal_one_source(short, "s", 60, 0.9, 10)) == 0
