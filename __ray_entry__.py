@@ -1977,6 +1977,16 @@ def _binseg_changepoints(sf_dir: str):
     return binseg_changepoints(_fixture(sf_dir), step=3600, k=3, min_size=2)
 
 
+def _croston_forecast(sf_dir: str):
+    """Per-source Croston intermittent-demand forecast (SES over sizes +
+    SES over inter-demand grid intervals, alpha 0.1) —
+    pipelines/window.croston_forecast; vendored oracle
+    fills.croston_recursion."""
+    from datafiller_ray.pipelines.window import croston_forecast
+
+    return croston_forecast(_fixture(sf_dir), alpha=0.1, min_demands=3)
+
+
 def _forecast_interval_1m(sf_dir: str):
     """Per-source split-conformal interval for the lag-60-rows seasonal
     naive forecast (0.9 quantile of exact integer |residuals| via the
@@ -3533,6 +3543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "binseg_changepoints": _binseg_changepoints,
         "dtw_distance": _dtw_distance,
         "forecast_interval_1m": _forecast_interval_1m,
+        "croston_forecast": _croston_forecast,
         "centroid_silhouette": _centroid_silhouette,
         "order_priority_census": _order_priority_census,
         "returned_revenue_topk": _returned_revenue_topk,
@@ -4699,6 +4710,32 @@ def _build_binseg_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_croston_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = {
+        "source": [], "n_demands": [], "size_hat": [],
+        "interval_hat": [], "forecast": [],
+    }
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        yv = fr["y"].to_numpy()[keep].astype(np.int64)
+        if ts.size < 3:
+            continue
+        iv = ((ts[1:] - ts[:-1]) // 60).astype(np.int64)
+        z, p = o.croston_recursion(yv, iv, 0.1)
+        rows["source"].append(src)
+        rows["n_demands"].append(int(ts.size))
+        rows["size_hat"].append(float(o.round_half_up(np.array([z]))[0]))
+        rows["interval_hat"].append(float(o.round_half_up(np.array([p]))[0]))
+        rows["forecast"].append(float(o.round_half_up(np.array([z / p]))[0]))
+    out = pd.DataFrame(rows)
+    out["n_demands"] = out["n_demands"].astype(np.int64)
+    for c in ("size_hat", "interval_hat", "forecast"):
+        out[c] = out[c].astype(np.float64)
+    return out
+
+
 def _build_dtw_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     series: "dict[str, np.ndarray]" = {}
@@ -4795,6 +4832,7 @@ _FILL_ORACLE_BUILDERS = {
     "isotonic_fit_1h": _build_isotonic_oracle,
     "binseg_changepoints": _build_binseg_oracle,
     "dtw_distance": _build_dtw_oracle,
+    "croston_forecast": _build_croston_oracle,
 }
 
 
@@ -5599,6 +5637,10 @@ def oracle_sql() -> dict[str, str]:
         "dtw_distance": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('dtw_distance')}')"
+        ),
+        "croston_forecast": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('croston_forecast')}')"
         ),
         "harmonic_24h": (
             "SELECT * FROM read_parquet("

@@ -3133,6 +3133,77 @@ def variance_ratio(
     )
 
 
+def _croston_one_source(
+    obs: pd.DataFrame, source: str, alpha: float, min_demands: int
+) -> pd.DataFrame:
+    """Croston's method for one intermittent source: two simple
+    exponential smoothers, one over demand SIZES (the observed 1m sums),
+    one over inter-demand INTERVALS (grid steps between consecutive
+    observed buckets). Init z = first size, p = first interval; each
+    subsequent demand updates both (the first interval seeds p and is
+    then also the first update, the standard convention — pinned here
+    and replayed by the vendored oracle fills.croston_recursion).
+    Forecast per grid step = z / p."""
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    n = int(ts.size)
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_demands": pd.Series([], dtype=np.int64),
+                "size_hat": pd.Series([], dtype=np.float64),
+                "interval_hat": pd.Series([], dtype=np.float64),
+                "forecast": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    if n < min_demands:
+        return empty
+    iv = ((ts[1:] - ts[:-1]) // 60).astype(np.int64)
+    z = float(s[0])
+    p = float(iv[0])
+    for i in range(1, n):
+        z = alpha * float(s[i]) + (1.0 - alpha) * z
+        p = alpha * float(iv[i - 1]) + (1.0 - alpha) * p
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_demands": np.array([n], dtype=np.int64),
+            "size_hat": _round6_half_up(np.array([z])),
+            "interval_hat": _round6_half_up(np.array([p])),
+            "forecast": _round6_half_up(np.array([z / p])),
+        }
+    )
+
+
+def croston_forecast(
+    input_path,
+    *,
+    alpha: float = 0.1,
+    min_demands: int = 3,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source Croston intermittent-demand forecast — the forecaster
+    built for EXACTLY the sparse feeds where EWMA/Holt over the dense
+    grid degenerate (mostly-missing minutes): smooth demand sizes and
+    inter-demand gaps separately, forecast tokens-per-minute = size/gap.
+    See :func:`_croston_one_source` for the pinned recursion."""
+    from datafiller_ray.config import EngineValueError
+
+    if not (0.0 < alpha <= 1.0):
+        raise EngineValueError(f"alpha must be in (0, 1], got {alpha}")
+    if min_demands < 2:
+        raise EngineValueError(f"min_demands must be >= 2, got {min_demands}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _croston_one_source(obs, src, alpha, min_demands),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
 def _conformal_one_source(
     obs: pd.DataFrame, source: str, season: int, level: float, min_pairs: int
 ) -> pd.DataFrame:

@@ -1151,3 +1151,17 @@ def znorm_moments(v: np.ndarray):
     mean = float(S) / float(n)
     sd = math.sqrt(float(d) / float(n * n))
     return (v.astype(np.float64) - mean) / sd
+
+
+def croston_recursion(s: np.ndarray, iv: np.ndarray, alpha: float):
+    """Croston SES pair, scalar re-derivation of the operator's pinned
+    convention: z seeds with the first size, p with the first interval,
+    then every subsequent demand i updates z with size_i and p with
+    interval_{i-1} (so the seeding interval is also the first update).
+    Returns (z, p)."""
+    z = float(s[0])
+    p = float(iv[0])
+    for i in range(1, int(s.size)):
+        z = alpha * float(s[i]) + (1.0 - alpha) * z
+        p = alpha * float(iv[i - 1]) + (1.0 - alpha) * p
+    return z, p

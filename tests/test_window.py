@@ -2075,3 +2075,28 @@ def test_forecast_interval_conformal_guarantee():
         {"bucket_ts": ts[:50], "sum": s[:50]}
     )
     assert len(_conformal_one_source(short, "s", 60, 0.9, 10)) == 0
+
+
+def test_croston_steady_vs_intermittent():
+    from datafiller_ray.pipelines.window import _croston_one_source
+
+    # steady every-minute demand of size 10 -> z ~ 10, p ~ 1, forecast ~ 10
+    n = 500
+    ts = np.arange(n, dtype=np.int64) * 60
+    s = np.full(n, 10, np.int64)
+    out = _croston_one_source(pd.DataFrame({"bucket_ts": ts, "sum": s}), "s", 0.1, 3)
+    assert abs(out["size_hat"].iloc[0] - 10.0) < 1e-9
+    assert abs(out["interval_hat"].iloc[0] - 1.0) < 1e-9
+    assert abs(out["forecast"].iloc[0] - 10.0) < 1e-9
+
+    # same sizes every 5 minutes -> p ~ 5, forecast ~ 2
+    ts5 = np.arange(n, dtype=np.int64) * 300
+    out5 = _croston_one_source(pd.DataFrame({"bucket_ts": ts5, "sum": s}), "s", 0.1, 3)
+    assert abs(out5["interval_hat"].iloc[0] - 5.0) < 1e-9
+    assert abs(out5["forecast"].iloc[0] - 2.0) < 1e-9
+
+    # fewer demands than min_demands -> omitted
+    short = pd.DataFrame(
+        {"bucket_ts": ts[:2], "sum": s[:2]}
+    )
+    assert len(_croston_one_source(short, "s", 0.1, 3)) == 0
