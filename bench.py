@@ -428,6 +428,29 @@ def run_bench() -> dict:
 
     timed("source_profile", fused_profile)
 
+    def kalman_conformal():
+        # tenth-session family: sequential per-source recursions at scale —
+        # Kalman filter+RTS smoother over the dense 1m grid plus the
+        # conformal residual-quantile band, both through the one exchange
+        from datafiller_ray.pipelines.window import (
+            forecast_interval,
+            kalman_fill,
+        )
+
+        kalman_fill(fixture, shuffle="bucketed").count()
+        forecast_interval(fixture, shuffle="bucketed").count()
+
+    timed("kalman_conformal", kalman_conformal)
+
+    def tpch_q10():
+        # relational shape: lineitem x orders equi_join exchange (both
+        # sides pruned at the projection) + two broadcast dimension hops
+        import __ray_entry__ as entrymod
+
+        entrymod.queries()["returned_revenue_topk"](SF_DIR).count()
+
+    timed("tpch_q10_returned_revenue", tpch_q10)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",
