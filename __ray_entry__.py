@@ -1977,6 +1977,15 @@ def _binseg_changepoints(sf_dir: str):
     return binseg_changepoints(_fixture(sf_dir), step=3600, k=3, min_size=2)
 
 
+def _quality_checks(sf_dir: str):
+    """Deequ-style constraint suite over documents (five checks; exact
+    integer counters, one bounded exchange + one doc_id-keyed exchange for
+    uniqueness) — pipelines/hygiene.quality_checks."""
+    from datafiller_ray.pipelines.hygiene import quality_checks
+
+    return quality_checks(_read(sf_dir, "documents"))
+
+
 def _croston_forecast(sf_dir: str):
     """Per-source Croston intermittent-demand forecast (SES over sizes +
     SES over inter-demand grid intervals, alpha 0.1) —
@@ -3544,6 +3553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dtw_distance": _dtw_distance,
         "forecast_interval_1m": _forecast_interval_1m,
         "croston_forecast": _croston_forecast,
+        "quality_checks": _quality_checks,
         "centroid_silhouette": _centroid_silhouette,
         "order_priority_census": _order_priority_census,
         "returned_revenue_topk": _returned_revenue_topk,
@@ -5102,6 +5112,44 @@ def oracle_sql() -> dict[str, str]:
                              / GREATEST(length(text), 1)::DOUBLE, 6) <= 0.3
         """,
         "corpus_prepare": _corpus_prepare_sql(),
+        # Deequ-style constraint suite: all-integer counters
+        "quality_checks": """
+            WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+                       FROM documents),
+            checks AS (
+              SELECT 'text_nonempty' AS check_name,
+                     (SELECT n_rows FROM n) AS n_rows,
+                     CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_violations
+              FROM documents
+              UNION ALL
+              SELECT 'nchars_consistent', (SELECT n_rows FROM n),
+                     CAST(SUM(CASE WHEN text IS NULL OR n_chars IS NULL
+                                        OR n_chars <> length(text)
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'lang_present', (SELECT n_rows FROM n),
+                     CAST(SUM(CASE WHEN lang IS NULL OR length(lang) = 0
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'nchars_range', (SELECT n_rows FROM n),
+                     CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 1
+                                        OR n_chars > 100000
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'doc_id_unique', (SELECT n_rows FROM n),
+                     (SELECT n_rows FROM n)
+                         - CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+              FROM documents)
+            SELECT check_name, n_rows, n_violations,
+                   CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS passed
+            FROM checks
+        """,
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe

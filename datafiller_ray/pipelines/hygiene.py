@@ -577,3 +577,120 @@ def substring_dup(
         )
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Deequ-style data-quality check suite
+
+
+_QC_CHECKS = (
+    "text_nonempty",
+    "nchars_consistent",
+    "lang_present",
+    "nchars_range",
+    "doc_id_unique",
+)
+
+
+def quality_checks(
+    documents: "ray.data.Dataset", *, max_chars: int = 100_000
+) -> "ray.data.Dataset":
+    """One-pass constraint validation over the documents table — the
+    Deequ/Great-Expectations shape re-expressed Ray-Data-first. Five
+    checks, each a (check_name, n_rows, n_violations, passed) row:
+
+    - ``text_nonempty``: text is non-null and non-empty,
+    - ``nchars_consistent``: n_chars equals length(text) (null = violation),
+    - ``lang_present``: lang is non-null and non-empty,
+    - ``nchars_range``: 1 <= n_chars <= max_chars,
+    - ``doc_id_unique``: duplicates counted as n_rows - n_distinct.
+
+    Scale shape: the four row-local checks collapse to <= 4 counter rows
+    per batch (integer partials, one bounded grouped_sum exchange — the
+    corpus never leaves the workers); uniqueness needs co-location, so it
+    rides the ONE doc_id-keyed grouped_sum and re-collapses to per-batch
+    (dup_excess, distinct) counters. All counts are exact integers; there
+    are no floats anywhere in the operator.
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if max_chars < 1:
+        raise EngineValueError(f"max_chars must be >= 1, got {max_chars}")
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        text = b["text"]
+        tlen = text.str.len()
+        bad_text = int((text.isna() | (tlen.fillna(0) == 0)).sum())
+        mismatch = int(
+            (text.isna() | b["n_chars"].isna() | (b["n_chars"] != tlen)).sum()
+        )
+        lang = b["lang"]
+        bad_lang = int((lang.isna() | (lang.str.len().fillna(0) == 0)).sum())
+        ncr = b["n_chars"]
+        bad_range = int((ncr.isna() | (ncr < 1) | (ncr > max_chars)).sum())
+        return pd.DataFrame(
+            {
+                "check_name": np.array(
+                    [
+                        "text_nonempty",
+                        "nchars_consistent",
+                        "lang_present",
+                        "nchars_range",
+                    ],
+                    dtype=object,
+                ),
+                "n_rows": np.full(4, n, dtype=np.int64),
+                "n_violations": np.array(
+                    [bad_text, mismatch, bad_lang, bad_range], dtype=np.int64
+                ),
+            }
+        )
+
+    row_checks = grouped_sum(
+        documents.map_batches(part, batch_format="pandas"),
+        ["check_name"],
+        ["n_rows", "n_violations"],
+    )
+
+    def id_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "one": np.ones(len(b), dtype=np.int64),
+            }
+        )
+
+    per_id = grouped_sum(
+        documents.map_batches(id_part, batch_format="pandas"),
+        ["doc_id"],
+        "one",
+    )
+
+    def dup_part(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b["one"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "check_name": np.array(["doc_id_unique"], dtype=object),
+                "n_rows": np.array([int(cnt.sum())], dtype=np.int64),
+                "n_violations": np.array(
+                    [int((cnt - 1).sum())], dtype=np.int64
+                ),
+            }
+        )
+
+    uniq_check = grouped_sum(
+        per_id.map_batches(dup_part, batch_format="pandas"),
+        ["check_name"],
+        ["n_rows", "n_violations"],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["passed"] = (b["n_violations"] == 0).astype(np.int64)
+        return b[["check_name", "n_rows", "n_violations", "passed"]]
+
+    return row_checks.union(uniq_check).map_batches(
+        finish, batch_format="pandas"
+    )

@@ -268,3 +268,67 @@ def test_substring_dup_null_text(ray_session):
     )
     assert out.loc[1, "n_windows"] == 0 and out.loc[1, "shared_frac"] == 0.0
     assert out.loc[0, "n_shared"] == 1 and out.loc[2, "n_shared"] == 1
+
+
+# ---------------------------------------------------------------------------
+# quality_checks (Deequ-style constraint suite)
+
+
+def test_quality_checks_counts_violations(ray_session):
+    from datafiller_ray.pipelines.hygiene import quality_checks
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 2, 3, 4], dtype=np.int64),
+            "text": ["hello", "", "abc", None, "toolongx"],
+            "n_chars": pd.array([5, 0, 3, 7, 8], dtype="Int64"),
+            "lang": ["en", "en", None, "", "fr"],
+            "source": ["s"] * 5,
+        }
+    )
+    out = (
+        quality_checks(ray.data.from_pandas(df), max_chars=6)
+        .to_pandas()
+        .set_index("check_name")
+    )
+    assert set(out.index) == {
+        "text_nonempty", "nchars_consistent", "lang_present",
+        "nchars_range", "doc_id_unique",
+    }
+    assert (out["n_rows"] == 5).all()
+    # "" and None texts violate
+    assert out.loc["text_nonempty", "n_violations"] == 2
+    # row2 n_chars=0 == len("")? yes consistent; row with None text violates
+    assert out.loc["nchars_consistent", "n_violations"] == 1
+    assert out.loc["lang_present", "n_violations"] == 2
+    # n_chars: 0 (<1) and 7,8 (>6) violate -> 3
+    assert out.loc["nchars_range", "n_violations"] == 3
+    # doc_id 2 appears twice -> 1 excess duplicate
+    assert out.loc["doc_id_unique", "n_violations"] == 1
+    assert out.loc["doc_id_unique", "passed"] == 0
+    assert out.loc["text_nonempty", "passed"] == 0
+
+
+def test_quality_checks_clean_passes(ray_session):
+    from datafiller_ray.pipelines.hygiene import quality_checks
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["aa", "bb", "cc", "dd"],
+            "n_chars": np.full(4, 2, dtype=np.int64),
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+        }
+    )
+    out = quality_checks(ray.data.from_pandas(df)).to_pandas()
+    assert (out["passed"] == 1).all()
+    assert (out["n_violations"] == 0).all()
+
+
+def test_quality_checks_bad_max_chars():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.hygiene import quality_checks
+
+    with pytest.raises(EngineValueError):
+        quality_checks(None, max_chars=0)
