@@ -3365,6 +3365,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_seasonal_1m": lambda d: _tier_gapfill(
             d, "seasonal", rounding="halfup"
         ),
+        "gapfill_nearest_1m": lambda d: _tier_gapfill(
+            d, "nearest", max_gap=30, rounding="halfup"
+        ),
+        "gapfill_bfill_1m": lambda d: _tier_gapfill(
+            d, "bfill", max_gap=30, rounding="halfup"
+        ),
         "gapfill_linear_1m": lambda d: _tier_gapfill(d, "linear", rounding="halfup"),
         "gapfill_linear_bounded_1m": lambda d: _tier_gapfill(
             d, "linear", max_gap=30, rounding="halfup"
@@ -5019,6 +5025,68 @@ def oracle_sql() -> dict[str, str]:
         WHERE fill_value IS NOT NULL
     """
 
+    # nearest-neighbor fill (ties -> LEFT anchor), same bounded-run rule and
+    # edge contract as the bounded linear oracle (leading NULL, trailing
+    # clamps to pv); fill values are integer sums so the halfup absorber is
+    # exact on both sides
+    nearest_sql = grid_cte + """
+        , win AS (
+          SELECT source, bucket_ts, n_obs, sum_tok,
+                 MAX(bucket_ts) OVER (PARTITION BY source) AS src_hi,
+                 last_value(sum_tok IGNORE NULLS) OVER w_prev AS pv,
+                 last_value(CASE WHEN sum_tok IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+                     OVER w_prev AS pts,
+                 first_value(sum_tok IGNORE NULLS) OVER w_next AS nv,
+                 first_value(CASE WHEN sum_tok IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+                     OVER w_next AS nts
+          FROM joined
+          WINDOW w_prev AS (PARTITION BY source ORDER BY bucket_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w_next AS (PARTITION BY source ORDER BY bucket_ts
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT source, bucket_ts, n_obs,
+               FLOOR(fill_value * 1000000 + 0.5) / 1000000.0 AS fill_value FROM (
+          SELECT source, bucket_ts, n_obs,
+                 CASE WHEN sum_tok IS NOT NULL THEN CAST(sum_tok AS DOUBLE)
+                      WHEN pv IS NULL THEN NULL
+                      WHEN ((COALESCE(nts, src_hi + 60) - pts) / 60 - 1) > 30 THEN NULL
+                      WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                      WHEN (bucket_ts - pts) <= (nts - bucket_ts)
+                           THEN CAST(pv AS DOUBLE)
+                      ELSE CAST(nv AS DOUBLE)
+                 END AS fill_value
+          FROM win)
+        WHERE fill_value IS NOT NULL
+    """
+
+    # backward fill: next observed value anchors the run; LEADING runs are
+    # fillable (length measured from the grid start), trailing runs drop
+    bfill_sql = grid_cte + """
+        , win AS (
+          SELECT source, bucket_ts, n_obs, sum_tok,
+                 MIN(bucket_ts) OVER (PARTITION BY source) AS src_lo,
+                 last_value(CASE WHEN sum_tok IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+                     OVER w_prev AS pts,
+                 first_value(sum_tok IGNORE NULLS) OVER w_next AS nv,
+                 first_value(CASE WHEN sum_tok IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+                     OVER w_next AS nts
+          FROM joined
+          WINDOW w_prev AS (PARTITION BY source ORDER BY bucket_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w_next AS (PARTITION BY source ORDER BY bucket_ts
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT source, bucket_ts, n_obs,
+               FLOOR(fill_value * 1000000 + 0.5) / 1000000.0 AS fill_value FROM (
+          SELECT source, bucket_ts, n_obs,
+                 CASE WHEN sum_tok IS NOT NULL THEN CAST(sum_tok AS DOUBLE)
+                      WHEN nv IS NULL THEN NULL
+                      WHEN ((nts - COALESCE(pts, src_lo - 60)) / 60 - 1) > 30 THEN NULL
+                      ELSE CAST(nv AS DOUBLE)
+                 END AS fill_value
+          FROM win)
+        WHERE fill_value IS NOT NULL
+    """
+
     out = {
         "rollup_1m": rollup(60),
         "rollup_1h": rollup(3600),
@@ -5078,6 +5146,8 @@ def oracle_sql() -> dict[str, str]:
         "retention_1h": rollup(3600, f"WHERE bucket_ts >= {_RETENTION_CUTOFF}"),
         "gapfill_locf_1m": locf_sql,
         "gapfill_seasonal_1m": seasonal_sql,
+        "gapfill_nearest_1m": nearest_sql,
+        "gapfill_bfill_1m": bfill_sql,
         "gapfill_linear_1m": linear_sql,
         "token_stats": f"""
             SELECT source, COUNT(*) AS n_docs,

@@ -66,6 +66,10 @@ class FillConfig:
     - ``strategy="seasonal"``: fill gaps (<= max_gap) with the series' own
       hour-of-day mean over observed buckets — the seasonal imputation a
       neighbor bridge can't express (engine addition; no reference analog).
+    - ``strategy="nearest"``: fill runs <= max_gap with the nearest
+      observed value (ties to the left neighbor).
+    - ``strategy="bfill"``: backward-fill runs <= max_gap with the next
+      observed value (the LOCF mirror; leading runs fillable, trailing not).
     - ``strategy=None``: no gap fill (pure rollup; gap buckets stay null).
     - ``fallback="simple"``: remaining gaps take the per-series observed mean
       (``_apply_fallback``, ``multivariate/imputer.py:744-770``);
@@ -99,6 +103,7 @@ class FillConfig:
 
     VALID_STRATEGIES = (
         None, "locf", "linear", "spline", "mean", "model", "seasonal",
+        "nearest", "bfill",
     )
 
     def __post_init__(self) -> None:

@@ -20,7 +20,8 @@ Semantics reproduce the reference exactly:
 - ``fill_spline``: local natural cubic spline through up to ``window`` observed
   knots on each side of the gap (scipy-free; deterministic).
 
-Method codes: 1=locf, 2=linear, 3=spline, 4=mean, 5=model.
+Method codes: 1=locf, 2=linear, 3=spline, 4=mean, 5=model, 6=seasonal,
+7=nearest, 8=bfill.
 """
 
 from __future__ import annotations
@@ -35,6 +36,8 @@ METHOD_NAMES = {
     4: "mean",
     5: "model",
     6: "seasonal",
+    7: "nearest",
+    8: "bfill",
 }
 METHOD_CODES = {v: k for k, v in METHOD_NAMES.items()}
 
@@ -108,6 +111,54 @@ def fill_locf(
     fill_at = eligible & (last_obs >= 0)
     out[fill_at] = y[last_obs[fill_at]]
     codes[fill_at] = METHOD_CODES["locf"]
+    return out, codes
+
+
+def fill_nearest(
+    y: np.ndarray, max_gap: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fill NaN runs of length <= max_gap with the NEAREST observed value
+    (grid distance; equidistant cells take the LEFT neighbor, the
+    ``scipy.interpolate.interp1d(kind="nearest")`` tie rule). Leading runs
+    stay NaN (no left anchor — same edge contract as ``fill_linear``);
+    trailing runs clamp to the last observed value."""
+    out = y.astype(np.float64, copy=True)
+    codes = np.zeros(y.size, dtype=np.int8)
+    eligible = _eligible_mask(y, max_gap)
+    if not eligible.any():
+        return out, codes
+    isnan = np.isnan(y)
+    idx = np.arange(y.size)
+    prev = np.where(~isnan, idx, -1)
+    np.maximum.accumulate(prev, out=prev)
+    nxt = np.where(~isnan, idx, y.size)
+    nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+    fill_at = eligible & (prev >= 0)
+    use_next = fill_at & (nxt < y.size) & ((idx - prev) > (nxt - idx))
+    pick = np.where(use_next, nxt, prev)
+    out[fill_at] = y[pick[fill_at]]
+    codes[fill_at] = METHOD_CODES["nearest"]
+    return out, codes
+
+
+def fill_bfill(
+    y: np.ndarray, max_gap: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Backward-fill NaN runs of length <= max_gap with the NEXT observed
+    value — the mirror of ``fill_locf``. Leading runs ARE fillable (their
+    anchor is the next observation); trailing runs stay NaN (no right
+    anchor, the terminal fallback handles them)."""
+    out = y.astype(np.float64, copy=True)
+    codes = np.zeros(y.size, dtype=np.int8)
+    eligible = _eligible_mask(y, max_gap, allow_leading=True)
+    if not eligible.any():
+        return out, codes
+    isnan = np.isnan(y)
+    nxt = np.where(~isnan, np.arange(y.size), y.size)
+    nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+    fill_at = eligible & (nxt < y.size)
+    out[fill_at] = y[nxt[fill_at]]
+    codes[fill_at] = METHOD_CODES["bfill"]
     return out, codes
 
 

@@ -102,6 +102,10 @@ def apply_fill(
     (filled values, method codes)."""
     if cfg.strategy == "locf":
         out, codes = gapfill.fill_locf(y, cfg.max_gap)
+    elif cfg.strategy == "nearest":
+        out, codes = gapfill.fill_nearest(y, cfg.max_gap)
+    elif cfg.strategy == "bfill":
+        out, codes = gapfill.fill_bfill(y, cfg.max_gap)
     elif cfg.strategy == "linear":
         out, codes = gapfill.fill_linear(y, cfg.max_gap)
     elif cfg.strategy == "spline":

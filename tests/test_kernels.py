@@ -228,3 +228,91 @@ def test_fill_seasonal_hod_mean():
     ts3 = np.array([0, 3600], dtype=np.int64)  # slot 0 unobserved
     out3, codes3 = fill_seasonal(y3, ts3)
     assert np.isnan(out3[0]) and codes3[0] == 0
+
+
+def _nearest_loop_oracle(y: np.ndarray, max_gap) -> np.ndarray:
+    """Scalar reference: nearest observed value, ties to the LEFT anchor,
+    leading runs untouched, bounded by run length."""
+    out = y.astype(np.float64).copy()
+    n = y.size
+    obs = np.flatnonzero(~np.isnan(y))
+    if obs.size == 0:
+        return out
+    i = 0
+    while i < n:
+        if not np.isnan(y[i]):
+            i += 1
+            continue
+        j = i
+        while j < n and np.isnan(y[j]):
+            j += 1
+        run = j - i
+        prev = obs[obs < i]
+        nxt = obs[obs >= j]
+        if prev.size and (max_gap is None or run <= max_gap):
+            for k in range(i, j):
+                p = prev[-1]
+                if nxt.size and (nxt[0] - k) < (k - p):
+                    out[k] = y[nxt[0]]
+                else:
+                    out[k] = y[p]
+        i = j
+    return out
+
+
+def _bfill_loop_oracle(y: np.ndarray, max_gap) -> np.ndarray:
+    out = y.astype(np.float64).copy()
+    n = y.size
+    i = 0
+    while i < n:
+        if not np.isnan(y[i]):
+            i += 1
+            continue
+        j = i
+        while j < n and np.isnan(y[j]):
+            j += 1
+        run = j - i
+        if j < n and (max_gap is None or run <= max_gap):
+            out[i:j] = y[j]
+        i = j
+    return out
+
+
+@pytest.mark.parametrize("max_gap", [0, 1, 2, 3, 7, None])
+def test_nearest_matches_loop_oracle(max_gap):
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        y = random_gappy(rng, int(rng.integers(1, 60)))
+        mine, codes = gapfill.fill_nearest(y, max_gap)
+        oracle = _nearest_loop_oracle(y, max_gap)
+        np.testing.assert_array_equal(np.isnan(mine), np.isnan(oracle))
+        np.testing.assert_allclose(np.nan_to_num(mine), np.nan_to_num(oracle))
+        assert ((codes != 0) == (np.isnan(y) & ~np.isnan(mine))).all()
+
+
+@pytest.mark.parametrize("max_gap", [0, 1, 2, 3, 7, None])
+def test_bfill_matches_loop_oracle(max_gap):
+    rng = np.random.default_rng(12)
+    for _ in range(100):
+        y = random_gappy(rng, int(rng.integers(1, 60)))
+        mine, codes = gapfill.fill_bfill(y, max_gap)
+        oracle = _bfill_loop_oracle(y, max_gap)
+        np.testing.assert_array_equal(np.isnan(mine), np.isnan(oracle))
+        np.testing.assert_allclose(np.nan_to_num(mine), np.nan_to_num(oracle))
+        assert ((codes != 0) == (np.isnan(y) & ~np.isnan(mine))).all()
+
+
+def test_nearest_tie_goes_left_and_edges():
+    y = np.array([np.nan, 1.0, np.nan, np.nan, np.nan, 5.0, np.nan])
+    mine, _ = gapfill.fill_nearest(y, None)
+    # leading stays NaN; middle run: pos2->1 (closer left), pos3 tie->left,
+    # pos4->5 (closer right); trailing clamps to 5
+    assert np.isnan(mine[0])
+    np.testing.assert_allclose(mine[1:], [1.0, 1.0, 1.0, 5.0, 5.0, 5.0])
+
+
+def test_bfill_leading_filled_trailing_not():
+    y = np.array([np.nan, np.nan, 3.0, np.nan, 7.0, np.nan])
+    mine, _ = gapfill.fill_bfill(y, None)
+    np.testing.assert_allclose(mine[:5], [3.0, 3.0, 3.0, 7.0, 7.0])
+    assert np.isnan(mine[5])
