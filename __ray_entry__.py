@@ -3237,6 +3237,377 @@ def _large_orders(sf_dir: str):
     return final.map_batches(rank, batch_format="pyarrow")
 
 
+def _pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: per (returnflag, linestatus)
+    integer-exact quantity/price/charge sums over lineitem with a shipdate
+    cutoff. All money stays integer (1e-2 / 1e-4 / 1e-6-dollar units via
+    the shared cents*(100-disc)*(100+tax) algebra); the only floats are
+    the three per-group avg divisions, floor-half-up-6 absorbed. Physical
+    plan: per-batch pandas partial groupby (<= 6 groups per batch) then
+    one bounded grouped_sum exchange — the corpus never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    cutoff = np.datetime64("2000-12-01")
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"].to_numpy() < cutoff]
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.Series([], dtype=object),
+                    "l_linestatus": pd.Series([], dtype=object),
+                    "sum_qty": pd.Series([], dtype=np.int64),
+                    "sum_base_e2": pd.Series([], dtype=np.int64),
+                    "sum_disc_e4": pd.Series([], dtype=np.int64),
+                    "sum_charge_e6": pd.Series([], dtype=np.int64),
+                    "sum_disc_pct": pd.Series([], dtype=np.int64),
+                    "n_items": pd.Series([], dtype=np.int64),
+                }
+            )
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        tpct = np.rint(b["l_tax"].to_numpy() * 100).astype(np.int64)
+        disc = cents * (100 - dpct)
+        part = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_numpy(),
+                "l_linestatus": b["l_linestatus"].to_numpy(),
+                "sum_qty": qty,
+                "sum_base_e2": cents,
+                "sum_disc_e4": disc,
+                "sum_charge_e6": disc * (100 + tpct),
+                "sum_disc_pct": dpct,
+                "n_items": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return part.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False, sort=False
+        ).sum()
+
+    li = _read(sf_dir, "lineitem").map_batches(part, batch_format="pandas")
+    agg = grouped_sum(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            "sum_qty", "sum_base_e2", "sum_disc_e4", "sum_charge_e6",
+            "sum_disc_pct", "n_items",
+        ],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_items"].to_numpy(np.float64)
+
+        def r6(x):
+            return np.floor(x * 1e6 + 0.5) / 1e6
+
+        b = b.copy()
+        b["avg_qty"] = r6(b["sum_qty"].to_numpy(np.int64).astype(np.float64) / n)
+        b["avg_base_e2"] = r6(
+            b["sum_base_e2"].to_numpy(np.int64).astype(np.float64) / n
+        )
+        b["avg_disc_pct"] = r6(
+            b["sum_disc_pct"].to_numpy(np.int64).astype(np.float64) / n
+        )
+        return b.drop(columns=["sum_disc_pct"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def _revenue_delta(sf_dir: str):
+    """TPC-H Q6-style forecast-revenue-change: one filtered global sum of
+    cents*disc_pct over a one-year shipdate window, discount band 5..7 pct,
+    qty < 24. No shuffle at all — per-batch integer partials collapse to a
+    single row and the final combine is a one-row grouped_sum."""
+    import numpy as np
+    import pandas as pd
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        sd = b["l_shipdate"].to_numpy()
+        dpct = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        keep = (sd >= lo) & (sd < hi) & (dpct >= 5) & (dpct <= 7) & (qty < 24)
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy()[keep] * 100
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, dtype=np.int64),
+                "n_items": np.array([int(keep.sum())], dtype=np.int64),
+                "revenue_e4": np.array(
+                    [int((cents * dpct[keep]).sum())], dtype=np.int64
+                ),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(part, batch_format="pandas")
+    return grouped_sum(li, ["k"], ["n_items", "revenue_e4"]).map_batches(
+        lambda b: b.drop(columns=["k"]), batch_format="pandas"
+    )
+
+
+def _order_count_distribution(sf_dir: str):
+    """TPC-H Q13-style customer order-count distribution: orders (minus the
+    5-LOW priority band) aggregate to per-customer counts through one
+    custkey-keyed grouped_sum, a left equi_join from the customer key list
+    fills in the zero-order customers, and a second tiny grouped_sum
+    produces (c_count, custdist). Two bounded exchanges, no broadcast of
+    the big side."""
+    import numpy as np
+    import pandas as pd
+
+    from datafiller_ray.pipelines.joins import equi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def ord_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderpriority"] != "5-LOW"]
+        return pd.DataFrame(
+            {
+                "ckey": b["o_custkey"].to_numpy(np.int64),
+                "n_orders": np.ones(len(b), dtype=np.int64),
+            }
+        )
+
+    counts = grouped_sum(
+        _read(sf_dir, "orders").map_batches(ord_part, batch_format="pandas"),
+        ["ckey"],
+        "n_orders",
+    )
+    cust = _read(sf_dir, "customer").map_batches(
+        lambda b: pd.DataFrame({"ckey": b["c_custkey"].to_numpy(np.int64)}),
+        batch_format="pandas",
+    )
+    j = equi_join(
+        cust, counts, key="ckey",
+        left_payload={"ckey2": "ckey"},
+        right_payload={"n_orders": "n_orders"},
+        how="left",
+    )
+
+    def dist_part(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["n_orders"].fillna(0).to_numpy(np.int64)
+        return pd.DataFrame(
+            {"c_count": c, "custdist": np.ones(len(b), dtype=np.int64)}
+        )
+
+    return grouped_sum(
+        j.map_batches(dist_part, batch_format="pandas"), ["c_count"], "custdist"
+    )
+
+
+def _promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-style promo revenue share: part's (partkey -> is_promo)
+    flag broadcast INTO the lineitem scan (map-side, no part shuffle), one
+    month of shipdates, two integer revenue accumulators, share = the one
+    float division at the end. The lineitem side never shuffles — partials
+    collapse to a single row per batch."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    promo = _read(sf_dir, "part").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "pkey": b["p_partkey"].to_numpy(np.int64),
+                "is_promo": (b["p_type"].to_numpy() == "PROMO").astype(np.int8),
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    lut = ray.put(
+        dict(
+            keys=promo["pkey"].to_numpy(np.int64),
+            flags=promo["is_promo"].to_numpy(np.int8),
+        )
+    )
+    lo, hi = np.datetime64("1996-03-01"), np.datetime64("1996-04-01")
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(lut)
+        sd = b["l_shipdate"].to_numpy()
+        keep = (sd >= lo) & (sd < hi)
+        b = b[keep]
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = cents * (100 - dpct)
+        order = np.argsort(d["keys"], kind="stable")
+        pos = np.searchsorted(d["keys"], b["l_partkey"].to_numpy(np.int64),
+                              sorter=order)
+        is_promo = d["flags"][order[pos]].astype(bool)
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, dtype=np.int64),
+                "promo_revenue_e4": np.array(
+                    [int(rev[is_promo].sum())], dtype=np.int64
+                ),
+                "total_revenue_e4": np.array([int(rev.sum())], dtype=np.int64),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(part, batch_format="pandas")
+    agg = grouped_sum(li, ["k"], ["promo_revenue_e4", "total_revenue_e4"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        tot = b["total_revenue_e4"].to_numpy(np.int64).astype(np.float64)
+        pr = b["promo_revenue_e4"].to_numpy(np.int64).astype(np.float64)
+        share = np.where(tot > 0, 100.0 * pr / tot, 0.0)
+        b = b.drop(columns=["k"]).copy()
+        b["promo_share"] = np.floor(share * 1e6 + 0.5) / 1e6
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def _disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-style disjunctive-predicate revenue (reshaped to this
+    part schema: brand + size + quantity bands, no container column): part
+    meta broadcast into the lineitem scan, three OR branches evaluated
+    vectorized per batch, per-branch integer revenue + counts. Tests that
+    multi-branch predicates fuse into ONE corpus pass instead of three."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    meta = _read(sf_dir, "part").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "pkey": b["p_partkey"].to_numpy(np.int64),
+                "brand": b["p_brand"].to_numpy(),
+                "size": b["p_size"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas().sort_values("pkey")
+    lut = ray.put(
+        dict(
+            keys=meta["pkey"].to_numpy(np.int64),
+            brand=meta["brand"].to_numpy(),
+            size=meta["size"].to_numpy(np.int64),
+        )
+    )
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(lut)
+        pos = np.searchsorted(d["keys"], b["l_partkey"].to_numpy(np.int64))
+        brand, size = d["brand"][pos], d["size"][pos]
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = cents * (100 - dpct)
+        b1 = (brand == "Brand#1") & (size >= 1) & (size <= 15) & (qty <= 11)
+        b2 = (
+            (brand == "Brand#2") & (size >= 10) & (size <= 30)
+            & (qty >= 10) & (qty <= 20)
+        )
+        b3 = (brand == "Brand#3") & (size >= 25) & (qty >= 20)
+        rows = []
+        for name, m in (("brand1_small", b1), ("brand2_mid", b2),
+                        ("brand3_bulk", b3)):
+            rows.append(
+                (name, int(m.sum()), int(rev[m].sum()))
+            )
+        return pd.DataFrame(
+            rows, columns=["branch", "n_items", "revenue_e4"]
+        ).astype({"n_items": np.int64, "revenue_e4": np.int64})
+
+    li = _read(sf_dir, "lineitem").map_batches(part, batch_format="pandas")
+    return grouped_sum(li, ["branch"], ["n_items", "revenue_e4"])
+
+
+def _idle_capital_by_nation(sf_dir: str):
+    """TPC-H Q22-style (reshaped, no phone codes): customers whose balance
+    beats the positive-balance average and who placed NO order since the
+    recency cutoff, grouped by nation. The average is one tiny global
+    aggregate (broadcast scalar); dormancy is the shared anti semi_join —
+    the date filter prunes the right side BEFORE the exchange, so only
+    recent orders' distinct custkeys ship; nation is a broadcast dim hop.
+    Balances stay integer cents end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from datafiller_ray.pipelines.joins import broadcast_join, semi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def bal_part(b: pd.DataFrame) -> pd.DataFrame:
+        bal = np.rint(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = bal > 0
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, dtype=np.int64),
+                "s": np.array([int(bal[pos].sum())], dtype=np.int64),
+                "n": np.array([int(pos.sum())], dtype=np.int64),
+            }
+        )
+
+    cust_raw = _read(sf_dir, "customer")
+    tot = grouped_sum(
+        cust_raw.map_batches(bal_part, batch_format="pandas"), ["k"], ["s", "n"]
+    ).to_pandas()
+    # threshold in cents as the exact float DuckDB computes: sum/count
+    thresh = float(tot["s"].iloc[0]) / float(tot["n"].iloc[0])
+
+    def cust_proj(b: pd.DataFrame) -> pd.DataFrame:
+        bal = np.rint(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        keep = bal.astype(np.float64) > thresh
+        return pd.DataFrame(
+            {
+                "ckey": b["c_custkey"].to_numpy(np.int64)[keep],
+                "nkey": b["c_nationkey"].to_numpy(np.int64)[keep],
+                "bal_e2": bal[keep],
+            }
+        )
+
+    rich = cust_raw.map_batches(cust_proj, batch_format="pandas")
+    cutoff = np.datetime64("2000-07-01")
+
+    def ord_proj(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderdate"].to_numpy() >= cutoff]
+        return pd.DataFrame({"ckey": b["o_custkey"].to_numpy(np.int64)})
+
+    orders = _read(sf_dir, "orders").map_batches(ord_proj, batch_format="pandas")
+    idle = semi_join(
+        rich, orders, key="ckey",
+        left_payload={"ckey": "ckey", "nkey": "nkey", "bal_e2": "bal_e2"},
+        anti=True,
+    )
+    nat = _read(sf_dir, "nation").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "nkey": b["n_nationkey"].to_numpy(np.int64),
+                "n_name": b["n_name"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+    named = broadcast_join(idle, nat, key="nkey", small_payload={"n_name": "n_name"})
+
+    def count_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": b["n_name"].to_numpy(),
+                "n_cust": np.ones(len(b), dtype=np.int64),
+                "total_bal_e2": b["bal_e2"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_sum(
+        named.map_batches(count_part, batch_format="pandas"),
+        ["n_name"],
+        ["n_cust", "total_bal_e2"],
+    )
+
+
 def _trimmed_mean(sf_dir: str):
     """Per-source interquartile mean of observed 1m sums (drop outside
     [p25, p75], exact kept sum / count; the winsorize band contract) —
@@ -3565,6 +3936,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue_topk": _returned_revenue_topk,
         "small_quantity_revenue": _small_quantity_revenue,
         "large_orders": _large_orders,
+        "pricing_summary": _pricing_summary,
+        "revenue_delta": _revenue_delta,
+        "order_count_distribution": _order_count_distribution,
+        "promo_revenue_share": _promo_revenue_share,
+        "disjunctive_revenue": _disjunctive_revenue,
+        "idle_capital_by_nation": _idle_capital_by_nation,
     }
 
 
@@ -7573,6 +7950,136 @@ def oracle_sql() -> dict[str, str]:
             SELECT order_key, cust_key, c_name, odate_us, total_qty,
                    CAST(rnk AS BIGINT) AS rnk
             FROM j WHERE rnk <= 20
+        """,
+        # Q1 shape: all-integer money sums (1e-2/1e-4/1e-6 units), three
+        # avg divisions floor-half-up-6 absorbed on both sides
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_base_e2,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS sum_disc_e4,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                            * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+                       AS BIGINT) AS sum_charge_e6,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   FLOOR(CAST(CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                                   AS BIGINT) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5)
+                       / 1000000.0 AS avg_qty,
+                   FLOOR(CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5)
+                       / 1000000.0 AS avg_base_e2,
+                   FLOOR(CAST(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                                   AS BIGINT) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5)
+                       / 1000000.0 AS avg_disc_pct
+            FROM lineitem
+            WHERE l_shipdate < DATE '2000-12-01'
+            GROUP BY 1, 2
+        """,
+        # Q6 shape: one filtered global integer sum
+        "revenue_delta": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(COALESCE(SUM(
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT)), 0)
+                       AS BIGINT) AS revenue_e4
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        # Q13 shape: zero-order customers included via the left join
+        "order_count_distribution": """
+            WITH oc AS (
+              SELECT c.c_custkey,
+                     COUNT(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o
+                ON o.o_custkey = c.c_custkey
+               AND o.o_orderpriority <> '5-LOW'
+              GROUP BY 1)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM oc GROUP BY 1
+        """,
+        # Q14 shape: promo flag from part, one month, one float division
+        "promo_revenue_share": """
+            WITH r AS (
+              SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                   THEN CAST(ROUND(l.l_extendedprice * 100)
+                                             AS BIGINT)
+                                        * (100 - CAST(ROUND(l.l_discount * 100)
+                                                      AS BIGINT))
+                                   ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+                     CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(ROUND(l.l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                         AS total_revenue_e4
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= DATE '1996-03-01'
+                AND l.l_shipdate < DATE '1996-04-01')
+            SELECT promo_revenue_e4, total_revenue_e4,
+                   FLOOR(CASE WHEN total_revenue_e4 > 0
+                              THEN 100.0 * CAST(promo_revenue_e4 AS DOUBLE)
+                                   / CAST(total_revenue_e4 AS DOUBLE)
+                              ELSE 0.0 END * 1000000 + 0.5) / 1000000.0
+                       AS promo_share
+            FROM r
+        """,
+        # Q19 shape: three OR branches as labeled rows (brand/size/qty bands)
+        "disjunctive_revenue": """
+            WITH j AS (
+              SELECT p.p_brand AS brand, p.p_size AS size,
+                     CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+                     CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                         AS rev
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            b AS (
+              SELECT 'brand1_small' AS branch, COUNT(*) n, SUM(rev) s
+              FROM j WHERE brand = 'Brand#1' AND size BETWEEN 1 AND 15
+                       AND qty <= 11
+              UNION ALL
+              SELECT 'brand2_mid', COUNT(*), SUM(rev)
+              FROM j WHERE brand = 'Brand#2' AND size BETWEEN 10 AND 30
+                       AND qty BETWEEN 10 AND 20
+              UNION ALL
+              SELECT 'brand3_bulk', COUNT(*), SUM(rev)
+              FROM j WHERE brand = 'Brand#3' AND size >= 25 AND qty >= 20)
+            SELECT branch, CAST(n AS BIGINT) AS n_items,
+                   CAST(COALESCE(s, 0) AS BIGINT) AS revenue_e4
+            FROM b
+        """,
+        # Q22 shape (reshaped): above-positive-average balance, never
+        # ordered, per nation; balances integer cents, the threshold is the
+        # one float sum/count both engines compute identically
+        "idle_capital_by_nation": """
+            WITH t AS (
+              SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                          AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS thresh
+              FROM customer
+              WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0)
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_bal_e2
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE CAST(CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                  > (SELECT thresh FROM t)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= DATE '2000-07-01')
+            GROUP BY 1
         """,
         # argmax join: per-nation top spender (spend DESC, custkey ASC),
         # integer cents
