@@ -2323,6 +2323,15 @@ def _source_trend(sf_dir: str):
     return source_trend(_fixture(sf_dir), step=60, check_tokens=False)
 
 
+def _adf_stat(sf_dir: str):
+    """Per-source Dickey-Fuller unit-root t-statistic of the observed 1m
+    token sums (drift regression on exact integer pair moments, one
+    pinned float chain) — pipelines/window.adf_stat."""
+    from datafiller_ray.pipelines.window import adf_stat
+
+    return adf_stat(_fixture(sf_dir))
+
+
 def _customers_with_orders(sf_dir: str):
     """Customers with at least one order (SQL EXISTS) —
     pipelines/joins.semi_join: right side ships only distinct keys into
@@ -3237,6 +3246,783 @@ def _large_orders(sf_dir: str):
     return final.map_batches(rank, batch_format="pyarrow")
 
 
+_Q7_LO_US = 820454400000000  # 1996-01-01 UTC micros
+_Q7_HI_US = 883612800000000  # 1998-01-01
+_Q15_LO_US = 820454400000000  # 1996-01-01
+_Q15_HI_US = 828316800000000  # 1996-04-01
+_Q21_LATE_US = 7_776_000_000_000  # 90 days in micros
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "ASIA"
+_Q8_PART_TYPE = "ECONOMY"
+
+
+def _li_money_proj(t, extra=()):
+    """Shared lineitem projection: okey + integer 1e-4-dollar revenue
+    (cents * (100 - disc_pct), both factors rounded from the two-decimal
+    doubles) + any extra raw columns passed through."""
+    import numpy as np
+    import pyarrow as pa
+
+    price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+    disc = t["l_discount"].to_numpy(zero_copy_only=False)
+    cents = np.rint(price * 100).astype(np.int64)
+    pct = np.rint(disc * 100).astype(np.int64)
+    cols = {"okey": t["l_orderkey"], "rev": pa.array(cents * (100 - pct))}
+    for name, src in extra:
+        cols[name] = t[src]
+    return pa.table(cols)
+
+
+def _nation_dim(sf_dir: str, key_name: str, out_name: str):
+    """nation as a broadcast dimension frame keyed/named per hop."""
+    import numpy as np
+    import pandas as pd
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_name: b["n_nationkey"].to_numpy(np.int64),
+                out_name: b["n_name"],
+            }
+        )
+
+    return _read(sf_dir, "nation").map_batches(proj, batch_format="pandas")
+
+
+def _nation_trade_volume(sf_dir: str):
+    """TPC-H Q7-style shipping volume between nation pairs: 1996-1997
+    shipped revenue grouped by (supplier nation, customer nation, ship
+    year), cross-nation pairs only. One lineitem x orders equi_join
+    exchange; supplier, customer and the two nation lookups are ONE
+    broadcast_chain stage; revenue integer-exact in 1e-4-dollar units."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import broadcast_chain, equi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(ship, pa.scalar(_Q7_LO_US, pa.int64())),
+            pc.less(ship, pa.scalar(_Q7_HI_US, pa.int64())),
+        )
+        t = t.filter(keep)
+        out = _li_money_proj(t, extra=[("skey", "l_suppkey")])
+        return out.append_column(
+            "ship_year", pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        lambda t: pa.table({"okey": t["o_orderkey"], "ckey": t["o_custkey"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = equi_join(
+        li, orders, key="okey",
+        left_payload={"skey": "skey", "rev": "rev", "ship_year": "ship_year"},
+        right_payload={"ckey": "ckey"},
+    )
+    supp_dim = _read(sf_dir, "supplier").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "skey": b["s_suppkey"].to_numpy(np.int64),
+                "snat": b["s_nationkey"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    cust_dim = _read(sf_dir, "customer").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "ckey": b["c_custkey"].to_numpy(np.int64),
+                "cnat": b["c_nationkey"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = broadcast_chain(
+        j,
+        [
+            (supp_dim, "skey", {"snat": "snat"}),
+            (cust_dim, "ckey", {"cnat": "cnat"}),
+            (
+                _nation_dim(sf_dir, "snat", "supp_nation"),
+                "snat",
+                {"supp_nation": "supp_nation"},
+            ),
+            (
+                _nation_dim(sf_dir, "cnat", "cust_nation"),
+                "cnat",
+                {"cust_nation": "cust_nation"},
+            ),
+        ],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["supp_nation"].to_numpy() != b["cust_nation"].to_numpy()]
+        out = pd.DataFrame(
+            {
+                "supp_nation": b["supp_nation"],
+                "cust_nation": b["cust_nation"],
+                "ship_year": b["ship_year"].to_numpy(np.int64),
+                "n_items": np.ones(len(b), dtype=np.int64),
+                "revenue_e4": b["rev"].to_numpy(np.int64),
+            }
+        )
+        return out.groupby(
+            ["supp_nation", "cust_nation", "ship_year"], as_index=False
+        )[["n_items", "revenue_e4"]].sum()
+
+    part = j.map_batches(partial, batch_format="pandas")
+    return grouped_sum(
+        part, ["supp_nation", "cust_nation", "ship_year"],
+        ["n_items", "revenue_e4"],
+    )
+
+
+def _market_share(sf_dir: str):
+    """TPC-H Q8-style market share: among 1996-1997 orders of ASIA-region
+    customers for ECONOMY-type parts, the revenue share supplied by
+    NATION_3, by order year. Numerator/denominator stay integer-exact in
+    1e-4-dollar units; the single share division is the identical IEEE
+    double op in SQL (CAST/CAST divide), so values hash-match bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import broadcast_chain, broadcast_join, equi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        return _li_money_proj(
+            t, extra=[("skey", "l_suppkey"), ("pkey", "l_partkey")]
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    part_dim = _read(sf_dir, "part").map_batches(
+        lambda b: pd.DataFrame(
+            {"pkey": b.loc[b["p_type"] == _Q8_PART_TYPE, "p_partkey"].to_numpy(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    li = broadcast_join(li, part_dim, key="pkey", small_payload=None)
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(_Q7_LO_US, pa.int64())),
+            pc.less(od, pa.scalar(_Q7_HI_US, pa.int64())),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "ckey": t["o_custkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders").map_batches(
+        ord_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = equi_join(
+        li, orders, key="okey",
+        left_payload={"skey": "skey", "rev": "rev"},
+        right_payload={"ckey": "ckey", "o_year": "o_year"},
+    )
+    cust_dim = _read(sf_dir, "customer").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "ckey": b["c_custkey"].to_numpy(np.int64),
+                "cnat": b["c_nationkey"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    nat_region = _read(sf_dir, "nation").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "cnat": b["n_nationkey"].to_numpy(np.int64),
+                "crkey": b["n_regionkey"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    region_dim = _read(sf_dir, "region").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "crkey": b["r_regionkey"].to_numpy(np.int64),
+                "r_name": b["r_name"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    supp_dim = _read(sf_dir, "supplier").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "skey": b["s_suppkey"].to_numpy(np.int64),
+                "snat": b["s_nationkey"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = broadcast_chain(
+        j,
+        [
+            (cust_dim, "ckey", {"cnat": "cnat"}),
+            (nat_region, "cnat", {"crkey": "crkey"}),
+            (region_dim, "crkey", {"r_name": "r_name"}),
+            (supp_dim, "skey", {"snat": "snat"}),
+            (
+                _nation_dim(sf_dir, "snat", "supp_nation"),
+                "snat",
+                {"supp_nation": "supp_nation"},
+            ),
+        ],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["r_name"].to_numpy() == _Q8_REGION]
+        rev = b["rev"].to_numpy(np.int64)
+        is_nat = b["supp_nation"].to_numpy() == _Q8_NATION
+        out = pd.DataFrame(
+            {
+                "o_year": b["o_year"].to_numpy(np.int64),
+                "mkt_rev_e4": rev,
+                "nat_rev_e4": np.where(is_nat, rev, 0),
+            }
+        )
+        return out.groupby("o_year", as_index=False)[
+            ["mkt_rev_e4", "nat_rev_e4"]
+        ].sum()
+
+    part = j.map_batches(partial, batch_format="pandas")
+    summed = grouped_sum(part, ["o_year"], ["mkt_rev_e4", "nat_rev_e4"])
+
+    def share(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["mkt_share"] = b["nat_rev_e4"].to_numpy(np.int64).astype(
+            np.float64
+        ) / b["mkt_rev_e4"].to_numpy(np.int64).astype(np.float64)
+        return b
+
+    return summed.map_batches(share, batch_format="pandas")
+
+
+def _profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9-shaped profit census (partsupp-free reshape: unit cost is
+    the part's retail price): profit_e4 = revenue_e4 -
+    retail_cents * qty * 100, grouped by (supplier nation, order year).
+    One lineitem x orders equi_join exchange; part cost and the supplier
+    nation chain are broadcast hops; everything integer-exact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import broadcast_chain, broadcast_join, equi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        out = _li_money_proj(
+            t, extra=[("skey", "l_suppkey"), ("pkey", "l_partkey")]
+        )
+        qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        return out.append_column("qty", pa.array(qty))
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    part_dim = _read(sf_dir, "part").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "pkey": b["p_partkey"].to_numpy(np.int64),
+                "retail_cents": np.rint(
+                    b["p_retailprice"].to_numpy() * 100
+                ).astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    li = broadcast_join(
+        li, part_dim, key="pkey", small_payload={"retail_cents": "retail_cents"}
+    )
+
+    def with_profit(b: pd.DataFrame) -> pd.DataFrame:
+        profit = b["rev"].to_numpy(np.int64) - (
+            b["retail_cents"].to_numpy(np.int64) * b["qty"].to_numpy(np.int64) * 100
+        )
+        return pd.DataFrame(
+            {
+                "okey": b["okey"].to_numpy(np.int64),
+                "skey": b["skey"].to_numpy(np.int64),
+                "profit_e4": profit,
+            }
+        )
+
+    li = li.map_batches(with_profit, batch_format="pandas")
+    orders = _read(sf_dir, "orders").map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = equi_join(
+        li, orders, key="okey",
+        left_payload={"skey": "skey", "profit_e4": "profit_e4"},
+        right_payload={"o_year": "o_year"},
+    )
+    supp_dim = _read(sf_dir, "supplier").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "skey": b["s_suppkey"].to_numpy(np.int64),
+                "snat": b["s_nationkey"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = broadcast_chain(
+        j,
+        [
+            (supp_dim, "skey", {"snat": "snat"}),
+            (_nation_dim(sf_dir, "snat", "nation"), "snat", {"nation": "nation"}),
+        ],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "nation": b["nation"],
+                "o_year": b["o_year"].to_numpy(np.int64),
+                "profit_e4": b["profit_e4"].to_numpy(np.int64),
+            }
+        )
+        return out.groupby(["nation", "o_year"], as_index=False)[
+            ["profit_e4"]
+        ].sum()
+
+    part = j.map_batches(partial, batch_format="pandas")
+    return grouped_sum(part, ["nation", "o_year"], ["profit_e4"])
+
+
+def _ship_delay_census(sf_dir: str):
+    """TPC-H Q12-shaped priority census by ship-delay bucket (shipmode-free
+    reshape: the mode column does not exist in this schema, the delay
+    between orderdate and shipdate takes its place): integer day delays
+    bucketed lt30 / 30_89 / ge90, urgent+high vs lower priority counts per
+    bucket. One equi_join exchange, per-batch partial census (<= 3 rows),
+    one bounded grouped_sum combine."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import equi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t["l_orderkey"],
+                "ship_us": pc.cast(
+                    pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "odate_us": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "prio": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = equi_join(
+        li, orders, key="okey",
+        left_payload={"ship_us": "ship_us"},
+        right_payload={"odate_us": "odate_us", "prio": "prio"},
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            b["ship_us"].to_numpy(np.int64) - b["odate_us"].to_numpy(np.int64)
+        ) // 86_400_000_000
+        bucket = np.where(d < 30, "lt30", np.where(d < 90, "30_89", "ge90"))
+        high = np.isin(b["prio"].to_numpy(), _HIGH_PRIORITIES)
+        out = pd.DataFrame(
+            {
+                "delay_bucket": bucket,
+                "high_cnt": high.astype(np.int64),
+                "low_cnt": (~high).astype(np.int64),
+            }
+        )
+        return out.groupby("delay_bucket", as_index=False)[
+            ["high_cnt", "low_cnt"]
+        ].sum()
+
+    part = j.map_batches(partial, batch_format="pandas")
+    return grouped_sum(part, ["delay_bucket"], ["high_cnt", "low_cnt"])
+
+
+def _top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15-style top supplier(s): per-supplier revenue over 1996-Q1
+    shipments (integer 1e-4-dollar units via grouped_sum), then the
+    supplier(s) achieving the maximum — ties all surface, exactly like the
+    view + MAX subquery formulation. The per-supplier table is
+    dimension-sized, so the final max-filter runs in one block."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import broadcast_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(ship, pa.scalar(_Q15_LO_US, pa.int64())),
+            pc.less(ship, pa.scalar(_Q15_HI_US, pa.int64())),
+        )
+        t = t.filter(keep)
+        out = _li_money_proj(t, extra=[("skey", "l_suppkey")])
+        return out.drop_columns(["okey"])
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_supp = grouped_sum(li, ["skey"], ["rev"]).map_batches(
+        lambda b: b.rename(columns={"rev": "revenue_e4", "skey": "supp_key"}),
+        batch_format="pandas",
+    )
+
+    def keep_max(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b[b["revenue_e4"].to_numpy() == b["revenue_e4"].to_numpy().max()]
+
+    top = per_supp.repartition(1).map_batches(keep_max, batch_format="pandas")
+    supp_dim = _read(sf_dir, "supplier").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "supp_key": b["s_suppkey"].to_numpy(np.int64),
+                "s_name": b["s_name"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = broadcast_join(
+        top, supp_dim, key="supp_key", small_payload={"s_name": "s_name"}
+    )
+    return out.map_batches(
+        lambda b: b[["supp_key", "s_name", "revenue_e4"]], batch_format="pandas"
+    )
+
+
+def _brand_supplier_census(sf_dir: str):
+    """TPC-H Q16-shaped supplier census (partsupp-free reshape: supply
+    relationships come from lineitem; the complaint exclusion becomes a
+    low-balance exclusion, s_acctbal < $1000 in exact cents): distinct
+    supplier count per (p_brand, p_size). Per-batch distinct triples, one
+    dedup exchange, one bounded count combine."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.joins import broadcast_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        lambda t: pa.table({"pkey": t["l_partkey"], "skey": t["l_suppkey"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    supp_ok = _read(sf_dir, "supplier").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "skey": b.loc[
+                    np.rint(b["s_acctbal"].to_numpy() * 100) >= 100_000,
+                    "s_suppkey",
+                ].to_numpy(np.int64)
+            }
+        ),
+        batch_format="pandas",
+    )
+    li = broadcast_join(li, supp_ok, key="skey", small_payload=None)
+    part_dim = _read(sf_dir, "part").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "pkey": b["p_partkey"].to_numpy(np.int64),
+                "p_brand": b["p_brand"],
+                "p_size": b["p_size"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    li = broadcast_join(
+        li, part_dim, key="pkey",
+        small_payload={"p_brand": "p_brand", "p_size": "p_size"},
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["p_brand", "p_size", "skey"]].drop_duplicates()
+        out = out.copy()
+        out["one"] = np.int64(1)
+        return out
+
+    triples = grouped_sum(
+        li.map_batches(partial, batch_format="pandas"),
+        ["p_brand", "p_size", "skey"],
+        ["one"],
+        how="min",
+    )
+    counted = grouped_sum(
+        triples.map_batches(
+            lambda b: b[["p_brand", "p_size", "one"]].rename(
+                columns={"one": "supplier_cnt"}
+            ),
+            batch_format="pandas",
+        ),
+        ["p_brand", "p_size"],
+        ["supplier_cnt"],
+    )
+    return counted
+
+
+def _late_only_suppliers(sf_dir: str):
+    """TPC-H Q21-shaped sole-late-supplier census (commit/receipt-date-free
+    reshape: 'late' means shipped more than 90 days after the order date):
+    for multi-supplier orders where EXACTLY ONE supplier shipped late,
+    count per supplier how often they were that sole late supplier. One
+    equi_join exchange, per-(order, supplier) late flags via a max
+    combine, per-order stats via a second bounded combine, the qualifying
+    orders re-joined as a semi_join (EXISTS shape), supplier name as a
+    broadcast hop."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import broadcast_join, equi_join, semi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t["l_orderkey"],
+                "skey": t["l_suppkey"],
+                "ship_us": pc.cast(
+                    pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "odate_us": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = equi_join(
+        li, orders, key="okey",
+        left_payload={"okey": "okey", "skey": "skey", "ship_us": "ship_us"},
+        right_payload={"odate_us": "odate_us"},
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            b["ship_us"].to_numpy(np.int64)
+            > b["odate_us"].to_numpy(np.int64) + _Q21_LATE_US
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "okey": b["okey"].to_numpy(np.int64),
+                "skey": b["skey"].to_numpy(np.int64),
+                "late": late,
+            }
+        )
+        return out.groupby(["okey", "skey"], as_index=False)[["late"]].max()
+
+    pairs = grouped_sum(
+        j.map_batches(partial, batch_format="pandas"),
+        ["okey", "skey"], ["late"], how="max",
+    )
+    # pairs re-executes per consumer; materialize once (bounded: one row
+    # per (order, supplier) pair after the max combine)
+    pairs = pairs.materialize()
+
+    def stats_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": b["okey"].to_numpy(np.int64),
+                "n_supp": np.ones(len(b), dtype=np.int64),
+                "n_late": b["late"].to_numpy(np.int64),
+            }
+        )
+
+    stats = grouped_sum(
+        pairs.map_batches(stats_proj, batch_format="pandas"),
+        ["okey"], ["n_supp", "n_late"],
+    )
+    qual = stats.map_batches(
+        lambda b: b.loc[
+            (b["n_supp"].to_numpy() >= 2) & (b["n_late"].to_numpy() == 1),
+            ["okey"],
+        ],
+        batch_format="pandas",
+    )
+    late_rows = pairs.map_batches(
+        lambda b: b.loc[b["late"].to_numpy() == 1, ["okey", "skey"]],
+        batch_format="pandas",
+    )
+    sole = semi_join(
+        late_rows, qual, key="okey",
+        left_payload={"okey": "okey", "skey": "skey"},
+    )
+    counts = grouped_sum(
+        sole.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "supp_key": b["skey"].to_numpy(np.int64),
+                    "n_orders": np.ones(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["supp_key"], ["n_orders"],
+    )
+    supp_dim = _read(sf_dir, "supplier").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "supp_key": b["s_suppkey"].to_numpy(np.int64),
+                "s_name": b["s_name"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = broadcast_join(
+        counts, supp_dim, key="supp_key", small_payload={"s_name": "s_name"}
+    )
+    return out.map_batches(
+        lambda b: b[["supp_key", "s_name", "n_orders"]], batch_format="pandas"
+    )
+
+
+def _min_unit_price_supplier(sf_dir: str):
+    """TPC-H Q2-shaped min-cost supplier (partsupp-free reshape: the
+    supply cost is the observed unit price on lineitem, exact in
+    1e-4-dollar units via cents * 100 // qty): for every part, the
+    supplier(s) whose minimum observed unit price equals the part's global
+    minimum — the correlated-MIN-subquery join shape. The per-part min
+    table is dimension-sized and broadcasts back into the scan; the
+    surviving (part, supplier) matches dedup through one bounded
+    exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from datafiller_ray.pipelines.joins import broadcast_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def li_proj(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "part_key": b["l_partkey"].to_numpy(np.int64),
+                "supp_key": b["l_suppkey"].to_numpy(np.int64),
+                "unit_e4": (cents * 100) // qty,
+            }
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(li_proj, batch_format="pandas")
+
+    def partial_min(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("part_key", as_index=False)[["unit_e4"]].min()
+
+    mins = grouped_sum(
+        li.map_batches(partial_min, batch_format="pandas"),
+        ["part_key"], ["unit_e4"], how="min",
+    ).map_batches(
+        lambda b: b.rename(columns={"unit_e4": "min_unit_e4"}),
+        batch_format="pandas",
+    )
+    matched = broadcast_join(
+        li, mins, key="part_key", small_payload={"min_unit_e4": "min_unit_e4"}
+    )
+
+    def keep_min(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["unit_e4"].to_numpy() == b["min_unit_e4"].to_numpy()]
+        out = b[["part_key", "supp_key", "unit_e4"]].drop_duplicates().copy()
+        out["one"] = np.int64(1)
+        return out
+
+    distinct = grouped_sum(
+        matched.map_batches(keep_min, batch_format="pandas"),
+        ["part_key", "supp_key", "unit_e4"], ["one"], how="min",
+    )
+    part_dim = _read(sf_dir, "part").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "part_key": b["p_partkey"].to_numpy(np.int64),
+                "p_brand": b["p_brand"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    supp_dim = _read(sf_dir, "supplier").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "supp_key": b["s_suppkey"].to_numpy(np.int64),
+                "s_name": b["s_name"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = broadcast_join(
+        distinct, part_dim, key="part_key", small_payload={"p_brand": "p_brand"}
+    )
+    out = broadcast_join(
+        out, supp_dim, key="supp_key", small_payload={"s_name": "s_name"}
+    )
+    return out.map_batches(
+        lambda b: b[["part_key", "p_brand", "supp_key", "s_name", "unit_e4"]],
+        batch_format="pandas",
+    )
+
+
 def _pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary: per (returnflag, linestatus)
     integer-exact quantity/price/charge sums over lineitem with a shipdate
@@ -3883,6 +4669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedupe_window": _events_dedupe_window,
         "rolling_median_1m": _rolling_median,
         "source_trend": _source_trend,
+        "adf_stat": _adf_stat,
         "customers_with_orders": _customers_with_orders,
         "customers_no_events": _customers_no_events,
         "supplier_demand_salted": _supplier_demand_salted,
@@ -3936,6 +4723,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue_topk": _returned_revenue_topk,
         "small_quantity_revenue": _small_quantity_revenue,
         "large_orders": _large_orders,
+        "nation_trade_volume": _nation_trade_volume,
+        "market_share": _market_share,
+        "profit_by_nation_year": _profit_by_nation_year,
+        "ship_delay_census": _ship_delay_census,
+        "top_supplier_revenue": _top_supplier_revenue,
+        "brand_supplier_census": _brand_supplier_census,
+        "late_only_suppliers": _late_only_suppliers,
+        "min_unit_price_supplier": _min_unit_price_supplier,
         "pricing_summary": _pricing_summary,
         "revenue_delta": _revenue_delta,
         "order_count_distribution": _order_count_distribution,
@@ -7208,6 +8003,43 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END * 1000000 + 0.5)/1000000.0 AS r2
             FROM c WHERE n_obs >= 2 AND d1 > 0
         """,
+        # DF(0) unit-root t-stat: exact HUGEINT pair moments; the residual
+        # cross term d2*d1 - num^2 is evaluated in DOUBLES on BOTH sides
+        # (the exact product exceeds HUGEINT at corpus scale)
+        "adf_stat": f"""
+            WITH r AS ({rollup(60)}),
+            p AS (
+              SELECT source, sum_tok AS y,
+                     LAG(sum_tok) OVER (PARTITION BY source
+                                        ORDER BY bucket_ts) AS x
+              FROM r),
+            d AS (
+              SELECT source, CAST(x AS HUGEINT) AS x,
+                     CAST(y - x AS HUGEINT) AS dy
+              FROM p WHERE x IS NOT NULL),
+            m AS (
+              SELECT source, COUNT(*)::HUGEINT AS n,
+                     SUM(x) AS sx, SUM(dy) AS sd,
+                     SUM(x*x) AS sxx, SUM(x*dy) AS sxd, SUM(dy*dy) AS sdd
+              FROM d GROUP BY 1),
+            c AS (
+              SELECT source, CAST(n AS BIGINT) AS n_pairs,
+                     n*sxd - sx*sd AS num, n*sxx - sx*sx AS d1,
+                     n*sdd - sd*sd AS d2
+              FROM m),
+            f AS (
+              SELECT source, n_pairs, num, d1,
+                     CAST(d2 AS DOUBLE)*CAST(d1 AS DOUBLE)
+                       - CAST(num AS DOUBLE)*CAST(num AS DOUBLE) AS rrd
+              FROM c WHERE n_pairs >= 3 AND d1 > 0)
+            SELECT source, n_pairs,
+                   FLOOR(CAST(num AS DOUBLE)/CAST(d1 AS DOUBLE)
+                         * 1000000 + 0.5)/1000000.0 AS gamma_hat,
+                   FLOOR(CAST(num AS DOUBLE)
+                         * sqrt(CAST(n_pairs - 2 AS DOUBLE)) / sqrt(rrd)
+                         * 1000000 + 0.5)/1000000.0 AS adf_t
+            FROM f WHERE rrd > 0.0
+        """,
         "customers_with_orders": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o
@@ -7950,6 +8782,168 @@ def oracle_sql() -> dict[str, str]:
             SELECT order_key, cust_key, c_name, odate_us, total_qty,
                    CAST(rnk AS BIGINT) AS rnk
             FROM j WHERE rnk <= 20
+        """,
+        # Q7 shape: nation-pair shipping volume, 1e-4-dollar integer money
+        "nation_trade_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT)
+                       AS ship_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            WHERE l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate < DATE '1998-01-01'
+              AND ns.n_name <> nc.n_name
+            GROUP BY 1, 2, 3
+        """,
+        # Q8 shape: integer numerator/denominator, ONE identical IEEE
+        # double division on both sides
+        "market_share": """
+            WITH j AS (
+              SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+                         AS o_year,
+                     CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                         AS rev,
+                     ns.n_name AS supp_nation
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+                         AND p.p_type = 'ECONOMY'
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+              JOIN region r ON nc.n_regionkey = r.r_regionkey
+                           AND r.r_name = 'ASIA'
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+              WHERE o.o_orderdate >= DATE '1996-01-01'
+                AND o.o_orderdate < DATE '1998-01-01')
+            SELECT o_year,
+                   CAST(SUM(rev) AS BIGINT) AS mkt_rev_e4,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                 THEN rev ELSE 0 END) AS BIGINT)
+                       AS nat_rev_e4,
+                   CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                      THEN rev ELSE 0 END) AS BIGINT)
+                        AS DOUBLE)
+                     / CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY 1
+        """,
+        # Q9 shape (partsupp-free): cost = retail cents * qty * 100,
+        # profit stays integer end-to-end
+        "profit_by_nation_year": """
+            SELECT ns.n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100)
+                                          AS BIGINT))
+                            - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                              * CAST(ROUND(l.l_quantity) AS BIGINT) * 100)
+                        AS BIGINT) AS profit_e4
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            GROUP BY 1, 2
+        """,
+        # Q12 shape (shipmode-free): integer day-delay buckets x priority
+        "ship_delay_census": """
+            WITH j AS (
+              SELECT (CAST(epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+                           AS BIGINT)
+                      - CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                             AS BIGINT)) // 86400000000 AS d,
+                     o.o_orderpriority AS prio
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey)
+            SELECT CASE WHEN d < 30 THEN 'lt30'
+                        WHEN d < 90 THEN '30_89'
+                        ELSE 'ge90' END AS delay_bucket,
+                   CAST(SUM(CASE WHEN prio IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+                   CAST(SUM(CASE WHEN prio IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_cnt
+            FROM j GROUP BY 1
+        """,
+        # Q15 shape: revenue view + MAX subquery, ties all surface
+        "top_supplier_revenue": """
+            WITH r AS (
+              SELECT l_suppkey AS supp_key,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(ROUND(l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                         AS revenue_e4
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY 1)
+            SELECT r.supp_key, s.s_name, r.revenue_e4
+            FROM r JOIN supplier s ON r.supp_key = s.s_suppkey
+            WHERE r.revenue_e4 = (SELECT MAX(revenue_e4) FROM r)
+        """,
+        # Q16 shape (partsupp-free): distinct-supplier census, exact-cents
+        # low-balance exclusion replacing the complaint filter
+        "brand_supplier_census": """
+            SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE CAST(ROUND(s.s_acctbal * 100) AS BIGINT) >= 100000
+            GROUP BY 1, 2
+        """,
+        # Q21 shape (receipt/commit-free): late = shipped > orderdate+90d;
+        # multi-supplier orders with EXACTLY ONE late supplier
+        "late_only_suppliers": """
+            WITH f AS (
+              SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+                     MAX(CASE WHEN CAST(epoch_us(CAST(l.l_shipdate
+                                                      AS TIMESTAMP))
+                                        AS BIGINT)
+                                   > CAST(epoch_us(CAST(o.o_orderdate
+                                                        AS TIMESTAMP))
+                                          AS BIGINT) + 7776000000000
+                              THEN 1 ELSE 0 END) AS late
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1, 2),
+            q AS (
+              SELECT okey FROM f GROUP BY okey
+              HAVING COUNT(*) >= 2 AND SUM(late) = 1)
+            SELECT f.skey AS supp_key, s.s_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM f
+            JOIN q ON f.okey = q.okey
+            JOIN supplier s ON f.skey = s.s_suppkey
+            WHERE f.late = 1
+            GROUP BY 1, 2
+        """,
+        # Q2 shape (partsupp-free): correlated MIN over observed integer
+        # unit prices (cents*100 // qty), joined back, ties all surface
+        "min_unit_price_supplier": """
+            WITH u AS (
+              SELECT l_partkey AS part_key, l_suppkey AS supp_key,
+                     (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100)
+                       // CAST(ROUND(l_quantity) AS BIGINT) AS unit_e4
+              FROM lineitem),
+            m AS (
+              SELECT part_key, MIN(unit_e4) AS min_u FROM u GROUP BY 1)
+            SELECT DISTINCT u.part_key, p.p_brand, u.supp_key, s.s_name,
+                   u.unit_e4
+            FROM u
+            JOIN m ON u.part_key = m.part_key AND u.unit_e4 = m.min_u
+            JOIN part p ON u.part_key = p.p_partkey
+            JOIN supplier s ON u.supp_key = s.s_suppkey
         """,
         # Q1 shape: all-integer money sums (1e-2/1e-4/1e-6 units), three
         # avg divisions floor-half-up-6 absorbed on both sides

@@ -39,6 +39,7 @@ from datafiller_ray.config import EngineValueError
 __all__ = [
     "anti_join",
     "asof_join",
+    "broadcast_chain",
     "broadcast_join",
     "equi_join",
     "range_join",
@@ -904,30 +905,9 @@ def anti_join(left, right, *, key: str, left_payload, right_key: "str | None" = 
 _MAX_BROADCAST_ROWS = 20_000_000
 
 
-def broadcast_join(
-    big,
-    small,
-    *,
-    key: str,
-    small_payload,
-    how: str = "inner",
-    max_small_rows: int = _MAX_BROADCAST_ROWS,
-):
-    """Map-side join against a SMALL dimension table: the small side is
-    gathered once (driver-bounded, guarded by ``max_small_rows``), put in
-    the object store ONCE via ``ray.put``, and every batch of the big side
-    probes it with a vectorized pandas merge — no shuffle at all, the
-    100-TB star-join path (SURVEY.md §4 broadcast-small-side pattern).
-
-    The small side's ``key`` must be unique (dimension-table contract;
-    duplicates raise EngineValueError — use equi_join for m:n). ``how`` is
-    ``"inner"`` (drop unmatched big rows) or ``"left"`` (keep, null
-    payload). Big-side columns all pass through; ``small_payload`` maps
-    ``{out_name: small_col}`` for the attached columns.
-    """
-    import pandas as pd
-    import ray
-
+def _gather_dim(small, key: str, small_payload, how: str, max_small_rows: int):
+    """Validate + gather one dimension table for broadcasting: returns the
+    renamed pandas frame ``[key, *payload]`` (driver-bounded, guarded)."""
     if how not in ("inner", "left"):
         raise EngineValueError("how must be 'inner' or 'left'")
     sschema = _arrow_schema(small)
@@ -949,26 +929,81 @@ def broadcast_join(
         raise EngineValueError(
             f"small side key {key!r} is not unique; use equi_join for m:n"
         )
-    dim = dim.rename(columns={s: o for o, s in sp.items()})[[key, *sp]]
-    handle = ray.put(dim)
+    return dim.rename(columns={s: o for o, s in sp.items()})[[key, *sp]]
 
-    class _Probe:
-        def __init__(self, ref, key, how):
-            self.dim: pd.DataFrame = ray.get(ref)  # plasma-local per node
-            self.key = key
-            self.how = how
+
+def broadcast_chain(big, hops, *, max_small_rows: int = _MAX_BROADCAST_ROWS):
+    """Consecutive dimension hops collapsed into ONE actor-pool stage:
+    ``hops`` is a list of ``(small, key, small_payload)`` or
+    ``(small, key, small_payload, how)`` tuples, merged IN ORDER inside a
+    single probe actor — a later hop may key on a column attached by an
+    earlier one (the classic snowflake chain supplier -> nation -> region).
+
+    Same semantics as chaining :func:`broadcast_join` calls; the physical
+    difference matters twice at scale: every hop in its own ``map_batches``
+    stage re-materializes the batch stream once per hop, and every
+    actor-pool stage reserves at least one actor, so a deep dimension
+    chain on a small CPU budget can deadlock the streaming scheduler
+    outright (N pools x min 1 CPU + the join's own pool > budget). One
+    stage does N vectorized merges per batch instead.
+    """
+    import pandas as pd
+    import ray
+
+    if not hops:
+        raise EngineValueError("hops must be non-empty")
+    norm = []
+    for hop in hops:
+        small, key, sp, *rest = hop
+        how = rest[0] if rest else "inner"
+        norm.append((key, how, _gather_dim(small, key, sp, how, max_small_rows)))
+    handle = ray.put([(k, h, d) for k, h, d in norm])
+
+    class _ChainProbe:
+        def __init__(self, ref):
+            self.hops = ray.get(ref)  # plasma-local per node
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(
-                self.dim,
-                on=self.key,
-                how="inner" if self.how == "inner" else "left",
-                sort=False,
-            )
+            for key, how, dim in self.hops:
+                batch = batch.merge(
+                    dim,
+                    on=key,
+                    how="inner" if how == "inner" else "left",
+                    sort=False,
+                )
+            return batch
 
     return big.map_batches(
-        _Probe,
-        fn_constructor_args=(handle, key, how),
+        _ChainProbe,
+        fn_constructor_args=(handle,),
         batch_format="pandas",
         concurrency=(1, 8),
+    )
+
+
+def broadcast_join(
+    big,
+    small,
+    *,
+    key: str,
+    small_payload,
+    how: str = "inner",
+    max_small_rows: int = _MAX_BROADCAST_ROWS,
+):
+    """Map-side join against a SMALL dimension table: the small side is
+    gathered once (driver-bounded, guarded by ``max_small_rows``), put in
+    the object store ONCE via ``ray.put``, and every batch of the big side
+    probes it with a vectorized pandas merge — no shuffle at all, the
+    100-TB star-join path (SURVEY.md §4 broadcast-small-side pattern).
+
+    The small side's ``key`` must be unique (dimension-table contract;
+    duplicates raise EngineValueError — use equi_join for m:n). ``how`` is
+    ``"inner"`` (drop unmatched big rows) or ``"left"`` (keep, null
+    payload). Big-side columns all pass through; ``small_payload`` maps
+    ``{out_name: small_col}`` for the attached columns. For a CHAIN of
+    dimension hops prefer :func:`broadcast_chain` — one actor-pool stage
+    for the whole chain instead of one per hop.
+    """
+    return broadcast_chain(
+        big, [(small, key, small_payload, how)], max_small_rows=max_small_rows
     )

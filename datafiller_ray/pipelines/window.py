@@ -1265,6 +1265,148 @@ def source_trend(
     )
 
 
+def _adf_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "gamma_hat": pd.Series([], dtype=np.float64),
+                "adf_t": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    s = obs["sum"].to_numpy(np.int64)
+    if s.size < 4:  # need n_pairs >= 3
+        return empty
+    x = s[:-1]
+    dy = s[1:] - s[:-1]
+    n = int(x.size)
+    sx, sd = int(x.sum()), int(dy.sum())
+    sxx, sxd = int(np.dot(x, x)), int(np.dot(x, dy))
+    sdd = int(np.dot(dy, dy))
+    num = n * sxd - sx * sd
+    d1 = n * sxx - sx * sx
+    d2 = n * sdd - sd * sd
+    if d1 <= 0:
+        return empty
+    # residual cross term in DOUBLES from the exact integer moments (the
+    # exact product d2*d1 can exceed HUGEINT at corpus scale, so both
+    # oracle sides pin the identical cast-then-multiply expression)
+    rrd = float(d2) * float(d1) - float(num) * float(num)
+    if not rrd > 0.0:
+        return empty
+    gamma = float(num) / float(d1)
+    t = float(num) * math.sqrt(float(n - 2)) / math.sqrt(rrd)
+    return pd.DataFrame(
+        {
+            "source": np.asarray([source], dtype=object),
+            "n_pairs": np.asarray([n], dtype=np.int64),
+            "gamma_hat": _round6_half_up(np.float64(gamma)),
+            "adf_t": _round6_half_up(np.float64(t)),
+        }
+    )
+
+
+def _haar_one_source(
+    obs: pd.DataFrame, source: str, levels: int
+) -> pd.DataFrame:
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "level": pd.Series([], dtype=np.int64),
+                "n_coefs": pd.Series([], dtype=np.int64),
+                "energy": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    s = obs["sum"].to_numpy(np.int64)
+    if s.size < (1 << levels):
+        return empty
+    m = 1 << int(math.floor(math.log2(s.size)))
+    # integer numerators with implicit denominator 2^k after level k: the
+    # unnormalized Haar ladder stays EXACT in int64-promoted Python ints,
+    # so energy_k = sum(d_num^2) / 4^k is one pinned division per level
+    a = s[:m].astype(object)  # unbounded ints: no overflow at any level
+    rows = []
+    for k in range(1, levels + 1):
+        d_num = a[0::2] - a[1::2]
+        a = a[0::2] + a[1::2]
+        e_num = int(sum(int(d) * int(d) for d in d_num))
+        rows.append(
+            (
+                source,
+                k,
+                int(d_num.size),
+                float(e_num) / float(4**k),
+            )
+        )
+    out = pd.DataFrame(rows, columns=["source", "level", "n_coefs", "energy"])
+    out["level"] = out["level"].astype(np.int64)
+    out["n_coefs"] = out["n_coefs"].astype(np.int64)
+    out["energy"] = _round6_half_up(out["energy"].to_numpy(np.float64))
+    return out
+
+
+def haar_energy(
+    input_path,
+    *,
+    levels: int = 3,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source Haar wavelet energy decomposition of the observed 1m
+    token sums: the series (truncated to its largest power-of-two prefix)
+    runs the unnormalized Haar ladder — level-k details are
+    ``(pairwise differences) / 2^k`` — and reports the detail ENERGY per
+    level, the multi-resolution variance split that separates minute-scale
+    jitter (level 1) from hour-scale swings (deeper levels).
+
+    Exactness: the unnormalized ladder keeps integer numerators with
+    implicit denominator ``2^k`` (promoted to unbounded Python ints, no
+    overflow at corpus scale), so each level's energy is the single
+    pinned division ``sum(d_num^2) / 4^k`` + round6 — the vendored
+    scalar-loop oracle (tests/oracle/fills.py) reproduces every bit.
+    Sources shorter than ``2^levels`` observations are omitted."""
+    from datafiller_ray.config import EngineValueError
+
+    if not 1 <= levels <= 16:
+        raise EngineValueError(f"levels must be in [1, 16], got {levels}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _haar_one_source(obs, src, levels),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def adf_stat(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source Dickey-Fuller unit-root statistic over the observed 1m
+    token sums: the t-statistic of gamma in ``diff(y)_t = alpha +
+    gamma * y_{t-1}`` (drift, no lagged-difference terms — the DF(0)
+    member of the ADF family; observed-bucket LAG pairing like ``acf_1m``
+    so a SQL window oracle reproduces the series exactly). gamma near 0
+    (t above the critical value) means the token-rate series behaves like
+    a random walk; strongly negative t means it mean-reverts — the
+    stationarity screen that tells a corpus operator which
+    ``source_trend`` drifts are real.
+
+    All six pair moments are exact integers; the regression reduces to
+    ``gamma = num/d1`` and ``t = num * sqrt(n-2) / sqrt(d2*d1 - num^2)``
+    with the residual cross term evaluated in DOUBLES from the exact
+    integers (the exact product would exceed HUGEINT at corpus scale) —
+    every float op pinned and mirrored token-for-token in the oracle,
+    round6 on both outputs. Sources with fewer than 3 pairs, constant
+    levels, or a zero-residual fit are omitted."""
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _adf_one_source(obs, src),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
 # ---------------------------------------------------------------------------
 # winsorization at binary-fraction quantiles
 

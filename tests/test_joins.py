@@ -385,6 +385,53 @@ def test_broadcast_join_inner_left_and_guards(ray_session):
                        max_small_rows=2)
 
 
+def test_broadcast_chain_matches_sequential_hops(ray_session):
+    # one chained stage == N broadcast_join stages, including a snowflake
+    # dependency (hop 2 keys on a column ATTACHED by hop 1)
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.joins import broadcast_chain, broadcast_join
+
+    rng = np.random.default_rng(7)
+    big = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 10, 500).astype(np.int64),
+                "v": np.arange(500, dtype=np.int64),
+            }
+        )
+    )
+    dim1 = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": np.arange(10, dtype=np.int64),
+                "grp": (np.arange(10, dtype=np.int64) % 3),
+            }
+        )
+    )
+    dim2 = ray.data.from_pandas(
+        pd.DataFrame(
+            {"grp": np.arange(3, dtype=np.int64), "gname": ["x", "y", "z"]}
+        )
+    )
+    hops = [
+        (dim1, "k", {"grp": "grp"}),
+        (dim2, "grp", {"gname": "gname"}),
+    ]
+    chained = (
+        broadcast_chain(big, hops)
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    seq = broadcast_join(big, dim1, key="k", small_payload={"grp": "grp"})
+    seq = broadcast_join(seq, dim2, key="grp", small_payload={"gname": "gname"})
+    seq = seq.to_pandas().sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(chained[seq.columns], seq)
+
+    with pytest.raises(EngineValueError, match="non-empty"):
+        broadcast_chain(big, [])
+
+
 # ---------------------------------------------------------------------------
 # semi / anti join
 

@@ -609,6 +609,69 @@ def test_source_trend_end_to_end(ray_session, small_fixture):
     assert out["source"].is_unique
 
 
+def test_adf_one_source_matches_statsmodels_formula():
+    # independent re-derivation: OLS of diff(y) on [1, y_lag] via lstsq,
+    # t = gamma / se(gamma) from the standard (X'X)^-1 covariance
+    from datafiller_ray.pipelines.window import _adf_one_source
+
+    rng = np.random.default_rng(11)
+    # mean-reverting AR(1): should give a strongly negative t
+    y = np.zeros(400)
+    for i in range(1, 400):
+        y[i] = 0.55 * y[i - 1] + rng.normal(0, 10)
+    s = np.rint(y + 500).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(s.size, dtype=np.int64) * 60, "sum": s}
+    )
+    out = _adf_one_source(obs, "s")
+    x = s[:-1].astype(float)
+    d = np.diff(s).astype(float)
+    X = np.column_stack([np.ones_like(x), x])
+    beta, *_ = np.linalg.lstsq(X, d, rcond=None)
+    resid = d - X @ beta
+    dof = d.size - 2
+    sigma2 = float(resid @ resid) / dof
+    cov = sigma2 * np.linalg.inv(X.T @ X)
+    t_ref = beta[1] / np.sqrt(cov[1, 1])
+    assert abs(out["gamma_hat"].iloc[0] - beta[1]) < 1e-6
+    assert abs(out["adf_t"].iloc[0] - t_ref) < 1e-4
+    assert out["adf_t"].iloc[0] < -5  # mean reversion detected
+
+
+def test_adf_degenerate_sources():
+    from datafiller_ray.pipelines.window import _adf_one_source
+
+    ts = np.arange(10, dtype=np.int64) * 60
+    # constant series: d1 == 0, omitted
+    flat = _adf_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": np.full(10, 7, np.int64)}), "s"
+    )
+    assert len(flat) == 0
+    # exact linear ramp: residuals are zero -> rrd == 0, omitted
+    ramp = _adf_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": np.arange(10, dtype=np.int64)}),
+        "s",
+    )
+    assert len(ramp) == 0
+    # too short
+    short = _adf_one_source(
+        pd.DataFrame({"bucket_ts": ts[:3], "sum": np.array([1, 5, 2], np.int64)}),
+        "s",
+    )
+    assert len(short) == 0
+
+
+def test_adf_end_to_end(ray_session, small_fixture):
+    from datafiller_ray.pipelines.window import adf_stat
+
+    out = adf_stat(small_fixture).to_pandas()
+    assert set(out.columns) == {"source", "n_pairs", "gamma_hat", "adf_t"}
+    assert out["source"].is_unique
+    assert (out["n_pairs"] >= 3).all()
+    # gamma in a sane band: differences regressed on levels
+    assert (out["gamma_hat"] <= 0.0).all() or (out["gamma_hat"] > -2.5).all()
+
+
 # ---------------------------------------------------------------------------
 # winsorize / ntile
 
