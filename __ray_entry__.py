@@ -2332,6 +2332,15 @@ def _adf_stat(sf_dir: str):
     return adf_stat(_fixture(sf_dir))
 
 
+def _haar_energy(sf_dir: str):
+    """Per-source Haar wavelet detail energies over the observed 1m token
+    sums (integer-numerator ladder, one pinned division per level) —
+    pipelines/window.haar_energy; vendored scalar-loop oracle."""
+    from datafiller_ray.pipelines.window import haar_energy
+
+    return haar_energy(_fixture(sf_dir), levels=3)
+
+
 def _customers_with_orders(sf_dir: str):
     """Customers with at least one order (SQL EXISTS) —
     pipelines/joins.semi_join: right side ships only distinct keys into
@@ -4670,6 +4679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median_1m": _rolling_median,
         "source_trend": _source_trend,
         "adf_stat": _adf_stat,
+        "haar_energy": _haar_energy,
         "customers_with_orders": _customers_with_orders,
         "customers_no_events": _customers_no_events,
         "supplier_demand_salted": _supplier_demand_salted,
@@ -5999,6 +6009,25 @@ def _build_kalman_oracle() -> "pd.DataFrame":
     return pd.concat(frames, ignore_index=True)
 
 
+def _build_haar_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        y = fr["y"].to_numpy()[keep].astype(np.int64)
+        if y.size < 8:  # engine omits sources shorter than 2^levels
+            continue
+        for k, n, e in o.haar_levels(y, 3):
+            rows.append(
+                (src, k, n, float(o.round_half_up(np.array([e]))[0]))
+            )
+    out = pd.DataFrame(rows, columns=["source", "level", "n_coefs", "energy"])
+    out["level"] = out["level"].astype(np.int64)
+    out["n_coefs"] = out["n_coefs"].astype(np.int64)
+    out["energy"] = out["energy"].astype(np.float64)
+    return out
+
+
 _FILL_ORACLE_BUILDERS = {
     "gapfill_model_1m": _build_model_oracle,
     "gapfill_spline_1m": _build_spline_oracle,
@@ -6021,6 +6050,7 @@ _FILL_ORACLE_BUILDERS = {
     "binseg_changepoints": _build_binseg_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
+    "haar_energy": _build_haar_oracle,
 }
 
 
@@ -6927,6 +6957,9 @@ def oracle_sql() -> dict[str, str]:
         "dtw_distance": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('dtw_distance')}')"
+        ),
+        "haar_energy": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('haar_energy')}')"
         ),
         "croston_forecast": (
             "SELECT * FROM read_parquet("

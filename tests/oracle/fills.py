@@ -1165,3 +1165,28 @@ def croston_recursion(s: np.ndarray, iv: np.ndarray, alpha: float):
         z = alpha * float(s[i]) + (1.0 - alpha) * z
         p = alpha * float(iv[i - 1]) + (1.0 - alpha) * p
     return z, p
+
+
+def haar_levels(y, levels: int):
+    """Unnormalized Haar ladder detail energies, scalar re-derivation of
+    the operator's pinned convention: truncate to the largest power-of-two
+    prefix, each level pairs adjacent values as (a - b, a + b); detail
+    numerators at depth k carry implicit denominator 2^k so the level's
+    energy is the single float division sum(d^2) / 4^k. Returns
+    [(level, n_coefs, energy_float)] using unbounded Python ints."""
+    s = [int(v) for v in y]
+    m = 1
+    while m * 2 <= len(s):
+        m *= 2
+    s = s[:m]
+    out = []
+    for k in range(1, levels + 1):
+        nxt = []
+        e = 0
+        for i in range(0, len(s), 2):
+            d = s[i] - s[i + 1]
+            e += d * d
+            nxt.append(s[i] + s[i + 1])
+        out.append((k, len(nxt), float(e) / float(4**k)))
+        s = nxt
+    return out

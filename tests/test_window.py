@@ -661,6 +661,56 @@ def test_adf_degenerate_sources():
     assert len(short) == 0
 
 
+def test_haar_one_source_parseval_and_reconstruction():
+    # independent check: level energies of the NORMALIZED Haar transform
+    # relate to the unnormalized ladder by 2^k scaling, and total detail +
+    # final approximation energy equals the signal energy (Parseval)
+    from datafiller_ray.pipelines.window import _haar_one_source
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 2000, 64).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(64, dtype=np.int64) * 60, "sum": v}
+    )
+    out = _haar_one_source(obs, "s", 6)
+    assert out["level"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert out["n_coefs"].tolist() == [32, 16, 8, 4, 2, 1]
+    # reference: orthonormal Haar detail coefs d_k = (a - b)/sqrt(2) on the
+    # running normalized approximations; energy_k(engine) * 2^k == ||d_k||^2
+    a = v.astype(float)
+    ref = []
+    for k in range(1, 7):
+        d = (a[0::2] - a[1::2]) / np.sqrt(2.0)
+        a = (a[0::2] + a[1::2]) / np.sqrt(2.0)
+        ref.append(float(d @ d))
+    for k, e_ref in enumerate(ref, start=1):
+        # engine energies are round6'd; x 2^k amplifies that half-ulp
+        e_eng = out.loc[out["level"] == k, "energy"].iloc[0]
+        np.testing.assert_allclose(
+            e_eng * (2.0**k), e_ref, atol=(2.0**k) * 5e-7, rtol=1e-9
+        )
+    # Parseval: sum_k 2^k e_k + final approximation energy == ||v||^2
+    total = sum((2.0**k) * out["energy"].iloc[k - 1] for k in range(1, 7))
+    np.testing.assert_allclose(
+        total + float(a[0] ** 2), float(v @ v), atol=1e-4, rtol=1e-9
+    )
+
+
+def test_haar_truncation_and_short_sources():
+    from datafiller_ray.pipelines.window import _haar_one_source
+
+    # 19 observations -> power-of-two prefix 16
+    v = np.arange(19, dtype=np.int64) * 7
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(19, dtype=np.int64) * 60, "sum": v}
+    )
+    out = _haar_one_source(obs, "s", 3)
+    assert out["n_coefs"].tolist() == [8, 4, 2]
+    # too short for the requested depth: omitted
+    short = _haar_one_source(obs.head(7), "s", 3)
+    assert len(short) == 0
+
+
 def test_adf_end_to_end(ray_session, small_fixture):
     from datafiller_ray.pipelines.window import adf_stat
 
