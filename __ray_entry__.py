@@ -4403,6 +4403,155 @@ def _idle_capital_by_nation(sf_dir: str):
     )
 
 
+def _important_parts_by_value(sf_dir: str):
+    """TPC-H Q11-shaped important-stock census (partsupp-free reshape: a
+    part's held value among NATION_3's suppliers is its shipped revenue on
+    lineitem, exact 1e-4-dollar units). The national supplier-key set is
+    broadcast INTO the lineitem scan (map-side filter, no supplier
+    shuffle); one pkey-keyed grouped_sum; the fraction cut is the
+    scale-free EXACT integer comparison ``2 * n_parts * value > 3 * total``
+    (value above 1.5x the per-part mean), so the threshold needs no
+    per-scale-factor constant the way the reference TPC-H fraction does."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    supp = _read(sf_dir, "supplier").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "skey": b["s_suppkey"].to_numpy(np.int64),
+                "nkey": b["s_nationkey"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()  # supplier is a broadcast dimension
+    nat_keys = np.sort(supp.loc[supp["nkey"] == 3, "skey"].to_numpy(np.int64))
+    keys_ref = ray.put(nat_keys)
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, sk)
+        pos[pos == len(keys)] = 0
+        keep = keys[pos] == sk if len(keys) else np.zeros(len(sk), bool)
+        t = t.filter(pa.array(keep))
+        out = _li_money_proj(t, extra=[("part_key", "l_partkey")])
+        return out.drop_columns(["okey"])
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_part = grouped_sum(li, ["part_key"], ["rev"]).map_batches(
+        lambda b: b.rename(columns={"rev": "value_e4"}), batch_format="pandas"
+    )
+
+    def keep_important(b: pd.DataFrame) -> pd.DataFrame:
+        # per-part table is part-dimension-sized: one block after the
+        # repartition(1), so total/n_parts are global here
+        if not len(b):
+            return b
+        v = b["value_e4"].to_numpy(np.int64)
+        total = int(v.sum())
+        return b[2 * len(v) * v > 3 * total]
+
+    return per_part.repartition(1).map_batches(
+        keep_important, batch_format="pandas"
+    )
+
+
+def _dominant_part_suppliers(sf_dir: str):
+    """TPC-H Q20-shaped dominant-supplier census (partsupp/availqty-free
+    reshape: a supplier is 'dominant' for a part when its 1996 shipped
+    quantity strictly exceeds half the part's 1996 total — the EXACT
+    integer comparison ``2 * qty_sup > qty_part``). One (pkey, skey)
+    grouped_sum exchange; per-part totals fold from that bounded table via
+    a second dimension-sized exchange and come back map-side as a
+    broadcast LUT; supplier names are one broadcast hop."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from datafiller_ray.pipelines.joins import broadcast_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi)
+        t = t.filter(pa.array(keep))
+        qty = np.rint(
+            t["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {"part_key": t["l_partkey"], "supp_key": t["l_suppkey"],
+             "qty": pa.array(qty)}
+        )
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pair = grouped_sum(li, ["part_key", "supp_key"], ["qty"])
+    # per-part 1996 totals: bounded by the part dimension -> broadcast LUT
+    totals = grouped_sum(
+        pair.map_batches(
+            lambda b: b[["part_key", "qty"]], batch_format="pandas"
+        ),
+        ["part_key"],
+        ["qty"],
+    ).to_pandas()
+    order = np.argsort(totals["part_key"].to_numpy(np.int64), kind="stable")
+    lut = ray.put(
+        dict(
+            keys=totals["part_key"].to_numpy(np.int64)[order],
+            tot=totals["qty"].to_numpy(np.int64)[order],
+        )
+    )
+
+    def dominant_part(b: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(lut)
+        pk = b["part_key"].to_numpy(np.int64)
+        qs = b["qty"].to_numpy(np.int64)
+        pos = np.searchsorted(d["keys"], pk)
+        qt = d["tot"][pos]
+        keep = 2 * qs > qt
+        return pd.DataFrame(
+            {
+                "supp_key": b["supp_key"].to_numpy(np.int64)[keep],
+                "n_parts_dominated": np.ones(int(keep.sum()), dtype=np.int64),
+                "qty_dominated": qs[keep],
+            }
+        )
+
+    per_supp = grouped_sum(
+        pair.map_batches(dominant_part, batch_format="pandas"),
+        ["supp_key"],
+        ["n_parts_dominated", "qty_dominated"],
+    )
+    supp_dim = _read(sf_dir, "supplier").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "supp_key": b["s_suppkey"].to_numpy(np.int64),
+                "s_name": b["s_name"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = broadcast_join(
+        per_supp, supp_dim, key="supp_key", small_payload={"s_name": "s_name"}
+    )
+    return out.map_batches(
+        lambda b: b[["supp_key", "s_name", "n_parts_dominated", "qty_dominated"]],
+        batch_format="pandas",
+    )
+
+
 def _trimmed_mean(sf_dir: str):
     """Per-source interquartile mean of observed 1m sums (drop outside
     [p25, p75], exact kept sum / count; the winsorize band contract) —
@@ -4747,6 +4896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _promo_revenue_share,
         "disjunctive_revenue": _disjunctive_revenue,
         "idle_capital_by_nation": _idle_capital_by_nation,
+        "important_parts_by_value": _important_parts_by_value,
+        "dominant_part_suppliers": _dominant_part_suppliers,
     }
 
 
@@ -9084,6 +9235,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT branch, CAST(n AS BIGINT) AS n_items,
                    CAST(COALESCE(s, 0) AS BIGINT) AS revenue_e4
             FROM b
+        """,
+        # Q11 shape (partsupp-free reshape): per-part shipped revenue among
+        # NATION_3's suppliers; scale-free exact integer fraction cut
+        # (value above 1.5x the per-part mean)
+        "important_parts_by_value": """
+            WITH li AS (
+              SELECT l.l_partkey AS part_key,
+                     CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                       AS rev
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              WHERE s.s_nationkey = 3),
+            pp AS (SELECT part_key, CAST(SUM(rev) AS BIGINT) AS value_e4
+                   FROM li GROUP BY 1)
+            SELECT part_key, value_e4 FROM pp
+            WHERE 2 * (SELECT COUNT(*) FROM pp) * value_e4
+                  > 3 * (SELECT SUM(value_e4) FROM pp)
+        """,
+        # Q20 shape (partsupp/availqty-free reshape): suppliers whose 1996
+        # shipped qty of a part strictly exceeds half the part's total
+        "dominant_part_suppliers": """
+            WITH li AS (
+              SELECT l_partkey AS part_key, l_suppkey AS supp_key,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS q
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01'),
+            ps AS (SELECT part_key, supp_key, SUM(q) AS qs
+                   FROM li GROUP BY 1, 2),
+            pt AS (SELECT part_key, SUM(qs) AS qt FROM ps GROUP BY 1),
+            d AS (SELECT ps.supp_key, ps.qs
+                  FROM ps JOIN pt USING (part_key) WHERE 2 * ps.qs > pt.qt)
+            SELECT d.supp_key, s.s_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts_dominated,
+                   CAST(SUM(d.qs) AS BIGINT) AS qty_dominated
+            FROM d JOIN supplier s ON d.supp_key = s.s_suppkey
+            GROUP BY 1, 2
         """,
         # Q22 shape (reshaped): above-positive-average balance, never
         # ordered, per nation; balances integer cents, the threshold is the
