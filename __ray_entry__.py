@@ -1183,6 +1183,17 @@ def _embedding_clusters(sf_dir: str):
     return embedding_clusters(_read(sf_dir, "embeddings"))
 
 
+def _semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: quantizer-cell assignment, then
+    keep-lowest-vec_id pruning of in-cell pairs with cosine >= tau on the
+    1e-6 integer grid (column-blocked lower-triangle matmul per cell;
+    the only exchange is the groupby(cell)) —
+    pipelines/ann.semantic_dedup (arXiv:2303.09540 recipe)."""
+    from datafiller_ray.pipelines.ann import semantic_dedup
+
+    return semantic_dedup(_read(sf_dir, "embeddings"), tau=0.35)
+
+
 def _embedding_pca(sf_dir: str):
     """Distributed PCA projection onto the top-2 corpus components —
     pipelines/ann.embedding_pca: per-batch exact integer Gram partials
@@ -4767,6 +4778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_quality": _kmeans_quality,
         "label_centroid_similarity": _label_centroid_similarity,
         "embedding_clusters": _embedding_clusters,
+        "semantic_dedup": _semantic_dedup,
         "rollup_5m": _rollup_5m,
         "staleness_report": _staleness_report,
         "source_gini": _source_gini,
@@ -5430,6 +5442,33 @@ def _embedding_clusters_sql() -> str:
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
         SELECT vec_id, CAST({case} AS BIGINT) AS cell FROM e
+    """
+
+
+def _semantic_dedup_sql(tau: float = 0.35) -> str:
+    """SemDeDup oracle: the shared literal-centroid assignment CASE, then
+    an in-cell smaller-id self-join with the engine's pinned cosine chain
+    ``<a,b> / (max(|a|,1e-300) * max(|b|,1e-300))`` floored onto the 1e-6
+    grid before the integer threshold compare."""
+    _, _, C = _oracle_ivf_centroids()
+    case = _centroid_assign_case(C, trailing_space=True)
+    tau_micro = int(round(tau * 1e6))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        a AS (SELECT vec_id, de, CAST({case} AS BIGINT) AS cell FROM e),
+        n AS (SELECT vec_id, cell, de,
+                GREATEST(sqrt(list_inner_product(de, de)), 1e-300) AS nrm
+              FROM a),
+        p AS (SELECT b.vec_id AS vec_id,
+                MAX(CASE WHEN FLOOR(list_inner_product(x.de, b.de)
+                                    / (x.nrm * b.nrm) * 1000000 + 0.5)
+                         >= {tau_micro} THEN 1 ELSE 0 END) AS dup
+              FROM n b JOIN n x ON x.cell = b.cell AND x.vec_id < b.vec_id
+              GROUP BY 1)
+        SELECT a.vec_id, a.cell,
+               CAST(COALESCE(p.dup, 0) AS BIGINT) AS is_dup
+        FROM a LEFT JOIN p ON p.vec_id = a.vec_id
     """
 
 
@@ -7063,6 +7102,7 @@ def oracle_sql() -> dict[str, str]:
         # indexed serving shares the scan path's centroids + ranking exactly
         "ann_ivf_indexed": _ann_ivf_sql(),
         "embedding_clusters": _embedding_clusters_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "lineitem_daily": """
             SELECT l_returnflag,
                    epoch_us(l_shipdate) // 86400000000 AS ship_day,

@@ -1368,3 +1368,89 @@ def label_centroid_similarity(
         }
     )
     return ray.data.from_pandas(out if len(out) else empty)
+
+
+def semantic_dedup(
+    embeddings: "ray.data.Dataset",
+    *,
+    tau: float = 0.35,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 7,
+    n_train: int = 1024,
+    col_block: int = 2048,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (cluster first, then prune
+    near-identical pairs INSIDE each cluster — the published web-scale
+    recipe, arXiv:2303.09540): every vector is assigned to the shared
+    deterministic k-means quantizer cell (the ``embedding_clusters``
+    derivation: bounded hash sample -> Lloyd -> broadcast centroids), and
+    within a cell a vector is a DUPLICATE when some SMALLER-``vec_id``
+    cellmate has cosine similarity >= tau. Keep-lowest-id makes the
+    output deterministic with no dependence on scan or pair order.
+
+    Exactness contract: ``sim = <a,b> / (max(|a|,1e-300) *
+    max(|b|,1e-300))`` in float64, floored onto the 1e-6 grid BEFORE the
+    threshold compare, so the compare is integer (tau enters as
+    ``round(tau * 1e6)``) and the SQL oracle mirrors it token-for-token.
+
+    Scale design: the only exchange is the ``groupby(cell)``; per-cell
+    work is a column-blocked lower-triangle matmul whose peak memory is
+    ``cell_rows x col_block`` floats — never cell^2 at once. Cells must
+    stay bounded: ``n_cells`` is the partitioning knob and grows with the
+    corpus (SemDeDup's own regime is tens of thousands of clusters at web
+    scale) so one cell fits one task.
+    """
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+
+    if not (0.0 < tau <= 1.0):
+        raise EngineValueError(f"tau must be in (0, 1], got {tau}")
+    if n_cells < 1:
+        raise EngineValueError(f"n_cells must be >= 1, got {n_cells}")
+    tau_micro = int(round(tau * 1e6))
+
+    M = ivf_training_sample(embeddings, n_train=n_train)
+    C = train_ivf_centroids(M, n_cells=n_cells, n_iters=n_iters, seed=seed)
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self) -> None:
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, Mb = _batch_matrix(batch)
+            out = pd.DataFrame({"vec_id": ids, "cell": _assign_cells(Mb, self.C)})
+            out["embedding"] = batch["embedding"].to_numpy()
+            return out
+
+    assigned = embeddings.map_batches(
+        Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def dedup_cell(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["vec_id"].to_numpy(np.int64), kind="stable")
+        g = g.iloc[order]
+        ids = g["vec_id"].to_numpy(np.int64)
+        Mg = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g["embedding"].to_numpy()]
+        )
+        n = len(ids)
+        nrm = np.maximum(np.sqrt((Mg * Mg).sum(axis=1)), 1e-300)
+        dup = np.zeros(n, dtype=np.int64)
+        for j0 in range(1, n, col_block):
+            j1 = min(j0 + col_block, n)
+            ip = Mg @ Mg[j0:j1].T  # (n, block)
+            sim = ip / (nrm[:, None] * nrm[j0:j1][None, :])
+            micro = np.floor(sim * 1e6 + 0.5)
+            # only strictly-earlier rows may mark column j a duplicate
+            tri = np.arange(n)[:, None] < np.arange(j0, j1)[None, :]
+            dup[j0:j1] = np.where(
+                ((micro >= tau_micro) & tri).any(axis=0), 1, 0
+            )
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": g["cell"].to_numpy(np.int64), "is_dup": dup}
+        )
+
+    return assigned.groupby("cell").map_groups(dedup_cell, batch_format="pandas")

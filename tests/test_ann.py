@@ -397,3 +397,58 @@ def test_centroid_silhouette_validation(ray_session):
     )
     with pytest.raises(EngineValueError):
         centroid_silhouette(ds, n_cells=1)
+
+
+def test_semantic_dedup_flags_planted_duplicates(ray_session):
+    from datafiller_ray.pipelines.ann import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    n, d = 120, 16
+    M = rng.standard_normal((n, d))
+    # plant exact copies: 100->0, 101->1 (cosine 1.0 regardless of cell
+    # geometry; copies land in the copied vector's cell by construction)
+    M[100] = M[0]
+    M[101] = M[1]
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64)})
+    df["embedding"] = list(M.astype(np.float32))
+    out = (
+        semantic_dedup(
+            ray.data.from_pandas(df), tau=0.999, n_cells=4, n_train=64
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    flagged = set(out.loc[out["is_dup"] == 1, "vec_id"])
+    # keep-lowest-id: originals survive, planted copies are the dups
+    assert {100, 101} <= flagged
+    assert 0 not in flagged and 1 not in flagged
+
+    # brute oracle at the operator's own tau/cell assignment
+    got = dict(zip(out["vec_id"], out["is_dup"]))
+    cells = dict(zip(out["vec_id"], out["cell"]))
+    Md = M.astype(np.float32).astype(np.float64)
+    nrm = np.maximum(np.sqrt((Md * Md).sum(axis=1)), 1e-300)
+    for j in range(n):
+        dup = 0
+        for i in range(j):
+            if cells[i] != cells[j]:
+                continue
+            sim = float(Md[i] @ Md[j]) / (nrm[i] * nrm[j])
+            if np.floor(sim * 1e6 + 0.5) >= 999000:
+                dup = 1
+                break
+        assert got[j] == dup, j
+
+
+def test_semantic_dedup_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.ann import semantic_dedup
+
+    df = pd.DataFrame({"vec_id": [0], "embedding": [[0.0, 1.0]]})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(EngineValueError):
+        semantic_dedup(ds, tau=0.0)
+    with pytest.raises(EngineValueError):
+        semantic_dedup(ds, n_cells=0)
