@@ -960,6 +960,31 @@ def _bm25_topk(sf_dir: str):
     return bm25_topk(_read(sf_dir, "documents"), "fast hash join", k=20)
 
 
+def _hybrid_search_rrf(sf_dir: str):
+    """Hybrid BM25 + exact-cosine retrieval fused by reciprocal-rank
+    fusion on the exact 1e-12 integer grid (c = 10^12 // (60 + rank) per
+    list; fused score is an order-independent integer sum) —
+    pipelines/corpus.hybrid_rrf."""
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import hybrid_rrf
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    import pyarrow.compute as pc
+
+    row = qt.take(pc.sort_indices(qt["vec_id"])[:1])
+    qvec = np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
+    return hybrid_rrf(
+        _read(sf_dir, "documents"),
+        _read(sf_dir, "embeddings"),
+        "fast hash join",
+        qvec,
+        k_list=20,
+        k=10,
+        query_vec_id=int(row["vec_id"][0].as_py()),
+    )
+
+
 def _text_index_dir(sf_dir: str) -> str:
     """Build (once per fixture state) the inverted text index under /tmp —
     the mtime/size-keyed atomic-rename caching used by the LSH/IVF index
@@ -4746,6 +4771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _temperature_sample,
         "vocab_topk": _vocab_topk,
         "bm25_topk": _bm25_topk,
+        "hybrid_search_rrf": _hybrid_search_rrf,
         "text_index_and": _text_index_and,
         "text_index_topk": _text_index_topk,
         "length_ntile": _length_ntile,
@@ -6899,6 +6925,56 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id)
             SELECT doc_id, floor(raw * 1000000 + 0.5) / 1000000 AS score
             FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "hybrid_search_rrf": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS tok
+              FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+            g AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                         (SELECT count(*) FROM toks)::BIGINT AS total_dl),
+            tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
+                   WHERE tok IN ('fast','hash','join') GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+                   WHERE tok IN ('fast','hash','join') GROUP BY tok),
+            scored AS (
+              SELECT tf.doc_id,
+                     SUM( ln(1.0 + (g.n_docs - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * (1.0 - 0.75
+                               + 0.75 * dl.dl
+                                 / (CAST(g.total_dl AS DOUBLE) / g.n_docs))) ) AS raw
+              FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN g
+              GROUP BY tf.doc_id),
+            bm_top AS (
+              SELECT doc_id, floor(raw * 1000000 + 0.5) / 1000000 AS score
+              FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+            bm AS (
+              SELECT doc_id,
+                     1000000000000 // (60 + CAST(row_number() OVER (
+                         ORDER BY score DESC, doc_id) AS BIGINT)) AS c
+              FROM bm_top),
+            q AS (SELECT embedding AS qe FROM embeddings
+                  ORDER BY vec_id LIMIT 1),
+            sims AS (
+              SELECT e.vec_id,
+                     round_even(list_cosine_similarity(q.qe, e.embedding), 6)
+                       AS sim
+              FROM q CROSS JOIN embeddings e),
+            ann_top AS (
+              SELECT vec_id,
+                     CAST(row_number() OVER (ORDER BY sim DESC, vec_id)
+                          AS BIGINT) AS r
+              FROM sims QUALIFY r <= 20),
+            ann AS (SELECT vec_id AS doc_id, 1000000000000 // (60 + r) AS c
+                    FROM ann_top),
+            u AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_e12
+                  FROM (SELECT * FROM bm UNION ALL SELECT * FROM ann)
+                  GROUP BY 1)
+            SELECT CAST(row_number() OVER (ORDER BY rrf_e12 DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   doc_id, rrf_e12
+            FROM u QUALIFY rank <= 10
         """,
         "equidepth_histogram": """
             SELECT tile, MIN(n_chars) AS lo, MAX(n_chars) AS hi,

@@ -2634,3 +2634,96 @@ def first_digit_profile(ds, *, value_col: str = "n_tok"):
     # per-source totals need all of a source's digit rows together: group
     # by source (bounded: <= 9 rows per source after the sum)
     return summed.groupby("source").map_groups(finish, batch_format="pandas")
+
+
+RRF_SCALE = 10**12  # exact-integer reciprocal-rank grid: c = SCALE // (K + r)
+
+
+def hybrid_rrf(
+    docs,
+    embeddings,
+    query_text: str,
+    query_vec,
+    *,
+    k_list: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+    query_vec_id: int = 0,
+):
+    """Hybrid lexical + semantic retrieval fused with reciprocal-rank
+    fusion (Cormack/Clarke/Buettcher's RRF): the BM25 top-``k_list`` list
+    over ``docs`` and the exact-cosine top-``k_list`` list over
+    ``embeddings`` each contribute ``RRF_SCALE // (rrf_k + rank)`` per
+    doc — EXACT integer division on the 1e-12 grid, so the fused score is
+    an order-independent integer sum (no float RRF accumulation to
+    diverge from the oracle) — and the fused top-``k`` breaks ties by
+    doc_id ascending.
+
+    Scale design: both input lists are already bounded (<= k_list rows
+    each after their own partial-top-k reductions), so the fusion is a
+    union of two tiny datasets, one doc_id grouped_sum over <= 2*k_list
+    rows, and a single-block final sort. The heavy lifting stays inside
+    the two existing operators (bm25_topk's integer-partial exchanges,
+    brute_force_topk's per-batch partial top-k); fusion adds no
+    corpus-sized exchange of its own.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if k <= 0 or k_list <= 0:
+        raise EngineValueError(f"k/k_list must be positive, got {k}/{k_list}")
+    if rrf_k < 0:
+        raise EngineValueError(f"rrf_k must be >= 0, got {rrf_k}")
+
+    from datafiller_ray.pipelines.ann import brute_force_topk
+
+    bm = bm25_topk(docs, query_text, k=k_list)
+
+    def bm_contrib(b: pd.DataFrame) -> pd.DataFrame:
+        # the list is <= k_list rows: one block after repartition(1)
+        b = b.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        r = np.arange(1, len(b) + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "c": RRF_SCALE // (rrf_k + r),
+            }
+        )
+
+    ann = brute_force_topk(
+        embeddings,
+        np.asarray([query_vec_id], dtype=np.int64),
+        np.asarray(query_vec, dtype=np.float64).reshape(1, -1),
+        k=k_list,
+    )
+
+    def ann_contrib(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["rank"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["vec_id"].to_numpy(np.int64),
+                "c": RRF_SCALE // (rrf_k + r),
+            }
+        )
+
+    fused = grouped_sum(
+        bm.repartition(1)
+        .map_batches(bm_contrib, batch_format="pandas")
+        .union(ann.map_batches(ann_contrib, batch_format="pandas")),
+        ["doc_id"],
+        ["c"],
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"c": "rrf_e12"})
+        b = b.sort_values(
+            ["rrf_e12", "doc_id"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        b["rank"] = np.arange(1, len(b) + 1, dtype=np.int64)
+        return b[["rank", "doc_id", "rrf_e12"]]
+
+    return fused.repartition(1).map_batches(final, batch_format="pandas")

@@ -1355,3 +1355,63 @@ def test_first_digit_exact_near_powers_of_ten(ray_session):
     out = first_digit_profile(ray.data.from_arrow(t)).to_pandas()
     got = dict(zip(out["digit"], out["cnt"]))
     assert got == {1: 4, 9: 4}
+
+
+def test_hybrid_rrf_fuses_both_lists(ray_session):
+    from datafiller_ray.pipelines.corpus import RRF_SCALE, hybrid_rrf
+
+    # doc 0: matches the query text AND is the query vector's nearest
+    # neighbor -> two contributions; docs 1/2 lexical-only; doc 10
+    # vector-only (identical direction, no query terms in text)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": ["alpha beta gamma"] * 12,
+        }
+    )
+    docs.loc[0, "text"] = "alpha beta alpha"
+    docs.loc[1, "text"] = "alpha zzz"
+    docs.loc[2, "text"] = "beta zzz"
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((12, 8))
+    M[0] = np.array([1.0, 0, 0, 0, 0, 0, 0, 0])
+    M[10] = np.array([0.9, 0, 0, 0, 0, 0, 0, 0])  # same direction as doc 0
+    emb = pd.DataFrame({"vec_id": np.arange(12, dtype=np.int64)})
+    emb["embedding"] = list(M.astype(np.float32))
+
+    out = hybrid_rrf(
+        ray.data.from_pandas(docs),
+        ray.data.from_pandas(emb),
+        "alpha beta",
+        M[0],
+        k_list=5,
+        k=6,
+        query_vec_id=0,
+    ).to_pandas()
+    assert list(out.columns) == ["rank", "doc_id", "rrf_e12"]
+    assert len(out) == 6
+    # doc 0 leads both lists -> rank 1 with the two-list fused score
+    assert out.iloc[0]["doc_id"] == 0
+    assert out.iloc[0]["rrf_e12"] == 2 * (RRF_SCALE // 61)
+    # every fused score is a sum of exact per-rank grid values
+    grid = {RRF_SCALE // (60 + r) for r in range(1, 6)}
+    pair_sums = {a + b for a in grid for b in grid}
+    for s in out["rrf_e12"]:
+        assert int(s) in grid | pair_sums
+    # vector-only doc 10 is present (rank 2 in the ANN list)
+    assert 10 in set(out["doc_id"])
+
+
+def test_hybrid_rrf_validation(ray_session):
+    from datafiller_ray.pipelines.corpus import hybrid_rrf
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [0], "text": ["x"]})
+    )
+    emb = pd.DataFrame({"vec_id": [0]})
+    emb["embedding"] = [[1.0, 0.0]]
+    emb = ray.data.from_pandas(emb)
+    with pytest.raises(EngineValueError):
+        hybrid_rrf(docs, emb, "x", [1.0, 0.0], k=0)
+    with pytest.raises(EngineValueError):
+        hybrid_rrf(docs, emb, "x", [1.0, 0.0], rrf_k=-1)
