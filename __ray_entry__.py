@@ -2368,6 +2368,31 @@ def _adf_stat(sf_dir: str):
     return adf_stat(_fixture(sf_dir))
 
 
+def _runs_test(sf_dir: str):
+    """Per-source Wald-Wolfowitz runs test vs the series median (exact
+    integer run counts, one pinned z chain) — pipelines/window.runs_test."""
+    from datafiller_ray.pipelines.window import runs_test
+
+    return runs_test(_fixture(sf_dir))
+
+
+def _turning_points(sf_dir: str):
+    """Per-source turning-points randomness test (exact integer strict
+    extrema count, one pinned z chain) —
+    pipelines/window.turning_points."""
+    from datafiller_ray.pipelines.window import turning_points
+
+    return turning_points(_fixture(sf_dir))
+
+
+def _cox_stuart(sf_dir: str):
+    """Per-source Cox-Stuart sign trend test (all integer — first/second
+    half pairing, strict sign counts) — pipelines/window.cox_stuart."""
+    from datafiller_ray.pipelines.window import cox_stuart
+
+    return cox_stuart(_fixture(sf_dir))
+
+
 def _haar_energy(sf_dir: str):
     """Per-source Haar wavelet detail energies over the observed 1m token
     sums (integer-numerator ladder, one pinned division per level) —
@@ -4867,6 +4892,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_trend": _source_trend,
         "adf_stat": _adf_stat,
         "haar_energy": _haar_energy,
+        "runs_test": _runs_test,
+        "turning_points": _turning_points,
+        "cox_stuart": _cox_stuart,
         "customers_with_orders": _customers_with_orders,
         "customers_no_events": _customers_no_events,
         "supplier_demand_salted": _supplier_demand_salted,
@@ -8306,6 +8334,80 @@ def oracle_sql() -> dict[str, str]:
         # DF(0) unit-root t-stat: exact HUGEINT pair moments; the residual
         # cross term d2*d1 - num^2 is evaluated in DOUBLES on BOTH sides
         # (the exact product exceeds HUGEINT at corpus scale)
+        "runs_test": f"""
+            WITH r AS ({rollup(60)}),
+            m AS (SELECT source, median(sum_tok) AS med FROM r GROUP BY 1),
+            k AS (SELECT r.source, r.bucket_ts,
+                         CASE WHEN CAST(r.sum_tok AS DOUBLE) > m.med
+                              THEN 1 ELSE 0 END AS s
+                  FROM r JOIN m ON m.source = r.source
+                  WHERE CAST(r.sum_tok AS DOUBLE) <> m.med),
+            c AS (SELECT source, s,
+                         LAG(s) OVER (PARTITION BY source
+                                      ORDER BY bucket_ts) AS prev
+                  FROM k),
+            agg AS (SELECT source,
+                           COUNT(*)::BIGINT AS n_kept,
+                           SUM(s)::BIGINT AS n_above,
+                           (COUNT(*) - SUM(s))::BIGINT AS n_below,
+                           (1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                                         THEN 1 ELSE 0 END))::BIGINT AS n_runs
+                    FROM c GROUP BY 1),
+            f AS (SELECT source, n_kept, n_above, n_below, n_runs,
+                         2.0 * n_above * n_below
+                           * (2.0 * n_above * n_below - n_kept)
+                           / (n_kept * n_kept * (n_kept - 1.0)) AS v
+                  FROM agg
+                  WHERE n_above >= 1 AND n_below >= 1 AND n_kept >= 2)
+            SELECT source, n_kept, n_above, n_below, n_runs,
+                   FLOOR((n_runs - (1.0 + 2.0 * n_above * n_below / n_kept))
+                         / sqrt(v) * 1000000 + 0.5) / 1000000.0 AS z
+            FROM f WHERE v > 0.0
+        """,
+        "turning_points": f"""
+            WITH r AS ({rollup(60)}),
+            w AS (SELECT source, bucket_ts, sum_tok AS v,
+                         LAG(sum_tok) OVER (PARTITION BY source
+                                            ORDER BY bucket_ts) AS pv,
+                         LEAD(sum_tok) OVER (PARTITION BY source
+                                             ORDER BY bucket_ts) AS nv
+                  FROM r),
+            t AS (SELECT source, COUNT(*)::BIGINT AS n,
+                         SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                                  AND (v - pv) * (nv - v) < 0
+                                  THEN 1 ELSE 0 END)::BIGINT AS n_turning
+                  FROM w GROUP BY 1)
+            SELECT source, n AS n_buckets, n_turning,
+                   FLOOR((n_turning - 2.0 * (n - 2) / 3.0)
+                         / sqrt((16.0 * n - 29.0) / 90.0)
+                         * 1000000 + 0.5) / 1000000.0 AS z
+            FROM t WHERE n >= 3
+        """,
+        "cox_stuart": f"""
+            WITH r AS ({rollup(60)}),
+            idx AS (SELECT source, sum_tok AS v,
+                           CAST(row_number() OVER (PARTITION BY source
+                                                   ORDER BY bucket_ts)
+                                AS BIGINT) - 1 AS rn,
+                           COUNT(*) OVER (PARTITION BY source) AS n
+                    FROM r),
+            p AS (SELECT a.source, b.v - a.v AS d
+                  FROM idx a JOIN idx b
+                    ON b.source = a.source
+                   AND b.rn = a.rn + (a.n - a.n // 2)
+                  WHERE a.rn < a.n // 2),
+            agg AS (SELECT source, COUNT(*)::BIGINT AS n_pairs,
+                           SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT
+                             AS n_pos,
+                           SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END)::BIGINT
+                             AS n_neg
+                    FROM p GROUP BY 1)
+            SELECT source, n_pairs, n_pos, n_neg,
+                   CAST(CASE WHEN n_pos > n_neg THEN 1
+                             WHEN n_pos < n_neg THEN -1
+                             ELSE 0 END AS BIGINT) AS trend
+            FROM agg
+        """,
         "adf_stat": f"""
             WITH r AS ({rollup(60)}),
             p AS (

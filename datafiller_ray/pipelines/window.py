@@ -4089,3 +4089,156 @@ def source_profile(input_path, *, check_tokens: bool = False, shuffle: str = "so
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _runs_test_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_kept": pd.Series([], dtype=np.int64),
+                "n_above": pd.Series([], dtype=np.int64),
+                "n_below": pd.Series([], dtype=np.int64),
+                "n_runs": pd.Series([], dtype=np.int64),
+                "z": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    y = obs["sum"].to_numpy(np.int64).astype(np.float64)
+    med = _interp_median(np.sort(y))
+    kept = y[y != med]  # median-valued points drop, the classical rule
+    if kept.size < 2:
+        return empty
+    s = (kept > med).astype(np.int64)
+    n1 = int(s.sum())
+    n2 = int(kept.size - n1)
+    if n1 < 1 or n2 < 1:
+        return empty
+    n = n1 + n2
+    runs = 1 + int((s[1:] != s[:-1]).sum())
+    # pinned float chains, mirrored token-for-token in the SQL oracle
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    if not var > 0.0:
+        return empty
+    z = (runs - (1.0 + 2.0 * n1 * n2 / n)) / math.sqrt(var)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_kept": np.array([n], dtype=np.int64),
+            "n_above": np.array([n1], dtype=np.int64),
+            "n_below": np.array([n2], dtype=np.int64),
+            "n_runs": np.array([runs], dtype=np.int64),
+            "z": _round6_half_up(np.array([z])),
+        }
+    )
+
+
+def runs_test(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source Wald-Wolfowitz runs test of the 1m token-sum series
+    against its own median (the "is this feed's level sequence random or
+    streaky" diagnostic): median-valued buckets drop, the above/below
+    indicator's run count R is exact-integer, and the normal z-score is
+    ONE pinned float chain ``(R - mu) / sqrt(var)`` with
+    ``mu = 1 + 2 n1 n2 / n`` and the classical variance, under the shared
+    round6 absorber. Sources with a one-sided or sub-2 kept sequence (or
+    zero variance) are omitted."""
+    return _run_per_source(
+        input_path,
+        _runs_test_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def _turning_points_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    y = obs["sum"].to_numpy(np.int64)
+    n = int(y.size)
+    if n < 3:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_buckets": pd.Series([], dtype=np.int64),
+                    "n_turning": pd.Series([], dtype=np.int64),
+                    "z": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    d = np.diff(y)
+    t = int(((d[:-1] * d[1:]) < 0).sum())  # strict extrema; plateaus no
+    z = (t - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29.0) / 90.0)
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([n], dtype=np.int64),
+            "n_turning": np.array([t], dtype=np.int64),
+            "z": _round6_half_up(np.array([z])),
+        }
+    )
+
+
+def turning_points(
+    input_path, *, check_tokens: bool = False, shuffle: str = "sort"
+):
+    """Per-source turning-points randomness test over observed 1m token
+    sums: count strict local extrema (``(y_t - y_{t-1})(y_{t+1} - y_t) <
+    0`` — exact integer products), z-scored against the i.i.d.-sequence
+    moments ``E = 2(n-2)/3``, ``Var = (16n-29)/90`` in one pinned float
+    chain under round6. Complements runs_test (level streaks) with a
+    local-oscillation view."""
+    return _run_per_source(
+        input_path,
+        _turning_points_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
+def _cox_stuart_one_source(obs: pd.DataFrame, source: str) -> pd.DataFrame:
+    y = obs["sum"].to_numpy(np.int64)
+    n = int(y.size)
+    m = n // 2
+    if m < 1:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_pairs": pd.Series([], dtype=np.int64),
+                    "n_pos": pd.Series([], dtype=np.int64),
+                    "n_neg": pd.Series([], dtype=np.int64),
+                    "trend": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+    off = n - m  # odd n skips the middle observation, the classical rule
+    d = y[off : off + m] - y[:m]
+    n_pos = int((d > 0).sum())
+    n_neg = int((d < 0).sum())
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_pairs": np.array([m], dtype=np.int64),
+            "n_pos": np.array([n_pos], dtype=np.int64),
+            "n_neg": np.array([n_neg], dtype=np.int64),
+            "trend": np.array(
+                [1 if n_pos > n_neg else (-1 if n_pos < n_neg else 0)],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
+def cox_stuart(input_path, *, check_tokens: bool = False, shuffle: str = "sort"):
+    """Per-source Cox-Stuart trend test over observed 1m token sums: pair
+    each first-half bucket with its second-half counterpart (odd series
+    drop the middle), count strictly-positive / strictly-negative
+    differences (ties drop), and report the sign of the majority. ALL
+    integer arithmetic — no float anywhere, hash-exact with no rounding
+    absorber. The nonparametric sanity check read next to theilsen_trend
+    / mann_kendall (which rank magnitudes; this one only signs)."""
+    return _run_per_source(
+        input_path,
+        _cox_stuart_one_source,
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -2213,3 +2213,81 @@ def test_croston_steady_vs_intermittent():
         {"bucket_ts": ts[:2], "sum": s[:2]}
     )
     assert len(_croston_one_source(short, "s", 0.1, 3)) == 0
+
+
+def test_runs_test_one_source_literal():
+    from datafiller_ray.pipelines.window import _runs_test_one_source
+
+    # y = 1 5 1 5 5 1 -> median 3, above/below = 0 1 0 1 1 0 -> 5 runs
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(6, dtype=np.int64) * 60,
+         "sum": np.array([1, 5, 1, 5, 5, 1], dtype=np.int64)}
+    )
+    out = _runs_test_one_source(obs, "s")
+    assert out["n_kept"].tolist() == [6]
+    assert out["n_above"].tolist() == [3]
+    assert out["n_below"].tolist() == [3]
+    assert out["n_runs"].tolist() == [5]
+    n1 = n2 = 3
+    n = 6
+    mu = 1.0 + 2.0 * n1 * n2 / n
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    z = (5 - mu) / np.sqrt(var)
+    assert out["z"].tolist() == [np.floor(z * 1e6 + 0.5) / 1e6]
+
+    # median-valued points drop; one-sided sequences are omitted
+    flat = pd.DataFrame(
+        {"bucket_ts": np.arange(4, dtype=np.int64) * 60,
+         "sum": np.array([7, 7, 7, 7], dtype=np.int64)}
+    )
+    assert len(_runs_test_one_source(flat, "s")) == 0
+
+
+def test_turning_points_one_source_literal():
+    from datafiller_ray.pipelines.window import _turning_points_one_source
+
+    # y = 1 3 2 4 4 5: extrema at 3 (peak) and 2 (valley); plateau 4,4
+    # does not count (strict products only)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(6, dtype=np.int64) * 60,
+         "sum": np.array([1, 3, 2, 4, 4, 5], dtype=np.int64)}
+    )
+    out = _turning_points_one_source(obs, "s")
+    assert out["n_turning"].tolist() == [2]
+    n = 6
+    z = (2 - 2.0 * (n - 2) / 3.0) / np.sqrt((16.0 * n - 29.0) / 90.0)
+    assert out["z"].tolist() == [np.floor(z * 1e6 + 0.5) / 1e6]
+    # fewer than 3 points -> omitted
+    assert len(_turning_points_one_source(obs.head(2), "s")) == 0
+
+
+def test_cox_stuart_one_source_literal():
+    from datafiller_ray.pipelines.window import _cox_stuart_one_source
+
+    # even n: pairs (1,4) (2,3): +3, +1 -> both positive
+    even = pd.DataFrame(
+        {"bucket_ts": np.arange(4, dtype=np.int64) * 60,
+         "sum": np.array([1, 2, 4, 3], dtype=np.int64)}
+    )
+    out = _cox_stuart_one_source(even, "s")
+    assert out[["n_pairs", "n_pos", "n_neg", "trend"]].values.tolist() == [
+        [2, 2, 0, 1]
+    ]
+    # odd n drops the middle: y = 5 4 9 1 2 -> pairs (5,1) (4,2): both neg
+    odd = pd.DataFrame(
+        {"bucket_ts": np.arange(5, dtype=np.int64) * 60,
+         "sum": np.array([5, 4, 9, 1, 2], dtype=np.int64)}
+    )
+    out = _cox_stuart_one_source(odd, "s")
+    assert out[["n_pairs", "n_pos", "n_neg", "trend"]].values.tolist() == [
+        [2, 0, 2, -1]
+    ]
+    # ties drop: y = 3 3 -> pair (3,3) gives n_pos = n_neg = 0, trend 0
+    tie = pd.DataFrame(
+        {"bucket_ts": np.arange(2, dtype=np.int64) * 60,
+         "sum": np.array([3, 3], dtype=np.int64)}
+    )
+    out = _cox_stuart_one_source(tie, "s")
+    assert out[["n_pairs", "n_pos", "n_neg", "trend"]].values.tolist() == [
+        [1, 0, 0, 0]
+    ]
