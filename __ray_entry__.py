@@ -2368,6 +2368,15 @@ def _adf_stat(sf_dir: str):
     return adf_stat(_fixture(sf_dir))
 
 
+def _page_hinkley(sf_dir: str):
+    """Per-source Page-Hinkley drift detector (sequential float recursion
+    on exact-int cumulative means; vendored scalar oracle bit-for-bit) —
+    pipelines/window.page_hinkley."""
+    from datafiller_ray.pipelines.window import page_hinkley
+
+    return page_hinkley(_fixture(sf_dir), delta=0.0, lam=1000.0)
+
+
 def _runs_test(sf_dir: str):
     """Per-source Wald-Wolfowitz runs test vs the series median (exact
     integer run counts, one pinned z chain) — pipelines/window.runs_test."""
@@ -4892,6 +4901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_trend": _source_trend,
         "adf_stat": _adf_stat,
         "haar_energy": _haar_energy,
+        "page_hinkley_1m": _page_hinkley,
         "runs_test": _runs_test,
         "turning_points": _turning_points,
         "cox_stuart": _cox_stuart,
@@ -6272,6 +6282,38 @@ def _build_haar_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_page_hinkley_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = {
+        "source": [],
+        "n_buckets": [],
+        "n_alarms": [],
+        "first_alarm_ts": [],
+        "max_ph": [],
+    }
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep].astype(np.int64)
+        if y.size == 0:
+            continue
+        ph = o.page_hinkley_path(y, delta=0.0)
+        alarms = ph > 1000.0
+        n_al = int(alarms.sum())
+        rows["source"].append(src)
+        rows["n_buckets"].append(int(y.size))
+        rows["n_alarms"].append(n_al)
+        rows["first_alarm_ts"].append(
+            int(ts[int(np.argmax(alarms))]) if n_al else -1
+        )
+        rows["max_ph"].append(float(o.round_half_up(np.array([ph.max()]))[0]))
+    out = pd.DataFrame(rows)
+    for c in ("n_buckets", "n_alarms", "first_alarm_ts"):
+        out[c] = out[c].astype(np.int64)
+    out["max_ph"] = out["max_ph"].astype(np.float64)
+    return out
+
+
 _FILL_ORACLE_BUILDERS = {
     "gapfill_model_1m": _build_model_oracle,
     "gapfill_spline_1m": _build_spline_oracle,
@@ -6295,6 +6337,7 @@ _FILL_ORACLE_BUILDERS = {
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
+    "page_hinkley_1m": _build_page_hinkley_oracle,
 }
 
 
@@ -7252,6 +7295,10 @@ def oracle_sql() -> dict[str, str]:
         "dtw_distance": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('dtw_distance')}')"
+        ),
+        "page_hinkley_1m": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('page_hinkley_1m')}')"
         ),
         "haar_energy": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('haar_energy')}')"

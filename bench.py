@@ -262,6 +262,37 @@ def run_bench() -> dict:
         ).count(),
     )
 
+    from datafiller_ray.pipelines.ann import semantic_dedup
+
+    def semdedup():
+        semantic_dedup(
+            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"), tau=0.35
+        ).count()
+
+    timed("semantic_dedup", semdedup)
+
+    from datafiller_ray.pipelines.corpus import hybrid_rrf
+
+    def hybrid():
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        qt = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        row = qt.take(pc.sort_indices(qt["vec_id"])[:1])
+        qvec = np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
+        hybrid_rrf(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet"),
+            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+            "fast hash join",
+            qvec,
+            k_list=20,
+            k=10,
+            query_vec_id=int(row["vec_id"][0].as_py()),
+        ).count()
+
+    timed("hybrid_search_rrf", hybrid)
+
     # round-4 additions: ordered joins + corpus sampling/stats
     from datafiller_ray.pipelines.corpus import (
         source_quantiles,

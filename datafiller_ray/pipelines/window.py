@@ -4242,3 +4242,71 @@ def cox_stuart(input_path, *, check_tokens: bool = False, shuffle: str = "sort")
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _page_hinkley_one_source(
+    obs: pd.DataFrame, source: str, delta: float, lam: float
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    x = obs["sum"].to_numpy(np.int64)
+    n = int(x.size)
+    if n == 0:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_buckets": pd.Series([], dtype=np.int64),
+                    "n_alarms": pd.Series([], dtype=np.int64),
+                    "first_alarm_ts": pd.Series([], dtype=np.int64),
+                    "max_ph": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    t = np.arange(1, n + 1, dtype=np.float64)
+    # cumulative int sum is exact; the per-step term and the m/min
+    # accumulations are the classical sequential float recursion (numpy
+    # cumsum/minimum.accumulate ARE that left-to-right recursion)
+    term = x - np.cumsum(x) / t - delta
+    m = np.cumsum(term)
+    ph = m - np.minimum.accumulate(m)
+    alarms = ph > lam
+    n_alarms = int(alarms.sum())
+    first_ts = int(ts[int(np.argmax(alarms))]) if n_alarms else -1
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([n], dtype=np.int64),
+            "n_alarms": np.array([n_alarms], dtype=np.int64),
+            "first_alarm_ts": np.array([first_ts], dtype=np.int64),
+            "max_ph": _round6_half_up(np.array([float(ph.max())])),
+        }
+    )
+
+
+def page_hinkley(
+    input_path,
+    *,
+    delta: float = 0.0,
+    lam: float = 1000.0,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source Page-Hinkley upward-drift detector over observed 1m
+    token sums: the sequential-recursion drift statistic ``m_t = sum(y_i
+    - mean_i - delta)`` with ``PH_t = m_t - min m``, alarms where
+    ``PH_t > lam`` (the streaming change-detection complement of the
+    offline binseg/cusum changepoints). The cumulative mean's numerator
+    stays exact-int; the m/min recursions are the pinned sequential float
+    chain shared bit-for-bit with the vendored scalar oracle
+    (tests/oracle/fills.page_hinkley_path). Reports alarm count, first
+    alarm bucket and the peak statistic per source."""
+    from datafiller_ray.config import EngineValueError
+
+    if lam < 0:
+        raise EngineValueError(f"lam must be >= 0, got {lam}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _page_hinkley_one_source(obs, src, delta, lam),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

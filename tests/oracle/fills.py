@@ -1190,3 +1190,21 @@ def haar_levels(y, levels: int):
         out.append((k, len(nxt), float(e) / float(4**k)))
         s = nxt
     return out
+
+
+def page_hinkley_path(y, delta=0.0):
+    """Page-Hinkley increase-detection path as the literal scalar
+    recursion: running exact-int sum for the cumulative mean, float
+    accumulator m_t = m_{t-1} + (y_t - S_t/t - delta), running min, and
+    PH_t = m_t - min_{i<=t} m_i."""
+    S = 0
+    m = 0.0
+    mn = 0.0
+    out = []
+    for i, v in enumerate(np.asarray(y).tolist(), start=1):
+        S += int(v)
+        m = m + (v - S / i - delta)
+        if m < mn:
+            mn = m
+        out.append(m - mn)
+    return np.asarray(out, dtype=np.float64)

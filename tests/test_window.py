@@ -2291,3 +2291,44 @@ def test_cox_stuart_one_source_literal():
     assert out[["n_pairs", "n_pos", "n_neg", "trend"]].values.tolist() == [
         [1, 0, 0, 0]
     ]
+
+
+def test_page_hinkley_one_source_literal():
+    from datafiller_ray.pipelines.window import _page_hinkley_one_source
+
+    # flat 10s then a jump to 110: PH accumulates after the shift
+    y = np.array([10] * 6 + [110] * 6, dtype=np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(12, dtype=np.int64) * 60, "sum": y}
+    )
+    out = _page_hinkley_one_source(obs, "s", 0.0, 50.0)
+    # scalar-recursion reference (the vendored oracle's rule)
+    S, m, mn = 0, 0.0, 0.0
+    ph = []
+    for i, v in enumerate(y.tolist(), start=1):
+        S += v
+        m = m + (v - S / i - 0.0)
+        mn = min(mn, m)
+        ph.append(m - mn)
+    ph = np.asarray(ph)
+    assert out["max_ph"].tolist() == [np.floor(ph.max() * 1e6 + 0.5) / 1e6]
+    alarms = ph > 50.0
+    assert out["n_alarms"].tolist() == [int(alarms.sum())]
+    assert out["first_alarm_ts"].tolist() == [int(np.argmax(alarms)) * 60]
+    # a flat series never alarms and has PH = 0
+    flat = pd.DataFrame(
+        {"bucket_ts": np.arange(5, dtype=np.int64) * 60,
+         "sum": np.full(5, 7, dtype=np.int64)}
+    )
+    out = _page_hinkley_one_source(flat, "s", 0.0, 50.0)
+    assert out["n_alarms"].tolist() == [0]
+    assert out["first_alarm_ts"].tolist() == [-1]
+    assert out["max_ph"].tolist() == [0.0]
+
+
+def test_page_hinkley_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import page_hinkley
+
+    with pytest.raises(EngineValueError):
+        page_hinkley("/nonexistent", lam=-1.0)
