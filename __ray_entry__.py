@@ -317,6 +317,15 @@ def _token_counts(sf_dir: str):
     return token_counts(_read(sf_dir, "documents"))
 
 
+def _tokenizer_fertility(sf_dir: str):
+    """Per-source tokenizer-efficiency census (BPE-ish tokens per
+    whitespace word + chars per token; exact integer sums, two pinned
+    divisions) — pipelines/text.tokenizer_fertility."""
+    from datafiller_ray.pipelines.text import tokenizer_fertility
+
+    return tokenizer_fertility(_read(sf_dir, "documents"))
+
+
 def _near_dup_jaccard(sf_dir: str):
     """LSH candidates + exact char-5-gram Jaccard verification — the
     verified near-dup edge list (doc_a, doc_b, jaccard)."""
@@ -2366,6 +2375,15 @@ def _adf_stat(sf_dir: str):
     from datafiller_ray.pipelines.window import adf_stat
 
     return adf_stat(_fixture(sf_dir))
+
+
+def _chao1_richness(sf_dir: str):
+    """Per-source Chao1 vocabulary-richness estimate over contract-table
+    token ids (exact D/f1/f2 integers through two bounded exchanges, one
+    pinned estimator chain) — pipelines/corpus.chao1_richness."""
+    from datafiller_ray.pipelines.corpus import chao1_richness
+
+    return chao1_richness(_fixture(sf_dir))
 
 
 def _page_hinkley(sf_dir: str):
@@ -4787,6 +4805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _near_dup_clusters,
         "dedup_near_keep_best": _dedup_near_keep_best,
         "token_count_bpe": _token_counts,
+        "tokenizer_fertility": _tokenizer_fertility,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_topk": _ann_topk,
@@ -4901,6 +4920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_trend": _source_trend,
         "adf_stat": _adf_stat,
         "haar_energy": _haar_energy,
+        "chao1_richness": _chao1_richness,
         "page_hinkley_1m": _page_hinkley,
         "runs_test": _runs_test,
         "turning_points": _turning_points,
@@ -7214,6 +7234,30 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS tok_bpe
             FROM documents
         """,
+        "tokenizer_fertility": r"""
+            WITH per_doc AS (
+              SELECT source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_extract_all(trim(text), '\S+'))
+                     END AS words,
+                     len(regexp_extract_all(text, '\w+|[^\w\s]')) AS toks,
+                     n_chars
+              FROM documents),
+            s AS (SELECT source,
+                         COUNT(*)::BIGINT AS n_docs,
+                         CAST(SUM(toks) AS BIGINT) AS sum_tok,
+                         CAST(SUM(words) AS BIGINT) AS sum_words,
+                         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                  FROM per_doc GROUP BY 1)
+            SELECT source, n_docs, sum_tok, sum_words, sum_chars,
+                   FLOOR(CAST(sum_tok AS DOUBLE)
+                         / GREATEST(sum_words, 1) * 1000000 + 0.5)
+                     / 1000000.0 AS fertility,
+                   FLOOR(CAST(sum_chars AS DOUBLE)
+                         / GREATEST(sum_tok, 1) * 1000000 + 0.5)
+                     / 1000000.0 AS chars_per_tok
+            FROM s
+        """,
         "near_dup_jaccard": _near_dup_jaccard_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
         "dedup_near_keep_best": f"""
@@ -8381,6 +8425,22 @@ def oracle_sql() -> dict[str, str]:
         # DF(0) unit-root t-stat: exact HUGEINT pair moments; the residual
         # cross term d2*d1 - num^2 is evaluated in DOUBLES on BOTH sides
         # (the exact product exceeds HUGEINT at corpus scale)
+        "chao1_richness": f"""
+            WITH u AS (SELECT source, unnest(tokens) AS t
+                       FROM read_parquet('{p}/*.parquet')),
+            c AS (SELECT source, t, COUNT(*)::BIGINT AS cnt
+                  FROM u GROUP BY 1, 2),
+            s AS (SELECT source, COUNT(*)::BIGINT AS n_distinct,
+                         SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT
+                           AS f1,
+                         SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT
+                           AS f2
+                  FROM c GROUP BY 1)
+            SELECT source, n_distinct, f1, f2,
+                   FLOOR((n_distinct + f1 * (f1 - 1) / (2.0 * (f2 + 1)))
+                         * 1000000 + 0.5) / 1000000.0 AS chao1
+            FROM s
+        """,
         "runs_test": f"""
             WITH r AS ({rollup(60)}),
             m AS (SELECT source, median(sum_tok) AS med FROM r GROUP BY 1),

@@ -2727,3 +2727,71 @@ def hybrid_rrf(
         return b[["rank", "doc_id", "rrf_e12"]]
 
     return fused.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def chao1_richness(input_path, *, n_buckets: int = 64):
+    """Chao1 vocabulary-richness estimate per source over the CONTRACT
+    table's token ids: distinct tokens D plus the bias-corrected
+    singleton/doubleton tail ``f1 (f1 - 1) / (2 (f2 + 1))`` — the "how
+    much vocabulary has this feed NOT shown yet" census read next to
+    vocab_growth (trajectory) and oov_rate (end state).
+
+    Physical plan mirrors vocab_growth: per-batch (source, token) count
+    partials flatten zero-copy and pre-aggregate BEFORE the one bounded
+    coarse-key exchange; the f1/f2 indicator pass collapses to <=
+    n_sources rows through a second tiny exchange; D/f1/f2 stay exact
+    integers and the estimator is ONE pinned float chain under round6.
+    """
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def counts(t: "pa.Table") -> pd.DataFrame:
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        toks = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        dict_arr = pc.dictionary_encode(t["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+        src = uniq[np.asarray(dict_arr.indices)][parent]
+        df = pd.DataFrame(
+            {"source": src, "token": toks, "cnt": np.ones(len(src), np.int64)}
+        )
+        return df.groupby(["source", "token"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+
+    ds = ray.data.read_parquet(input_path, columns=["source", "tokens"])
+    partials = ds.map_batches(counts, batch_format="pyarrow")
+    per_token = grouped_sum(
+        partials, ["source", "token"], "cnt", n_buckets=n_buckets
+    )
+
+    def indicators(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_distinct": np.ones(len(df), np.int64),
+                "f1": (c == 1).astype(np.int64),
+                "f2": (c == 2).astype(np.int64),
+            }
+        )
+
+    summed = grouped_sum(
+        per_token.map_batches(indicators, batch_format="pandas"),
+        ["source"],
+        ["n_distinct", "f1", "f2"],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["n_distinct"].to_numpy(np.int64)
+        f1 = b["f1"].to_numpy(np.int64)
+        f2 = b["f2"].to_numpy(np.int64)
+        # bias-corrected Chao1; f1 (f1 - 1) is an exact integer numerator
+        chao1 = d + f1 * (f1 - 1) / (2.0 * (f2 + 1))
+        out = b.copy()
+        out["chao1"] = np.floor(chao1 * 1e6 + 0.5) / 1e6
+        return out
+
+    return summed.map_batches(finish, batch_format="pandas")

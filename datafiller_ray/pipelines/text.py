@@ -1068,3 +1068,69 @@ def readability(documents: "ray.data.Dataset") -> "ray.data.Dataset":
     return documents.map_batches(
         Readability, batch_format="pandas", concurrency=(1, 4), batch_size=4096
     )
+
+
+class _FertilityPartial:
+    """Per-batch per-source integer partials for tokenizer_fertility:
+    (n_docs, sum_tok, sum_words, sum_chars). Compiled patterns once per
+    actor; all counts vectorized pandas-str; partials collapse to <=
+    n_sources rows per batch before the exchange."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.ws = re.compile(r"\s+", re.ASCII)
+        self.bpe = re.compile(r"\w+|[^\w\s]", re.ASCII)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        trimmed = text.str.strip()
+        words = trimmed.str.split(self.ws).str.len().to_numpy()
+        words = np.where(
+            trimmed.str.len().to_numpy(np.int64) == 0, 0, words
+        ).astype(np.int64)
+        toks = text.str.count(self.bpe).to_numpy(np.int64)
+        chars = batch["n_chars"].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(),
+                "n_docs": np.ones(len(batch), dtype=np.int64),
+                "sum_tok": toks,
+                "sum_words": words,
+                "sum_chars": chars,
+            }
+        ).groupby("source", sort=True, as_index=False)
+        return g.sum()
+
+
+def tokenizer_fertility(documents: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source tokenizer-efficiency census: BPE-ish tokens per
+    whitespace word (fertility — how many subwords the tokenizer spends
+    per word; the cross-corpus comparability metric from the multilingual
+    tokenizer literature) and chars per token. Integer sums are exact
+    through one bounded grouped_sum exchange; the two ratios are the only
+    floats, under the shared 6-decimal floor-half-up."""
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    partials = documents.map_batches(
+        _FertilityPartial, batch_format="pandas", concurrency=(1, 4),
+        batch_size=4096,
+    )
+    summed = grouped_sum(
+        partials, ["source"], ["n_docs", "sum_tok", "sum_words", "sum_chars"]
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        st = b["sum_tok"].to_numpy(np.int64)
+        sw = b["sum_words"].to_numpy(np.int64)
+        sc = b["sum_chars"].to_numpy(np.int64)
+        # GREATEST(x, 1) guards mirror the SQL oracle exactly (a zero
+        # denominator yields the numerator, not NULL/NaN, on both sides)
+        fert = st / np.maximum(sw, 1)
+        cpt = sc / np.maximum(st, 1)
+        out = b.copy()
+        out["fertility"] = np.floor(fert * 1e6 + 0.5) / 1e6
+        out["chars_per_tok"] = np.floor(cpt * 1e6 + 0.5) / 1e6
+        return out
+
+    return summed.map_batches(finish, batch_format="pandas")

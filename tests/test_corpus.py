@@ -1415,3 +1415,66 @@ def test_hybrid_rrf_validation(ray_session):
         hybrid_rrf(docs, emb, "x", [1.0, 0.0], k=0)
     with pytest.raises(EngineValueError):
         hybrid_rrf(docs, emb, "x", [1.0, 0.0], rrf_k=-1)
+
+
+def test_chao1_richness_literal(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import chao1_richness
+
+    # source s: token counts 1->2, 2->1, 3->1  => D=3, f1=2, f2=1
+    # source t: token 5->2                     => D=1, f1=0, f2=1
+    rows = [
+        {"doc_id": "s:0000000000", "source": "s", "tokens": [1, 2, 1]},
+        {"doc_id": "s:0000000060", "source": "s", "tokens": [3]},
+        {"doc_id": "t:0000000000", "source": "t", "tokens": [5, 5]},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("tokens", pa.list_(pa.int32()))]
+        )
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = (
+        chao1_richness(str(path))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert out["source"].tolist() == ["s", "t"]
+    assert out["n_distinct"].tolist() == [3, 1]
+    assert out["f1"].tolist() == [2, 0]
+    assert out["f2"].tolist() == [1, 1]
+    # chao1 = D + f1(f1-1)/(2(f2+1)): s -> 3 + 2/4 = 3.5, t -> 1 + 0 = 1
+    assert out["chao1"].tolist() == [3.5, 1.0]
+
+
+def test_tokenizer_fertility_literal(ray_session):
+    from datafiller_ray.pipelines.text import tokenizer_fertility
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "source": np.array(["a", "a", "b"], dtype=object),
+            "text": ["one two", "three four five!", "x"],
+            "n_chars": np.array([7, 16, 1], dtype=np.int64),
+        }
+    )
+    out = (
+        tokenizer_fertility(ray.data.from_pandas(docs))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    # a: words 2+3=5, bpe toks 2+4=6 ('!' is its own token), chars 23
+    assert out.loc[0, ["n_docs", "sum_tok", "sum_words", "sum_chars"]].tolist() == [
+        2, 6, 5, 23
+    ]
+    assert out.loc[0, "fertility"] == np.floor(6 / 5 * 1e6 + 0.5) / 1e6
+    assert out.loc[0, "chars_per_tok"] == np.floor(23 / 6 * 1e6 + 0.5) / 1e6
+    assert out.loc[1, ["n_docs", "sum_tok", "sum_words", "sum_chars"]].tolist() == [
+        1, 1, 1, 1
+    ]
