@@ -4491,6 +4491,88 @@ def _idle_capital_by_nation(sf_dir: str):
     )
 
 
+def _sql_ntile(rank0: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 0-based ranks: the first ``n % k`` tiles take
+    ``n // k + 1`` rows, the rest ``n // k`` — exact integers."""
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    out = np.empty(rank0.size, dtype=np.int64)
+    lo = rank0 < big
+    out[lo] = rank0[lo] // (q + 1) + 1
+    if q:
+        out[~lo] = r + (rank0[~lo] - big) // q + 1
+    return out
+
+
+def _rfm_segments(sf_dir: str):
+    """RFM customer segmentation over orders: per-customer recency
+    (last order day), frequency (order count) and monetary (total cents,
+    exact integers) roll up through ONE mixed-reduction exchange
+    (stages/exchange.grouped_agg — sum/sum/max per column in the same
+    partial+final pass); the per-customer table is dimension-sized, so
+    the three NTILE(5) quintile codes (each ordered metric-desc with
+    cust_key tiebreak, the SQL NTILE fill rule) assign in a single final
+    block. Segment code = r*100 + f*10 + m."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.stages.exchange import grouped_agg
+
+    def o_proj(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        day = (
+            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pd.DataFrame(
+            {
+                "cust_key": t["o_custkey"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "n_orders": np.ones(t.num_rows, dtype=np.int64),
+                "total_cents": cents,
+                "last_day": day.astype(np.int64),
+            }
+        )
+
+    per_cust = grouped_agg(
+        _read(sf_dir, "orders").map_batches(o_proj, batch_format="pyarrow"),
+        ["cust_key"],
+        {"n_orders": "sum", "total_cents": "sum", "last_day": "max"},
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if not n:
+            return b.assign(
+                r_score=np.array([], dtype=np.int64),
+                f_score=np.array([], dtype=np.int64),
+                m_score=np.array([], dtype=np.int64),
+                rfm=np.array([], dtype=np.int64),
+            )
+        ck = b["cust_key"].to_numpy(np.int64)
+
+        def tile(metric: np.ndarray) -> np.ndarray:
+            order = np.lexsort((ck, -metric))
+            rank0 = np.empty(n, dtype=np.int64)
+            rank0[order] = np.arange(n, dtype=np.int64)
+            return _sql_ntile(rank0, n, 5)
+
+        out = b.copy()
+        out["r_score"] = tile(b["last_day"].to_numpy(np.int64))
+        out["f_score"] = tile(b["n_orders"].to_numpy(np.int64))
+        out["m_score"] = tile(b["total_cents"].to_numpy(np.int64))
+        out["rfm"] = out["r_score"] * 100 + out["f_score"] * 10 + out["m_score"]
+        return out
+
+    return per_cust.repartition(1).map_batches(score, batch_format="pandas")
+
+
 def _important_parts_by_value(sf_dir: str):
     """TPC-H Q11-shaped important-stock census (partsupp-free reshape: a
     part's held value among NATION_3's suppliers is its shipped revenue on
@@ -4993,6 +5075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": _disjunctive_revenue,
         "idle_capital_by_nation": _idle_capital_by_nation,
         "important_parts_by_value": _important_parts_by_value,
+        "rfm_segments": _rfm_segments,
         "dominant_part_suppliers": _dominant_part_suppliers,
     }
 
@@ -9560,6 +9643,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT branch, CAST(n AS BIGINT) AS n_items,
                    CAST(COALESCE(s, 0) AS BIGINT) AS revenue_e4
             FROM b
+        """,
+        # RFM segmentation: quintile codes over the per-customer rollup,
+        # each NTILE ordered metric-desc with cust_key tiebreak
+        "rfm_segments": """
+            WITH o AS (
+              SELECT o_custkey AS cust_key,
+                     COUNT(*)::BIGINT AS n_orders,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS total_cents,
+                     CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                              // 86400000000) AS BIGINT) AS last_day
+              FROM orders GROUP BY 1),
+            t AS (SELECT *,
+                    CAST(NTILE(5) OVER (ORDER BY last_day DESC, cust_key)
+                         AS BIGINT) AS r_score,
+                    CAST(NTILE(5) OVER (ORDER BY n_orders DESC, cust_key)
+                         AS BIGINT) AS f_score,
+                    CAST(NTILE(5) OVER (ORDER BY total_cents DESC, cust_key)
+                         AS BIGINT) AS m_score
+                  FROM o)
+            SELECT cust_key, n_orders, total_cents, last_day,
+                   r_score, f_score, m_score,
+                   r_score * 100 + f_score * 10 + m_score AS rfm
+            FROM t
         """,
         # Q11 shape (partsupp-free reshape): per-part shipped revenue among
         # NATION_3's suppliers; scale-free exact integer fraction cut

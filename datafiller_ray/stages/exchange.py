@@ -169,3 +169,52 @@ def grouped_topk(
         .groupby(_GK)
         .map_groups(final_prune, batch_format="pandas")
     )
+
+
+def grouped_agg(
+    ds,
+    keys: "list[str] | str",
+    aggs: "dict[str, str]",
+    *,
+    n_buckets: int = 64,
+):
+    """Mixed per-column reductions through ONE bounded coarse-key exchange
+    — ``grouped_sum`` generalized to a per-value ``how`` map (``{"n":
+    "sum", "last_ts": "max"}``). Same partial+final algebra contract:
+    every reduction must be associative/commutative (sum/min/max), so the
+    per-batch pre-aggregation below is exact under any block layout."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not keys or not aggs:
+        raise EngineValueError("keys and aggs must be non-empty")
+    if _GK in keys or _GK in aggs:
+        raise EngineValueError(f"column name {_GK!r} is reserved")
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    bad = {h for h in aggs.values() if h not in ("sum", "min", "max")}
+    if bad:
+        raise EngineValueError(f"aggs must be sum/min/max, got {sorted(bad)}")
+    values = list(aggs)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # pre-aggregate inside the batch BEFORE the exchange (the combiner
+        # step): exact for associative reductions, shrinks the shuffle to
+        # <= |distinct keys in batch| rows
+        out = batch.groupby(keys, sort=False, as_index=False, dropna=False)[
+            values
+        ].agg(aggs)
+        h = _hash_column(out[keys[0]])
+        for k in keys[1:]:
+            h = splitmix64(h) + _hash_column(out[k])
+        out[_GK] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, sort=True, as_index=False, dropna=False)[
+            values
+        ].agg(aggs)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(_GK)
+        .map_groups(final_bucket, batch_format="pandas")
+    )

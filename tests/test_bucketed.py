@@ -104,3 +104,73 @@ def test_grouped_topk_guards():
         grouped_topk(None, "g", "v", [], 0)
     with pytest.raises(EngineValueError):
         grouped_topk(None, "_gk", "v", [], 1)
+
+
+def test_grouped_agg_mixed_reductions_match_pandas(ray_session):
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_agg
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 40, 5000).astype(np.int64),
+            "k2": rng.choice(["a", "b", "c"], 5000).astype(object),
+            "s": rng.integers(-100, 100, 5000).astype(np.int64),
+            "mn": rng.integers(0, 10**9, 5000).astype(np.int64),
+            "mx": rng.integers(-(10**9), 0, 5000).astype(np.int64),
+        }
+    )
+    got = (
+        grouped_agg(
+            ray.data.from_pandas(df).repartition(7),
+            ["k1", "k2"],
+            {"s": "sum", "mn": "min", "mx": "max"},
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k1", "k2"], as_index=False)
+        .agg({"s": "sum", "mn": "min", "mx": "max"})
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k1", "k2", "s", "mn", "mx"]], want, check_dtype=False
+    )
+
+
+def test_grouped_agg_guards(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import grouped_agg
+
+    with pytest.raises(EngineValueError):
+        grouped_agg(None, [], {"v": "sum"})
+    with pytest.raises(EngineValueError):
+        grouped_agg(None, "k", {})
+    with pytest.raises(EngineValueError):
+        grouped_agg(None, "k", {"v": "mean"})  # non-associative
+    with pytest.raises(EngineValueError):
+        grouped_agg(None, "_gk", {"v": "sum"})
+
+
+def test_sql_ntile_matches_duckdb():
+    import duckdb
+
+    from __ray_entry__ import _sql_ntile
+
+    rng = np.random.default_rng(5)
+    for n in (1, 4, 5, 7, 23, 100):
+        v = rng.integers(0, 10, n).astype(np.int64)
+        ids = np.arange(n, dtype=np.int64)
+        df = pd.DataFrame({"id": ids, "v": v})
+        want = duckdb.sql(
+            "SELECT id, NTILE(5) OVER (ORDER BY v DESC, id) AS t FROM df"
+        ).df()
+        order = np.lexsort((ids, -v))
+        rank0 = np.empty(n, dtype=np.int64)
+        rank0[order] = np.arange(n)
+        got = _sql_ntile(rank0, n, 5)
+        assert got.tolist() == want.sort_values("id")["t"].tolist()
