@@ -2377,6 +2377,16 @@ def _adf_stat(sf_dir: str):
     return adf_stat(_fixture(sf_dir))
 
 
+def _bigram_logprob(sf_dir: str):
+    """Per-doc bigram-LM mean NLL over contract-table token ids (MLE
+    transition probs trained on the corpus; distinct-bigram count table
+    stays a Dataset, vocab-bounded start counts broadcast, one star
+    equi_join + per-doc reduce) — pipelines/corpus.bigram_logprob."""
+    from datafiller_ray.pipelines.corpus import bigram_logprob
+
+    return bigram_logprob(_fixture(sf_dir))
+
+
 def _chao1_richness(sf_dir: str):
     """Per-source Chao1 vocabulary-richness estimate over contract-table
     token ids (exact D/f1/f2 integers through two bounded exchanges, one
@@ -5002,6 +5012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_trend": _source_trend,
         "adf_stat": _adf_stat,
         "haar_energy": _haar_energy,
+        "bigram_logprob": _bigram_logprob,
         "chao1_richness": _chao1_richness,
         "page_hinkley_1m": _page_hinkley,
         "runs_test": _runs_test,
@@ -8508,6 +8519,27 @@ def oracle_sql() -> dict[str, str]:
         # DF(0) unit-root t-stat: exact HUGEINT pair moments; the residual
         # cross term d2*d1 - num^2 is evaluated in DOUBLES on BOTH sides
         # (the exact product exceeds HUGEINT at corpus scale)
+        "bigram_logprob": f"""
+            WITH d AS (SELECT doc_id, tokens
+                       FROM read_parquet('{p}/*.parquet')),
+            e AS (SELECT doc_id, tokens,
+                         unnest(generate_series(1, len(tokens) - 1)) AS i
+                  FROM d),
+            b AS (SELECT doc_id,
+                         CAST(tokens[i] AS BIGINT) AS a,
+                         CAST(tokens[i + 1] AS BIGINT) AS bb
+                  FROM e),
+            c2 AS (SELECT a, bb, COUNT(*)::BIGINT AS c2 FROM b GROUP BY 1, 2),
+            c1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+            SELECT b.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                   round_even(AVG(LN(CAST(c1.c1 AS DOUBLE))
+                                  - LN(CAST(c2.c2 AS DOUBLE))), 6)
+                     AS mean_nll
+            FROM b
+            JOIN c2 ON c2.a = b.a AND c2.bb = b.bb
+            JOIN c1 ON c1.a = b.a
+            GROUP BY 1
+        """,
         "chao1_richness": f"""
             WITH u AS (SELECT source, unnest(tokens) AS t
                        FROM read_parquet('{p}/*.parquet')),

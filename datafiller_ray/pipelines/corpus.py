@@ -2795,3 +2795,181 @@ def chao1_richness(input_path, *, n_buckets: int = 64):
         return out
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def bigram_logprob(input_path, *, n_buckets: int = 64):
+    """Per-document bigram-LM negative log-likelihood over the CONTRACT
+    table's token ids — the sequence-level complement of the word-level
+    ``unigram_logprob`` quality score (docs whose token transitions are
+    atypical for the corpus score high): ``mean_nll = avg over bigrams of
+    -ln( c(a,b) / c(a->*) )`` with MLE transition probabilities trained
+    on the corpus itself (every scored bigram therefore has a count; no
+    smoothing constant to pin).
+
+    Physical plan — nothing unbounded reaches the driver:
+
+    1. per-batch (doc_id, key, m) multiplicities (packed key
+       ``a << 32 | b``) -> one coarse-key grouped_sum -> the bigram count
+       table ``c2`` as a DATASET (distinct-bigram-sized, never collected);
+    2. start counts ``c1`` fold from ``c2`` by a second tiny exchange and
+       broadcast (vocabulary-bounded, the unigram_logprob contract);
+    3. occurrences score against ``c2`` through ONE coarse-bucket
+       co-partition (``hash(key) % n_buckets``, both sides tagged into the
+       same exchange — NOT the fine-key equi_join, whose per-group kernel
+       costs a UDF call per distinct bigram) with a vectorized searchsorted
+       merge + per-doc partial fold inside each bucket;
+    4. per-doc grouped_sum of the float NLL partials + exact occurrence
+       count, one pinned mean under the shared 6-dp round-even absorber
+       (term order differs from SQL's AVG; both sides absorb).
+
+    Output: (doc_id, n_bigrams, mean_nll).
+    """
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from datafiller_ray.functions.hashing import splitmix64
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def bigrams(t: "pa.Table") -> pd.DataFrame:
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        flat = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # drop each row's LAST position: bigram (a, b) at every other slot
+        keep = np.ones(flat.size, dtype=bool)
+        keep[ends[lens > 0] - 1] = False
+        a = flat[keep]
+        nxt = np.roll(flat, -1)
+        b = nxt[keep]
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)[keep]
+        occ = pd.DataFrame(
+            {
+                "doc_id": np.asarray(t["doc_id"], dtype=object)[parent],
+                "key": (a << 32) | b,
+            }
+        )
+        # batch-local multiplicity fold: a doc's repeated bigram becomes
+        # one (doc_id, key, m) row, shrinking every downstream exchange
+        return occ.groupby(["doc_id", "key"], sort=False).size().reset_index(
+            name="m"
+        )
+
+    ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
+    occ = ds.map_batches(bigrams, batch_format="pyarrow")
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", sort=False, as_index=False)["m"].sum()
+        return g.rename(columns={"m": "c2"})
+
+    c2 = grouped_sum(
+        occ.map_batches(count_partial, batch_format="pandas"),
+        "key",
+        "c2",
+        n_buckets=n_buckets,
+    )
+
+    def start_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": df["key"].to_numpy(np.int64) >> 32,
+                            "c1": df["c2"].to_numpy(np.int64)})
+        return out.groupby("a", sort=False, as_index=False)["c1"].sum()
+
+    c1_rows = grouped_sum(
+        c2.map_batches(start_partial, batch_format="pandas"), "a", "c1"
+    ).to_pandas()  # vocabulary-sized, NOT corpus-sized
+    order = np.argsort(c1_rows["a"].to_numpy(np.int64), kind="stable")
+    c1_ref = ray.put(
+        (
+            c1_rows["a"].to_numpy(np.int64)[order],
+            c1_rows["c1"].to_numpy(np.int64)[order],
+        )
+    )
+
+    # co-partition exchange: occurrence rows (m >= 1) and c2 rows (m == 0
+    # marks the count side) share one bounded bucket key — hash(key) %
+    # n_buckets — so every bigram's count lands in the same task as all
+    # its occurrences, and the in-bucket merge is one searchsorted
+    def occ_tag(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["key"].to_numpy(np.int64)
+        bk = splitmix64(key.view(np.uint64)) % np.uint64(n_buckets)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(object),
+                "key": key,
+                "m": df["m"].to_numpy(np.int64),
+                "c2": np.zeros(len(df), dtype=np.int64),
+                "_bk": bk.astype(np.int64),
+            }
+        )
+
+    def c2_tag(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["key"].to_numpy(np.int64)
+        bk = splitmix64(key.view(np.uint64)) % np.uint64(n_buckets)
+        return pd.DataFrame(
+            {
+                "doc_id": np.full(len(df), "", dtype=object),
+                "key": key,
+                "m": np.zeros(len(df), dtype=np.int64),
+                "c2": df["c2"].to_numpy(np.int64),
+                "_bk": bk.astype(np.int64),
+            }
+        )
+
+    tagged = occ.map_batches(occ_tag, batch_format="pandas").union(
+        c2.map_batches(c2_tag, batch_format="pandas")
+    )
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["m"].to_numpy(np.int64)
+        is_occ = m > 0
+        keys_r = g["key"].to_numpy(np.int64)[~is_occ]
+        c2_r = g["c2"].to_numpy(np.int64)[~is_occ]
+        ro = np.argsort(keys_r, kind="stable")
+        keys_r, c2_r = keys_r[ro], c2_r[ro]
+        key_l = g["key"].to_numpy(np.int64)[is_occ]
+        if key_l.size == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, dtype=object),
+                    "n_bigrams": np.empty(0, dtype=np.int64),
+                    "nll_sum": np.empty(0, dtype=np.float64),
+                }
+            )
+        pos = np.searchsorted(keys_r, key_l)
+        c2v = c2_r[pos]  # every scored bigram has a count by construction
+        akeys, ac1 = ray.get(c1_ref)
+        a = key_l >> 32
+        c1 = ac1[np.searchsorted(akeys, a)]
+        m_l = m[is_occ].astype(np.float64)
+        nll = np.log(c1.astype(np.float64)) - np.log(c2v.astype(np.float64))
+        part = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(object)[is_occ],
+                "n_bigrams": m[is_occ],
+                "nll_sum": m_l * nll,
+            }
+        )
+        # per-doc partial fold inside the bucket: the final doc exchange
+        # carries at most (n_buckets x docs) rows, never the occurrences
+        return part.groupby("doc_id", sort=False, as_index=False).sum()
+
+    summed = grouped_sum(
+        tagged.groupby("_bk").map_groups(bucket_merge, batch_format="pandas"),
+        "doc_id",
+        ["n_bigrams", "nll_sum"],
+        n_buckets=n_buckets,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        mean = b["nll_sum"].to_numpy(np.float64) / b["n_bigrams"].to_numpy(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(object),
+                "n_bigrams": b["n_bigrams"].to_numpy(np.int64),
+                "mean_nll": np.round(mean, 6),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pandas")

@@ -1478,3 +1478,40 @@ def test_tokenizer_fertility_literal(ray_session):
     assert out.loc[1, ["n_docs", "sum_tok", "sum_words", "sum_chars"]].tolist() == [
         1, 1, 1, 1
     ]
+
+
+def test_bigram_logprob_literal(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import bigram_logprob
+
+    # corpus bigrams: (1,2)x2 [d0,d1], (2,3)x1 [d0], (2,2)x1 [d2]
+    # c1: 1->2, 2->2; NLL(1,2)=ln(2/2)=0, NLL(2,3)=NLL(2,2)=ln 2
+    rows = [
+        {"doc_id": "a:0000000000", "tokens": [1, 2, 3]},
+        {"doc_id": "a:0000000060", "tokens": [1, 2]},
+        {"doc_id": "b:0000000000", "tokens": [2, 2]},
+        {"doc_id": "b:0000000060", "tokens": [7]},  # no bigram -> absent
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema([("doc_id", pa.string()), ("tokens", pa.list_(pa.int32()))])
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = (
+        bigram_logprob(str(path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [
+        "a:0000000000", "a:0000000060", "b:0000000000"
+    ]
+    assert out["n_bigrams"].tolist() == [2, 1, 1]
+    ln2 = math.log(2.0)
+    assert out["mean_nll"].tolist() == [
+        np.round(ln2 / 2, 6), 0.0, np.round(ln2, 6)
+    ]
