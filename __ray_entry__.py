@@ -2380,11 +2380,22 @@ def _adf_stat(sf_dir: str):
 def _bigram_logprob(sf_dir: str):
     """Per-doc bigram-LM mean NLL over contract-table token ids (MLE
     transition probs trained on the corpus; distinct-bigram count table
-    stays a Dataset, vocab-bounded start counts broadcast, one star
-    equi_join + per-doc reduce) — pipelines/corpus.bigram_logprob."""
+    stays a Dataset, vocab-bounded start counts broadcast, one
+    coarse-bucket count co-partition + per-doc reduce) —
+    pipelines/corpus.bigram_logprob."""
     from datafiller_ray.pipelines.corpus import bigram_logprob
 
     return bigram_logprob(_fixture(sf_dir))
+
+
+def _kn_bigram_logprob(sf_dir: str):
+    """Per-doc interpolated Kneser-Ney smoothed bigram mean NLL (d=0.75;
+    continuation counts N1+(*,b), context fan-outs N1+(a,*) folded from
+    the same distinct-bigram dataset and broadcast vocab-bounded) —
+    pipelines/corpus.kn_bigram_logprob."""
+    from datafiller_ray.pipelines.corpus import kn_bigram_logprob
+
+    return kn_bigram_logprob(_fixture(sf_dir))
 
 
 def _chao1_richness(sf_dir: str):
@@ -5013,6 +5024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adf_stat": _adf_stat,
         "haar_energy": _haar_energy,
         "bigram_logprob": _bigram_logprob,
+        "kn_bigram_logprob": _kn_bigram_logprob,
         "chao1_richness": _chao1_richness,
         "page_hinkley_1m": _page_hinkley,
         "runs_test": _runs_test,
@@ -8538,6 +8550,38 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             JOIN c2 ON c2.a = b.a AND c2.bb = b.bb
             JOIN c1 ON c1.a = b.a
+            GROUP BY 1
+        """,
+        # interpolated Kneser-Ney: the per-term probability expression
+        # mirrors the engine's numpy tree exactly (GREATEST <-> maximum,
+        # left-assoc 0.75*na/c1, nb/tt grouped); only AVG's summation
+        # order differs, absorbed by the shared 6-dp round-even
+        "kn_bigram_logprob": f"""
+            WITH d AS (SELECT doc_id, tokens
+                       FROM read_parquet('{p}/*.parquet')),
+            e AS (SELECT doc_id, tokens,
+                         unnest(generate_series(1, len(tokens) - 1)) AS i
+                  FROM d),
+            b AS (SELECT doc_id,
+                         CAST(tokens[i] AS BIGINT) AS a,
+                         CAST(tokens[i + 1] AS BIGINT) AS bb
+                  FROM e),
+            c2 AS (SELECT a, bb, COUNT(*)::BIGINT AS c2 FROM b GROUP BY 1, 2),
+            at AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1,
+                          COUNT(*)::BIGINT AS na
+                   FROM c2 GROUP BY 1),
+            bt AS (SELECT bb, COUNT(*)::BIGINT AS nb FROM c2 GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM c2)
+            SELECT b.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                   round_even(AVG(-LN(
+                       GREATEST(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0) / at.c1
+                       + (0.75 * at.na / at.c1) * (bt.nb / t.tt))), 6)
+                     AS mean_nll
+            FROM b
+            JOIN c2 ON c2.a = b.a AND c2.bb = b.bb
+            JOIN at ON at.a = b.a
+            JOIN bt ON bt.bb = b.bb
+            CROSS JOIN t
             GROUP BY 1
         """,
         "chao1_richness": f"""

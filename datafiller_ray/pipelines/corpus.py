@@ -2797,51 +2797,26 @@ def chao1_richness(input_path, *, n_buckets: int = 64):
     return summed.map_batches(finish, batch_format="pandas")
 
 
-def bigram_logprob(input_path, *, n_buckets: int = 64):
-    """Per-document bigram-LM negative log-likelihood over the CONTRACT
-    table's token ids — the sequence-level complement of the word-level
-    ``unigram_logprob`` quality score (docs whose token transitions are
-    atypical for the corpus score high): ``mean_nll = avg over bigrams of
-    -ln( c(a,b) / c(a->*) )`` with MLE transition probabilities trained
-    on the corpus itself (every scored bigram therefore has a count; no
-    smoothing constant to pin).
 
-    Physical plan — nothing unbounded reaches the driver:
 
-    1. per-batch (doc_id, key, m) multiplicities (packed key
-       ``a << 32 | b``) -> one coarse-key grouped_sum -> the bigram count
-       table ``c2`` as a DATASET (distinct-bigram-sized, never collected);
-    2. start counts ``c1`` fold from ``c2`` by a second tiny exchange and
-       broadcast (vocabulary-bounded, the unigram_logprob contract);
-    3. occurrences score against ``c2`` through ONE coarse-bucket
-       co-partition (``hash(key) % n_buckets``, both sides tagged into the
-       same exchange — NOT the fine-key equi_join, whose per-group kernel
-       costs a UDF call per distinct bigram) with a vectorized searchsorted
-       merge + per-doc partial fold inside each bucket;
-    4. per-doc grouped_sum of the float NLL partials + exact occurrence
-       count, one pinned mean under the shared 6-dp round-even absorber
-       (term order differs from SQL's AVG; both sides absorb).
-
-    Output: (doc_id, n_bigrams, mean_nll).
-    """
+def _bigram_occurrences(input_path):
+    """Per-document bigram multiplicities (doc_id, key, m) over the
+    contract table, key packed ``a << 32 | b`` (token ids are int32, so
+    the pack is collision-free): vectorized per-batch extraction plus a
+    batch-local multiplicity fold, so a doc's repeated bigram is ONE row
+    and every downstream exchange shrinks."""
     import pandas as pd
-    import ray
     import ray.data
-
-    from datafiller_ray.functions.hashing import splitmix64
-    from datafiller_ray.stages.exchange import grouped_sum
 
     def bigrams(t: "pa.Table") -> pd.DataFrame:
         lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
         flat = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
         ends = np.cumsum(lens)
-        starts = ends - lens
         # drop each row's LAST position: bigram (a, b) at every other slot
         keep = np.ones(flat.size, dtype=bool)
         keep[ends[lens > 0] - 1] = False
         a = flat[keep]
-        nxt = np.roll(flat, -1)
-        b = nxt[keep]
+        b = np.roll(flat, -1)[keep]
         parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)[keep]
         occ = pd.DataFrame(
             {
@@ -2849,46 +2824,56 @@ def bigram_logprob(input_path, *, n_buckets: int = 64):
                 "key": (a << 32) | b,
             }
         )
-        # batch-local multiplicity fold: a doc's repeated bigram becomes
-        # one (doc_id, key, m) row, shrinking every downstream exchange
         return occ.groupby(["doc_id", "key"], sort=False).size().reset_index(
             name="m"
         )
 
     ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
-    occ = ds.map_batches(bigrams, batch_format="pyarrow")
+    return ds.map_batches(bigrams, batch_format="pyarrow")
+
+
+def _bigram_counts(occ, *, n_buckets: int = 64):
+    """Corpus bigram count table ``c2(key, c2)`` as a DATASET
+    (distinct-bigram-sized, never collected): per-batch partial counts
+    through one coarse-key grouped_sum exchange."""
+    import pandas as pd
+
+    from datafiller_ray.stages.exchange import grouped_sum
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("key", sort=False, as_index=False)["m"].sum()
         return g.rename(columns={"m": "c2"})
 
-    c2 = grouped_sum(
+    return grouped_sum(
         occ.map_batches(count_partial, batch_format="pandas"),
         "key",
         "c2",
         n_buckets=n_buckets,
     )
 
-    def start_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"a": df["key"].to_numpy(np.int64) >> 32,
-                            "c1": df["c2"].to_numpy(np.int64)})
-        return out.groupby("a", sort=False, as_index=False)["c1"].sum()
 
-    c1_rows = grouped_sum(
-        c2.map_batches(start_partial, batch_format="pandas"), "a", "c1"
-    ).to_pandas()  # vocabulary-sized, NOT corpus-sized
-    order = np.argsort(c1_rows["a"].to_numpy(np.int64), kind="stable")
-    c1_ref = ray.put(
-        (
-            c1_rows["a"].to_numpy(np.int64)[order],
-            c1_rows["c1"].to_numpy(np.int64)[order],
-        )
-    )
+def _score_occurrences(occ, c2, nll_fn, *, n_buckets: int = 64):
+    """Score every bigram occurrence against the count table through ONE
+    coarse-bucket co-partition and fold per document.
 
-    # co-partition exchange: occurrence rows (m >= 1) and c2 rows (m == 0
-    # marks the count side) share one bounded bucket key — hash(key) %
-    # n_buckets — so every bigram's count lands in the same task as all
-    # its occurrences, and the in-bucket merge is one searchsorted
+    Occurrence rows (``m >= 1``) and c2 rows (``m == 0`` marks the count
+    side) are tagged with the same bounded bucket key — ``hash(key) %
+    n_buckets`` — so every bigram's count lands in the same task as all
+    its occurrences (NOT the fine-key equi_join, whose per-group kernel
+    costs a UDF call per distinct bigram); the in-bucket merge is one
+    vectorized searchsorted. ``nll_fn(key_l, c2v)`` maps the aligned
+    int64 occurrence keys and their corpus counts to per-occurrence float
+    NLL terms (broadcast lookup refs live in its closure; it is called
+    once per bucket on whole arrays). A per-doc partial fold inside the
+    bucket means the final doc exchange carries at most
+    ``n_buckets x docs`` rows, never the occurrences. Output:
+    (doc_id, n_bigrams, mean_nll) with the shared 6-dp round-even
+    absorber on the mean (term order differs from SQL's AVG; both sides
+    absorb)."""
+    import pandas as pd
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
     def occ_tag(df: pd.DataFrame) -> pd.DataFrame:
         key = df["key"].to_numpy(np.int64)
         bk = splitmix64(key.view(np.uint64)) % np.uint64(n_buckets)
@@ -2937,20 +2922,14 @@ def bigram_logprob(input_path, *, n_buckets: int = 64):
             )
         pos = np.searchsorted(keys_r, key_l)
         c2v = c2_r[pos]  # every scored bigram has a count by construction
-        akeys, ac1 = ray.get(c1_ref)
-        a = key_l >> 32
-        c1 = ac1[np.searchsorted(akeys, a)]
-        m_l = m[is_occ].astype(np.float64)
-        nll = np.log(c1.astype(np.float64)) - np.log(c2v.astype(np.float64))
+        nll = nll_fn(key_l, c2v)
         part = pd.DataFrame(
             {
                 "doc_id": g["doc_id"].to_numpy(object)[is_occ],
                 "n_bigrams": m[is_occ],
-                "nll_sum": m_l * nll,
+                "nll_sum": m[is_occ].astype(np.float64) * nll,
             }
         )
-        # per-doc partial fold inside the bucket: the final doc exchange
-        # carries at most (n_buckets x docs) rows, never the occurrences
         return part.groupby("doc_id", sort=False, as_index=False).sum()
 
     summed = grouped_sum(
@@ -2973,3 +2952,150 @@ def bigram_logprob(input_path, *, n_buckets: int = 64):
         )
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def bigram_logprob(input_path, *, n_buckets: int = 64):
+    """Per-document bigram-LM negative log-likelihood over the CONTRACT
+    table's token ids — the sequence-level complement of the word-level
+    ``unigram_logprob`` quality score (docs whose token transitions are
+    atypical for the corpus score high): ``mean_nll = avg over bigrams of
+    -ln( c(a,b) / c(a->*) )`` with MLE transition probabilities trained
+    on the corpus itself (every scored bigram therefore has a count; no
+    smoothing constant to pin).
+
+    Physical plan — nothing unbounded reaches the driver: bigram
+    multiplicities (:func:`_bigram_occurrences`) -> corpus count table
+    (:func:`_bigram_counts`) -> start counts ``c1`` folded from ``c2``
+    by a tiny exchange and broadcast (vocabulary-bounded, the
+    unigram_logprob contract) -> the shared coarse-bucket scoring
+    co-partition (:func:`_score_occurrences`).
+
+    Output: (doc_id, n_bigrams, mean_nll).
+    """
+    import pandas as pd
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    occ = _bigram_occurrences(input_path)
+    c2 = _bigram_counts(occ, n_buckets=n_buckets)
+
+    def start_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": df["key"].to_numpy(np.int64) >> 32,
+                            "c1": df["c2"].to_numpy(np.int64)})
+        return out.groupby("a", sort=False, as_index=False)["c1"].sum()
+
+    c1_rows = grouped_sum(
+        c2.map_batches(start_partial, batch_format="pandas"), "a", "c1"
+    ).to_pandas()  # vocabulary-sized, NOT corpus-sized
+    order = np.argsort(c1_rows["a"].to_numpy(np.int64), kind="stable")
+    c1_ref = ray.put(
+        (
+            c1_rows["a"].to_numpy(np.int64)[order],
+            c1_rows["c1"].to_numpy(np.int64)[order],
+        )
+    )
+
+    def nll(key_l: np.ndarray, c2v: np.ndarray) -> np.ndarray:
+        akeys, ac1 = ray.get(c1_ref)
+        c1 = ac1[np.searchsorted(akeys, key_l >> 32)]
+        return np.log(c1.astype(np.float64)) - np.log(c2v.astype(np.float64))
+
+    return _score_occurrences(occ, c2, nll, n_buckets=n_buckets)
+
+
+def kn_bigram_logprob(input_path, *, discount: float = 0.75, n_buckets: int = 64):
+    """Interpolated Kneser-Ney smoothed bigram scoring per document — the
+    classic LM-quality filter shape (CCNet-style perplexity filtering):
+
+        P_KN(b | a) = max(c(a,b) - d, 0) / c(a)
+                      + (d * N1+(a, *) / c(a)) * (N1+(*, b) / N1+(*, *))
+
+    with fixed absolute discount ``d`` (default 0.75), ``N1+(a, *)`` the
+    distinct continuations of ``a``, ``N1+(*, b)`` the distinct contexts
+    of ``b`` (the continuation-probability numerator that makes KN KN),
+    and ``N1+(*, *)`` the distinct-bigram total. ``mean_nll`` is the
+    per-document average of ``-ln P_KN`` over its bigrams; lower = more
+    corpus-typical.
+
+    Physical plan: the :func:`bigram_logprob` machinery plus TWO more
+    vocabulary-bounded broadcast tables folded from the same ``c2``
+    dataset — (c1, N1+(a,*)) keyed by ``a`` and N1+(*,b) keyed by ``b``
+    — and the distinct-bigram total reduced from the ``a`` table (one
+    driver scalar, never corpus rows). The per-occurrence probability
+    mirrors the oracle's expression tree term for term; only the
+    summation order differs, absorbed by the shared 6-dp round-even
+    mean.
+
+    Output: (doc_id, n_bigrams, mean_nll).
+    """
+    import pandas as pd
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    d = float(discount)
+    if not (0.0 < d < 1.0):
+        raise EngineValueError(f"discount must be in (0, 1), got {discount}")
+
+    occ = _bigram_occurrences(input_path)
+    c2 = _bigram_counts(occ, n_buckets=n_buckets)
+
+    def a_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "a": df["key"].to_numpy(np.int64) >> 32,
+                "c1": df["c2"].to_numpy(np.int64),
+                "na": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby("a", sort=False, as_index=False).sum()
+
+    a_rows = grouped_sum(
+        c2.map_batches(a_partial, batch_format="pandas"), "a", ["c1", "na"]
+    ).to_pandas()  # vocabulary-sized, NOT corpus-sized
+    ao = np.argsort(a_rows["a"].to_numpy(np.int64), kind="stable")
+    a_ref = ray.put(
+        (
+            a_rows["a"].to_numpy(np.int64)[ao],
+            a_rows["c1"].to_numpy(np.int64)[ao],
+            a_rows["na"].to_numpy(np.int64)[ao],
+        )
+    )
+    total_types = float(a_rows["na"].to_numpy(np.int64).sum())
+
+    def b_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "b": df["key"].to_numpy(np.int64) & 0xFFFFFFFF,
+                "nb": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby("b", sort=False, as_index=False).sum()
+
+    b_rows = grouped_sum(
+        c2.map_batches(b_partial, batch_format="pandas"), "b", "nb"
+    ).to_pandas()  # vocabulary-sized
+    bo = np.argsort(b_rows["b"].to_numpy(np.int64), kind="stable")
+    b_ref = ray.put(
+        (
+            b_rows["b"].to_numpy(np.int64)[bo],
+            b_rows["nb"].to_numpy(np.int64)[bo],
+        )
+    )
+
+    def nll(key_l: np.ndarray, c2v: np.ndarray) -> np.ndarray:
+        akeys, ac1, ana = ray.get(a_ref)
+        bkeys, bnb = ray.get(b_ref)
+        pa_ = np.searchsorted(akeys, key_l >> 32)
+        pb_ = np.searchsorted(bkeys, key_l & 0xFFFFFFFF)
+        c1 = ac1[pa_].astype(np.float64)
+        na = ana[pa_].astype(np.float64)
+        nb = bnb[pb_].astype(np.float64)
+        # mirror the oracle expression tree exactly, term for term
+        p = np.maximum(c2v.astype(np.float64) - d, 0.0) / c1 + (
+            d * na / c1
+        ) * (nb / total_types)
+        return -np.log(p)
+
+    return _score_occurrences(occ, c2, nll, n_buckets=n_buckets)

@@ -1515,3 +1515,49 @@ def test_bigram_logprob_literal(ray_session, tmp_path):
     assert out["mean_nll"].tolist() == [
         np.round(ln2 / 2, 6), 0.0, np.round(ln2, 6)
     ]
+
+
+def test_kn_bigram_logprob_literal(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import kn_bigram_logprob
+
+    # c2: (1,2)=2, (2,3)=1, (2,2)=1; at: a=1 (c1=2,na=1), a=2 (c1=2,na=2)
+    # bt: b=2 nb=2, b=3 nb=1; N1+(*,*) = 3 distinct bigram types
+    rows = [
+        {"doc_id": "a:0000000000", "tokens": [1, 2, 3]},
+        {"doc_id": "a:0000000060", "tokens": [1, 2]},
+        {"doc_id": "b:0000000000", "tokens": [2, 2]},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema([("doc_id", pa.string()), ("tokens", pa.list_(pa.int32()))])
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = (
+        kn_bigram_logprob(str(path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # per-term probabilities, same expression tree as the engine kernel
+    p12 = max(2 - 0.75, 0.0) / 2 + (0.75 * 1 / 2) * (2 / 3)
+    p23 = max(1 - 0.75, 0.0) / 2 + (0.75 * 2 / 2) * (1 / 3)
+    p22 = max(1 - 0.75, 0.0) / 2 + (0.75 * 2 / 2) * (2 / 3)
+    assert out["n_bigrams"].tolist() == [2, 1, 1]
+    assert out["mean_nll"].tolist() == [
+        np.round((-math.log(p12) - math.log(p23)) / 2, 6),
+        np.round(-math.log(p12), 6),
+        np.round(-math.log(p22), 6),
+    ]
+
+
+def test_kn_bigram_logprob_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.corpus import kn_bigram_logprob
+
+    with pytest.raises(EngineValueError):
+        kn_bigram_logprob("/tmp/nope.parquet", discount=1.0)
