@@ -2407,6 +2407,15 @@ def _chao1_richness(sf_dir: str):
     return chao1_richness(_fixture(sf_dir))
 
 
+def _gt_coverage(sf_dir: str):
+    """Per-source simple Good-Turing coverage (unseen mass f1/N from
+    exact singleton/total integers, one pinned division) —
+    pipelines/corpus.gt_coverage."""
+    from datafiller_ray.pipelines.corpus import gt_coverage
+
+    return gt_coverage(_fixture(sf_dir))
+
+
 def _page_hinkley(sf_dir: str):
     """Per-source Page-Hinkley drift detector (sequential float recursion
     on exact-int cumulative means; vendored scalar oracle bit-for-bit) —
@@ -5026,6 +5035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _bigram_logprob,
         "kn_bigram_logprob": _kn_bigram_logprob,
         "chao1_richness": _chao1_richness,
+        "gt_coverage": _gt_coverage,
         "page_hinkley_1m": _page_hinkley,
         "runs_test": _runs_test,
         "turning_points": _turning_points,
@@ -8598,6 +8608,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_distinct, f1, f2,
                    FLOOR((n_distinct + f1 * (f1 - 1) / (2.0 * (f2 + 1)))
                          * 1000000 + 0.5) / 1000000.0 AS chao1
+            FROM s
+        """,
+        "gt_coverage": f"""
+            WITH u AS (SELECT source, unnest(tokens) AS t
+                       FROM read_parquet('{p}/*.parquet')),
+            c AS (SELECT source, t, COUNT(*)::BIGINT AS cnt
+                  FROM u GROUP BY 1, 2),
+            s AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                         SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT
+                           AS f1
+                  FROM c GROUP BY 1)
+            SELECT source, n_tokens, f1,
+                   FLOOR(CAST(f1 AS DOUBLE) / n_tokens * 1000000 + 0.5)
+                     / 1000000.0 AS unseen_mass,
+                   FLOOR((1.0 - CAST(f1 AS DOUBLE) / n_tokens)
+                         * 1000000 + 0.5) / 1000000.0 AS coverage
             FROM s
         """,
         "runs_test": f"""

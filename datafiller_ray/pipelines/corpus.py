@@ -3099,3 +3099,75 @@ def kn_bigram_logprob(input_path, *, discount: float = 0.75, n_buckets: int = 64
         return -np.log(p)
 
     return _score_occurrences(occ, c2, nll, n_buckets=n_buckets)
+
+
+def gt_coverage(input_path, *, n_buckets: int = 64):
+    """Simple Good-Turing coverage estimate per source over the CONTRACT
+    table's token ids: the Turing estimator puts the probability mass of
+    UNSEEN vocabulary at ``f1 / N`` (singleton types over total token
+    occurrences), so ``coverage = 1 - f1/N`` says how saturated each
+    feed's vocabulary already is — the probability-mass companion to
+    chao1_richness's type-count estimate (Good 1953; the missing-mass
+    view used to decide whether a source still yields novel tokens).
+
+    Physical plan is the chao1 census: per-batch (source, token) count
+    partials pre-aggregate before one bounded coarse-key exchange; the
+    indicator pass collapses to <= n_sources rows through a second tiny
+    exchange; N and f1 stay exact integers and the estimator is one
+    pinned float division per source under round6.
+
+    Output: (source, n_tokens, f1, unseen_mass, coverage).
+    """
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def counts(t: "pa.Table") -> pd.DataFrame:
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        toks = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        dict_arr = pc.dictionary_encode(t["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+        src = uniq[np.asarray(dict_arr.indices)][parent]
+        df = pd.DataFrame(
+            {"source": src, "token": toks, "cnt": np.ones(len(src), np.int64)}
+        )
+        return df.groupby(["source", "token"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+
+    ds = ray.data.read_parquet(input_path, columns=["source", "tokens"])
+    per_token = grouped_sum(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["source", "token"],
+        "cnt",
+        n_buckets=n_buckets,
+    )
+
+    def indicators(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_tokens": c,
+                "f1": (c == 1).astype(np.int64),
+            }
+        )
+
+    summed = grouped_sum(
+        per_token.map_batches(indicators, batch_format="pandas"),
+        ["source"],
+        ["n_tokens", "f1"],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_tokens"].to_numpy(np.int64).astype(np.float64)
+        f1 = b["f1"].to_numpy(np.int64).astype(np.float64)
+        unseen = f1 / n
+        out = b.copy()
+        out["unseen_mass"] = np.floor(unseen * 1e6 + 0.5) / 1e6
+        out["coverage"] = np.floor((1.0 - unseen) * 1e6 + 0.5) / 1e6
+        return out
+
+    return summed.map_batches(finish, batch_format="pandas")

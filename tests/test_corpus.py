@@ -1561,3 +1561,37 @@ def test_kn_bigram_logprob_validation(ray_session):
 
     with pytest.raises(EngineValueError):
         kn_bigram_logprob("/tmp/nope.parquet", discount=1.0)
+
+
+def test_gt_coverage_literal(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import gt_coverage
+
+    # source s: counts 1->2, 2->1, 3->1 => N=4, f1=2 -> unseen 0.5
+    # source t: 5->2                    => N=2, f1=0 -> unseen 0.0
+    rows = [
+        {"doc_id": "s:0000000000", "source": "s", "tokens": [1, 2, 1]},
+        {"doc_id": "s:0000000060", "source": "s", "tokens": [3]},
+        {"doc_id": "t:0000000000", "source": "t", "tokens": [5, 5]},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("tokens", pa.list_(pa.int32()))]
+        )
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = (
+        gt_coverage(str(path))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert out["source"].tolist() == ["s", "t"]
+    assert out["n_tokens"].tolist() == [4, 2]
+    assert out["f1"].tolist() == [2, 0]
+    assert out["unseen_mass"].tolist() == [0.5, 0.0]
+    assert out["coverage"].tolist() == [0.5, 1.0]
