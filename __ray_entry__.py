@@ -2459,6 +2459,16 @@ def _haar_energy(sf_dir: str):
     return haar_energy(_fixture(sf_dir), levels=3)
 
 
+def _lomb_scargle(sf_dir: str):
+    """Per-source Lomb-Scargle periodogram powers at 1h/6h/24h/7d
+    candidate periods over the OBSERVED (unevenly spaced) 1m token sums
+    (fsum-pinned float chain; int64 ts-mod-period angle reduction) —
+    pipelines/window.lomb_scargle; vendored scalar oracle."""
+    from datafiller_ray.pipelines.window import lomb_scargle
+
+    return lomb_scargle(_fixture(sf_dir))
+
+
 def _customers_with_orders(sf_dir: str):
     """Customers with at least one order (SQL EXISTS) —
     pipelines/joins.semi_join: right side ships only distinct keys into
@@ -5032,6 +5042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_trend": _source_trend,
         "adf_stat": _adf_stat,
         "haar_energy": _haar_energy,
+        "lomb_scargle": _lomb_scargle,
         "bigram_logprob": _bigram_logprob,
         "kn_bigram_logprob": _kn_bigram_logprob,
         "chao1_richness": _chao1_richness,
@@ -6418,6 +6429,34 @@ def _build_haar_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_lomb_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep].astype(np.int64)
+        for period in (3600, 21600, 86400, 604800):
+            p = o.lomb_scargle_power(ts, y, period)
+            if p is None:
+                continue
+            rows.append(
+                (
+                    src,
+                    period,
+                    int(ts.size),
+                    float(o.round_half_up(np.array([p]))[0]),
+                )
+            )
+    out = pd.DataFrame(
+        rows, columns=["source", "period_s", "n_buckets", "power"]
+    )
+    out["period_s"] = out["period_s"].astype(np.int64)
+    out["n_buckets"] = out["n_buckets"].astype(np.int64)
+    out["power"] = out["power"].astype(np.float64)
+    return out
+
+
 def _build_page_hinkley_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     rows = {
@@ -6473,6 +6512,7 @@ _FILL_ORACLE_BUILDERS = {
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
+    "lomb_scargle": _build_lomb_oracle,
     "page_hinkley_1m": _build_page_hinkley_oracle,
 }
 
@@ -7462,6 +7502,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "haar_energy": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('haar_energy')}')"
+        ),
+        "lomb_scargle": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('lomb_scargle')}')"
         ),
         "croston_forecast": (
             "SELECT * FROM read_parquet("

@@ -4310,3 +4310,97 @@ def page_hinkley(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _lomb_one_source(
+    obs: pd.DataFrame, source: str, periods: "tuple[int, ...]"
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    yf = obs["sum"].to_numpy(np.int64).astype(np.float64)
+    n = int(ts.size)
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "period_s": pd.Series([], dtype=np.int64),
+                "n_buckets": pd.Series([], dtype=np.int64),
+                "power": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    if n < 3:
+        return empty
+    fs = math.fsum
+    ybar = fs(yf) / float(n)
+    d = yf - ybar
+    var = fs(d * d) / float(n - 1)
+    if var == 0.0:
+        return empty
+    # PINNED CHAIN (mirrored verbatim by the vendored oracle,
+    # tests/oracle/fills.lomb_scargle_power): fsum sums are exactly
+    # rounded and order-independent, every other op is elementwise in a
+    # fixed order, so the distributed engine and the scalar oracle agree
+    # bit-for-bit without absorbers on the sums.
+    out_p, out_pow = [], []
+    for period in periods:
+        w = 2.0 * math.pi / float(period)
+        ang = w * (ts % period).astype(np.float64)
+        s2, c2 = np.sin(2.0 * ang), np.cos(2.0 * ang)
+        tau_ang = 0.5 * math.atan2(fs(s2), fs(c2))
+        ct = np.cos(ang - tau_ang)
+        st = np.sin(ang - tau_ang)
+        CC, SS = fs(ct * ct), fs(st * st)
+        if CC == 0.0 or SS == 0.0:
+            continue
+        Cd, Sd = fs(d * ct), fs(d * st)
+        out_p.append(period)
+        out_pow.append(0.5 * (Cd * Cd / CC + Sd * Sd / SS) / var)
+    if not out_p:
+        return empty
+    return pd.DataFrame(
+        {
+            "source": np.full(len(out_p), source, dtype=object),
+            "period_s": np.asarray(out_p, dtype=np.int64),
+            "n_buckets": np.full(len(out_p), n, dtype=np.int64),
+            "power": _round6_half_up(np.asarray(out_pow, dtype=np.float64)),
+        }
+    )
+
+
+def lomb_scargle(
+    input_path,
+    *,
+    periods: "tuple[int, ...]" = (3600, 21600, 86400, 604800),
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source Lomb-Scargle periodogram over the OBSERVED (gappy,
+    unevenly spaced) 1m token sums — the spectral tool built for exactly
+    this engine's input shape, since classical FFT periodograms need the
+    dense grid the gap-fill stage exists to reconstruct. For each
+    candidate period the variance-normalized power
+
+        P(w) = [ (sum d cos w(t-tau))^2 / sum cos^2 w(t-tau)
+               + (sum d sin w(t-tau))^2 / sum sin^2 w(t-tau) ] / (2 s^2)
+
+    uses the classic phase shift tan(2 w tau) = sum sin 2wt / sum cos 2wt
+    that makes the fit invariant to time origin (Lomb 1976, Scargle
+    1982); P ~ 1 is noise, P >> 1 flags a real cycle at that period.
+    Angles reduce ``ts mod period`` exactly in int64 before the float
+    multiply, every sum is math.fsum (order-independent), and the single
+    float chain per (source, period) is shared bit-for-bit with the
+    vendored scalar oracle. Degenerate series (n < 3, zero variance) and
+    degenerate periods (a zero cos/sin normal sum) are omitted.
+
+    Output: (source, period_s, n_buckets, power)."""
+    from datafiller_ray.config import EngineValueError
+
+    if not periods or any(int(p) < 2 for p in periods):
+        raise EngineValueError(f"periods must all be >= 2s, got {periods!r}")
+    periods = tuple(int(p) for p in periods)
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _lomb_one_source(obs, src, periods),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -1208,3 +1208,37 @@ def page_hinkley_path(y, delta=0.0):
             mn = m
         out.append(m - mn)
     return np.asarray(out, dtype=np.float64)
+
+
+def lomb_scargle_power(ts, y, period):
+    """Variance-normalized Lomb-Scargle power at one candidate period
+    over unevenly sampled points (Lomb 1976 / Scargle 1982 as in Press &
+    Rybicki): the tau phase shift from the double-angle sums, then the
+    cos/sin projections of the mean-centered values. Every sum is
+    math.fsum (exactly rounded, order-independent), so any correct
+    implementation of the same documented chain must agree bit-for-bit.
+    Returns the power, or None when degenerate (n < 3, zero variance,
+    zero cos/sin normal sum)."""
+    import math
+
+    n = int(ts.size)
+    if n < 3:
+        return None
+    fs = math.fsum
+    yf = y.astype(np.float64)
+    ybar = fs(yf) / float(n)
+    d = yf - ybar
+    var = fs(d * d) / float(n - 1)
+    if var == 0.0:
+        return None
+    w = 2.0 * math.pi / float(period)
+    ang = w * (ts % period).astype(np.float64)
+    s2, c2 = np.sin(2.0 * ang), np.cos(2.0 * ang)
+    tau_ang = 0.5 * math.atan2(fs(s2), fs(c2))
+    ct = np.cos(ang - tau_ang)
+    st = np.sin(ang - tau_ang)
+    CC, SS = fs(ct * ct), fs(st * st)
+    if CC == 0.0 or SS == 0.0:
+        return None
+    Cd, Sd = fs(d * ct), fs(d * st)
+    return 0.5 * (Cd * Cd / CC + Sd * Sd / SS) / var

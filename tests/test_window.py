@@ -2332,3 +2332,64 @@ def test_page_hinkley_validation(ray_session):
 
     with pytest.raises(EngineValueError):
         page_hinkley("/nonexistent", lam=-1.0)
+
+
+def test_lomb_scargle_finds_planted_period():
+    from datafiller_ray.pipelines.window import _lomb_one_source
+
+    rng = np.random.default_rng(7)
+    nb = 3000
+    ts = (np.sort(rng.choice(20 * 1440, size=nb, replace=False)) * 60).astype(
+        np.int64
+    )
+    th = 2 * np.pi * ((ts % 86400) / 86400.0)
+    y = np.rint(100 + 40 * np.cos(th - 2.0) + rng.normal(0, 5, nb)).astype(
+        np.int64
+    )
+    periods = (3600, 21600, 86400, 604800)
+    out = _lomb_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": y}), "s", periods
+    )
+    assert out["period_s"].tolist() == list(periods)
+    assert (out["n_buckets"] == nb).all()
+    pw = dict(zip(out["period_s"], out["power"]))
+    # the planted 24h cycle dominates every other candidate by far
+    assert pw[86400] > 100 * max(pw[3600], pw[21600], pw[604800])
+    assert pw[86400] > 100.0
+
+
+def test_lomb_scargle_matches_vendored_oracle_bitwise():
+    import sys
+
+    sys.path.insert(0, "tests/oracle")
+    import fills as o
+
+    from datafiller_ray.pipelines.window import _lomb_one_source
+
+    rng = np.random.default_rng(11)
+    ts = np.sort(rng.choice(100_000, size=500, replace=False)).astype(np.int64) * 60
+    y = rng.integers(0, 1000, size=500).astype(np.int64)
+    out = _lomb_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": y}), "s", (3600, 86400)
+    )
+    for _, r in out.iterrows():
+        want = o.lomb_scargle_power(ts, y, int(r["period_s"]))
+        assert r["power"] == o.round_half_up(np.array([want]))[0]
+
+
+def test_lomb_scargle_degenerate_cases():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _lomb_one_source, lomb_scargle
+
+    # too short
+    obs = pd.DataFrame({"bucket_ts": np.array([0, 60], dtype=np.int64),
+                        "sum": np.array([1, 2], dtype=np.int64)})
+    assert len(_lomb_one_source(obs, "s", (3600,))) == 0
+    # zero variance
+    obs = pd.DataFrame({"bucket_ts": np.arange(5, dtype=np.int64) * 60,
+                        "sum": np.full(5, 9, dtype=np.int64)})
+    assert len(_lomb_one_source(obs, "s", (3600,))) == 0
+    with pytest.raises(EngineValueError):
+        lomb_scargle("/tmp/nope.parquet", periods=())
+    with pytest.raises(EngineValueError):
+        lomb_scargle("/tmp/nope.parquet", periods=(1,))
