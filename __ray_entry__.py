@@ -2407,6 +2407,16 @@ def _chao1_richness(sf_dir: str):
     return chao1_richness(_fixture(sf_dir))
 
 
+def _doc_lexical_stats(sf_dir: str):
+    """Per-doc type-token ratio, hapax fraction and duplicate-bigram
+    repetition over contract-table token ids (one zero-shuffle
+    map_batches pass, packed-int64 distinct counts, pinned round6
+    divisions) — pipelines/corpus.doc_lexical_stats."""
+    from datafiller_ray.pipelines.corpus import doc_lexical_stats
+
+    return doc_lexical_stats(_fixture(sf_dir))
+
+
 def _gt_coverage(sf_dir: str):
     """Per-source simple Good-Turing coverage (unseen mass f1/N from
     exact singleton/total integers, one pinned division) —
@@ -5047,6 +5057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigram_logprob": _kn_bigram_logprob,
         "chao1_richness": _chao1_richness,
         "gt_coverage": _gt_coverage,
+        "doc_lexical_stats": _doc_lexical_stats,
         "page_hinkley_1m": _page_hinkley,
         "runs_test": _runs_test,
         "turning_points": _turning_points,
@@ -8652,6 +8663,46 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR((n_distinct + f1 * (f1 - 1) / (2.0 * (f2 + 1)))
                          * 1000000 + 0.5) / 1000000.0 AS chao1
             FROM s
+        """,
+        "doc_lexical_stats": f"""
+            WITH d AS (SELECT doc_id, tokens
+                       FROM read_parquet('{p}/*.parquet')),
+            base AS (SELECT doc_id, len(tokens)::BIGINT AS n_tok FROM d),
+            u AS (SELECT doc_id, t, COUNT(*)::BIGINT AS c
+                  FROM (SELECT doc_id, unnest(tokens) AS t FROM d)
+                  GROUP BY 1, 2),
+            ty AS (SELECT doc_id, COUNT(*)::BIGINT AS n_types,
+                          SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                            AS n_hapax
+                   FROM u GROUP BY 1),
+            bg AS (SELECT doc_id,
+                          CAST(tokens[i] AS BIGINT) * 4294967296
+                            + CAST(tokens[i + 1] AS BIGINT) AS v
+                   FROM (SELECT doc_id, tokens,
+                                unnest(generate_series(1, len(tokens) - 1))
+                                  AS i
+                         FROM d)),
+            bgc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                           COUNT(DISTINCT v)::BIGINT AS n_distinct
+                    FROM bg GROUP BY 1)
+            SELECT base.doc_id, base.n_tok,
+                   COALESCE(ty.n_types, 0)::BIGINT AS n_types,
+                   COALESCE(ty.n_hapax, 0)::BIGINT AS n_hapax,
+                   CASE WHEN base.n_tok = 0 THEN 0.0
+                        ELSE FLOOR(CAST(ty.n_types AS DOUBLE) / base.n_tok
+                                   * 1000000 + 0.5) / 1000000.0 END AS ttr,
+                   CASE WHEN COALESCE(ty.n_types, 0) = 0 THEN 0.0
+                        ELSE FLOOR(CAST(ty.n_hapax AS DOUBLE) / ty.n_types
+                                   * 1000000 + 0.5) / 1000000.0 END
+                     AS hapax_frac,
+                   CASE WHEN COALESCE(bgc.n_bigrams, 0) = 0 THEN 0.0
+                        ELSE FLOOR(CAST(bgc.n_bigrams - bgc.n_distinct
+                                        AS DOUBLE) / bgc.n_bigrams
+                                   * 1000000 + 0.5) / 1000000.0 END
+                     AS dup_bigram_frac
+            FROM base
+            LEFT JOIN ty USING (doc_id)
+            LEFT JOIN bgc USING (doc_id)
         """,
         "gt_coverage": f"""
             WITH u AS (SELECT source, unnest(tokens) AS t

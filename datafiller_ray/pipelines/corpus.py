@@ -3171,3 +3171,80 @@ def gt_coverage(input_path, *, n_buckets: int = 64):
         return out
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def doc_lexical_stats(input_path):
+    """Per-document lexical-diversity and repetition signals over the
+    CONTRACT table's token ids — the Gopher-style within-doc quality
+    gates (Rae et al. 2021 use repetition fractions exactly like these to
+    drop degenerate documents before training):
+
+    - ``ttr`` — type-token ratio ``n_types / n_tok`` (lexical diversity);
+    - ``hapax_frac`` — fraction of TYPES occurring exactly once;
+    - ``dup_bigram_frac`` — fraction of bigram positions whose bigram
+      repeats within the doc (``(n_bigrams - distinct) / n_bigrams``),
+      the loop/boilerplate detector.
+
+    Entirely within-document, so the physical plan is ONE zero-shuffle
+    ``map_batches`` pass: per-batch the token lists flatten zero-copy,
+    per-doc distinct (token) and (bigram) counts come from packed-int64
+    ``np.unique`` / lexsort runs (token ids are int32, so ``parent <<
+    32 | token`` and ``a << 32 | b`` are collision-free), and every
+    ratio is one pinned float division under round6 half-up. Degenerate
+    docs pin to 0.0 (no tokens -> ttr/hapax 0, no bigrams -> dup 0).
+
+    Output: (doc_id, n_tok, n_types, n_hapax, ttr, hapax_frac,
+    dup_bigram_frac).
+    """
+    import pandas as pd
+    import ray.data
+
+    def stats(t: "pa.Table") -> pd.DataFrame:
+        n = t.num_rows
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        flat = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # distinct (doc, token) pairs + within-doc multiplicities
+        pk = (parent << 32) | flat
+        uniq, cnt = np.unique(pk, return_counts=True)
+        up = uniq >> 32
+        n_types = np.bincount(up, minlength=n).astype(np.int64)
+        n_hapax = np.bincount(up[cnt == 1], minlength=n).astype(np.int64)
+        # distinct (doc, bigram) pairs via one lexsort run over packed v
+        ends = np.cumsum(lens)
+        keep = np.ones(flat.size, dtype=bool)
+        keep[ends[lens > 0] - 1] = False
+        a = flat[keep]
+        b = np.roll(flat, -1)[keep]
+        bp = parent[keep]
+        v = (a << 32) | b
+        order = np.lexsort((v, bp))
+        bps, vs = bp[order], v[order]
+        first = np.ones(bps.size, dtype=bool)
+        first[1:] = (bps[1:] != bps[:-1]) | (vs[1:] != vs[:-1])
+        n_distinct_bg = np.bincount(bps[first], minlength=n).astype(np.int64)
+        n_bigrams = np.maximum(lens - 1, 0)
+
+        def pinned_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+            ok = den > 0
+            out = np.zeros(n, dtype=np.float64)
+            r = num[ok].astype(np.float64) / den[ok].astype(np.float64)
+            out[ok] = np.floor(r * 1e6 + 0.5) / 1e6
+            return out
+
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(t["doc_id"], dtype=object),
+                "n_tok": lens,
+                "n_types": n_types,
+                "n_hapax": n_hapax,
+                "ttr": pinned_div(n_types, lens),
+                "hapax_frac": pinned_div(n_hapax, n_types),
+                "dup_bigram_frac": pinned_div(
+                    n_bigrams - n_distinct_bg, n_bigrams
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -1595,3 +1595,40 @@ def test_gt_coverage_literal(ray_session, tmp_path):
     assert out["f1"].tolist() == [2, 0]
     assert out["unseen_mass"].tolist() == [0.5, 0.0]
     assert out["coverage"].tolist() == [0.5, 1.0]
+
+
+def test_doc_lexical_stats_literal(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import doc_lexical_stats
+
+    rows = [
+        # types {1,2,3}, hapax {3}; bigrams (1,2),(2,1),(1,2),(2,3): 3
+        # distinct of 4 -> dup frac 1/4
+        {"doc_id": "a", "tokens": [1, 2, 1, 2, 3]},
+        # single token: 1 type, 1 hapax, no bigrams
+        {"doc_id": "b", "tokens": [7]},
+        # all same: 1 type, 0 hapax, bigrams all duplicate after first
+        {"doc_id": "c", "tokens": [4, 4, 4, 4]},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema([("doc_id", pa.string()), ("tokens", pa.list_(pa.int32()))])
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = (
+        doc_lexical_stats(str(path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tok"].tolist() == [5, 1, 4]
+    assert out["n_types"].tolist() == [3, 1, 1]
+    assert out["n_hapax"].tolist() == [1, 1, 0]
+    assert out["ttr"].tolist() == [0.6, 1.0, 0.25]
+    assert out["hapax_frac"].tolist() == [
+        np.floor(1 / 3 * 1e6 + 0.5) / 1e6, 1.0, 0.0
+    ]
+    assert out["dup_bigram_frac"].tolist() == [0.25, 0.0,
+                                               np.floor(2 / 3 * 1e6 + 0.5) / 1e6]
