@@ -2417,6 +2417,15 @@ def _doc_lexical_stats(sf_dir: str):
     return doc_lexical_stats(_fixture(sf_dir))
 
 
+def _ppl_tercile(sf_dir: str):
+    """CCNet-style per-source perplexity terciles over the KN bigram doc
+    scores (doc-level coarse co-partition join + per-source SQL-NTILE
+    assignment) — pipelines/corpus.ppl_tercile."""
+    from datafiller_ray.pipelines.corpus import ppl_tercile
+
+    return ppl_tercile(_fixture(sf_dir))
+
+
 def _gt_coverage(sf_dir: str):
     """Per-source simple Good-Turing coverage (unseen mass f1/N from
     exact singleton/total integers, one pinned division) —
@@ -5055,6 +5064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lomb_scargle": _lomb_scargle,
         "bigram_logprob": _bigram_logprob,
         "kn_bigram_logprob": _kn_bigram_logprob,
+        "ppl_tercile": _ppl_tercile,
         "chao1_richness": _chao1_richness,
         "gt_coverage": _gt_coverage,
         "doc_lexical_stats": _doc_lexical_stats,
@@ -6761,6 +6771,41 @@ def oracle_sql() -> dict[str, str]:
                  END AS fill_value
           FROM win)
         WHERE fill_value IS NOT NULL
+    """
+
+    # interpolated Kneser-Ney doc scoring — shared by kn_bigram_logprob
+    # and the ppl_tercile partition built on top of it; the per-term
+    # probability expression mirrors the engine's numpy tree exactly
+    # (GREATEST <-> maximum, left-assoc 0.75*na/c1, nb/tt grouped); only
+    # AVG's summation order differs, absorbed by the shared 6-dp
+    # round-even
+    kn_sql = f"""
+        WITH d AS (SELECT doc_id, tokens
+                   FROM read_parquet('{p}/*.parquet')),
+        e AS (SELECT doc_id, tokens,
+                     unnest(generate_series(1, len(tokens) - 1)) AS i
+              FROM d),
+        b AS (SELECT doc_id,
+                     CAST(tokens[i] AS BIGINT) AS a,
+                     CAST(tokens[i + 1] AS BIGINT) AS bb
+              FROM e),
+        c2 AS (SELECT a, bb, COUNT(*)::BIGINT AS c2 FROM b GROUP BY 1, 2),
+        at AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1,
+                      COUNT(*)::BIGINT AS na
+               FROM c2 GROUP BY 1),
+        bt AS (SELECT bb, COUNT(*)::BIGINT AS nb FROM c2 GROUP BY 1),
+        t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM c2)
+        SELECT b.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               round_even(AVG(-LN(
+                   GREATEST(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0) / at.c1
+                   + (0.75 * at.na / at.c1) * (bt.nb / t.tt))), 6)
+                 AS mean_nll
+        FROM b
+        JOIN c2 ON c2.a = b.a AND c2.bb = b.bb
+        JOIN at ON at.a = b.a
+        JOIN bt ON bt.bb = b.bb
+        CROSS JOIN t
+        GROUP BY 1
     """
 
     out = {
@@ -8616,37 +8661,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN c1 ON c1.a = b.a
             GROUP BY 1
         """,
-        # interpolated Kneser-Ney: the per-term probability expression
-        # mirrors the engine's numpy tree exactly (GREATEST <-> maximum,
-        # left-assoc 0.75*na/c1, nb/tt grouped); only AVG's summation
-        # order differs, absorbed by the shared 6-dp round-even
-        "kn_bigram_logprob": f"""
-            WITH d AS (SELECT doc_id, tokens
-                       FROM read_parquet('{p}/*.parquet')),
-            e AS (SELECT doc_id, tokens,
-                         unnest(generate_series(1, len(tokens) - 1)) AS i
-                  FROM d),
-            b AS (SELECT doc_id,
-                         CAST(tokens[i] AS BIGINT) AS a,
-                         CAST(tokens[i + 1] AS BIGINT) AS bb
-                  FROM e),
-            c2 AS (SELECT a, bb, COUNT(*)::BIGINT AS c2 FROM b GROUP BY 1, 2),
-            at AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1,
-                          COUNT(*)::BIGINT AS na
-                   FROM c2 GROUP BY 1),
-            bt AS (SELECT bb, COUNT(*)::BIGINT AS nb FROM c2 GROUP BY 1),
-            t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM c2)
-            SELECT b.doc_id, COUNT(*)::BIGINT AS n_bigrams,
-                   round_even(AVG(-LN(
-                       GREATEST(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0) / at.c1
-                       + (0.75 * at.na / at.c1) * (bt.nb / t.tt))), 6)
-                     AS mean_nll
-            FROM b
-            JOIN c2 ON c2.a = b.a AND c2.bb = b.bb
-            JOIN at ON at.a = b.a
-            JOIN bt ON bt.bb = b.bb
-            CROSS JOIN t
-            GROUP BY 1
+        "kn_bigram_logprob": kn_sql,
+        # CCNet-style per-source perplexity terciles on the KN scores;
+        # NTILE ties break on doc_id (mean_nll is 6-dp pinned), matching
+        # the engine's (mean_nll, doc_id) mergesort + SQL-NTILE fill rule
+        "ppl_tercile": f"""
+            WITH kn AS ({kn_sql}),
+            src AS (SELECT doc_id, source
+                    FROM read_parquet('{p}/*.parquet'))
+            SELECT kn.doc_id, src.source, kn.n_bigrams, kn.mean_nll,
+                   NTILE(3) OVER (PARTITION BY src.source
+                                  ORDER BY kn.mean_nll, kn.doc_id)::BIGINT
+                     AS ppl_tile
+            FROM kn
+            JOIN src USING (doc_id)
         """,
         "chao1_richness": f"""
             WITH u AS (SELECT source, unnest(tokens) AS t

@@ -3248,3 +3248,110 @@ def doc_lexical_stats(input_path):
 
     ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def ppl_tercile(
+    input_path,
+    *,
+    discount: float = 0.75,
+    n_tiles: int = 3,
+    n_buckets: int = 64,
+):
+    """CCNet-style perplexity partition of the corpus: every document is
+    assigned a head/middle/tail tier PER SOURCE by its Kneser-Ney bigram
+    mean NLL (Wenzek et al. 2020 split Common Crawl into LM-perplexity
+    terciles per language exactly like this to grade web data quality;
+    sources play the language role here).
+
+    Physical plan: :func:`kn_bigram_logprob` produces doc-level scores
+    (already bounded — one row per doc); a slim (doc_id, source)
+    projection joins them through ONE coarse co-partition on
+    ``hash(doc_id) % n_buckets`` (both sides doc-level, vectorized
+    pandas merge per bucket); the tile pass is a per-source map_groups
+    under the engine's standing per-key-fits-in-a-task contract (the
+    same posture as every per-source window operator), applying the SQL
+    NTILE rule — first ``n % k`` tiles take the extra row — over
+    (mean_nll asc, doc_id asc), so the ``NTILE(k) OVER (PARTITION BY
+    source ORDER BY mean_nll, doc_id)`` oracle matches row-for-row
+    (mean_nll is already 6-dp pinned; doc_id breaks residual ties
+    totally). Docs with no bigram (n_tok < 2) have no score and no tier,
+    matching the oracle's inner join.
+
+    Output: (doc_id, source, n_bigrams, mean_nll, ppl_tile).
+    """
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.functions.hashing import string_hash64
+
+    if n_tiles < 1:
+        raise EngineValueError(f"n_tiles must be >= 1, got {n_tiles}")
+
+    scores = kn_bigram_logprob(
+        input_path, discount=discount, n_buckets=n_buckets
+    )
+
+    def _bk_of(ids: np.ndarray) -> np.ndarray:
+        h = string_hash64(ids.astype("U")) % np.uint64(n_buckets)
+        return h.astype(np.int64)
+
+    def score_tag(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(object)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": np.full(len(ids), "", dtype=object),
+                "n_bigrams": df["n_bigrams"].to_numpy(np.int64),
+                "mean_nll": df["mean_nll"].to_numpy(np.float64),
+                "_side": np.zeros(len(ids), dtype=np.int64),
+                "_bk": _bk_of(ids),
+            }
+        )
+
+    def src_tag(t: "pa.Table") -> pd.DataFrame:
+        ids = np.asarray(t["doc_id"], dtype=object)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": np.asarray(t["source"], dtype=object),
+                "n_bigrams": np.zeros(len(ids), dtype=np.int64),
+                "mean_nll": np.zeros(len(ids), dtype=np.float64),
+                "_side": np.ones(len(ids), dtype=np.int64),
+                "_bk": _bk_of(ids),
+            }
+        )
+
+    src = ray.data.read_parquet(
+        input_path, columns=["doc_id", "source"]
+    ).map_batches(src_tag, batch_format="pyarrow")
+    tagged = scores.map_batches(score_tag, batch_format="pandas").union(src)
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0]
+        right = g[g["_side"] == 1]
+        out = left[["doc_id", "n_bigrams", "mean_nll"]].merge(
+            right[["doc_id", "source"]], on="doc_id", how="inner"
+        )
+        return out[["doc_id", "source", "n_bigrams", "mean_nll"]]
+
+    joined = tagged.groupby("_bk").map_groups(
+        bucket_join, batch_format="pandas"
+    )
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["mean_nll", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        nn = len(g)
+        q, r = divmod(nn, n_tiles)
+        rank0 = np.arange(nn, dtype=np.int64)
+        big = rank0 < r * (q + 1)
+        tile = np.where(
+            big,
+            rank0 // max(q + 1, 1) + 1,
+            (rank0 - r * (q + 1)) // max(q, 1) + r + 1,
+        ).astype(np.int64)
+        g["ppl_tile"] = tile
+        return g
+
+    return joined.groupby("source").map_groups(assign, batch_format="pandas")

@@ -1632,3 +1632,50 @@ def test_doc_lexical_stats_literal(ray_session, tmp_path):
     ]
     assert out["dup_bigram_frac"].tolist() == [0.25, 0.0,
                                                np.floor(2 / 3 * 1e6 + 0.5) / 1e6]
+
+
+def test_ppl_tercile_literal(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import ppl_tercile
+
+    # 5 scored docs in source s (one per NLL rank), 1 in t; doc "x" has
+    # no bigram and must be absent
+    rows = [
+        {"doc_id": "s:1", "source": "s", "tokens": [1, 2, 3]},
+        {"doc_id": "s:2", "source": "s", "tokens": [1, 2]},
+        {"doc_id": "s:3", "source": "s", "tokens": [2, 2]},
+        {"doc_id": "s:4", "source": "s", "tokens": [1, 2, 1, 2]},
+        {"doc_id": "s:5", "source": "s", "tokens": [3, 1]},
+        {"doc_id": "t:1", "source": "t", "tokens": [9, 9]},
+        {"doc_id": "x:1", "source": "t", "tokens": [4]},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("tokens", pa.list_(pa.int32()))]
+        )
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = (
+        ppl_tercile(str(path))
+        .to_pandas()
+        .sort_values(["source", "mean_nll", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert "x:1" not in set(out["doc_id"])
+    s = out[out["source"] == "s"]
+    # SQL NTILE(3) over 5 rows: sizes 2, 2, 1 in score order
+    assert s["ppl_tile"].tolist() == [1, 1, 2, 2, 3]
+    t_rows = out[out["source"] == "t"]
+    assert t_rows["ppl_tile"].tolist() == [1]
+
+
+def test_ppl_tercile_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.corpus import ppl_tercile
+
+    with pytest.raises(EngineValueError):
+        ppl_tercile("/tmp/nope.parquet", n_tiles=0)
