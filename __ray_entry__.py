@@ -2488,6 +2488,19 @@ def _lomb_scargle(sf_dir: str):
     return lomb_scargle(_fixture(sf_dir))
 
 
+def _matrix_profile(sf_dir: str):
+    """Per-source matrix profile (exact STOMP) over the linear-filled
+    hourly grid: top motif pair + top discord window by z-normalized
+    Euclidean distance (fsum window moments, diagonal recursion pinned
+    bit-for-bit with the vendored scalar oracle) —
+    pipelines/window.matrix_profile."""
+    from datafiller_ray.pipelines.window import matrix_profile
+
+    # w=12 (half-day motif): the sf0.001 fixture spans ~36 hours, so the
+    # 24h default would leave no admissible pair at the smallest scale
+    return matrix_profile(_fixture(sf_dir), w=12)
+
+
 def _customers_with_orders(sf_dir: str):
     """Customers with at least one order (SQL EXISTS) —
     pipelines/joins.semi_join: right side ships only distinct keys into
@@ -5062,6 +5075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adf_stat": _adf_stat,
         "haar_energy": _haar_energy,
         "lomb_scargle": _lomb_scargle,
+        "matrix_profile": _matrix_profile,
         "bigram_logprob": _bigram_logprob,
         "kn_bigram_logprob": _kn_bigram_logprob,
         "ppl_tercile": _ppl_tercile,
@@ -6450,6 +6464,49 @@ def _build_haar_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_matprof_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    w = 12
+    rows = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep].astype(np.int64)
+        dense = o.hourly_linear_filled(ts, y)
+        if dense is None:
+            continue
+        grid, s = dense
+        res = o.matrix_profile_brute(s, w, w // 2)
+        if res is None:
+            continue
+        mi, mj, md, di, dd = res
+        rows.append(
+            (
+                src,
+                int(grid.size),
+                int(grid.size) - w + 1,
+                int(grid[mi]),
+                int(grid[mj]),
+                float(o.round_half_up(np.array([md]))[0]),
+                int(grid[di]),
+                float(o.round_half_up(np.array([dd]))[0]),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "source", "n_hours", "n_windows", "motif_i_ts", "motif_j_ts",
+            "motif_dist", "discord_ts", "discord_dist",
+        ],
+    )
+    for c in ("n_hours", "n_windows", "motif_i_ts", "motif_j_ts",
+              "discord_ts"):
+        out[c] = out[c].astype(np.int64)
+    for c in ("motif_dist", "discord_dist"):
+        out[c] = out[c].astype(np.float64)
+    return out
+
+
 def _build_lomb_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     rows = []
@@ -6534,6 +6591,7 @@ _FILL_ORACLE_BUILDERS = {
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
     "lomb_scargle": _build_lomb_oracle,
+    "matrix_profile": _build_matprof_oracle,
     "page_hinkley_1m": _build_page_hinkley_oracle,
 }
 
@@ -7561,6 +7619,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lomb_scargle": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('lomb_scargle')}')"
+        ),
+        "matrix_profile": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('matrix_profile')}')"
         ),
         "croston_forecast": (
             "SELECT * FROM read_parquet("

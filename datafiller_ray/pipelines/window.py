@@ -4404,3 +4404,160 @@ def lomb_scargle(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _matprof_one_source(
+    obs: pd.DataFrame, source: str, w: int
+) -> pd.DataFrame:
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_hours": pd.Series([], dtype=np.int64),
+                "n_windows": pd.Series([], dtype=np.int64),
+                "motif_i_ts": pd.Series([], dtype=np.int64),
+                "motif_j_ts": pd.Series([], dtype=np.int64),
+                "motif_dist": pd.Series([], dtype=np.float64),
+                "discord_ts": pd.Series([], dtype=np.int64),
+                "discord_dist": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    y = obs["sum"].to_numpy(np.int64)
+    # exact-int hourly fold of the observed minute sums
+    hb = ts - ts % 3600
+    hu, inv = np.unique(hb, return_inverse=True)
+    hv = np.zeros(hu.size, dtype=np.int64)
+    np.add.at(hv, inv, y)
+    if hu.size < 2:
+        return empty
+    # dense hourly grid over [first, last] with PINNED linear interior
+    # fill: val = yL + (yR - yL) * ((k - L) / (R - L)), float64, the same
+    # expression the vendored oracle evaluates
+    grid = np.arange(hu[0], hu[-1] + 3600, 3600, dtype=np.int64)
+    n = grid.size
+    idx = ((hu - hu[0]) // 3600).astype(np.int64)
+    s = np.full(n, np.nan, dtype=np.float64)
+    s[idx] = hv.astype(np.float64)
+    obs_idx = idx
+    for k in range(obs_idx.size - 1):
+        L, R = int(obs_idx[k]), int(obs_idx[k + 1])
+        if R - L > 1:
+            yL, yR = s[L], s[R]
+            ks = np.arange(L + 1, R, dtype=np.int64)
+            s[ks] = yL + (yR - yL) * (
+                (ks - L).astype(np.float64) / float(R - L)
+            )
+    m = n - w + 1
+    if m < 2:
+        return empty
+    fs = math.fsum
+    mu = np.empty(m)
+    sig = np.empty(m)
+    for i in range(m):
+        win = s[i : i + w]
+        mu[i] = fs(win) / float(w)
+        dev = win - mu[i]
+        sig[i] = math.sqrt(fs(dev * dev) / float(w))
+    ok = sig > 0.0
+    ez = w // 2  # trivial-match exclusion: pairs need j - i > w // 2
+    dmin = ez + 1
+    if m - dmin < 1:
+        return empty
+    # STOMP diagonals, vectorized ACROSS diagonals: one python step-loop,
+    # each element's update chain identical to the scalar recursion
+    # QT(i, i+d) = QT(i-1, i-1+d) - s[i-1] s[i-1+d] + s[i+w-1] s[i+d+w-1]
+    dvec = np.arange(dmin, m, dtype=np.int64)
+    qt = np.empty(dvec.size)
+    for t in range(dvec.size):
+        d = int(dvec[t])
+        qt[t] = fs(s[0:w] * s[d : d + w])
+    mp = np.full(m, np.inf)
+    best = (np.inf, -1, -1)
+    n_steps = int(m - dmin)  # i = 0 .. m-1-d valid per diagonal
+    for i in range(n_steps):
+        if i > 0:
+            alive = dvec <= (m - 1 - i)
+            qt[alive] = (
+                qt[alive]
+                - s[i - 1] * s[i - 1 + dvec[alive]]
+                + s[i + w - 1] * s[i + dvec[alive] + w - 1]
+            )
+        else:
+            alive = dvec <= (m - 1)
+        j = i + dvec[alive]
+        qa = qt[alive]
+        vi = ok[i] & ok[j]
+        if not np.any(vi):
+            continue
+        jj = j[vi]
+        denom = (float(w) * sig[i]) * sig[jj]
+        d2 = 2.0 * float(w) * (
+            1.0 - (qa[vi] - float(w) * mu[i] * mu[jj]) / denom
+        )
+        dist = np.sqrt(np.maximum(d2, 0.0))
+        # per-window running min (strict <, so the EARLIEST partner wins)
+        lo = np.minimum.reduce(dist)
+        if lo < best[0]:
+            k = int(np.flatnonzero(dist == lo)[0])
+            best = (float(lo), i, int(jj[k]))
+        np.minimum.at(mp, np.full(jj.size, i), dist)
+        np.minimum.at(mp, jj, dist)
+    if best[1] < 0:
+        return empty
+    has = np.isfinite(mp) & ok
+    if not np.any(has):
+        return empty
+    di = int(np.flatnonzero(has)[np.argmax(mp[has])])
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_hours": np.array([n], dtype=np.int64),
+            "n_windows": np.array([m], dtype=np.int64),
+            "motif_i_ts": np.array([grid[best[1]]], dtype=np.int64),
+            "motif_j_ts": np.array([grid[best[2]]], dtype=np.int64),
+            "motif_dist": _round6_half_up(np.array([best[0]])),
+            "discord_ts": np.array([grid[di]], dtype=np.int64),
+            "discord_dist": _round6_half_up(np.array([mp[di]])),
+        }
+    )
+
+
+def matrix_profile(
+    input_path,
+    *,
+    w: int = 24,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source matrix profile (Yeh et al. 2016, STOMP-ordered exact
+    computation) over the linear-filled dense hourly token-sum grid: the
+    z-normalized Euclidean distance between every pair of w-hour windows
+    more than ``w // 2`` apart, reduced to the top MOTIF pair (most
+    similar recurring shape — smallest distance, earliest pair on ties)
+    and the top DISCORD (the window whose nearest neighbor is farthest —
+    the engine's shape-based anomaly detector, complementing the
+    pointwise MAD/seasonal detectors).
+
+    Gaps are linear-filled on the hourly grid first (interior only, the
+    pinned ``yL + (yR - yL) * k/(R - L)`` chain), so windows are
+    well-defined everywhere; flat (zero-sigma) windows are excluded from
+    both motif and discord. Window means/sigmas use per-window math.fsum
+    and the diagonal dot products follow the documented STOMP recursion
+    element-for-element, so the distributed engine and the vendored
+    scalar oracle (tests/oracle/fills.matrix_profile_brute) agree
+    bit-for-bit; distances surface under round6 half-up.
+
+    Output: (source, n_hours, n_windows, motif_i_ts, motif_j_ts,
+    motif_dist, discord_ts, discord_dist)."""
+    from datafiller_ray.config import EngineValueError
+
+    if w < 2:
+        raise EngineValueError(f"w must be >= 2, got {w}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _matprof_one_source(obs, src, w),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -1242,3 +1242,87 @@ def lomb_scargle_power(ts, y, period):
         return None
     Cd, Sd = fs(d * ct), fs(d * st)
     return 0.5 * (Cd * Cd / CC + Sd * Sd / SS) / var
+
+
+def matrix_profile_brute(s, w, ez):
+    """Exact matrix profile oracle over a dense series: scalar loops over
+    diagonals with the documented STOMP dot-product recursion, per-window
+    fsum means/sigmas, z-normalized Euclidean distances, pairs more than
+    ``ez`` apart, zero-sigma windows excluded. The engine vectorizes
+    across diagonals but each element's float chain is identical, so the
+    two agree bit-for-bit. Returns (motif_i, motif_j, motif_dist,
+    discord_i, discord_dist) or None when degenerate."""
+    import math
+
+    n = int(s.size)
+    m = n - w + 1
+    if m < 2:
+        return None
+    fs = math.fsum
+    mu = [fs(s[i : i + w]) / float(w) for i in range(m)]
+    sig = []
+    for i in range(m):
+        dev = s[i : i + w] - mu[i]
+        sig.append(math.sqrt(fs(dev * dev) / float(w)))
+    mp = [math.inf] * m
+    best = (math.inf, -1, -1)
+    for d in range(ez + 1, m):
+        qt = fs(s[0:w] * s[d : d + w])
+        for i in range(0, m - d):
+            if i > 0:
+                qt = (
+                    qt
+                    - s[i - 1] * s[i - 1 + d]
+                    + s[i + w - 1] * s[i + d + w - 1]
+                )
+            j = i + d
+            if sig[i] <= 0.0 or sig[j] <= 0.0:
+                continue
+            denom = (float(w) * sig[i]) * sig[j]
+            d2 = 2.0 * float(w) * (
+                1.0 - (qt - float(w) * mu[i] * mu[j]) / denom
+            )
+            dist = math.sqrt(max(d2, 0.0))
+            if dist < best[0] or (
+                dist == best[0]
+                and (i < best[1] or (i == best[1] and j < best[2]))
+            ):
+                best = (dist, i, j)
+            if dist < mp[i]:
+                mp[i] = dist
+            if dist < mp[j]:
+                mp[j] = dist
+    if best[1] < 0:
+        return None
+    di, dd = -1, -math.inf
+    for i in range(m):
+        if sig[i] > 0.0 and math.isfinite(mp[i]) and mp[i] > dd:
+            di, dd = i, mp[i]
+    if di < 0:
+        return None
+    return best[1], best[2], best[0], di, dd
+
+
+def hourly_linear_filled(ts, y):
+    """Dense hourly grid of exact-int hour sums with the pinned interior
+    linear fill (``yL + (yR - yL) * k/(R - L)``) shared with the engine's
+    matrix_profile prologue. Returns (grid_ts, series) or None when
+    fewer than two observed hours exist."""
+    hb = ts - ts % 3600
+    agg: "dict[int, int]" = {}
+    for t, v in zip(hb.tolist(), y.tolist()):
+        agg[t] = agg.get(t, 0) + int(v)
+    hu = np.array(sorted(agg), dtype=np.int64)
+    if hu.size < 2:
+        return None
+    grid = np.arange(hu[0], hu[-1] + 3600, 3600, dtype=np.int64)
+    s = np.full(grid.size, np.nan)
+    idx = ((hu - hu[0]) // 3600).astype(np.int64)
+    s[idx] = np.array([float(agg[t]) for t in hu.tolist()])
+    for k in range(idx.size - 1):
+        L, R = int(idx[k]), int(idx[k + 1])
+        if R - L > 1:
+            yL, yR = s[L], s[R]
+            for kk in range(L + 1, R):
+                s[kk] = yL + (yR - yL) * (float(kk - L) / float(R - L))
+    return grid, s

@@ -2393,3 +2393,74 @@ def test_lomb_scargle_degenerate_cases():
         lomb_scargle("/tmp/nope.parquet", periods=())
     with pytest.raises(EngineValueError):
         lomb_scargle("/tmp/nope.parquet", periods=(1,))
+
+
+def test_matrix_profile_finds_planted_motif():
+    from datafiller_ray.pipelines.window import _matprof_one_source
+
+    rng = np.random.default_rng(3)
+    n_h = 200
+    base = rng.integers(100, 200, size=n_h).astype(np.int64)
+    shape = (50 + 40 * np.sin(np.arange(12) / 12 * 2 * np.pi) * 10).astype(
+        np.int64
+    )
+    base[30:42] = 1000 + shape
+    base[150:162] = 1000 + shape  # identical planted 12h motif
+    ts = (np.arange(n_h, dtype=np.int64) * 3600) + 60
+    obs = pd.DataFrame({"bucket_ts": ts, "sum": base})
+    out = _matprof_one_source(obs, "s", 12)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["motif_i_ts"] == ts[30] - 60  # hour-floored grid ts
+    assert r["motif_j_ts"] == ts[150] - 60
+    assert r["motif_dist"] == 0.0  # identical windows -> exact zero
+    # discord: some window whose nearest neighbor is farther than the
+    # motif's (z-normalized, so amplitude alone doesn't decide it)
+    assert r["discord_dist"] > r["motif_dist"]
+    assert ts[0] - 60 <= r["discord_ts"] <= ts[-1] - 60
+
+
+def test_matrix_profile_matches_vendored_oracle_bitwise():
+    import sys
+
+    sys.path.insert(0, "tests/oracle")
+    import fills as o
+
+    from datafiller_ray.pipelines.window import _matprof_one_source
+
+    rng = np.random.default_rng(5)
+    n_h = 120
+    keep = np.sort(rng.choice(n_h, size=90, replace=False))
+    ts = keep.astype(np.int64) * 3600
+    y = rng.integers(0, 500, size=keep.size).astype(np.int64)
+    out = _matprof_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": y}), "s", 12
+    )
+    grid, s = o.hourly_linear_filled(ts, y)
+    mi, mj, md, di, dd = o.matrix_profile_brute(s, 12, 6)
+    r = out.iloc[0]
+    assert r["motif_i_ts"] == grid[mi] and r["motif_j_ts"] == grid[mj]
+    assert r["motif_dist"] == o.round_half_up(np.array([md]))[0]
+    assert r["discord_ts"] == grid[di]
+    assert r["discord_dist"] == o.round_half_up(np.array([dd]))[0]
+
+
+def test_matrix_profile_degenerate():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import (
+        _matprof_one_source,
+        matrix_profile,
+    )
+
+    # too short for any admissible pair
+    ts = np.arange(20, dtype=np.int64) * 3600
+    y = np.arange(20, dtype=np.int64)
+    assert len(_matprof_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": y}), "s", 24)) == 0
+    # constant series: all windows flat -> no motif
+    y = np.full(60, 7, dtype=np.int64)
+    ts = np.arange(60, dtype=np.int64) * 3600
+    assert len(_matprof_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": y}), "s", 12)) == 0
+    with pytest.raises(EngineValueError):
+        matrix_profile("/tmp/nope.parquet", w=1)
