@@ -3256,6 +3256,7 @@ def ppl_tercile(
     discount: float = 0.75,
     n_tiles: int = 3,
     n_buckets: int = 64,
+    coarse_width: int = 8192,
 ):
     """CCNet-style perplexity partition of the corpus: every document is
     assigned a head/middle/tail tier PER SOURCE by its Kneser-Ney bigram
@@ -3267,15 +3268,20 @@ def ppl_tercile(
     (already bounded — one row per doc); a slim (doc_id, source)
     projection joins them through ONE coarse co-partition on
     ``hash(doc_id) % n_buckets`` (both sides doc-level, vectorized
-    pandas merge per bucket); the tile pass is a per-source map_groups
-    under the engine's standing per-key-fits-in-a-task contract (the
-    same posture as every per-source window operator), applying the SQL
-    NTILE rule — first ``n % k`` tiles take the extra row — over
-    (mean_nll asc, doc_id asc), so the ``NTILE(k) OVER (PARTITION BY
-    source ORDER BY mean_nll, doc_id)`` oracle matches row-for-row
-    (mean_nll is already 6-dp pinned; doc_id breaks residual ties
-    totally). Docs with no bigram (n_tok < 2) have no score and no tier,
-    matching the oracle's inner join.
+    pandas merge per bucket). The tile pass is a DISTRIBUTED exact
+    NTILE — no task ever holds a whole source: mean_nll is 6-dp pinned,
+    so ``nll_int = rint(mean_nll * 1e6)`` is an exact int64 preorder and
+    coarse score cells ``nll_int // coarse_width`` give (a) a bounded
+    driver table of per-cell counts (sources x occupied cells, never
+    docs) whose per-source cumulative sum is every cell's global start
+    rank, broadcast once, and (b) the co-partition key for the rank
+    pass, where each task ranks only its cells' docs by (nll_int,
+    doc_id) and applies the SQL NTILE fill rule — first ``n % k`` tiles
+    take the extra row — so the ``NTILE(k) OVER (PARTITION BY source
+    ORDER BY mean_nll, doc_id)`` oracle matches row-for-row. Narrow
+    ``coarse_width`` if one score window ever dominates a corpus. Docs
+    with no bigram (n_tok < 2) have no score and no tier, matching the
+    oracle's inner join.
 
     Output: (doc_id, source, n_bigrams, mean_nll, ppl_tile).
     """
@@ -3283,9 +3289,14 @@ def ppl_tercile(
     import ray.data
 
     from datafiller_ray.functions.hashing import string_hash64
+    from datafiller_ray.stages.exchange import grouped_sum
 
     if n_tiles < 1:
         raise EngineValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    if coarse_width < 1:
+        raise EngineValueError(
+            f"coarse_width must be >= 1, got {coarse_width}"
+        )
 
     scores = kn_bigram_logprob(
         input_path, discount=discount, n_buckets=n_buckets
@@ -3338,20 +3349,92 @@ def ppl_tercile(
         bucket_join, batch_format="pandas"
     )
 
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
+    # ---- distributed exact NTILE over (mean_nll, doc_id) per source ----
+    # mean_nll is 6-dp pinned, so nll_int = rint(mean_nll * 1e6) is an
+    # exact int64 total preorder; coarse cells cb = nll_int //
+    # coarse_width give (a) a BOUNDED driver table of per-cell counts
+    # (sources x occupied cells, never docs) whose per-source cumsum is
+    # every cell's global start rank, and (b) the co-partition key for
+    # the rank pass, so no task ever holds a whole source — only the
+    # docs of its cells (narrow coarse_width if one score window ever
+    # dominates a corpus). Ties inside a cell rank by doc_id, matching
+    # NTILE's ORDER BY (mean_nll, doc_id) row-for-row.
+    import ray
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nll_int = np.rint(
+            df["mean_nll"].to_numpy(np.float64) * 1e6
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(object),
+                "cb": nll_int // coarse_width,
+                "cnt": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby(["source", "cb"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+
+    cells = (
+        grouped_sum(
+            joined.map_batches(cell_partial, batch_format="pandas"),
+            ["source", "cb"],
+            "cnt",
+            n_buckets=n_buckets,
+        ).to_pandas()  # sources x occupied score cells, NOT docs
+    ).sort_values(["source", "cb"], kind="stable")
+    cum = cells.groupby("source", sort=False)["cnt"].cumsum().to_numpy(
+        np.int64
+    )
+    cells = cells.assign(start=cum - cells["cnt"].to_numpy(np.int64))
+    totals = cells.groupby("source", sort=False, as_index=False)["cnt"].sum()
+    totals = totals.rename(columns={"cnt": "n_scored"})
+    rank_ref = ray.put(
+        (cells[["source", "cb", "start"]], totals)
+    )
+
+    def cell_tag(df: pd.DataFrame) -> pd.DataFrame:
+        nll_int = np.rint(
+            df["mean_nll"].to_numpy(np.float64) * 1e6
+        ).astype(np.int64)
+        cb = nll_int // coarse_width
+        h = string_hash64(df["source"].to_numpy(object).astype("U"))
+        gk = (splitmix64(h + cb.view(np.uint64)) % np.uint64(n_buckets))
+        out = df[["doc_id", "source", "n_bigrams", "mean_nll"]].copy()
+        out["_nll_int"] = nll_int
+        out["_cb"] = cb
+        out["_gk"] = gk.astype(np.int64)
+        return out
+
+    def rank_assign(g: pd.DataFrame) -> pd.DataFrame:
+        starts, totals_b = ray.get(rank_ref)
+        g = g.merge(
+            starts.rename(columns={"cb": "_cb"}), on=["source", "_cb"]
+        )
         g = g.sort_values(
-            ["mean_nll", "doc_id"], kind="mergesort"
+            ["source", "_nll_int", "doc_id"], kind="mergesort"
         ).reset_index(drop=True)
-        nn = len(g)
-        q, r = divmod(nn, n_tiles)
-        rank0 = np.arange(nn, dtype=np.int64)
+        local = g.groupby(["source", "_cb"], sort=False).cumcount().to_numpy(
+            np.int64
+        )
+        rank0 = g["start"].to_numpy(np.int64) + local
+        tot_map = dict(zip(totals_b["source"], totals_b["n_scored"]))
+        nn = g["source"].map(tot_map).to_numpy(np.int64)
+        q = nn // n_tiles
+        r = nn % n_tiles
         big = rank0 < r * (q + 1)
         tile = np.where(
             big,
-            rank0 // max(q + 1, 1) + 1,
-            (rank0 - r * (q + 1)) // max(q, 1) + r + 1,
+            rank0 // np.maximum(q + 1, 1) + 1,
+            (rank0 - r * (q + 1)) // np.maximum(q, 1) + r + 1,
         ).astype(np.int64)
-        g["ppl_tile"] = tile
-        return g
+        out = g[["doc_id", "source", "n_bigrams", "mean_nll"]].copy()
+        out["ppl_tile"] = tile
+        return out
 
-    return joined.groupby("source").map_groups(assign, batch_format="pandas")
+    return (
+        joined.map_batches(cell_tag, batch_format="pandas")
+        .groupby("_gk")
+        .map_groups(rank_assign, batch_format="pandas")
+    )
