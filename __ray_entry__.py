@@ -2426,6 +2426,15 @@ def _ppl_tercile(sf_dir: str):
     return ppl_tercile(_fixture(sf_dir))
 
 
+def _heaps_fit(sf_dir: str):
+    """Per-source Heaps-law exponent: OLS of ln(vocab) on ln(cum tokens)
+    over active-hour snapshots (exact-int cumulatives, fsum OLS chain
+    mirroring the zipf_fit oracle tree) — pipelines/corpus.heaps_fit."""
+    from datafiller_ray.pipelines.corpus import heaps_fit
+
+    return heaps_fit(_fixture(sf_dir))
+
+
 def _gt_coverage(sf_dir: str):
     """Per-source simple Good-Turing coverage (unseen mass f1/N from
     exact singleton/total integers, one pinned division) —
@@ -5082,6 +5091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chao1_richness": _chao1_richness,
         "gt_coverage": _gt_coverage,
         "doc_lexical_stats": _doc_lexical_stats,
+        "heaps_fit": _heaps_fit,
         "page_hinkley_1m": _page_hinkley,
         "runs_test": _runs_test,
         "turning_points": _turning_points,
@@ -8792,6 +8802,68 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             LEFT JOIN ty USING (doc_id)
             LEFT JOIN bgc USING (doc_id)
+        """,
+        # Heaps fit: engine fsum sums vs SQL SUM differ by ulps in the
+        # OLS moments; the shared round6 floor-half-up absorbs (zipf_fit
+        # precedent); V carries forward by running MAX on both sides
+        "heaps_fit": f"""
+            WITH tok AS (
+              SELECT source,
+                     CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)
+                     * 60 AS ts,
+                     UNNEST(tokens) AS token
+              FROM read_parquet('{p}/*.parquet')),
+            first AS (
+              SELECT source, token, MIN(ts) AS first_ts
+              FROM tok GROUP BY 1, 2),
+            hb AS (
+              SELECT source, first_ts - first_ts % 3600 AS bucket_ts,
+                     COUNT(*)::BIGINT AS new_tokens
+              FROM first GROUP BY 1, 2),
+            v AS (
+              SELECT source, bucket_ts,
+                     CAST(SUM(new_tokens) OVER (
+                         PARTITION BY source ORDER BY bucket_ts) AS BIGINT)
+                       AS vocab_size
+              FROM hb),
+            nb AS (
+              SELECT source,
+                     (CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)
+                      * 60) - (CAST(substr(doc_id, length(doc_id) - 9, 10)
+                                    AS BIGINT) * 60) % 3600 AS bucket_ts,
+                     CAST(SUM(n_tok) AS BIGINT) AS tok_cnt
+              FROM read_parquet('{p}/*.parquet') GROUP BY 1, 2),
+            pts AS (
+              SELECT nb.source, nb.bucket_ts,
+                     CAST(SUM(nb.tok_cnt) OVER (
+                         PARTITION BY nb.source ORDER BY nb.bucket_ts)
+                       AS BIGINT) AS cum_n,
+                     MAX(v.vocab_size) OVER (
+                         PARTITION BY nb.source ORDER BY nb.bucket_ts) AS vz
+              FROM nb
+              LEFT JOIN v ON v.source = nb.source
+                         AND v.bucket_ts = nb.bucket_ts),
+            l AS (
+              SELECT source, LN(CAST(cum_n AS DOUBLE)) AS lx,
+                     LN(CAST(vz AS DOUBLE)) AS ly
+              FROM pts),
+            m AS (
+              SELECT source, COUNT(*)::BIGINT AS n, SUM(lx) AS sx,
+                     SUM(ly) AS sy, SUM(lx * ly) AS sxy,
+                     SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy
+              FROM l GROUP BY 1)
+            SELECT source, n AS n_points,
+                   FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         * 1000000 + 0.5) / 1000000.0 AS beta,
+                   FLOOR((sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+                         * 1000000 + 0.5) / 1000000.0 AS log_k,
+                   FLOOR(CASE WHEN n * syy - sy * sy > 0
+                              THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                                   / ((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy))
+                              ELSE 1.0 END * 1000000 + 0.5) / 1000000.0 AS r2
+            FROM m
+            WHERE n >= 2 AND n * sxx - sx * sx > 0
         """,
         "gt_coverage": f"""
             WITH u AS (SELECT source, unnest(tokens) AS t

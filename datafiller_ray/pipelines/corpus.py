@@ -3438,3 +3438,152 @@ def ppl_tercile(
         .groupby("_gk")
         .map_groups(rank_assign, batch_format="pandas")
     )
+
+
+def heaps_fit(input_path, *, step: int = 3600, n_buckets: int = 64):
+    """Heaps-law fit per source: OLS of ``ln V`` on ``ln N`` over the
+    hourly vocabulary-growth snapshots (``V ~ K N^beta``; Heaps 1978) —
+    the scalar summary of the :func:`vocab_growth` trajectory that
+    tokenizer/vocab-budget planning actually consumes (beta near 1 means
+    the feed keeps minting new ids; beta << 1 means the vocabulary is
+    saturating, read next to chao1_richness/gt_coverage).
+
+    Snapshot points are the ACTIVE hours (any tokens observed): N is the
+    exact cumulative token count per source, V the running vocabulary
+    carried forward from vocab_growth's first-seen buckets (vocab_size
+    is nondecreasing, so a running max fills hours that minted no new
+    type — the SQL oracle mirrors with ``MAX(...) OVER``). Both tables
+    are bounded (sources x hours), so the fit pass groups per source
+    under the same contract as every window operator; sums are math.fsum
+    and the OLS expression tree mirrors the zipf_fit oracle, divergence
+    absorbed by round6. Degenerate fits (n < 2 points, zero x-variance)
+    are omitted.
+
+    Output: (source, n_points, beta, log_k, r2).
+    """
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_sum
+    from datafiller_ray.stages.validate import extract_epoch_minute
+
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+
+    vg = vocab_growth(input_path, step=step, n_buckets=n_buckets)
+
+    def tok_partial(t: pa.Table) -> pd.DataFrame:
+        ts = np.asarray(extract_epoch_minute(t["doc_id"])) * 60
+        hb = ts - ts % step
+        df = pd.DataFrame(
+            {
+                "source": np.asarray(t["source"], dtype=object),
+                "bucket_ts": hb.astype(np.int64),
+                "tok_cnt": np.asarray(t["n_tok"], dtype=np.int64),
+            }
+        )
+        return df.groupby(
+            ["source", "bucket_ts"], sort=False, as_index=False
+        )["tok_cnt"].sum()
+
+    ntab = grouped_sum(
+        ray.data.read_parquet(
+            input_path, columns=["doc_id", "source", "n_tok"]
+        ).map_batches(tok_partial, batch_format="pyarrow"),
+        ["source", "bucket_ts"],
+        "tok_cnt",
+        n_buckets=n_buckets,
+    )
+
+    def n_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(object),
+                "bucket_ts": df["bucket_ts"].to_numpy(np.int64),
+                "tok_cnt": df["tok_cnt"].to_numpy(np.int64),
+                "vocab_size": np.zeros(len(df), dtype=np.int64),
+                "_side": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def v_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(object),
+                "bucket_ts": df["bucket_ts"].to_numpy(np.int64),
+                "tok_cnt": np.zeros(len(df), dtype=np.int64),
+                "vocab_size": df["vocab_size"].to_numpy(np.int64),
+                "_side": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    tagged = ntab.map_batches(n_tag, batch_format="pandas").union(
+        vg.map_batches(v_tag, batch_format="pandas")
+    )
+
+    def fit(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_points": pd.Series([], dtype=np.int64),
+                "beta": pd.Series([], dtype=np.float64),
+                "log_k": pd.Series([], dtype=np.float64),
+                "r2": pd.Series([], dtype=np.float64),
+            }
+        )
+        outs = []
+        for src, sub in g.groupby("source", sort=True):
+            nrows = sub[sub["_side"] == 0].sort_values("bucket_ts")
+            vrows = sub[sub["_side"] == 1].sort_values("bucket_ts")
+            if len(nrows) < 2:
+                continue
+            nts = nrows["bucket_ts"].to_numpy(np.int64)
+            cum_n = np.cumsum(nrows["tok_cnt"].to_numpy(np.int64))
+            vts = vrows["bucket_ts"].to_numpy(np.int64)
+            vsz = vrows["vocab_size"].to_numpy(np.int64)
+            # running vocab carried forward onto the active-hour grid
+            pos = np.searchsorted(vts, nts, side="right") - 1
+            if np.any(pos < 0):
+                continue  # defensive: first active hour always mints
+            v = vsz[pos]
+            lx = np.log(cum_n.astype(np.float64))
+            ly = np.log(v.astype(np.float64))
+            fs = math.fsum
+            n = float(lx.size)
+            sx, sy = fs(lx), fs(ly)
+            sxy, sxx, syy = fs(lx * ly), fs(lx * lx), fs(ly * ly)
+            den = n * sxx - sx * sx
+            if den <= 0.0:
+                continue
+            beta = (n * sxy - sx * sy) / den
+            logk = (sy * sxx - sx * sxy) / den
+            dy = n * syy - sy * sy
+            r2 = (
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (den * dy)
+                if dy > 0.0
+                else 1.0
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "source": np.array([src], dtype=object),
+                        "n_points": np.array([lx.size], dtype=np.int64),
+                        "beta": np.floor(
+                            np.array([beta]) * 1e6 + 0.5
+                        ) / 1e6,
+                        "log_k": np.floor(
+                            np.array([logk]) * 1e6 + 0.5
+                        ) / 1e6,
+                        "r2": np.floor(np.array([r2]) * 1e6 + 0.5) / 1e6,
+                    }
+                )
+            )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return tagged.groupby("source").map_groups(fit, batch_format="pandas")

@@ -1679,3 +1679,45 @@ def test_ppl_tercile_validation(ray_session):
 
     with pytest.raises(EngineValueError):
         ppl_tercile("/tmp/nope.parquet", n_tiles=0)
+
+
+def test_heaps_fit_literal(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import heaps_fit
+
+    # source s: three active hours; cum tokens 2, 5, 9; vocab 2, 3, 3
+    # (hour 3 mints nothing -> carried forward by running max)
+    rows = [
+        {"doc_id": "s:0000000000", "source": "s", "tokens": [1, 2],
+         "n_tok": 2},
+        {"doc_id": "s:0000000060", "source": "s", "tokens": [1, 2, 3],
+         "n_tok": 3},
+        {"doc_id": "s:0000000120", "source": "s", "tokens": [2, 3, 1, 1],
+         "n_tok": 4},
+    ]
+    # push rows into three distinct hours: minute 0, 60, 120
+    rows[1]["doc_id"] = "s:" + str(3600 // 60).zfill(10)
+    rows[2]["doc_id"] = "s:" + str(7200 // 60).zfill(10)
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("tokens", pa.list_(pa.int32())), ("n_tok", pa.int32())]
+        )
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = heaps_fit(str(path)).to_pandas()
+    assert len(out) == 1
+    lx = np.log(np.array([2.0, 5.0, 9.0]))
+    ly = np.log(np.array([2.0, 3.0, 3.0]))
+    fs = math.fsum
+    n = 3.0
+    sx, sy = fs(lx), fs(ly)
+    sxy, sxx = fs(lx * ly), fs(lx * lx)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out.loc[0, "n_points"] == 3
+    assert out.loc[0, "beta"] == np.floor(beta * 1e6 + 0.5) / 1e6
