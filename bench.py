@@ -482,6 +482,30 @@ def run_bench() -> dict:
 
     timed("tpch_q10_returned_revenue", tpch_q10)
 
+    def kn_ppl():
+        # twelfth-session family: the LM-quality stack end-to-end — KN
+        # bigram scoring (count-table co-partition join) feeding the
+        # distributed exact NTILE perplexity terciles
+        from datafiller_ray.pipelines.corpus import ppl_tercile
+
+        ppl_tercile(fixture).count()
+
+    timed("kn_ppl_tercile", kn_ppl)
+
+    def shape_spectral():
+        # twelfth-session family: per-source shape/spectral passes —
+        # exact STOMP matrix profile (hourly grid) + Lomb-Scargle powers
+        # on the raw uneven 1m sums
+        from datafiller_ray.pipelines.window import (
+            lomb_scargle,
+            matrix_profile,
+        )
+
+        matrix_profile(fixture, shuffle="bucketed").count()
+        lomb_scargle(fixture, shuffle="bucketed").count()
+
+    timed("matrix_profile_lomb", shape_spectral)
+
     headline_sec = timings["rollup_gapfill_tiers"]
     result = {
         "metric": "headline rollup+gapfill+write seconds (tokenized-sequence fixture)",

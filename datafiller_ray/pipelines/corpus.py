@@ -2852,6 +2852,82 @@ def _bigram_counts(occ, *, n_buckets: int = 64):
     )
 
 
+def _broadcast_table(c2, broadcast_rows):
+    """Size gate for the broadcast-vs-shuffle join selection: return the
+    count table collected to the driver as (sorted keys, counts) numpy
+    arrays when it fits ``broadcast_rows`` (~16 B/row), else None (the
+    caller keeps the co-partition). ``c2`` must be materialized so the
+    count() probe is a metadata read."""
+    if not broadcast_rows:
+        return None
+    try:
+        if c2.count() > broadcast_rows:
+            return None
+    except Exception:
+        return None
+    tbl = c2.to_pandas()
+    keys = tbl["key"].to_numpy(np.int64)
+    cnts = tbl["c2"].to_numpy(np.int64)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], cnts[order]
+
+
+def _score_broadcast(input_path, c2_arrays, nll_fn):
+    """Broadcast fast path of :func:`_score_occurrences`: the count table
+    fit the broadcast budget, so pin it once in the object store as two
+    sorted numpy arrays (``ray.put`` -> zero-copy shared memory on every
+    node) and score docs in ONE shuffle-free map pass over the ORIGINAL
+    input — each input row IS a whole document, so the per-doc mean folds
+    in-batch with ``np.add.reduceat`` and no doc exchange exists at all.
+    Classic size-gated broadcast-vs-shuffle join selection; the caller
+    falls back to the co-partition above the gate. Same output contract
+    and 6-dp absorber as the co-partition path (summation order differs;
+    both sides absorb)."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    c2_ref = ray.put(c2_arrays)
+
+    def score(t: "pa.Table") -> pd.DataFrame:
+        keys_r, c2_r = ray.get(c2_ref)
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        flat = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        ends = np.cumsum(lens)
+        keep = np.ones(flat.size, dtype=bool)
+        keep[ends[lens > 0] - 1] = False
+        a = flat[keep]
+        b = np.roll(flat, -1)[keep]
+        key_l = (a << 32) | b
+        nb = np.maximum(lens - 1, 0)
+        has = nb > 0
+        if not has.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, dtype=object),
+                    "n_bigrams": np.empty(0, dtype=np.int64),
+                    "mean_nll": np.empty(0, dtype=np.float64),
+                }
+            )
+        c2v = c2_r[np.searchsorted(keys_r, key_l)]
+        nll = nll_fn(key_l, c2v)
+        # bigram rows are doc-major, so per-doc sums are one reduceat over
+        # the has-docs' start offsets (zero-length docs were filtered, so
+        # the offsets are strictly increasing)
+        starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        sums = np.add.reduceat(nll, starts[has])
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(t["doc_id"], dtype=object)[has],
+                "n_bigrams": nb[has],
+                "mean_nll": np.round(sums / nb[has], 6),
+            }
+        )
+
+    ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def _score_occurrences(occ, c2, nll_fn, *, n_buckets: int = 64):
     """Score every bigram occurrence against the count table through ONE
     coarse-bucket co-partition and fold per document.
@@ -2869,7 +2945,10 @@ def _score_occurrences(occ, c2, nll_fn, *, n_buckets: int = 64):
     ``n_buckets x docs`` rows, never the occurrences. Output:
     (doc_id, n_bigrams, mean_nll) with the shared 6-dp round-even
     absorber on the mean (term order differs from SQL's AVG; both sides
-    absorb)."""
+    absorb). This is the at-scale default; the public scorers gate into
+    :func:`_score_broadcast` when the count table fits the broadcast
+    budget (pass ``broadcast_rows=0`` to force this path — pytest pins
+    both paths equal)."""
     import pandas as pd
 
     from datafiller_ray.stages.exchange import grouped_sum
@@ -2954,7 +3033,9 @@ def _score_occurrences(occ, c2, nll_fn, *, n_buckets: int = 64):
     return summed.map_batches(finish, batch_format="pandas")
 
 
-def bigram_logprob(input_path, *, n_buckets: int = 64):
+def bigram_logprob(
+    input_path, *, n_buckets: int = 64, broadcast_rows: int = 30_000_000
+):
     """Per-document bigram-LM negative log-likelihood over the CONTRACT
     table's token ids — the sequence-level complement of the word-level
     ``unigram_logprob`` quality score (docs whose token transitions are
@@ -2978,7 +3059,31 @@ def bigram_logprob(input_path, *, n_buckets: int = 64):
     from datafiller_ray.stages.exchange import grouped_sum
 
     occ = _bigram_occurrences(input_path)
-    c2 = _bigram_counts(occ, n_buckets=n_buckets)
+    # pin the count table once: c2 feeds BOTH the c1 fold and the scoring
+    # co-partition, and a lazy Dataset re-runs its whole exchange per
+    # consumer (measured 2x the pipeline wall). The pinned table is
+    # vocab^2-bounded (distinct bigrams), spillable, never driver-collected
+    # on the co-partition path (the broadcast gate bounds the fast path).
+    c2 = _bigram_counts(occ, n_buckets=n_buckets).materialize()
+
+    bc = _broadcast_table(c2, broadcast_rows)
+    if bc is not None:
+        # broadcast path: the collected table also yields the c1 fold as
+        # one vectorized unique+bincount on the driver (vocab-bounded),
+        # skipping that exchange entirely
+        keys_s, cnts_s = bc
+        av, inv = np.unique(keys_s >> 32, return_inverse=True)
+        ac1 = np.bincount(inv, weights=cnts_s).astype(np.int64)
+        c1_ref = ray.put((av, ac1))
+
+        def nll_bc(key_l: np.ndarray, c2v: np.ndarray) -> np.ndarray:
+            akeys, ac1_ = ray.get(c1_ref)
+            c1 = ac1_[np.searchsorted(akeys, key_l >> 32)]
+            return np.log(c1.astype(np.float64)) - np.log(
+                c2v.astype(np.float64)
+            )
+
+        return _score_broadcast(input_path, bc, nll_bc)
 
     def start_partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"a": df["key"].to_numpy(np.int64) >> 32,
@@ -3004,7 +3109,13 @@ def bigram_logprob(input_path, *, n_buckets: int = 64):
     return _score_occurrences(occ, c2, nll, n_buckets=n_buckets)
 
 
-def kn_bigram_logprob(input_path, *, discount: float = 0.75, n_buckets: int = 64):
+def kn_bigram_logprob(
+    input_path,
+    *,
+    discount: float = 0.75,
+    n_buckets: int = 64,
+    broadcast_rows: int = 30_000_000,
+):
     """Interpolated Kneser-Ney smoothed bigram scoring per document — the
     classic LM-quality filter shape (CCNet-style perplexity filtering):
 
@@ -3039,7 +3150,40 @@ def kn_bigram_logprob(input_path, *, discount: float = 0.75, n_buckets: int = 64
         raise EngineValueError(f"discount must be in (0, 1), got {discount}")
 
     occ = _bigram_occurrences(input_path)
-    c2 = _bigram_counts(occ, n_buckets=n_buckets)
+    # pin the count table once: c2 feeds THREE consumers (a fold, b fold,
+    # scoring co-partition) and a lazy Dataset re-runs its whole count
+    # exchange per consumer (measured ~2x the pipeline wall at sf0.01).
+    # The pinned table is vocab^2-bounded (distinct bigrams), spillable,
+    # never driver-collected; occ stays lazy (map-only recompute is cheap).
+    c2 = _bigram_counts(occ, n_buckets=n_buckets).materialize()
+
+    bc = _broadcast_table(c2, broadcast_rows)
+    if bc is not None:
+        # broadcast path: both KN continuation tables fold from the
+        # collected count table with vectorized unique+bincount on the
+        # driver (vocab-bounded outputs), skipping two exchanges
+        keys_s, cnts_s = bc
+        av, ainv = np.unique(keys_s >> 32, return_inverse=True)
+        ac1 = np.bincount(ainv, weights=cnts_s).astype(np.int64)
+        ana = np.bincount(ainv).astype(np.int64)
+        bv, binv = np.unique(keys_s & 0xFFFFFFFF, return_inverse=True)
+        bnb = np.bincount(binv).astype(np.int64)
+        total_bc = float(keys_s.size)  # N1+(*, *) = distinct bigrams
+        ab_ref = ray.put((av, ac1, ana, bv, bnb))
+
+        def nll_bc(key_l: np.ndarray, c2v: np.ndarray) -> np.ndarray:
+            akeys, ac1_, ana_, bkeys, bnb_ = ray.get(ab_ref)
+            pa_ = np.searchsorted(akeys, key_l >> 32)
+            pb_ = np.searchsorted(bkeys, key_l & 0xFFFFFFFF)
+            c1 = ac1_[pa_].astype(np.float64)
+            na = ana_[pa_].astype(np.float64)
+            nb = bnb_[pb_].astype(np.float64)
+            p = np.maximum(c2v.astype(np.float64) - d, 0.0) / c1 + (
+                d * na / c1
+            ) * (nb / total_bc)
+            return -np.log(p)
+
+        return _score_broadcast(input_path, bc, nll_bc)
 
     def a_partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -3345,9 +3489,13 @@ def ppl_tercile(
         )
         return out[["doc_id", "source", "n_bigrams", "mean_nll"]]
 
+    # pin the joined doc-level scores once: they feed BOTH the cell-count
+    # pass and the rank pass, and a lazy Dataset would re-run the entire
+    # KN-scoring chain (two corpus-scale exchanges) per consumer. One row
+    # per doc — the exact table being ranked — spillable, not collected.
     joined = tagged.groupby("_bk").map_groups(
         bucket_join, batch_format="pandas"
-    )
+    ).materialize()
 
     # ---- distributed exact NTILE over (mean_nll, doc_id) per source ----
     # mean_nll is 6-dp pinned, so nll_int = rint(mean_nll * 1e6) is an

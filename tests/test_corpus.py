@@ -1555,6 +1555,50 @@ def test_kn_bigram_logprob_literal(ray_session, tmp_path):
     ]
 
 
+def test_bigram_scorers_broadcast_equals_copartition(ray_session, tmp_path):
+    """The size-gated broadcast join (shuffle-free scoring pass) and the
+    co-partition exchange must agree row-for-row under the shared 6-dp
+    absorber — same invariant for both the MLE and the KN scorer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import (
+        bigram_logprob,
+        kn_bigram_logprob,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        n = int(rng.integers(0, 14))
+        rows.append(
+            {
+                "doc_id": f"s{i % 5}:{i:010d}",
+                "tokens": rng.integers(0, 40, size=n).tolist(),
+            }
+        )
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema([("doc_id", pa.string()), ("tokens", pa.list_(pa.int32()))])
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+
+    for fn in (bigram_logprob, kn_bigram_logprob):
+        fast = (
+            fn(str(path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        slow = (
+            fn(str(path), broadcast_rows=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_kn_bigram_logprob_validation(ray_session):
     from datafiller_ray.config import EngineValueError
     from datafiller_ray.pipelines.corpus import kn_bigram_logprob
