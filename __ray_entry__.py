@@ -2435,6 +2435,16 @@ def _heaps_fit(sf_dir: str):
     return heaps_fit(_fixture(sf_dir))
 
 
+def _entropy_rate(sf_dir: str):
+    """Per-source bigram conditional entropy rate H(B|A) plus context
+    entropy H(A) from exact per-source bigram/context counts (one pinned
+    float expression per source, round6) —
+    pipelines/corpus.entropy_rate."""
+    from datafiller_ray.pipelines.corpus import entropy_rate
+
+    return entropy_rate(_fixture(sf_dir))
+
+
 def _gt_coverage(sf_dir: str):
     """Per-source simple Good-Turing coverage (unseen mass f1/N from
     exact singleton/total integers, one pinned division) —
@@ -5092,6 +5102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gt_coverage": _gt_coverage,
         "doc_lexical_stats": _doc_lexical_stats,
         "heaps_fit": _heaps_fit,
+        "entropy_rate": _entropy_rate,
         "page_hinkley_1m": _page_hinkley,
         "runs_test": _runs_test,
         "turning_points": _turning_points,
@@ -8864,6 +8875,38 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 1.0 END * 1000000 + 0.5) / 1000000.0 AS r2
             FROM m
             WHERE n >= 2 AND n * sxx - sx * sx > 0
+        """,
+        # Bigram conditional entropy: exact integer counts feed one float
+        # expression per source; engine exchange-order sums vs SQL SUM
+        # differ by ulps, round6 floor-half-up absorbs (heaps precedent)
+        "entropy_rate": f"""
+            WITH e AS (
+              SELECT source, tokens,
+                     unnest(generate_series(1, len(tokens) - 1)) AS i
+              FROM read_parquet('{p}/*.parquet')),
+            b AS (SELECT source,
+                         CAST(tokens[i] AS BIGINT) AS a,
+                         CAST(tokens[i + 1] AS BIGINT) AS bb
+                  FROM e),
+            c2 AS (SELECT source, a, bb, COUNT(*)::BIGINT AS c2
+                   FROM b GROUP BY 1, 2, 3),
+            ct AS (SELECT source, a, CAST(SUM(c2) AS BIGINT) AS c1,
+                          COUNT(*)::BIGINT AS nd,
+                          SUM(CAST(c2 AS DOUBLE)
+                              * LN(CAST(c2 AS DOUBLE))) AS s2
+                   FROM c2 GROUP BY 1, 2),
+            s AS (SELECT source, CAST(SUM(c1) AS BIGINT) AS n_bigrams,
+                         CAST(SUM(nd) AS BIGINT) AS n_distinct,
+                         SUM(s2) AS s2,
+                         SUM(CAST(c1 AS DOUBLE)
+                             * LN(CAST(c1 AS DOUBLE))) AS s1
+                  FROM ct GROUP BY 1)
+            SELECT source, n_bigrams, n_distinct,
+                   FLOOR((s1 - s2) / n_bigrams * 1000000 + 0.5)
+                     / 1000000.0 AS cond_entropy,
+                   FLOOR((LN(CAST(n_bigrams AS DOUBLE)) - s1 / n_bigrams)
+                         * 1000000 + 0.5) / 1000000.0 AS context_entropy
+            FROM s
         """,
         "gt_coverage": f"""
             WITH u AS (SELECT source, unnest(tokens) AS t

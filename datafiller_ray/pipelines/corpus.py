@@ -3735,3 +3735,129 @@ def heaps_fit(input_path, *, step: int = 3600, n_buckets: int = 64):
         return pd.concat(outs, ignore_index=True)
 
     return tagged.groupby("source").map_groups(fit, batch_format="pandas")
+
+
+def entropy_rate(input_path, *, n_buckets: int = 64):
+    """Per-source bigram conditional entropy rate over the CONTRACT
+    table's token ids — the information-theoretic LM-difficulty summary
+    (Shannon 1951's entropy-rate estimate at bigram order):
+
+    ``H(B|A) = -sum_{a,b} (c2/N) ln(c2/c1)`` where ``c2`` counts bigram
+    ``(a, b)`` within the source, ``c1 = sum_b c2`` its context count and
+    ``N`` the source's total bigrams. Low values mean token transitions
+    are predictable (templated/boilerplate feeds); high values mean the
+    stream is close to context-free (compare ``doc_entropy``, which is
+    per-document and order-free). Also reports the context entropy
+    ``H(A) = ln N - (1/N) sum_a c1 ln c1`` so the pair gives the bigram
+    joint entropy ``H(A) + H(B|A)`` for free.
+
+    Physical plan mirrors the bigram-count passes of
+    :func:`bigram_logprob` restricted to per-source totals: per-batch
+    (source, packed-key) partials -> one bounded coarse-key exchange ->
+    a (source, context) fold carrying exact integer counts plus the
+    float ``c2 ln c2`` moment -> a tiny per-source exchange. No pass
+    ships the token arrays past the first projection; every float moment
+    enters ONE pinned expression per source under the engine-wide
+    round6 floor-half-up absorber (ulp-order divergence vs SQL SUM
+    absorbed, heaps_fit precedent). Sources with zero bigrams (every
+    doc shorter than 2 tokens) are omitted, matching the SQL oracle's
+    inner joins.
+
+    Output: (source, n_bigrams, n_distinct, cond_entropy,
+    context_entropy).
+    """
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def bigram_partials(t: "pa.Table") -> pd.DataFrame:
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        flat = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        ends = np.cumsum(lens)
+        keep = np.ones(flat.size, dtype=bool)
+        keep[ends[lens > 0] - 1] = False  # drop each doc's last token
+        a = flat[keep]
+        b = np.roll(flat, -1)[keep]
+        nb = np.maximum(lens - 1, 0)
+        dict_arr = pc.dictionary_encode(t["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+        src = np.repeat(uniq[np.asarray(dict_arr.indices)], nb)
+        df = pd.DataFrame(
+            {
+                "source": src,
+                "key": (a << 32) | b,
+                "cnt": np.ones(src.size, np.int64),
+            }
+        )
+        return df.groupby(["source", "key"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+
+    ds = ray.data.read_parquet(input_path, columns=["source", "tokens"])
+    c2 = grouped_sum(
+        ds.map_batches(bigram_partials, batch_format="pyarrow"),
+        ["source", "key"],
+        "cnt",
+        n_buckets=n_buckets,
+    )
+
+    def context_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.int64)
+        cf = c.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "a": df["key"].to_numpy(np.int64) >> 32,
+                "c1": c,
+                "nd": np.ones(c.size, np.int64),
+                "s2": cf * np.log(cf),
+            }
+        )
+
+    # c2 rows are already unique per (source, key), so nd sums to the
+    # distinct-bigram count and s2 to sum c2*ln(c2) over bigram types
+    ctx = grouped_sum(
+        c2.map_batches(context_partial, batch_format="pandas"),
+        ["source", "a"],
+        ["c1", "nd", "s2"],
+        n_buckets=n_buckets,
+    )
+
+    def source_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c1 = df["c1"].to_numpy(np.int64)
+        c1f = c1.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_bigrams": c1,
+                "n_distinct": df["nd"].to_numpy(np.int64),
+                "s2": df["s2"].to_numpy(np.float64),
+                "s1": c1f * np.log(c1f),
+            }
+        )
+
+    summed = grouped_sum(
+        ctx.map_batches(source_partial, batch_format="pandas"),
+        ["source"],
+        ["n_bigrams", "n_distinct", "s2", "s1"],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_bigrams"].to_numpy(np.int64).astype(np.float64)
+        s1 = b["s1"].to_numpy(np.float64)
+        s2 = b["s2"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "n_bigrams": b["n_bigrams"].to_numpy(np.int64),
+                "n_distinct": b["n_distinct"].to_numpy(np.int64),
+                "cond_entropy": np.floor((s1 - s2) / n * 1e6 + 0.5) / 1e6,
+                "context_entropy": np.floor(
+                    (np.log(n) - s1 / n) * 1e6 + 0.5
+                )
+                / 1e6,
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pandas")

@@ -1765,3 +1765,81 @@ def test_heaps_fit_literal(ray_session, tmp_path):
     beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert out.loc[0, "n_points"] == 3
     assert out.loc[0, "beta"] == np.floor(beta * 1e6 + 0.5) / 1e6
+
+
+def test_entropy_rate_literal(ray_session, tmp_path):
+    """Hand-computed bigram conditional entropy on a two-source table;
+    the all-short source (no bigrams) must be omitted."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import entropy_rate
+
+    rows = [
+        {"doc_id": "s:0000000000", "source": "s", "tokens": [1, 2, 1, 2],
+         "n_tok": 4},
+        {"doc_id": "s:0000000001", "source": "s", "tokens": [1, 3],
+         "n_tok": 2},
+        {"doc_id": "t:0000000000", "source": "t", "tokens": [5], "n_tok": 1},
+        {"doc_id": "t:0000000001", "source": "t", "tokens": [7], "n_tok": 1},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("tokens", pa.list_(pa.int32())), ("n_tok", pa.int32())]
+        )
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = entropy_rate(str(path)).to_pandas().sort_values("source")
+    # bigrams of s: (1,2)x2, (2,1), (1,3) -> N=4, 3 distinct
+    # contexts: a=1 c1=3, a=2 c1=1; s2 = 2ln2; s1 = 3ln3
+    assert list(out["source"]) == ["s"]
+    r = out.iloc[0]
+    assert r["n_bigrams"] == 4 and r["n_distinct"] == 3
+    s1, s2 = 3 * math.log(3.0), 2 * math.log(2.0)
+    assert r["cond_entropy"] == np.floor((s1 - s2) / 4 * 1e6 + 0.5) / 1e6
+    assert r["context_entropy"] == (
+        np.floor((math.log(4.0) - s1 / 4) * 1e6 + 0.5) / 1e6
+    )
+
+
+def test_entropy_rate_partition_invariance(ray_session, tmp_path):
+    """Result independent of file sharding (exchange reorders floats only
+    inside the absorber)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import entropy_rate
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        n = int(rng.integers(0, 12))
+        rows.append(
+            {
+                "doc_id": f"s{i % 4}:{i:010d}",
+                "source": f"s{i % 4}",
+                "tokens": rng.integers(0, 25, size=n).tolist(),
+                "n_tok": n,
+            }
+        )
+    schema = pa.schema(
+        [("doc_id", pa.string()), ("source", pa.string()),
+         ("tokens", pa.list_(pa.int32())), ("n_tok", pa.int32())]
+    )
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(); many.mkdir()
+    t = pa.Table.from_pylist(rows).cast(schema)
+    pq.write_table(t, one / "all.parquet")
+    for j in range(7):
+        pq.write_table(
+            pa.Table.from_pylist(rows[j::7]).cast(schema),
+            many / f"part{j}.parquet",
+        )
+    a = entropy_rate(str(one)).to_pandas().sort_values("source").reset_index(drop=True)
+    b = entropy_rate(str(many)).to_pandas().sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
