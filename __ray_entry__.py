@@ -2435,6 +2435,16 @@ def _heaps_fit(sf_dir: str):
     return heaps_fit(_fixture(sf_dir))
 
 
+def _dsir_weights(sf_dir: str):
+    """DSIR hashed-bigram importance log-weights per doc (target slice =
+    the _CORR_REFS sources): one B-bounded count exchange + a broadcast
+    weight vector scored in a shuffle-free map pass —
+    pipelines/corpus.dsir_weights."""
+    from datafiller_ray.pipelines.corpus import dsir_weights
+
+    return dsir_weights(_fixture(sf_dir), list(_CORR_REFS))
+
+
 def _entropy_rate(sf_dir: str):
     """Per-source bigram conditional entropy rate H(B|A) plus context
     entropy H(A) from exact per-source bigram/context counts (one pinned
@@ -5103,6 +5113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lexical_stats": _doc_lexical_stats,
         "heaps_fit": _heaps_fit,
         "entropy_rate": _entropy_rate,
+        "dsir_weights": _dsir_weights,
         "page_hinkley_1m": _page_hinkley,
         "runs_test": _runs_test,
         "turning_points": _turning_points,
@@ -6884,6 +6895,45 @@ def oracle_sql() -> dict[str, str]:
         JOIN at ON at.a = b.a
         JOIN bt ON bt.bb = b.bb
         CROSS JOIN t
+        GROUP BY 1
+    """
+
+    # DSIR importance weights: splitmix64 feature hashing mirrored in
+    # HUGEINT-mod CTEs; weight expression shaped exactly like the
+    # engine's (ln(ct+1) - ln(T+B) - ln(cr+1) + ln(R+B)), round6 absorbs
+    _dsir_B = 8192
+    _dsir_ctes, _dsir_fin = _sql_splitmix_ctes(
+        "dsir_bg", ["doc_id", "source"], "CAST(key AS UBIGINT)", "dsr"
+    )
+    dsir_sql = f"""
+        WITH dsir_e AS (
+          SELECT doc_id, source, tokens,
+                 unnest(generate_series(1, len(tokens) - 1)) AS i
+          FROM read_parquet('{p}/*.parquet')),
+        dsir_bg AS (
+          SELECT doc_id, source,
+                 CAST(tokens[i] AS BIGINT) * 4294967296
+                 + CAST(tokens[i + 1] AS BIGINT) AS key
+          FROM dsir_e),
+        {_dsir_ctes},
+        occ AS (SELECT doc_id, source,
+                       CAST(v % {_dsir_B} AS BIGINT) AS f
+                FROM {_dsir_fin}),
+        c AS (SELECT f, COUNT(*)::BIGINT AS cr,
+                     SUM(CASE WHEN source IN {_CORR_REFS!r}
+                              THEN 1 ELSE 0 END)::BIGINT AS ct
+              FROM occ GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS r,
+                       CAST(SUM(ct) AS DOUBLE) AS t
+                FROM c),
+        w AS (SELECT f,
+                     LN(CAST(ct AS DOUBLE) + 1.0) - LN(t + {_dsir_B})
+                     - (LN(CAST(cr AS DOUBLE) + 1.0) - LN(r + {_dsir_B}))
+                       AS w
+              FROM c CROSS JOIN tot)
+        SELECT occ.doc_id, COUNT(*)::BIGINT AS n_feats,
+               FLOOR(SUM(w.w) * 1000000 + 0.5) / 1000000.0 AS log_weight
+        FROM occ JOIN w USING (f)
         GROUP BY 1
     """
 
@@ -8744,6 +8794,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "kn_bigram_logprob": kn_sql,
+        "dsir_weights": dsir_sql,
         # CCNet-style per-source perplexity terciles on the KN scores;
         # NTILE ties break on doc_id (mean_nll is 6-dp pinned), matching
         # the engine's (mean_nll, doc_id) mergesort + SQL-NTILE fill rule

@@ -3861,3 +3861,130 @@ def entropy_rate(input_path, *, n_buckets: int = 64):
         )
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def dsir_weights(
+    input_path,
+    target_sources,
+    *,
+    n_feat_buckets: int = 8192,
+    n_buckets: int = 64,
+):
+    """DSIR-style importance log-weights per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how much its hashed n-gram feature
+    profile looks like a TARGET slice of the corpus, so a downstream
+    sampler can resample the raw feed toward the target distribution.
+
+    Features are hashed bigrams ``f = splitmix64((a << 32) | b) mod
+    n_feat_buckets`` over the CONTRACT token ids (the paper's hashed
+    n-gram generative model at bigram order). With add-1 smoothed bucket
+    unigram models ``p_t(f) = (ct_f + 1) / (T + B)`` (target) and
+    ``p_r(f) = (cr_f + 1) / (R + B)`` (raw = whole corpus), the log
+    importance weight of a doc is ``sum_i ln p_t(f_i) - ln p_r(f_i)``
+    over its bigram occurrences.
+
+    Physical plan — the 100-TB shape: ONE counting pass folds per-batch
+    ``np.bincount`` partials through a B-bounded exchange (B =
+    n_feat_buckets rows, never the corpus); the B-row weight vector is
+    then pinned once via ``ray.put`` and the scoring pass is a single
+    shuffle-free ``map_batches`` over the original input (per-doc sums
+    fold in-batch with ``np.add.reduceat``). No doc-level exchange
+    exists at all. Docs with no bigrams are omitted (no features to
+    weigh), matching the SQL oracle's joins; float term order differs
+    from SQL's SUM, both absorbed by the engine-wide round6 floor-half-up.
+
+    Output: (doc_id, n_feats, log_weight).
+    """
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    targets = sorted(set(target_sources))
+    if not targets:
+        raise EngineValueError("target_sources must be non-empty")
+    if n_feat_buckets < 2:
+        raise EngineValueError(
+            f"n_feat_buckets must be >= 2, got {n_feat_buckets}"
+        )
+    tset = frozenset(targets)
+    B = int(n_feat_buckets)
+
+    def _features(t: "pa.Table"):
+        """(feature ids, per-doc bigram counts) for a batch."""
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        flat = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        ends = np.cumsum(lens)
+        keep = np.ones(flat.size, dtype=bool)
+        keep[ends[lens > 0] - 1] = False
+        a = flat[keep]
+        b = np.roll(flat, -1)[keep]
+        key = ((a << 32) | b).astype(np.uint64)
+        f = (splitmix64(key) % np.uint64(B)).astype(np.int64)
+        return f, np.maximum(lens - 1, 0)
+
+    def count_partial(t: "pa.Table") -> pd.DataFrame:
+        f, nb = _features(t)
+        dict_arr = pc.dictionary_encode(t["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+        is_t = np.isin(uniq, np.asarray(targets, dtype=object))[
+            np.asarray(dict_arr.indices)
+        ]
+        occ_t = np.repeat(is_t, nb)
+        cr = np.bincount(f, minlength=B)
+        ct = np.bincount(f[occ_t], minlength=B)
+        nz = np.flatnonzero(cr)
+        return pd.DataFrame(
+            {
+                "f": nz.astype(np.int64),
+                "ct": ct[nz].astype(np.int64),
+                "cr": cr[nz].astype(np.int64),
+            }
+        )
+
+    ds = ray.data.read_parquet(input_path, columns=["source", "tokens"])
+    counts = grouped_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["f"],
+        ["ct", "cr"],
+        n_buckets=max(1, n_buckets // 4),
+    ).to_pandas()  # bounded: <= n_feat_buckets rows by construction
+
+    ct = np.zeros(B, dtype=np.int64)
+    cr = np.zeros(B, dtype=np.int64)
+    if len(counts):
+        ct[counts["f"].to_numpy(np.int64)] = counts["ct"].to_numpy(np.int64)
+        cr[counts["f"].to_numpy(np.int64)] = counts["cr"].to_numpy(np.int64)
+    T = int(ct.sum())
+    R = int(cr.sum())
+    w = (np.log(ct + 1.0) - np.log(float(T + B))) - (
+        np.log(cr + 1.0) - np.log(float(R + B))
+    )
+    w_ref = ray.put(w)
+
+    def score(t: "pa.Table") -> pd.DataFrame:
+        wv = ray.get(w_ref)
+        f, nb = _features(t)
+        has = nb > 0
+        if not has.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, dtype=object),
+                    "n_feats": np.empty(0, dtype=np.int64),
+                    "log_weight": np.empty(0, dtype=np.float64),
+                }
+            )
+        starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        sums = np.add.reduceat(wv[f], starts[has])
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(t["doc_id"], dtype=object)[has],
+                "n_feats": nb[has],
+                "log_weight": np.floor(sums * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    scored = ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
+    return scored.map_batches(score, batch_format="pyarrow")

@@ -1843,3 +1843,95 @@ def test_entropy_rate_partition_invariance(ray_session, tmp_path):
     a = entropy_rate(str(one)).to_pandas().sort_values("source").reset_index(drop=True)
     b = entropy_rate(str(many)).to_pandas().sort_values("source").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def _sm64(x: int) -> int:
+    """Scalar splitmix64 mirror (independent of functions.hashing)."""
+    m = (1 << 64) - 1
+    x = (x + 0x9E3779B97F4A7C15) & m
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & m
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & m
+    x ^= x >> 31
+    return x
+
+
+def test_dsir_weights_literal(ray_session, tmp_path):
+    """Brute-force scalar recomputation of the hashed-bigram importance
+    weights on a tiny two-source table (target = source t)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import dsir_weights
+
+    rows = [
+        {"doc_id": "s:0000000000", "source": "s",
+         "tokens": [1, 2, 3, 1, 2], "n_tok": 5},
+        {"doc_id": "s:0000000001", "source": "s", "tokens": [4], "n_tok": 1},
+        {"doc_id": "t:0000000000", "source": "t", "tokens": [1, 2, 4],
+         "n_tok": 3},
+        {"doc_id": "t:0000000001", "source": "t", "tokens": [2, 3],
+         "n_tok": 2},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("tokens", pa.list_(pa.int32())), ("n_tok", pa.int32())]
+        )
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    B = 64
+    out = (
+        dsir_weights(str(path), ["t"], n_feat_buckets=B)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    ct = [0] * B
+    cr = [0] * B
+    feats = {}
+    for r in rows:
+        fs = [
+            _sm64((a << 32) | b) % B
+            for a, b in zip(r["tokens"], r["tokens"][1:])
+        ]
+        feats[r["doc_id"]] = fs
+        for f in fs:
+            cr[f] += 1
+            if r["source"] == "t":
+                ct[f] += 1
+    T, R = sum(ct), sum(cr)
+    expect = []
+    for did in sorted(feats):
+        fs = feats[did]
+        if not fs:
+            continue
+        lw = sum(
+            math.log((ct[f] + 1) / (T + B)) - math.log((cr[f] + 1) / (R + B))
+            for f in fs
+        )
+        expect.append((did, len(fs), np.floor(lw * 1e6 + 0.5) / 1e6))
+    assert list(out["doc_id"]) == [e[0] for e in expect]
+    assert list(out["n_feats"]) == [e[1] for e in expect]
+    np.testing.assert_allclose(
+        out["log_weight"].to_numpy(), [e[2] for e in expect], atol=1.1e-6
+    )
+    # target docs should look more target-like than the raw-only docs
+    tw = out[out["doc_id"].str.startswith("t")]["log_weight"].mean()
+    sw = out[out["doc_id"].str.startswith("s")]["log_weight"].mean()
+    assert tw > sw
+
+
+def test_dsir_weights_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.corpus import dsir_weights
+
+    with pytest.raises(EngineValueError):
+        dsir_weights("/tmp/nope", [])
+    with pytest.raises(EngineValueError):
+        dsir_weights("/tmp/nope", ["s"], n_feat_buckets=1)
