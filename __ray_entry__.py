@@ -2517,6 +2517,16 @@ def _lomb_scargle(sf_dir: str):
     return lomb_scargle(_fixture(sf_dir))
 
 
+def _spectral_entropy(sf_dir: str):
+    """Per-source normalized DFT-power spectral entropy + dominant
+    harmonic over the dense hourly grid (missing hours exact zeros;
+    fsum-pinned angle chain) — pipelines/window.spectral_entropy;
+    vendored scalar oracle."""
+    from datafiller_ray.pipelines.window import spectral_entropy
+
+    return spectral_entropy(_fixture(sf_dir))
+
+
 def _matrix_profile(sf_dir: str):
     """Per-source matrix profile (exact STOMP) over the linear-filled
     hourly grid: top motif pair + top discord window by z-normalized
@@ -5104,6 +5114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adf_stat": _adf_stat,
         "haar_energy": _haar_energy,
         "lomb_scargle": _lomb_scargle,
+        "spectral_entropy": _spectral_entropy,
         "matrix_profile": _matrix_profile,
         "bigram_logprob": _bigram_logprob,
         "kn_bigram_logprob": _kn_bigram_logprob,
@@ -6567,6 +6578,37 @@ def _build_lomb_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_spectral_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep].astype(np.int64)
+        st = o.spectral_entropy_stats(ts, y, 12)
+        if st is None:
+            continue
+        n_slots, n_active, peak_k, ent = st
+        rows.append(
+            (
+                src,
+                int(n_slots),
+                int(n_active),
+                int(peak_k),
+                float(o.round_half_up(np.array([ent]))[0]),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["source", "n_slots", "n_active", "peak_k",
+                 "spectral_entropy"],
+    )
+    for c in ("n_slots", "n_active", "peak_k"):
+        out[c] = out[c].astype(np.int64)
+    out["spectral_entropy"] = out["spectral_entropy"].astype(np.float64)
+    return out
+
+
 def _build_page_hinkley_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     rows = {
@@ -6623,6 +6665,7 @@ _FILL_ORACLE_BUILDERS = {
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
     "lomb_scargle": _build_lomb_oracle,
+    "spectral_entropy": _build_spectral_oracle,
     "matrix_profile": _build_matprof_oracle,
     "page_hinkley_1m": _build_page_hinkley_oracle,
 }
@@ -7687,6 +7730,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "haar_energy": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('haar_energy')}')"
+        ),
+        "spectral_entropy": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('spectral_entropy')}')"
         ),
         "lomb_scargle": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('lomb_scargle')}')"

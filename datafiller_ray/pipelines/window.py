@@ -4561,3 +4561,101 @@ def matrix_profile(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _spectral_one_source(
+    obs: pd.DataFrame, source: str, max_k: int
+) -> pd.DataFrame:
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_slots": pd.Series([], dtype=np.int64),
+                "n_active": pd.Series([], dtype=np.int64),
+                "peak_k": pd.Series([], dtype=np.int64),
+                "spectral_entropy": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    y = obs["sum"].to_numpy(np.int64).astype(np.float64)
+    hb = ts - ts % 3600
+    uh, inv = np.unique(hb, return_inverse=True)
+    x = np.bincount(inv, weights=y)
+    t0 = int(uh[0])
+    n_slots = int((int(uh[-1]) - t0) // 3600) + 1
+    k_max = min(max_k, (n_slots - 1) // 2)
+    if k_max < 2:
+        return empty
+    idx = ((uh - t0) // 3600).astype(np.float64)
+    # PINNED CHAIN (mirrored by the vendored oracle, tests/oracle/fills.py
+    # spectral_entropy_stats): per-harmonic angle grid built as
+    # (2*pi*k/T) * idx, fsum cos/sin projections, squared-modulus power.
+    # Inactive hourly slots hold exact zeros, so summing over ACTIVE
+    # slots only IS the dense-grid DFT, and the k=0 (mean) line is
+    # orthogonal to every k >= 1 line in exact math — no centering pass.
+    powers = []
+    fs = math.fsum
+    T = float(n_slots)
+    for k in range(1, k_max + 1):
+        ang = (2.0 * np.pi * float(k) / T) * idx
+        cr = fs(x * np.cos(ang))
+        ci = fs(x * np.sin(ang))
+        powers.append(cr * cr + ci * ci)
+    tot = fs(powers)
+    # noise floor: a constant hourly series has zero AC power in exact
+    # math but fsum residues ~ (n*eps*|x|)^2 in floats; the relative
+    # guard (mirrored by the oracle) omits it deterministically
+    scale = fs(np.abs(x))
+    if tot <= (1e-9 * scale) ** 2:
+        return empty
+    pk = [pw / tot for pw in powers]
+    ent = -fs(p * math.log(p) for p in pk if p > 0.0) / math.log(
+        float(k_max)
+    )
+    peak_k = 1 + int(np.argmax(np.asarray(powers)))  # first max wins ties
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_slots": np.array([n_slots], dtype=np.int64),
+            "n_active": np.array([uh.size], dtype=np.int64),
+            "peak_k": np.array([peak_k], dtype=np.int64),
+            "spectral_entropy": _round6_half_up(np.array([ent])),
+        }
+    )
+
+
+def spectral_entropy(
+    input_path,
+    *,
+    max_k: int = 12,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source normalized spectral entropy of the hourly token-sum
+    series: DFT power at harmonics ``k = 1..min(max_k, (T-1)//2)`` over
+    the dense hourly grid (T slots from the source's first to last
+    active hour; missing hours are exact zeros, so only active hours
+    enter the projections), normalized to a distribution and summarized
+    as ``-sum p ln p / ln K`` in [0, 1]. Low entropy = one dominant
+    periodicity (read next to ``dominant_period``'s ACF argmax and
+    ``harmonic_24h``'s parametric fit); high entropy = broadband /
+    aperiodic load. Also reports ``peak_k``, the dominant harmonic
+    (ties to the smallest k — deterministic because the vendored oracle
+    recomputes the identical fsum chain bit-for-bit).
+
+    Sources whose span allows fewer than two harmonics, or with zero
+    total AC power (constant hourly series), are omitted.
+
+    Output: (source, n_slots, n_active, peak_k, spectral_entropy).
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if max_k < 2:
+        raise EngineValueError(f"max_k must be >= 2, got {max_k}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _spectral_one_source(obs, src, max_k),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -1326,3 +1326,49 @@ def hourly_linear_filled(ts, y):
             for kk in range(L + 1, R):
                 s[kk] = yL + (yR - yL) * (float(kk - L) / float(R - L))
     return grid, s
+
+
+def spectral_entropy_stats(ts, y, max_k=12):
+    """Normalized DFT-power spectral entropy over the dense hourly grid
+    (documented semantics of the engine's spectral_entropy): fold the
+    active 1m buckets to hourly sums, take power at harmonics
+    k = 1..min(max_k, (T-1)//2) of the T-slot grid (missing hours are
+    exact zeros, so only active hours enter the projections), normalize,
+    and report -sum p ln p / ln K plus the smallest-k power argmax.
+    Every sum is math.fsum over the same pinned angle chain
+    ((2*pi*k/T) * idx), so any correct implementation agrees
+    bit-for-bit. Returns (n_slots, n_active, peak_k, entropy) or None
+    when degenerate (fewer than two harmonics, zero AC power)."""
+    import math
+
+    hb = ts - ts % 3600
+    uh, inv = np.unique(hb, return_inverse=True)
+    x = np.bincount(inv, weights=y.astype(np.float64))
+    t0 = int(uh[0])
+    n_slots = int((int(uh[-1]) - t0) // 3600) + 1
+    k_max = min(max_k, (n_slots - 1) // 2)
+    if k_max < 2:
+        return None
+    idx = ((uh - t0) // 3600).astype(np.float64)
+    fs = math.fsum
+    powers = []
+    for k in range(1, k_max + 1):
+        ang = (2.0 * np.pi * float(k) / float(n_slots)) * idx
+        cr = fs(x * np.cos(ang))
+        ci = fs(x * np.sin(ang))
+        powers.append(cr * cr + ci * ci)
+    tot = fs(powers)
+    # relative noise floor: constant hourly series have zero AC power in
+    # exact math but fsum residues in floats — omit deterministically
+    scale = fs(np.abs(x))
+    if tot <= (1e-9 * scale) ** 2:
+        return None
+    pk = [pw / tot for pw in powers]
+    ent = -fs(p * math.log(p) for p in pk if p > 0.0) / math.log(
+        float(k_max)
+    )
+    best = 0
+    for i in range(1, len(powers)):
+        if powers[i] > powers[best]:
+            best = i
+    return (n_slots, int(uh.size), best + 1, ent)

@@ -2464,3 +2464,83 @@ def test_matrix_profile_degenerate():
         pd.DataFrame({"bucket_ts": ts, "sum": y}), "s", 12)) == 0
     with pytest.raises(EngineValueError):
         matrix_profile("/tmp/nope.parquet", w=1)
+
+
+def test_spectral_entropy_planted_harmonic():
+    """A pure daily sinusoid sampled over a dense 10-day hourly grid must
+    concentrate power at k = n_days (low entropy, peak_k = 10)."""
+    from datafiller_ray.pipelines.window import _spectral_one_source
+
+    days = 10
+    ts = np.arange(days * 24, dtype=np.int64) * 3600
+    y = np.rint(
+        1000 + 500 * np.cos(2 * np.pi * (ts % 86400) / 86400.0)
+    ).astype(np.int64)
+    out = _spectral_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": y}), "s", 12
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_slots"] == days * 24 and r["n_active"] == days * 24
+    assert r["peak_k"] == days  # k=10 of T=240 slots == 24h period
+    assert r["spectral_entropy"] < 0.25
+    # broadband noise scores near 1
+    rng = np.random.default_rng(3)
+    y2 = rng.integers(0, 1000, size=ts.size).astype(np.int64)
+    r2 = _spectral_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": y2}), "s", 12
+    ).iloc[0]
+    # K=12 exponential-ish powers put the expected normalized entropy
+    # around 0.75; the separation from the planted-harmonic case is what
+    # matters
+    assert r2["spectral_entropy"] > 0.6
+
+
+def test_spectral_entropy_matches_vendored_oracle_bitwise():
+    import sys
+
+    sys.path.insert(0, "tests/oracle")
+    import fills as o
+
+    from datafiller_ray.pipelines.window import _spectral_one_source
+
+    rng = np.random.default_rng(5)
+    nb = 400
+    ts = np.sort(rng.choice(30 * 1440, size=nb, replace=False)).astype(
+        np.int64
+    ) * 60
+    y = rng.integers(0, 500, size=nb).astype(np.int64)
+    out = _spectral_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": y}), "s", 12
+    )
+    st = o.spectral_entropy_stats(ts, y, 12)
+    assert st is not None
+    n_slots, n_active, peak_k, ent = st
+    r = out.iloc[0]
+    assert (r["n_slots"], r["n_active"], r["peak_k"]) == (
+        n_slots, n_active, peak_k,
+    )
+    assert r["spectral_entropy"] == o.round_half_up(np.array([ent]))[0]
+
+
+def test_spectral_entropy_degenerate_cases():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import (
+        _spectral_one_source,
+        spectral_entropy,
+    )
+
+    # span of 4 hourly slots -> only one harmonic -> omitted
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(4, dtype=np.int64) * 3600,
+         "sum": np.array([1, 5, 2, 9], dtype=np.int64)}
+    )
+    assert len(_spectral_one_source(obs, "s", 12)) == 0
+    # constant hourly series on a dense grid -> zero AC power -> omitted
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(24, dtype=np.int64) * 3600,
+         "sum": np.full(24, 7, dtype=np.int64)}
+    )
+    assert len(_spectral_one_source(obs, "s", 12)) == 0
+    with pytest.raises(EngineValueError):
+        spectral_entropy("/tmp/nope.parquet", max_k=1)
