@@ -2445,6 +2445,18 @@ def _dsir_weights(sf_dir: str):
     return dsir_weights(_fixture(sf_dir), list(_CORR_REFS))
 
 
+def _source_ngram_overlap(sf_dir: str):
+    """Cross-source n-gram contamination matrix (ordered pairs, distinct
+    int64-packed n-grams; widest exchange = one row per distinct
+    (source, n-gram)) — pipelines/corpus.source_ngram_overlap. Driven at
+    n=2: the fixture's tokens are independent 50k-vocab draws, so the
+    trigram intersection is empty by construction while bigrams collide
+    at birthday rate — the bigram census exercises every stage."""
+    from datafiller_ray.pipelines.corpus import source_ngram_overlap
+
+    return source_ngram_overlap(_fixture(sf_dir), n=2)
+
+
 def _entropy_rate(sf_dir: str):
     """Per-source bigram conditional entropy rate H(B|A) plus context
     entropy H(A) from exact per-source bigram/context counts (one pinned
@@ -5125,6 +5137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_fit": _heaps_fit,
         "entropy_rate": _entropy_rate,
         "dsir_weights": _dsir_weights,
+        "source_ngram_overlap": _source_ngram_overlap,
         "page_hinkley_1m": _page_hinkley,
         "runs_test": _runs_test,
         "turning_points": _turning_points,
@@ -8972,6 +8985,29 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 1.0 END * 1000000 + 0.5) / 1000000.0 AS r2
             FROM m
             WHERE n >= 2 AND n * sxx - sx * sx > 0
+        """,
+        # n-gram contamination (driven at n=2): DISTINCT packed bigrams
+        # per source, pairwise intersection via self-join, one pinned
+        # division
+        "source_ngram_overlap": f"""
+            WITH e AS (
+              SELECT source, tokens,
+                     unnest(generate_series(1, len(tokens) - 1)) AS i
+              FROM read_parquet('{p}/*.parquet')),
+            g AS (SELECT DISTINCT source,
+                         CAST(tokens[i] AS BIGINT) * 65536
+                         + CAST(tokens[i + 1] AS BIGINT) AS key
+                  FROM e),
+            na AS (SELECT source, COUNT(*)::BIGINT AS n_a FROM g GROUP BY 1),
+            pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                          COUNT(*)::BIGINT AS n_common
+                   FROM g a JOIN g b USING (key)
+                   WHERE a.source <> b.source
+                   GROUP BY 1, 2)
+            SELECT source_a, source_b, na.n_a, n_common,
+                   FLOOR(CAST(n_common AS DOUBLE) / na.n_a * 1000000 + 0.5)
+                     / 1000000.0 AS overlap
+            FROM pr JOIN na ON na.source = pr.source_a
         """,
         # Bigram conditional entropy: exact integer counts feed one float
         # expression per source; engine exchange-order sums vs SQL SUM

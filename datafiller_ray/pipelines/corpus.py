@@ -3988,3 +3988,143 @@ def dsir_weights(
 
     scored = ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
     return scored.map_batches(score, batch_format="pyarrow")
+
+
+def source_ngram_overlap(input_path, *, n: int = 3, n_buckets: int = 64):
+    """Cross-source n-gram contamination matrix over the CONTRACT
+    token ids: for every ordered source pair (a, b), the fraction of
+    a's DISTINCT token n-grams (``n`` of 2 or 3) that also occur
+    anywhere in b — ``overlap = |G_a intersect G_b| / |G_a|``. The
+    n-gram-level companion to ``vocab_overlap`` (unigram Jaccard) and
+    ``hygiene.decontaminate`` (probe-set k-grams): high overlap between
+    nominally distinct feeds flags shared upstream scrapes before they
+    poison held-out splits. Pairs with an empty intersection are
+    omitted (SQL inner-join semantics).
+
+    n-grams pack exactly into int64 (vocab < 2^16 per FIXTURES.md F1:
+    ``(t0 << 32) | (t1 << 16) | t2`` at n=3, ``(t0 << 16) | t1`` at
+    n=2) so the whole census runs on integer keys. Physical plan: per-batch DISTINCT (source, key)
+    partials -> one coarse-key exchange collapses global duplicates ->
+    the distinct table is pinned once (two consumers) -> a key-keyed
+    coarse exchange co-locates each trigram's source set and a
+    vectorized self-merge emits ordered-pair partials (bounded by
+    n_sources^2 per key) -> a tiny pair exchange sums, with per-source
+    denominators broadcast via ``ray.put``. Token arrays never shuffle;
+    the widest exchange carries one row per distinct (source, trigram).
+
+    Output: (source_a, source_b, n_a, n_common, overlap).
+    """
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if n not in (2, 3):
+        raise EngineValueError(f"n must be 2 or 3, got {n}")
+
+    def tri_partial(t: "pa.Table") -> pd.DataFrame:
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        flat = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        ends = np.cumsum(lens)
+        keep = np.ones(flat.size, dtype=bool)
+        for off in range(1, n):
+            keep[ends[lens >= off] - off] = False
+        if n == 2:
+            key = (flat[keep] << 16) | np.roll(flat, -1)[keep]
+        else:
+            key = (
+                (flat[keep] << 32)
+                | (np.roll(flat, -1)[keep] << 16)
+                | np.roll(flat, -2)[keep]
+            )
+        nt = np.maximum(lens - (n - 1), 0)
+        dict_arr = pc.dictionary_encode(t["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+        src = np.repeat(uniq[np.asarray(dict_arr.indices)], nt)
+        df = pd.DataFrame(
+            {
+                "source": src,
+                "key": key,
+                "cnt": np.ones(src.size, np.int64),
+            }
+        ).drop_duplicates(["source", "key"])
+        return df
+
+    ds = ray.data.read_parquet(input_path, columns=["source", "tokens"])
+    # one row per distinct (source, trigram) after the exchange; pinned
+    # because it feeds BOTH the denominator fold and the pair census
+    distinct = grouped_sum(
+        ds.map_batches(tri_partial, batch_format="pyarrow"),
+        ["source", "key"],
+        "cnt",
+        n_buckets=n_buckets,
+    ).materialize()
+
+    ones = distinct.map_batches(
+        lambda df: pd.DataFrame(
+            {"source": df["source"], "n_a": np.ones(len(df), np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    na = grouped_sum(ones, ["source"], "n_a").to_pandas()  # <= n_sources
+    na_ref = ray.put(
+        dict(zip(na["source"].tolist(), na["n_a"].to_numpy(np.int64)))
+    )
+
+    def add_kk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["source", "key"]].copy()
+        out["_kk"] = (
+            splitmix64(df["key"].to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["source", "key"]].merge(
+            g[["source", "key"]], on="key", suffixes=("_a", "_b")
+        )
+        m = m[m["source_a"] != m["source_b"]]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "source_a": pd.Series([], dtype=object),
+                    "source_b": pd.Series([], dtype=object),
+                    "n_common": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = (
+            m.groupby(["source_a", "source_b"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n_common"})
+        )
+        out["n_common"] = out["n_common"].astype(np.int64)
+        return out
+
+    pairs = grouped_sum(
+        distinct.map_batches(add_kk, batch_format="pandas")
+        .groupby("_kk")
+        .map_groups(pair_partial, batch_format="pandas"),
+        ["source_a", "source_b"],
+        "n_common",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(na_ref)
+        n_a = np.array(
+            [lut[s] for s in b["source_a"]], dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                "source_a": b["source_a"],
+                "source_b": b["source_b"],
+                "n_a": n_a,
+                "n_common": b["n_common"].to_numpy(np.int64),
+                "overlap": np.floor(
+                    b["n_common"].to_numpy(np.int64) / n_a * 1e6 + 0.5
+                )
+                / 1e6,
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pandas")

@@ -1935,3 +1935,58 @@ def test_dsir_weights_validation(ray_session):
         dsir_weights("/tmp/nope", [])
     with pytest.raises(EngineValueError):
         dsir_weights("/tmp/nope", ["s"], n_feat_buckets=1)
+
+
+def test_source_ngram_overlap_literal(ray_session, tmp_path):
+    """Hand-computed trigram sets on three tiny sources."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import source_ngram_overlap
+
+    rows = [
+        # s: trigrams {(1,2,3), (2,3,4)}
+        {"doc_id": "s:0000000000", "source": "s", "tokens": [1, 2, 3, 4],
+         "n_tok": 4},
+        # t: trigrams {(1,2,3), (9,9,9)} ((1,2,3) repeated across docs)
+        {"doc_id": "t:0000000000", "source": "t", "tokens": [1, 2, 3],
+         "n_tok": 3},
+        {"doc_id": "t:0000000001", "source": "t", "tokens": [9, 9, 9],
+         "n_tok": 3},
+        {"doc_id": "t:0000000002", "source": "t", "tokens": [1, 2, 3],
+         "n_tok": 3},
+        # u: no trigrams (too short) -> absent everywhere
+        {"doc_id": "u:0000000000", "source": "u", "tokens": [1, 2],
+         "n_tok": 2},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("tokens", pa.list_(pa.int32())), ("n_tok", pa.int32())]
+        )
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = (
+        source_ngram_overlap(str(path))
+        .to_pandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    assert out[["source_a", "source_b"]].values.tolist() == [
+        ["s", "t"], ["t", "s"],
+    ]
+    s_row = out.iloc[0]
+    assert (s_row["n_a"], s_row["n_common"]) == (2, 1)
+    assert s_row["overlap"] == 0.5
+    t_row = out.iloc[1]
+    assert (t_row["n_a"], t_row["n_common"]) == (2, 1)
+    assert t_row["overlap"] == 0.5
+
+
+def test_source_ngram_overlap_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.corpus import source_ngram_overlap
+
+    with pytest.raises(EngineValueError):
+        source_ngram_overlap("/tmp/nope", n=4)
