@@ -210,13 +210,20 @@ def _histogram_optimask(
     objective). Two complementary trajectories are searched: drop-greedy
     from the full feature set (remove the column whose removal recovers the
     most complete rows) and grow-greedy from EVERY singleton (add the
-    column keeping the most rows). The singleton starts double as an exact
+    column keeping the most rows), plus drop-greedy from EVERY distinct
+    group mask (the optimal rectangle's column set can always be widened
+    to the intersection of its member groups' masks, so group masks are
+    the natural deep-and-narrow seeds — without them a single rich
+    pattern's full-width rectangle is invisible to both greedies). The
+    singleton starts double as an exact
     feasibility sweep — rows() is antitone in the column set, so any
     feasible subset implies each of its singletons is feasible — hence the
     function returns None iff NO subset reaches ``min_rows``. Area
-    optimality is heuristic; tests/test_optimask.py pins it equal to
-    brute-force enumeration on 300 seeded random instances (the lone-greedy
-    predecessor hit ratio 0.15 worst-case and missed feasibility 9/300).
+    optimality is HEURISTIC (the problem is maximum-edge-biclique-shaped,
+    NP-hard): the property test asserts exact feasibility plus a measured
+    area-ratio floor vs brute force instead of pinning equality
+    (tests/test_property_round2.py; the lone-greedy predecessor hit ratio
+    0.15 worst-case and missed feasibility 9/300).
     Returns (kept feature columns, training rows) or None."""
     counts = np.array([n_by_mask[int(m)] for m in group_masks], dtype=np.int64)
 
@@ -258,6 +265,20 @@ def _histogram_optimask(
             cur = np.append(cur, rest[j])
             rest = np.delete(rest, j)
             consider(cur)
+    feat_bits = np.array(
+        [int(f) for f in feats], dtype=np.uint64
+    )
+    for gm in np.unique(group_masks):
+        cur = feats[((gm >> feat_bits) & np.uint64(1)).astype(bool)]
+        while cur.size:
+            consider(cur)
+            if cur.size == 1:
+                break
+            gains = np.array(
+                [rows_for(np.delete(cur, i)) for i in range(cur.size)],
+                dtype=np.int64,
+            )
+            cur = np.delete(cur, int(np.argmax(gains)))
     if best is None:
         return None
     return best[1], best[2]
