@@ -2467,6 +2467,24 @@ def _entropy_rate(sf_dir: str):
     return entropy_rate(_fixture(sf_dir))
 
 
+def _token_burstiness(sf_dir: str):
+    """Church-Gale per-token variance-to-mean ratio of per-doc counts
+    (zeros included; exact integer moments, one pinned chain) —
+    pipelines/corpus.token_burstiness."""
+    from datafiller_ray.pipelines.corpus import token_burstiness
+
+    return token_burstiness(_fixture(sf_dir), min_count=3)
+
+
+def _yule_k(sf_dir: str):
+    """Yule's characteristic K per source (1e4 * (sum c^2 - N)/N^2 from
+    exact integer moments, one pinned expression) —
+    pipelines/corpus.yule_k."""
+    from datafiller_ray.pipelines.corpus import yule_k
+
+    return yule_k(_fixture(sf_dir))
+
+
 def _gt_coverage(sf_dir: str):
     """Per-source simple Good-Turing coverage (unseen mass f1/N from
     exact singleton/total integers, one pinned division) —
@@ -2527,6 +2545,15 @@ def _lomb_scargle(sf_dir: str):
     from datafiller_ray.pipelines.window import lomb_scargle
 
     return lomb_scargle(_fixture(sf_dir))
+
+
+def _hill_tail(sf_dir: str):
+    """Per-source Hill tail-index over the k+1 largest 1m token sums
+    (k=20; exact integer order statistics, fsum-pinned LN chain) —
+    pipelines/window.hill_tail."""
+    from datafiller_ray.pipelines.window import hill_tail
+
+    return hill_tail(_fixture(sf_dir))
 
 
 def _spectral_entropy(sf_dir: str):
@@ -5127,6 +5154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_energy": _haar_energy,
         "lomb_scargle": _lomb_scargle,
         "spectral_entropy": _spectral_entropy,
+        "hill_tail": _hill_tail,
         "matrix_profile": _matrix_profile,
         "bigram_logprob": _bigram_logprob,
         "kn_bigram_logprob": _kn_bigram_logprob,
@@ -5136,6 +5164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lexical_stats": _doc_lexical_stats,
         "heaps_fit": _heaps_fit,
         "entropy_rate": _entropy_rate,
+        "yule_k": _yule_k,
+        "token_burstiness": _token_burstiness,
         "dsir_weights": _dsir_weights,
         "source_ngram_overlap": _source_ngram_overlap,
         "page_hinkley_1m": _page_hinkley,
@@ -7009,6 +7039,31 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{p}/*.parquet')
             WHERE CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) % 5 = 0
             GROUP BY 1, 2
+        """,
+        # Hill tail index: exact-integer top-(k+1) order statistics per
+        # source, per-term LN chain mirrored, round6 absorbs term order
+        "hill_tail": f"""
+            WITH obs AS (
+              SELECT source, CAST(SUM(n_tok) AS BIGINT) AS s
+              FROM read_parquet('{p}/*.parquet')
+              GROUP BY source,
+                       CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)),
+            r AS (SELECT source, CAST(s AS DOUBLE) AS s,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY source ORDER BY s DESC) AS rn,
+                         COUNT(*) OVER (PARTITION BY source) AS n
+                  FROM obs),
+            k1 AS (SELECT source, s AS xk1, n FROM r
+                   WHERE rn = 21 AND s > 0),
+            h AS (SELECT r.source, MAX(k1.n) AS n_buckets,
+                         SUM(LN(r.s) - LN(k1.xk1)) / 20.0 AS hill
+                  FROM r JOIN k1 USING (source) WHERE r.rn <= 20
+                  GROUP BY 1)
+            SELECT source, CAST(n_buckets AS BIGINT) AS n_buckets,
+                   FLOOR(hill * 1000000 + 0.5) / 1000000.0 AS hill,
+                   FLOOR(1.0 / hill * 1000000 + 0.5) / 1000000.0
+                     AS tail_index
+            FROM h WHERE hill > 0
         """,
         "source_correlation": f"""
             WITH obs AS (
@@ -9039,6 +9094,43 @@ def oracle_sql() -> dict[str, str]:
                      / 1000000.0 AS cond_entropy,
                    FLOOR((LN(CAST(n_bigrams AS DOUBLE)) - s1 / n_bigrams)
                          * 1000000 + 0.5) / 1000000.0 AS context_entropy
+            FROM s
+        """,
+        "token_burstiness": f"""
+            WITH u AS (SELECT source, doc_id, unnest(tokens) AS t
+                       FROM read_parquet('{p}/*.parquet')),
+            pdc AS (SELECT source, CAST(t AS BIGINT) AS token, doc_id,
+                           COUNT(*)::BIGINT AS c
+                    FROM u GROUP BY 1, 2, 3),
+            st AS (SELECT source, token,
+                          CAST(SUM(c) AS BIGINT) AS total_cnt,
+                          CAST(SUM(c * c) AS BIGINT) AS csq,
+                          COUNT(*)::BIGINT AS df_docs
+                   FROM pdc GROUP BY 1, 2),
+            d AS (SELECT source, COUNT(*)::BIGINT AS nd
+                  FROM read_parquet('{p}/*.parquet') GROUP BY 1)
+            SELECT st.source, token, total_cnt, df_docs,
+                   FLOOR((CAST(csq AS DOUBLE) / nd
+                          - (CAST(total_cnt AS DOUBLE) / nd)
+                            * (CAST(total_cnt AS DOUBLE) / nd))
+                         / (CAST(total_cnt AS DOUBLE) / nd)
+                         * 1000000 + 0.5) / 1000000.0 AS vmr
+            FROM st JOIN d USING (source)
+            WHERE total_cnt >= 3
+        """,
+        "yule_k": f"""
+            WITH u AS (SELECT source, unnest(tokens) AS t
+                       FROM read_parquet('{p}/*.parquet')),
+            c AS (SELECT source, t, COUNT(*)::BIGINT AS cnt
+                  FROM u GROUP BY 1, 2),
+            s AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                         COUNT(*)::BIGINT AS n_types,
+                         CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+                  FROM c GROUP BY 1)
+            SELECT source, n_tokens, n_types,
+                   FLOOR(10000.0 * (CAST(sq AS DOUBLE) - n_tokens)
+                         / (CAST(n_tokens AS DOUBLE) * n_tokens)
+                         * 1000000 + 0.5) / 1000000.0 AS yule_k
             FROM s
         """,
         "gt_coverage": f"""

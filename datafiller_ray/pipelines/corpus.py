@@ -4128,3 +4128,196 @@ def source_ngram_overlap(input_path, *, n: int = 3, n_buckets: int = 64):
         )
 
     return pairs.map_batches(finish, batch_format="pandas")
+
+
+def yule_k(input_path, *, n_buckets: int = 64):
+    """Yule's characteristic K per source over the CONTRACT token ids —
+    the classic repetitiveness / vocabulary-concentration statistic
+    (Yule 1944): ``K = 1e4 * (sum_t c_t^2 - N) / N^2`` with ``c_t`` the
+    source-level count of token t and N the total occurrences. K is
+    (asymptotically) independent of text length, so it compares feeds of
+    different sizes directly: high K = a few tokens dominate
+    (templated/boilerplate feeds); low K = flat usage. Reads next to
+    ``token_diversity`` (per-doc TTR) and ``source_gini``.
+
+    Physical plan is the gt_coverage census: per-batch (source, token)
+    partials pre-aggregate before one bounded coarse-key exchange; the
+    second moment collapses to <= n_sources rows through a second tiny
+    exchange; all moments stay exact integers and K is one pinned float
+    expression per source under round6.
+
+    Output: (source, n_tokens, n_types, yule_k).
+    """
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def counts(t: "pa.Table") -> pd.DataFrame:
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        toks = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        dict_arr = pc.dictionary_encode(t["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+        src = uniq[np.asarray(dict_arr.indices)][parent]
+        df = pd.DataFrame(
+            {"source": src, "token": toks, "cnt": np.ones(len(src), np.int64)}
+        )
+        return df.groupby(["source", "token"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+
+    ds = ray.data.read_parquet(input_path, columns=["source", "tokens"])
+    per_token = grouped_sum(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["source", "token"],
+        "cnt",
+        n_buckets=n_buckets,
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_tokens": c,
+                "n_types": np.ones(c.size, np.int64),
+                "sq": c * c,
+            }
+        )
+
+    summed = grouped_sum(
+        per_token.map_batches(moments, batch_format="pandas"),
+        ["source"],
+        ["n_tokens", "n_types", "sq"],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_tokens"].to_numpy(np.int64).astype(np.float64)
+        sq = b["sq"].to_numpy(np.int64).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "n_tokens": b["n_tokens"].to_numpy(np.int64),
+                "n_types": b["n_types"].to_numpy(np.int64),
+                "yule_k": np.floor(
+                    1e4 * (sq - n) / (n * n) * 1e6 + 0.5
+                )
+                / 1e6,
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pandas")
+
+
+def token_burstiness(input_path, *, min_count: int = 3, n_buckets: int = 64):
+    """Church-Gale burstiness census per source: for every token whose
+    source-level count reaches ``min_count``, the variance-to-mean ratio
+    (VMR) of its PER-DOCUMENT counts over all of the source's documents
+    (zeros included). Poisson scatter gives VMR ~ 1; VMR >> 1 marks
+    bursty content words that concentrate in few documents, VMR < 1
+    near-uniform function tokens (Church & Gale 1995) — the token-level
+    companion to the time-axis ``window.burstiness``.
+
+    A document is one CONTRACT row, so per-doc counts are exact within a
+    batch and the only exchange carries (source, token) moment partials
+    (sum, sum of squares, doc frequency); per-source document totals are
+    a tiny second exchange broadcast into the finish pass. VMR is one
+    pinned float chain (mean = c/D, ex2 = csq/D, (ex2 - mean*mean)/mean)
+    under round6.
+
+    Output: (source, token, total_cnt, df_docs, vmr).
+    """
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if min_count < 1:
+        raise EngineValueError(f"min_count must be >= 1, got {min_count}")
+
+    def per_doc_partial(t: "pa.Table") -> pd.DataFrame:
+        lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        toks = np.asarray(pc.list_flatten(t["tokens"]), dtype=np.int64)
+        packed = (parent << 32) | toks
+        uk, cnt = np.unique(packed, return_counts=True)
+        dict_arr = pc.dictionary_encode(t["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+        src = uniq[np.asarray(dict_arr.indices)][uk >> 32]
+        c = cnt.astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "source": src,
+                "token": uk & 0xFFFFFFFF,
+                "c_sum": c,
+                "c_sq": c * c,
+                "df_docs": np.ones(c.size, np.int64),
+            }
+        )
+        return df.groupby(["source", "token"], sort=False, as_index=False)[
+            ["c_sum", "c_sq", "df_docs"]
+        ].sum()
+
+    ds = ray.data.read_parquet(input_path, columns=["source", "tokens"])
+    st = grouped_sum(
+        ds.map_batches(per_doc_partial, batch_format="pyarrow"),
+        ["source", "token"],
+        ["c_sum", "c_sq", "df_docs"],
+        n_buckets=n_buckets,
+    )
+
+    def doc_counts(t: "pa.Table") -> pd.DataFrame:
+        dict_arr = pc.dictionary_encode(t["source"].combine_chunks())
+        uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+        idx = np.asarray(dict_arr.indices)
+        cnt = np.bincount(idx, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({"source": uniq, "nd": cnt})
+
+    nd = grouped_sum(
+        ray.data.read_parquet(input_path, columns=["source"]).map_batches(
+            doc_counts, batch_format="pyarrow"
+        ),
+        ["source"],
+        "nd",
+    ).to_pandas()  # <= n_sources rows
+    nd_ref = ray.put(
+        dict(zip(nd["source"].tolist(), nd["nd"].to_numpy(np.int64)))
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(nd_ref)
+        keep = b["c_sum"].to_numpy(np.int64) >= min_count
+        b = b[keep]
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "token": pd.Series([], dtype=np.int64),
+                    "total_cnt": pd.Series([], dtype=np.int64),
+                    "df_docs": pd.Series([], dtype=np.int64),
+                    "vmr": pd.Series([], dtype=np.float64),
+                }
+            )
+        d = np.array([lut[s] for s in b["source"]], dtype=np.int64).astype(
+            np.float64
+        )
+        c = b["c_sum"].to_numpy(np.int64).astype(np.float64)
+        csq = b["c_sq"].to_numpy(np.int64).astype(np.float64)
+        mean = c / d
+        ex2 = csq / d
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "token": b["token"].to_numpy(np.int64),
+                "total_cnt": b["c_sum"].to_numpy(np.int64),
+                "df_docs": b["df_docs"].to_numpy(np.int64),
+                "vmr": np.floor(
+                    (ex2 - mean * mean) / mean * 1e6 + 0.5
+                )
+                / 1e6,
+            }
+        )
+
+    return st.map_batches(finish, batch_format="pandas")

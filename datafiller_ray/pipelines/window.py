@@ -4659,3 +4659,70 @@ def spectral_entropy(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _hill_one_source(obs: pd.DataFrame, source: str, k: int) -> pd.DataFrame:
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_buckets": pd.Series([], dtype=np.int64),
+                "hill": pd.Series([], dtype=np.float64),
+                "tail_index": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    s = obs["sum"].to_numpy(np.int64)
+    n = int(s.size)
+    if n < k + 1:
+        return empty
+    top = np.sort(s)[::-1][: k + 1].astype(np.float64)
+    xk1 = float(top[k])
+    if xk1 <= 0.0:
+        return empty
+    # PINNED CHAIN (mirrored by the SQL oracle): per-term LN(x_i) -
+    # LN(x_{k+1}), fsum over the k largest, one division
+    hill = math.fsum(np.log(top[:k]) - math.log(xk1)) / float(k)
+    if hill <= 0.0:
+        return empty  # all top-k equal the threshold: no tail to index
+    return pd.DataFrame(
+        {
+            "source": np.array([source], dtype=object),
+            "n_buckets": np.array([n], dtype=np.int64),
+            "hill": _round6_half_up(np.array([hill])),
+            "tail_index": _round6_half_up(np.array([1.0 / hill])),
+        }
+    )
+
+
+def hill_tail(
+    input_path,
+    *,
+    k: int = 20,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source Hill tail-index estimate over the observed 1m token
+    sums (Hill 1975): ``hill = (1/k) sum_{i<=k} ln(x_(i) / x_(k+1))``
+    over the k+1 largest bucket sums, and ``tail_index = 1/hill`` — the
+    Pareto alpha of the load distribution's upper tail. Small alpha
+    (< 2) means a genuinely heavy-tailed feed whose peak minutes
+    dominate capacity planning; large alpha means the spikes read next
+    to ``burstiness``/``busiest_burst`` are just Poisson noise. Order
+    statistics are exact integers so the top-(k+1) multiset is
+    deterministic under ties; sources shorter than k+1 buckets, with a
+    zero threshold value, or with all top-k equal to the threshold are
+    omitted.
+
+    Output: (source, n_buckets, hill, tail_index).
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if k < 2:
+        raise EngineValueError(f"k must be >= 2, got {k}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _hill_one_source(obs, src, k),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

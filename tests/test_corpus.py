@@ -1990,3 +1990,73 @@ def test_source_ngram_overlap_validation(ray_session):
 
     with pytest.raises(EngineValueError):
         source_ngram_overlap("/tmp/nope", n=4)
+
+
+def test_yule_k_literal(ray_session, tmp_path):
+    """Hand-computed K on a tiny source: counts {a:3, b:1} -> N=4,
+    sum c^2 = 10, K = 1e4 * 6 / 16 = 3750."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.corpus import yule_k
+
+    rows = [
+        {"doc_id": "s:0000000000", "source": "s", "tokens": [7, 7, 9],
+         "n_tok": 3},
+        {"doc_id": "s:0000000001", "source": "s", "tokens": [7], "n_tok": 1},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("tokens", pa.list_(pa.int32())), ("n_tok", pa.int32())]
+        )
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = yule_k(str(path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["n_tokens"], r["n_types"]) == (4, 2)
+    assert r["yule_k"] == 3750.0
+
+
+def test_token_burstiness_literal(ray_session, tmp_path):
+    """Hand-computed VMR: token 7 appears [3, 0, 1] over source s's three
+    docs -> mean 4/3, ex2 10/3, vmr = (10/3 - 16/9)/(4/3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.corpus import token_burstiness
+
+    rows = [
+        {"doc_id": "s:0000000000", "source": "s", "tokens": [7, 7, 7, 9],
+         "n_tok": 4},
+        {"doc_id": "s:0000000001", "source": "s", "tokens": [9], "n_tok": 1},
+        {"doc_id": "s:0000000002", "source": "s", "tokens": [7, 9],
+         "n_tok": 2},
+    ]
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("tokens", pa.list_(pa.int32())), ("n_tok", pa.int32())]
+        )
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(t, path)
+    out = (
+        token_burstiness(str(path), min_count=3)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    assert out["token"].tolist() == [7, 9]
+    r7 = out.iloc[0]
+    assert (r7["total_cnt"], r7["df_docs"]) == (4, 2)
+    mean, ex2 = 4.0 / 3.0, 10.0 / 3.0
+    assert r7["vmr"] == np.floor((ex2 - mean * mean) / mean * 1e6 + 0.5) / 1e6
+    r9 = out.iloc[1]  # 9 appears once per doc: VMR = 0 (uniform)
+    assert (r9["total_cnt"], r9["df_docs"]) == (3, 3)
+    assert r9["vmr"] == 0.0
+    with pytest.raises(EngineValueError):
+        token_burstiness("/tmp/nope", min_count=0)

@@ -2544,3 +2544,46 @@ def test_spectral_entropy_degenerate_cases():
     assert len(_spectral_one_source(obs, "s", 12)) == 0
     with pytest.raises(EngineValueError):
         spectral_entropy("/tmp/nope.parquet", max_k=1)
+
+
+def test_hill_tail_pareto_recovery():
+    """On exact Pareto(alpha) order statistics the Hill estimator must
+    land near alpha; on constant data it is omitted."""
+    import math
+
+    from datafiller_ray.pipelines.window import _hill_one_source
+
+    rng = np.random.default_rng(13)
+    alpha = 1.5
+    u = rng.uniform(size=5000)
+    x = np.rint(1000.0 * u ** (-1.0 / alpha)).astype(np.int64)
+    ts = np.arange(x.size, dtype=np.int64) * 60
+    out = _hill_one_source(
+        pd.DataFrame({"bucket_ts": ts, "sum": x}), "s", 100
+    )
+    assert len(out) == 1
+    assert abs(out.iloc[0]["tail_index"] - alpha) < 0.45
+    # literal: x = [8,4,2,1], k=2 -> hill = (ln(8/2) + ln(4/2))/2
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(4, dtype=np.int64) * 60,
+         "sum": np.array([8, 4, 2, 1], dtype=np.int64)}
+    )
+    r = _hill_one_source(obs, "s", 2).iloc[0]
+    want = math.fsum(
+        np.log(np.array([8.0, 4.0])) - math.log(2.0)
+    ) / 2.0
+    assert r["hill"] == np.floor(want * 1e6 + 0.5) / 1e6
+    # constant series: omitted
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(10, dtype=np.int64) * 60,
+         "sum": np.full(10, 5, dtype=np.int64)}
+    )
+    assert len(_hill_one_source(obs, "s", 3)) == 0
+
+
+def test_hill_tail_validation():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import hill_tail
+
+    with pytest.raises(EngineValueError):
+        hill_tail("/tmp/nope.parquet", k=1)
