@@ -2547,6 +2547,15 @@ def _lomb_scargle(sf_dir: str):
     return lomb_scargle(_fixture(sf_dir))
 
 
+def _theta_forecast(sf_dir: str):
+    """Theta-method 3-step forecast per source (OLS trend + SES over the
+    theta=2 line, 50/50 combination; fsum-pinned chain) —
+    pipelines/window.theta_forecast; vendored scalar oracle."""
+    from datafiller_ray.pipelines.window import theta_forecast
+
+    return theta_forecast(_fixture(sf_dir))
+
+
 def _hill_tail(sf_dir: str):
     """Per-source Hill tail-index over the k+1 largest 1m token sums
     (k=20; exact integer order statistics, fsum-pinned LN chain) —
@@ -5155,6 +5164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lomb_scargle": _lomb_scargle,
         "spectral_entropy": _spectral_entropy,
         "hill_tail": _hill_tail,
+        "theta_forecast": _theta_forecast,
         "matrix_profile": _matrix_profile,
         "bigram_logprob": _bigram_logprob,
         "kn_bigram_logprob": _kn_bigram_logprob,
@@ -6652,6 +6662,33 @@ def _build_spectral_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_theta_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        y = fr["y"].to_numpy()[keep].astype(np.int64)
+        st = o.theta_forecast_fit(y, 0.5, 3)
+        if st is None:
+            continue
+        b, fc = st
+        rows.append(
+            (src, int(y.size))
+            + tuple(
+                float(o.round_half_up(np.array([v]))[0]) for v in [b] + fc
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["source", "n_buckets", "slope",
+                 "forecast_1", "forecast_2", "forecast_3"],
+    )
+    out["n_buckets"] = out["n_buckets"].astype(np.int64)
+    for c in ("slope", "forecast_1", "forecast_2", "forecast_3"):
+        out[c] = out[c].astype(np.float64)
+    return out
+
+
 def _build_page_hinkley_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     rows = {
@@ -6709,6 +6746,7 @@ _FILL_ORACLE_BUILDERS = {
     "haar_energy": _build_haar_oracle,
     "lomb_scargle": _build_lomb_oracle,
     "spectral_entropy": _build_spectral_oracle,
+    "theta_forecast": _build_theta_oracle,
     "matrix_profile": _build_matprof_oracle,
     "page_hinkley_1m": _build_page_hinkley_oracle,
 }
@@ -7801,6 +7839,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "spectral_entropy": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('spectral_entropy')}')"
+        ),
+        "theta_forecast": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('theta_forecast')}')"
         ),
         "lomb_scargle": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('lomb_scargle')}')"

@@ -83,16 +83,19 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
 
-    def timed(name, fn):
+    def timed(name, fn, n_reps=None):
         # noise protocol: BENCH_REPS runs (default 3) with a pinned pause
         # between them; the MINIMUM is the engine capability number, the
         # full spread ships in queries_spread so a drifting VM is visible.
         # Every fn must be cache-free per call (each rep removes its own
         # output/index dirs) — a rep that hits a prior rep's cache would
-        # time a different pipeline than the name claims.
+        # time a different pipeline than the name claims. Rows whose single
+        # run exceeds a minute pass n_reps=1: a 60 s+ measurement already
+        # averages the VM drift the protocol exists to damp, and repeating
+        # it would double total bench wall for no extra signal.
         reps = []
         out = None
-        for r in range(BENCH_REPS):
+        for r in range(n_reps or BENCH_REPS):
             time.sleep(PAUSE_SEC)
             t0 = time.perf_counter()
             out = fn()
@@ -490,7 +493,7 @@ def run_bench() -> dict:
 
         ppl_tercile(fixture).count()
 
-    timed("kn_ppl_tercile", kn_ppl)
+    timed("kn_ppl_tercile", kn_ppl, n_reps=1)
 
     def shape_spectral():
         # twelfth-session family: per-source shape/spectral passes —

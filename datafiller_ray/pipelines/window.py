@@ -4726,3 +4726,87 @@ def hill_tail(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _theta_one_source(
+    obs: pd.DataFrame, source: str, alpha: float, h: int
+) -> pd.DataFrame:
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_buckets": pd.Series([], dtype=np.int64),
+                "slope": pd.Series([], dtype=np.float64),
+                **{
+                    f"forecast_{k}": pd.Series([], dtype=np.float64)
+                    for k in range(1, h + 1)
+                },
+            }
+        )
+    )
+    y = obs["sum"].to_numpy(np.int64).astype(np.float64)
+    n = int(y.size)
+    if n < 3:
+        return empty
+    # PINNED CHAIN (mirrored by tests/oracle/fills.py theta_forecast_fit):
+    # OLS of y on the 0-based observation index via fsum moments, the
+    # theta=2 line z = 2y - (a + bt), one unadjusted SES recursion over z
+    # (pandas' C ewm kernel == the scalar recursion bit-for-bit, the
+    # holt_smooth precedent), then the 50/50 theta combination.
+    t = np.arange(n, dtype=np.float64)
+    fs = math.fsum
+    st_, sy = fs(t), fs(y)
+    stt, sty = fs(t * t), fs(t * y)
+    den = float(n) * stt - st_ * st_  # > 0 for n >= 2 distinct indices
+    b = (float(n) * sty - st_ * sy) / den
+    a = (sy - b * st_) / float(n)
+    z = 2.0 * y - (a + b * t)
+    ses_last = float(
+        pd.Series(z).ewm(alpha=alpha, adjust=False).mean().to_numpy()[-1]
+    )
+    row = {
+        "source": np.array([source], dtype=object),
+        "n_buckets": np.array([n], dtype=np.int64),
+        "slope": _round6_half_up(np.array([b])),
+    }
+    for k in range(1, h + 1):
+        f = 0.5 * (a + b * float(n - 1 + k)) + 0.5 * ses_last
+        row[f"forecast_{k}"] = _round6_half_up(np.array([f]))
+    return pd.DataFrame(row)
+
+
+def theta_forecast(
+    input_path,
+    *,
+    alpha: float = 0.5,
+    horizon: int = 3,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Theta-method forecast per source over the OBSERVED 1m token sums
+    (Assimakopoulos & Nikolopoulos 2000 — the M3 winner; equivalently an
+    SES-with-drift): decompose the series into the theta=0 line (the OLS
+    trend over the 0-based observation index) and the theta=2 line
+    ``z = 2y - trend``, smooth z with one unadjusted SES recursion, and
+    forecast ``0.5 * trend-extrapolation + 0.5 * ses_last`` for horizons
+    1..``horizon``. Complements ``holt_smooth`` (trend-aware smoothing,
+    no combination), ``croston_forecast`` (intermittent demand) and
+    ``seasonal_naive_mase`` (backtest scaling). Sources with fewer than
+    3 observed buckets are omitted.
+
+    Output: (source, n_buckets, slope, forecast_1..forecast_{horizon}).
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if not (0.0 < alpha < 1.0):
+        raise EngineValueError(f"alpha must be in (0, 1), got {alpha}")
+    if not (1 <= horizon <= 12):
+        raise EngineValueError(
+            f"horizon must be in [1, 12], got {horizon}"
+        )
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _theta_one_source(obs, src, alpha, horizon),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

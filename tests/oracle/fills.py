@@ -1372,3 +1372,31 @@ def spectral_entropy_stats(ts, y, max_k=12):
         if powers[i] > powers[best]:
             best = i
     return (n_slots, int(uh.size), best + 1, ent)
+
+
+def theta_forecast_fit(y, alpha=0.5, h=3):
+    """Theta-method oracle (documented semantics of the engine's
+    theta_forecast): OLS trend over the 0-based index via fsum moments,
+    theta=2 line z = 2y - (a + bt), one unadjusted SES scalar recursion
+    over z, forecasts 0.5*(a + b*(n-1+k)) + 0.5*ses_last for k=1..h.
+    Returns (slope, [forecasts]) or None when n < 3."""
+    import math
+
+    yf = y.astype(np.float64)
+    n = int(yf.size)
+    if n < 3:
+        return None
+    t = np.arange(n, dtype=np.float64)
+    fs = math.fsum
+    st_, sy = fs(t), fs(yf)
+    stt, sty = fs(t * t), fs(t * yf)
+    den = float(n) * stt - st_ * st_
+    b = (float(n) * sty - st_ * sy) / den
+    a = (sy - b * st_) / float(n)
+    s = None
+    for i in range(n):
+        z = 2.0 * yf[i] - (a + b * t[i])
+        s = z if s is None else (1.0 - alpha) * s + alpha * z
+    return b, [
+        0.5 * (a + b * float(n - 1 + k)) + 0.5 * s for k in range(1, h + 1)
+    ]

@@ -2587,3 +2587,63 @@ def test_hill_tail_validation():
 
     with pytest.raises(EngineValueError):
         hill_tail("/tmp/nope.parquet", k=1)
+
+
+def test_theta_forecast_linear_series_exact():
+    """On an exactly linear series the theta=2 line is the same line, SES
+    lags it, and the trend half extrapolates exactly; slope must be the
+    OLS slope (= 3)."""
+    from datafiller_ray.pipelines.window import _theta_one_source
+
+    n = 50
+    y = 7 + 3 * np.arange(n, dtype=np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(n, dtype=np.int64) * 60, "sum": y}
+    )
+    out = _theta_one_source(obs, "s", 0.5, 3)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["slope"] == 3.0
+    # forecasts step by ~b/2 per horizon (trend half moves, SES half flat)
+    assert r["forecast_2"] - r["forecast_1"] == pytest.approx(1.5, abs=1e-6)
+    assert r["forecast_3"] - r["forecast_2"] == pytest.approx(1.5, abs=1e-6)
+
+
+def test_theta_forecast_matches_vendored_oracle_bitwise():
+    import sys
+
+    sys.path.insert(0, "tests/oracle")
+    import fills as o
+
+    from datafiller_ray.pipelines.window import _theta_one_source
+
+    rng = np.random.default_rng(23)
+    y = rng.integers(0, 900, size=300).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(300, dtype=np.int64) * 60, "sum": y}
+    )
+    r = _theta_one_source(obs, "s", 0.5, 3).iloc[0]
+    b, fc = o.theta_forecast_fit(y, 0.5, 3)
+    assert r["slope"] == o.round_half_up(np.array([b]))[0]
+    for k in range(3):
+        assert r[f"forecast_{k+1}"] == o.round_half_up(
+            np.array([fc[k]])
+        )[0]
+
+
+def test_theta_forecast_validation():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import (
+        _theta_one_source,
+        theta_forecast,
+    )
+
+    obs = pd.DataFrame(
+        {"bucket_ts": np.array([0, 60], dtype=np.int64),
+         "sum": np.array([1, 2], dtype=np.int64)}
+    )
+    assert len(_theta_one_source(obs, "s", 0.5, 3)) == 0
+    with pytest.raises(EngineValueError):
+        theta_forecast("/tmp/nope.parquet", alpha=1.0)
+    with pytest.raises(EngineValueError):
+        theta_forecast("/tmp/nope.parquet", horizon=0)
