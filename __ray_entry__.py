@@ -4946,6 +4946,18 @@ def _holt_winters_1m(sf_dir: str):
     )
 
 
+def _holt_damped_1m(sf_dir: str):
+    """Damped-trend Holt (Gardner-McKenzie, phi=0.9) per source over the
+    observed 1m token sums — the damped member of the exponential family
+    between holt_smooth_1m and holt_winters_1m; vendored scalar
+    double-recursion oracle — pipelines/window.holt_damped."""
+    from datafiller_ray.pipelines.window import holt_damped
+
+    return holt_damped(
+        _fixture(sf_dir), step=60, alpha=0.25, beta=0.1, phi=0.9
+    )
+
+
 def _lead_lag_xcorr(sf_dir: str):
     """Best lag in ±6 hours maximizing Pearson correlation of each source
     against the broadcast reference sources (exact integer five-moment
@@ -5205,6 +5217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": _revenue_by_region,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
+        "holt_damped_1m": _holt_damped_1m,
         "trimmed_mean_1m": _trimmed_mean,
         "source_share_1d": _source_share_1d,
         "top_unshipped_orders": _top_unshipped_orders,
@@ -6283,6 +6296,32 @@ def _build_holt_winters_oracle() -> "pd.DataFrame":
     return pd.concat(frames, ignore_index=True)
 
 
+def _build_holt_damped_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    frames = []
+    for src_, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        y = fr["y"].to_numpy()[keep]
+        res = o.holt_damped_recursion(y, 0.25, 0.1, 0.9)
+        if res is None:
+            continue
+        fc, lv, tr = res
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": src_,
+                    "bucket_ts": ts[1:],
+                    "sum_tok": y[1:].astype(np.int64),
+                    "forecast_tok": o.round_half_up(fc),
+                    "level_tok": o.round_half_up(lv),
+                    "trend_tok": o.round_half_up(tr),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def _build_cusum_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     frames = []
@@ -6729,6 +6768,7 @@ _FILL_ORACLE_BUILDERS = {
     "ewma_smooth_1m": _build_ewma_oracle,
     "holt_smooth_1m": _build_holt_oracle,
     "holt_winters_1m": _build_holt_winters_oracle,
+    "holt_damped_1m": _build_holt_damped_oracle,
     "harmonic_24h": _build_harmonic_oracle,
     "lttb_downsample": _build_lttb_oracle,
     "cusum_changepoints": _build_cusum_oracle,
@@ -7859,6 +7899,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "holt_smooth_1m": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('holt_smooth_1m')}')"
+        ),
+        "holt_damped_1m": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('holt_damped_1m')}')"
         ),
         # STL-lite decomposition, exact integer micro-units: trend via the
         # pure-integer half-up division (nonneg operands, so DuckDB's //

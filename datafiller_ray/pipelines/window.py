@@ -2789,6 +2789,112 @@ def holt_winters(
     )
 
 
+def _holt_damped_one_source(
+    obs: pd.DataFrame,
+    source: str,
+    step: int,
+    alpha: float,
+    beta: float,
+    phi: float,
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s_int = obs["sum"].to_numpy(np.int64)
+    b = ts - ts % step
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], b.size]
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s_int)])
+    bt = b[starts]
+    yi = cs[ends] - cs[starts]
+    n = bt.size
+    if n < 2:
+        return _string_typed_if_empty(
+            pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "bucket_ts": pd.Series([], dtype=np.int64),
+                    "sum_tok": pd.Series([], dtype=np.int64),
+                    "forecast_tok": pd.Series([], dtype=np.float64),
+                    "level_tok": pd.Series([], dtype=np.float64),
+                    "trend_tok": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    y = yi.astype(np.float64)
+    # pinned init: level = y0, trend = y1 - y0 (both exact integers)
+    level = float(yi[0])
+    trend = float(int(yi[1]) - int(yi[0]))
+    fc = np.empty(n - 1, np.float64)
+    lv = np.empty(n - 1, np.float64)
+    tr = np.empty(n - 1, np.float64)
+    for t in range(1, n):
+        prev = level + phi * trend
+        fc[t - 1] = prev  # one-step-ahead, before seeing y_t
+        level_new = alpha * y[t] + (1.0 - alpha) * prev
+        trend = beta * (level_new - level) + (1.0 - beta) * (phi * trend)
+        level = level_new
+        lv[t - 1] = level
+        tr[t - 1] = trend
+    return pd.DataFrame(
+        {
+            "source": np.full(n - 1, source, dtype=object),
+            "bucket_ts": bt[1:],
+            "sum_tok": yi[1:],
+            "forecast_tok": _round6_half_up(fc),
+            "level_tok": _round6_half_up(lv),
+            "trend_tok": _round6_half_up(tr),
+        }
+    )
+
+
+def holt_damped(
+    input_path,
+    *,
+    step: int = 60,
+    alpha: float = 0.25,
+    beta: float = 0.1,
+    phi: float = 0.9,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Damped-trend Holt (Gardner–McKenzie) smoothing per source over the
+    observed ``step``-grain token sums — the member of the exponential
+    family between :func:`holt_smooth` (undamped linear trend, which
+    over-extrapolates ramps) and :func:`holt_winters` (seasonal): the
+    trend is multiplied by ``phi`` in (0, 1] at every step so long-range
+    forecasts flatten instead of running away:
+
+        forecast_t = level + phi * trend            (before seeing y_t)
+        level'     = alpha * y_t + (1 - alpha) * (level + phi * trend)
+        trend'     = beta * (level' - level) + (1 - beta) * phi * trend
+
+    Initialization is pinned to the exact integers (level = y_0,
+    trend = y_1 - y_0); every float op runs in the documented fixed order
+    mirrored by the vendored scalar oracle (tests/oracle/fills.py), with
+    the shared 6-decimal floor-half-up on outputs. Sources with fewer than
+    2 observed buckets are omitted; output starts at the second bucket.
+    The recursion is sequential per source — it runs as a scalar pass
+    inside the one exchange (the holt_winters precedent)."""
+    from datafiller_ray.config import EngineValueError
+
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    for name, v in (("alpha", alpha), ("beta", beta)):
+        if not (0.0 < v < 1.0):
+            raise EngineValueError(f"{name} must be in (0, 1), got {v}")
+    if not (0.0 < phi <= 1.0):
+        raise EngineValueError(f"phi must be in (0, 1], got {phi}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _holt_damped_one_source(
+            obs, src, step, alpha, beta, phi
+        ),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )
+
+
 def _trimmed_mean_one_source(
     obs: pd.DataFrame, source: str, q_lo: float, q_hi: float
 ) -> pd.DataFrame:

@@ -940,6 +940,33 @@ def holt_winters_recursion(
     return fc, lv, tr
 
 
+def holt_damped_recursion(y: np.ndarray, alpha: float, beta: float, phi: float):
+    """Damped-trend Holt (Gardner-McKenzie), scalar re-derivation of the
+    operator's pinned definition: level = y_0, trend = y_1 - y_0 (exact
+    integers), then per step the one-step forecast level + phi*trend is
+    emitted BEFORE the update sees y_t, the level blends y_t against that
+    forecast, and the trend is damped by phi inside the (1 - beta) term.
+    Returns (forecast, level, trend) float64 arrays aligned to positions
+    1..n-1, or None when n < 2."""
+    n = int(y.size)
+    if n < 2:
+        return None
+    level = float(int(y[0]))
+    trend = float(int(y[1]) - int(y[0]))
+    fc = np.empty(n - 1, dtype=np.float64)
+    lv = np.empty(n - 1, dtype=np.float64)
+    tr = np.empty(n - 1, dtype=np.float64)
+    for t in range(1, n):
+        prior = level + phi * trend
+        fc[t - 1] = prior
+        new_level = alpha * float(y[t]) + (1.0 - alpha) * prior
+        trend = beta * (new_level - level) + (1.0 - beta) * (phi * trend)
+        level = new_level
+        lv[t - 1] = level
+        tr[t - 1] = trend
+    return fc, lv, tr
+
+
 def harmonic_fit(ts, y):
     """Single 24h-harmonic OLS oracle: y ~ a + b*cos + c*sin with
     theta = 2*pi*(ts mod 86400)/86400, solved by Cramer on the 3x3

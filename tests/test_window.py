@@ -1525,6 +1525,67 @@ def test_holt_winters_short_source_omitted():
     assert len(out) == 0 and str(out["source"].dtype) == "string"
 
 
+def test_holt_damped_engine_matches_recursion_oracle():
+    from datafiller_ray.pipelines.window import _holt_damped_one_source
+
+    o = _oracle_fills()
+    rng = np.random.default_rng(29)
+    for n in (2, 17, 250):
+        s = rng.integers(0, 10000, size=n)
+        obs = pd.DataFrame(
+            {"bucket_ts": np.arange(n, dtype=np.int64) * 60, "sum": s}
+        )
+        eng = _holt_damped_one_source(obs, "s", 60, 0.25, 0.1, 0.9)
+        fc, lv, tr = o.holt_damped_recursion(s.astype(np.float64), 0.25, 0.1, 0.9)
+        np.testing.assert_array_equal(
+            eng["forecast_tok"].to_numpy(), o.round_half_up(fc)
+        )
+        np.testing.assert_array_equal(
+            eng["level_tok"].to_numpy(), o.round_half_up(lv)
+        )
+        np.testing.assert_array_equal(
+            eng["trend_tok"].to_numpy(), o.round_half_up(tr)
+        )
+
+
+def test_holt_damped_constant_series_is_fixed_point():
+    from datafiller_ray.pipelines.window import _holt_damped_one_source
+
+    # constant series: trend init is 0 and stays 0; level == forecast == y
+    s = np.full(30, 42, dtype=np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(s.size, dtype=np.int64) * 60, "sum": s}
+    )
+    out = _holt_damped_one_source(obs, "s", 60, 0.25, 0.1, 0.9)
+    np.testing.assert_array_equal(out["forecast_tok"].to_numpy(), 42.0)
+    np.testing.assert_array_equal(out["trend_tok"].to_numpy(), 0.0)
+
+
+def test_holt_damped_phi_one_matches_undamped_form():
+    from datafiller_ray.pipelines.window import _holt_damped_one_source
+
+    # phi == 1 degenerates to classic (undamped) Holt: on a pure ramp the
+    # forecast tracks the ramp exactly from the pinned init
+    s = np.arange(0, 300, 10, dtype=np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(s.size, dtype=np.int64) * 60, "sum": s}
+    )
+    out = _holt_damped_one_source(obs, "s", 60, 0.25, 0.1, 1.0)
+    np.testing.assert_allclose(
+        out["forecast_tok"].to_numpy(), s[1:].astype(np.float64), atol=1e-9
+    )
+
+
+def test_holt_damped_short_source_omitted():
+    from datafiller_ray.pipelines.window import _holt_damped_one_source
+
+    obs = pd.DataFrame(
+        {"bucket_ts": np.zeros(1, dtype=np.int64), "sum": np.ones(1, np.int64)}
+    )
+    out = _holt_damped_one_source(obs, "s", 60, 0.25, 0.1, 0.9)
+    assert len(out) == 0 and str(out["source"].dtype) == "string"
+
+
 def test_trimmed_mean_one_source_literal():
     from datafiller_ray.pipelines.window import _trimmed_mean_one_source
 
