@@ -4946,6 +4946,20 @@ def _holt_winters_1m(sf_dir: str):
     )
 
 
+def _granger_1h(sf_dir: str):
+    """Lag-1 Granger causality F statistic of every source's hourly token
+    sums against the broadcast reference sources (exact integer ten-moment
+    sums, Fraction-exact OLS via Cramer, one correctly-rounded float) —
+    pipelines/correlate.granger_causality; vendored independent
+    Gram-Schmidt-in-Fractions oracle."""
+    from datafiller_ray.pipelines.correlate import granger_causality
+
+    return granger_causality(
+        _fixture(sf_dir), ref_sources=_CORR_REFS, step=3600, min_common=8,
+        check_tokens=False,
+    )
+
+
 def _holt_damped_1m(sf_dir: str):
     """Damped-trend Holt (Gardner-McKenzie, phi=0.9) per source over the
     observed 1m token sums — the damped member of the exponential family
@@ -5218,6 +5232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
+        "granger_1h": _granger_1h,
         "trimmed_mean_1m": _trimmed_mean,
         "source_share_1d": _source_share_1d,
         "top_unshipped_orders": _top_unshipped_orders,
@@ -6296,6 +6311,41 @@ def _build_holt_winters_oracle() -> "pd.DataFrame":
     return pd.concat(frames, ignore_index=True)
 
 
+def _build_granger_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    series = {
+        src_: o.hourly_observed(fr)
+        for src_, fr in o.minute_series(_read_fixture_frame()).items()
+    }
+    rows = []
+    for src_ in sorted(series):
+        x_ts, x_sum = series[src_]
+        for ref in _CORR_REFS:
+            if ref == src_ or ref not in series:
+                continue
+            y_ts, y_sum = series[ref]
+            yv, av, bv = o.granger_align(x_ts, x_sum, y_ts, y_sum)
+            if yv.size < 8:
+                continue
+            f = o.granger_f_exact(yv, av, bv)
+            if f is None:
+                continue
+            rows.append(
+                (
+                    src_,
+                    ref,
+                    int(yv.size),
+                    float(o.round_half_up(np.array([f]))[0]),
+                )
+            )
+    out = pd.DataFrame(
+        rows, columns=["source", "ref_source", "n_common", "f_stat"]
+    )
+    out["n_common"] = out["n_common"].astype(np.int64)
+    out["f_stat"] = out["f_stat"].astype(np.float64)
+    return out
+
+
 def _build_holt_damped_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     frames = []
@@ -6769,6 +6819,7 @@ _FILL_ORACLE_BUILDERS = {
     "holt_smooth_1m": _build_holt_oracle,
     "holt_winters_1m": _build_holt_winters_oracle,
     "holt_damped_1m": _build_holt_damped_oracle,
+    "granger_1h": _build_granger_oracle,
     "harmonic_24h": _build_harmonic_oracle,
     "lttb_downsample": _build_lttb_oracle,
     "cusum_changepoints": _build_cusum_oracle,
@@ -7902,6 +7953,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "holt_damped_1m": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('holt_damped_1m')}')"
+        ),
+        "granger_1h": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('granger_1h')}')"
         ),
         # STL-lite decomposition, exact integer micro-units: trend via the
         # pure-integer half-up division (nonneg operands, so DuckDB's //

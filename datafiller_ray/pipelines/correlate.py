@@ -602,3 +602,213 @@ def dtw_distance(
     return _run_per_source(
         input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag-1, exact rational F statistic)
+
+
+def _granger_f_from_moments(
+    n: int,
+    sy: int,
+    sa: int,
+    sb: int,
+    syy: int,
+    saa: int,
+    sbb: int,
+    sya: int,
+    syb: int,
+    sab: int,
+):
+    """Exact-rational lag-1 Granger F statistic from the ten integer
+    moments of the aligned triples (Y = y_t, A = y_{t-1}, B = x_{t-1}).
+
+    Restricted model  Y ~ c + a*A          (own history only)
+    Unrestricted      Y ~ c + a*A + b*B    (own history + candidate cause)
+
+    Both normal-equation systems are solved by Cramer's rule on Python
+    big ints, the residual sums of squares come from the exact identity
+    ``RSS = SYY - beta . X'y`` in Fractions, and
+
+        F = (RSS_r - RSS_u) * (n - 3) / RSS_u        (q = 1 restriction)
+
+    stays a Fraction until the single correctly-rounded ``float()`` at
+    the end — so any implementation of the same documented semantics
+    produces the identical double, whatever its partitioning or
+    summation order. Returns the float F, or None when a design matrix
+    is singular, ``n < 4``, or ``RSS_u == 0`` (perfect fit: F
+    undefined)."""
+    from fractions import Fraction
+
+    if n < 4:
+        return None
+    # restricted 2x2: [[n, sa], [sa, saa]] beta = [sy, sya]
+    det_r = n * saa - sa * sa
+    if det_r == 0:
+        return None
+    b0_r = Fraction(sy * saa - sa * sya, det_r)
+    b1_r = Fraction(n * sya - sa * sy, det_r)
+    rss_r = Fraction(syy) - (b0_r * sy + b1_r * sya)
+    # unrestricted 3x3: [[n, sa, sb], [sa, saa, sab], [sb, sab, sbb]]
+    #                   beta = [sy, sya, syb]
+    m = ((n, sa, sb), (sa, saa, sab), (sb, sab, sbb))
+
+    def det3(c0, c1, c2):
+        return (
+            c0[0] * (c1[1] * c2[2] - c1[2] * c2[1])
+            - c1[0] * (c0[1] * c2[2] - c0[2] * c2[1])
+            + c2[0] * (c0[1] * c1[2] - c0[2] * c1[1])
+        )
+
+    cols = tuple(tuple(m[r][c] for r in range(3)) for c in range(3))
+    det_u = det3(*cols)
+    if det_u == 0:
+        return None
+    v = (sy, sya, syb)
+    b0_u = Fraction(det3(v, cols[1], cols[2]), det_u)
+    b1_u = Fraction(det3(cols[0], v, cols[2]), det_u)
+    b2_u = Fraction(det3(cols[0], cols[1], v), det_u)
+    rss_u = Fraction(syy) - (b0_u * sy + b1_u * sya + b2_u * syb)
+    if rss_u <= 0:
+        return None
+    f = (rss_r - rss_u) * (n - 3) / rss_u
+    return float(f)
+
+
+def _granger_one_source(
+    obs: pd.DataFrame,
+    source: str,
+    refs: "dict[str, tuple[np.ndarray, np.ndarray]]",
+    step: int,
+    min_common: int,
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    x_ts, x_sum = _hourly(ts, obs["sum"].to_numpy(np.int64), step)
+    names, ns, fs = [], [], []
+    for ref_name in sorted(refs):
+        if ref_name == source:
+            continue
+        y_ts, y_sum = refs[ref_name]
+        if y_ts.size < 2 or x_ts.size == 0:
+            continue
+        # triples aligned at t: y observed at t AND t-step, x observed at
+        # t-step (searchsorted on the sorted hourly grids, the
+        # _corr_one_source idiom)
+        t = y_ts[1:]
+        prev = t - step
+        py = np.searchsorted(y_ts, prev)
+        py_c = np.minimum(py, y_ts.size - 1)
+        hit_y = y_ts[py_c] == prev
+        px = np.searchsorted(x_ts, prev)
+        px_c = np.minimum(px, x_ts.size - 1)
+        hit_x = x_ts[px_c] == prev
+        keep = hit_y & hit_x
+        n = int(keep.sum())
+        if n < min_common:
+            continue
+        yv = y_sum[1:][keep]
+        av = y_sum[py_c[keep]]
+        bv = x_sum[px_c[keep]]
+        f = _granger_f_from_moments(
+            n,
+            int(yv.sum()),
+            int(av.sum()),
+            int(bv.sum()),
+            int(np.dot(yv, yv)),
+            int(np.dot(av, av)),
+            int(np.dot(bv, bv)),
+            int(np.dot(yv, av)),
+            int(np.dot(yv, bv)),
+            int(np.dot(av, bv)),
+        )
+        if f is None:
+            continue
+        names.append(ref_name)
+        ns.append(n)
+        fs.append(f)
+    out = pd.DataFrame(
+        {
+            "source": np.full(len(names), source, dtype=object),
+            "ref_source": np.asarray(names, dtype=object),
+            "n_common": np.asarray(ns, dtype=np.int64),
+            "f_stat": _round6_half_up(np.asarray(fs, dtype=np.float64)),
+        }
+    )
+    if not len(out):
+        out["source"] = out["source"].astype("string")
+        out["ref_source"] = out["ref_source"].astype("string")
+    return out
+
+
+def granger_causality(
+    input_path,
+    *,
+    ref_sources: "tuple[str, ...] | list[str]",
+    step: int = 3600,
+    min_common: int = 8,
+    max_refs: int = _MAX_REFS_DEFAULT,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """Lag-1 Granger causality: for every (source, reference) pair, the F
+    statistic testing whether the source's ``step``-grain token sums at
+    t-1 improve the one-step prediction of the reference beyond the
+    reference's own history — "does this feed's volume FORECAST that
+    one, not just co-move with it" (the predictive sibling of
+    :func:`lead_lag_xcorr`, which only ranks contemporaneous shifted
+    correlation).
+
+    Emits ``(source, ref_source, n_common, f_stat)`` with F ~ F(1, n-3)
+    under the no-causality null; larger = stronger evidence the source
+    leads. Triples are aligned where the reference is observed at both t
+    and t-step and the source at t-step; pairs with fewer than
+    ``min_common`` aligned hours, a singular design, or a perfect
+    unrestricted fit are omitted, and a reference is never tested
+    against itself.
+
+    Same scale shape as :func:`source_correlation`: the reference series
+    are the broadcast small side (``ray.put`` once), everything else
+    streams through the one per-source exchange. Numerics: the ten
+    moments are exact int64 dots handed to Python ints, both OLS solves
+    run in Fractions (Cramer on big ints), and the only float op is the
+    correctly-rounded ``float(Fraction)`` at the end plus the shared
+    6-decimal floor-half-up — bit-reproducible under any partitioning.
+    Non-SQL (rational arithmetic), oracled by the vendored independent
+    residual-space derivation (tests/oracle/fills.py)."""
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _run_per_source
+
+    refs_t = tuple(dict.fromkeys(ref_sources))
+    if not refs_t:
+        raise EngineValueError("ref_sources must be non-empty")
+    if len(refs_t) > max_refs:
+        raise EngineValueError(
+            f"{len(refs_t)} reference sources exceed max_refs={max_refs}; "
+            "the reference set is the broadcast small side"
+        )
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    if min_common < 4:
+        raise EngineValueError(f"min_common must be >= 4, got {min_common}")
+    series_1m = _reference_series(input_path, refs_t, check_tokens=check_tokens)
+    missing = [s for s in refs_t if s not in series_1m]
+    if missing:
+        raise EngineValueError(f"reference sources not in input: {missing}")
+    refs = {
+        name: _hourly(ts, s, step) for name, (ts, s) in series_1m.items()
+    }
+    handle = ray.put(refs)
+
+    def one_source(obs: pd.DataFrame, src: str) -> pd.DataFrame:
+        import ray as _ray
+
+        r = _ray.get(handle)
+        return _granger_one_source(obs, src, r, step, min_common)
+
+    return _run_per_source(
+        input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
+    )

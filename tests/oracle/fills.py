@@ -967,6 +967,74 @@ def holt_damped_recursion(y: np.ndarray, alpha: float, beta: float, phi: float):
     return fc, lv, tr
 
 
+def granger_f_exact(yv, av, bv):
+    """Lag-1 Granger F oracle, independent residual-space derivation of
+    the operator's documented semantics: orthogonalize the design columns
+    with exact-rational Gram-Schmidt (Fractions), project y off the
+    restricted span [1, A] and the unrestricted span [1, A, B], and form
+    F = (RSS_r - RSS_u) * (n - 3) / RSS_u as a Fraction with ONE
+    correctly-rounded float() at the end. Returns None on n < 4, a
+    rank-deficient design, or a perfect unrestricted fit — the same
+    omission rule the engine applies via Cramer determinants."""
+    from fractions import Fraction
+
+    n = len(yv)
+    if n < 4:
+        return None
+    y = [Fraction(int(v)) for v in yv]
+
+    def residual_ss(cols):
+        basis = []
+        for c in cols:
+            v = [Fraction(int(x)) for x in c]
+            for q in basis:
+                qq = sum(t * t for t in q)
+                coef = sum(a * b for a, b in zip(v, q)) / qq
+                v = [a - coef * b for a, b in zip(v, q)]
+            if sum(t * t for t in v) == 0:
+                return None  # rank-deficient design
+            basis.append(v)
+        r = list(y)
+        for q in basis:
+            qq = sum(t * t for t in q)
+            coef = sum(a * b for a, b in zip(r, q)) / qq
+            r = [a - coef * b for a, b in zip(r, q)]
+        return sum(t * t for t in r)
+
+    ones = [1] * n
+    rss_r = residual_ss([ones, av])
+    rss_u = residual_ss([ones, av, bv])
+    if rss_r is None or rss_u is None or rss_u <= 0:
+        return None
+    return float((rss_r - rss_u) * (n - 3) / rss_u)
+
+
+def hourly_observed(fr, step=3600):
+    """(hour_ts, hour_sum) int64 arrays of a minute_series frame's
+    OBSERVED minutes aggregated to ``step`` buckets, the pandas way."""
+    keep = fr["n_obs"].to_numpy() > 0
+    ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+    yv = fr["y"].to_numpy()[keep].astype(np.int64)
+    h = ts - ts % step
+    g = pd.DataFrame({"h": h, "y": yv}).groupby("h", sort=True)["y"].sum()
+    return g.index.to_numpy(np.int64), g.to_numpy(np.int64)
+
+
+def granger_align(x_ts, x_sum, y_ts, y_sum, step=3600):
+    """Aligned (Y=y_t, A=y_{t-1}, B=x_{t-1}) int64 triples: the reference
+    observed at t and t-step, the source at t-step (pandas merge route,
+    independent of the engine's searchsorted alignment)."""
+    yf = pd.DataFrame({"t": y_ts, "Y": y_sum})
+    af = pd.DataFrame({"t": y_ts + step, "A": y_sum})
+    bf = pd.DataFrame({"t": x_ts + step, "B": x_sum})
+    m = yf.merge(af, on="t").merge(bf, on="t")
+    return (
+        m["Y"].to_numpy(np.int64),
+        m["A"].to_numpy(np.int64),
+        m["B"].to_numpy(np.int64),
+    )
+
+
 def harmonic_fit(ts, y):
     """Single 24h-harmonic OLS oracle: y ~ a + b*cos + c*sin with
     theta = 2*pi*(ts mod 86400)/86400, solved by Cramer on the 3x3

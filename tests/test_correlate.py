@@ -249,3 +249,101 @@ def test_dtw_znorm_pinned():
     assert abs(z.mean()) < 1e-12
     assert abs((z * z).mean() - 1.0) < 1e-12
     assert _znorm_pinned(np.array([5, 5, 5], dtype=np.int64)) is None
+
+
+def _oracle_fills_mod():
+    import importlib.util
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "oracle", "fills.py")
+    spec = importlib.util.spec_from_file_location("oracle_fills_corr", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_granger_engine_matches_gram_schmidt_oracle():
+    """Cramer-on-moments F (engine) == Gram-Schmidt-in-Fractions F
+    (oracle), bit for bit, on random integer series."""
+    from datafiller_ray.pipelines.correlate import (
+        _granger_f_from_moments,
+        _granger_one_source,
+    )
+
+    o = _oracle_fills_mod()
+    rng = np.random.default_rng(11)
+    for n in (4, 9, 120):
+        yv = rng.integers(0, 500, size=n).astype(np.int64)
+        av = rng.integers(0, 500, size=n).astype(np.int64)
+        bv = rng.integers(0, 500, size=n).astype(np.int64)
+        f_eng = _granger_f_from_moments(
+            n, int(yv.sum()), int(av.sum()), int(bv.sum()),
+            int(np.dot(yv, yv)), int(np.dot(av, av)), int(np.dot(bv, bv)),
+            int(np.dot(yv, av)), int(np.dot(yv, bv)), int(np.dot(av, bv)),
+        )
+        f_or = o.granger_f_exact(yv, av, bv)
+        assert f_eng == f_or  # both exact rationals -> identical doubles
+    # end-to-end kernel: hourly alignment + the same F
+    n_h = 50
+    ts = np.arange(n_h * 60, dtype=np.int64) * 60  # dense minutes
+    x = rng.integers(1, 100, size=ts.size).astype(np.int64)
+    obs = pd.DataFrame({"bucket_ts": ts, "sum": x})
+    y_ts = np.arange(n_h, dtype=np.int64) * 3600
+    y_sum = rng.integers(1, 5000, size=n_h).astype(np.int64)
+    out = _granger_one_source(
+        obs, "s", {"r": (y_ts, y_sum)}, 3600, min_common=8
+    )
+    assert len(out) == 1 and out["n_common"].iloc[0] == n_h - 1
+    x_h = x.reshape(n_h, 60).sum(axis=1)
+    yv2, av2, bv2 = y_sum[1:], y_sum[:-1], x_h[:-1]
+    f_expected = o.granger_f_exact(yv2, av2, bv2)
+    assert out["f_stat"].iloc[0] == float(
+        np.floor(np.array([f_expected]) * 1e6 + 0.5) / 1e6
+    )
+
+
+def test_granger_detects_planted_lead():
+    """x drives y at lag 1 (y_t = x_{t-1} + small noise): the planted
+    direction's F dwarfs both the reverse direction and an independent
+    control series."""
+    from datafiller_ray.pipelines.correlate import _granger_one_source
+
+    rng = np.random.default_rng(23)
+    n = 200
+    x_h = rng.integers(100, 1000, size=n).astype(np.int64)
+    noise = rng.integers(-3, 4, size=n - 1)
+    y_h = np.concatenate([[500], x_h[:-1] + noise]).astype(np.int64)
+    z_h = rng.integers(100, 1000, size=n).astype(np.int64)  # control
+    hours = np.arange(n, dtype=np.int64) * 3600
+    refs = {"y": (hours, y_h), "z": (hours, z_h)}
+    obs = pd.DataFrame({"bucket_ts": hours, "sum": x_h})
+    out = _granger_one_source(obs, "x", refs, 3600, min_common=8)
+    f = dict(zip(out["ref_source"], out["f_stat"]))
+    assert f["y"] > 100.0  # planted causality
+    assert f["y"] > 50.0 * max(f["z"], 1e-9)  # control is noise-level
+
+
+def test_granger_rank_deficient_and_perfect_fit_omitted():
+    from datafiller_ray.pipelines.correlate import _granger_f_from_moments
+
+    # constant A: restricted design singular -> None
+    yv = np.array([1, 2, 3, 4, 5], np.int64)
+    av = np.full(5, 7, np.int64)
+    bv = np.array([2, 4, 6, 8, 10], np.int64)
+
+    def moments(y, a, b):
+        return (
+            len(y), int(y.sum()), int(a.sum()), int(b.sum()),
+            int(np.dot(y, y)), int(np.dot(a, a)), int(np.dot(b, b)),
+            int(np.dot(y, a)), int(np.dot(y, b)), int(np.dot(a, b)),
+        )
+
+    assert _granger_f_from_moments(*moments(yv, av, bv)) is None
+    # B collinear with A: unrestricted singular -> None
+    av2 = np.array([1, 3, 5, 7, 9], np.int64)
+    assert _granger_f_from_moments(*moments(yv, av2, 2 * av2)) is None
+    # y exactly in span(1, A, B): RSS_u == 0 -> None
+    av3 = np.array([1, 2, 4, 8, 16], np.int64)
+    bv3 = np.array([3, 1, 4, 1, 5], np.int64)
+    y3 = 2 * av3 + 3 * bv3 + 7
+    assert _granger_f_from_moments(*moments(y3, av3, bv3)) is None
