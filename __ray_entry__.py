@@ -4946,6 +4946,17 @@ def _holt_winters_1m(sf_dir: str):
     )
 
 
+def _token_pagerank(sf_dir: str):
+    """Top-20 tokens by integer PageRank over the corpus bigram digraph
+    (8 damped power-iteration steps, bit-reproducible integer recurrence,
+    vocabulary-bounded per-iteration folds) —
+    pipelines/corpus.token_pagerank; vendored independent pandas/global
+    oracle."""
+    from datafiller_ray.pipelines.corpus import token_pagerank
+
+    return token_pagerank(_fixture(sf_dir), k=20, n_iter=8)
+
+
 def _granger_1h(sf_dir: str):
     """Lag-1 Granger causality F statistic of every source's hourly token
     sums against the broadcast reference sources (exact integer ten-moment
@@ -5233,6 +5244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
         "granger_1h": _granger_1h,
+        "token_pagerank": _token_pagerank,
         "trimmed_mean_1m": _trimmed_mean,
         "source_share_1d": _source_share_1d,
         "top_unshipped_orders": _top_unshipped_orders,
@@ -6311,6 +6323,17 @@ def _build_holt_winters_oracle() -> "pd.DataFrame":
     return pd.concat(frames, ignore_index=True)
 
 
+def _build_pagerank_oracle() -> "pd.DataFrame":
+    import glob
+
+    o = _fills_oracle_module()
+    fx = _fixture_sql_path()
+    toks = []
+    for p in sorted(glob.glob(os.path.join(fx, "*.parquet"))):
+        toks.extend(pd.read_parquet(p, columns=["tokens"])["tokens"].tolist())
+    return o.pagerank_exact(toks, k=20, n_iter=8, d=85)
+
+
 def _build_granger_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     series = {
@@ -6820,6 +6843,7 @@ _FILL_ORACLE_BUILDERS = {
     "holt_winters_1m": _build_holt_winters_oracle,
     "holt_damped_1m": _build_holt_damped_oracle,
     "granger_1h": _build_granger_oracle,
+    "token_pagerank": _build_pagerank_oracle,
     "harmonic_24h": _build_harmonic_oracle,
     "lttb_downsample": _build_lttb_oracle,
     "cusum_changepoints": _build_cusum_oracle,
@@ -7956,6 +7980,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "granger_1h": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('granger_1h')}')"
+        ),
+        "token_pagerank": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('token_pagerank')}')"
         ),
         # STL-lite decomposition, exact integer micro-units: trend via the
         # pure-integer half-up division (nonneg operands, so DuckDB's //

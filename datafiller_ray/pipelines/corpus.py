@@ -2828,7 +2828,11 @@ def _bigram_occurrences(input_path):
             name="m"
         )
 
-    ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
+    ds = (
+        input_path.select_columns(["doc_id", "tokens"])
+        if isinstance(input_path, ray.data.Dataset)
+        else ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
+    )
     return ds.map_batches(bigrams, batch_format="pyarrow")
 
 
@@ -2868,6 +2872,9 @@ def _broadcast_table(c2, broadcast_rows):
     except Exception:
         return None
     tbl = c2.to_pandas()
+    if tbl.empty:  # zero bigrams: a columnless frame can't be indexed
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
     keys = tbl["key"].to_numpy(np.int64)
     cnts = tbl["c2"].to_numpy(np.int64)
     order = np.argsort(keys, kind="stable")
@@ -4330,3 +4337,206 @@ def token_burstiness(input_path, *, min_count: int = 3, n_buckets: int = 64):
         )
 
     return st.map_batches(finish, batch_format="pandas")
+
+
+def token_pagerank(
+    input_path,
+    *,
+    k: int = 20,
+    n_iter: int = 8,
+    damping_pct: int = 85,
+    n_buckets: int = 64,
+    broadcast_rows: int = 120_000_000,
+):
+    """Top-``k`` tokens by PageRank over the corpus bigram digraph — the
+    graph-centrality view of the token-transition structure (which ids
+    sit at the hubs of the sequence graph, vs ``vocab_topk``'s raw
+    frequency): nodes are token ids, edge (a -> b) carries the corpus
+    bigram count, and ``n_iter`` synchronous power-iteration steps run
+    the classic damped update.
+
+    All arithmetic is INTEGER, so the iteration is bit-reproducible
+    under any partitioning: rank mass starts as ``S = 2**40`` split
+    evenly over the active vocabulary, each step sends
+    ``share[a] = rank[a] // out_occ[a]`` along every bigram occurrence,
+    and the damped recombination is the documented fixed form
+
+        teleport   = (100 - d) * S          // (100 * n_active)
+        dang_share = d * dangling           // (100 * n_active)
+        rank'[v]   = teleport + dang_share + d * inflow[v] // 100
+
+    with ``dangling`` the mass of sink tokens plus the floor-division
+    remainders. Rank mass drifts slightly downward from the floors —
+    accepted and documented; the vendored oracle replicates the exact
+    recurrence (the HLL/Bloom bit-exactness precedent).
+
+    Physical plan: the :func:`bigram_logprob` count machinery — per-doc
+    bigram multiplicities -> one coarse-key count exchange, materialized
+    ONCE and iterated over — then per iteration a vocabulary-bounded fold
+    (token ids < 2^16 by contract, so every dense vector is <= 65536
+    int64s; the rank/share vectors broadcast via ``ray.put`` and the
+    inflow folds through a tiny grouped_sum exchange). When the count
+    table fits ``broadcast_rows`` the iterations run on the collected
+    arrays instead (the size-gated broadcast fast path, equality-pinned
+    to the exchange path in tests); above the gate nothing
+    corpus-sized ever reaches the driver.
+
+    Output: (rank 1..k, token, pr_mass, out_occ), ordered by final
+    integer mass desc, token asc."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if k < 1:
+        raise EngineValueError(f"k must be >= 1, got {k}")
+    if n_iter < 1:
+        raise EngineValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not (0 < damping_pct < 100):
+        raise EngineValueError(
+            f"damping_pct must be in (0, 100), got {damping_pct}"
+        )
+
+    occ = _bigram_occurrences(input_path)
+    c2 = _bigram_counts(occ, n_buckets=n_buckets).materialize()
+
+    bc = _broadcast_table(c2, broadcast_rows)
+    if bc is not None:
+        keys_s, cnts_s = bc
+        a_all = (keys_s >> 32).astype(np.int64)
+        b_all = (keys_s & 0xFFFFFFFF).astype(np.int64)
+    else:
+        # vocabulary-bounded out-occurrence fold (the c1 fold of
+        # bigram_logprob): a -> total bigram occurrences starting at a
+        def a_partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "a": df["key"].to_numpy(np.int64) >> 32,
+                    "occ": df["c2"].to_numpy(np.int64),
+                }
+            )
+            return out.groupby("a", sort=False, as_index=False)["occ"].sum()
+
+        def b_partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "b": df["key"].to_numpy(np.int64) & 0xFFFFFFFF,
+                    "occ": df["c2"].to_numpy(np.int64),
+                }
+            )
+            return out.groupby("b", sort=False, as_index=False)["occ"].sum()
+
+        a_rows = grouped_sum(
+            c2.map_batches(a_partial, batch_format="pandas"), "a", "occ"
+        ).to_pandas()  # vocabulary-sized, NOT corpus-sized
+        b_rows = grouped_sum(
+            c2.map_batches(b_partial, batch_format="pandas"), "b", "occ"
+        ).to_pandas()
+
+    if bc is not None:
+        if keys_s.size == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "rank": pa.array([], pa.int64()),
+                        "token": pa.array([], pa.int64()),
+                        "pr_mass": pa.array([], pa.int64()),
+                        "out_occ": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        vmax = int(max(a_all.max(), b_all.max()))
+    else:
+        if not len(a_rows):
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "rank": pa.array([], pa.int64()),
+                        "token": pa.array([], pa.int64()),
+                        "pr_mass": pa.array([], pa.int64()),
+                        "out_occ": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        vmax = int(
+            max(
+                a_rows["a"].to_numpy(np.int64).max(),
+                b_rows["b"].to_numpy(np.int64).max(),
+            )
+        )
+    nv = vmax + 1
+    out_occ = np.zeros(nv, dtype=np.int64)
+    active = np.zeros(nv, dtype=bool)
+    if bc is not None:
+        np.add.at(out_occ, a_all, cnts_s)
+        active[a_all] = True
+        active[b_all] = True
+    else:
+        out_occ[a_rows["a"].to_numpy(np.int64)] = a_rows["occ"].to_numpy(
+            np.int64
+        )
+        active[a_rows["a"].to_numpy(np.int64)] = True
+        active[b_rows["b"].to_numpy(np.int64)] = True
+    n_active = int(active.sum())
+    S = 1 << 40
+    d = int(damping_pct)
+    rank = np.zeros(nv, dtype=np.int64)
+    rank[active] = S // n_active
+    teleport = ((100 - d) * S) // (100 * n_active)
+    for _ in range(n_iter):
+        share = np.zeros(nv, dtype=np.int64)
+        src_mask = out_occ > 0
+        share[src_mask] = rank[src_mask] // out_occ[src_mask]
+        if bc is not None:
+            # contributions are exact int64 (share[a] * c2 <= rank[a] <= S)
+            inflow = np.bincount(
+                b_all,
+                weights=(share[a_all] * cnts_s).astype(np.float64),
+                minlength=nv,
+            ).astype(np.int64)  # float64 sums exact: total mass <= 2^40
+        else:
+            share_ref = ray.put(share)
+
+            def inflow_partial(df: pd.DataFrame) -> pd.DataFrame:
+                sh = ray.get(share_ref)
+                keys = df["key"].to_numpy(np.int64)
+                contrib = sh[keys >> 32] * df["c2"].to_numpy(np.int64)
+                out = pd.DataFrame(
+                    {"b": keys & 0xFFFFFFFF, "inflow": contrib}
+                )
+                return out.groupby("b", sort=False, as_index=False)[
+                    "inflow"
+                ].sum()
+
+            rows = grouped_sum(
+                c2.map_batches(inflow_partial, batch_format="pandas"),
+                "b",
+                "inflow",
+            ).to_pandas()  # vocabulary-sized
+            inflow = np.zeros(nv, dtype=np.int64)
+            inflow[rows["b"].to_numpy(np.int64)] = rows["inflow"].to_numpy(
+                np.int64
+            )
+        distributed = int((share[src_mask] * out_occ[src_mask]).sum())
+        dangling = int(rank[active].sum()) - distributed
+        dang_share = (d * dangling) // (100 * n_active)
+        new_rank = np.zeros(nv, dtype=np.int64)
+        new_rank[active] = (
+            teleport + dang_share + (d * inflow[active]) // 100
+        )
+        rank = new_rank
+    # deterministic top-k: mass desc, token asc
+    toks = np.flatnonzero(active)
+    order = np.lexsort((toks, -rank[toks]))[:k]
+    sel = toks[order]
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "rank": np.arange(1, sel.size + 1, dtype=np.int64),
+                "token": sel.astype(np.int64),
+                "pr_mass": rank[sel],
+                "out_occ": out_occ[sel],
+            }
+        )
+    )

@@ -967,6 +967,71 @@ def holt_damped_recursion(y: np.ndarray, alpha: float, beta: float, phi: float):
     return fc, lv, tr
 
 
+def pagerank_exact(docs_tokens, k=20, n_iter=8, d=85):
+    """Integer PageRank oracle over the bigram digraph, the pandas/global
+    route (engine: per-batch multiplicity fold + distributed count
+    exchange + per-iteration vocabulary folds): pack every adjacent pair
+    of every document into one flat array, value_counts once, then run
+    the documented integer recurrence
+
+        S = 2**40, rank0 = S // n_active on active tokens
+        share[a] = rank[a] // out_occ[a]
+        teleport = (100-d)*S // (100*n_active)
+        dang_share = d*dangling // (100*n_active)
+        rank'[v] = teleport + dang_share + d*inflow[v] // 100
+
+    and return the top-k (mass desc, token asc) as a DataFrame with
+    columns (rank, token, pr_mass, out_occ)."""
+    pairs = []
+    for toks in docs_tokens:
+        t = np.asarray(toks, dtype=np.int64)
+        if t.size >= 2:
+            pairs.append((t[:-1] << 32) | t[1:])
+    cols = ["rank", "token", "pr_mass", "out_occ"]
+    if not pairs:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    keys = np.concatenate(pairs)
+    vc = pd.Series(keys).value_counts()
+    kk = vc.index.to_numpy(np.int64)
+    cc = vc.to_numpy(np.int64)
+    a = kk >> 32
+    b = kk & 0xFFFFFFFF
+    nv = int(max(a.max(), b.max())) + 1
+    out_occ = np.zeros(nv, dtype=np.int64)
+    np.add.at(out_occ, a, cc)
+    active = np.zeros(nv, dtype=bool)
+    active[a] = True
+    active[b] = True
+    n_active = int(active.sum())
+    S = 1 << 40
+    rank = np.zeros(nv, dtype=np.int64)
+    rank[active] = S // n_active
+    teleport = ((100 - d) * S) // (100 * n_active)
+    for _ in range(n_iter):
+        share = np.zeros(nv, dtype=np.int64)
+        m = out_occ > 0
+        share[m] = rank[m] // out_occ[m]
+        inflow = np.zeros(nv, dtype=np.int64)
+        np.add.at(inflow, b, share[a] * cc)
+        distributed = int((share[m] * out_occ[m]).sum())
+        dangling = int(rank[active].sum()) - distributed
+        dang_share = (d * dangling) // (100 * n_active)
+        new_rank = np.zeros(nv, dtype=np.int64)
+        new_rank[active] = teleport + dang_share + (d * inflow[active]) // 100
+        rank = new_rank
+    toks = np.flatnonzero(active)
+    order = np.lexsort((toks, -rank[toks]))[:k]
+    sel = toks[order]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, sel.size + 1, dtype=np.int64),
+            "token": sel.astype(np.int64),
+            "pr_mass": rank[sel],
+            "out_occ": out_occ[sel],
+        }
+    )
+
+
 def granger_f_exact(yv, av, bv):
     """Lag-1 Granger F oracle, independent residual-space derivation of
     the operator's documented semantics: orthogonalize the design columns

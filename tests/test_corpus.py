@@ -2060,3 +2060,81 @@ def test_token_burstiness_literal(ray_session, tmp_path):
     assert r9["vmr"] == 0.0
     with pytest.raises(EngineValueError):
         token_burstiness("/tmp/nope", min_count=0)
+
+
+# ---------------------------------------------------------------------------
+# token_pagerank
+
+
+def _pagerank_table(rows):
+    import pyarrow as pa
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([f"d{i:04d}" for i in range(len(rows))]),
+                "source": pa.array(["s"] * len(rows)),
+                "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+                "tokens": pa.array(
+                    [list(map(int, r)) for r in rows], type=pa.list_(pa.int32())
+                ),
+            }
+        )
+    )
+
+
+def test_token_pagerank_matches_oracle_and_paths_agree():
+    import importlib.util
+    import os as _os
+
+    from datafiller_ray.pipelines.corpus import token_pagerank
+
+    p = _os.path.join(_os.path.dirname(__file__), "oracle", "fills.py")
+    spec = importlib.util.spec_from_file_location("oracle_fills_pr", p)
+    o = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(o)
+
+    rng = np.random.default_rng(7)
+    rows = [
+        rng.integers(0, 40, rng.integers(1, 30)).astype(np.int32)
+        for _ in range(150)
+    ]
+    rows.append(np.array([], dtype=np.int32))
+    ds = _pagerank_table(rows)
+    got_bc = token_pagerank(ds, k=15, n_iter=8).to_pandas()
+    got_ex = token_pagerank(ds, k=15, n_iter=8, broadcast_rows=0).to_pandas()
+    pd.testing.assert_frame_equal(got_bc, got_ex)  # size-gate equality
+    exp = o.pagerank_exact([r.tolist() for r in rows], k=15, n_iter=8)
+    pd.testing.assert_frame_equal(got_bc, exp)
+
+
+def test_token_pagerank_hub_wins():
+    from datafiller_ray.pipelines.corpus import token_pagerank
+
+    # every doc funnels into token 7: it must rank first
+    rows = [np.array([i, 7], dtype=np.int32) for i in range(1, 30)]
+    out = token_pagerank(_pagerank_table(rows), k=3).to_pandas()
+    assert out["token"].iloc[0] == 7
+    assert out["pr_mass"].iloc[0] > out["pr_mass"].iloc[1]
+
+
+def test_token_pagerank_no_bigrams_is_empty():
+    from datafiller_ray.pipelines.corpus import token_pagerank
+
+    rows = [np.array([3], dtype=np.int32), np.array([], dtype=np.int32)]
+    out = token_pagerank(_pagerank_table(rows), k=5)
+    # schema survives at the Dataset level (Ray's to_pandas drops columns
+    # of a zero-row dataset, so assert on the Arrow schema)
+    assert out.schema().names == ["rank", "token", "pr_mass", "out_occ"]
+    assert out.count() == 0
+
+
+def test_token_pagerank_validates_params():
+    from datafiller_ray.pipelines.corpus import token_pagerank
+
+    with pytest.raises(EngineValueError):
+        token_pagerank("/tmp/x", k=0)
+    with pytest.raises(EngineValueError):
+        token_pagerank("/tmp/x", n_iter=0)
+    with pytest.raises(EngineValueError):
+        token_pagerank("/tmp/x", damping_pct=100)
