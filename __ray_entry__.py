@@ -4946,6 +4946,15 @@ def _holt_winters_1m(sf_dir: str):
     )
 
 
+def _gopher_rules(sf_dir: str):
+    """Gopher-style composite quality-rule census per source (word count,
+    mean word length, stopword, repetition rules as exact counters) —
+    pipelines/hygiene.gopher_rules."""
+    from datafiller_ray.pipelines.hygiene import gopher_rules
+
+    return gopher_rules(_read(sf_dir, "documents"))
+
+
 def _token_pagerank(sf_dir: str):
     """Top-20 tokens by integer PageRank over the corpus bigram digraph
     (8 damped power-iteration steps, bit-reproducible integer recurrence,
@@ -5245,6 +5254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_damped_1m": _holt_damped_1m,
         "granger_1h": _granger_1h,
         "token_pagerank": _token_pagerank,
+        "gopher_rules": _gopher_rules,
         "trimmed_mean_1m": _trimmed_mean,
         "source_share_1d": _source_share_1d,
         "top_unshipped_orders": _top_unshipped_orders,
@@ -7984,6 +7994,48 @@ def oracle_sql() -> dict[str, str]:
         "token_pagerank": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('token_pagerank')}')"
         ),
+        # Gopher-rules census: the same ' '-split word model as the engine
+        # (wc via space counting, empty/null text -> 0 words), float rules
+        # on the shared round_even 6-dp ratios
+        "gopher_rules": r"""
+            WITH d AS (
+              SELECT source,
+                     CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                          ELSE length(text) - length(replace(text, ' ', ''))
+                               + 1 END AS wc,
+                     length(text) AS chars,
+                     string_split(text, ' ') AS words
+              FROM documents),
+            r AS (
+              SELECT source, wc,
+                     round_even((chars - (wc - 1))
+                                / GREATEST(wc, 1)::DOUBLE, 6) AS mean_wl,
+                     len(list_filter(words, w -> w IN
+                         ('the','and','of','to','a','in','is','that','it',
+                          'for'))) AS stop_hits,
+                     round_even(len(list_distinct(list_filter(words,
+                                w -> length(w) > 0)))
+                                / GREATEST(wc, 1)::DOUBLE, 6) AS dr
+              FROM d)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN wc < 20 OR wc > 90
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fail_words,
+                   CAST(SUM(CASE WHEN mean_wl < 4.3 OR mean_wl > 4.7
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fail_wordlen,
+                   CAST(SUM(CASE WHEN stop_hits < 2
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fail_stop,
+                   CAST(SUM(CASE WHEN dr < 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fail_rep,
+                   CAST(SUM(CASE WHEN NOT (wc < 20 OR wc > 90)
+                                  AND NOT (mean_wl < 4.3 OR mean_wl > 4.7)
+                                  AND stop_hits >= 2 AND dr >= 0.4
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM r GROUP BY source
+        """,
         # STL-lite decomposition, exact integer micro-units: trend via the
         # pure-integer half-up division (nonneg operands, so DuckDB's //
         # and numpy's floor-div agree), seasonal via the one pinned

@@ -694,3 +694,111 @@ def quality_checks(
     return row_checks.union(uniq_check).map_batches(
         finish, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rules composite quality census
+
+
+_GOPHER_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+)
+
+
+def gopher_rules(
+    documents: "ray.data.Dataset",
+    *,
+    min_words: int = 20,
+    max_words: int = 90,
+    min_mean_wl: float = 4.3,
+    max_mean_wl: float = 4.7,
+    min_stop_hits: int = 2,
+    min_distinct_ratio: float = 0.4,
+) -> "ray.data.Dataset":
+    """Gopher-style composite quality-rule census per source — the
+    published Rae et al. 2021 repetition/length/stopword filter suite
+    re-expressed as exact counters (which rules kill how many documents
+    where, the diagnostic you run BEFORE committing to a filter config):
+
+    - words:    word count outside [min_words, max_words]
+    - wordlen:  mean word length outside [min_mean_wl, max_mean_wl]
+    - stop:     fewer than ``min_stop_hits`` stopword occurrences
+    - rep:      distinct-word ratio below ``min_distinct_ratio``
+                (the duplicate-word repetition rule)
+
+    Words are the ``' '``-split tokens (the documents fixture is
+    single-spaced; the SQL oracle uses the identical ``string_split``).
+    Both float rules compare on the shared round-even 6-dp ratios
+    (the text_stats absorber), so the DuckDB oracle matches
+    hash-exactly. Output: one row per source with n_docs, one
+    n_fail_<rule> counter each, and n_pass (docs failing NO rule).
+
+    Scale shape: per-batch vectorized predicates (one explode for the
+    distinct/stopword counts, pandas C kernels) collapse to per-source
+    integer counters — the corpus never leaves the workers; one bounded
+    grouped_sum exchange merges the counters (quality_checks precedent).
+    """
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if min_words < 0 or max_words < min_words:
+        raise EngineValueError(
+            f"need 0 <= min_words <= max_words, got {min_words}, {max_words}"
+        )
+    if min_stop_hits < 0:
+        raise EngineValueError(
+            f"min_stop_hits must be >= 0, got {min_stop_hits}"
+        )
+    stop = frozenset(_GOPHER_STOPWORDS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n = len(df)
+        nonempty = text.str.len().to_numpy(np.int64) > 0
+        wc = np.where(
+            nonempty, text.str.count(" ").to_numpy(np.int64) + 1, 0
+        )
+        chars = text.str.len().to_numpy(np.int64)
+        wcd = np.maximum(wc, 1).astype(np.float64)
+        mean_wl = np.round((chars - (wc - 1)) / wcd, 6)
+        words = text.str.split(" ").reset_index(drop=True).explode()
+        words = words[words.notna() & (words.str.len() > 0)]
+        stop_hits = np.zeros(n, dtype=np.int64)
+        distinct = np.zeros(n, dtype=np.int64)
+        if len(words):
+            h = words.isin(stop).groupby(level=0).sum()
+            stop_hits[h.index.to_numpy(np.int64)] = h.to_numpy(np.int64)
+            d = words.groupby(level=0).nunique()
+            distinct[d.index.to_numpy(np.int64)] = d.to_numpy(np.int64)
+        distinct_ratio = np.round(distinct / wcd, 6)
+        fail_words = (wc < min_words) | (wc > max_words)
+        fail_wordlen = (mean_wl < min_mean_wl) | (mean_wl > max_mean_wl)
+        fail_stop = stop_hits < min_stop_hits
+        fail_rep = distinct_ratio < min_distinct_ratio
+        n_pass = ~(fail_words | fail_wordlen | fail_stop | fail_rep)
+        out = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(object),
+                "n_docs": np.ones(n, dtype=np.int64),
+                "n_fail_words": fail_words.astype(np.int64),
+                "n_fail_wordlen": fail_wordlen.astype(np.int64),
+                "n_fail_stop": fail_stop.astype(np.int64),
+                "n_fail_rep": fail_rep.astype(np.int64),
+                "n_pass": n_pass.astype(np.int64),
+            }
+        )
+        return out.groupby("source", sort=False, as_index=False).sum()
+
+    cols = [
+        "n_docs",
+        "n_fail_words",
+        "n_fail_wordlen",
+        "n_fail_stop",
+        "n_fail_rep",
+        "n_pass",
+    ]
+    return grouped_sum(
+        documents.map_batches(partial, batch_format="pandas"),
+        "source",
+        cols,
+    )

@@ -332,3 +332,59 @@ def test_quality_checks_bad_max_chars():
 
     with pytest.raises(EngineValueError):
         quality_checks(None, max_chars=0)
+
+
+def test_gopher_rules_literal_census(ray_session):
+    from datafiller_ray.pipelines.hygiene import gopher_rules
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                # passes everything: 24 words, mean word length 4.375 in
+                # [4.3, 4.7], 2 stopwords, all distinct
+                "the and "
+                + " ".join(f"w{i:03d}" for i in range(11))
+                + " "
+                + " ".join(f"x{i:04d}" for i in range(11)),
+                # too short (wc < 20)
+                "the a of to in",
+                # repetition: distinct ratio far below 0.4
+                " ".join(["the", "a"] * 15),
+                # no stopwords
+                " ".join(f"w{i:02d}xx" for i in range(25)),
+                # mean word length too high
+                " ".join("verylongword" for _ in range(25)),
+                # empty text: 0 words -> fails words rule
+                "",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s1", "s1", "s1", "s2", "s2", "s2"],
+            "n_chars": np.zeros(6, dtype=np.int64),
+        }
+    )
+    out = (
+        gopher_rules(ray.data.from_pandas(docs))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    s1 = out[out["source"] == "s1"].iloc[0]
+    s2 = out[out["source"] == "s2"].iloc[0]
+    assert s1["n_docs"] == 3 and s2["n_docs"] == 3
+    assert s1["n_fail_words"] == 1      # the short doc
+    assert s1["n_fail_rep"] == 1        # the repeated-word doc
+    assert s2["n_fail_stop"] >= 2       # no-stopword + longword docs
+    assert s2["n_fail_wordlen"] >= 1    # the longword doc
+    assert s2["n_fail_words"] == 1      # the empty doc
+    assert s1["n_pass"] == 1 and s2["n_pass"] == 0
+
+
+def test_gopher_rules_validates_params(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.hygiene import gopher_rules
+
+    with pytest.raises(EngineValueError):
+        gopher_rules(None, min_words=10, max_words=5)
+    with pytest.raises(EngineValueError):
+        gopher_rules(None, min_stop_hits=-1)
