@@ -4946,6 +4946,15 @@ def _holt_winters_1m(sf_dir: str):
     )
 
 
+def _zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout plan over (source-hash, event-minute) with
+    exact NTILE file assignment and per-file zone-map spans —
+    pipelines/retention.zorder_layout."""
+    from datafiller_ray.pipelines.retention import zorder_layout
+
+    return zorder_layout(_fixture(sf_dir), n_files=64)
+
+
 def _gopher_rules(sf_dir: str):
     """Gopher-style composite quality-rule census per source (word count,
     mean word length, stopword, repetition rules as exact counters) —
@@ -5255,6 +5264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "granger_1h": _granger_1h,
         "token_pagerank": _token_pagerank,
         "gopher_rules": _gopher_rules,
+        "zorder_layout": _zorder_layout,
         "trimmed_mean_1m": _trimmed_mean,
         "source_share_1d": _source_share_1d,
         "top_unshipped_orders": _top_unshipped_orders,
@@ -6331,6 +6341,46 @@ def _build_holt_winters_oracle() -> "pd.DataFrame":
             )
         )
     return pd.concat(frames, ignore_index=True)
+
+
+def _zorder_sql() -> str:
+    """Literal z-order oracle: the in-SQL FNV/splitmix source hash (the
+    _source_skeys derivation) embedded as a VALUES table, the 32-term
+    Morton interleave as arithmetic, and the layout as one NTILE window."""
+    p = _fixture_sql_path()
+    srcs = sorted(_read_fixture_frame()["source"].unique())
+    sk = _source_skeys(srcs)
+    vals = ", ".join(f"('{s}', {sk[s]}::UBIGINT)" for s in srcs)
+    terms = " + ".join(
+        f"(((s16 >> {i}) & 1) << {2 * i + 1}) + (((t16 >> {i}) & 1) << {2 * i})"
+        for i in range(16)
+    )
+    return f"""
+        WITH sk(source, skv) AS (VALUES {vals}),
+        base AS (
+          SELECT doc_id,
+                 CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT) AS ts,
+                 skv
+          FROM read_parquet('{p}/*.parquet') JOIN sk USING (source)),
+        b AS (SELECT MIN(ts) AS tmin,
+                     GREATEST(MAX(ts) - MIN(ts), 1) AS span FROM base),
+        d AS (
+          SELECT doc_id,
+                 CAST(skv & 65535 AS BIGINT) AS s16,
+                 ((ts - tmin) * 65535) // span AS t16
+          FROM base, b),
+        z AS (SELECT doc_id, s16, t16, ({terms}) AS zv FROM d),
+        f AS (SELECT s16, t16,
+                     NTILE(64) OVER (ORDER BY zv, doc_id) AS file_id
+              FROM z)
+        SELECT CAST(file_id AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(s16) AS s16_min, MAX(s16) AS s16_max,
+               MIN(t16) AS t16_min, MAX(t16) AS t16_max,
+               MAX(s16) - MIN(s16) AS s_span,
+               MAX(t16) - MIN(t16) AS t_span
+        FROM f GROUP BY file_id
+    """
 
 
 def _build_pagerank_oracle() -> "pd.DataFrame":
@@ -7994,6 +8044,7 @@ def oracle_sql() -> dict[str, str]:
         "token_pagerank": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('token_pagerank')}')"
         ),
+        "zorder_layout": _zorder_sql(),
         # Gopher-rules census: the same ' '-split word model as the engine
         # (wc via space counting, empty/null text -> 0 words), float rules
         # on the shared round_even 6-dp ratios

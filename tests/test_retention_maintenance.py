@@ -113,3 +113,75 @@ def test_compact_small_files_preserves_rows(ray_session, tmp_path):
     stats2 = compact_small_files(out, target_bytes=1 << 30)
     assert stats2["created"] <= stats["created"]
     pd.testing.assert_frame_equal(snapshot(), after_rows)
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout
+
+
+def test_interleave16_bit_positions():
+    import numpy as np
+
+    from datafiller_ray.pipelines.retention import _interleave16
+
+    s = np.array([1, 0, 0xFFFF, 0], dtype=np.int64)
+    t = np.array([0, 1, 0, 0xFFFF], dtype=np.int64)
+    zv = _interleave16(s, t)
+    assert zv.tolist() == [2, 1, 0xAAAAAAAA, 0x55555555]
+    # round-trip: de-interleave recovers both dims
+    s_back = np.zeros_like(zv)
+    t_back = np.zeros_like(zv)
+    for i in range(16):
+        s_back |= ((zv >> (2 * i + 1)) & 1) << i
+        t_back |= ((zv >> (2 * i)) & 1) << i
+    assert s_back.tolist() == s.tolist() and t_back.tolist() == t.tolist()
+
+
+def test_zorder_layout_balanced_files_and_locality(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from datafiller_ray.pipelines.retention import zorder_layout
+
+    # 40 sources x 50 minutes, one doc per (source, minute)
+    rows = []
+    for s in range(40):
+        for m in range(50):
+            rows.append((f"src_{s:04d}:{1704067200 // 60 + m:010d}", f"src_{s:04d}"))
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+    out = (
+        zorder_layout(ray.data.from_pandas(df), n_files=16)
+        .to_pandas()
+        .sort_values("file_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 16
+    assert out["n_rows"].sum() == 2000
+    # exact NTILE: first n%k files get the extra row
+    assert set(out["n_rows"]) == {125}
+    # zone maps are genuine bounds
+    assert (out["s_span"] == out["s16_max"] - out["s16_min"]).all()
+    # locality: mean per-file span is far below the full dim width on at
+    # least one dim (the z-curve guarantees both shrink vs random layout)
+    assert min(out["s_span"].mean(), out["t_span"].mean()) < 65535 / 3
+
+
+def test_zorder_layout_empty_and_validation(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.retention import zorder_layout
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                      "source": pd.Series([], dtype=object)})
+    )
+    out = zorder_layout(empty, n_files=4)
+    assert out.count() == 0
+    with pytest.raises(EngineValueError):
+        zorder_layout(empty, n_files=0)
+    with pytest.raises(EngineValueError):
+        zorder_layout(empty, coarse_width=0)
