@@ -4946,6 +4946,63 @@ def _holt_winters_1m(sf_dir: str):
     )
 
 
+def _cdc_merge(sf_dir: str):
+    """Last-writer-wins CDC merge (lakehouse MERGE INTO) of three
+    deterministic update waves onto the contract snapshot — updates are
+    derived from the fixture itself (epoch-minute residue classes), so
+    the DuckDB ROW_NUMBER oracle re-derives them identically —
+    pipelines/diff.upsert_merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from datafiller_ray.pipelines.diff import upsert_merge
+    from datafiller_ray.stages.validate import extract_epoch_minute
+
+    fx = _fixture(sf_dir)
+    base = ray.data.read_parquet(
+        fx, columns=["doc_id", "n_tok", "source"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "source": t["source"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def wave(mod: int, ver: int, bump: int, is_del: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ts = np.asarray(extract_epoch_minute(t["doc_id"]), dtype=np.int64)
+            s = t.filter(pa.array(ts % mod == 0))
+            n = s.num_rows
+            import numpy as np
+
+            return pa.table(
+                {
+                    "doc_id": s["doc_id"],
+                    "n_tok": pc.add(pc.cast(s["n_tok"], pa.int64()), bump),
+                    "source": s["source"],
+                    "version": pa.array(np.full(n, ver, np.int64)),
+                    "is_delete": pa.array(np.full(n, is_del, np.int64)),
+                }
+            )
+
+        return fn
+
+    raw = ray.data.read_parquet(fx, columns=["doc_id", "n_tok", "source"])
+    updates = (
+        raw.map_batches(wave(5, 1, 1000, 0), batch_format="pyarrow")
+        .union(raw.map_batches(wave(15, 2, 2000, 0), batch_format="pyarrow"))
+        .union(raw.map_batches(wave(35, 3, 0, 1), batch_format="pyarrow"))
+    )
+    return upsert_merge(base, updates)
+
+
 def _zorder_layout(sf_dir: str):
     """Z-order (Morton) layout plan over (source-hash, event-minute) with
     exact NTILE file assignment and per-file zone-map spans —
@@ -5265,6 +5322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pagerank": _token_pagerank,
         "gopher_rules": _gopher_rules,
         "zorder_layout": _zorder_layout,
+        "cdc_merge": _cdc_merge,
         "trimmed_mean_1m": _trimmed_mean,
         "source_share_1d": _source_share_1d,
         "top_unshipped_orders": _top_unshipped_orders,
@@ -8045,6 +8103,35 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('token_pagerank')}')"
         ),
         "zorder_layout": _zorder_sql(),
+        # CDC merge: base snapshot (version 0) + three update waves keyed
+        # by epoch-minute residues; winner = highest (version, side), a
+        # winning delete drops the key
+        "cdc_merge": f"""
+            WITH b AS (
+              SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                     CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)
+                         AS ts
+              FROM read_parquet('{{p}}/*.parquet')),
+            u AS (
+              SELECT doc_id, n_tok + 1000 AS n_tok, source,
+                     1 AS version, 0 AS is_delete FROM b WHERE ts % 5 = 0
+              UNION ALL
+              SELECT doc_id, n_tok + 2000, source, 2, 0 FROM b
+              WHERE ts % 15 = 0
+              UNION ALL
+              SELECT doc_id, n_tok, source, 3, 1 FROM b WHERE ts % 35 = 0),
+            allr AS (
+              SELECT doc_id, n_tok, source, 0 AS version, 0 AS is_delete,
+                     0 AS side FROM b
+              UNION ALL
+              SELECT doc_id, n_tok, source, version, is_delete, 1 FROM u),
+            w AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY version DESC, side DESC
+              ) AS rn FROM allr)
+            SELECT doc_id, n_tok, source, CAST(version AS BIGINT) AS version
+            FROM w WHERE rn = 1 AND is_delete = 0
+        """.replace("{p}", _fixture_sql_path()),
         # Gopher-rules census: the same ' '-split word model as the engine
         # (wc via space counting, empty/null text -> 0 words), float rules
         # on the shared round_even 6-dp ratios

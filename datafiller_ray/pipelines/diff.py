@@ -31,6 +31,7 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401  (pa.compute.cast in upsert_merge)
 
 from datafiller_ray.config import EngineValueError
 from datafiller_ray.functions.hashing import splitmix64, string_hash64
@@ -142,3 +143,102 @@ def snapshot_diff(
         return res[out_cols]
 
     return u.groupby("_gk").map_groups(diff_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert merge (lakehouse MERGE INTO semantics)
+
+
+def upsert_merge(
+    base: "Dataset",
+    updates: "Dataset",
+    *,
+    key: str = "doc_id",
+    version: str = "version",
+    delete: str = "is_delete",
+    payload: "tuple[str, ...]" = ("n_tok", "source"),
+    base_version: int = 0,
+    n_buckets: int = 64,
+) -> "Dataset":
+    """Last-writer-wins CDC merge — the lakehouse ``MERGE INTO`` shape
+    applied as one keyed reduction: ``base`` rows carry implicit
+    ``(version=base_version, no delete)``; ``updates`` rows carry an
+    int64 ``version`` and an int ``delete`` flag. Per key the winner is
+    the highest (version, side) pair — updates beat base at equal
+    version — and a winning delete removes the key from the output.
+    Duplicate (key, version) pairs within ``updates`` raise
+    :class:`EngineValueError` (no deterministic winner exists), checked
+    per coarse group.
+
+    Physical plan (the snapshot_diff layout): both sides project to
+    (key, payload, version, delete) inside the read, tag
+    ``hash(key) % n_buckets``, union, and route through ONE bounded
+    coarse-key exchange; each group sorts by (key, version, side) and
+    keeps the last row per key with a vectorized duplicated() mask — no
+    task ever holds more than one coarse bucket. The heavy payload rides
+    the shuffle once; at 100 TB raise ``n_buckets`` so a bucket fits a
+    task heap.
+
+    Output: (key, *payload, version) for every surviving key."""
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    cols = (key, version, delete, *payload)
+    if len(set(cols)) != len(cols):
+        raise EngineValueError(
+            "key, version, delete and payload columns must be distinct"
+        )
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            out_cols = {key: t[key]}
+            for c in payload:
+                out_cols[c] = t[c]
+            if side == 1:
+                out_cols[version] = pa.compute.cast(t[version], pa.int64())
+                out_cols[delete] = pa.compute.cast(t[delete], pa.int64())
+            else:
+                out_cols[version] = pa.array(
+                    np.full(n, base_version, np.int64)
+                )
+                out_cols[delete] = pa.array(np.zeros(n, np.int64))
+            out = pa.table(out_cols)
+            out = out.append_column(
+                "_side", pa.array(np.full(n, side, np.int8))
+            )
+            gk = (_key_hash(t[key]) % np.uint64(n_buckets)).astype(np.int64)
+            return out.append_column("_gk", pa.array(gk, pa.int64()))
+
+        return fn
+
+    import ray  # noqa: F401  (exchange runs inside the Ray session)
+
+    u = base.map_batches(tag(0), batch_format="pyarrow").union(
+        updates.map_batches(tag(1), batch_format="pyarrow")
+    )
+    out_cols = [key, *payload, version]
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        upd = g[g["_side"] == 1]
+        if upd.duplicated([key, version]).any():
+            raise EngineValueError(
+                f"upsert_merge requires unique ({key!r}, {version!r}) "
+                "pairs in updates"
+            )
+        g = g.sort_values(
+            [key, version, "_side"], kind="mergesort"
+        ).reset_index(drop=True)
+        last = ~g.duplicated(key, keep="last")
+        win = g[last & (g[delete].to_numpy(np.int64) == 0)]
+        res = win[out_cols].reset_index(drop=True)
+        if len(res) == 0:  # pin dtypes so empty groups unify
+            res = res.astype(
+                {
+                    c: "string"
+                    for c in res.columns
+                    if res[c].dtype == object
+                }
+            )
+        return res
+
+    return u.groupby("_gk").map_groups(merge_group, batch_format="pandas")

@@ -102,3 +102,68 @@ def test_snapshot_diff_groups_never_split(ray_session):
     assert counts.get("changed", 0) == len(changed)
     assert counts.get("removed", 0) == len(removed)
     assert counts.get("added", 0) == 10
+
+
+def test_upsert_merge_semantics(ray_session):
+    import ray.data
+
+    from datafiller_ray.pipelines.diff import upsert_merge
+
+    base = pd.DataFrame(
+        {"doc_id": ["a", "b", "c", "d"], "n_tok": [1, 2, 3, 4],
+         "source": ["s"] * 4}
+    )
+    upd = pd.DataFrame(
+        {
+            "doc_id": ["b", "c", "c", "e", "a"],
+            "n_tok": [20, 30, 31, 50, 10],
+            "source": ["s"] * 5,
+            "version": [1, 1, 2, 1, 0],
+            "is_delete": [0, 0, 1, 0, 0],
+        }
+    )
+    out = (
+        upsert_merge(ray.data.from_pandas(base), ray.data.from_pandas(upd))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # a: update at version 0 beats base at version 0 (side tie-break)
+    assert out["doc_id"].tolist() == ["a", "b", "d", "e"]
+    assert out["n_tok"].tolist() == [10, 20, 4, 50]
+    assert out["version"].tolist() == [0, 1, 0, 1]
+
+
+def test_upsert_merge_duplicate_key_version_raises(ray_session):
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.diff import upsert_merge
+
+    base = pd.DataFrame(
+        {"doc_id": ["a"], "n_tok": [1], "source": ["s"]}
+    )
+    upd = pd.DataFrame(
+        {
+            "doc_id": ["a", "a"],
+            "n_tok": [2, 3],
+            "source": ["s", "s"],
+            "version": [1, 1],
+            "is_delete": [0, 0],
+        }
+    )
+    with pytest.raises((EngineValueError, Exception)) as exc_info:
+        upsert_merge(
+            ray.data.from_pandas(base), ray.data.from_pandas(upd)
+        ).to_pandas()
+    assert "unique" in str(exc_info.value)
+
+
+def test_upsert_merge_validates_columns(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.diff import upsert_merge
+
+    with pytest.raises(EngineValueError):
+        upsert_merge(None, None, key="x", version="x")
+    with pytest.raises(EngineValueError):
+        upsert_merge(None, None, n_buckets=0)
