@@ -4946,6 +4946,16 @@ def _holt_winters_1m(sf_dir: str):
     )
 
 
+def _survival_km(sf_dir: str):
+    """Kaplan-Meier time-to-conversion curve over events (first touch ->
+    first purchase, right-censored at last activity; exact-Fraction
+    product-limit estimator) — pipelines/events.survival_km; vendored
+    independent per-user pandas oracle."""
+    from datafiller_ray.pipelines.events import survival_km
+
+    return survival_km(_read(sf_dir, "events"))
+
+
 def _cdc_merge(sf_dir: str):
     """Last-writer-wins CDC merge (lakehouse MERGE INTO) of three
     deterministic update waves onto the contract snapshot — updates are
@@ -5323,6 +5333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _gopher_rules,
         "zorder_layout": _zorder_layout,
         "cdc_merge": _cdc_merge,
+        "survival_km": _survival_km,
         "trimmed_mean_1m": _trimmed_mean,
         "source_share_1d": _source_share_1d,
         "top_unshipped_orders": _top_unshipped_orders,
@@ -6441,6 +6452,15 @@ def _zorder_sql() -> str:
     """
 
 
+def _build_km_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    ev = pd.read_parquet(
+        os.path.join(_oracle_sf_dir(), "events.parquet"),
+        columns=["ts", "user_id", "event_type"],
+    )
+    return o.km_curve(ev, target_type="purchase")
+
+
 def _build_pagerank_oracle() -> "pd.DataFrame":
     import glob
 
@@ -6962,6 +6982,7 @@ _FILL_ORACLE_BUILDERS = {
     "holt_damped_1m": _build_holt_damped_oracle,
     "granger_1h": _build_granger_oracle,
     "token_pagerank": _build_pagerank_oracle,
+    "survival_km": _build_km_oracle,
     "harmonic_24h": _build_harmonic_oracle,
     "lttb_downsample": _build_lttb_oracle,
     "cusum_changepoints": _build_cusum_oracle,
@@ -8103,6 +8124,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('token_pagerank')}')"
         ),
         "zorder_layout": _zorder_sql(),
+        "survival_km": (
+            f"SELECT * FROM read_parquet('{_fill_oracle_parquet('survival_km')}')"
+        ),
         # CDC merge: base snapshot (version 0) + three update waves keyed
         # by epoch-minute residues; winner = highest (version, side), a
         # winning delete drops the key

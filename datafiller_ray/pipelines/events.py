@@ -1534,3 +1534,142 @@ def user_entropy(
     return partials.groupby("gkey").map_groups(
         entropy_per_user, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (first touch -> first purchase)
+
+
+def survival_km(
+    events: "ray.data.Dataset",
+    *,
+    target_type: str = "purchase",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Kaplan-Meier time-to-conversion curve: per user, the duration in
+    whole hours from their FIRST event to their FIRST ``target_type``
+    event (observed) or to their LAST event (right-censored, never
+    converted); then the product-limit estimator over the duration grid
+
+        S(t) = prod over event times t_i <= t of (1 - d_i / n_i)
+
+    with the standard tie convention (events and censorings at the same
+    time both count toward that time's risk set; both leave it after).
+    The survival product runs in exact Fractions (big-int numerators),
+    so the curve is bit-reproducible under any partitioning — ONE
+    correctly-rounded float per output row plus the engine-wide 6-dp
+    floor-half-up. Non-SQL (rational products), oracled by the vendored
+    independent per-user pandas derivation (tests/oracle/fills.py).
+
+    Scale shape: per-batch per-user (min ts, max ts, min target ts)
+    partials -> one bounded user-keyed grouped_agg exchange -> per-user
+    durations collapse to per-(duration, observed) integer counts
+    through a second TINY exchange (durations are floor-hours: the curve
+    is bounded by the corpus time span, never by users) -> the KM
+    recursion folds the bounded curve on the driver.
+
+    Output: (dur_h, n_risk, n_events, n_censored, survival) — one row
+    per duration with at least one conversion OR censoring, the full
+    step-function support."""
+    from fractions import Fraction
+
+    import ray.data
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import grouped_agg, grouped_sum
+
+    if n_buckets < 1:
+        raise EngineValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    _SENT = np.int64(2**62)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_t = (
+            t["event_type"].to_numpy(zero_copy_only=False).astype(object)
+            == target_type
+        )
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "first_us": us,
+                "last_us": us,
+                "first_t": np.where(is_t, us, _SENT),
+            }
+        )
+
+    users = grouped_agg(
+        events.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        {"first_us": "min", "last_us": "max", "first_t": "min"},
+        n_buckets=n_buckets,
+    )
+
+    def durations(df: pd.DataFrame) -> pd.DataFrame:
+        f0 = df["first_us"].to_numpy(np.int64)
+        fl = df["last_us"].to_numpy(np.int64)
+        ft = df["first_t"].to_numpy(np.int64)
+        observed = ft < _SENT
+        end = np.where(observed, ft, fl)
+        dur_h = (end - f0) // 3_600_000_000
+        out = pd.DataFrame(
+            {
+                "dur_h": dur_h,
+                "observed": observed.astype(np.int64),
+                "cnt": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby(
+            ["dur_h", "observed"], sort=False, as_index=False
+        )["cnt"].sum()
+
+    curve = grouped_sum(
+        users.map_batches(durations, batch_format="pandas"),
+        ["dur_h", "observed"],
+        "cnt",
+        n_buckets=n_buckets,
+    ).to_pandas()  # bounded by the hour grid, never by users
+
+    if curve.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "dur_h": pa.array([], pa.int64()),
+                    "n_risk": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_censored": pa.array([], pa.int64()),
+                    "survival": pa.array([], pa.float64()),
+                }
+            )
+        )
+    piv = (
+        curve.pivot_table(
+            index="dur_h", columns="observed", values="cnt",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    d = piv[1].to_numpy(np.int64)  # conversions at t
+    c = piv[0].to_numpy(np.int64)  # censorings at t
+    total = int(d.sum() + c.sum())
+    removed = np.concatenate([[0], np.cumsum(d + c)[:-1]])
+    n_risk = total - removed
+    s = Fraction(1)
+    surv = np.empty(d.size, dtype=np.float64)
+    for i in range(d.size):
+        if d[i]:
+            s *= Fraction(int(n_risk[i]) - int(d[i]), int(n_risk[i]))
+        surv[i] = float(s)
+    out = pd.DataFrame(
+        {
+            "dur_h": piv.index.to_numpy(np.int64),
+            "n_risk": n_risk.astype(np.int64),
+            "n_events": d,
+            "n_censored": c,
+            "survival": np.floor(surv * 1e6 + 0.5) / 1e6,
+        }
+    )
+    return ray.data.from_pandas(out)

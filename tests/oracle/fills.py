@@ -967,6 +967,63 @@ def holt_damped_recursion(y: np.ndarray, alpha: float, beta: float, phi: float):
     return fc, lv, tr
 
 
+def km_curve(events_df, target_type="purchase"):
+    """Kaplan-Meier oracle, independent per-user pandas derivation of the
+    operator's documented semantics: per user, duration in floor-hours
+    from first event to first target event (observed) or last event
+    (censored); product-limit estimator with the standard tie convention,
+    survival product in exact Fractions, one correctly-rounded float per
+    curve row plus the 6-dp floor-half-up absorber."""
+    from fractions import Fraction
+
+    df = events_df.copy()
+    df["us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    first = df.groupby("user_id")["us"].min()
+    last = df.groupby("user_id")["us"].max()
+    tgt = (
+        df[df["event_type"] == target_type]
+        .groupby("user_id")["us"]
+        .min()
+    )
+    rows = []
+    for uid in first.index:
+        t0 = int(first[uid])
+        if uid in tgt.index:
+            rows.append(((int(tgt[uid]) - t0) // 3_600_000_000, True))
+        else:
+            rows.append(((int(last[uid]) - t0) // 3_600_000_000, False))
+    out = {
+        "dur_h": [],
+        "n_risk": [],
+        "n_events": [],
+        "n_censored": [],
+        "survival": [],
+    }
+    if not rows:
+        return pd.DataFrame(out)
+    times = sorted({t for t, _ in rows})
+    s = Fraction(1)
+    at_risk = len(rows)
+    for t in times:
+        d = sum(1 for tt, obs in rows if tt == t and obs)
+        c = sum(1 for tt, obs in rows if tt == t and not obs)
+        if d:
+            s *= Fraction(at_risk - d, at_risk)
+        out["dur_h"].append(t)
+        out["n_risk"].append(at_risk)
+        out["n_events"].append(d)
+        out["n_censored"].append(c)
+        out["survival"].append(
+            float(np.floor(np.array([float(s)]) * 1e6 + 0.5)[0] / 1e6)
+        )
+        at_risk -= d + c
+    res = pd.DataFrame(out)
+    for col in ("dur_h", "n_risk", "n_events", "n_censored"):
+        res[col] = res[col].astype(np.int64)
+    res["survival"] = res["survival"].astype(np.float64)
+    return res
+
+
 def pagerank_exact(docs_tokens, k=20, n_iter=8, d=85):
     """Integer PageRank oracle over the bigram digraph, the pandas/global
     route (engine: per-batch multiplicity fold + distributed count

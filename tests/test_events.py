@@ -705,3 +705,70 @@ def test_user_entropy_null_type_is_one_group(ray_session):
 
     h = math.log(4) - (2 * 2 * math.log(2)) / 4
     assert out["entropy"].tolist() == [np.floor(h * 1e6 + 0.5) / 1e6]
+
+
+def test_survival_km_literal_curve(ray_session):
+    import ray.data
+
+    from datafiller_ray.pipelines.events import survival_km
+
+    # 4 users: u1 converts at +1h, u2 converts at +3h, u3 censored at +3h,
+    # u4 censored at +0h (single event)
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    H = 3_600_000_000
+    rows = [
+        (1, base, "view"), (1, base + H, "purchase"),
+        (2, base, "view"), (2, base + 3 * H, "purchase"),
+        (3, base, "view"), (3, base + 3 * H, "click"),
+        (4, base, "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "us", "event_type"])
+    df["ts"] = pd.to_datetime(df["us"], unit="us")
+    ev = ray.data.from_pandas(df[["ts", "user_id", "event_type"]])
+    out = (
+        survival_km(ev).to_pandas().sort_values("dur_h").reset_index(drop=True)
+    )
+    # grid: t=0 (u4 censored), t=1 (u1 converts, risk 3), t=3 (u2 converts,
+    # u3 censored, risk 2)
+    assert out["dur_h"].tolist() == [0, 1, 3]
+    assert out["n_risk"].tolist() == [4, 3, 2]
+    assert out["n_events"].tolist() == [0, 1, 1]
+    assert out["n_censored"].tolist() == [1, 0, 1]
+    # S: 1 at t=0; 2/3 at t=1; 2/3 * 1/2 = 1/3 at t=3
+    assert out["survival"].tolist() == [1.0, 0.666667, 0.333333]
+
+
+def test_survival_km_matches_pandas_oracle(ray_session):
+    import importlib.util
+    import os as _os
+
+    import ray.data
+
+    from datafiller_ray.pipelines.events import survival_km
+
+    p = _os.path.join(_os.path.dirname(__file__), "oracle", "fills.py")
+    spec = importlib.util.spec_from_file_location("oracle_fills_km", p)
+    o = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(o)
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 400, size=n),
+            "us": base + rng.integers(0, 200 * 3_600_000_000, size=n),
+            "event_type": rng.choice(
+                ["view", "click", "purchase"], p=[0.6, 0.3, 0.1], size=n
+            ),
+        }
+    )
+    df["ts"] = pd.to_datetime(df["us"], unit="us")
+    got = (
+        survival_km(ray.data.from_pandas(df[["ts", "user_id", "event_type"]]))
+        .to_pandas()
+        .sort_values("dur_h")
+        .reset_index(drop=True)
+    )
+    exp = o.km_curve(df[["ts", "user_id", "event_type"]])
+    pd.testing.assert_frame_equal(got, exp)
