@@ -4946,6 +4946,371 @@ def _holt_winters_1m(sf_dir: str):
     )
 
 
+def _shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped shipping priority: top-10 not-yet-shipped BUILDING
+    orders by discounted revenue at the 1998-01-01 cutoff (revenue in
+    exact 1e-4-dollar integers; rank revenue desc, orderdate asc,
+    orderkey asc). Broadcast customer-segment hop + one orderkey
+    equi_join + a tiny per-order grouped_sum; the top-10 runs on the
+    bounded per-order table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import broadcast_join, equi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    cut = np.datetime64("1998-01-01")
+    cut_us = int(cut.astype("datetime64[us]").astype(np.int64))
+
+    cust = _read(sf_dir, "customer").map_batches(
+        lambda t: pa.table(
+            {"ckey": t["c_custkey"], "seg": t["c_mktsegment"]}
+        ).filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "ckey": t["o_custkey"],
+                "odate_us": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        ).filter(
+            pc.less(
+                pc.cast(
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                cut_us,
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bo = broadcast_join(
+        orders, cust, key="ckey", small_payload={"seg": "seg"}, how="inner"
+    )
+    li = _read(sf_dir, "lineitem").map_batches(
+        lambda t: (
+            lambda cents, dpct, keep: pa.table(
+                {
+                    "okey": pc.array_filter(t["l_orderkey"], keep),
+                    "rev_e4": pa.array(
+                        (cents * (100 - dpct))[
+                            np.asarray(keep, dtype=bool)
+                        ]
+                    ),
+                }
+            )
+        )(
+            np.rint(
+                np.asarray(t["l_extendedprice"], dtype=np.float64) * 100
+            ).astype(np.int64),
+            np.rint(
+                np.asarray(t["l_discount"], dtype=np.float64) * 100
+            ).astype(np.int64),
+            pa.array(
+                np.asarray(
+                    pc.cast(
+                        pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                        pa.int64(),
+                    )
+                )
+                > cut_us
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = equi_join(
+        li,
+        bo,
+        key="okey",
+        left_payload={"okey": "okey", "rev_e4": "rev_e4"},
+        right_payload={"odate_us": "odate_us"},
+    )
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:  # an empty join group yields a columnless frame
+            return pd.DataFrame(
+                {
+                    "okey": pd.Series([], dtype=np.int64),
+                    "odate_us": pd.Series([], dtype=np.int64),
+                    "rev_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        return b.groupby(["okey", "odate_us"], as_index=False)[
+            "rev_e4"
+        ].sum()
+
+    per_order = grouped_sum(
+        j.map_batches(part, batch_format="pandas"),
+        ["okey", "odate_us"],
+        "rev_e4",
+    ).to_pandas()  # qualifying orders only: dimension-scale
+    per_order = per_order.sort_values(
+        ["rev_e4", "odate_us", "okey"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).head(10)
+    import ray.data
+
+    return ray.data.from_pandas(per_order.reset_index(drop=True))
+
+
+def _late_order_census(sf_dir: str):
+    """TPC-H Q4-shaped order-priority census: orders placed in 1996 with
+    at least one lineitem shipped more than 60 days after the order date
+    (the commit/receipt reshape for this schema), counted per priority.
+    The late predicate needs both sides -> one orderkey equi_join;
+    qualifying orderkeys dedupe per batch and count through one tiny
+    priority-keyed grouped_sum."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import equi_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    lo = int(
+        np.datetime64("1996-01-01", "us").astype(np.int64)
+    )
+    hi = int(
+        np.datetime64("1997-01-01", "us").astype(np.int64)
+    )
+
+    orders = _read(sf_dir, "orders").map_batches(
+        lambda t: (
+            lambda od: pa.table(
+                {
+                    "okey": t["o_orderkey"],
+                    "odate_us": od,
+                    "prio": t["o_orderpriority"],
+                }
+            ).filter(
+                pc.and_(pc.greater_equal(od, lo), pc.less(od, hi))
+            )
+        )(pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = _read(sf_dir, "lineitem").map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t["l_orderkey"],
+                "ship_us": pc.cast(
+                    pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = equi_join(
+        li,
+        orders,
+        key="okey",
+        left_payload={"okey": "okey", "ship_us": "ship_us"},
+        right_payload={"odate_us": "odate_us", "prio": "prio"},
+    )
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:  # an empty join group yields a columnless frame
+            return pd.DataFrame(
+                {
+                    "okey": pd.Series([], dtype=np.int64),
+                    "prio": pd.Series([], dtype="string"),
+                }
+            )
+        late = (
+            b["ship_us"].to_numpy(np.int64)
+            - b["odate_us"].to_numpy(np.int64)
+        ) > 60 * 86_400_000_000
+        lf = b[late][["okey", "prio"]].drop_duplicates("okey")
+        out = pd.DataFrame(
+            {"okey": lf["okey"], "prio": lf["prio"]}
+        )
+        return out
+
+    # a key's rows co-locate in ONE join group, so the per-batch
+    # drop_duplicates is globally exact (equi_join emits each okey's
+    # cross product inside a single group task)
+    lato = j.map_batches(part, batch_format="pandas")
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame(
+                {
+                    "prio": pd.Series([], dtype="string"),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = b.groupby("prio", as_index=False).size()
+        g["n_orders"] = g["size"].astype(np.int64)
+        return g[["prio", "n_orders"]]
+
+    return grouped_sum(
+        lato.map_batches(census, batch_format="pandas"), "prio", "n_orders"
+    )
+
+
+def _small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity revenue: for Brand#2 parts, total
+    extended price of lineitems whose quantity is below 20 percent of
+    the part's average quantity, divided by 7 (avg yearly). The 0.2*avg
+    comparison is evaluated as the EXACT integer cross-multiplication
+    ``5 * qty * n_li < sum_qty``; per-part (sum, count) fold through one
+    partkey grouped_sum, broadcast once, one shuffle-free scoring pass.
+    Output: one row (n_items, revenue_e2, avg_yearly_e2 = revenue//7)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from datafiller_ray.pipelines.joins import broadcast_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    parts = _read(sf_dir, "part").map_batches(
+        lambda t: pa.table({"pkey": t["p_partkey"]}).filter(
+            pc.equal(t["p_brand"], "Brand#2")
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = _read(sf_dir, "lineitem").map_batches(
+        lambda t: pd.DataFrame(
+            {
+                "pkey": np.asarray(t["l_partkey"], dtype=np.int64),
+                "qty": np.rint(
+                    np.asarray(t["l_quantity"], dtype=np.float64)
+                ).astype(np.int64),
+                "cents": np.rint(
+                    np.asarray(t["l_extendedprice"], dtype=np.float64) * 100
+                ).astype(np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    brand_li = broadcast_join(
+        li, parts, key="pkey", small_payload={}, how="inner"
+    )
+
+    def qpart(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("pkey", as_index=False).agg(
+            sum_qty=("qty", "sum"), n_li=("qty", "size")
+        )
+        g["n_li"] = g["n_li"].astype(np.int64)
+        return g
+
+    stats = grouped_sum(
+        brand_li.map_batches(qpart, batch_format="pandas"),
+        "pkey",
+        ["sum_qty", "n_li"],
+    ).to_pandas()  # brand parts only: dimension-scale
+    sref = ray.put(
+        {
+            int(r.pkey): (int(r.sum_qty), int(r.n_li))
+            for r in stats.itertuples()
+        }
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(sref)
+        pk = b["pkey"].to_numpy(np.int64)
+        qty = b["qty"].to_numpy(np.int64)
+        cents = b["cents"].to_numpy(np.int64)
+        sq = np.array([sm[int(p)][0] for p in pk], dtype=np.int64)
+        nl = np.array([sm[int(p)][1] for p in pk], dtype=np.int64)
+        keep = 5 * qty * nl < sq
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, dtype=np.int64),
+                "n_items": np.array([int(keep.sum())], dtype=np.int64),
+                "revenue_e2": np.array(
+                    [int(cents[keep].sum())], dtype=np.int64
+                ),
+            }
+        )
+
+    tot = grouped_sum(
+        brand_li.map_batches(score, batch_format="pandas"),
+        "k",
+        ["n_items", "revenue_e2"],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop(columns=["k"]).copy()
+        b["avg_yearly_e2"] = b["revenue_e2"] // 7
+        return b
+
+    return tot.map_batches(finish, batch_format="pandas")
+
+
+def _large_volume_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    lineitem quantity exceeds 250, joined back to the order's customer —
+    (ckey, okey, odate_us, total_price_e2, sum_qty), all integers. One
+    orderkey grouped_sum (exact int quantities), a filter on the bounded
+    per-order table, one broadcast hop to orders+customer attributes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import broadcast_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        lambda t: pd.DataFrame(
+            {
+                "okey": np.asarray(t["l_orderkey"], dtype=np.int64),
+                "sum_qty": np.rint(
+                    np.asarray(t["l_quantity"], dtype=np.float64)
+                ).astype(np.int64),
+            }
+        ).groupby("okey", as_index=False).sum(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    per_order = grouped_sum(li, "okey", "sum_qty").map_batches(
+        lambda b: b[b["sum_qty"] > 250], batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "ckey": t["o_custkey"],
+                "odate_us": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "total_price_e2": pa.array(
+                    np.rint(
+                        np.asarray(t["o_totalprice"], dtype=np.float64) * 100
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # the QUALIFYING per-order table is the small side (bounded by the
+    # volume filter); the orders table streams
+    return broadcast_join(
+        orders,
+        per_order,
+        key="okey",
+        small_payload={"sum_qty": "sum_qty"},
+        how="inner",
+    )
+
+
 def _survival_km(sf_dir: str):
     """Kaplan-Meier time-to-conversion curve over events (first touch ->
     first purchase, right-censored at last activity; exact-Fraction
@@ -5334,6 +5699,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": _zorder_layout,
         "cdc_merge": _cdc_merge,
         "survival_km": _survival_km,
+        "shipping_priority": _shipping_priority,
+        "late_order_census": _late_order_census,
+        "small_qty_revenue": _small_qty_revenue,
+        "large_volume_orders": _large_volume_orders,
         "trimmed_mean_1m": _trimmed_mean,
         "source_share_1d": _source_share_1d,
         "top_unshipped_orders": _top_unshipped_orders,
@@ -8127,6 +8496,80 @@ def oracle_sql() -> dict[str, str]:
         "survival_km": (
             f"SELECT * FROM read_parquet('{_fill_oracle_parquet('survival_km')}')"
         ),
+        # Q3 shape: top-10 unshipped BUILDING orders by discounted revenue
+        "shipping_priority": """
+            WITH o AS (
+              SELECT o.o_orderkey AS okey,
+                     epoch_us(o.o_orderdate) AS odate_us
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01'),
+            l AS (
+              SELECT l_orderkey AS okey,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                         AS rev
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-01-01')
+            SELECT okey, odate_us, CAST(SUM(rev) AS BIGINT) AS rev_e4
+            FROM l JOIN o USING (okey)
+            GROUP BY okey, odate_us
+            ORDER BY rev_e4 DESC, odate_us, okey
+            LIMIT 10
+        """,
+        # Q4 shape: 1996 orders with any lineitem shipped > 60 days late
+        "late_order_census": """
+            SELECT o.o_orderpriority AS prio,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                      > 60 * 86400000000)
+            GROUP BY o.o_orderpriority
+        """,
+        # Q17 shape: Brand#2 small-quantity revenue, exact integer
+        # cross-multiplied 0.2*avg comparison, avg yearly = // 7
+        "small_qty_revenue": """
+            WITH b AS (
+              SELECT l.l_partkey,
+                     CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+                     CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_brand = 'Brand#2'),
+            s AS (
+              SELECT l_partkey,
+                     CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n_li
+              FROM b GROUP BY l_partkey)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(COALESCE(SUM(b.cents), 0) AS BIGINT) AS revenue_e2,
+                   CAST(COALESCE(SUM(b.cents), 0) // 7 AS BIGINT)
+                       AS avg_yearly_e2
+            FROM b JOIN s USING (l_partkey)
+            WHERE 5 * b.qty * s.n_li < s.sum_qty
+        """,
+        # Q18 shape: orders whose total quantity exceeds 250
+        "large_volume_orders": """
+            WITH q AS (
+              SELECT l_orderkey AS okey,
+                     CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                         AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250)
+            SELECT o.o_orderkey AS okey,
+                   o.o_custkey AS ckey,
+                   epoch_us(o.o_orderdate) AS odate_us,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                       AS total_price_e2,
+                   q.sum_qty
+            FROM orders o JOIN q ON o.o_orderkey = q.okey
+        """,
         # CDC merge: base snapshot (version 0) + three update waves keyed
         # by epoch-minute residues; winner = highest (version, side), a
         # winning delete drops the key
