@@ -3507,6 +3507,8 @@ _Q7_HI_US = 883612800000000  # 1998-01-01
 _Q15_LO_US = 820454400000000  # 1996-01-01
 _Q15_HI_US = 828316800000000  # 1996-04-01
 _Q21_LATE_US = 7_776_000_000_000  # 90 days in micros
+# Q22-shaped idle cutoff: a customer is "idle" with no order on/after this
+_IDLE_CUTOFF = "2001-01-01"
 _HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
 _Q8_NATION = "NATION_3"
 _Q8_REGION = "ASIA"
@@ -5480,6 +5482,85 @@ def _mann_kendall_1h(sf_dir: str):
     return mann_kendall(_fixture(sf_dir), step=3600)
 
 
+def _control_rules_1m(sf_dir: str):
+    """Western Electric control-chart rules (r1 3-sigma point, r2 2-of-3
+    beyond 2 sigma, r3 4-of-5 beyond 1 sigma, r4 8 consecutive same side)
+    per source over observed 1m token sums, standardized against the
+    source's exact-integer moments — pipelines/window.control_rules."""
+    from datafiller_ray.pipelines.window import control_rules
+
+    return control_rules(_fixture(sf_dir), min_points=8)
+
+
+def _idle_rich_customers(sf_dir: str):
+    """TPC-H Q22-shaped global-sales-opportunity census (ref workload
+    family: tests/test_timing.py-style tabular analytics): customers whose
+    account balance beats the global mean of POSITIVE balances (strict,
+    integer-cents exact: ``cents > s_pos // n_pos`` — for integer cents
+    this single floor-division compare is equivalent to the real-valued
+    ``cents > s_pos/n_pos`` in both the divisible and non-divisible case,
+    so no overflow-prone cross-multiply) and who placed no RECENT order
+    (none on/after 2001-01-01 — SQL NOT EXISTS via
+    pipelines/joins.anti_join; the right side is pruned to the recent
+    window BEFORE its distinct-key projection, so only recent keys enter
+    the exchange), counted and totalled per nation. The global cutoff
+    comes from exact per-batch integer partials (two ints reach the
+    driver, never the table); the final census is one bounded grouped_sum
+    exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from datafiller_ray.pipelines.joins import anti_join
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    cust = _read(sf_dir, "customer")
+    import datetime as _dt
+
+    cutoff_ts = _dt.datetime.fromisoformat(_IDLE_CUTOFF)
+    recent = _read(sf_dir, "orders").map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["o_orderdate"], cutoff_ts)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy(np.float64) * 100).astype(
+            np.int64
+        )
+        pos = cents[cents > 0]
+        return pd.DataFrame({"n": [int(pos.size)], "s": [int(pos.sum())]})
+
+    parts = cust.map_batches(pos_partial, batch_format="pandas").to_pandas()
+    n_pos = int(parts["n"].sum())
+    s_pos = int(parts["s"].sum())
+    cut = s_pos // n_pos if n_pos else np.iinfo(np.int64).max
+
+    def rich(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy(np.float64) * 100).astype(
+            np.int64
+        )
+        keep = cents > cut
+        out = df.loc[keep, ["c_custkey", "c_nationkey"]].copy()
+        out["c_nationkey"] = out["c_nationkey"].astype(np.int64)
+        out["numcust"] = np.int64(1)
+        out["totbal_cents"] = cents[keep]
+        return out
+
+    idle = anti_join(
+        cust.map_batches(rich, batch_format="pandas"),
+        recent,
+        key="c_custkey",
+        left_payload=["c_nationkey", "numcust", "totbal_cents"],
+        right_key="o_custkey",
+    )
+    return grouped_sum(
+        idle, keys="c_nationkey", values=["numcust", "totbal_cents"]
+    ).sort("c_nationkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # eagerly materialise the oracle-scale fixture so oracle_sql()'s
     # read_parquet path exists no matter which side the driver runs first
@@ -5690,6 +5771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_digit_profile": _first_digit_profile,
         "mann_kendall_1h": _mann_kendall_1h,
         "revenue_by_region": _revenue_by_region,
+        "idle_rich_customers": _idle_rich_customers,
+        "control_rules_1m": _control_rules_1m,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -10361,6 +10444,83 @@ def oracle_sql() -> dict[str, str]:
         """,
         # revenue in exact 1e-4-dollar units: cents * (100 - disc_pct),
         # both factors rounded from the two-decimal doubles
+        # mean/std from exact integer S, Q with the engine's float op order
+        # (mean = S/n, population var = Q/n - mean*mean); the trailing
+        # windows are SQL ROWS k-1 PRECEDING, truncating at series start
+        # exactly like the engine's cumsum formulation
+        "control_rules_1m": f"""
+            WITH obs AS (
+              SELECT source,
+                     CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)
+                         * 60 AS bucket_ts,
+                     CAST(SUM(n_tok) AS BIGINT) AS s
+              FROM read_parquet('{p}/*.parquet') GROUP BY 1, 2),
+            mom AS (
+              SELECT source, COUNT(*) AS n,
+                     CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean,
+                     CAST(SUM(s * s) AS DOUBLE) / COUNT(*)
+                         - (CAST(SUM(s) AS DOUBLE) / COUNT(*))
+                           * (CAST(SUM(s) AS DOUBLE) / COUNT(*)) AS var
+              FROM obs GROUP BY 1),
+            z AS (
+              SELECT o.source, o.bucket_ts,
+                     (CAST(o.s AS DOUBLE) - m.mean) / sqrt(m.var) AS z
+              FROM obs o JOIN mom m USING (source)
+              WHERE m.n >= 8 AND m.var > 0),
+            sided AS (
+              SELECT source, bucket_ts, sd.side,
+                     CASE WHEN sd.side = 'up' THEN z ELSE -z END AS sz
+              FROM z CROSS JOIN
+                   (SELECT 'up' AS side UNION ALL SELECT 'down') sd),
+            w AS (
+              SELECT source, bucket_ts, side,
+                     CASE WHEN sz > 3.0 THEN 1 ELSE 0 END AS b3,
+                     CASE WHEN sz > 2.0 THEN 1 ELSE 0 END AS b2,
+                     CASE WHEN sz > 1.0 THEN 1 ELSE 0 END AS b1,
+                     CASE WHEN sz > 0.0 THEN 1 ELSE 0 END AS b0
+              FROM sided),
+            r AS (
+              SELECT source, bucket_ts, side, b3, b2, b1,
+                     SUM(b2) OVER w3 AS c2,
+                     SUM(b1) OVER w5 AS c1,
+                     SUM(b0) OVER w8 AS c0
+              FROM w
+              WINDOW
+                w3 AS (PARTITION BY source, side ORDER BY bucket_ts
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                w5 AS (PARTITION BY source, side ORDER BY bucket_ts
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                w8 AS (PARTITION BY source, side ORDER BY bucket_ts
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+            SELECT source, bucket_ts, 'r1' AS rule, side FROM r WHERE b3 = 1
+            UNION ALL
+            SELECT source, bucket_ts, 'r2', side FROM r
+            WHERE b2 = 1 AND c2 >= 2
+            UNION ALL
+            SELECT source, bucket_ts, 'r3', side FROM r
+            WHERE b1 = 1 AND c1 >= 4
+            UNION ALL
+            SELECT source, bucket_ts, 'r4', side FROM r WHERE c0 = 8
+        """,
+        # integer-cents cutoff: cents > s_pos // n_pos is exactly the
+        # real-valued strict mean compare for integer cents (see engine doc)
+        "idle_rich_customers": """
+            WITH c AS (
+              SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+            cut AS (
+              SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS thr
+              FROM c WHERE cents > 0)
+            SELECT c.c_nationkey, COUNT(*)::BIGINT AS numcust,
+                   CAST(SUM(c.cents) AS BIGINT) AS totbal_cents
+            FROM c, cut
+            WHERE c.cents > cut.thr
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '{_IDLE_CUTOFF}')
+            GROUP BY 1
+        """.format(_IDLE_CUTOFF=_IDLE_CUTOFF),
         "revenue_by_region": """
             SELECT r.r_name, COUNT(*)::BIGINT AS n_items,
                    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)

@@ -4916,3 +4916,105 @@ def theta_forecast(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _control_one_source(
+    obs: pd.DataFrame, source: str, min_points: int
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    y = obs["sum"].to_numpy(np.int64)
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": np.empty(0, dtype=object),
+                "bucket_ts": np.empty(0, np.int64),
+                "rule": np.empty(0, dtype=object),
+                "side": np.empty(0, dtype=object),
+            }
+        ),
+    )
+    empty["rule"] = empty["rule"].astype("string")
+    empty["side"] = empty["side"].astype("string")
+    n = ts.size
+    if n < min_points:
+        return empty
+    # moments as exact integers, then the cusum_changepoints float
+    # sequence: mean = S/n; var = Q/n - mean*mean (population)
+    S = int(y.sum())
+    Q = int(np.dot(y, y))
+    mean = S / n
+    var = Q / n - mean * mean
+    if not var > 0.0:
+        return empty
+    std = math.sqrt(var)
+    z = (y.astype(np.float64) - mean) / std
+
+    def roll(x: np.ndarray, k: int) -> np.ndarray:
+        # trailing window sum over the last k rows INCLUDING the current,
+        # truncated at the series start (== SQL ROWS k-1 PRECEDING)
+        c = np.cumsum(x)
+        out = c.copy()
+        out[k:] = c[k:] - c[:-k]
+        return out
+
+    rows = []
+    for side, s in (("up", z), ("down", -z)):
+        b3, b2, b1, b0 = s > 3.0, s > 2.0, s > 1.0, s > 0.0
+        fires = (
+            ("r1", b3),
+            ("r2", b2 & (roll(b2.astype(np.int64), 3) >= 2)),
+            ("r3", b1 & (roll(b1.astype(np.int64), 5) >= 4)),
+            ("r4", roll(b0.astype(np.int64), 8) == 8),
+        )
+        for rule, keep in fires:
+            k = int(keep.sum())
+            if k:
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "source": np.full(k, source, dtype=object),
+                            "bucket_ts": ts[keep],
+                            "rule": np.full(k, rule, dtype=object),
+                            "side": np.full(k, side, dtype=object),
+                        }
+                    )
+                )
+    if not rows:
+        return empty
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values(["bucket_ts", "rule", "side"], ignore_index=True)
+
+
+def control_rules(
+    input_path,
+    *,
+    min_points: int = 8,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Western Electric control-chart rules per source over the OBSERVED
+    1m token sums: standardize against the source's own exact-integer
+    moments (mean = S/n, population variance = Q/n - mean^2 — the
+    cusum_changepoints float recipe), then flag every bucket where a rule
+    fires on either side:
+
+    - ``r1``: the point is beyond 3 sigma;
+    - ``r2``: beyond 2 sigma AND at least 2 of the trailing 3 points are;
+    - ``r3``: beyond 1 sigma AND at least 4 of the trailing 5 points are;
+    - ``r4``: 8 consecutive points strictly the same side of the mean.
+
+    Trailing windows truncate at the series start (SQL ``ROWS k-1
+    PRECEDING`` semantics), so r4 cannot fire before the 8th bucket.
+    Constant series (var == 0) and sources under ``min_points`` are
+    omitted. One row per (source, bucket_ts, rule, side) fired.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if min_points < 1:
+        raise EngineValueError(f"min_points must be >= 1, got {min_points}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _control_one_source(obs, src, min_points),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

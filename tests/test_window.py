@@ -2708,3 +2708,53 @@ def test_theta_forecast_validation():
         theta_forecast("/tmp/nope.parquet", alpha=1.0)
     with pytest.raises(EngineValueError):
         theta_forecast("/tmp/nope.parquet", horizon=0)
+
+
+def test_control_rules_planted_patterns():
+    from datafiller_ray.pipelines.window import _control_one_source
+
+    # a flat-ish base with a planted spike (r1/r2), an elevated run (r4)
+    base = np.array([10, 10, 11, 9, 10, 11, 9, 10] * 4, dtype=np.int64)
+    y = base.copy()
+    y[10] = 60  # single extreme point -> r1 up at index 10
+    obs = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(y.size, dtype=np.int64) * 60,
+            "sum": y,
+        }
+    )
+    out = _control_one_source(obs, "s", 8)
+    r1 = out[out["rule"] == "r1"]
+    assert list(r1["bucket_ts"]) == [600]
+    assert list(r1["side"]) == ["up"]
+    # 8 consecutive points strictly above the mean fire r4 on the 8th
+    mean = y.mean()
+    up = y > mean
+    run = 0
+    expect = []
+    for i, u in enumerate(up):
+        run = run + 1 if u else 0
+        if run >= 8:
+            expect.append(i * 60)
+    got = sorted(out[(out["rule"] == "r4") & (out["side"] == "up")]["bucket_ts"])
+    assert got == expect
+
+
+def test_control_rules_constant_and_short_series_omitted():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import (
+        _control_one_source,
+        control_rules,
+    )
+
+    const = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(20, dtype=np.int64) * 60,
+            "sum": np.full(20, 7, dtype=np.int64),
+        }
+    )
+    assert len(_control_one_source(const, "s", 8)) == 0
+    short = const.iloc[:5]
+    assert len(_control_one_source(short, "s", 8)) == 0
+    with pytest.raises(EngineValueError):
+        control_rules("/tmp/nope.parquet", min_points=0)
