@@ -5482,6 +5482,15 @@ def _mann_kendall_1h(sf_dir: str):
     return mann_kendall(_fixture(sf_dir), step=3600)
 
 
+def _hampel_fill_1m(sf_dir: str):
+    """Hampel filter (centered rolling median +- 3 * 1.4826 * rolling MAD,
+    half-width 5, truncated edges) over observed 1m token sums; outliers
+    replaced by their window median — pipelines/window.hampel_fill."""
+    from datafiller_ray.pipelines.window import hampel_fill
+
+    return hampel_fill(_fixture(sf_dir), half=5, nsig=3.0)
+
+
 def _control_rules_1m(sf_dir: str):
     """Western Electric control-chart rules (r1 3-sigma point, r2 2-of-3
     beyond 2 sigma, r3 4-of-5 beyond 1 sigma, r4 8 consecutive same side)
@@ -5773,6 +5782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": _revenue_by_region,
         "idle_rich_customers": _idle_rich_customers,
         "control_rules_1m": _control_rules_1m,
+        "hampel_fill_1m": _hampel_fill_1m,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -10444,6 +10454,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         # revenue in exact 1e-4-dollar units: cents * (100 - disc_pct),
         # both factors rounded from the two-decimal doubles
+        # centered rows-window median/MAD via two bounded self-joins on the
+        # per-source row index; quantile_cont matches the engine's shared
+        # _quantile_pos rule, and the 3.0 * 1.4826 * mad threshold is the
+        # same literal float expression on both sides
+        "hampel_fill_1m": f"""
+            WITH obs AS (
+              SELECT source,
+                     CAST(substr(doc_id, length(doc_id) - 9, 10) AS BIGINT)
+                         * 60 AS bucket_ts,
+                     CAST(SUM(n_tok) AS BIGINT) AS s
+              FROM read_parquet('{p}/*.parquet') GROUP BY 1, 2),
+            idx AS (
+              SELECT source, bucket_ts, s,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY bucket_ts) AS rn
+              FROM obs),
+            med AS (
+              SELECT a.source, a.rn,
+                     quantile_cont(CAST(b.s AS DOUBLE), 0.5) AS med
+              FROM idx a JOIN idx b
+                ON b.source = a.source AND b.rn BETWEEN a.rn - 5 AND a.rn + 5
+              GROUP BY 1, 2),
+            mad AS (
+              SELECT a.source, a.rn,
+                     quantile_cont(abs(CAST(b.s AS DOUBLE) - m.med), 0.5)
+                         AS mad
+              FROM idx a
+              JOIN med m ON m.source = a.source AND m.rn = a.rn
+              JOIN idx b
+                ON b.source = a.source AND b.rn BETWEEN a.rn - 5 AND a.rn + 5
+              GROUP BY 1, 2)
+            SELECT i.source, i.bucket_ts, i.s AS sum_tok,
+                   CASE WHEN abs(CAST(i.s AS DOUBLE) - m.med)
+                             > 3.0 * 1.4826 * d.mad
+                        THEN m.med ELSE CAST(i.s AS DOUBLE) END AS fill_value,
+                   abs(CAST(i.s AS DOUBLE) - m.med) > 3.0 * 1.4826 * d.mad
+                       AS flagged
+            FROM idx i
+            JOIN med m ON m.source = i.source AND m.rn = i.rn
+            JOIN mad d ON d.source = i.source AND d.rn = i.rn
+        """,
         # mean/std from exact integer S, Q with the engine's float op order
         # (mean = S/n, population var = Q/n - mean*mean); the trailing
         # windows are SQL ROWS k-1 PRECEDING, truncating at series start

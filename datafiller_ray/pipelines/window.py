@@ -5018,3 +5018,85 @@ def control_rules(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _hampel_one_source(
+    obs: pd.DataFrame, source: str, half: int, nsig: float
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    sf = s.astype(np.float64)
+    n = s.size
+    w = 2 * half + 1
+    med = np.empty(n, dtype=np.float64)
+    mad = np.empty(n, dtype=np.float64)
+    lo, hi, frac = _quantile_pos(w, 0.5)
+    if n >= w:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        W = np.sort(sliding_window_view(s, w), axis=1).astype(np.float64)
+        mc = W[:, lo] + (W[:, hi] - W[:, lo]) * frac
+        med[half : n - half] = mc
+        D = np.sort(np.abs(sliding_window_view(sf, w) - mc[:, None]), axis=1)
+        mad[half : n - half] = D[:, lo] + (D[:, hi] - D[:, lo]) * frac
+        edge_idx = list(range(half)) + list(range(n - half, n))
+    else:  # series shorter than one full window: every window truncates
+        edge_idx = list(range(n))
+    # truncated edge windows: at most 2*half tiny sorts per source, the
+    # same quantile_cont rule via _interp_median
+    for i in edge_idx:
+        a, b = max(0, i - half), min(n, i + half + 1)
+        win = np.sort(s[a:b]).astype(np.float64)
+        mi = _interp_median(win)
+        med[i] = mi
+        mad[i] = _interp_median(np.sort(np.abs(s[a:b].astype(np.float64) - mi)))
+    dev = np.abs(sf - med)
+    flagged = dev > nsig * 1.4826 * mad
+    fill = np.where(flagged, med, sf)
+    return pd.DataFrame(
+        {
+            "source": np.full(n, source, dtype=object),
+            "bucket_ts": ts,
+            "sum_tok": s,
+            "fill_value": fill,
+            "flagged": flagged,
+        }
+    )
+
+
+def hampel_fill(
+    input_path,
+    *,
+    half: int = 5,
+    nsig: float = 3.0,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Hampel filter over the OBSERVED per-minute token sums of each
+    source: a CENTERED rows-window of half-width ``half`` (truncated at
+    both series edges) yields a rolling median and a rolling MAD — a
+    point farther than ``nsig * 1.4826 * MAD`` from its window median is
+    an outlier and is replaced by that median (the robust sibling of the
+    z-score cleaners: one wild spike cannot drag its own threshold).
+
+    Both order statistics use the shared :func:`_quantile_pos`
+    quantile_cont rule, so on integer sums every median is IEEE-exact and
+    every MAD lands on the exact .25 grid — the SQL oracle (two bounded
+    rows-window self-joins) hashes identically with no rounding absorber.
+    Interior windows are one vectorized ``sliding_window_view`` sort per
+    source; only the <= 2*half edge windows loop.
+
+    Output: (source, bucket_ts, sum_tok, fill_value, flagged).
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if half < 1:
+        raise EngineValueError(f"half must be >= 1, got {half}")
+    if not nsig > 0.0:
+        raise EngineValueError(f"nsig must be > 0, got {nsig}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _hampel_one_source(obs, src, half, nsig),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

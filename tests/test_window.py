@@ -2758,3 +2758,38 @@ def test_control_rules_constant_and_short_series_omitted():
     assert len(_control_one_source(short, "s", 8)) == 0
     with pytest.raises(EngineValueError):
         control_rules("/tmp/nope.parquet", min_points=0)
+
+
+def test_hampel_planted_outlier_replaced():
+    from datafiller_ray.pipelines.window import _hampel_one_source
+
+    y = np.array([10, 11, 10, 9, 10, 500, 10, 11, 9, 10, 11, 10, 9],
+                 dtype=np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(y.size, dtype=np.int64) * 60, "sum": y}
+    )
+    out = _hampel_one_source(obs, "s", 5, 3.0)
+    assert len(out) == y.size
+    spike = out[out["bucket_ts"] == 5 * 60].iloc[0]
+    assert bool(spike["flagged"])
+    assert spike["fill_value"] == 10.0  # replaced by the window median
+    # inliers pass through unchanged
+    ok = out[~out["flagged"]]
+    assert (ok["fill_value"].to_numpy() == ok["sum_tok"].to_numpy()).all()
+
+
+def test_hampel_short_series_and_validation():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _hampel_one_source, hampel_fill
+
+    # shorter than one full window: every window truncates, still n rows
+    y = np.array([5, 6, 100], dtype=np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(3, dtype=np.int64) * 60, "sum": y}
+    )
+    out = _hampel_one_source(obs, "s", 5, 3.0)
+    assert len(out) == 3
+    with pytest.raises(EngineValueError):
+        hampel_fill("/tmp/nope.parquet", half=0)
+    with pytest.raises(EngineValueError):
+        hampel_fill("/tmp/nope.parquet", nsig=0.0)
