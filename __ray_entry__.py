@@ -5491,6 +5491,16 @@ def _hampel_fill_1m(sf_dir: str):
     return hampel_fill(_fixture(sf_dir), half=5, nsig=3.0)
 
 
+def _pelt_changepoints(sf_dir: str):
+    """Per-source optimal level-shift changepoints by exact-Fraction PELT
+    over 10-minute token sums (beta = 2x population variance, min_size 2)
+    — pipelines/window.pelt_changepoints; vendored oracle
+    fills.pelt_points (independent replica of the pruned DP)."""
+    from datafiller_ray.pipelines.window import pelt_changepoints
+
+    return pelt_changepoints(_fixture(sf_dir), step=600, pen_mult=2, min_size=2)
+
+
 def _control_rules_1m(sf_dir: str):
     """Western Electric control-chart rules (r1 3-sigma point, r2 2-of-3
     beyond 2 sigma, r3 4-of-5 beyond 1 sigma, r4 8 consecutive same side)
@@ -5783,6 +5793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": _idle_rich_customers,
         "control_rules_1m": _control_rules_1m,
         "hampel_fill_1m": _hampel_fill_1m,
+        "pelt_changepoints": _pelt_changepoints,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -7152,6 +7163,48 @@ def _build_binseg_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_pelt_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = {
+        "source": [], "cp_idx": [], "cp_ts": [],
+        "left_mean": [], "right_mean": [],
+    }
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        yv = fr["y"].to_numpy()[keep].astype(np.int64)
+        hb = ts - ts % 600
+        agg: "dict[int, int]" = {}
+        for h, v in zip(hb.tolist(), yv.tolist()):
+            agg[h] = agg.get(h, 0) + v
+        bt = np.array(sorted(agg), dtype=np.int64)
+        y = np.array([agg[h] for h in bt.tolist()], dtype=np.int64)
+        cps = o.pelt_points(y, 2, 2)
+        bounds = [0] + cps + [int(y.size)]
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(y)])
+        for i, cp in enumerate(cps):
+            a, c = bounds[i], bounds[i + 2]
+            rows["source"].append(src)
+            rows["cp_idx"].append(i + 1)
+            rows["cp_ts"].append(int(bt[cp]))
+            rows["left_mean"].append(
+                float(o.round_half_up(
+                    np.array([float(cs[cp] - cs[a]) / float(cp - a)])
+                )[0])
+            )
+            rows["right_mean"].append(
+                float(o.round_half_up(
+                    np.array([float(cs[c] - cs[cp]) / float(c - cp)])
+                )[0])
+            )
+    out = pd.DataFrame(rows)
+    for c in ("cp_idx", "cp_ts"):
+        out[c] = out[c].astype(np.int64)
+    for c in ("left_mean", "right_mean"):
+        out[c] = out[c].astype(np.float64)
+    return out
+
+
 def _build_croston_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     rows = {
@@ -7457,6 +7510,7 @@ _FILL_ORACLE_BUILDERS = {
     "kalman_fill_1m": _build_kalman_oracle,
     "isotonic_fit_1h": _build_isotonic_oracle,
     "binseg_changepoints": _build_binseg_oracle,
+    "pelt_changepoints": _build_pelt_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
@@ -8541,6 +8595,10 @@ def oracle_sql() -> dict[str, str]:
         "binseg_changepoints": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('binseg_changepoints')}')"
+        ),
+        "pelt_changepoints": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('pelt_changepoints')}')"
         ),
         "dtw_distance": (
             "SELECT * FROM read_parquet("

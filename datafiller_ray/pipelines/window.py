@@ -5100,3 +5100,136 @@ def hampel_fill(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _pelt_one_source(
+    obs: pd.DataFrame, source: str, step: int, pen_mult: int, min_size: int
+) -> pd.DataFrame:
+    """Optimal L2 level-shift segmentation of one source's ``step``-grain
+    sums by PELT (Killick et al. 2012): exact-rational dynamic program
+    F[t] = min_a F[a] + C(a, t) + beta with the linear-time pruning rule
+    F[a] + C(a, t) > F[t] => drop a (valid for L2 because the cost is
+    segment-additive). EVERY decision — the argmin, its tie-break
+    (earliest a), and the prune test — is a Fraction comparison over
+    exact integer prefix sums, so the emitted changepoint set is
+    bit-deterministic; the only floats are the reported segment means
+    (one num/den division each, round6). beta = pen_mult * population
+    variance of the bucket series, itself an exact Fraction. The vendored
+    oracle (tests/oracle/fills.pelt_points) replays the identical
+    semantics with its own structure."""
+    from fractions import Fraction
+
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    b = ts - ts % step
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], b.size]
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(s)])
+    bt = b[starts]
+    y = (cs[ends] - cs[starts]).tolist()
+    n = len(y)
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "cp_idx": pd.Series([], dtype=np.int64),
+                "cp_ts": pd.Series([], dtype=np.int64),
+                "left_mean": pd.Series([], dtype=np.float64),
+                "right_mean": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    if n < 2 * min_size:
+        return empty
+    S, Q = [0], [0]
+    for v in y:
+        v = int(v)
+        S.append(S[-1] + v)
+        Q.append(Q[-1] + v * v)
+    beta = Fraction(pen_mult * (n * Q[n] - S[n] * S[n]), n * n)
+
+    def cost(a: int, c: int) -> "Fraction":
+        sv = S[c] - S[a]
+        return Fraction((Q[c] - Q[a]) * (c - a) - sv * sv, c - a)
+
+    F: "list[Fraction | None]" = [None] * (n + 1)
+    F[0] = -beta
+    prev = [0] * (n + 1)
+    cands = [0]
+    for t in range(min_size, n + 1):
+        best = None
+        barg = -1
+        for a in cands:
+            if t - a < min_size or F[a] is None:
+                continue
+            v = F[a] + cost(a, t) + beta
+            if best is None or v < best or (v == best and a < barg):
+                best, barg = v, a
+        F[t] = best
+        prev[t] = barg
+        cands = [
+            a
+            for a in cands
+            if t - a < min_size or F[a] is None or F[a] + cost(a, t) <= best
+        ]
+        cands.append(t)
+    cps = []
+    t = n
+    while t > 0:
+        a = prev[t]
+        if a > 0:
+            cps.append(a)
+        t = a
+    cps.reverse()
+    if not cps:
+        return empty
+    bounds = [0] + cps + [n]
+    lm, rm = [], []
+    for i, cp in enumerate(cps):
+        a, c = bounds[i], bounds[i + 2]
+        lm.append(float(S[cp] - S[a]) / float(cp - a))
+        rm.append(float(S[c] - S[cp]) / float(c - cp))
+    m = len(cps)
+    return pd.DataFrame(
+        {
+            "source": np.full(m, source, dtype=object),
+            "cp_idx": np.arange(1, m + 1, dtype=np.int64),
+            "cp_ts": bt[np.asarray(cps, dtype=np.int64)].astype(np.int64),
+            "left_mean": _round6_half_up(np.asarray(lm, dtype=np.float64)),
+            "right_mean": _round6_half_up(np.asarray(rm, dtype=np.float64)),
+        }
+    )
+
+
+def pelt_changepoints(
+    input_path,
+    *,
+    step: int = 600,
+    pen_mult: int = 2,
+    min_size: int = 2,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source OPTIMAL level-shift changepoints by exact-arithmetic
+    PELT over ``step``-grain token sums — the globally-optimal complement
+    of :func:`binseg_changepoints` (greedy top-k): PELT minimizes
+    total-SSE + beta * #changepoints over ALL segmentations in amortized
+    linear time via candidate pruning, so it recovers splits binary
+    segmentation's greedy order can miss. ``left_mean``/``right_mean``
+    are the adjacent segment means (the shift magnitude reads off their
+    difference). See :func:`_pelt_one_source` for the exactness argument.
+    """
+    from datafiller_ray.config import EngineValueError
+
+    if step < 60:
+        raise EngineValueError(f"step must be >= 60, got {step}")
+    if pen_mult < 1:
+        raise EngineValueError(f"pen_mult must be >= 1, got {pen_mult}")
+    if min_size < 1:
+        raise EngineValueError(f"min_size must be >= 1, got {min_size}")
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _pelt_one_source(obs, src, step, pen_mult, min_size),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

@@ -1617,3 +1617,54 @@ def theta_forecast_fit(y, alpha=0.5, h=3):
     return b, [
         0.5 * (a + b * float(n - 1 + k)) + 0.5 * s for k in range(1, h + 1)
     ]
+
+
+def pelt_points(y: np.ndarray, pen_mult: int, min_size: int):
+    """Independent PELT replica over integer bucket sums: exact Fraction
+    dynamic program with L2 cost and beta = pen_mult * population
+    variance; prune a when F[a] + C(a, t) > F[t]. Returns the optimal
+    changepoint index list (ties broken toward the earliest admissible
+    previous changepoint, like the engine)."""
+    from fractions import Fraction
+
+    vals = [int(v) for v in y]
+    n = len(vals)
+    if n < 2 * min_size:
+        return []
+    ps = [0] * (n + 1)
+    pq = [0] * (n + 1)
+    for i, v in enumerate(vals):
+        ps[i + 1] = ps[i] + v
+        pq[i + 1] = pq[i] + v * v
+    beta = Fraction(pen_mult * (n * pq[n] - ps[n] * ps[n]), n * n)
+
+    def seg_cost(a, c):
+        sv = ps[c] - ps[a]
+        return Fraction((pq[c] - pq[a]) * (c - a) - sv * sv, c - a)
+
+    F = {0: -beta}
+    back = {}
+    live = [0]
+    for t in range(min_size, n + 1):
+        scored = [
+            (F[a] + seg_cost(a, t) + beta, a)
+            for a in live
+            if a in F and t - a >= min_size
+        ]
+        ft, at = min(scored, key=lambda p: (p[0], p[1]))
+        F[t] = ft
+        back[t] = at
+        live = [
+            a
+            for a in live
+            if a not in F or t - a < min_size or F[a] + seg_cost(a, t) <= ft
+        ]
+        live.append(t)
+    cps = []
+    t = n
+    while t > 0:
+        a = back.get(t, 0)
+        if a > 0:
+            cps.append(a)
+        t = a
+    return cps[::-1]

@@ -2793,3 +2793,83 @@ def test_hampel_short_series_and_validation():
         hampel_fill("/tmp/nope.parquet", half=0)
     with pytest.raises(EngineValueError):
         hampel_fill("/tmp/nope.parquet", nsig=0.0)
+
+
+def test_pelt_planted_shift_recovered():
+    from datafiller_ray.pipelines.window import _pelt_one_source
+
+    y = np.array([10] * 12 + [50] * 12, dtype=np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(y.size, dtype=np.int64) * 600, "sum": y}
+    )
+    out = _pelt_one_source(obs, "s", 600, 2, 2)
+    assert list(out["cp_ts"]) == [12 * 600]
+    assert out.iloc[0]["left_mean"] == 10.0
+    assert out.iloc[0]["right_mean"] == 50.0
+
+
+def test_pelt_matches_bruteforce_optimum():
+    """PELT's pruned DP must hit the exact optimum of
+    total-L2-cost + beta * #cps over ALL segmentations (enumerated)."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    from datafiller_ray.pipelines.window import _pelt_one_source
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        y = rng.integers(0, 40, size=11).astype(np.int64)
+        n = y.size
+        S = np.concatenate([[0], np.cumsum(y)]).tolist()
+        Q = np.concatenate([[0], np.cumsum(y * y)]).tolist()
+        beta = Fraction(2 * (n * Q[n] - S[n] * S[n]), n * n)
+
+        def cost(a, c):
+            sv = S[c] - S[a]
+            return Fraction((Q[c] - Q[a]) * (c - a) - sv * sv, c - a)
+
+        best = None
+        interior = list(range(2, n - 1))  # min_size=2 admissible cuts
+        for k in range(0, len(interior) + 1):
+            for cuts in combinations(interior, k):
+                bounds = [0, *cuts, n]
+                if any(b - a < 2 for a, b in zip(bounds, bounds[1:])):
+                    continue
+                obj = sum(
+                    (cost(a, b) for a, b in zip(bounds, bounds[1:])),
+                    start=Fraction(0),
+                ) + beta * len(cuts)
+                if best is None or obj < best:
+                    best = obj
+        obs = pd.DataFrame(
+            {"bucket_ts": np.arange(n, dtype=np.int64) * 600, "sum": y}
+        )
+        out = _pelt_one_source(obs, "s", 600, 2, 2)
+        cps = [int(t) // 600 for t in out["cp_ts"]]
+        bounds = [0, *cps, n]
+        got = sum(
+            (cost(a, b) for a, b in zip(bounds, bounds[1:])),
+            start=Fraction(0),
+        ) + beta * len(cps)
+        assert got == best, (trial, cps, float(got), float(best))
+
+
+def test_pelt_validation_and_degenerate():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _pelt_one_source, pelt_changepoints
+
+    const = pd.DataFrame(
+        {
+            "bucket_ts": np.arange(20, dtype=np.int64) * 600,
+            "sum": np.full(20, 5, dtype=np.int64),
+        }
+    )
+    assert len(_pelt_one_source(const, "s", 600, 2, 2)) == 0
+    short = const.iloc[:3]
+    assert len(_pelt_one_source(short, "s", 600, 2, 2)) == 0
+    with pytest.raises(EngineValueError):
+        pelt_changepoints("/tmp/nope.parquet", step=30)
+    with pytest.raises(EngineValueError):
+        pelt_changepoints("/tmp/nope.parquet", pen_mult=0)
+    with pytest.raises(EngineValueError):
+        pelt_changepoints("/tmp/nope.parquet", min_size=0)
