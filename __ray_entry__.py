@@ -5491,6 +5491,24 @@ def _hampel_fill_1m(sf_dir: str):
     return hampel_fill(_fixture(sf_dir), half=5, nsig=3.0)
 
 
+def _ann_pq_topk(sf_dir: str):
+    """Product-quantization approximate top-k (codebooks trained on the
+    bounded hash sample, corpus encoded + LUT-scored distributed) —
+    pipelines/ann.pq_topk; vendored independent NumPy oracle."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.ann import pq_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = pc.sort_indices(qt["vec_id"])[: _ANN_NQ]
+    head = qt.take(order)
+    qids = np.asarray(head["vec_id"])
+    qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    ds = pq_topk(_read(sf_dir, "embeddings"), qids, qmat, k=_ANN_K)
+    return ds.select_columns(["query_id", "rank", "vec_id"])
+
+
 def _pelt_changepoints(sf_dir: str):
     """Per-source optimal level-shift changepoints by exact-Fraction PELT
     over 10-minute token sums (beta = 2x population variance, min_size 2)
@@ -5794,6 +5812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "control_rules_1m": _control_rules_1m,
         "hampel_fill_1m": _hampel_fill_1m,
         "pelt_changepoints": _pelt_changepoints,
+        "ann_pq_topk": _ann_pq_topk,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -7205,6 +7224,65 @@ def _build_pelt_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_pq_oracle() -> "pd.DataFrame":
+    """Independent PQ top-k oracle: re-derives the bounded hash sample,
+    trains per-subspace codebooks with _oracle_kmeans (plain squared-diff
+    distances vs the engine's expanded-norm formula — assignments are
+    discrete, so both land identically on non-degenerate data), encodes
+    the normalized corpus with the same plain distances, and scores via
+    the per-subspace LUT sum in the engine's pinned left-to-right order."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    n_sub, n_codes, n_iters, seed, n_train = 4, 16, 5, 7, 1024
+    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    mod = 1 << 16
+    thr = (
+        mod
+        if vids.size <= n_train
+        else max(1, math.ceil(n_train * mod / vids.size))
+    )
+    keep = (_oracle_splitmix64(vids.view(np.uint64)) % np.uint64(mod)) < thr
+    ksel = np.flatnonzero(keep)[np.argsort(vids[keep])]
+    S = M[ksel]
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
+    dsub = M.shape[1] // n_sub
+    books = [
+        _oracle_kmeans(
+            Sn[:, m * dsub : (m + 1) * dsub], n_codes, n_iters, seed + m
+        )
+        for m in range(n_sub)
+    ]
+    order = np.argsort(vids)
+    qsel = order[:_ANN_NQ]
+    qids = vids[qsel]
+    Q = M[qsel]
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    sims = None
+    for m, C in enumerate(books):
+        sub = Mn[:, m * dsub : (m + 1) * dsub]
+        d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        codes = d.argmin(axis=1)
+        lut = Qn[:, m * dsub : (m + 1) * dsub] @ C.T
+        contrib = lut[:, codes]
+        sims = contrib if sims is None else sims + contrib
+    rows = {"query_id": [], "rank": [], "vec_id": []}
+    for qi in range(qids.size):
+        s = np.round(sims[qi], 6)
+        top = np.lexsort((vids, -s))[:_ANN_K]
+        rows["query_id"].extend([int(qids[qi])] * top.size)
+        rows["rank"].extend(range(1, top.size + 1))
+        rows["vec_id"].extend(int(v) for v in vids[top])
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def _build_croston_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     rows = {
@@ -7511,6 +7589,7 @@ _FILL_ORACLE_BUILDERS = {
     "isotonic_fit_1h": _build_isotonic_oracle,
     "binseg_changepoints": _build_binseg_oracle,
     "pelt_changepoints": _build_pelt_oracle,
+    "ann_pq_topk": _build_pq_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
@@ -8599,6 +8678,10 @@ def oracle_sql() -> dict[str, str]:
         "pelt_changepoints": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('pelt_changepoints')}')"
+        ),
+        "ann_pq_topk": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('ann_pq_topk')}')"
         ),
         "dtw_distance": (
             "SELECT * FROM read_parquet("
