@@ -5491,6 +5491,16 @@ def _hampel_fill_1m(sf_dir: str):
     return hampel_fill(_fixture(sf_dir), half=5, nsig=3.0)
 
 
+def _sample_entropy(sf_dir: str):
+    """Per-source sample entropy (Richman-Moorman SampEn, m=2,
+    r=0.2*pop-std) over 10-minute token sums —
+    pipelines/window.sample_entropy; vendored oracle fills.sampen_counts
+    (independent full-matrix replica of the match counting)."""
+    from datafiller_ray.pipelines.window import sample_entropy
+
+    return sample_entropy(_fixture(sf_dir), step=600, m=2, r_mult=0.2)
+
+
 def _ann_pq_topk(sf_dir: str):
     """Product-quantization approximate top-k (codebooks trained on the
     bounded hash sample, corpus encoded + LUT-scored distributed) —
@@ -5813,6 +5823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hampel_fill_1m": _hampel_fill_1m,
         "pelt_changepoints": _pelt_changepoints,
         "ann_pq_topk": _ann_pq_topk,
+        "sample_entropy": _sample_entropy,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -7224,6 +7235,53 @@ def _build_pelt_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_sampen_oracle() -> "pd.DataFrame":
+    import math
+
+    o = _fills_oracle_module()
+    rows = {
+        "source": [], "n_buckets": [], "r": [],
+        "b_count": [], "a_count": [], "sampen": [],
+    }
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        keep = fr["n_obs"].to_numpy() > 0
+        ts = fr["bucket_ts"].to_numpy(np.int64)[keep]
+        yv = fr["y"].to_numpy()[keep].astype(np.int64)
+        hb = ts - ts % 600
+        agg: "dict[int, int]" = {}
+        for h, v in zip(hb.tolist(), yv.tolist()):
+            agg[h] = agg.get(h, 0) + v
+        y = np.array([agg[h] for h in sorted(agg)], dtype=np.int64)
+        n = int(y.size)
+        if n - 2 < 2:
+            continue
+        sv = int(y.sum())
+        qv = sum(int(v) * int(v) for v in y.tolist())
+        var = float(n * qv - sv * sv) / float(n * n)
+        r = 0.2 * math.sqrt(var)
+        b, a = o.sampen_counts(y, 2, r)
+        if b == 0 or a == 0:
+            continue
+        rows["source"].append(src)
+        rows["n_buckets"].append(n)
+        rows["r"].append(float(o.round_half_up(np.array([r]))[0]))
+        rows["b_count"].append(b)
+        rows["a_count"].append(a)
+        rows["sampen"].append(
+            float(
+                o.round_half_up(
+                    np.array([-math.log(float(a) / float(b))])
+                )[0]
+            )
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n_buckets", "b_count", "a_count"):
+        out[c] = out[c].astype(np.int64)
+    for c in ("r", "sampen"):
+        out[c] = out[c].astype(np.float64)
+    return out
+
+
 def _build_pq_oracle() -> "pd.DataFrame":
     """Independent PQ top-k oracle: re-derives the bounded hash sample,
     trains per-subspace codebooks with _oracle_kmeans (plain squared-diff
@@ -7590,6 +7648,7 @@ _FILL_ORACLE_BUILDERS = {
     "binseg_changepoints": _build_binseg_oracle,
     "pelt_changepoints": _build_pelt_oracle,
     "ann_pq_topk": _build_pq_oracle,
+    "sample_entropy": _build_sampen_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
@@ -8682,6 +8741,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('ann_pq_topk')}')"
+        ),
+        "sample_entropy": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('sample_entropy')}')"
         ),
         "dtw_distance": (
             "SELECT * FROM read_parquet("

@@ -1668,3 +1668,24 @@ def pelt_points(y: np.ndarray, pen_mult: int, min_size: int):
             cps.append(a)
         t = a
     return cps[::-1]
+
+
+def sampen_counts(y: np.ndarray, m: int, r: float):
+    """Independent sample-entropy match counter: full-matrix Chebyshev
+    distances over sliding windows (vs the engine's blocked k-shifted
+    pass). Returns (B, A) = matching pairs at template lengths m, m+1
+    (i < j, self-matches excluded, tolerance <= r)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    y = np.asarray(y, dtype=np.int64)
+    t = y.size - m
+    if t < 2:
+        return 0, 0
+    w = sliding_window_view(y, m + 1)  # (n-m) x (m+1)
+    d = np.abs(w[:, None, :] - w[None, :, :])
+    iu = np.triu_indices(t, k=1)
+    chebm = d[:, :, :m].max(axis=2)[iu]
+    chebm1 = np.maximum(chebm, d[:, :, m][iu])
+    return int(np.count_nonzero(chebm <= r)), int(
+        np.count_nonzero(chebm1 <= r)
+    )

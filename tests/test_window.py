@@ -2873,3 +2873,98 @@ def test_pelt_validation_and_degenerate():
         pelt_changepoints("/tmp/nope.parquet", pen_mult=0)
     with pytest.raises(EngineValueError):
         pelt_changepoints("/tmp/nope.parquet", min_size=0)
+
+
+def _brute_sampen_counts(y, m, r):
+    # literal O(n^2 m) double loop straight from the SampEn definition
+    t = len(y) - m
+    b = a = 0
+    for i in range(t):
+        for j in range(i + 1, t):
+            dm = max(abs(int(y[i + k]) - int(y[j + k])) for k in range(m))
+            if dm <= r:
+                b += 1
+                if max(dm, abs(int(y[i + m]) - int(y[j + m]))) <= r:
+                    a += 1
+    return b, a
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_sampen_one_source_matches_brute(m):
+    import math
+
+    from datafiller_ray.pipelines.window import _sampen_one_source
+
+    rng = np.random.default_rng(7 + m)
+    y = rng.integers(0, 50, size=300).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(300, dtype=np.int64) * 600, "sum": y}
+    )
+    out = _sampen_one_source(obs, "s", step=600, m=m, r_mult=0.2)
+    n = y.size
+    sv, qv = int(y.sum()), sum(int(v) * int(v) for v in y)
+    r = 0.2 * math.sqrt(float(n * qv - sv * sv) / float(n * n))
+    b, a = _brute_sampen_counts(y, m, r)
+    assert out["b_count"].iloc[0] == b
+    assert out["a_count"].iloc[0] == a
+    exp = np.floor(-math.log(a / b) * 1e6 + 0.5) / 1e6
+    assert out["sampen"].iloc[0] == exp
+
+
+def test_sampen_blocked_crosses_block_boundary():
+    # >1024 templates forces the blocked path to stitch counts across blocks
+    from datafiller_ray.pipelines.window import _sampen_one_source
+
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 20, size=1500).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(1500, dtype=np.int64) * 600, "sum": y}
+    )
+    out = _sampen_one_source(obs, "s", step=600, m=2, r_mult=0.2)
+    # independent vendored-oracle counter (different vectorization)
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle.fills import sampen_counts
+
+    n = y.size
+    sv, qv = int(y.sum()), sum(int(v) * int(v) for v in y)
+    import math
+
+    r = 0.2 * math.sqrt(float(n * qv - sv * sv) / float(n * n))
+    b, a = sampen_counts(y, 2, r)
+    assert (out["b_count"].iloc[0], out["a_count"].iloc[0]) == (b, a)
+
+
+def test_sampen_constant_and_short_series():
+    from datafiller_ray.pipelines.window import _sampen_one_source
+
+    # constant series: every template matches -> SampEn exactly 0
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(10, dtype=np.int64) * 600,
+         "sum": np.full(10, 7, dtype=np.int64)}
+    )
+    out = _sampen_one_source(obs, "s", step=600, m=2, r_mult=0.2)
+    assert out["sampen"].iloc[0] == 0.0
+    # too short -> empty frame with pinned schema
+    short = pd.DataFrame(
+        {"bucket_ts": np.arange(3, dtype=np.int64) * 600,
+         "sum": np.array([1, 2, 3], dtype=np.int64)}
+    )
+    empty = _sampen_one_source(short, "s", step=600, m=2, r_mult=0.2)
+    assert len(empty) == 0
+    assert list(empty.columns) == [
+        "source", "n_buckets", "r", "b_count", "a_count", "sampen",
+    ]
+
+
+def test_sample_entropy_validation():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import sample_entropy
+
+    with pytest.raises(EngineValueError):
+        sample_entropy("/tmp/x", step=10)
+    with pytest.raises(EngineValueError):
+        sample_entropy("/tmp/x", m=0)
+    with pytest.raises(EngineValueError):
+        sample_entropy("/tmp/x", r_mult=0.0)
