@@ -5519,6 +5519,25 @@ def _ann_pq_topk(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _mmr_rerank(sf_dir: str):
+    """MMR diversified top-k retrieval (lam=0.7, 50 candidates) —
+    pipelines/ann.mmr_rerank; vendored independent NumPy oracle
+    (_build_mmr_oracle replays the greedy with its own structure)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datafiller_ray.pipelines.ann import mmr_rerank
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = pc.sort_indices(qt["vec_id"])[: _ANN_NQ]
+    head = qt.take(order)
+    qids = np.asarray(head["vec_id"])
+    qmat = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    return mmr_rerank(
+        _read(sf_dir, "embeddings"), qids, qmat, k=_ANN_K, n_cand=50, lam=0.7
+    )
+
+
 def _pelt_changepoints(sf_dir: str):
     """Per-source optimal level-shift changepoints by exact-Fraction PELT
     over 10-minute token sums (beta = 2x population variance, min_size 2)
@@ -5824,6 +5843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pelt_changepoints": _pelt_changepoints,
         "ann_pq_topk": _ann_pq_topk,
         "sample_entropy": _sample_entropy,
+        "mmr_rerank": _mmr_rerank,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -7282,6 +7302,56 @@ def _build_sampen_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_mmr_oracle() -> "pd.DataFrame":
+    """Independent MMR replica: full-corpus cosine per query, top-50
+    candidates by (round6 sim desc, vec_id asc), then the greedy rerank
+    recomputing max-sim-to-selected from scratch each step (vs the
+    engine's incremental running max)."""
+    import pyarrow.parquet as pq
+
+    k, n_cand, lam = _ANN_K, 50, 0.7
+    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    qsel = np.argsort(vids)[:_ANN_NQ]
+    rows = {
+        "query_id": [], "rank": [], "vec_id": [],
+        "relevance": [], "mmr_score": [],
+    }
+    for qi in qsel:
+        sims = np.round(Mn @ Mn[qi], 6)
+        cand = np.lexsort((vids, -sims))[:n_cand]
+        cvid = vids[cand]
+        rel = sims[cand]
+        cc = np.round(Mn[cand] @ Mn[cand].T, 6)
+        chosen: "list[int]" = []
+        for rank in range(1, min(k, cand.size) + 1):
+            best_pos, best_key = -1, None
+            for pos in range(cand.size):
+                if pos in chosen:
+                    continue
+                pen = max((float(cc[pos][c]) for c in chosen), default=0.0)
+                score = float(
+                    np.round(lam * rel[pos] - (1.0 - lam) * pen, 6)
+                )
+                key = (-score, int(cvid[pos]))
+                if best_key is None or key < best_key:
+                    best_key, best_pos = key, pos
+            chosen.append(best_pos)
+            rows["query_id"].append(int(vids[qi]))
+            rows["rank"].append(rank)
+            rows["vec_id"].append(int(cvid[best_pos]))
+            rows["relevance"].append(float(rel[best_pos]))
+            rows["mmr_score"].append(-best_key[0])
+    out = pd.DataFrame(rows)
+    for c in ("query_id", "rank", "vec_id"):
+        out[c] = out[c].astype(np.int64)
+    for c in ("relevance", "mmr_score"):
+        out[c] = out[c].astype(np.float64)
+    return out
+
+
 def _build_pq_oracle() -> "pd.DataFrame":
     """Independent PQ top-k oracle: re-derives the bounded hash sample,
     trains per-subspace codebooks with _oracle_kmeans (plain squared-diff
@@ -7649,6 +7719,7 @@ _FILL_ORACLE_BUILDERS = {
     "pelt_changepoints": _build_pelt_oracle,
     "ann_pq_topk": _build_pq_oracle,
     "sample_entropy": _build_sampen_oracle,
+    "mmr_rerank": _build_mmr_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
@@ -8745,6 +8816,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_entropy": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('sample_entropy')}')"
+        ),
+        "mmr_rerank": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('mmr_rerank')}')"
         ),
         "dtw_distance": (
             "SELECT * FROM read_parquet("

@@ -1597,3 +1597,112 @@ def pq_topk(
     return partial.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas"
     )
+
+
+class _MMRCandScorer(BruteForceTopK):
+    """Stage-1 candidate generation for MMR: the brute partial top-k
+    scorer, except each emitted candidate row also carries its NORMALIZED
+    embedding so the per-query rerank group can compute candidate-to-
+    candidate cosines without a second corpus pass."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, M = _batch_matrix(batch)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = self.Qn @ Mn.T
+        k = min(self.k, ids.size)
+        out = []
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            order = np.lexsort((ids, -s))[:k]
+            df = pd.DataFrame(
+                {
+                    "query_id": self.query_ids[qi],
+                    "vec_id": ids[order],
+                    "sim": np.round(s[order], 6),
+                }
+            )
+            df["embedding"] = list(Mn[order])
+            out.append(df)
+        return pd.concat(out, ignore_index=True)
+
+
+def _mmr_select(rel, cc, vids, k, lam):
+    """Deterministic MMR selection loop over one query's candidates:
+    pick argmax of lam*rel - (1-lam)*max_sim_to_selected (both terms
+    round6), ties -> lowest vec_id; max-sim-to-selected is 0 for the
+    first pick. Returns (selected positions, their scores)."""
+    n = rel.size
+    maxsim = np.zeros(n, dtype=np.float64)
+    remaining = np.ones(n, dtype=bool)
+    picks, scores = [], []
+    for _ in range(min(k, n)):
+        score = np.round(lam * rel - (1.0 - lam) * maxsim, 6)
+        cand = np.flatnonzero(remaining)
+        best = cand[np.lexsort((vids[cand], -score[cand]))[0]]
+        picks.append(best)
+        scores.append(score[best])
+        remaining[best] = False
+        maxsim = np.maximum(maxsim, cc[:, best])
+    return np.asarray(picks, dtype=np.int64), np.asarray(scores)
+
+
+def mmr_rerank(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_cand: int = 50,
+    lam: float = 0.7,
+) -> "ray.data.Dataset":
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): exact cosine top-``n_cand`` candidates per query
+    (distributed partial top-k, broadcast query matrix), then the MMR
+    greedy rerank — score = lam * rel(q, d) - (1 - lam) * max sim(d, s)
+    over already-selected s — inside a per-query ``map_groups``.
+
+    Scale shape: stage 1 is the brute scan (swap in the LSH/IVF candidate
+    generators for the pruned path); stage 2 touches only k x n_cand
+    values per query, distributed per query group — the driver never sees
+    candidates. Deterministic: round6 sims/scores, vec_id tie-breaks."""
+    from datafiller_ray.config import EngineValueError
+
+    if k < 1:
+        raise EngineValueError(f"k must be >= 1, got {k}")
+    if n_cand < k:
+        raise EngineValueError(f"n_cand must be >= k, got {n_cand} < {k}")
+    if not (0.0 < lam <= 1.0):
+        raise EngineValueError(f"lam must be in (0, 1], got {lam}")
+    ref = ray.put(
+        {"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix)}
+    )
+    partial = embeddings.map_batches(
+        _MMRCandScorer,
+        fn_constructor_args=(ref, n_cand),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def rerank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(
+            n_cand
+        )
+        vids = g["vec_id"].to_numpy(np.int64)
+        rel = g["sim"].to_numpy(np.float64)
+        V = np.stack(g["embedding"].to_numpy())
+        cc = np.round(V @ V.T, 6)
+        picks, scores = _mmr_select(rel, cc, vids, k, lam)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(np.int64)[picks],
+                "rank": np.arange(1, picks.size + 1, dtype=np.int64),
+                "vec_id": vids[picks],
+                "relevance": rel[picks],
+                "mmr_score": scores,
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(
+        rerank_group, batch_format="pandas"
+    )

@@ -514,3 +514,90 @@ def test_pq_validation():
 
     with pytest.raises(EngineValueError):
         train_pq_codebooks(np.zeros((10, 30)), n_sub=4)
+
+
+def test_mmr_select_brute_semantics():
+    # hand-checkable: relevance favors 1, but 1 is near-duplicate of 0
+    from datafiller_ray.pipelines.ann import _mmr_select
+
+    rel = np.array([0.95, 0.94, 0.60, 0.55])
+    vids = np.array([10, 11, 12, 13], dtype=np.int64)
+    cc = np.array(
+        [
+            [1.00, 0.99, 0.10, 0.05],
+            [0.99, 1.00, 0.12, 0.07],
+            [0.10, 0.12, 1.00, 0.20],
+            [0.05, 0.07, 0.20, 1.00],
+        ]
+    )
+    picks, scores = _mmr_select(rel, cc, vids, k=3, lam=0.7)
+    # rank1 = most relevant (10); rank2 skips the near-dup 11 for 12;
+    # rank3 re-admits 11 (0.658-0.3*0.99=0.361 beats 13's 0.385-0.06=0.325)
+    assert vids[picks].tolist() == [10, 12, 11]
+    assert scores[0] == np.round(0.7 * 0.95, 6)
+    assert scores[1] == np.round(0.7 * 0.60 - 0.3 * 0.10, 6)
+    assert scores[2] == np.round(0.7 * 0.94 - 0.3 * 0.99, 6)
+
+
+def test_mmr_lam_one_is_pure_relevance(embeddings):
+    from datafiller_ray.pipelines.ann import brute_force_topk, mmr_rerank
+
+    ds, M = embeddings
+    qids = np.array([0, 17])
+    plain = brute_force_topk(ds, qids, M[qids], k=5).to_pandas()
+    mmr = mmr_rerank(ds, qids, M[qids], k=5, n_cand=20, lam=1.0).to_pandas()
+    for q in qids:
+        a = plain[plain.query_id == q].sort_values("rank")["vec_id"].tolist()
+        b = mmr[mmr.query_id == q].sort_values("rank")["vec_id"].tolist()
+        assert a == b, (q, a, b)
+
+
+def test_mmr_matches_independent_replica(embeddings):
+    # end-to-end vs a from-scratch numpy MMR over the same candidate rule
+    from datafiller_ray.pipelines.ann import mmr_rerank
+
+    ds, M = embeddings
+    qids = np.array([0, 101])
+    lam, k, n_cand = 0.5, 10, 50
+    got = mmr_rerank(ds, qids, M[qids], k=k, n_cand=n_cand, lam=lam).to_pandas()
+    Mn = M.astype(np.float64)
+    Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+    vids_all = np.arange(len(M), dtype=np.int64)
+    for q in qids:
+        sims = np.round(Mn @ Mn[q], 6)
+        cand = np.lexsort((vids_all, -sims))[:n_cand]
+        rel, cvid = sims[cand], vids_all[cand]
+        cc = np.round(Mn[cand] @ Mn[cand].T, 6)
+        chosen = []
+        for _ in range(k):
+            best = None
+            for pos in range(n_cand):
+                if pos in chosen:
+                    continue
+                pen = max((cc[pos][c] for c in chosen), default=0.0)
+                sc = float(np.round(lam * rel[pos] - (1 - lam) * pen, 6))
+                key = (-sc, int(cvid[pos]))
+                if best is None or key < best:
+                    best, bpos = key, pos
+            chosen.append(bpos)
+        sub = got[got.query_id == q].sort_values("rank")
+        assert sub["vec_id"].tolist() == [int(cvid[p]) for p in chosen]
+        # rank1 is the query itself (sim 1.0 dominates at any lam > 0)
+        assert sub["vec_id"].iloc[0] == q
+        # greedy max with a growing penalty: selected scores non-increasing
+        s = sub["mmr_score"].to_numpy()
+        assert (np.diff(s) <= 1e-9).all()
+
+
+def test_mmr_validation(embeddings):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.ann import mmr_rerank
+
+    ds, M = embeddings
+    q = np.array([0])
+    with pytest.raises(EngineValueError):
+        mmr_rerank(ds, q, M[q], k=0)
+    with pytest.raises(EngineValueError):
+        mmr_rerank(ds, q, M[q], k=10, n_cand=5)
+    with pytest.raises(EngineValueError):
+        mmr_rerank(ds, q, M[q], lam=0.0)
