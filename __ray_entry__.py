@@ -5519,6 +5519,17 @@ def _ann_pq_topk(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _logistic_quality(sf_dir: str):
+    """Distributed IRLS logistic quality classifier (4 Newton passes of
+    fixed-point int64 Gram/gradient partials + bounded exchange, then one
+    scoring pass) — pipelines/text.logistic_quality; vendored independent
+    NumPy oracle (_build_logit_oracle: re-derived features, whole-matrix
+    IRLS replica — identical by the commutative-integer-sum argument)."""
+    from datafiller_ray.pipelines.text import logistic_quality
+
+    return logistic_quality(_read(sf_dir, "documents"))
+
+
 def _mmr_rerank(sf_dir: str):
     """MMR diversified top-k retrieval (lam=0.7, 50 candidates) —
     pipelines/ann.mmr_rerank; vendored independent NumPy oracle
@@ -5844,6 +5855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _ann_pq_topk,
         "sample_entropy": _sample_entropy,
         "mmr_rerank": _mmr_rerank,
+        "logistic_quality": _logistic_quality,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -7302,6 +7314,73 @@ def _build_sampen_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_logit_oracle() -> "pd.DataFrame":
+    """Independent logistic-quality replica: per-doc re.findall feature
+    extraction (vs the engine's vectorized pandas-str counts), then
+    whole-matrix IRLS with the same per-row fixed-point quantization —
+    integer sums are commutative, so the single-shot Gram equals the
+    engine's distributed partial sums bit-for-bit."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    scale = float(1 << 20)
+    n_iters, ridge = 4, 1e-3
+    min_tok, min_alpha, max_digit = 5, 0.5, 0.3
+    t = pq.read_table(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    ids = np.asarray(t["doc_id"], dtype=np.int64)
+    texts = t["text"].to_pylist()
+    feats, labels = [], []
+    for raw in texts:
+        s = raw or ""
+        n = len(s)
+        tok = len(re.findall(r"\S+", s))
+        denom = float(max(n, 1))
+        alpha = float(np.round(len(re.findall(r"[A-Za-z]", s)) / denom, 6))
+        digit = float(np.round(len(re.findall(r"[0-9]", s)) / denom, 6))
+        space = float(np.round(s.count(" ") / denom, 6))
+        feats.append([1.0, float(np.log1p(float(tok))), alpha, digit, space])
+        labels.append(
+            int(tok >= min_tok and alpha >= min_alpha and digit <= max_digit)
+        )
+    X = np.asarray(feats, dtype=np.float64)
+    y = np.asarray(labels, dtype=np.int64)
+
+    def sigmoid(z):
+        out = np.empty_like(z)
+        pos = z >= 0
+        out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+        ez = np.exp(z[~pos])
+        out[~pos] = ez / (1.0 + ez)
+        return out
+
+    d = X.shape[1]
+    beta = np.zeros(d)
+    for _ in range(n_iters):
+        p = sigmoid(X @ beta)
+        w = p * (1.0 - p)
+        U = np.floor(np.sqrt(w)[:, None] * X * scale + 0.5).astype(np.int64)
+        V = np.floor(
+            (y.astype(np.float64) - p)[:, None] * X * scale + 0.5
+        ).astype(np.int64)
+        H = (U.T @ U).astype(np.float64) / (scale * scale)
+        g = V.sum(axis=0, dtype=np.int64).astype(np.float64) / scale
+        beta = beta + np.linalg.solve(H + ridge * np.eye(d), g)
+    p = np.round(sigmoid(X @ beta), 6)
+    out = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "label": y,
+            "prob": p,
+            "pred": (p >= 0.5).astype(np.int64),
+        }
+    )
+    return out
+
+
 def _build_mmr_oracle() -> "pd.DataFrame":
     """Independent MMR replica: full-corpus cosine per query, top-50
     candidates by (round6 sim desc, vec_id asc), then the greedy rerank
@@ -7720,6 +7799,7 @@ _FILL_ORACLE_BUILDERS = {
     "ann_pq_topk": _build_pq_oracle,
     "sample_entropy": _build_sampen_oracle,
     "mmr_rerank": _build_mmr_oracle,
+    "logistic_quality": _build_logit_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
@@ -8820,6 +8900,10 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('mmr_rerank')}')"
+        ),
+        "logistic_quality": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('logistic_quality')}')"
         ),
         "dtw_distance": (
             "SELECT * FROM read_parquet("

@@ -1134,3 +1134,200 @@ def tokenizer_fertility(documents: "ray.data.Dataset") -> "ray.data.Dataset":
         return out
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# distributed logistic-regression quality classifier (IRLS / Newton)
+
+_LOGIT_SCALE = float(1 << 20)
+_LOGIT_DIM = 5  # [1, log1p(tok_count), alpha_ratio, digit_ratio, space_ratio]
+
+
+class _LogitFeatures(TextStats):
+    """Shared feature/label extraction for the logistic quality model:
+    x = [1, log1p(tok_count), alpha_ratio, digit_ratio, space_ratio]
+    (ratios are the round-6 TextStats values), y = the QualityFilter
+    predicate on the same rounded stats — i.e. the classifier learns to
+    REPLICATE the rule filter from soft features, the standard bootstrap
+    for quality models trained on rule-labeled corpora."""
+
+    def __init__(self, min_tok: int, min_alpha: float, max_digit: float):
+        super().__init__()
+        self.min_tok = min_tok
+        self.min_alpha = min_alpha
+        self.max_digit = max_digit
+
+    def design(self, batch: pd.DataFrame):
+        stats = TextStats.__call__(self, batch)
+        tok = stats["tok_count"].to_numpy(np.int64)
+        alpha = stats["alpha_ratio"].to_numpy(np.float64)
+        digit = stats["digit_ratio"].to_numpy(np.float64)
+        space = stats["space_ratio"].to_numpy(np.float64)
+        X = np.column_stack(
+            [
+                np.ones(len(stats), dtype=np.float64),
+                np.log1p(tok.astype(np.float64)),
+                alpha,
+                digit,
+                space,
+            ]
+        )
+        y = (
+            (tok >= self.min_tok)
+            & (alpha >= self.min_alpha)
+            & (digit <= self.max_digit)
+        ).astype(np.int64)
+        return stats["doc_id"].to_numpy(np.int64), X, y
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    # piecewise-stable: never exponentiates a positive argument, so no
+    # overflow warnings and bit-identical in engine and oracle
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+class _IRLSPartial(_LogitFeatures):
+    """One Newton-iteration partial: per-row fixed-point quantization
+    (u = round(sqrt(w) x * S), v = round((y - p) x * S), int64) followed
+    by exact integer accumulation — commutative, so the combined Gram and
+    gradient are bit-identical under ANY block layout (the embedding_pca
+    discipline). Emits (i, j, s) rows: j>=0 Gram upper triangle, j=-1
+    gradient vector, (-1, -1) row count."""
+
+    def __init__(self, beta, min_tok, min_alpha, max_digit):
+        super().__init__(min_tok, min_alpha, max_digit)
+        self.beta = np.asarray(beta, dtype=np.float64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from datafiller_ray.config import EngineValueError
+
+        _, X, y = self.design(batch)
+        p = _sigmoid(X @ self.beta)
+        w = p * (1.0 - p)
+        U = np.floor(np.sqrt(w)[:, None] * X * _LOGIT_SCALE + 0.5).astype(
+            np.int64
+        )
+        V = np.floor(
+            (y.astype(np.float64) - p)[:, None] * X * _LOGIT_SCALE + 0.5
+        ).astype(np.int64)
+        maxu = int(np.abs(U).max(initial=0))
+        if maxu and U.shape[0] * maxu * maxu >= 1 << 62:
+            raise EngineValueError(
+                "logistic_quality per-batch integer Gram exceeds the exact "
+                "int64 range; reduce the batch size or feature scale"
+            )
+        G = U.T @ U  # int64 exact under the guard
+        d = X.shape[1]
+        iu, ju = np.triu_indices(d)
+        rows_i = np.concatenate([iu, np.arange(d), [-1]])
+        rows_j = np.concatenate([ju, np.full(d, -1), [-1]])
+        vals = np.concatenate(
+            [G[iu, ju], V.sum(axis=0, dtype=np.int64), [len(X)]]
+        )
+        return pd.DataFrame(
+            {
+                "i": rows_i.astype(np.int64),
+                "j": rows_j.astype(np.int64),
+                "s": vals.astype(np.int64),
+            }
+        )
+
+
+class _LogitScore(_LogitFeatures):
+    def __init__(self, beta, min_tok, min_alpha, max_digit):
+        super().__init__(min_tok, min_alpha, max_digit)
+        self.beta = np.asarray(beta, dtype=np.float64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, X, y = self.design(batch)
+        p = np.round(_sigmoid(X @ self.beta), 6)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "label": y,
+                "prob": p,
+                "pred": (p >= 0.5).astype(np.int64),
+            }
+        )
+
+
+def fit_logistic_irls(
+    documents: "ray.data.Dataset",
+    *,
+    n_iters: int = 4,
+    ridge: float = 1e-3,
+    min_tok: int = 5,
+    min_alpha: float = 0.5,
+    max_digit: float = 0.3,
+) -> np.ndarray:
+    """Distributed IRLS/Newton fit of the logistic quality model: each
+    iteration is ONE streaming pass (map_batches partials -> bounded
+    grouped_sum exchange of d(d+1)/2 + d + 1 integer rows -> a d x d
+    driver solve), so T iterations cost T corpus scans and the driver
+    never holds more than ~21 numbers. beta_new = beta +
+    (X'WX/S^2 + ridge*I)^-1 X'(y-p)/S."""
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    if n_iters < 1:
+        raise EngineValueError(f"n_iters must be >= 1, got {n_iters}")
+    if not (ridge > 0):
+        raise EngineValueError(f"ridge must be > 0, got {ridge}")
+    d = _LOGIT_DIM
+    beta = np.zeros(d, dtype=np.float64)
+    for _ in range(n_iters):
+        partials = documents.map_batches(
+            _IRLSPartial,
+            fn_constructor_args=(beta.tolist(), min_tok, min_alpha, max_digit),
+            batch_format="pandas",
+            batch_size=4096,
+            concurrency=(1, 8),
+        )
+        rows = grouped_sum(partials, ["i", "j"], "s").to_pandas()
+        H = np.zeros((d, d), dtype=np.float64)
+        tri = rows[(rows["i"] >= 0) & (rows["j"] >= 0)]
+        for i_, j_, s_ in zip(tri["i"], tri["j"], tri["s"]):
+            v = float(int(s_)) / (_LOGIT_SCALE * _LOGIT_SCALE)
+            H[int(i_), int(j_)] = v
+            H[int(j_), int(i_)] = v
+        gv = rows[(rows["i"] >= 0) & (rows["j"] == -1)].sort_values("i")
+        g = gv["s"].to_numpy(np.float64) / _LOGIT_SCALE
+        beta = beta + np.linalg.solve(H + ridge * np.eye(d), g)
+    return beta
+
+
+def logistic_quality(
+    documents: "ray.data.Dataset",
+    *,
+    n_iters: int = 4,
+    ridge: float = 1e-3,
+    min_tok: int = 5,
+    min_alpha: float = 0.5,
+    max_digit: float = 0.3,
+) -> "ray.data.Dataset":
+    """Logistic-regression quality scoring: fit by distributed IRLS
+    (:func:`fit_logistic_irls`), then one more streaming pass scores
+    every document — (doc_id, label, prob, pred). The model-based
+    complement of the rule-based :func:`quality_filter`: at corpus scale
+    the soft ``prob`` supports threshold sweeps and importance sampling
+    where the binary rule cannot."""
+    beta = fit_logistic_irls(
+        documents,
+        n_iters=n_iters,
+        ridge=ridge,
+        min_tok=min_tok,
+        min_alpha=min_alpha,
+        max_digit=max_digit,
+    )
+    return documents.map_batches(
+        _LogitScore,
+        fn_constructor_args=(beta.tolist(), min_tok, min_alpha, max_digit),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )

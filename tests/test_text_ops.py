@@ -520,3 +520,62 @@ def test_readability_literal():
     assert r0["n_words"] == 6 and r0["n_syll"] == 7
     expect = 0.39 * (6 / 2) + 11.8 * (7 / 6) - 15.59
     assert abs(r0["fk_grade"] - expect) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def quality_docs(ray_session):
+    rng = np.random.default_rng(11)
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i in range(120):
+        if i % 3 == 0:
+            # junk: digit-heavy / too short
+            rows.append({"doc_id": i, "text": "12345 678 " * (1 + i % 2)})
+        else:
+            k = 6 + int(rng.integers(0, 20))
+            rows.append(
+                {"doc_id": i, "text": " ".join(rng.choice(words, k))}
+            )
+    df = pd.DataFrame(rows)
+    df["source"] = "t"
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len()
+    return ray.data.from_pandas(df), df
+
+
+def test_logistic_quality_learns_rule_and_is_layout_invariant(quality_docs):
+    from datafiller_ray.pipelines.text import fit_logistic_irls, logistic_quality
+
+    ds, df = quality_docs
+    out = logistic_quality(ds).to_pandas().sort_values("doc_id")
+    assert len(out) == len(df)
+    # separable rule-labeled data: the model replicates the rule
+    acc = float((out["pred"] == out["label"]).mean())
+    assert acc >= 0.95, acc
+    assert out["prob"].between(0, 1).all()
+    # fixed-point integer partials: betas identical under any block layout
+    b1 = fit_logistic_irls(ds)
+    b2 = fit_logistic_irls(ds.repartition(7))
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_logistic_sigmoid_stable():
+    from datafiller_ray.pipelines.text import _sigmoid
+
+    z = np.array([-800.0, -30.0, 0.0, 30.0, 800.0])
+    with np.errstate(over="raise"):
+        p = _sigmoid(z)
+    assert p[0] == 0.0 and p[-1] == 1.0
+    assert abs(p[2] - 0.5) == 0.0
+    assert (np.diff(p) >= 0).all()
+
+
+def test_logistic_quality_validation(quality_docs):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.text import fit_logistic_irls
+
+    ds, _ = quality_docs
+    with pytest.raises(EngineValueError):
+        fit_logistic_irls(ds, n_iters=0)
+    with pytest.raises(EngineValueError):
+        fit_logistic_irls(ds, ridge=0.0)
