@@ -5519,6 +5519,17 @@ def _ann_pq_topk(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _mutual_knn(sf_dir: str):
+    """Mutual cosine-kNN graph (k=5) over the embeddings corpus —
+    pipelines/ann.mutual_knn; vendored independent NumPy oracle
+    (_build_mutual_knn_oracle, full-matrix replica)."""
+    from datafiller_ray.pipelines.ann import mutual_knn
+
+    return mutual_knn(_read(sf_dir, "embeddings"), k=5).select_columns(
+        ["vec_a", "vec_b", "sim", "rank_ab", "rank_ba"]
+    )
+
+
 def _logistic_quality(sf_dir: str):
     """Distributed IRLS logistic quality classifier (4 Newton passes of
     fixed-point int64 Gram/gradient partials + bounded exchange, then one
@@ -5856,6 +5867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_entropy": _sample_entropy,
         "mmr_rerank": _mmr_rerank,
         "logistic_quality": _logistic_quality,
+        "mutual_knn": _mutual_knn,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -7314,6 +7326,45 @@ def _build_sampen_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_mutual_knn_oracle() -> "pd.DataFrame":
+    """Independent mutual-kNN replica: one full similarity matrix, diag
+    masked, directed top-k per row, set-intersection mutuality (vs the
+    engine's batched scan + hash-exchange merge)."""
+    import pyarrow.parquet as pq
+
+    k = 5
+    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    S = np.round(Mn @ Mn.T, 6)
+    n = vids.size
+    np.fill_diagonal(S, -np.inf)
+    kk = min(k, n - 1)
+    tops = [np.lexsort((vids, -S[i]))[:kk] for i in range(n)]
+    nbr = {i: {int(p): r + 1 for r, p in enumerate(tops[i])} for i in range(n)}
+    rows = {
+        "vec_a": [], "vec_b": [], "sim": [], "rank_ab": [], "rank_ba": [],
+    }
+    for i in range(n):
+        for jpos, rank_ij in nbr[i].items():
+            if vids[i] >= vids[jpos]:
+                continue
+            back = nbr[jpos].get(i)
+            if back is None:
+                continue
+            rows["vec_a"].append(int(vids[i]))
+            rows["vec_b"].append(int(vids[jpos]))
+            rows["sim"].append(float(S[i, jpos]))
+            rows["rank_ab"].append(rank_ij)
+            rows["rank_ba"].append(back)
+    out = pd.DataFrame(rows)
+    for c in ("vec_a", "vec_b", "rank_ab", "rank_ba"):
+        out[c] = out[c].astype(np.int64)
+    out["sim"] = out["sim"].astype(np.float64)
+    return out
+
+
 def _build_logit_oracle() -> "pd.DataFrame":
     """Independent logistic-quality replica: per-doc re.findall feature
     extraction (vs the engine's vectorized pandas-str counts), then
@@ -7800,6 +7851,7 @@ _FILL_ORACLE_BUILDERS = {
     "sample_entropy": _build_sampen_oracle,
     "mmr_rerank": _build_mmr_oracle,
     "logistic_quality": _build_logit_oracle,
+    "mutual_knn": _build_mutual_knn_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
@@ -8904,6 +8956,10 @@ def oracle_sql() -> dict[str, str]:
         "logistic_quality": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('logistic_quality')}')"
+        ),
+        "mutual_knn": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('mutual_knn')}')"
         ),
         "dtw_distance": (
             "SELECT * FROM read_parquet("

@@ -1706,3 +1706,111 @@ def mmr_rerank(
     return partial.groupby("query_id").map_groups(
         rerank_group, batch_format="pandas"
     )
+
+
+class _KnnEdgeScorer:
+    """Per-batch directed kNN edges against the broadcast normalized
+    corpus: one matmul per batch, self-match masked, deterministic
+    per-row top-k (round6 sim desc, vec_id asc)."""
+
+    def __init__(self, ref, k: int) -> None:
+        d = ray.get(ref) if not isinstance(ref, dict) else ref
+        self.ids = d["ids"]
+        self.Mn = d["matrix"]
+        self.order = np.argsort(self.ids)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, M = _batch_matrix(batch)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = np.round(Mn @ self.Mn.T, 6)
+        # mask each row's own corpus position (ids are unique)
+        pos = self.order[
+            np.searchsorted(self.ids, ids, sorter=self.order)
+        ]
+        sims[np.arange(ids.size), pos] = -np.inf
+        k = min(self.k, self.ids.size - 1)
+        out = []
+        for r in range(ids.size):
+            s = sims[r]
+            top = np.lexsort((self.ids, -s))[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "src": ids[r],
+                        "dst": self.ids[top],
+                        "sim": s[top],
+                        "rank": np.arange(1, top.size + 1, dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def mutual_knn(
+    embeddings: "ray.data.Dataset", *, k: int = 5
+) -> "ray.data.Dataset":
+    """Mutual-kNN graph: undirected edges (vec_a < vec_b) where each
+    endpoint is in the OTHER's cosine top-k — the standard high-precision
+    candidate graph for agglomerative dedup/clustering (one-sided kNN
+    edges from hub vectors don't survive the mutuality test).
+
+    Shape: directed edges come from the brute broadcast scan (corpus
+    matrix shipped once via ``ray.put`` — the documented O(n^2) exact
+    baseline; swap the scorer for the quantizer-cell candidates of
+    :func:`semantic_dedup` at corpus scale). The mutuality check is a
+    bounded hash exchange: each directed edge lands on its unordered-pair
+    coarse key, and a vectorized self-merge inside each of the <=1024
+    groups keeps pairs present in both directions — no driver pass."""
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.functions.hashing import splitmix64
+
+    if k < 1:
+        raise EngineValueError(f"k must be >= 1, got {k}")
+    df = embeddings.to_pandas()  # brute baseline: corpus broadcast
+    ids = df["vec_id"].to_numpy(np.int64)
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    ref = ray.put({"ids": ids, "matrix": Mn})
+    edges = embeddings.map_batches(
+        _KnnEdgeScorer,
+        fn_constructor_args=(ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def pair_key(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = np.minimum(batch["src"], batch["dst"]).astype(np.int64)
+        hi = np.maximum(batch["src"], batch["dst"]).astype(np.int64)
+        batch = batch.assign(lo=lo, hi=hi)
+        mix = splitmix64((lo * np.int64(1000003) + hi).view(np.uint64))
+        batch["gkey"] = (mix & np.uint64(1023)).astype(np.int64)
+        return batch
+
+    def mutual_group(g: pd.DataFrame) -> pd.DataFrame:
+        fwd = g[g["src"] == g["lo"]]
+        rev = g[g["src"] == g["hi"]]
+        m = fwd.merge(
+            rev[["lo", "hi", "rank"]],
+            on=["lo", "hi"],
+            suffixes=("", "_rev"),
+        )
+        out = pd.DataFrame(
+            {
+                "vec_a": m["lo"].to_numpy(np.int64),
+                "vec_b": m["hi"].to_numpy(np.int64),
+                "sim": m["sim"].to_numpy(np.float64),
+                "rank_ab": m["rank"].to_numpy(np.int64),
+                "rank_ba": m["rank_rev"].to_numpy(np.int64),
+            }
+        )
+        if len(out) == 0:
+            out["vec_a"] = out["vec_a"].astype(np.int64)
+        return out
+
+    return (
+        edges.map_batches(pair_key, batch_format="pandas")
+        .groupby("gkey")
+        .map_groups(mutual_group, batch_format="pandas")
+    )

@@ -601,3 +601,49 @@ def test_mmr_validation(embeddings):
         mmr_rerank(ds, q, M[q], k=10, n_cand=5)
     with pytest.raises(EngineValueError):
         mmr_rerank(ds, q, M[q], lam=0.0)
+
+
+def test_mutual_knn_properties(embeddings):
+    from datafiller_ray.pipelines.ann import mutual_knn
+
+    ds, M = embeddings
+    got = mutual_knn(ds, k=5).to_pandas()
+    assert len(got) > 0
+    # canonical orientation, valid ranks
+    assert (got["vec_a"] < got["vec_b"]).all()
+    assert got["rank_ab"].between(1, 5).all()
+    assert got["rank_ba"].between(1, 5).all()
+    # no duplicate pairs survive the exchange
+    assert not got.duplicated(["vec_a", "vec_b"]).any()
+    # brute-force mutuality replica
+    Mn = M.astype(np.float64)
+    Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 6)
+    np.fill_diagonal(S, -np.inf)
+    n = len(M)
+    vids = np.arange(n)
+    tops = [set(np.lexsort((vids, -S[i]))[:5].tolist()) for i in range(n)]
+    expect = {
+        (i, j)
+        for i in range(n)
+        for j in tops[i]
+        if i < j and i in tops[j]
+    }
+    assert set(zip(got["vec_a"], got["vec_b"])) == expect
+    # mutual edges connect genuinely near vectors on the clustered fixture
+    sims = S[got["vec_a"].to_numpy(), got["vec_b"].to_numpy()]
+    np.testing.assert_allclose(got["sim"].to_numpy(), sims)
+    # block-layout invariance of the whole graph
+    again = mutual_knn(ds.repartition(5), k=5).to_pandas()
+    lhs = got.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    rhs = again.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lhs, rhs)
+
+
+def test_mutual_knn_validation(embeddings):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.ann import mutual_knn
+
+    ds, _ = embeddings
+    with pytest.raises(EngineValueError):
+        mutual_knn(ds, k=0)
