@@ -5519,6 +5519,15 @@ def _ann_pq_topk(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _wasserstein_drift(sf_dir: str):
+    """Per-source exact 1-D Wasserstein-1 distance vs the pooled corpus
+    n_chars distribution — pipelines/corpus.wasserstein_drift; SQL oracle
+    is the DuckDB HUGEINT cross-numerator CDF-area query."""
+    from datafiller_ray.pipelines.corpus import wasserstein_drift
+
+    return wasserstein_drift(_read(sf_dir, "documents"))
+
+
 def _mutual_knn(sf_dir: str):
     """Mutual cosine-kNN graph (k=5) over the embeddings corpus —
     pipelines/ann.mutual_knn; vendored independent NumPy oracle
@@ -5868,6 +5877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": _mmr_rerank,
         "logistic_quality": _logistic_quality,
         "mutual_knn": _mutual_knn,
+        "wasserstein_drift": _wasserstein_drift,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -8717,6 +8727,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN n na ON na.source = a.source
             JOIN n nb ON nb.source = b.source
             GROUP BY a.source, b.source, na.n, nb.n
+        """,
+        "wasserstein_drift": """
+            WITH c AS (SELECT source, n_chars AS v, count(*)::BIGINT AS cnt
+                       FROM documents GROUP BY 1, 2),
+            n AS (SELECT source, count(*)::BIGINT AS n
+                  FROM documents GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS nn FROM documents),
+            grid AS (SELECT DISTINCT v FROM c),
+            gv AS (SELECT v, LEAD(v) OVER (ORDER BY v) - v AS dv FROM grid),
+            gc AS (SELECT s.source, g.v
+                   FROM (SELECT DISTINCT source FROM c) s CROSS JOIN grid g),
+            cum AS (SELECT gc.source, gc.v,
+                           SUM(COALESCE(c.cnt, 0)) OVER (
+                               PARTITION BY gc.source ORDER BY gc.v) AS cum
+                    FROM gc LEFT JOIN c
+                      ON c.source = gc.source AND c.v = gc.v),
+            pool AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum
+                     FROM (SELECT v, SUM(cnt)::BIGINT AS cnt
+                           FROM c GROUP BY v))
+            SELECT a.source, n.n AS n_rows,
+                   floor(CAST(SUM(ABS(CAST(a.cum AS HUGEINT) * tot.nn
+                                      - CAST(p.cum AS HUGEINT) * n.n)
+                                  * gv.dv) AS DOUBLE)
+                         / (n.n * tot.nn) * 1000000 + 0.5) / 1000000.0
+                       AS w1
+            FROM cum a
+            JOIN pool p ON p.v = a.v
+            JOIN gv ON gv.v = a.v
+            JOIN n ON n.source = a.source
+            CROSS JOIN tot
+            WHERE gv.dv IS NOT NULL
+            GROUP BY a.source, n.n, tot.nn
         """,
         "length_ntile": """
             SELECT doc_id, n_chars,

@@ -2138,3 +2138,76 @@ def test_token_pagerank_validates_params():
         token_pagerank("/tmp/x", n_iter=0)
     with pytest.raises(EngineValueError):
         token_pagerank("/tmp/x", damping_pct=100)
+
+
+def test_wasserstein_drift_matches_literal_cdf_area(ray_session):
+    """Pin against the literal CDF-area W1 definition on the union grid."""
+    from datafiller_ray.pipelines.corpus import wasserstein_drift
+
+    rng = np.random.default_rng(33)
+    a = rng.integers(10, 40, 200)
+    b = rng.integers(25, 55, 300)  # shifted distribution
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "text": "x",
+            "lang": "en",
+            "source": ["a"] * 200 + ["b"] * 300,
+            "n_chars": np.concatenate([a, b]),
+        }
+    )
+    out = (
+        wasserstein_drift(ray.data.from_pandas(df).repartition(7))
+        .to_pandas()
+        .set_index("source")
+    )
+    pooled = np.concatenate([a, b])
+
+    def literal_w1(x, y):
+        grid = np.union1d(x, y).astype(np.float64)
+        fx = np.searchsorted(np.sort(x), grid, side="right") / x.size
+        fy = np.searchsorted(np.sort(y), grid, side="right") / y.size
+        return float(np.sum(np.abs(fx - fy)[:-1] * np.diff(grid)))
+
+    for src, vals in {"a": a, "b": b}.items():
+        got = float(out.loc[src, "w1"])
+        assert abs(got - literal_w1(vals, pooled)) < 1e-6, src
+    assert out.loc["a", "n_rows"] == 200
+    # the shifted source drifts from the pool at least as much as its
+    # complement weighted by size (sanity: both strictly positive)
+    assert (out["w1"] > 0).all()
+
+
+def test_wasserstein_drift_single_source_is_zero(ray_session):
+    # one source: pooled distribution IS the source -> W1 exactly 0
+    from datafiller_ray.pipelines.corpus import wasserstein_drift
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(50, dtype=np.int64),
+            "text": "x",
+            "lang": "en",
+            "source": "only",
+            "n_chars": np.arange(50, dtype=np.int64) % 7 + 3,
+        }
+    )
+    out = wasserstein_drift(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    assert out["w1"].iloc[0] == 0.0
+
+
+def test_wasserstein_drift_degenerate_grid_empty(ray_session):
+    # a single distinct value has no width: documented empty result
+    from datafiller_ray.pipelines.corpus import wasserstein_drift
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": "x",
+            "lang": "en",
+            "source": ["a", "a", "b", "b"],
+            "n_chars": np.full(4, 9, dtype=np.int64),
+        }
+    )
+    out = wasserstein_drift(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 0
