@@ -5519,6 +5519,14 @@ def _ann_pq_topk(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _knn_outlier(sf_dir: str):
+    """k-th-NN cosine novelty score per embedding (k=5) —
+    pipelines/ann.knn_outlier; vendored independent NumPy oracle."""
+    from datafiller_ray.pipelines.ann import knn_outlier
+
+    return knn_outlier(_read(sf_dir, "embeddings"), k=5)
+
+
 def _wasserstein_drift(sf_dir: str):
     """Per-source exact 1-D Wasserstein-1 distance vs the pooled corpus
     n_chars distribution — pipelines/corpus.wasserstein_drift; SQL oracle
@@ -5878,6 +5886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logistic_quality": _logistic_quality,
         "mutual_knn": _mutual_knn,
         "wasserstein_drift": _wasserstein_drift,
+        "knn_outlier": _knn_outlier,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -7336,6 +7345,34 @@ def _build_sampen_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_knn_outlier_oracle() -> "pd.DataFrame":
+    """Independent k-th-NN replica: full similarity matrix, per-row sort
+    (vs the engine's batched scan + rank filter)."""
+    import pyarrow.parquet as pq
+
+    k = 5
+    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    S = np.round(Mn @ Mn.T, 6)
+    np.fill_diagonal(S, -np.inf)
+    rows = {"vec_id": [], "kth_nn": [], "kth_sim": [], "score": []}
+    for i in range(vids.size):
+        order = np.lexsort((vids, -S[i]))
+        j = order[k - 1]
+        rows["vec_id"].append(int(vids[i]))
+        rows["kth_nn"].append(int(vids[j]))
+        rows["kth_sim"].append(float(S[i, j]))
+        rows["score"].append(float(np.round(1.0 - S[i, j], 6)))
+    out = pd.DataFrame(rows)
+    for c in ("vec_id", "kth_nn"):
+        out[c] = out[c].astype(np.int64)
+    for c in ("kth_sim", "score"):
+        out[c] = out[c].astype(np.float64)
+    return out
+
+
 def _build_mutual_knn_oracle() -> "pd.DataFrame":
     """Independent mutual-kNN replica: one full similarity matrix, diag
     masked, directed top-k per row, set-intersection mutuality (vs the
@@ -7862,6 +7899,7 @@ _FILL_ORACLE_BUILDERS = {
     "mmr_rerank": _build_mmr_oracle,
     "logistic_quality": _build_logit_oracle,
     "mutual_knn": _build_mutual_knn_oracle,
+    "knn_outlier": _build_knn_outlier_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
@@ -9002,6 +9040,10 @@ def oracle_sql() -> dict[str, str]:
         "mutual_knn": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('mutual_knn')}')"
+        ),
+        "knn_outlier": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('knn_outlier')}')"
         ),
         "dtw_distance": (
             "SELECT * FROM read_parquet("

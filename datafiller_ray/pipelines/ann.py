@@ -1814,3 +1814,51 @@ def mutual_knn(
         .groupby("gkey")
         .map_groups(mutual_group, batch_format="pandas")
     )
+
+
+def knn_outlier(
+    embeddings: "ray.data.Dataset", *, k: int = 5
+) -> "ray.data.Dataset":
+    """k-th-nearest-neighbor novelty score per vector: score = 1 -
+    cosine(v, its k-th NN) — the classic distance-based outlier measure
+    (Ramaswamy et al. 2000) adapted to cosine space; high score = the
+    vector sits in no local neighborhood (candidate mislabeled / noise /
+    novel-domain doc worth routing to review before training).
+
+    Shape: the directed edges of :func:`mutual_knn`'s scorer, keeping
+    only each row's rank-k edge — one broadcast matmul pass, NO exchange
+    at all (the score is a per-row reduction). Same brute-baseline caveat
+    as the rest of the exact family."""
+    from datafiller_ray.config import EngineValueError
+
+    if k < 1:
+        raise EngineValueError(f"k must be >= 1, got {k}")
+    df = embeddings.to_pandas()  # brute baseline: corpus broadcast
+    ids = df["vec_id"].to_numpy(np.int64)
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    if k >= ids.size:
+        raise EngineValueError(
+            f"k={k} needs at least k+1 vectors, got {ids.size}"
+        )
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    ref = ray.put({"ids": ids, "matrix": Mn})
+    edges = embeddings.map_batches(
+        _KnnEdgeScorer,
+        fn_constructor_args=(ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def kth_only(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["rank"] == k]
+        return pd.DataFrame(
+            {
+                "vec_id": m["src"].to_numpy(np.int64),
+                "kth_nn": m["dst"].to_numpy(np.int64),
+                "kth_sim": m["sim"].to_numpy(np.float64),
+                "score": np.round(1.0 - m["sim"].to_numpy(np.float64), 6),
+            }
+        )
+
+    return edges.map_batches(kth_only, batch_format="pandas")

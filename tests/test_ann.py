@@ -647,3 +647,42 @@ def test_mutual_knn_validation(embeddings):
     ds, _ = embeddings
     with pytest.raises(EngineValueError):
         mutual_knn(ds, k=0)
+
+
+def test_knn_outlier_flags_injected_novelty(embeddings):
+    from datafiller_ray.pipelines.ann import knn_outlier
+
+    ds, M = embeddings
+    # inject one vector orthogonal-ish to every cluster
+    rng = np.random.default_rng(99)
+    novel = rng.standard_normal(32).astype(np.float32) * 50
+    df = pd.DataFrame({"vec_id": [9999]})
+    df["embedding"] = [novel]
+    ds2 = ds.union(ray.data.from_pandas(df))
+    out = knn_outlier(ds2, k=5).to_pandas().set_index("vec_id")
+    assert len(out) == 801
+    # scores in [0, 2] (cosine range), round6
+    assert out["score"].between(0, 2).all()
+    # the injected vector has (near-)max score: in-cluster members have a
+    # 5th NN at cos ~0.95 -> score ~0.05; the novel point does not
+    med = float(out.drop(9999)["score"].median())
+    assert out.loc[9999, "score"] > med + 0.3
+    # layout invariance
+    again = knn_outlier(ds2.repartition(6), k=5).to_pandas().set_index("vec_id")
+    pd.testing.assert_frame_equal(
+        out.sort_index(), again.sort_index()
+    )
+
+
+def test_knn_outlier_validation(embeddings):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.ann import knn_outlier
+
+    ds, _ = embeddings
+    with pytest.raises(EngineValueError):
+        knn_outlier(ds, k=0)
+    small = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[1.0, 0.0], [0.0, 1.0]]})
+    )
+    with pytest.raises(EngineValueError):
+        knn_outlier(small, k=5)
