@@ -5519,6 +5519,20 @@ def _ann_pq_topk(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _engle_granger(sf_dir: str):
+    """Engle-Granger cointegration screen of every source's hourly token
+    sums against the broadcast reference sources (exact-integer
+    residual numerators, drift-free DF(0) pinned float ending) —
+    pipelines/correlate.engle_granger; vendored independent
+    Fraction-residual oracle (fills.engle_granger_pair)."""
+    from datafiller_ray.pipelines.correlate import engle_granger
+
+    return engle_granger(
+        _fixture(sf_dir), ref_sources=_CORR_REFS, step=3600, min_common=8,
+        check_tokens=False,
+    )
+
+
 def _knn_outlier(sf_dir: str):
     """k-th-NN cosine novelty score per embedding (k=5) —
     pipelines/ann.knn_outlier; vendored independent NumPy oracle."""
@@ -5887,6 +5901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_knn": _mutual_knn,
         "wasserstein_drift": _wasserstein_drift,
         "knn_outlier": _knn_outlier,
+        "engle_granger": _engle_granger,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -7345,6 +7360,51 @@ def _build_sampen_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_eg_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    series = {
+        src_: o.hourly_observed(fr)
+        for src_, fr in o.minute_series(_read_fixture_frame()).items()
+    }
+    rows = []
+    for src_ in sorted(series):
+        s_ts, s_sum = series[src_]
+        for ref in _CORR_REFS:
+            if ref == src_ or ref not in series:
+                continue
+            r_ts, r_sum = series[ref]
+            # x = reference, y = source, on the common observed buckets
+            xv, yv = o.coint_align(r_ts, r_sum, s_ts, s_sum)
+            if xv.size < 8:
+                continue
+            res = o.engle_granger_pair(
+                [int(v) for v in xv], [int(v) for v in yv]
+            )
+            if res is None:
+                continue
+            beta, gamma, t = res
+            rows.append(
+                (
+                    src_,
+                    ref,
+                    int(xv.size),
+                    float(o.round_half_up(np.array([beta]))[0]),
+                    float(o.round_half_up(np.array([gamma]))[0]),
+                    float(o.round_half_up(np.array([t]))[0]),
+                )
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "source", "ref_source", "n_common", "beta", "gamma_hat", "eg_t",
+        ],
+    )
+    out["n_common"] = out["n_common"].astype(np.int64)
+    for c in ("beta", "gamma_hat", "eg_t"):
+        out[c] = out[c].astype(np.float64)
+    return out
+
+
 def _build_knn_outlier_oracle() -> "pd.DataFrame":
     """Independent k-th-NN replica: full similarity matrix, per-row sort
     (vs the engine's batched scan + rank filter)."""
@@ -7900,6 +7960,7 @@ _FILL_ORACLE_BUILDERS = {
     "logistic_quality": _build_logit_oracle,
     "mutual_knn": _build_mutual_knn_oracle,
     "knn_outlier": _build_knn_outlier_oracle,
+    "engle_granger": _build_eg_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
@@ -9044,6 +9105,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_outlier": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('knn_outlier')}')"
+        ),
+        "engle_granger": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('engle_granger')}')"
         ),
         "dtw_distance": (
             "SELECT * FROM read_parquet("

@@ -812,3 +812,145 @@ def granger_causality(
     return _run_per_source(
         input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
     )
+
+
+def _eg_one_source(
+    obs: pd.DataFrame,
+    source: str,
+    refs: "dict[str, tuple[np.ndarray, np.ndarray]]",
+    step: int,
+    min_common: int,
+) -> pd.DataFrame:
+    """Engle-Granger two-step for one source against each broadcast
+    reference: (1) cointegrating OLS y = a + b*x on the common observed
+    ``step``-grain buckets, residuals kept as EXACT integer numerators
+    r_t = y_t*n*d1x - sy*d1x + num1*sx - num1*n*x_t over the common
+    denominator n*d1x (unbounded Python ints — no overflow at any
+    scale); (2) the drift-free DF(0) t on those residuals, which is
+    scale-invariant in the denominator, so the pinned float expression
+    t = A*sqrt(m-1)/sqrt(dd*B - A^2) runs on raw integer moments
+    A = sum r_{t-1} dr_t, B = sum r_{t-1}^2, dd = sum dr_t^2."""
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    x_ts, x_sum = _hourly(ts, s, step)
+    names, ns, betas, gammas, tstats = [], [], [], [], []
+    for ref_name in sorted(refs):
+        if ref_name == source:
+            continue
+        rts, rsum = refs[ref_name]
+        pos = np.searchsorted(rts, x_ts)
+        pos_c = np.minimum(pos, max(rts.size - 1, 0))
+        hit = (rts.size > 0) & (rts[pos_c] == x_ts)
+        n = int(hit.sum())
+        if n < min_common:
+            continue
+        # y = the SOURCE series regressed on x = the reference series
+        y = [int(v) for v in x_sum[hit]]
+        x = [int(v) for v in rsum[pos_c[hit]]]
+        sx, sy = sum(x), sum(y)
+        sxx = sum(v * v for v in x)
+        sxy = sum(a * b for a, b in zip(x, y))
+        d1x = n * sxx - sx * sx
+        if d1x <= 0:
+            continue
+        num1 = n * sxy - sx * sy
+        c0 = num1 * sx - sy * d1x
+        r = [yi * n * d1x + c0 - num1 * n * xi for xi, yi in zip(x, y)]
+        prev = r[:-1]
+        dr = [b - a for a, b in zip(r[:-1], r[1:])]
+        m = len(dr)
+        if m < 3:
+            continue
+        A = sum(p * d for p, d in zip(prev, dr))
+        B = sum(p * p for p in prev)
+        dd = sum(d * d for d in dr)
+        if B <= 0:
+            continue
+        rrd = float(dd) * float(B) - float(A) * float(A)
+        if not rrd > 0.0:
+            continue
+        names.append(ref_name)
+        ns.append(n)
+        betas.append(float(num1) / float(d1x))
+        gammas.append(float(A) / float(B))
+        tstats.append(float(A) * math.sqrt(float(m - 1)) / math.sqrt(rrd))
+    out = pd.DataFrame(
+        {
+            "source": np.full(len(names), source, dtype=object),
+            "ref_source": np.asarray(names, dtype=object),
+            "n_common": np.asarray(ns, dtype=np.int64),
+            "beta": _round6_half_up(np.asarray(betas, dtype=np.float64)),
+            "gamma_hat": _round6_half_up(np.asarray(gammas, dtype=np.float64)),
+            "eg_t": _round6_half_up(np.asarray(tstats, dtype=np.float64)),
+        }
+    )
+    if not len(out):
+        out["source"] = out["source"].astype("string")
+        out["ref_source"] = out["ref_source"].astype("string")
+    return out
+
+
+def engle_granger(
+    input_path,
+    *,
+    ref_sources: "tuple[str, ...] | list[str]",
+    step: int = 3600,
+    min_common: int = 8,
+    max_refs: int = _MAX_REFS_DEFAULT,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """Engle-Granger cointegration screen: for every (source, reference)
+    pair, the cointegrating slope ``beta`` and the drift-free
+    Dickey-Fuller t statistic ``eg_t`` of the OLS residuals of the
+    source's ``step``-grain token sums regressed on the reference's —
+    strongly negative eg_t means the two volume series share a common
+    stochastic trend (they never drift apart), the equilibrium-link test
+    that :func:`source_correlation` (co-movement) and
+    :func:`granger_causality` (lead-lag) cannot answer.
+
+    Same broadcast + single-exchange shape as the rest of this module;
+    numerics are exact-integer end-to-end (residual numerators are
+    unbounded Python ints) with the pinned two-float-op ending shared
+    with ``adf_stat``. Pairs with fewer than ``min_common`` common
+    buckets, a degenerate regressor, or an exact fit are omitted; a
+    reference is never tested against itself. Non-SQL (unbounded
+    rational arithmetic); oracled by the vendored independent
+    Fraction-residual replica (tests/oracle/fills.py)."""
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _run_per_source
+
+    refs_t = tuple(dict.fromkeys(ref_sources))
+    if not refs_t:
+        raise EngineValueError("ref_sources must be non-empty")
+    if len(refs_t) > max_refs:
+        raise EngineValueError(
+            f"{len(refs_t)} reference sources exceed max_refs={max_refs}; "
+            "the reference set is the broadcast small side"
+        )
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    if min_common < 4:
+        raise EngineValueError(f"min_common must be >= 4, got {min_common}")
+    series_1m = _reference_series(input_path, refs_t, check_tokens=check_tokens)
+    missing = [s for s in refs_t if s not in series_1m]
+    if missing:
+        raise EngineValueError(f"reference sources not in input: {missing}")
+    refs = {
+        name: _hourly(ts, s, step) for name, (ts, s) in series_1m.items()
+    }
+    handle = ray.put(refs)
+
+    def one_source(obs: pd.DataFrame, src: str) -> pd.DataFrame:
+        import ray as _ray
+
+        r = _ray.get(handle)
+        return _eg_one_source(obs, src, r, step, min_common)
+
+    return _run_per_source(
+        input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
+    )

@@ -1689,3 +1689,53 @@ def sampen_counts(y: np.ndarray, m: int, r: float):
     return int(np.count_nonzero(chebm <= r)), int(
         np.count_nonzero(chebm1 <= r)
     )
+
+
+def engle_granger_pair(x, y):
+    """Independent Engle-Granger replica for one aligned (x=reference,
+    y=source) integer pair: Fraction-exact OLS residuals scaled by the
+    common denominator n*d1x into exact integers (vs the engine's direct
+    numerator formula), then the drift-free DF(0) pinned float ending.
+    Returns (beta, gamma, t) floats or None if the pair is degenerate."""
+    import math
+    from fractions import Fraction
+
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    d1x = n * sxx - sx * sx
+    if d1x <= 0:
+        return None
+    num1 = n * sxy - sx * sy
+    b = Fraction(num1, d1x)
+    a = Fraction(sy, n) - b * Fraction(sx, n)
+    den = n * d1x
+    r = [int((Fraction(yi) - a - b * xi) * den) for xi, yi in zip(x, y)]
+    dr = [r[i + 1] - r[i] for i in range(len(r) - 1)]
+    m = len(dr)
+    if m < 3:
+        return None
+    A = sum(r[i] * dr[i] for i in range(m))
+    B = sum(r[i] * r[i] for i in range(m))
+    dd = sum(d * d for d in dr)
+    if B <= 0:
+        return None
+    rrd = float(dd) * float(B) - float(A) * float(A)
+    if not rrd > 0.0:
+        return None
+    return (
+        float(num1) / float(d1x),
+        float(A) / float(B),
+        float(A) * math.sqrt(float(m - 1)) / math.sqrt(rrd),
+    )
+
+
+def coint_align(x_ts, x_sum, y_ts, y_sum):
+    """Common-bucket alignment for cointegration (pandas merge route,
+    independent of the engine's searchsorted): values of both series on
+    the intersection of their observed grids."""
+    m = pd.DataFrame({"t": x_ts, "x": x_sum}).merge(
+        pd.DataFrame({"t": y_ts, "y": y_sum}), on="t"
+    )
+    return m["x"].to_numpy(np.int64), m["y"].to_numpy(np.int64)

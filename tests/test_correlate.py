@@ -347,3 +347,60 @@ def test_granger_rank_deficient_and_perfect_fit_omitted():
     bv3 = np.array([3, 1, 4, 1, 5], np.int64)
     y3 = 2 * av3 + 3 * bv3 + 7
     assert _granger_f_from_moments(*moments(y3, av3, bv3)) is None
+
+
+def test_engle_granger_kernel_matches_fraction_oracle():
+    """Engine integer-numerator residual path == oracle Fraction path,
+    bit for bit, on random integer pairs."""
+    from datafiller_ray.pipelines.correlate import _eg_one_source
+
+    o = _oracle_fills_mod()
+    rng = np.random.default_rng(17)
+    n_h = 40
+    ts = np.arange(n_h * 60, dtype=np.int64) * 60
+    src_min = rng.integers(1, 100, size=ts.size).astype(np.int64)
+    obs = pd.DataFrame({"bucket_ts": ts, "sum": src_min})
+    r_ts = np.arange(n_h, dtype=np.int64) * 3600
+    r_sum = rng.integers(1, 5000, size=n_h).astype(np.int64)
+    out = _eg_one_source(obs, "s", {"r": (r_ts, r_sum)}, 3600, 8)
+    assert len(out) == 1 and out["n_common"].iloc[0] == n_h
+    y_h = src_min.reshape(n_h, 60).sum(axis=1)
+    res = o.engle_granger_pair(
+        [int(v) for v in r_sum], [int(v) for v in y_h]
+    )
+    beta, gamma, t = res
+    rh = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)
+    assert out["beta"].iloc[0] == rh(beta)
+    assert out["gamma_hat"].iloc[0] == rh(gamma)
+    assert out["eg_t"].iloc[0] == rh(t)
+
+
+def test_engle_granger_detects_planted_cointegration(ray_session):
+    """A pair sharing a random-walk trend must test far more stationary
+    (more negative eg_t) than an independent random-walk pair."""
+    from datafiller_ray.pipelines.correlate import _eg_one_source
+
+    rng = np.random.default_rng(5)
+    n_h = 200
+    walk = np.cumsum(rng.integers(-30, 31, size=n_h)).astype(np.int64) + 5000
+    coint = 2 * walk + rng.integers(-20, 21, size=n_h)  # shares the trend
+    other = np.cumsum(rng.integers(-30, 31, size=n_h)).astype(np.int64) + 5000
+    ts_h = np.arange(n_h, dtype=np.int64) * 3600
+    obs = pd.DataFrame({"bucket_ts": ts_h, "sum": coint})
+    refs = {"walk": (ts_h, walk), "other": (ts_h, other)}
+    out = _eg_one_source(obs, "s", refs, 3600, 8).set_index("ref_source")
+    assert out.loc["walk", "eg_t"] < -6.0  # residuals are pure noise
+    assert out.loc["walk", "eg_t"] < out.loc["other", "eg_t"] - 3.0
+    assert abs(out.loc["walk", "beta"] - 2.0) < 0.05
+
+
+def test_engle_granger_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.correlate import engle_granger
+
+    with pytest.raises(EngineValueError):
+        engle_granger("/tmp/x", ref_sources=())
+    with pytest.raises(EngineValueError):
+        engle_granger("/tmp/x", ref_sources=("a",), step=61)
+    with pytest.raises(EngineValueError):
+        engle_granger("/tmp/x", ref_sources=("a",), min_common=2)
