@@ -5519,6 +5519,19 @@ def _ann_pq_topk(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _spearman_1h(sf_dir: str):
+    """Spearman rank correlation of hourly token sums vs the broadcast
+    reference sources (exact doubled tie-averaged ranks, pinned
+    Pearson-on-ranks float) — pipelines/correlate.spearman_correlation;
+    vendored pandas-rank oracle."""
+    from datafiller_ray.pipelines.correlate import spearman_correlation
+
+    return spearman_correlation(
+        _fixture(sf_dir), ref_sources=_CORR_REFS, step=3600, min_common=8,
+        check_tokens=False,
+    )
+
+
 def _engle_granger(sf_dir: str):
     """Engle-Granger cointegration screen of every source's hourly token
     sums against the broadcast reference sources (exact-integer
@@ -5902,6 +5915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wasserstein_drift": _wasserstein_drift,
         "knn_outlier": _knn_outlier,
         "engle_granger": _engle_granger,
+        "spearman_1h": _spearman_1h,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -7360,6 +7374,50 @@ def _build_sampen_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_spearman_oracle() -> "pd.DataFrame":
+    """Independent Spearman replica: pandas tie-averaged ranks doubled to
+    exact ints (vs the engine's unique-run construction), then the same
+    pinned Pearson-on-ranks expression on Python-int moments."""
+    import math
+
+    o = _fills_oracle_module()
+    series = {
+        src_: o.hourly_observed(fr)
+        for src_, fr in o.minute_series(_read_fixture_frame()).items()
+    }
+    rows = []
+    for src_ in sorted(series):
+        s_ts, s_sum = series[src_]
+        for ref in _CORR_REFS:
+            if ref == src_ or ref not in series:
+                continue
+            r_ts, r_sum = series[ref]
+            xv, yv = o.coint_align(s_ts, s_sum, r_ts, r_sum)
+            n = int(xv.size)
+            if n < 8:
+                continue
+            rx = (pd.Series(xv).rank(method="average") * 2).astype(np.int64)
+            ry = (pd.Series(yv).rank(method="average") * 2).astype(np.int64)
+            sx, sy = int(rx.sum()), int(ry.sum())
+            sxy = int(np.dot(rx, ry))
+            sxx, syy = int(np.dot(rx, rx)), int(np.dot(ry, ry))
+            num = n * sxy - sx * sy
+            d1 = n * sxx - sx * sx
+            d2 = n * syy - sy * sy
+            if d1 <= 0 or d2 <= 0:
+                continue
+            rho = float(num) / math.sqrt(float(d1) * float(d2))
+            rows.append(
+                (src_, ref, n, float(o.round_half_up(np.array([rho]))[0]))
+            )
+    out = pd.DataFrame(
+        rows, columns=["source", "ref_source", "n_common", "rho"]
+    )
+    out["n_common"] = out["n_common"].astype(np.int64)
+    out["rho"] = out["rho"].astype(np.float64)
+    return out
+
+
 def _build_eg_oracle() -> "pd.DataFrame":
     o = _fills_oracle_module()
     series = {
@@ -7961,6 +8019,7 @@ _FILL_ORACLE_BUILDERS = {
     "mutual_knn": _build_mutual_knn_oracle,
     "knn_outlier": _build_knn_outlier_oracle,
     "engle_granger": _build_eg_oracle,
+    "spearman_1h": _build_spearman_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
@@ -9109,6 +9168,10 @@ def oracle_sql() -> dict[str, str]:
         "engle_granger": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('engle_granger')}')"
+        ),
+        "spearman_1h": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('spearman_1h')}')"
         ),
         "dtw_distance": (
             "SELECT * FROM read_parquet("

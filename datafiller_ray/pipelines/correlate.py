@@ -954,3 +954,127 @@ def engle_granger(
     return _run_per_source(
         input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
     )
+
+
+def _double_ranks(v: np.ndarray) -> np.ndarray:
+    """2x tie-averaged ranks as exact int64: for a tie run occupying
+    1-based ranks [s, e], the average rank is (s+e)/2, so its double is
+    the integer s+e. Vectorized via unique counts."""
+    order = np.argsort(v, kind="stable")
+    sorted_v = v[order]
+    starts = np.flatnonzero(np.r_[True, sorted_v[1:] != sorted_v[:-1]])
+    ends = np.r_[starts[1:], v.size]
+    run_id = np.cumsum(np.r_[False, sorted_v[1:] != sorted_v[:-1]])
+    dbl_sorted = (starts + ends + 1)[run_id]  # (s+1) + e in 1-based
+    out = np.empty(v.size, dtype=np.int64)
+    out[order] = dbl_sorted
+    return out
+
+
+def _spearman_one_source(
+    obs: pd.DataFrame,
+    source: str,
+    refs: "dict[str, tuple[np.ndarray, np.ndarray]]",
+    step: int,
+    min_common: int,
+) -> pd.DataFrame:
+    ts = obs["bucket_ts"].to_numpy(np.int64)
+    s = obs["sum"].to_numpy(np.int64)
+    x_ts, x_sum = _hourly(ts, s, step)
+    names, ns, rhos = [], [], []
+    for ref_name in sorted(refs):
+        if ref_name == source:
+            continue
+        rts, rsum = refs[ref_name]
+        pos = np.searchsorted(rts, x_ts)
+        pos_c = np.minimum(pos, max(rts.size - 1, 0))
+        hit = (rts.size > 0) & (rts[pos_c] == x_ts)
+        n = int(hit.sum())
+        if n < min_common:
+            continue
+        rx = _double_ranks(x_sum[hit])
+        ry = _double_ranks(rsum[pos_c[hit]])
+        sx, sy = int(rx.sum()), int(ry.sum())
+        sxy = int(np.dot(rx, ry))
+        sxx, syy = int(np.dot(rx, rx)), int(np.dot(ry, ry))
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:  # a constant series has no rank order
+            continue
+        names.append(ref_name)
+        ns.append(n)
+        rhos.append(float(num) / math.sqrt(float(d1) * float(d2)))
+    out = pd.DataFrame(
+        {
+            "source": np.full(len(names), source, dtype=object),
+            "ref_source": np.asarray(names, dtype=object),
+            "n_common": np.asarray(ns, dtype=np.int64),
+            "rho": _round6_half_up(np.asarray(rhos, dtype=np.float64)),
+        }
+    )
+    if not len(out):
+        out["source"] = out["source"].astype("string")
+        out["ref_source"] = out["ref_source"].astype("string")
+    return out
+
+
+def spearman_correlation(
+    input_path,
+    *,
+    ref_sources: "tuple[str, ...] | list[str]",
+    step: int = 3600,
+    min_common: int = 8,
+    max_refs: int = _MAX_REFS_DEFAULT,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+) -> "Dataset":
+    """Spearman rank correlation of every source's ``step``-grain token
+    sums against the broadcast reference sources — the monotone-relation
+    screen that is robust to the heavy-tailed outliers Pearson
+    (:func:`source_correlation`) is dragged by.
+
+    Exactness: tie-averaged ranks are DOUBLED into exact int64
+    (:func:`_double_ranks`), Pearson-on-ranks is scale-invariant, and all
+    five moments are exact integers — the only float is the pinned
+    ``num / sqrt(double(d1) * double(d2))`` + round6 shared with the
+    Pearson operator. Same broadcast + single-exchange scale shape as the
+    rest of this module. Non-SQL-trivial tie handling; oracled by the
+    vendored pandas-rank replica."""
+    import ray
+
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _run_per_source
+
+    refs_t = tuple(dict.fromkeys(ref_sources))
+    if not refs_t:
+        raise EngineValueError("ref_sources must be non-empty")
+    if len(refs_t) > max_refs:
+        raise EngineValueError(
+            f"{len(refs_t)} reference sources exceed max_refs={max_refs}; "
+            "the reference set is the broadcast small side"
+        )
+    if step < 60 or step % 60:
+        raise EngineValueError(
+            f"step must be a positive multiple of 60, got {step}"
+        )
+    if min_common < 3:
+        raise EngineValueError(f"min_common must be >= 3, got {min_common}")
+    series_1m = _reference_series(input_path, refs_t, check_tokens=check_tokens)
+    missing = [s for s in refs_t if s not in series_1m]
+    if missing:
+        raise EngineValueError(f"reference sources not in input: {missing}")
+    refs = {
+        name: _hourly(ts, s, step) for name, (ts, s) in series_1m.items()
+    }
+    handle = ray.put(refs)
+
+    def one_source(obs: pd.DataFrame, src: str) -> pd.DataFrame:
+        import ray as _ray
+
+        r = _ray.get(handle)
+        return _spearman_one_source(obs, src, r, step, min_common)
+
+    return _run_per_source(
+        input_path, one_source, check_tokens=check_tokens, shuffle=shuffle
+    )

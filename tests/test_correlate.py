@@ -404,3 +404,45 @@ def test_engle_granger_validation(ray_session):
         engle_granger("/tmp/x", ref_sources=("a",), step=61)
     with pytest.raises(EngineValueError):
         engle_granger("/tmp/x", ref_sources=("a",), min_common=2)
+
+
+def test_double_ranks_matches_pandas_average():
+    from datafiller_ray.pipelines.correlate import _double_ranks
+
+    rng = np.random.default_rng(23)
+    for n in (1, 2, 7, 100):
+        v = rng.integers(0, 10, size=n).astype(np.int64)  # heavy ties
+        got = _double_ranks(v)
+        want = (pd.Series(v).rank(method="average") * 2).astype(np.int64)
+        np.testing.assert_array_equal(got, want.to_numpy())
+
+
+def test_spearman_kernel_monotone_and_ties():
+    from datafiller_ray.pipelines.correlate import _spearman_one_source
+
+    n_h = 30
+    ts_h = np.arange(n_h, dtype=np.int64) * 3600
+    base = np.arange(n_h, dtype=np.int64) * 7 + 100
+    # a strictly increasing nonlinear transform: Spearman must be exactly 1
+    mono = base ** 2
+    obs = pd.DataFrame({"bucket_ts": ts_h, "sum": base})
+    out = _spearman_one_source(
+        obs, "s", {"mono": (ts_h, mono), "anti": (ts_h, -base)}, 3600, 8
+    ).set_index("ref_source")
+    assert out.loc["mono", "rho"] == 1.0
+    assert out.loc["anti", "rho"] == -1.0
+    # constant reference: omitted (no rank order)
+    out2 = _spearman_one_source(
+        obs, "s", {"const": (ts_h, np.full(n_h, 5, dtype=np.int64))}, 3600, 8
+    )
+    assert len(out2) == 0
+
+
+def test_spearman_validation(ray_session):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.correlate import spearman_correlation
+
+    with pytest.raises(EngineValueError):
+        spearman_correlation("/tmp/x", ref_sources=())
+    with pytest.raises(EngineValueError):
+        spearman_correlation("/tmp/x", ref_sources=("a",), min_common=1)
