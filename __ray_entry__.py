@@ -5519,6 +5519,15 @@ def _ann_pq_topk(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _vopt_histogram(sf_dir: str):
+    """Per-source V-optimal K=4 histogram of hourly token sums
+    (exact-Fraction minimum-SSE DP) — pipelines/window.vopt_histogram;
+    vendored independent full-table DP oracle (fills.vopt_breaks)."""
+    from datafiller_ray.pipelines.window import vopt_histogram
+
+    return vopt_histogram(_fixture(sf_dir), step=3600, n_buckets=4)
+
+
 def _spearman_1h(sf_dir: str):
     """Spearman rank correlation of hourly token sums vs the broadcast
     reference sources (exact doubled tie-averaged ranks, pinned
@@ -5916,6 +5925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_outlier": _knn_outlier,
         "engle_granger": _engle_granger,
         "spearman_1h": _spearman_1h,
+        "vopt_histogram": _vopt_histogram,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -7374,6 +7384,55 @@ def _build_sampen_oracle() -> "pd.DataFrame":
     return out
 
 
+def _build_vopt_oracle() -> "pd.DataFrame":
+    o = _fills_oracle_module()
+    rows = []
+    for src, fr in o.minute_series(_read_fixture_frame()).items():
+        hb, y = o.hourly_observed(fr)
+        bounds = o.vopt_breaks(y, 4)
+        if bounds is None:
+            continue
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(y)])
+        cq = np.concatenate(
+            [np.zeros(1, object), np.cumsum([int(v) * int(v) for v in y])]
+        )
+        for i in range(4):
+            a, c = bounds[i], bounds[i + 1]
+            sv = int(cs[c] - cs[a])
+            qv = int(cq[c]) - int(cq[a])
+            m = c - a
+            num = qv * m - sv * sv
+            rows.append(
+                (
+                    src,
+                    i + 1,
+                    int(hb[a]),
+                    int(hb[c - 1]),
+                    m,
+                    float(
+                        o.round_half_up(np.array([float(sv) / float(m)]))[0]
+                    ),
+                    float(
+                        o.round_half_up(
+                            np.array([float(num) / float(m)])
+                        )[0]
+                    ),
+                )
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "source", "bucket_idx", "start_ts", "end_ts", "n_points",
+            "mean_tok", "sse",
+        ],
+    )
+    for c in ("bucket_idx", "start_ts", "end_ts", "n_points"):
+        out[c] = out[c].astype(np.int64)
+    for c in ("mean_tok", "sse"):
+        out[c] = out[c].astype(np.float64)
+    return out
+
+
 def _build_spearman_oracle() -> "pd.DataFrame":
     """Independent Spearman replica: pandas tie-averaged ranks doubled to
     exact ints (vs the engine's unique-run construction), then the same
@@ -8020,6 +8079,7 @@ _FILL_ORACLE_BUILDERS = {
     "knn_outlier": _build_knn_outlier_oracle,
     "engle_granger": _build_eg_oracle,
     "spearman_1h": _build_spearman_oracle,
+    "vopt_histogram": _build_vopt_oracle,
     "dtw_distance": _build_dtw_oracle,
     "croston_forecast": _build_croston_oracle,
     "haar_energy": _build_haar_oracle,
@@ -9172,6 +9232,10 @@ def oracle_sql() -> dict[str, str]:
         "spearman_1h": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('spearman_1h')}')"
+        ),
+        "vopt_histogram": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('vopt_histogram')}')"
         ),
         "dtw_distance": (
             "SELECT * FROM read_parquet("

@@ -5342,3 +5342,135 @@ def sample_entropy(
         check_tokens=check_tokens,
         shuffle=shuffle,
     )
+
+
+def _vopt_one_source(
+    obs: pd.DataFrame, source: str, step: int, n_buckets: int
+) -> pd.DataFrame:
+    """V-optimal histogram of one source's ``step``-grain sums: the
+    K-bucket piecewise-constant summary minimizing total SSE, by the
+    exact-Fraction dynamic program E[k][t] = min_s E[k-1][s] + C(s, t)
+    (Jagadish et al. 1998). Same exactness argument as PELT: every
+    argmin/tie decision is a Fraction comparison over integer prefix
+    sums (ties -> earliest split), so the bucket set is
+    bit-deterministic; the reported means/SSEs are one division each."""
+    from fractions import Fraction
+
+    empty = _string_typed_if_empty(
+        pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "bucket_idx": pd.Series([], dtype=np.int64),
+                "start_ts": pd.Series([], dtype=np.int64),
+                "end_ts": pd.Series([], dtype=np.int64),
+                "n_points": pd.Series([], dtype=np.int64),
+                "mean_tok": pd.Series([], dtype=np.float64),
+                "sse": pd.Series([], dtype=np.float64),
+            }
+        )
+    )
+    bt, y_arr = _step_sums(obs, step)
+    y = [int(v) for v in y_arr.tolist()]
+    n = len(y)
+    if n < n_buckets:
+        return empty
+    S, Q = [0], [0]
+    for v in y:
+        S.append(S[-1] + v)
+        Q.append(Q[-1] + v * v)
+
+    def cost(a: int, c: int) -> "Fraction":
+        sv = S[c] - S[a]
+        return Fraction((Q[c] - Q[a]) * (c - a) - sv * sv, c - a)
+
+    # E[k][t]: best SSE of the first t points in k buckets (each non-empty)
+    prev_row = [None] * (n + 1)
+    prev_row[0] = Fraction(0)
+    back: "list[list[int]]" = []
+    for k in range(1, n_buckets + 1):
+        cur = [None] * (n + 1)
+        barg = [0] * (n + 1)
+        lo = k - 1  # at least k-1 points consumed by earlier buckets
+        for t in range(k, n + 1):
+            if k == n_buckets and t < n:
+                continue  # only the full-series cell matters in the last row
+            best, bs = None, -1
+            for s in range(lo, t):
+                e = prev_row[s]
+                if e is None:
+                    continue
+                v = e + cost(s, t)
+                if best is None or v < best or (v == best and s < bs):
+                    best, bs = v, s
+            cur[t], barg[t] = best, bs
+        back.append(barg)
+        prev_row = cur
+    bounds = [n]
+    t = n
+    for k in range(n_buckets, 0, -1):
+        t = back[k - 1][t]
+        bounds.append(t)
+    bounds.reverse()  # 0 = b_0 < b_1 < ... < b_K = n
+    rows = []
+    for i in range(n_buckets):
+        a, c = bounds[i], bounds[i + 1]
+        sv = S[c] - S[a]
+        m = c - a
+        # raw-integer division (NOT float(Fraction)): Fraction reduces to
+        # lowest terms, and float(reduced)/float(reduced_den) can differ
+        # from the oracle's float(raw)/float(m) by an ulp on huge ints
+        sse_num = (Q[c] - Q[a]) * m - sv * sv
+        rows.append(
+            (
+                source,
+                i + 1,
+                int(bt[a]),
+                int(bt[c - 1]),
+                m,
+                float(sv) / float(m),
+                float(sse_num) / float(m),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "source", "bucket_idx", "start_ts", "end_ts", "n_points",
+            "mean_tok", "sse",
+        ],
+    )
+    for c in ("bucket_idx", "start_ts", "end_ts", "n_points"):
+        out[c] = out[c].astype(np.int64)
+    out["mean_tok"] = _round6_half_up(out["mean_tok"].to_numpy(np.float64))
+    out["sse"] = _round6_half_up(out["sse"].to_numpy(np.float64))
+    return out
+
+
+def vopt_histogram(
+    input_path,
+    *,
+    step: int = 3600,
+    n_buckets: int = 4,
+    check_tokens: bool = False,
+    shuffle: str = "sort",
+):
+    """Per-source V-optimal histogram: the K-bucket piecewise-constant
+    synopsis of the ``step``-grain token sums with MINIMUM total SSE —
+    the fixed-budget sibling of :func:`pelt_changepoints` (PELT chooses
+    how many segments via a penalty; V-optimal answers "summarize this
+    stream in exactly K rows", the synopsis a planner or dashboard
+    actually stores). Sources with fewer than ``n_buckets`` observed
+    buckets are omitted."""
+    from datafiller_ray.config import EngineValueError
+
+    if step < 60:
+        raise EngineValueError(f"step must be >= 60, got {step}")
+    if not 1 <= n_buckets <= 64:
+        raise EngineValueError(
+            f"n_buckets must be in [1, 64], got {n_buckets}"
+        )
+    return _run_per_source(
+        input_path,
+        lambda obs, src: _vopt_one_source(obs, src, step, n_buckets),
+        check_tokens=check_tokens,
+        shuffle=shuffle,
+    )

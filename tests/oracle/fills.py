@@ -1739,3 +1739,47 @@ def coint_align(x_ts, x_sum, y_ts, y_sum):
         pd.DataFrame({"t": y_ts, "y": y_sum}), on="t"
     )
     return m["x"].to_numpy(np.int64), m["y"].to_numpy(np.int64)
+
+
+def vopt_breaks(y, k):
+    """Independent V-optimal DP replica: full 2-D table over all cells
+    (vs the engine's rolling row + last-row pruning). Returns the break
+    index list [0 = b_0 < ... < b_k = n] or None if n < k. All
+    comparisons are exact Fractions; ties -> earliest split."""
+    from fractions import Fraction
+
+    vals = [int(v) for v in y]
+    n = len(vals)
+    if n < k:
+        return None
+    ps = [0] * (n + 1)
+    pq = [0] * (n + 1)
+    for i, v in enumerate(vals):
+        ps[i + 1] = ps[i] + v
+        pq[i + 1] = pq[i] + v * v
+
+    def seg(a, c):
+        sv = ps[c] - ps[a]
+        return Fraction((pq[c] - pq[a]) * (c - a) - sv * sv, c - a)
+
+    INF = None
+    E = [[INF] * (n + 1) for _ in range(k + 1)]
+    B = [[0] * (n + 1) for _ in range(k + 1)]
+    E[0][0] = Fraction(0)
+    for kk in range(1, k + 1):
+        for t in range(kk, n + 1):
+            cands = [
+                (E[kk - 1][s] + seg(s, t), s)
+                for s in range(kk - 1, t)
+                if E[kk - 1][s] is not None
+            ]
+            e, s = min(cands, key=lambda p: (p[0], p[1]))
+            E[kk][t] = e
+            B[kk][t] = s
+    bounds = [n]
+    t = n
+    for kk in range(k, 0, -1):
+        t = B[kk][t]
+        bounds.append(t)
+    bounds.reverse()
+    return bounds

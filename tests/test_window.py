@@ -2968,3 +2968,80 @@ def test_sample_entropy_validation():
         sample_entropy("/tmp/x", m=0)
     with pytest.raises(EngineValueError):
         sample_entropy("/tmp/x", r_mult=0.0)
+
+
+def test_vopt_matches_bruteforce_enumeration():
+    """The Fraction DP must find the globally optimal K-bucket split:
+    compare against brute-force enumeration of all break placements."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    from datafiller_ray.pipelines.window import _vopt_one_source
+
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        n = int(rng.integers(6, 14))
+        y = rng.integers(0, 40, size=n).astype(np.int64)
+        obs = pd.DataFrame(
+            {"bucket_ts": np.arange(n, dtype=np.int64) * 3600, "sum": y}
+        )
+        k = 3
+        out = _vopt_one_source(obs, "s", step=3600, n_buckets=k)
+        assert len(out) == k
+        got_total = Fraction(0)
+        ps = np.concatenate([[0], np.cumsum(y)]).astype(object)
+        pq = np.concatenate(
+            [[0], np.cumsum([int(v) * int(v) for v in y])]
+        ).astype(object)
+
+        def seg(a, c):
+            sv = int(ps[c] - ps[a])
+            return Fraction(int(pq[c] - pq[a]) * (c - a) - sv * sv, c - a)
+
+        # reconstruct the engine's bounds from n_points
+        sizes = out["n_points"].tolist()
+        bounds = np.concatenate([[0], np.cumsum(sizes)]).tolist()
+        got_total = sum(
+            (seg(bounds[i], bounds[i + 1]) for i in range(k)),
+            Fraction(0),
+        )
+        best = min(
+            sum(
+                (seg(b[i], b[i + 1]) for i in range(k)),
+                Fraction(0),
+            )
+            for cuts in combinations(range(1, n), k - 1)
+            for b in [[0, *cuts, n]]
+        )
+        assert got_total == best, (trial, got_total, best)
+
+
+def test_vopt_planted_levels_recovered():
+    from datafiller_ray.pipelines.window import _vopt_one_source
+
+    y = np.concatenate(
+        [np.full(10, 100), np.full(10, 500), np.full(10, 50)]
+    ).astype(np.int64)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(30, dtype=np.int64) * 3600, "sum": y}
+    )
+    out = _vopt_one_source(obs, "s", step=3600, n_buckets=3)
+    assert out["n_points"].tolist() == [10, 10, 10]
+    assert out["mean_tok"].tolist() == [100.0, 500.0, 50.0]
+    assert out["sse"].tolist() == [0.0, 0.0, 0.0]
+    assert out["start_ts"].tolist() == [0, 36000, 72000]
+
+
+def test_vopt_validation_and_short():
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.window import _vopt_one_source, vopt_histogram
+
+    with pytest.raises(EngineValueError):
+        vopt_histogram("/tmp/x", n_buckets=0)
+    with pytest.raises(EngineValueError):
+        vopt_histogram("/tmp/x", step=10)
+    obs = pd.DataFrame(
+        {"bucket_ts": np.arange(2, dtype=np.int64) * 3600,
+         "sum": np.array([1, 2], dtype=np.int64)}
+    )
+    assert len(_vopt_one_source(obs, "s", step=3600, n_buckets=4)) == 0
