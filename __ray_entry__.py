@@ -5519,6 +5519,17 @@ def _ann_pq_topk(sf_dir: str):
     return ds.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _lang_source_contingency(sf_dir: str):
+    """Chi-square contingency census of source x lang (observed /
+    independence-expected / standardized Pearson residual per cell,
+    zero cells included) — pipelines/corpus.lang_source_contingency;
+    SQL oracle is the DuckDB margins-cross-join query with the same
+    pinned float expressions."""
+    from datafiller_ray.pipelines.corpus import lang_source_contingency
+
+    return lang_source_contingency(_read(sf_dir, "documents"))
+
+
 def _vopt_histogram(sf_dir: str):
     """Per-source V-optimal K=4 histogram of hourly token sums
     (exact-Fraction minimum-SSE DP) — pipelines/window.vopt_histogram;
@@ -5926,6 +5937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engle_granger": _engle_granger,
         "spearman_1h": _spearman_1h,
         "vopt_histogram": _vopt_histogram,
+        "lang_source_contingency": _lang_source_contingency,
         "lead_lag_xcorr": _lead_lag_xcorr,
         "holt_winters_1m": _holt_winters_1m,
         "holt_damped_1m": _holt_damped_1m,
@@ -8945,6 +8957,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN n na ON na.source = a.source
             JOIN n nb ON nb.source = b.source
             GROUP BY a.source, b.source, na.n, nb.n
+        """,
+        "lang_source_contingency": """
+            WITH c AS (SELECT source, lang, count(*)::BIGINT AS cnt
+                       FROM documents GROUP BY 1, 2),
+            r AS (SELECT source, count(*)::BIGINT AS rn
+                  FROM documents GROUP BY 1),
+            l AS (SELECT lang, count(*)::BIGINT AS cn
+                  FROM documents GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS nn FROM documents)
+            SELECT r.source, l.lang,
+                   COALESCE(c.cnt, 0)::BIGINT AS observed,
+                   floor(CAST(r.rn AS DOUBLE) * l.cn / n.nn
+                         * 1000000 + 0.5) / 1000000.0 AS expected,
+                   floor((COALESCE(c.cnt, 0)
+                          - CAST(r.rn AS DOUBLE) * l.cn / n.nn)
+                         / sqrt(CAST(r.rn AS DOUBLE) * l.cn / n.nn)
+                         * 1000000 + 0.5) / 1000000.0 AS std_resid
+            FROM r CROSS JOIN l CROSS JOIN n
+            LEFT JOIN c ON c.source = r.source AND c.lang = l.lang
         """,
         "wasserstein_drift": """
             WITH c AS (SELECT source, n_chars AS v, count(*)::BIGINT AS cnt

@@ -4639,3 +4639,95 @@ def wasserstein_drift(docs, *, value_col: str = "n_chars"):
             }
         )
     )
+
+
+def lang_source_contingency(docs):
+    """Chi-square contingency analysis of the source x lang table: per
+    cell, the observed count, the independence-expected count
+    ``row_total * col_total / n``, and the standardized Pearson residual
+    ``(o - e) / sqrt(e)`` — the census that shows WHICH source/language
+    pairings are over- or under-represented (residual beyond ~2 = the
+    cell drives the dependence), the categorical counterpart of
+    :func:`wasserstein_drift`.
+
+    Scale shape: only (source, lang, count) integer partials shuffle
+    (bounded by the cross-cardinality, not rows); margins and per-cell
+    floats are a driver fold over that bounded table. Exactness: counts
+    and margins are exact ints; expected/residual are the pinned
+    per-cell float expressions e = double(r)*double(c)/double(n) and
+    (double(o) - e)/sqrt(e), + round6. Cells with observed = 0 are
+    emitted too (they carry the under-representation signal).
+
+    Output: (source, lang, observed, expected, std_resid).
+    """
+    import math
+
+    import ray
+
+    from datafiller_ray.stages.exchange import grouped_sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        slim = pa.table({"source": t["source"], "lang": t["lang"]})
+        agg = slim.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": agg["source"],
+                "lang": agg["lang"],
+                "cnt": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    rows = grouped_sum(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        "cnt",
+    ).to_pandas()  # |sources| x |langs| integer rows, NOT row-sized
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype="string"),
+            "lang": pd.Series([], dtype="string"),
+            "observed": pd.Series([], dtype=np.int64),
+            "expected": pd.Series([], dtype=np.float64),
+            "std_resid": pd.Series([], dtype=np.float64),
+        }
+    )
+    if len(rows) == 0:
+        return ray.data.from_pandas(empty)
+    srcs = sorted(rows["source"].unique())
+    langs = sorted(rows["lang"].unique())
+    s_idx = {s: i for i, s in enumerate(srcs)}
+    l_idx = {v: i for i, v in enumerate(langs)}
+    O = np.zeros((len(srcs), len(langs)), dtype=np.int64)
+    O[
+        rows["source"].map(s_idx).to_numpy(np.int64),
+        rows["lang"].map(l_idx).to_numpy(np.int64),
+    ] = rows["cnt"].to_numpy(np.int64)
+    r = O.sum(axis=1)
+    c = O.sum(axis=0)
+    n = int(O.sum())
+    out_rows = []
+    for i, s in enumerate(srcs):
+        for j, lg in enumerate(langs):
+            e = float(r[i]) * float(c[j]) / float(n)
+            resid = (
+                (float(O[i, j]) - e) / math.sqrt(e) if e > 0.0 else 0.0
+            )
+            out_rows.append(
+                (
+                    s,
+                    lg,
+                    int(O[i, j]),
+                    np.floor(e * 1e6 + 0.5) / 1e6,
+                    np.floor(resid * 1e6 + 0.5) / 1e6,
+                )
+            )
+    out = pd.DataFrame(
+        out_rows,
+        columns=["source", "lang", "observed", "expected", "std_resid"],
+    )
+    out["observed"] = out["observed"].astype(np.int64)
+    for col in ("expected", "std_resid"):
+        out[col] = out[col].astype(np.float64)
+    return ray.data.from_pandas(out)

@@ -2211,3 +2211,37 @@ def test_wasserstein_drift_degenerate_grid_empty(ray_session):
     )
     out = wasserstein_drift(ray.data.from_pandas(df)).to_pandas()
     assert len(out) == 0
+
+
+def test_lang_source_contingency_literal(ray_session):
+    from datafiller_ray.pipelines.corpus import lang_source_contingency
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": "x",
+            "n_chars": 1,
+            "source": ["a"] * 6 + ["b"] * 6,
+            # a is all-en; b is mixed -> en over-represented in a
+            "lang": ["en"] * 6 + ["en", "fr", "fr", "fr", "de", "de"],
+        }
+    )
+    out = (
+        lang_source_contingency(ray.data.from_pandas(df).repartition(5))
+        .to_pandas()
+        .set_index(["source", "lang"])
+        .sort_index()
+    )
+    # full grid including zero cells: 2 sources x 3 langs
+    assert len(out) == 6
+    assert out.loc[("a", "fr"), "observed"] == 0
+    # margins: row a = 6, col en = 7, n = 12 -> e = 3.5
+    assert out.loc[("a", "en"), "expected"] == 3.5
+    exp_resid = (6 - 3.5) / np.sqrt(3.5)
+    got = out.loc[("a", "en"), "std_resid"]
+    assert abs(got - exp_resid) < 1e-6
+    # residuals of a column sum to ~0 when weighted by sqrt(e)... spot
+    # check the mirror cell instead: b/en is under-represented
+    assert out.loc[("b", "en"), "std_resid"] < 0
+    # observed margin conservation
+    assert int(out["observed"].sum()) == 12
