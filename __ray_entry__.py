@@ -377,6 +377,39 @@ def _embedding_near_dup(sf_dir: str):
     return embedding_near_dup(_read(sf_dir, "embeddings"), threshold=0.4)
 
 
+def _embedding_near_dup_scale(sf_dir: str):
+    """The bounded-memory shard-pair-exchange plan of embedding_near_dup
+    (max_broadcast_rows=0 forces the above-the-gate path the engine takes
+    at corpus scale) — bit-identical to the brute plan, same SQL oracle."""
+    from datafiller_ray.pipelines.ann import embedding_near_dup
+
+    return embedding_near_dup(
+        _read(sf_dir, "embeddings"), threshold=0.4, max_broadcast_rows=0
+    )
+
+
+def _mutual_knn_scale(sf_dir: str):
+    """mutual_knn through the blockwise directed-edge exchange (the
+    above-the-gate plan) — bit-identical to the brute plan, same vendored
+    oracle."""
+    from datafiller_ray.pipelines.ann import mutual_knn
+
+    return mutual_knn(
+        _read(sf_dir, "embeddings"), k=5, max_broadcast_rows=0
+    ).select_columns(["vec_a", "vec_b", "sim", "rank_ab", "rank_ba"])
+
+
+def _knn_outlier_scale(sf_dir: str):
+    """knn_outlier through the blockwise directed-edge exchange (the
+    above-the-gate plan) — bit-identical to the brute plan, same vendored
+    oracle."""
+    from datafiller_ray.pipelines.ann import knn_outlier
+
+    return knn_outlier(
+        _read(sf_dir, "embeddings"), k=5, max_broadcast_rows=0
+    )
+
+
 def _embedding_near_dup_lsh(sf_dir: str):
     from datafiller_ray.pipelines.ann import embedding_near_dup_lsh
 
@@ -5768,6 +5801,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": _token_counts,
         "tokenizer_fertility": _tokenizer_fertility,
         "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_scale": _embedding_near_dup_scale,
+        "mutual_knn_scale": _mutual_knn_scale,
+        "knn_outlier_scale": _knn_outlier_scale,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_topk": _ann_topk,
         "ann_filtered_topk": _ann_filtered_topk,
@@ -9176,6 +9212,15 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round_even(list_cosine_similarity(a.de, b.de), 6) >= 0.4
         """,
+        # the blockwise (above-the-gate) plan is bit-identical: same oracle
+        "embedding_near_dup_scale": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round_even(list_cosine_similarity(a.de, b.de), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round_even(list_cosine_similarity(a.de, b.de), 6) >= 0.4
+        """,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh_sql(),
         "simhash": _simhash_sql(),
         "doc_fingerprint": _fingerprint_sql(),
@@ -9253,6 +9298,16 @@ def oracle_sql() -> dict[str, str]:
             f"'{_fill_oracle_parquet('mutual_knn')}')"
         ),
         "knn_outlier": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('knn_outlier')}')"
+        ),
+        # the blockwise (above-the-gate) plans are bit-identical to the
+        # brute plans, so they share the vendored oracles verbatim
+        "mutual_knn_scale": (
+            "SELECT * FROM read_parquet("
+            f"'{_fill_oracle_parquet('mutual_knn')}')"
+        ),
+        "knn_outlier_scale": (
             "SELECT * FROM read_parquet("
             f"'{_fill_oracle_parquet('knn_outlier')}')"
         ),

@@ -440,16 +440,108 @@ class _BruteNearDup:
         )
 
 
-def embedding_near_dup(
-    embeddings: "ray.data.Dataset", *, threshold: float = 0.4
+def _normalize_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+
+
+def _vec_shard(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    from datafiller_ray.functions.hashing import splitmix64
+
+    return (
+        splitmix64(ids.astype(np.int64).view(np.uint64))
+        % np.uint64(n_shards)
+    ).astype(np.int64)
+
+
+_EMPTY_PAIRS = {
+    "vec_a": np.empty(0, dtype=np.int64),
+    "vec_b": np.empty(0, dtype=np.int64),
+    "cosine": np.empty(0, dtype=np.float64),
+}
+
+
+def _blockwise_near_dup(
+    embeddings: "ray.data.Dataset", *, threshold: float, n_shards: int
 ) -> "ray.data.Dataset":
-    """Exact embedding-cosine near-duplicate pairs — the brute-force
-    baseline: the (normalized) corpus matrix is broadcast once (``ray.put``)
-    and every batch emits its qualifying (vec_a < vec_b) edges from one
-    matmul. O(n^2) similarity work by definition; the broadcast side must
-    fit worker memory, so at corpus scale use
+    """Exact embedding-cosine near-dup pairs with BOUNDED task memory — the
+    block-nested-loop exchange: vectors are hash-sharded by ``vec_id`` into
+    ``n_shards`` blocks, each vector is replicated into the ``n_shards``
+    unordered shard-pair groups it participates in (shuffle volume
+    ``n * n_shards`` embedding rows, never a driver or whole-corpus
+    collect), and each (q, c) group scores one shard-pair matmul. Every
+    unordered vector pair lands in exactly one group, so the union of the
+    group outputs equals the brute broadcast scan bit-for-bit under the
+    shared 6-dp round. O(n^2) similarity work stays by definition; peak
+    memory per task is two shards, tuned by ``n_shards``."""
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["vec_id", "embedding"]]
+        shard = _vec_shard(b["vec_id"].to_numpy(np.int64), n_shards)
+        frames = []
+        for t in range(n_shards):
+            f = b.copy()
+            f["shard"] = shard
+            f["gkey"] = (
+                np.minimum(shard, t) * n_shards + np.maximum(shard, t)
+            )
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        q, c = divmod(int(g["gkey"].iloc[0]), n_shards)
+        ids = g["vec_id"].to_numpy(np.int64)
+        shard = g["shard"].to_numpy(np.int64)
+        Mn = _normalize_rows(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        if q == c:
+            sims = np.round(Mn @ Mn.T, 6)
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = ids[ia] < ids[ib]
+            va, vb = ids[ia][keep], ids[ib][keep]
+            cos = sims[ia, ib][keep]
+        else:
+            qm, cm = shard == q, shard == c
+            ids_q, ids_c = ids[qm], ids[cm]
+            sims = np.round(Mn[qm] @ Mn[cm].T, 6)
+            ia, ib = np.nonzero(sims >= threshold)
+            a, b = ids_q[ia], ids_c[ib]
+            va, vb = np.minimum(a, b), np.maximum(a, b)
+            cos = sims[ia, ib]
+        if va.size == 0:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cos})
+
+    return (
+        embeddings.map_batches(replicate, batch_format="pandas")
+        .groupby("gkey")
+        .map_groups(pair_group, batch_format="pandas")
+    )
+
+
+def embedding_near_dup(
+    embeddings: "ray.data.Dataset",
+    *,
+    threshold: float = 0.4,
+    max_broadcast_rows: int = 200_000,
+    n_shards: int = 8,
+) -> "ray.data.Dataset":
+    """Exact embedding-cosine near-duplicate pairs, size-gated between two
+    physical plans with identical output:
+
+    - corpus row count (distributed ``count()``, parquet-metadata cheap)
+      <= ``max_broadcast_rows``: the brute broadcast scan — (normalized)
+      corpus matrix shipped once via ``ray.put``, one matmul per batch;
+    - above the gate: the :func:`_blockwise_near_dup` shard-pair exchange,
+      whose per-task memory is two hash-shards — no whole-corpus driver
+      collect or broadcast anywhere, the 100-TB shape.
+
+    O(n^2) similarity work either way (exactness costs that by
+    definition); for sub-quadratic candidates at corpus scale use
     :func:`embedding_near_dup_lsh` (bucketed candidates, same verify)."""
-    df = embeddings.to_pandas()  # exact baseline: corpus matrix broadcast
+    if embeddings.count() > max_broadcast_rows:
+        return _blockwise_near_dup(
+            embeddings, threshold=threshold, n_shards=n_shards
+        )
+    df = embeddings.to_pandas()  # under the gate: bounded corpus broadcast
     ids = df["vec_id"].to_numpy(np.int64)
     M = np.stack(df["embedding"].to_numpy())
     ref = ray.put({"ids": ids, "matrix": M})
@@ -1747,18 +1839,131 @@ class _KnnEdgeScorer:
         return pd.concat(out, ignore_index=True)
 
 
+def _blockwise_knn_edges(
+    embeddings: "ray.data.Dataset", *, k: int, n_shards: int
+) -> "ray.data.Dataset":
+    """Exact directed cosine-kNN edges with BOUNDED task memory — the
+    block-nested-loop exchange: vectors hash-shard by ``vec_id``; each
+    vector is replicated as QUERY into its row of shard-pair groups and as
+    CORPUS into its column (``2 * n_shards - 1`` replicas, the shuffle is
+    ``O(n * n_shards)`` embedding rows — never a corpus broadcast or
+    driver collect). Each (q, c) group emits per-query partial top-k
+    edges from one shard-pair matmul (ties included past the boundary so
+    the deterministic rule survives the merge); a second bounded exchange
+    (:func:`~datafiller_ray.stages.exchange.grouped_topk` on ``src``, at
+    most ``k * n_shards`` rows per query) applies the identical
+    (sim desc round6, vec_id asc) rule globally. Global top-k of a union
+    is the top-k of per-part top-ks under one total order, so the result
+    matches the brute broadcast scorer bit-for-bit."""
+    from datafiller_ray.stages.exchange import grouped_topk
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["vec_id", "embedding"]]
+        shard = _vec_shard(b["vec_id"].to_numpy(np.int64), n_shards)
+        frames = []
+        for t in range(n_shards):
+            f = b.copy()
+            # query replica in group (shard, t); at t == shard the single
+            # replica carries both roles (bit 1 = query, bit 2 = corpus)
+            f["role"] = np.where(shard == t, 3, 1)
+            f["gkey"] = shard * n_shards + t
+            frames.append(f)
+            off = shard != t
+            f2 = b[off].copy()
+            f2["role"] = 2
+            f2["gkey"] = t * n_shards + shard[off]
+            frames.append(f2)
+        return pd.concat(frames, ignore_index=True)
+
+    _empty = {
+        "src": np.empty(0, dtype=np.int64),
+        "dst": np.empty(0, dtype=np.int64),
+        "sim": np.empty(0, dtype=np.float64),
+    }
+
+    def edge_group(g: pd.DataFrame) -> pd.DataFrame:
+        q, c = divmod(int(g["gkey"].iloc[0]), n_shards)
+        role = g["role"].to_numpy(np.int64)
+        ids = g["vec_id"].to_numpy(np.int64)
+        Mn = _normalize_rows(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        qm, cm = (role & 1) > 0, (role & 2) > 0
+        ids_q, ids_c = ids[qm], ids[cm]
+        sims = np.round(Mn[qm] @ Mn[cm].T, 6)
+        if q == c:
+            # same shard: query and corpus rows are the identical slice,
+            # so self-pairs are exactly the diagonal
+            np.fill_diagonal(sims, -np.inf)
+        kk = min(k, ids_c.size - (1 if q == c else 0))
+        if kk <= 0:
+            return pd.DataFrame(_empty)
+        # kk-th largest per row, ties kept past the boundary then cut by
+        # the deterministic (sim desc, vec_id asc) rule
+        thr = np.partition(sims, ids_c.size - kk, axis=1)[:, ids_c.size - kk]
+        rows, cols = np.nonzero((sims >= thr[:, None]) & np.isfinite(sims))
+        sel = sims[rows, cols]
+        order = np.lexsort((ids_c[cols], -sel, rows))
+        rows, cols, sel = rows[order], cols[order], sel[order]
+        starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+        counts = np.diff(np.r_[starts, rows.size])
+        rank_in = np.arange(rows.size) - np.repeat(starts, counts)
+        keep = rank_in < kk
+        return pd.DataFrame(
+            {"src": ids_q[rows[keep]], "dst": ids_c[cols[keep]], "sim": sel[keep]}
+        )
+
+    partial = (
+        embeddings.map_batches(replicate, batch_format="pandas")
+        .groupby("gkey")
+        .map_groups(edge_group, batch_format="pandas")
+    )
+    return grouped_topk(partial, "src", "sim", ["dst"], k, rank_name="rank")
+
+
+def _directed_knn_edges(
+    embeddings: "ray.data.Dataset",
+    *,
+    k: int,
+    count: int,
+    max_broadcast_rows: int,
+    n_shards: int,
+) -> "ray.data.Dataset":
+    """Directed cosine top-k edges (src, dst, sim, rank), size-gated
+    between the brute broadcast scorer (corpus matrix ``ray.put`` once,
+    exact baseline under the gate) and the bit-identical
+    :func:`_blockwise_knn_edges` shard-pair exchange above it — the same
+    gate-then-delegate shape as the IVF trainer's bounded sample."""
+    if count > max_broadcast_rows:
+        return _blockwise_knn_edges(embeddings, k=k, n_shards=n_shards)
+    df = embeddings.to_pandas()  # under the gate: bounded corpus broadcast
+    ids = df["vec_id"].to_numpy(np.int64)
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    ref = ray.put({"ids": ids, "matrix": Mn})
+    return embeddings.map_batches(
+        _KnnEdgeScorer,
+        fn_constructor_args=(ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+
 def mutual_knn(
-    embeddings: "ray.data.Dataset", *, k: int = 5
+    embeddings: "ray.data.Dataset",
+    *,
+    k: int = 5,
+    max_broadcast_rows: int = 200_000,
+    n_shards: int = 8,
 ) -> "ray.data.Dataset":
     """Mutual-kNN graph: undirected edges (vec_a < vec_b) where each
     endpoint is in the OTHER's cosine top-k — the standard high-precision
     candidate graph for agglomerative dedup/clustering (one-sided kNN
     edges from hub vectors don't survive the mutuality test).
 
-    Shape: directed edges come from the brute broadcast scan (corpus
-    matrix shipped once via ``ray.put`` — the documented O(n^2) exact
-    baseline; swap the scorer for the quantizer-cell candidates of
-    :func:`semantic_dedup` at corpus scale). The mutuality check is a
+    Shape: directed edges come from :func:`_directed_knn_edges` — the
+    brute broadcast scan under the ``max_broadcast_rows`` gate, the
+    bounded-memory shard-pair exchange above it (bit-identical output; no
+    whole-corpus driver collect on either path). The mutuality check is a
     bounded hash exchange: each directed edge lands on its unordered-pair
     coarse key, and a vectorized self-merge inside each of the <=1024
     groups keeps pairs present in both directions — no driver pass."""
@@ -1767,22 +1972,19 @@ def mutual_knn(
 
     if k < 1:
         raise EngineValueError(f"k must be >= 1, got {k}")
-    df = embeddings.to_pandas()  # brute baseline: corpus broadcast
-    ids = df["vec_id"].to_numpy(np.int64)
-    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    ref = ray.put({"ids": ids, "matrix": Mn})
-    edges = embeddings.map_batches(
-        _KnnEdgeScorer,
-        fn_constructor_args=(ref, k),
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=(1, 8),
+    edges = _directed_knn_edges(
+        embeddings,
+        k=k,
+        count=embeddings.count(),
+        max_broadcast_rows=max_broadcast_rows,
+        n_shards=n_shards,
     )
 
     def pair_key(batch: pd.DataFrame) -> pd.DataFrame:
-        lo = np.minimum(batch["src"], batch["dst"]).astype(np.int64)
-        hi = np.maximum(batch["src"], batch["dst"]).astype(np.int64)
+        src = batch["src"].to_numpy(np.int64)
+        dst = batch["dst"].to_numpy(np.int64)
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
         batch = batch.assign(lo=lo, hi=hi)
         mix = splitmix64((lo * np.int64(1000003) + hi).view(np.uint64))
         batch["gkey"] = (mix & np.uint64(1023)).astype(np.int64)
@@ -1817,7 +2019,11 @@ def mutual_knn(
 
 
 def knn_outlier(
-    embeddings: "ray.data.Dataset", *, k: int = 5
+    embeddings: "ray.data.Dataset",
+    *,
+    k: int = 5,
+    max_broadcast_rows: int = 200_000,
+    n_shards: int = 8,
 ) -> "ray.data.Dataset":
     """k-th-nearest-neighbor novelty score per vector: score = 1 -
     cosine(v, its k-th NN) — the classic distance-based outlier measure
@@ -1825,29 +2031,26 @@ def knn_outlier(
     vector sits in no local neighborhood (candidate mislabeled / noise /
     novel-domain doc worth routing to review before training).
 
-    Shape: the directed edges of :func:`mutual_knn`'s scorer, keeping
-    only each row's rank-k edge — one broadcast matmul pass, NO exchange
-    at all (the score is a per-row reduction). Same brute-baseline caveat
-    as the rest of the exact family."""
+    Shape: the directed edges of :func:`_directed_knn_edges` (brute
+    broadcast under the ``max_broadcast_rows`` gate, bounded shard-pair
+    exchange above it — bit-identical, no whole-corpus driver collect),
+    keeping only each row's rank-k edge; the score is a per-row
+    reduction."""
     from datafiller_ray.config import EngineValueError
 
     if k < 1:
         raise EngineValueError(f"k must be >= 1, got {k}")
-    df = embeddings.to_pandas()  # brute baseline: corpus broadcast
-    ids = df["vec_id"].to_numpy(np.int64)
-    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    if k >= ids.size:
+    count = embeddings.count()
+    if k >= count:
         raise EngineValueError(
-            f"k={k} needs at least k+1 vectors, got {ids.size}"
+            f"k={k} needs at least k+1 vectors, got {count}"
         )
-    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    ref = ray.put({"ids": ids, "matrix": Mn})
-    edges = embeddings.map_batches(
-        _KnnEdgeScorer,
-        fn_constructor_args=(ref, k),
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=(1, 8),
+    edges = _directed_knn_edges(
+        embeddings,
+        k=k,
+        count=count,
+        max_broadcast_rows=max_broadcast_rows,
+        n_shards=n_shards,
     )
 
     def kth_only(batch: pd.DataFrame) -> pd.DataFrame:

@@ -686,3 +686,80 @@ def test_knn_outlier_validation(embeddings):
     )
     with pytest.raises(EngineValueError):
         knn_outlier(small, k=5)
+
+
+# ---------------------------------------------------------------------------
+# blockwise (bounded-memory) exact siblings == brute broadcast, bit-for-bit
+
+
+def test_embedding_near_dup_blockwise_matches_brute(embeddings):
+    from datafiller_ray.pipelines.ann import embedding_near_dup
+
+    ds, _ = embeddings
+    brute = (
+        embedding_near_dup(ds, threshold=0.8)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    # max_broadcast_rows=0 forces the shard-pair exchange path
+    blockwise = (
+        embedding_near_dup(ds, threshold=0.8, max_broadcast_rows=0, n_shards=4)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(brute) > 0
+    pd.testing.assert_frame_equal(brute, blockwise[brute.columns.tolist()])
+
+
+def test_mutual_knn_blockwise_matches_brute(embeddings):
+    from datafiller_ray.pipelines.ann import mutual_knn
+
+    ds, _ = embeddings
+    cols = ["vec_a", "vec_b"]
+    brute = mutual_knn(ds, k=5).to_pandas().sort_values(cols).reset_index(drop=True)
+    blockwise = (
+        mutual_knn(ds, k=5, max_broadcast_rows=0, n_shards=4)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(brute) > 0
+    pd.testing.assert_frame_equal(brute, blockwise[brute.columns.tolist()])
+
+
+def test_knn_outlier_blockwise_matches_brute(embeddings):
+    from datafiller_ray.pipelines.ann import knn_outlier
+
+    ds, _ = embeddings
+    brute = knn_outlier(ds, k=5).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    blockwise = (
+        knn_outlier(ds, k=5, max_broadcast_rows=0, n_shards=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(brute) == 800
+    pd.testing.assert_frame_equal(brute, blockwise[brute.columns.tolist()])
+
+
+def test_blockwise_knn_edges_layout_invariant(embeddings):
+    from datafiller_ray.pipelines.ann import _blockwise_knn_edges
+
+    ds, _ = embeddings
+    cols = ["src", "rank"]
+    e1 = (
+        _blockwise_knn_edges(ds, k=3, n_shards=4)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    e2 = (
+        _blockwise_knn_edges(ds.repartition(7), k=3, n_shards=2)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(e1) == 800 * 3
+    pd.testing.assert_frame_equal(e1, e2[e1.columns.tolist()])
