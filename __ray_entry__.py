@@ -5808,17 +5808,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ann_filtered_topk": _ann_filtered_topk,
         "events_rollup_1m": _events_rollup,
-        "events_rollup_week": _events_rollup_week,
+        "ppl_tercile": _ppl_tercile,
         "events_gapfill_locf_1m": _events_locf,
         "events_gapfill_linear_1m": _events_linear,
         "events_sessions": _events_sessions,
-        "time_weighted_avg_1h": _time_weighted_avg,
-        "purchase_attribution": _purchase_attribution,
+        "approx_distinct_docs": _approx_distinct_docs,
+        "pack_sequences": _pack_sequences,
         "session_range_join": _session_range_join,
         "sample_stratified": _sample_stratified,
-        "sample_fixed_k": _sample_fixed_k,
-        "budget_sample": _budget_sample,
-        "temperature_sample": _temperature_sample,
+        "rolling_window_1m": _rolling_window,
+        "returned_revenue_topk": _returned_revenue_topk,
+        "dedup_sequences": _dedup_sequences,
         "vocab_topk": _vocab_topk,
         "bm25_topk": _bm25_topk,
         "hybrid_search_rrf": _hybrid_search_rrf,
@@ -5831,7 +5831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": _rolling_active_users,
         "source_quantiles": _source_quantiles,
         "global_quantiles": _global_quantiles,
-        "rolling_window_1m": _rolling_window,
+        "sample_fixed_k": _sample_fixed_k,
         "topk_buckets": _topk_buckets,
         "rolling_anomaly": _rolling_anomaly,
         "bucket_deltas": _bucket_deltas,
@@ -5849,7 +5849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_topk": _transition_topk,
         "events_cube": _events_cube,
         "user_lifetime": _user_lifetime,
-        "dedup_sequences": _dedup_sequences,
+        "temperature_sample": _temperature_sample,
         "embedding_pca": _embedding_pca,
         "kmeans_quality": _kmeans_quality,
         "label_centroid_similarity": _label_centroid_similarity,
@@ -5872,11 +5872,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_manifest": _shuffle_manifest,
         "lttb_downsample": _lttb_downsample,
         "seasonal_anomaly": _seasonal_anomaly,
-        "approx_distinct_docs": _approx_distinct_docs,
+        "time_weighted_avg_1h": _time_weighted_avg,
         "approx_distinct_global": _approx_distinct_global,
         "bloom_new_docs": _bloom_new_docs,
         "events_rolling_1m": _events_rolling,
-        "pack_sequences": _pack_sequences,
+        "purchase_attribution": _purchase_attribution,
         "pack_tokens": _pack_tokens,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
@@ -5924,7 +5924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_profile": _matrix_profile,
         "bigram_logprob": _bigram_logprob,
         "kn_bigram_logprob": _kn_bigram_logprob,
-        "ppl_tercile": _ppl_tercile,
+        "events_rollup_week": _events_rollup_week,
         "chao1_richness": _chao1_richness,
         "gt_coverage": _gt_coverage,
         "doc_lexical_stats": _doc_lexical_stats,
@@ -6014,7 +6014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_checks": _quality_checks,
         "centroid_silhouette": _centroid_silhouette,
         "order_priority_census": _order_priority_census,
-        "returned_revenue_topk": _returned_revenue_topk,
+        "budget_sample": _budget_sample,
         "small_quantity_revenue": _small_quantity_revenue,
         "large_orders": _large_orders,
         "nation_trade_volume": _nation_trade_volume,

@@ -2799,14 +2799,19 @@ def chao1_richness(input_path, *, n_buckets: int = 64):
 
 
 
-def _bigram_occurrences(input_path):
+def _bigram_occurrences(input_path, *, with_source: bool = False):
     """Per-document bigram multiplicities (doc_id, key, m) over the
     contract table, key packed ``a << 32 | b`` (token ids are int32, so
     the pack is collision-free): vectorized per-batch extraction plus a
     batch-local multiplicity fold, so a doc's repeated bigram is ONE row
-    and every downstream exchange shrinks."""
+    and every downstream exchange shrinks. ``with_source`` carries the
+    doc's source column through (constant per doc, so the fold keys are
+    unchanged logically) for consumers that need per-source output
+    without a second doc-level join."""
     import pandas as pd
     import ray.data
+
+    cols = ["doc_id", "tokens"] + (["source"] if with_source else [])
 
     def bigrams(t: "pa.Table") -> pd.DataFrame:
         lens = np.asarray(pc.list_value_length(t["tokens"]), dtype=np.int64)
@@ -2818,20 +2823,21 @@ def _bigram_occurrences(input_path):
         a = flat[keep]
         b = np.roll(flat, -1)[keep]
         parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)[keep]
-        occ = pd.DataFrame(
-            {
-                "doc_id": np.asarray(t["doc_id"], dtype=object)[parent],
-                "key": (a << 32) | b,
-            }
-        )
-        return occ.groupby(["doc_id", "key"], sort=False).size().reset_index(
-            name="m"
-        )
+        data = {
+            "doc_id": np.asarray(t["doc_id"], dtype=object)[parent],
+            "key": (a << 32) | b,
+        }
+        gkeys = ["doc_id", "key"]
+        if with_source:
+            data["source"] = np.asarray(t["source"], dtype=object)[parent]
+            gkeys = ["source", "doc_id", "key"]
+        occ = pd.DataFrame(data)
+        return occ.groupby(gkeys, sort=False).size().reset_index(name="m")
 
     ds = (
-        input_path.select_columns(["doc_id", "tokens"])
+        input_path.select_columns(cols)
         if isinstance(input_path, ray.data.Dataset)
-        else ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
+        else ray.data.read_parquet(input_path, columns=cols)
     )
     return ds.map_batches(bigrams, batch_format="pyarrow")
 
@@ -2856,32 +2862,240 @@ def _bigram_counts(occ, *, n_buckets: int = 64):
     )
 
 
+def _arrow_blocks(blocks):
+    """Normalize a ``to_arrow_refs`` result: empty (or legacy) blocks can
+    surface as pandas frames; convert any stragglers and drop empties."""
+    import pandas as pd
+
+    out = []
+    for b in blocks:
+        if isinstance(b, pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        if b.num_rows:
+            out.append(b)
+    return out
+
+
+def _kn_count_tables(occ, *, n_buckets: int = 64):
+    """ONE coarse-key count exchange emitting three row kinds per bucket
+    (columns ``kind, key, v1, v2``, all int64):
+
+    - kind 0 — the exact count-table rows: ``key`` = packed bigram,
+      ``v1`` = corpus count c2 (every distinct bigram);
+    - kind 1 — the a-side vocabulary fold: ``key`` = a, ``v1`` =
+      c1 = sum of c2 over bigrams starting at a, ``v2`` = N1+(a, *)
+      distinct continuations;
+    - kind 2 — the b-side fold: ``key`` = b, ``v1`` = N1+(*, b)
+      distinct contexts.
+
+    The folds ride the SAME exchange's reduce tasks (each is
+    vocabulary-bounded per bucket — token ids < 2^16 by contract), so
+    bigram/KN scoring needs no second fold exchange. The key property
+    downstream: the broadcast collect can filter kind-0 to the
+    NON-SINGLETON rows only, because a lookup miss then means c2 == 1
+    exactly (every scored bigram exists in the corpus, so absence from
+    the >= 2 table pins its count) — on natural corpora singletons
+    dominate the distinct-bigram table, so the driver/broadcast footprint
+    drops by that factor while results stay bit-identical."""
+    import pandas as pd
+
+    def count_partial(df: pd.DataFrame) -> "pa.Table":
+        # pure projection, no batch-local fold: occ rows are per-DOC
+        # multiplicities already, and cross-doc overlap within a batch is
+        # ~2% on natural corpora (measured 83.1M occ -> 81.8M distinct),
+        # so a second pandas groupby here costs more than the rows it
+        # removes from the exchange
+        key = df["key"].to_numpy(np.int64)
+        gk = (
+            splitmix64(key.view(np.uint64)) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {"key": key, "c2": df["m"].to_numpy(np.int64), "_gk": gk}
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("key", sort=True, as_index=False)["c2"].sum()
+        key = s["key"].to_numpy(np.int64)
+        c2 = s["c2"].to_numpy(np.int64)
+        a = (key >> 32).astype(np.int64)
+        b = (key & 0xFFFFFFFF).astype(np.int64)
+        # vocab-dense bucket folds (a, b < 2^16): weighted sums are exact
+        # integers below 2^53
+        sum_a = np.bincount(a, weights=c2)
+        cnt_a = np.bincount(a)
+        occ_a = np.flatnonzero(cnt_a)
+        cnt_b = np.bincount(b)
+        occ_b = np.flatnonzero(cnt_b)
+        z = np.zeros(occ_a.size, dtype=np.int64)
+        frames = [
+            pd.DataFrame(
+                {
+                    "kind": np.zeros(key.size, dtype=np.int64),
+                    "key": key,
+                    "v1": c2,
+                    "v2": np.zeros(key.size, dtype=np.int64),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": z + 1,
+                    "key": occ_a,
+                    "v1": sum_a[occ_a].astype(np.int64),
+                    "v2": cnt_a[occ_a].astype(np.int64),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": np.full(occ_b.size, 2, dtype=np.int64),
+                    "key": occ_b,
+                    "v1": cnt_b[occ_b].astype(np.int64),
+                    "v2": np.zeros(occ_b.size, dtype=np.int64),
+                }
+            ),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        occ.map_batches(count_partial, batch_format="pandas")
+        .groupby("_gk")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+
+def _collect_kn_folds(tables):
+    """Driver-side dense vocabulary folds from :func:`_kn_count_tables`:
+    (ac1, ana, bnb) int64 arrays of length 2^16 — per-bucket fold rows
+    are <= occupied-vocab-sized each, so the collect is bounded by
+    ``n_buckets * 2^16`` rows regardless of corpus size."""
+    import ray
+
+    def fold_rows(t: "pa.Table") -> "pa.Table":
+        return t.filter(pc.greater_equal(t["kind"], 1))
+
+    blocks = ray.get(
+        tables.map_batches(fold_rows, batch_format="pyarrow").to_arrow_refs()
+    )
+    blocks = _arrow_blocks(blocks)
+    V = 1 << 16
+    if not blocks:
+        z = np.zeros(V, dtype=np.int64)
+        return z, z.copy(), z.copy()
+
+    def col(name: str) -> np.ndarray:
+        return np.concatenate(
+            [
+                c.to_numpy(zero_copy_only=False)
+                for b in blocks
+                for c in b[name].chunks
+            ]
+        ).astype(np.int64, copy=False)
+
+    kind, key, v1, v2 = col("kind"), col("key"), col("v1"), col("v2")
+    k1 = kind == 1
+    k2 = kind == 2
+    ac1 = np.bincount(key[k1], weights=v1[k1], minlength=V).astype(np.int64)
+    ana = np.bincount(key[k1], weights=v2[k1], minlength=V).astype(np.int64)
+    bnb = np.bincount(key[k2], weights=v1[k2], minlength=V).astype(np.int64)
+    return ac1, ana, bnb
+
+
+def _collect_nonsingleton_counts(tables, broadcast_rows):
+    """Size-gated broadcast collect of the kind-0 rows with c2 >= 2 from
+    :func:`_kn_count_tables` as (sorted keys, counts) numpy arrays, or
+    None above the gate / when gating is disabled (broadcast_rows=0)."""
+    import ray
+
+    if not broadcast_rows:
+        return None
+
+    def nonsingleton(t: "pa.Table") -> "pa.Table":
+        f = t.filter(
+            pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v1"], 2))
+        )
+        return pa.table({"key": f["key"], "c2": f["v1"]})
+
+    try:
+        ns = tables.map_batches(
+            nonsingleton, batch_format="pyarrow"
+        ).materialize()
+        if ns.count() > broadcast_rows:
+            return None
+        blocks = ray.get(ns.to_arrow_refs())
+    except Exception:
+        return None
+    blocks = _arrow_blocks(blocks)
+    if not blocks:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+
+    def col(name: str) -> np.ndarray:
+        return np.concatenate(
+            [
+                c.to_numpy(zero_copy_only=False)
+                for b in blocks
+                for c in b[name].chunks
+            ]
+        ).astype(np.int64, copy=False)
+
+    keys, cnts = col("key"), col("c2")
+    order = np.argsort(keys, kind="stable")
+    return keys[order], cnts[order]
+
+
+def _kind0_counts(tables):
+    """The full (key, c2) count Dataset view of :func:`_kn_count_tables`
+    — singletons included — for the co-partition scoring path."""
+
+    def kind0(t: "pa.Table") -> "pa.Table":
+        f = t.filter(pc.equal(t["kind"], 0))
+        return pa.table({"key": f["key"], "c2": f["v1"]})
+
+    return tables.map_batches(kind0, batch_format="pyarrow")
+
+
 def _broadcast_table(c2, broadcast_rows):
     """Size gate for the broadcast-vs-shuffle join selection: return the
     count table collected to the driver as (sorted keys, counts) numpy
     arrays when it fits ``broadcast_rows`` (~16 B/row — the 120M default
     is a ~2 GB ray.put, shared zero-copy by every worker on the node;
     above it the caller keeps the co-partition, the 100-TB shape).
-    ``c2`` must be materialized so the count() probe is a metadata
-    read."""
+    ``c2`` must be materialized so the count() probe is a metadata read.
+
+    The collect path is zero-copy Arrow block refs -> one numpy
+    concatenate per column (the pandas detour cost ~4 s at 82M rows);
+    the stable argsort is effectively linear here because the bucketed
+    exchange delivers per-bucket sorted runs (timsort merges runs)."""
+    import ray
+
     if not broadcast_rows:
         return None
     try:
         if c2.count() > broadcast_rows:
             return None
+        blocks = ray.get(c2.to_arrow_refs())  # zero-copy plasma reads
     except Exception:
         return None
-    tbl = c2.to_pandas()
-    if tbl.empty:  # zero bigrams: a columnless frame can't be indexed
+    blocks = _arrow_blocks(blocks)
+    if not blocks:  # zero bigrams
         z = np.zeros(0, dtype=np.int64)
         return z, z
-    keys = tbl["key"].to_numpy(np.int64)
-    cnts = tbl["c2"].to_numpy(np.int64)
+    def col(name: str) -> np.ndarray:
+        chunks = [
+            c.to_numpy(zero_copy_only=False)
+            for b in blocks
+            for c in b[name].chunks
+        ]
+        return np.concatenate(chunks).astype(np.int64, copy=False)
+
+    keys, cnts = col("key"), col("c2")
     order = np.argsort(keys, kind="stable")
     return keys[order], cnts[order]
 
 
-def _score_broadcast(input_path, c2_arrays, nll_fn):
+def _score_broadcast(
+    input_path, c2_arrays, nll_fn, *, with_source=False, default_count=None
+):
     """Broadcast fast path of :func:`_score_occurrences`: the count table
     fit the broadcast budget, so pin it once in the object store as two
     sorted numpy arrays (``ray.put`` -> zero-copy shared memory on every
@@ -2891,12 +3105,18 @@ def _score_broadcast(input_path, c2_arrays, nll_fn):
     Classic size-gated broadcast-vs-shuffle join selection; the caller
     falls back to the co-partition above the gate. Same output contract
     and 6-dp absorber as the co-partition path (summation order differs;
-    both sides absorb)."""
+    both sides absorb). ``with_source`` also emits the doc's source
+    column (free here — each input row is a whole document), so callers
+    that tier per source skip a doc-level join exchange entirely.
+    ``default_count`` enables the singleton-pruned broadcast contract of
+    :func:`_collect_nonsingleton_counts`: a lookup miss takes that exact
+    count (the pruned table only omits keys whose count it pins)."""
     import pandas as pd
     import ray
     import ray.data
 
     c2_ref = ray.put(c2_arrays)
+    cols = ["doc_id", "tokens"] + (["source"] if with_source else [])
 
     def score(t: "pa.Table") -> pd.DataFrame:
         keys_r, c2_r = ray.get(c2_ref)
@@ -2911,33 +3131,47 @@ def _score_broadcast(input_path, c2_arrays, nll_fn):
         nb = np.maximum(lens - 1, 0)
         has = nb > 0
         if not has.any():
-            return pd.DataFrame(
-                {
-                    "doc_id": np.empty(0, dtype=object),
-                    "n_bigrams": np.empty(0, dtype=np.int64),
-                    "mean_nll": np.empty(0, dtype=np.float64),
-                }
+            out = {
+                "doc_id": np.empty(0, dtype=object),
+                "n_bigrams": np.empty(0, dtype=np.int64),
+                "mean_nll": np.empty(0, dtype=np.float64),
+            }
+            if with_source:
+                out["source"] = np.empty(0, dtype=object)
+            return pd.DataFrame(out)
+        if default_count is None:
+            c2v = c2_r[np.searchsorted(keys_r, key_l)]
+        elif keys_r.size == 0:
+            c2v = np.full(key_l.size, default_count, dtype=np.int64)
+        else:
+            pos = np.minimum(
+                np.searchsorted(keys_r, key_l), keys_r.size - 1
             )
-        c2v = c2_r[np.searchsorted(keys_r, key_l)]
+            c2v = np.where(
+                keys_r[pos] == key_l, c2_r[pos], np.int64(default_count)
+            )
         nll = nll_fn(key_l, c2v)
         # bigram rows are doc-major, so per-doc sums are one reduceat over
         # the has-docs' start offsets (zero-length docs were filtered, so
         # the offsets are strictly increasing)
         starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
         sums = np.add.reduceat(nll, starts[has])
-        return pd.DataFrame(
-            {
-                "doc_id": np.asarray(t["doc_id"], dtype=object)[has],
-                "n_bigrams": nb[has],
-                "mean_nll": np.round(sums / nb[has], 6),
-            }
-        )
+        out = {
+            "doc_id": np.asarray(t["doc_id"], dtype=object)[has],
+            "n_bigrams": nb[has],
+            "mean_nll": np.round(sums / nb[has], 6),
+        }
+        if with_source:
+            out["source"] = np.asarray(t["source"], dtype=object)[has]
+        return pd.DataFrame(out)
 
-    ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens"])
+    ds = ray.data.read_parquet(input_path, columns=cols)
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def _score_occurrences(occ, c2, nll_fn, *, n_buckets: int = 64):
+def _score_occurrences(
+    occ, c2, nll_fn, *, n_buckets: int = 64, with_source: bool = False
+):
     """Score every bigram occurrence against the count table through ONE
     coarse-bucket co-partition and fold per document.
 
@@ -2957,36 +3191,44 @@ def _score_occurrences(occ, c2, nll_fn, *, n_buckets: int = 64):
     absorb). This is the at-scale default; the public scorers gate into
     :func:`_score_broadcast` when the count table fits the broadcast
     budget (pass ``broadcast_rows=0`` to force this path — pytest pins
-    both paths equal)."""
+    both paths equal). ``with_source`` requires ``occ`` built with
+    ``with_source=True`` and rides the source label through the doc fold
+    (constant per doc, so joining it into the fold keys changes nothing
+    logically) for callers that tier per source without a second doc
+    join."""
     import pandas as pd
 
     from datafiller_ray.stages.exchange import grouped_sum
 
+    doc_keys = ["doc_id"] + (["source"] if with_source else [])
+
     def occ_tag(df: pd.DataFrame) -> pd.DataFrame:
         key = df["key"].to_numpy(np.int64)
         bk = splitmix64(key.view(np.uint64)) % np.uint64(n_buckets)
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(object),
-                "key": key,
-                "m": df["m"].to_numpy(np.int64),
-                "c2": np.zeros(len(df), dtype=np.int64),
-                "_bk": bk.astype(np.int64),
-            }
-        )
+        out = {
+            "doc_id": df["doc_id"].to_numpy(object),
+            "key": key,
+            "m": df["m"].to_numpy(np.int64),
+            "c2": np.zeros(len(df), dtype=np.int64),
+            "_bk": bk.astype(np.int64),
+        }
+        if with_source:
+            out["source"] = df["source"].to_numpy(object)
+        return pd.DataFrame(out)
 
     def c2_tag(df: pd.DataFrame) -> pd.DataFrame:
         key = df["key"].to_numpy(np.int64)
         bk = splitmix64(key.view(np.uint64)) % np.uint64(n_buckets)
-        return pd.DataFrame(
-            {
-                "doc_id": np.full(len(df), "", dtype=object),
-                "key": key,
-                "m": np.zeros(len(df), dtype=np.int64),
-                "c2": df["c2"].to_numpy(np.int64),
-                "_bk": bk.astype(np.int64),
-            }
-        )
+        out = {
+            "doc_id": np.full(len(df), "", dtype=object),
+            "key": key,
+            "m": np.zeros(len(df), dtype=np.int64),
+            "c2": df["c2"].to_numpy(np.int64),
+            "_bk": bk.astype(np.int64),
+        }
+        if with_source:
+            out["source"] = np.full(len(df), "", dtype=object)
+        return pd.DataFrame(out)
 
     tagged = occ.map_batches(occ_tag, batch_format="pandas").union(
         c2.map_batches(c2_tag, batch_format="pandas")
@@ -3001,28 +3243,35 @@ def _score_occurrences(occ, c2, nll_fn, *, n_buckets: int = 64):
         keys_r, c2_r = keys_r[ro], c2_r[ro]
         key_l = g["key"].to_numpy(np.int64)[is_occ]
         if key_l.size == 0:
-            return pd.DataFrame(
-                {
-                    "doc_id": np.empty(0, dtype=object),
-                    "n_bigrams": np.empty(0, dtype=np.int64),
-                    "nll_sum": np.empty(0, dtype=np.float64),
-                }
-            )
+            out = {
+                "doc_id": np.empty(0, dtype=object),
+                "n_bigrams": np.empty(0, dtype=np.int64),
+                "nll_sum": np.empty(0, dtype=np.float64),
+            }
+            if with_source:
+                out["source"] = np.empty(0, dtype=object)
+            return pd.DataFrame(out)
         pos = np.searchsorted(keys_r, key_l)
         c2v = c2_r[pos]  # every scored bigram has a count by construction
         nll = nll_fn(key_l, c2v)
-        part = pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(object)[is_occ],
-                "n_bigrams": m[is_occ],
-                "nll_sum": m[is_occ].astype(np.float64) * nll,
-            }
+        part = {
+            "doc_id": g["doc_id"].to_numpy(object)[is_occ],
+            "n_bigrams": m[is_occ],
+            "nll_sum": m[is_occ].astype(np.float64) * nll,
+        }
+        if with_source:
+            part["source"] = g["source"].to_numpy(object)[is_occ]
+        return (
+            pd.DataFrame(part)
+            .groupby(doc_keys, sort=False, as_index=False)[
+                ["n_bigrams", "nll_sum"]
+            ]
+            .sum()
         )
-        return part.groupby("doc_id", sort=False, as_index=False).sum()
 
     summed = grouped_sum(
         tagged.groupby("_bk").map_groups(bucket_merge, batch_format="pandas"),
-        "doc_id",
+        doc_keys,
         ["n_bigrams", "nll_sum"],
         n_buckets=n_buckets,
     )
@@ -3031,13 +3280,14 @@ def _score_occurrences(occ, c2, nll_fn, *, n_buckets: int = 64):
         mean = b["nll_sum"].to_numpy(np.float64) / b["n_bigrams"].to_numpy(
             np.int64
         )
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"].to_numpy(object),
-                "n_bigrams": b["n_bigrams"].to_numpy(np.int64),
-                "mean_nll": np.round(mean, 6),
-            }
-        )
+        out = {
+            "doc_id": b["doc_id"].to_numpy(object),
+            "n_bigrams": b["n_bigrams"].to_numpy(np.int64),
+            "mean_nll": np.round(mean, 6),
+        }
+        if with_source:
+            out["source"] = b["source"].to_numpy(object)
+        return pd.DataFrame(out)
 
     return summed.map_batches(finish, batch_format="pandas")
 
@@ -3054,72 +3304,38 @@ def bigram_logprob(
     smoothing constant to pin).
 
     Physical plan — nothing unbounded reaches the driver: bigram
-    multiplicities (:func:`_bigram_occurrences`) -> corpus count table
-    (:func:`_bigram_counts`) -> start counts ``c1`` folded from ``c2``
-    by a tiny exchange and broadcast (vocabulary-bounded, the
-    unigram_logprob contract) -> the shared coarse-bucket scoring
-    co-partition (:func:`_score_occurrences`).
+    multiplicities (:func:`_bigram_occurrences`) -> the tagged count+fold
+    exchange (:func:`_kn_count_tables`, whose reduce tasks emit the
+    vocabulary-bounded ``c1`` fold alongside the counts — no second fold
+    exchange) -> either the singleton-pruned broadcast score pass (a
+    lookup miss pins c2 == 1 exactly) or, above the gate, the shared
+    coarse-bucket scoring co-partition (:func:`_score_occurrences`)
+    against the full count view. The dense vocab-indexed ``c1`` array
+    broadcasts via one ``ray.put`` on both paths.
 
     Output: (doc_id, n_bigrams, mean_nll).
     """
-    import pandas as pd
     import ray
 
-    from datafiller_ray.stages.exchange import grouped_sum
-
     occ = _bigram_occurrences(input_path)
-    # pin the count table once: c2 feeds BOTH the c1 fold and the scoring
-    # co-partition, and a lazy Dataset re-runs its whole exchange per
-    # consumer (measured 2x the pipeline wall). The pinned table is
-    # vocab^2-bounded (distinct bigrams), spillable, never driver-collected
-    # on the co-partition path (the broadcast gate bounds the fast path).
-    c2 = _bigram_counts(occ, n_buckets=n_buckets).materialize()
-
-    bc = _broadcast_table(c2, broadcast_rows)
-    if bc is not None:
-        # broadcast path: the collected table also yields the c1 fold as
-        # one vectorized bincount on the driver into a DENSE vocab-indexed
-        # array (token ids < 2^16 by contract), skipping that exchange
-        # entirely; the weighted-bincount float sum is exact for counts
-        # < 2^53 and scoring looks c1 up by direct indexing (measured 9 s
-        # faster than unique+searchsorted at 82M distinct bigrams)
-        keys_s, cnts_s = bc
-        ac1 = np.bincount(
-            (keys_s >> 32).astype(np.int64), weights=cnts_s
-        ).astype(np.int64)
-        c1_ref = ray.put(ac1)
-
-        def nll_bc(key_l: np.ndarray, c2v: np.ndarray) -> np.ndarray:
-            ac1_ = ray.get(c1_ref)
-            c1 = ac1_[key_l >> 32]
-            return np.log(c1.astype(np.float64)) - np.log(
-                c2v.astype(np.float64)
-            )
-
-        return _score_broadcast(input_path, bc, nll_bc)
-
-    def start_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"a": df["key"].to_numpy(np.int64) >> 32,
-                            "c1": df["c2"].to_numpy(np.int64)})
-        return out.groupby("a", sort=False, as_index=False)["c1"].sum()
-
-    c1_rows = grouped_sum(
-        c2.map_batches(start_partial, batch_format="pandas"), "a", "c1"
-    ).to_pandas()  # vocabulary-sized, NOT corpus-sized
-    order = np.argsort(c1_rows["a"].to_numpy(np.int64), kind="stable")
-    c1_ref = ray.put(
-        (
-            c1_rows["a"].to_numpy(np.int64)[order],
-            c1_rows["c1"].to_numpy(np.int64)[order],
-        )
-    )
+    tables = _kn_count_tables(occ, n_buckets=n_buckets)
+    ac1, _, _ = _collect_kn_folds(tables)
+    c1_ref = ray.put(ac1)
 
     def nll(key_l: np.ndarray, c2v: np.ndarray) -> np.ndarray:
-        akeys, ac1 = ray.get(c1_ref)
-        c1 = ac1[np.searchsorted(akeys, key_l >> 32)]
-        return np.log(c1.astype(np.float64)) - np.log(c2v.astype(np.float64))
+        ac1_ = ray.get(c1_ref)
+        c1 = ac1_[key_l >> 32]
+        return np.log(c1.astype(np.float64)) - np.log(
+            c2v.astype(np.float64)
+        )
 
-    return _score_occurrences(occ, c2, nll, n_buckets=n_buckets)
+    bc = _collect_nonsingleton_counts(tables, broadcast_rows)
+    if bc is not None:
+        return _score_broadcast(input_path, bc, nll, default_count=1)
+
+    return _score_occurrences(
+        occ, _kind0_counts(tables), nll, n_buckets=n_buckets
+    )
 
 
 def kn_bigram_logprob(
@@ -3128,6 +3344,7 @@ def kn_bigram_logprob(
     discount: float = 0.75,
     n_buckets: int = 64,
     broadcast_rows: int = 120_000_000,
+    with_source: bool = False,
 ):
     """Interpolated Kneser-Ney smoothed bigram scoring per document — the
     classic LM-quality filter shape (CCNet-style perplexity filtering):
@@ -3142,123 +3359,70 @@ def kn_bigram_logprob(
     per-document average of ``-ln P_KN`` over its bigrams; lower = more
     corpus-typical.
 
-    Physical plan: the :func:`bigram_logprob` machinery plus TWO more
-    vocabulary-bounded broadcast tables folded from the same ``c2``
-    dataset — (c1, N1+(a,*)) keyed by ``a`` and N1+(*,b) keyed by ``b``
-    — and the distinct-bigram total reduced from the ``a`` table (one
-    driver scalar, never corpus rows). The per-occurrence probability
-    mirrors the oracle's expression tree term for term; only the
-    summation order differs, absorbed by the shared 6-dp round-even
-    mean.
+    Physical plan: :func:`_kn_count_tables` — ONE coarse-key count
+    exchange whose reduce tasks also emit the two vocabulary-bounded KN
+    continuation folds ((c1, N1+(a,*)) by ``a``, N1+(*,b) by ``b``), so
+    no second fold exchange exists. The folds collect into DENSE
+    vocab-indexed driver arrays (token ids < 2^16 by contract) and
+    broadcast via one ``ray.put``; the distinct-bigram total is their
+    driver-scalar sum. The broadcast count table is SINGLETON-PRUNED
+    (c2 >= 2 rows only — a lookup miss pins c2 == 1 exactly), which cuts
+    the collected/broadcast footprint by the singleton fraction of the
+    distinct-bigram table (~60x on the bench fixture). Above the gate
+    the co-partition path scores against the full kind-0 count view
+    with the same dense fold arrays (no grouped_sum folds either way).
+    The per-occurrence probability mirrors the oracle's expression tree
+    term for term; only the summation order differs, absorbed by the
+    shared 6-dp round-even mean.
 
     Output: (doc_id, n_bigrams, mean_nll).
     """
-    import pandas as pd
     import ray
-
-    from datafiller_ray.stages.exchange import grouped_sum
 
     d = float(discount)
     if not (0.0 < d < 1.0):
         raise EngineValueError(f"discount must be in (0, 1), got {discount}")
 
-    occ = _bigram_occurrences(input_path)
-    # pin the count table once: c2 feeds THREE consumers (a fold, b fold,
-    # scoring co-partition) and a lazy Dataset re-runs its whole count
-    # exchange per consumer (measured ~2x the pipeline wall at sf0.01).
-    # The pinned table is vocab^2-bounded (distinct bigrams), spillable,
-    # never driver-collected; occ stays lazy (map-only recompute is cheap).
-    c2 = _bigram_counts(occ, n_buckets=n_buckets).materialize()
+    occ = _bigram_occurrences(input_path, with_source=with_source)
+    # the tagged count+fold table pins once inside _kn_count_tables: it
+    # feeds the fold collect, the gate probe, and the scoring path, and a
+    # lazy Dataset would re-run its exchange per consumer (measured ~2x
+    # the pipeline wall at sf0.01). Vocab^2-bounded, spillable, never
+    # driver-collected beyond the pruned/fold slices; occ stays lazy
+    # (map-only recompute is cheap).
+    tables = _kn_count_tables(occ, n_buckets=n_buckets)
 
-    bc = _broadcast_table(c2, broadcast_rows)
-    if bc is not None:
-        # broadcast path: both KN continuation tables fold from the
-        # collected count table with vectorized bincounts into DENSE
-        # vocab-indexed arrays (token ids < 2^16 by contract), skipping
-        # two exchanges; scoring looks everything up by direct indexing
-        # (measured 28 s faster than unique+searchsorted at 82M distinct
-        # bigrams). Weighted-bincount float sums are exact below 2^53.
-        keys_s, cnts_s = bc
-        a_all = (keys_s >> 32).astype(np.int64)
-        b_all = (keys_s & 0xFFFFFFFF).astype(np.int64)
-        ac1 = np.bincount(a_all, weights=cnts_s).astype(np.int64)
-        ana = np.bincount(a_all).astype(np.int64)
-        bnb = np.bincount(b_all).astype(np.int64)
-        total_bc = float(keys_s.size)  # N1+(*, *) = distinct bigrams
-        ab_ref = ray.put((ac1, ana, bnb))
+    ac1, ana, bnb = _collect_kn_folds(tables)
+    total_bc = float(ana.sum())  # N1+(*, *) = distinct bigrams
+    ab_ref = ray.put((ac1, ana, bnb))
 
-        def nll_bc(key_l: np.ndarray, c2v: np.ndarray) -> np.ndarray:
-            ac1_, ana_, bnb_ = ray.get(ab_ref)
-            pa_ = key_l >> 32
-            pb_ = key_l & 0xFFFFFFFF
-            c1 = ac1_[pa_].astype(np.float64)
-            na = ana_[pa_].astype(np.float64)
-            nb = bnb_[pb_].astype(np.float64)
-            p = np.maximum(c2v.astype(np.float64) - d, 0.0) / c1 + (
-                d * na / c1
-            ) * (nb / total_bc)
-            return -np.log(p)
-
-        return _score_broadcast(input_path, bc, nll_bc)
-
-    def a_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "a": df["key"].to_numpy(np.int64) >> 32,
-                "c1": df["c2"].to_numpy(np.int64),
-                "na": np.ones(len(df), dtype=np.int64),
-            }
-        )
-        return out.groupby("a", sort=False, as_index=False).sum()
-
-    a_rows = grouped_sum(
-        c2.map_batches(a_partial, batch_format="pandas"), "a", ["c1", "na"]
-    ).to_pandas()  # vocabulary-sized, NOT corpus-sized
-    ao = np.argsort(a_rows["a"].to_numpy(np.int64), kind="stable")
-    a_ref = ray.put(
-        (
-            a_rows["a"].to_numpy(np.int64)[ao],
-            a_rows["c1"].to_numpy(np.int64)[ao],
-            a_rows["na"].to_numpy(np.int64)[ao],
-        )
-    )
-    total_types = float(a_rows["na"].to_numpy(np.int64).sum())
-
-    def b_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "b": df["key"].to_numpy(np.int64) & 0xFFFFFFFF,
-                "nb": np.ones(len(df), dtype=np.int64),
-            }
-        )
-        return out.groupby("b", sort=False, as_index=False).sum()
-
-    b_rows = grouped_sum(
-        c2.map_batches(b_partial, batch_format="pandas"), "b", "nb"
-    ).to_pandas()  # vocabulary-sized
-    bo = np.argsort(b_rows["b"].to_numpy(np.int64), kind="stable")
-    b_ref = ray.put(
-        (
-            b_rows["b"].to_numpy(np.int64)[bo],
-            b_rows["nb"].to_numpy(np.int64)[bo],
-        )
-    )
-
-    def nll(key_l: np.ndarray, c2v: np.ndarray) -> np.ndarray:
-        akeys, ac1, ana = ray.get(a_ref)
-        bkeys, bnb = ray.get(b_ref)
-        pa_ = np.searchsorted(akeys, key_l >> 32)
-        pb_ = np.searchsorted(bkeys, key_l & 0xFFFFFFFF)
-        c1 = ac1[pa_].astype(np.float64)
-        na = ana[pa_].astype(np.float64)
-        nb = bnb[pb_].astype(np.float64)
+    def nll_kn(key_l: np.ndarray, c2v: np.ndarray) -> np.ndarray:
+        ac1_, ana_, bnb_ = ray.get(ab_ref)
+        pa_ = key_l >> 32
+        pb_ = key_l & 0xFFFFFFFF
+        c1 = ac1_[pa_].astype(np.float64)
+        na = ana_[pa_].astype(np.float64)
+        nb = bnb_[pb_].astype(np.float64)
         # mirror the oracle expression tree exactly, term for term
         p = np.maximum(c2v.astype(np.float64) - d, 0.0) / c1 + (
             d * na / c1
-        ) * (nb / total_types)
+        ) * (nb / total_bc)
         return -np.log(p)
 
-    return _score_occurrences(occ, c2, nll, n_buckets=n_buckets)
+    bc = _collect_nonsingleton_counts(tables, broadcast_rows)
+    if bc is not None:
+        return _score_broadcast(
+            input_path, bc, nll_kn, with_source=with_source, default_count=1
+        )
+
+    return _score_occurrences(
+        occ,
+        _kind0_counts(tables),
+        nll_kn,
+        n_buckets=n_buckets,
+        with_source=with_source,
+    )
+
 
 
 def gt_coverage(input_path, *, n_buckets: int = 64):
@@ -3458,59 +3622,22 @@ def ppl_tercile(
             f"coarse_width must be >= 1, got {coarse_width}"
         )
 
-    scores = kn_bigram_logprob(
-        input_path, discount=discount, n_buckets=n_buckets
-    )
-
-    def _bk_of(ids: np.ndarray) -> np.ndarray:
-        h = string_hash64(ids.astype("U")) % np.uint64(n_buckets)
-        return h.astype(np.int64)
-
-    def score_tag(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(object)
-        return pd.DataFrame(
-            {
-                "doc_id": ids,
-                "source": np.full(len(ids), "", dtype=object),
-                "n_bigrams": df["n_bigrams"].to_numpy(np.int64),
-                "mean_nll": df["mean_nll"].to_numpy(np.float64),
-                "_side": np.zeros(len(ids), dtype=np.int64),
-                "_bk": _bk_of(ids),
-            }
-        )
-
-    def src_tag(t: "pa.Table") -> pd.DataFrame:
-        ids = np.asarray(t["doc_id"], dtype=object)
-        return pd.DataFrame(
-            {
-                "doc_id": ids,
-                "source": np.asarray(t["source"], dtype=object),
-                "n_bigrams": np.zeros(len(ids), dtype=np.int64),
-                "mean_nll": np.zeros(len(ids), dtype=np.float64),
-                "_side": np.ones(len(ids), dtype=np.int64),
-                "_bk": _bk_of(ids),
-            }
-        )
-
-    src = ray.data.read_parquet(
-        input_path, columns=["doc_id", "source"]
-    ).map_batches(src_tag, batch_format="pyarrow")
-    tagged = scores.map_batches(score_tag, batch_format="pandas").union(src)
-
-    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["_side"] == 0]
-        right = g[g["_side"] == 1]
-        out = left[["doc_id", "n_bigrams", "mean_nll"]].merge(
-            right[["doc_id", "source"]], on="doc_id", how="inner"
-        )
-        return out[["doc_id", "source", "n_bigrams", "mean_nll"]]
-
-    # pin the joined doc-level scores once: they feed BOTH the cell-count
-    # pass and the rank pass, and a lazy Dataset would re-run the entire
-    # KN-scoring chain (two corpus-scale exchanges) per consumer. One row
-    # per doc — the exact table being ranked — spillable, not collected.
-    joined = tagged.groupby("_bk").map_groups(
-        bucket_join, batch_format="pandas"
+    # scores carry the source label straight out of the scoring pass
+    # (with_source=True: each input row is a whole document on the
+    # broadcast path, and the occurrence fold keys on (doc_id, source)
+    # on the co-partition path), so the former doc-level co-partition
+    # join of scores back onto (doc_id, source) is gone — one fewer
+    # corpus-scale union + exchange (~5 s at sf0.1).
+    #
+    # Pin the doc-level scores once: they feed BOTH the cell-count pass
+    # and the rank pass, and a lazy Dataset would re-run the entire
+    # KN-scoring chain per consumer. One row per doc — the exact table
+    # being ranked — spillable, not collected.
+    joined = kn_bigram_logprob(
+        input_path,
+        discount=discount,
+        n_buckets=n_buckets,
+        with_source=True,
     ).materialize()
 
     # ---- distributed exact NTILE over (mean_nll, doc_id) per source ----

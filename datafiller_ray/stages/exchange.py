@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from datafiller_ray.config import EngineValueError
 from datafiller_ray.functions.hashing import splitmix64, string_hash64
@@ -68,27 +69,33 @@ def grouped_sum(
     if how not in ("sum", "min", "max"):
         raise EngineValueError(f"how must be sum/min/max, got {how!r}")
 
-    def add_gk(batch: pd.DataFrame) -> pd.DataFrame:
-        h = _hash_column(batch[keys[0]])
+    def add_gk(t: "pa.Table") -> "pa.Table":
+        # ARROW block in/out: the sort exchange then moves zero-copy Arrow
+        # payloads instead of pickled pandas frames (measured ~10x lower
+        # scheduling cost on this substrate — COVERAGE.md "Exchange
+        # infrastructure"); only the key columns take a cheap per-column
+        # pandas hop for the shared hash
+        h = _hash_column(t[keys[0]].to_pandas())
         for k in keys[1:]:
             # order-sensitive mix: re-scramble the accumulator BEFORE adding
             # the next key's hash, so (a, b) and (b, a) land differently
             # (splitmix64(h_a + h_b) alone is commutative)
-            h = splitmix64(h) + _hash_column(batch[k])
-        batch = batch[keys + values].copy()
-        batch[_GK] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return batch
+            h = splitmix64(h) + _hash_column(t[k].to_pandas())
+        gk = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.select(keys + values).append_column(
+            _GK, pa.array(gk, type=pa.int64())
+        )
 
     def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: null keys form a group like Ray's aggregate (the
         # pandas default silently DROPS their rows)
-        out = g.groupby(keys, sort=True, as_index=False, dropna=False)[values].agg(
-            how
-        )
+        out = g.drop(columns=[_GK]).groupby(
+            keys, sort=True, as_index=False, dropna=False
+        )[values].agg(how)
         return out
 
     return (
-        ds.map_batches(add_gk, batch_format="pandas")
+        ds.map_batches(add_gk, batch_format="pyarrow")
         .groupby(_GK)
         .map_groups(sum_bucket, batch_format="pandas")
     )
@@ -195,10 +202,12 @@ def grouped_agg(
         raise EngineValueError(f"aggs must be sum/min/max, got {sorted(bad)}")
     values = list(aggs)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> "pa.Table":
         # pre-aggregate inside the batch BEFORE the exchange (the combiner
         # step): exact for associative reductions, shrinks the shuffle to
-        # <= |distinct keys in batch| rows
+        # <= |distinct keys in batch| rows; the partial ships as an ARROW
+        # block so the sort exchange moves zero-copy payloads, not pickled
+        # pandas frames
         out = batch.groupby(keys, sort=False, as_index=False, dropna=False)[
             values
         ].agg(aggs)
@@ -206,7 +215,7 @@ def grouped_agg(
         for k in keys[1:]:
             h = splitmix64(h) + _hash_column(out[k])
         out[_GK] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, sort=True, as_index=False, dropna=False)[

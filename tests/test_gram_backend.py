@@ -139,3 +139,158 @@ def test_filler_surfaces_accept_device():
     assert ts.get_params()["device"] == "numpy"
     ts2 = ts.set_params(device=None)
     assert ts2.get_params()["device"] is None
+
+
+# ---------------------------------------------------------------------------
+# mock-torch dry run: execute TorchGramBackend's real code path without torch
+# (a numpy-backed stand-in implements exactly the tensor surface the backend
+# uses), pinned against the NumpyGramBackend executable spec. Real-GPU
+# execution stays env-gated; this covers the translation layer itself.
+
+
+class _FakeTensor:
+    def __init__(self, a):
+        self.a = np.asarray(a)
+
+    def _w(self, other):
+        return other.a if isinstance(other, _FakeTensor) else other
+
+    # arithmetic / comparison surface used by TorchGramBackend
+    def __matmul__(self, other):
+        return _FakeTensor(self.a @ self._w(other))
+
+    def __and__(self, other):
+        return _FakeTensor(self.a & self._w(other))
+
+    def __add__(self, other):
+        return _FakeTensor(self.a + self._w(other))
+
+    def __sub__(self, other):
+        return _FakeTensor(self.a - self._w(other))
+
+    def __mul__(self, other):
+        return _FakeTensor(self.a * self._w(other))
+
+    def __truediv__(self, other):
+        return _FakeTensor(self.a / self._w(other))
+
+    def __ge__(self, other):
+        return _FakeTensor(self.a >= self._w(other))
+
+    def __getitem__(self, idx):
+        return _FakeTensor(self.a[self._w(idx)])
+
+    def __setitem__(self, idx, val):
+        self.a[self._w(idx)] = self._w(val)
+
+    def __bool__(self):
+        return bool(self.a)
+
+    def any(self, dim=None):
+        return _FakeTensor(self.a.any(axis=dim))
+
+    def clamp(self, min=None):
+        return _FakeTensor(np.maximum(self.a, min))
+
+    def unsqueeze(self, dim):
+        return _FakeTensor(np.expand_dims(self.a, dim))
+
+    def view(self, *shape):
+        return _FakeTensor(self.a.reshape(shape))
+
+    def sum(self, dim=None):
+        return _FakeTensor(self.a.sum(axis=dim))
+
+    def to(self, dtype):
+        return _FakeTensor(self.a.astype(dtype))
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self.a
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+
+class _FakeDevice:
+    def __init__(self, name):
+        self.type = str(name).split(":")[0]
+
+
+def _fake_torch():
+    import types
+
+    t = types.ModuleType("torch")
+    t.float64 = np.float64
+    t.int64 = np.int64
+    t.bool = np.bool_
+
+    def _unwrap(x):
+        return x.a if isinstance(x, _FakeTensor) else x
+
+    t.device = _FakeDevice
+    t.cuda = types.SimpleNamespace(is_available=lambda: False)
+    t.as_tensor = lambda data, dtype=None, device=None: _FakeTensor(
+        np.asarray(_unwrap(data), dtype=dtype)
+    )
+    t.einsum = lambda eq, *ops: _FakeTensor(
+        np.einsum(eq, *(_unwrap(o) for o in ops))
+    )
+    t.where = lambda c, a, b: _FakeTensor(
+        np.where(_unwrap(c), _unwrap(a), _unwrap(b))
+    )
+    t.zeros = lambda shape, dtype=None, device=None: _FakeTensor(
+        np.zeros(shape, dtype=dtype)
+    )
+    t.zeros_like = lambda x: _FakeTensor(np.zeros_like(_unwrap(x)))
+
+    def diag_embed(x):
+        a = _unwrap(x)
+        out = np.zeros(a.shape + (a.shape[-1],), dtype=a.dtype)
+        idx = np.arange(a.shape[-1])
+        out[..., idx, idx] = a
+        return _FakeTensor(out)
+
+    t.diag_embed = diag_embed
+    t.linalg = types.SimpleNamespace(
+        solve=lambda A, b: _FakeTensor(
+            np.linalg.solve(_unwrap(A), _unwrap(b))
+        )
+    )
+    return t
+
+
+def test_torch_backend_code_path_matches_numpy_under_mock(monkeypatch):
+    import sys
+
+    monkeypatch.setitem(sys.modules, "torch", _fake_torch())
+    rng = np.random.default_rng(21)
+    k, alpha = 5, 1e-2
+    grams, masks, counts = _random_groups(rng, n_groups=7, k=k)
+    patterns = (rng.random((10, k)) < 0.6).astype(bool)
+    patterns[0] = True
+    patterns[1] = False
+
+    want = NumpyGramBackend().solve_patterns(
+        grams, masks, counts, patterns, alpha, min_samples_train=20
+    )
+    got = TorchGramBackend("cpu").solve_patterns(
+        grams, masks, counts, patterns, alpha, min_samples_train=20
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=0, atol=1e-8)
+
+
+def test_torch_backend_cuda_guard_under_mock(monkeypatch):
+    import sys
+
+    monkeypatch.setitem(sys.modules, "torch", _fake_torch())
+    with pytest.raises(RuntimeError, match="no CUDA runtime"):
+        TorchGramBackend("cuda:0")
