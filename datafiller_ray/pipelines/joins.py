@@ -550,6 +550,176 @@ def _make_cross_kernel(
     return per_key
 
 
+def _key_values_np(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Join-key column as a numpy array suitable for ``pd.factorize``."""
+    if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+        return np.asarray(
+            col.to_numpy(zero_copy_only=False)
+            if hasattr(col, "to_numpy")
+            else col
+        )
+    return np.asarray(col.to_pandas(), dtype=object)
+
+
+def _add_join_bucket(key: str, n_buckets: int, *, with_salt: bool = False):
+    """Append the coarse exchange bucket ``_jb = hash(key[, salt]) %
+    n_buckets`` to a union-projected batch (null keys arrive
+    sentinel-filled, so the hash is total; any consistent placement of a
+    key is correct). With ``with_salt`` the salt mixes into the bucket so
+    a hot key's sub-groups still SPREAD across reduce tasks — the whole
+    point of salting."""
+    import pandas as pd
+
+    from datafiller_ray.functions.hashing import splitmix64
+    from datafiller_ray.stages.exchange import _hash_column
+
+    def add(t: pa.Table) -> pa.Table:
+        h = _hash_column(pd.Series(_key_values_np(t[key])))
+        if with_salt:
+            salt = (
+                t["_salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            h = splitmix64(h) + salt.view(np.uint64)
+        jb = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("_jb", pa.array(jb, type=pa.int64()))
+
+    return add
+
+
+def _make_bucket_cross_kernel(
+    *, key, how, l_fields, r_fields, out_schema, max_group_rows, label,
+    salted: bool = False,
+):
+    """Per-BUCKET sibling of :func:`_make_cross_kernel`: one UDF call
+    handles every join key in its coarse hash bucket, with the cross
+    product expanded VECTORIZED across keys (factorize -> per-key
+    segment counts -> one arange/repeat index build), instead of Ray's
+    per-group dispatch. With star-schema keys the fine groupby costs a
+    kernel invocation per distinct key (~hundreds of thousands for a
+    lineitem x orders join); the bucket kernel collapses that to
+    ``n_buckets`` calls while emitting row-identical output (same per-key
+    ``max_group_rows`` guard, same null-key three-valued logic).
+    ``salted`` factorizes on the (key, _salt) composite so each salt
+    sub-group stays an independent cross-product unit."""
+    import pandas as pd
+
+    empty = _empty_like(out_schema)
+    l_names = [f.name for f in l_fields]
+    r_names = [f.name for f in r_fields]
+    remedy = (
+        "swap the join sides (the LEFT side is salted; a right-heavy hot "
+        "key does not split) or pre-aggregate the right side"
+        if label == "salted_equi_join"
+        else "pre-aggregate one side or use salted_equi_join"
+    )
+
+    def left_only(g: pa.Table, l_rows: np.ndarray, key_null: bool = False):
+        return _left_pad(
+            g, l_rows, l_names, r_fields, out_schema, key, key_null
+        )
+
+    def right_only(g: pa.Table, r_rows: np.ndarray, key_null: bool = False):
+        idx = pa.array(r_rows, type=pa.int64())
+        cols = {}
+        for f in l_fields:
+            if f.name == key:
+                cols[key] = (
+                    pa.nulls(r_rows.size, type=f.type)
+                    if key_null
+                    else g[key].take(idx)
+                )
+            else:
+                cols[f.name] = pa.nulls(r_rows.size, type=f.type)
+        cols.update(_take_with_validity(g, r_names, r_rows, None))
+        return pa.table(cols, schema=out_schema)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_jb"]).combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        knull = g["_knull"].to_numpy(zero_copy_only=False).astype(bool)
+        parts = []
+        if knull.any():
+            null_l = np.flatnonzero((side == 0) & knull)
+            null_r = np.flatnonzero((side == 1) & knull)
+            if how in ("left", "full") and null_l.size:
+                parts.append(left_only(g, null_l, key_null=True))
+            if how == "full" and null_r.size:
+                parts.append(right_only(g, null_r, key_null=True))
+            nn = np.flatnonzero(~knull)
+        else:
+            nn = np.arange(g.num_rows, dtype=np.int64)
+        if nn.size:
+            kcodes, uniques = pd.factorize(_key_values_np(g[key])[nn])
+            if salted:
+                salt = (
+                    g["_salt"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[nn]
+                )
+                comp = kcodes.astype(np.int64) * np.int64(1 << 32) + salt
+                ucomp, codes = np.unique(comp, return_inverse=True)
+                K = ucomp.size
+
+                def key_of(gi: int):
+                    return uniques[int(ucomp[gi] >> 32)]
+
+            else:
+                codes, K = kcodes, len(uniques)
+
+                def key_of(gi: int):
+                    return uniques[gi]
+
+            nn_side = side[nn]
+            l_sel = nn_side == 0
+            l_nn, l_codes = nn[l_sel], codes[l_sel]
+            r_nn, r_codes = nn[~l_sel], codes[~l_sel]
+            lo = np.argsort(l_codes, kind="stable")
+            l_nn, l_codes = l_nn[lo], l_codes[lo]
+            ro = np.argsort(r_codes, kind="stable")
+            r_nn, r_codes = r_nn[ro], r_codes[ro]
+            l_cnt = np.bincount(l_codes, minlength=K)
+            r_cnt = np.bincount(r_codes, minlength=K)
+            l_start = np.concatenate(([0], np.cumsum(l_cnt)[:-1]))
+            r_start = np.concatenate(([0], np.cumsum(r_cnt)[:-1]))
+            prod = l_cnt * r_cnt
+            bad = np.flatnonzero(prod > max_group_rows)
+            if bad.size:
+                b = int(bad[0])
+                raise EngineValueError(
+                    f"{label} group for {key}={key_of(b)!r} would emit "
+                    f"{int(prod[b])} rows (> max_group_rows="
+                    f"{max_group_rows}); {remedy}"
+                )
+            matched = np.flatnonzero(prod > 0)
+            if matched.size:
+                sizes = prod[matched]
+                total = int(sizes.sum())
+                starts_out = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+                rep_k = np.repeat(matched, sizes)
+                j = np.arange(total, dtype=np.int64) - np.repeat(
+                    starts_out, sizes
+                )
+                rc = r_cnt[rep_k]
+                l_idx = l_nn[l_start[rep_k] + j // rc]
+                r_idx = r_nn[r_start[rep_k] + j % rc]
+                cols = _take_with_validity(g, l_names, l_idx, None)
+                cols.update(_take_with_validity(g, r_names, r_idx, None))
+                parts.append(pa.table(cols, schema=out_schema))
+            if how != "inner":
+                lonly = (l_cnt > 0) & (r_cnt == 0)
+                if lonly.any():
+                    parts.append(left_only(g, l_nn[lonly[l_codes]]))
+            if how == "full":
+                ronly = (r_cnt > 0) & (l_cnt == 0)
+                if ronly.any():
+                    parts.append(right_only(g, r_nn[ronly[r_codes]]))
+        if not parts:
+            return empty
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+    return per_bucket
+
+
 def equi_join(
     left,
     right,
@@ -559,11 +729,13 @@ def equi_join(
     right_payload,
     how: str = "inner",
     max_group_rows: int = _MAX_JOIN_GROUP_ROWS,
+    n_buckets: int = 64,
 ):
-    """Generic hash equi-join through the same single co-partitioning
-    exchange as the ordered joins: both sides project to the pruned tagged
-    union schema, one ``groupby(key)`` co-locates each key, and the
-    per-key kernel emits the left x right cross product for that key
+    """Generic hash equi-join through one coarse co-partitioning exchange:
+    both sides project to the pruned tagged union schema, rows exchange on
+    ``hash(key) % n_buckets`` (bounded reduce fan-in, the grouped_sum
+    pattern), and the per-bucket kernel emits every key's left x right
+    cross product from one vectorized factorize + index expansion
     (standard SQL inner/left/full-outer semantics, duplicates multiply;
     the key output column follows SQL ``USING(key)`` — coalesced on
     outer-padded rows; null keys never match).
@@ -596,7 +768,7 @@ def equi_join(
         key=key,
         drop_null_keys=(how in ("inner", "left")),
     )
-    per_key = _make_cross_kernel(
+    per_bucket = _make_bucket_cross_kernel(
         key=key,
         how=how,
         l_fields=l_fields,
@@ -605,8 +777,15 @@ def equi_join(
         max_group_rows=max_group_rows,
         label="equi_join",
     )
-    return l_proj.union(r_proj).groupby(key).map_groups(
-        per_key, batch_format="pyarrow"
+    return (
+        l_proj.union(r_proj)
+        .map_batches(
+            _add_join_bucket(key, n_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -779,7 +958,7 @@ def salted_equi_join(
     r_proj = right.map_batches(
         project_right, batch_format="pyarrow", zero_copy_batch=True
     )
-    per_key = _make_cross_kernel(
+    per_bucket = _make_bucket_cross_kernel(
         key=key,
         how=how,
         l_fields=l_fields,
@@ -787,9 +966,17 @@ def salted_equi_join(
         out_schema=out_schema,
         max_group_rows=4 * max_group_rows,
         label="salted_equi_join",
+        salted=True,
     )
-    return l_proj.union(r_proj).groupby([key, "_salt"]).map_groups(
-        per_key, batch_format="pyarrow"
+    return (
+        l_proj.union(r_proj)
+        .map_batches(
+            _add_join_bucket(key, 64, with_salt=True),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -863,8 +1050,13 @@ def semi_join(
     empty = _empty_like(out_schema)
     l_names = [f.name for f in l_fields]
 
-    def per_key(g: pa.Table) -> pa.Table:
-        g = g.combine_chunks()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # one UDF call per coarse bucket, EXISTS/NOT-EXISTS decided
+        # vectorized across every key in it (factorize + membership mask)
+        # instead of Ray's per-key group dispatch
+        import pandas as pd
+
+        g = g.drop_columns(["_jb"]).combine_chunks()
         side = g["_side"].to_numpy(zero_copy_only=False)
         knull = g["_knull"].to_numpy(zero_copy_only=False).astype(bool)
         parts = []
@@ -874,22 +1066,37 @@ def semi_join(
                 parts.append(
                     _left_pad(g, null_l, l_names, [], out_schema, key, True)
                 )
-            l_rows = np.flatnonzero((side == 0) & ~knull)
+            nn = np.flatnonzero(~knull)
         else:
-            l_rows = np.flatnonzero(side == 0)
-        if l_rows.size and (side == 1).any() != anti:
-            parts.append(
-                pa.table(
-                    _take_with_validity(g, l_names, l_rows, None),
-                    schema=out_schema,
+            nn = np.arange(g.num_rows, dtype=np.int64)
+        if nn.size:
+            codes, _ = pd.factorize(_key_values_np(g[key])[nn])
+            nn_side = side[nn]
+            l_sel = nn_side == 0
+            has_right = np.zeros(codes.max() + 1, dtype=bool)
+            has_right[codes[~l_sel]] = True
+            keep = has_right[codes[l_sel]] != anti
+            l_rows = nn[l_sel][keep]
+            if l_rows.size:
+                parts.append(
+                    pa.table(
+                        _take_with_validity(g, l_names, l_rows, None),
+                        schema=out_schema,
+                    )
                 )
-            )
         if not parts:
             return empty
         return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
-    return l_proj.union(r_proj).groupby(key).map_groups(
-        per_key, batch_format="pyarrow"
+    return (
+        l_proj.union(r_proj)
+        .map_batches(
+            _add_join_bucket(key, 64),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
