@@ -160,13 +160,15 @@ def grouped_topk(
             out[rank_name] = out.groupby(group, sort=False, dropna=False).cumcount() + 1
         return out
 
-    def block_prune(df: pd.DataFrame) -> pd.DataFrame:
+    def block_prune(df: pd.DataFrame) -> "pa.Table":
         df = prune(df, final=False).copy()
         h = _hash_column(df[group[0]])
         for g in group[1:]:
             h = splitmix64(h) + _hash_column(df[g])
         df[_GK] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return df
+        # pruned partials ship as ARROW blocks so the sort exchange moves
+        # zero-copy payloads (callers' columns are scalars by contract)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def final_prune(g: pd.DataFrame) -> pd.DataFrame:
         return prune(g.drop(columns=[_GK]), final=True)
