@@ -3322,11 +3322,27 @@ def _returned_revenue_topk(sf_dir: str):
     orders = _read(sf_dir, "orders").map_batches(
         ord_proj, batch_format="pyarrow", zero_copy_batch=True
     )
-    j = equi_join(
-        li, orders, key="okey",
-        left_payload={"rev": "rev"}, right_payload={"ckey": "ckey"},
-    )
-    per_cust = grouped_sum(j, ["ckey"], "rev").map_batches(
+    # size-gated broadcast-vs-shuffle selection (the engine's standing
+    # discipline): the date-filtered orders side is a DIMENSION at bench
+    # scale (orderkey unique, ~45k rows at sf0.1) so the okey hop runs as
+    # a broadcast probe with zero exchanges; above the guard (the 100-TB
+    # regime, where H1-1997 orders are themselves huge) the same plan
+    # falls back to the equi_join exchange — row-identical either way.
+    from datafiller_ray.config import EngineValueError as _EVE
+
+    try:
+        j = broadcast_join(
+            li, orders, key="okey", small_payload={"ckey": "ckey"}
+        )
+    except _EVE:
+        j = equi_join(
+            li, orders, key="okey",
+            left_payload={"rev": "rev"}, right_payload={"ckey": "ckey"},
+        )
+    # pre_coalesce is safe here by this plan's OWN assumption: customer is
+    # broadcast as a dimension two hops below, so the per-customer partial
+    # stream is dimension-bounded
+    per_cust = grouped_sum(j, ["ckey"], "rev", pre_coalesce=16).map_batches(
         lambda b: b.rename(columns={"rev": "revenue_e4"}),
         batch_format="pandas",
     )

@@ -47,6 +47,7 @@ def grouped_sum(
     *,
     n_buckets: int = 64,
     how: str = "sum",
+    pre_coalesce: "int | None" = None,
 ):
     """Exact per-key sums (or, via ``how``, min/max — any associative pandas
     reduction with the same partial+final algebra) of ``values`` grouped by
@@ -94,11 +95,17 @@ def grouped_sum(
         )[values].agg(how)
         return out
 
-    return (
-        ds.map_batches(add_gk, batch_format="pyarrow")
-        .groupby(_GK)
-        .map_groups(sum_bucket, batch_format="pandas")
-    )
+    mapped = ds.map_batches(add_gk, batch_format="pyarrow")
+    if pre_coalesce:
+        # opt-in for DIMENSION-BOUNDED partial streams (the caller's plan
+        # must already assert the keyspace is small, e.g. a later
+        # broadcast hop on the same key): Ray's sort exchange cost grows
+        # with input block count, and coalescing a many-tiny-blocks
+        # stream first is ~3x faster (measured 1.0 s -> 0.32 s on a 128
+        # x 1.5k-row stream). NEVER set it on unbounded streams — the
+        # coalesced blocks must fit worker memory.
+        mapped = mapped.repartition(pre_coalesce)
+    return mapped.groupby(_GK).map_groups(sum_bucket, batch_format="pandas")
 
 
 def topk_block_fn(k: int, rank_col: str, tie_cols: "list[str]"):
@@ -186,6 +193,7 @@ def grouped_agg(
     aggs: "dict[str, str]",
     *,
     n_buckets: int = 64,
+    pre_coalesce: "int | None" = None,
 ):
     """Mixed per-column reductions through ONE bounded coarse-key exchange
     — ``grouped_sum`` generalized to a per-value ``how`` map (``{"n":
@@ -224,8 +232,8 @@ def grouped_agg(
             values
         ].agg(aggs)
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(_GK)
-        .map_groups(final_bucket, batch_format="pandas")
-    )
+    mapped = ds.map_batches(partial, batch_format="pandas")
+    if pre_coalesce:
+        # see grouped_sum: only for dimension-bounded partial streams
+        mapped = mapped.repartition(pre_coalesce)
+    return mapped.groupby(_GK).map_groups(final_bucket, batch_format="pandas")
