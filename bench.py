@@ -493,7 +493,10 @@ def run_bench() -> dict:
 
         ppl_tercile(fixture).count()
 
-    timed("kn_ppl_tercile", kn_ppl, n_reps=1)
+    # full 3-rep spread since the round-5 rework (42.9 s -> ~18 s: fold-in
+    # -exchange KN tables + singleton-pruned broadcast + join-free source
+    # carry), per the r4 verdict's done-criteria for this pipeline
+    timed("kn_ppl_tercile", kn_ppl)
 
     def shape_spectral():
         # twelfth-session family: per-source shape/spectral passes —
