@@ -562,6 +562,7 @@ def embedding_near_dup_lsh(
     n_planes: int = 4,
     n_tables: int = 8,
     base_seed: int = 101,
+    max_candidates: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-dup pairs via multi-table sign-LSH — the scale
     path: ``n_tables`` independent hyperplane tables; vectors sharing a
@@ -637,7 +638,23 @@ def embedding_near_dup_lsh(
         )
         return pd.DataFrame({"vec_id": vals})
 
-    id_df = deduped.map_batches(uniq_ids, batch_format="pandas").to_pandas()
+    id_ds = deduped.map_batches(uniq_ids, batch_format="pandas").materialize()
+    # distributed count BEFORE any driver collect (the dedup_sequences
+    # guard discipline): the candidate-vector LUT broadcast is bounded by
+    # the DISTINCT candidate ids, which on a near-dup-heavy corpus can
+    # approach corpus size — fail with a named remedy instead of a silent
+    # driver/worker OOM
+    n_cand = id_ds.count()
+    if n_cand > max_candidates:
+        from datafiller_ray.config import EngineValueError
+
+        raise EngineValueError(
+            f"{n_cand} distinct candidate ids exceed max_candidates="
+            f"{max_candidates}; raise n_planes (smaller buckets), raise the "
+            "guard explicitly, or verify through a co-partition join "
+            "instead of the broadcast LUT"
+        )
+    id_df = id_ds.to_pandas()
     cand_ids = set(id_df["vec_id"].tolist())
     if not cand_ids:
         return ray.data.from_pandas(

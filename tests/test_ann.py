@@ -763,3 +763,14 @@ def test_blockwise_knn_edges_layout_invariant(embeddings):
     )
     assert len(e1) == 800 * 3
     pd.testing.assert_frame_equal(e1, e2[e1.columns.tolist()])
+
+
+def test_embedding_near_dup_lsh_candidate_guard(embeddings):
+    from datafiller_ray.config import EngineValueError
+    from datafiller_ray.pipelines.ann import embedding_near_dup_lsh
+
+    ds, M = embeddings
+    with pytest.raises(EngineValueError, match="max_candidates"):
+        embedding_near_dup_lsh(
+            ds, dim=M.shape[1], threshold=0.8, max_candidates=1
+        ).to_pandas()
