@@ -667,7 +667,9 @@ def _bucket_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
     df = g.sort_values(["band", "band_hash", "doc_id"])
     ids = df["doc_id"].to_numpy(np.int64)
     if ids.size == 0:
-        return pd.DataFrame(
+        import pyarrow as pa
+
+        return pa.table(
             {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)}
         )
     bh = df["band_hash"].to_numpy(np.int64)
@@ -677,7 +679,12 @@ def _bucket_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
     counts = np.diff(np.append(starts, ids.size))
     first = np.repeat(ids[starts], counts)
     member = ~new  # non-first rows of each bucket pair with the bucket min
-    return pd.DataFrame({"doc_a": first[member], "doc_b": ids[member]})
+    import pyarrow as pa
+
+    # arrow edges: the downstream dedup exchange moves zero-copy int pairs
+    return pa.table(
+        {"doc_a": first[member], "doc_b": ids[member]}
+    )
 
 
 def minhash_near_dup(
@@ -697,12 +704,16 @@ def minhash_near_dup(
     # shuffle on a coarse int64 key (band, low bits of band_hash): every
     # bucket lands wholly in one group, group count is bounded at
     # BANDS x 256 = 4096 (enough parallelism, no per-bucket Python calls)
-    def add_gkey(batch: pd.DataFrame) -> pd.DataFrame:
+    def add_gkey(batch: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
         batch = batch.copy()
         batch["gkey"] = batch["band"].to_numpy(np.int64) * 256 + (
             batch["band_hash"].to_numpy(np.int64) & 255
         )
-        return batch
+        # arrow block out: the sort exchange moves zero-copy int columns
+        # instead of pickled pandas frames
+        return pa.Table.from_pandas(batch, preserve_index=False)
 
     pairs = (
         sigs.map_batches(add_gkey, batch_format="pandas")
